@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   * the same IEEE value on both Spark and DuckDB.
   */
 object Tables {
-  /** Load one of the driver-generated parquet tables. */
+  /** Load one of the driver-generated parquet tables — through the
+    * engine's own storage façade, so the driver-checked queries exercise
+    * the same read path a library user gets. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    new graft.storage.BasicStorage(spark).read(s"$dir/$name.parquet", "parquet")
 
   /** Exact-sum of a double column: decimal(18,4) accumulate → double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")

@@ -1,0 +1,103 @@
+package graft.storage
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Format-dispatching read/write/merge façade.
+  * Reference: jorvik/storage/basic.py.
+  *
+  * Differences from the reference, driven by the environment (no Delta
+  * jar) and the JVM host:
+  *   - format "delta" = parquet data + `_graft_log` sidecar ([[GraftLog]]);
+  *   - `exists` is a single Hadoop FileSystem call (the reference's 3-tier
+  *     fallback, basic.py:222-254, exists only because PySpark must cross
+  *     py4j — on the JVM one call suffices);
+  *   - `merge` is a copy-on-write DataFrame-algebra upsert ([[Merge]]).
+  */
+class BasicStorage(spark: SparkSession) extends Storage {
+
+  private val observers = ListBuffer.empty[StorageOutputObserver]
+
+  private val formats = Set("delta", "parquet", "json", "csv", "orc")
+
+  private def requireFormat(format: String): Unit =
+    require(formats.contains(format), s"Unsupported format: $format")
+
+  /** Physical format backing a logical format. */
+  private def physical(format: String): String =
+    if (format == "delta") "parquet" else format
+
+  override def read(path: String, format: String,
+                    options: Map[String, String] = Map.empty): DataFrame = {
+    requireFormat(format)
+    // csv defaults: header + inferSchema (basic.py:35-37)
+    val opts =
+      if (format == "csv")
+        Map("header" -> "true", "inferSchema" -> "true") ++ options
+      else options
+    spark.read.format(physical(format)).options(opts).load(path)
+  }
+
+  override def readStream(path: String, format: String,
+                          options: Map[String, String] = Map.empty): DataFrame = {
+    requireFormat(format)
+    // File-source streams need an explicit schema: probe with a batch read
+    // (basic.py:62-66). Applies to "delta" too here — parquet backing has
+    // no transaction log to supply the schema.
+    val schema = read(path, format, options).schema
+    val reader = spark.readStream.schema(schema).format(physical(format))
+    reader.options(options).load(path)
+  }
+
+  override def write(df: DataFrame, path: String, format: String, mode: String,
+                     partitionFields: Seq[String] = Nil,
+                     options: Map[String, String] = Map.empty): Unit = {
+    requireFormat(format)
+    val opts =
+      if (format == "csv")
+        Map("header" -> "true", "delimiter" -> ",") ++ options
+      else options
+    var writer = df.write.format(physical(format))
+    if (mode == "overwrite") writer = writer.option("overwriteSchema", "true")
+    if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
+    writer.options(opts).mode(mode).save(path)
+    if (format == "delta") GraftLog.append(spark, path, "WRITE")
+    notifyOutputObservers(df, path)
+  }
+
+  override def writeStream(df: DataFrame, path: String, format: String,
+                           checkpoint: String,
+                           partitionFields: Seq[String] = Nil,
+                           options: Map[String, String] = Map.empty): StreamingQuery = {
+    requireFormat(format)
+    // Observers fire before start for streams (basic.py:126 — asymmetric
+    // with batch write by design: the query never "completes").
+    notifyOutputObservers(df, path)
+    var writer = df.writeStream.format(physical(format))
+    if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
+    writer = writer.options(options)
+    val q = writer.option("checkpointLocation", checkpoint).start(path)
+    if (format == "delta") GraftLog.append(spark, path, "STREAMING")
+    q
+  }
+
+  override def merge(df: DataFrame, path: String, mergeCondition: String,
+                     partitionFields: Seq[String] = Nil,
+                     mergeSchemas: Boolean = false,
+                     updateCondition: Option[String] = None,
+                     insertCondition: Option[String] = None): Unit = {
+    Merge.run(spark, this, df, path, mergeCondition, partitionFields,
+      mergeSchemas, updateCondition, insertCondition)
+    notifyOutputObservers(df, path)
+  }
+
+  override def exists(path: String): Boolean = Fs.exists(spark, path)
+
+  override def registerOutputObserver(observer: StorageOutputObserver): Unit =
+    observers += observer
+
+  def notifyOutputObservers(df: DataFrame, outputPath: String): Unit =
+    observers.foreach(_.update(df, outputPath))
+}

@@ -1,0 +1,66 @@
+package graft.storage
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sidecar operation log for managed ("delta"-format) tables.
+  *
+  * Stands in for the Delta transaction log's history() in an environment
+  * without the Delta jar (SURVEY.md §7): a tiny append-only parquet dir at
+  * `<table>/_graft_log` holding (operation, timestamp) rows. Underscore
+  * prefix keeps it invisible to parquet scans of `<table>`.
+  *
+  * Reference behaviours served: DeltaTable.isDeltaTable (managed-table
+  * check, jorvik/storage/basic.py:176,230) and history()-based
+  * "last updated" output (jorvik/storage/isolation.py:104-123).
+  */
+object GraftLog {
+  val LogDirName = "_graft_log"
+
+  val schema: StructType = StructType(Seq(
+    StructField("operation", StringType),
+    StructField("timestamp", TimestampType)))
+
+  def logPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "/" + LogDirName
+
+  /** True if `path` holds a managed table (our isDeltaTable analogue). */
+  def isManagedTable(spark: SparkSession, path: String): Boolean =
+    Fs.exists(spark, logPath(path))
+
+  /** Append one (operation, now) row. Driver-side, metadata-sized. */
+  def append(spark: SparkSession, tablePath: String, operation: String): Unit = {
+    val row = Row(operation, new Timestamp(System.currentTimeMillis()))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+      .coalesce(1)
+      .write.mode("append").parquet(logPath(tablePath))
+  }
+
+  /** The operation history, newest first (history() analogue). */
+  def history(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(logPath(tablePath))
+      .orderBy(org.apache.spark.sql.functions.desc("timestamp"))
+}
+
+/** Thin Hadoop FileSystem helpers (the JVM-native version of the
+  * reference's py4j calls, jorvik/storage/basic.py:236-243). */
+object Fs {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def delete(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  def rename(spark: SparkSession, from: String, to: String): Boolean = {
+    val f = new Path(from)
+    f.getFileSystem(spark.sessionState.newHadoopConf()).rename(f, new Path(to))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas
+
+/** Copy-on-write MERGE upsert over parquet-backed managed tables.
+  *
+  * Re-expresses Delta Lake's
+  * `whenMatchedUpdateAll(cond).whenNotMatchedInsertAll(cond)` merge
+  * (reference: jorvik/storage/basic.py:136-220) as pure DataFrame algebra:
+  * one full-outer join of the existing table ("full") against the incoming
+  * frame ("incremental") on the user's merge condition, a per-pair CASE
+  * choosing updated / kept / inserted values, then an atomic-ish
+  * write-tmp-and-swap rewrite.
+  *
+  * Scale notes: the full-outer join shuffles both sides on the merge keys
+  * (Catalyst extracts equi-keys from the condition); everything is
+  * executor-side — no driver state, no collect. Matching multiple
+  * incremental rows to one full row duplicates the full row (Delta raises
+  * an error there; we document instead of paying a distributed duplicate
+  * check on every merge).
+  */
+object Merge {
+
+  /** Runs the merge. Returns true if the table was auto-created (in which
+    * case [[BasicStorage.write]] has already notified observers). */
+  def run(spark: SparkSession, storage: BasicStorage, df: DataFrame,
+          path: String, mergeCondition: String,
+          partitionFields: Seq[String],
+          mergeSchemas: Boolean,
+          updateCondition: Option[String],
+          insertCondition: Option[String]): Boolean = {
+
+    if (updateCondition.map(_.toLowerCase).contains("false") &&
+        insertCondition.map(_.toLowerCase).contains("false"))
+      throw new IllegalArgumentException(
+        "Both inserts and updates are ignored this operation will not have an effect.")
+
+    // Auto-create on first merge (basic.py:170-172).
+    if (!storage.exists(path)) {
+      storage.write(df, path, "delta", "overwrite", partitionFields)
+      return true
+    }
+
+    if (!GraftLog.isManagedTable(spark, path))
+      throw new IllegalArgumentException("The given path is not a Delta Table.")
+
+    val full = storage.read(path, "delta")
+
+    // Schema evolution (basic.py:193-220): align both sides by adding
+    // typed-null columns, or fail when evolution is off.
+    val (evolvedFull, evolvedInc) =
+      if (Schemas.areEqual(df.schema, full.schema)) (full, df)
+      else {
+        val fullNames = full.schema.fields.map(_.name).toSet
+        val incNames = df.schema.fields.map(_.name).toSet
+        val newFields = df.schema.fields.filter(f => !fullNames.contains(f.name))
+        val missing = full.schema.fields.filter(f => !incNames.contains(f.name))
+        if (!mergeSchemas)
+          throw new IllegalArgumentException(
+            s"""Incremental data have a different schema.
+               |New fields: ${newFields.mkString(", ")}
+               |Missing fields: ${missing.mkString(", ")}""".stripMargin)
+        val inc2 = missing.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val full2 = newFields.foldLeft(full)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        (full2, inc2)
+      }
+
+    // Pair semantics via one full-outer join; marker columns make side
+    // presence unambiguous (data columns may be legitimately null).
+    val f = evolvedFull.withColumn("__graft_full", lit(true)).alias("full")
+    val i = evolvedInc.withColumn("__graft_inc", lit(true)).alias("incremental")
+    val joined = f.join(i, expr(mergeCondition), "full_outer")
+
+    val fullPresent = col("full.__graft_full").isNotNull
+    val incPresent = col("incremental.__graft_inc").isNotNull
+    val updCond = updateCondition.map(expr).getOrElse(lit(true))
+    val insCond = insertCondition.map(expr).getOrElse(lit(true))
+
+    val outCols = evolvedFull.schema.fields.map { fld =>
+      when(incPresent && (!fullPresent || updCond), col(s"incremental.${fld.name}"))
+        .otherwise(col(s"full.${fld.name}"))
+        .as(fld.name)
+    }
+    // Matched and full-only rows always survive; incremental-only rows
+    // survive the insert condition (null condition = no insert, as Delta).
+    val result = joined.filter(fullPresent || insCond).select(outCols.toSeq: _*)
+
+    // Copy-on-write: materialize to a tmp dir (reads the old files while
+    // writing new ones), then swap dirs and carry the op log over.
+    val base = path.stripSuffix("/")
+    val tmp = base + "__graft_tmp"
+    Fs.delete(spark, tmp)
+    var writer = result.write.format("parquet").mode("overwrite")
+    if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
+    writer.save(tmp)
+    Fs.rename(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
+    Fs.delete(spark, base)
+    Fs.rename(spark, tmp, base)
+    GraftLog.append(spark, base, "MERGE")
+    false
+  }
+}

@@ -1,0 +1,119 @@
+package graft.storage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Ports of the merge cases in test/storage/test_basic.py:112-257. */
+class MergeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def storage = new BasicStorage(spark)
+
+  test("merge: insert/update conditions and kept rows") {
+    val dir = tempDir("merge1")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "existing"), (2L, "existing"), (3L, "existing"))
+      .toDF("id", "value")
+    storage.write(df, dir, "delta", "overwrite")
+    val incremental =
+      Seq((2L, "updated"), (3L, "updated"), (4L, "added"), (5L, "added"))
+        .toDF("id", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      insertCondition = Some("incremental.id != 4"),
+      updateCondition = Some("incremental.id != 2"))
+    val expected =
+      Seq((1L, "existing"), (2L, "existing"), (3L, "updated"), (5L, "added"))
+        .toDF("id", "value")
+    assertDfEqual(storage.read(dir, "delta"), expected)
+  }
+
+  test("merge: schema changes fail unless mergeSchemas") {
+    val dir = tempDir("merge2")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "existing", 1L), (2L, "existing", 1L), (3L, "existing", 1L))
+      .toDF("id", "value", "old")
+    storage.write(df, dir, "delta", "overwrite")
+    val incremental = Seq((3L, "updated", 2L), (4L, "added", 2L))
+      .toDF("id", "value", "new")
+    intercept[IllegalArgumentException] {
+      storage.merge(incremental, dir, "full.id == incremental.id")
+    }
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      mergeSchemas = true)
+    val expected = Seq(
+      (1L, "existing", Some(1L), None),
+      (2L, "existing", Some(1L), None),
+      (3L, "updated", None, Some(2L)),
+      (4L, "added", None, Some(2L))
+    ).toDF("id", "value", "old", "new")
+    assertDfEqual(
+      storage.read(dir, "delta").select("id", "value", "old", "new"), expected)
+  }
+
+  test("merge: ignore updates (update_condition=false)") {
+    val dir = tempDir("merge3")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "existing"), (2L, "existing"), (3L, "existing"))
+      .toDF("id", "value")
+    storage.write(df, dir, "delta", "overwrite")
+    val incremental = Seq((3L, "updated"), (4L, "added")).toDF("id", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      updateCondition = Some("false"))
+    val expected =
+      Seq((1L, "existing"), (2L, "existing"), (3L, "existing"), (4L, "added"))
+        .toDF("id", "value")
+    assertDfEqual(storage.read(dir, "delta"), expected)
+  }
+
+  test("merge: ignore inserts (insert_condition=false)") {
+    val dir = tempDir("merge4")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "existing"), (2L, "existing"), (3L, "existing"))
+      .toDF("id", "value")
+    storage.write(df, dir, "delta", "overwrite")
+    val incremental = Seq((3L, "updated"), (4L, "added")).toDF("id", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      insertCondition = Some("false"))
+    val expected =
+      Seq((1L, "existing"), (2L, "existing"), (3L, "updated"))
+        .toDF("id", "value")
+    assertDfEqual(storage.read(dir, "delta"), expected)
+  }
+
+  test("merge: both conditions false is an error") {
+    intercept[IllegalArgumentException] {
+      storage.merge(null, "", "",
+        insertCondition = Some("false"), updateCondition = Some("false"))
+    }
+  }
+
+  test("merge: auto-creates missing table") {
+    val dir = tempDir("merge5") + "/nested/table"
+    val incremental = Seq((1L, "a")).toDF("id", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id")
+    assertDfEqual(storage.read(dir, "delta"), incremental)
+    assert(GraftLog.isManagedTable(spark, dir))
+  }
+
+  test("merge: non-managed path is rejected") {
+    val dir = tempDir("merge6")
+    val df = Seq((1L, "a")).toDF("id", "value")
+    storage.write(df, dir, "parquet", "overwrite")
+    intercept[IllegalArgumentException] {
+      storage.merge(df, dir, "full.id == incremental.id")
+    }
+  }
+
+  test("merge: history records MERGE after WRITE") {
+    val dir = tempDir("merge7")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "a")).toDF("id", "value")
+    storage.write(df, dir, "delta", "overwrite")
+    storage.merge(Seq((2L, "b")).toDF("id", "value"), dir,
+      "full.id == incremental.id")
+    val ops = GraftLog.history(spark, dir).select("operation")
+      .as[String].collect().toSeq
+    assert(ops == Seq("MERGE", "WRITE"))
+  }
+}
