@@ -1,0 +1,40 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lineage.DataLineageLogger
+
+/** Storage system factory. Reference: jorvik/storage/__init__.py:12-44.
+  *
+  * Spark conf keys (identical to the reference so configurations port):
+  *   - io.jorvik.data_lineage.log_path — attach lineage logging if set
+  *   - io.jorvik.storage.production_context — csv list of contexts that
+  *     get direct (non-isolated) storage; default main,master,production,prod
+  *   - io.jorvik.storage.isolation_provider / isolation_context /
+  *     isolation_folder / mount_point — see [[IsolationProviders]] /
+  *     [[IsolatedStorage]]
+  */
+object GraftStorage {
+
+  def configure(spark: SparkSession,
+                isolationProvider: Option[() => String] = None,
+                verbose: Boolean = false,
+                trackLineage: Boolean = true): Storage = {
+    val st = new BasicStorage(spark)
+    val conf = spark.sparkContext.getConf
+    val lineageLogPath = conf.get("io.jorvik.data_lineage.log_path", "")
+    val productionContext = conf
+      .get("io.jorvik.storage.production_context", "main,master,production,prod")
+      .split(",").map(_.trim.toLowerCase).toSeq
+
+    if (trackLineage && lineageLogPath.nonEmpty)
+      st.registerOutputObserver(new DataLineageLogger(lineageLogPath))
+
+    val provider = isolationProvider
+      .getOrElse(IsolationProviders.getIsolationProvider(spark))
+    val isolation = provider()
+    if (isolation.nonEmpty && !productionContext.contains(isolation.toLowerCase))
+      new IsolatedStorage(st, spark, verbose, provider)
+    else st
+  }
+}
