@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus cleaning.
+  *
+  * All variants are pure DataFrame algebra: shuffles are bounded by the
+  * grouping keys, there is no driver-side state, and every step scales
+  * with `spark.sql.shuffle.partitions` — the properties that matter at
+  * 100 TB. Probabilistic variants (MinHash, SimHash) use Spark's
+  * codegen'd hash functions, not UDFs, except where bit-twiddling would
+  * need 64 nested lambda aggregates (see [[simHash64]]).
+  */
+object Dedup {
+
+  /** Exact dedup on a column subset (arbitrary surviving row, like
+    * `dropDuplicates`). One hash-shuffle. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Deterministic exact dedup: per key group keep the row with the
+    * smallest `tieBreaker`. Same shuffle shape as dropDuplicates but the
+    * survivor is stable — required for oracle checks and reproducible
+    * pipelines. */
+  def exactDeterministic(df: DataFrame, keys: Seq[String],
+                         tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tieBreaker).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Near-dup by normalized text hash: case/whitespace-insensitive
+    * sha256 grouping; keeps the smallest id per group and the group
+    * size. Embarrassingly parallel apart from one hash shuffle. */
+  def byNormalizedHash(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    df.withColumn("__h", normalizedHash(col(textCol)))
+      .groupBy(col("__h").as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  def normalizedHash(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** Word-level shingles of size `n` as one row per (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    // sliding window over the token array, built with codegen'd
+    // transform/slice — no UDF
+    val shingleArr = when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+    df.select(col(idCol), explode(shingleArr).as("shingle")).distinct()
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the min over the document's shingle hashes. Output: (id, sig:
+    * array<long> of length numHashes). One groupBy shuffle. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: split signatures into `bands` bands of
+    * numHashes/bands rows, hash each band to a bucket. Pairs sharing any
+    * band bucket are candidates; candidates are verified with exact
+    * shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
+    * jaccard >= threshold, id_a < id_b.
+    *
+    * Scale: the candidate join is per-(band, bucket) — skew-bounded by
+    * bucket size, never all-pairs. Signature and shingle frames are
+    * reused (cached by the caller if iterating).
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleSize: Int = 3,
+                      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val banded = sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("signature"), b * rows + 1, lit(rows)))))
+      .as(Seq("band", "bucket")))
+    val left = banded.alias("a")
+    val right = banded.alias("b")
+    val candidates = left.join(right,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    verifiedJaccard(candidates, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (the verify stage of
+    * LSH). Join-based: |A ∩ B| via shingle join, sizes via per-id counts. */
+  def verifiedJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, shingleSize: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+    inter.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (custom Catalyst expression —
+    * see [[graft.functions.SimHash64Expr]]). Near-dups have small
+    * Hamming distance, see [[hamming64]]. */
+  def simHash64(text: Column): Column =
+    graft.functions.SimHash64Expr.simhash64(text)
+
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
+    * (any identical chunk → candidate, guaranteed for Hamming ≤ 3 when
+    * bits spread), verify by exact Hamming distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol), simHash64(col(textCol)).as("sh"))
+    val banded = hashed.select(col(idCol), col("sh"), posexplode(array(
+      (0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*))
+      .as(Seq("band", "chunk")))
+    val a = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

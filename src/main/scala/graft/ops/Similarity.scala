@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Vector math uses codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) in double precision — sequential fold order matches
+  * DuckDB's list functions, so results are bit-reproducible for the
+  * oracle. No UDFs in the hot path.
+  */
+object Similarity {
+
+  /** Dot product in double precision (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: for every query row, the k nearest corpus rows by
+    * cosine. The query side is broadcast (queries << corpus); the corpus
+    * streams through one pass — at scale this is a map-side nested loop,
+    * no shuffle until the per-query top-k aggregation.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) with rank 1..k,
+    * cosine-desc, neighbor-id tiebreak. Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
+                     corpusIdCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane p,
+    * dimension d gets a fixed hash-derived value in [-1, 1). Generated as
+    * a literal array — tiny, driver-side, seeded. */
+  private def planes(nPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, p, d))
+        (h.toDouble / Int.MaxValue)
+      }
+    }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of dot product).
+    * Vectors in the same bucket are likely near in cosine. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int,
+                seed: Int = 42): Column = {
+    val v = vec.cast("array<double>")
+    val bits = planes(nPlanes, dim, seed).zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(aggregate(zip_with(v, planeCol, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x) >= 0, shiftleft(lit(1L), i))
+        .otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: like [[bruteForceTopK]] but candidates are
+    * restricted to corpus vectors sharing the query's bucket in any of
+    * `nTables` independent hash tables. At 100 TB this turns the
+    * all-pairs scan into a per-bucket join; recall is tunable via
+    * (nPlanes, nTables). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
+              corpusIdCol: String, vecCol: String, k: Int, dim: Int,
+              nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("*"), posexplode(array((0 until nTables).map(t =>
+        lshBucket(col(vecCol), nPlanes, dim, seed = 42 + t)): _*))
+        .as(Seq("table", "bucket")))
+        .select(col(df.columns.head).as(idAs), col(vecCol).as(vecAs),
+          col("table"), col("bucket"))
+    val q = bucketed(queries.select(col(queryIdCol), col(vecCol)), "query_id", "__qv")
+    val c = bucketed(corpus.select(col(corpusIdCol), col(vecCol)), "neighbor_id", "__cv")
+    val scored = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

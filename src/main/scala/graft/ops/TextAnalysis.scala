@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators: token statistics, quality scoring,
+  * language identification, fingerprinting. All map-only (no shuffle)
+  * except where noted — the shape that scales linearly to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count estimate: words plus punctuation marks plus
+    * one extra token per 6 chars of long words (mirrors byte-pair
+    * behaviour on rare words without a vocab file). */
+  def approxBpeTokenCount(text: Column): Column = {
+    val words = tokens(text)
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+    val longWordExtra = aggregate(words, lit(0),
+      (acc, w) => acc + greatest(lit(0), floor((length(w) - 1) / 6).cast("int")))
+    size(words) + punct + longWordExtra
+  }
+
+  /** Mean token length in double precision (deterministic: integer sums
+    * divided once). */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, w) => acc + length(w)).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of tokens that appear in the given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(array_intersect(t, array(stopwords.map(lit): _*))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents,
+    * penalizes extreme punctuation and degenerate mean word lengths.
+    * Pure integer/double arithmetic on the components above. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(20.0), lit(1.0))
+    val wordLen = meanTokenLength(text)
+    val wordLenScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + wordLenScore * 0.3 + punctScore * 0.3), 6)
+  }
+
+  /** Tiny per-language marker vocabularies for the n-gram/stopword
+    * language-ID heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "un", "une", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "con", "un", "una", "para"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Language ID: per language, score = matching marker-token count;
+    * predict the argmax (ties broken toward the lexicographically last
+    * language code — struct max), "und" when nothing matches. Map-only —
+    * one pass, no shuffle. */
+  def langId(text: Column,
+             markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val t = tokens(text)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(t, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Content fingerprint: sha256 of whitespace/case-normalized text —
+    * the exact-dup key. */
+  def fingerprint(text: Column): Column = Dedup.normalizedHash(text)
+
+  /** Winnowing-style rolling fingerprints: hash every k-gram (character
+    * level), keep the minimum hash per window of w consecutive k-grams.
+    * Output per row: array of selected hashes (document sketch).
+    * Codegen'd higher-order functions, no UDF. */
+  def winnowingSketch(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - k + 1),
+        i => xxhash64(norm.substr(i, lit(k)))))
+      .otherwise(array(xxhash64(norm)))
+    val windows = when(size(grams) >= w,
+      transform(sequence(lit(0), size(grams) - w),
+        i => array_min(slice(grams, i + 1, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_distinct(windows)
+  }
+
+  /** Corpus-level language histogram (one shuffle). */
+  def langHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(langId(col(textCol)).as("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+}

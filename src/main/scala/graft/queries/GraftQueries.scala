@@ -1,24 +1,39 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.storage.BasicStorage
 
 import Tables._
 
-/** The declared query inventory (SURVEY.md §2 [Q] rows).
+/** The declared query inventory — every [Q] row of SURVEY.md §2 plus the
+  * LLM-pipeline extension operators (§2.11), each with a DuckDB oracle
+  * where SQL-expressible.
   *
-  * Each entry has a Spark definition and (where SQL-expressible) a DuckDB
-  * oracle in [[oracles]] producing the identical schema + total row order.
+  * Determinism rules (SURVEY.md §7): total-order sort on a unique key,
+  * explicit column lists, decimal-accumulated float aggregates cast back
+  * to double, DuckDB-side casts matching Spark's output types (INT vs
+  * BIGINT), and no raw event timestamps in outputs (the parquet stores
+  * nanoseconds; Spark truncates to micros, DuckDB does not — only
+  * derived values like hour()/to_date() are stable across both).
   */
 object GraftQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private def entry(name: String, q: Q, oracle: String = null)
+    : (String, (Q, Option[String])) =
+    name -> (q, Option(oracle))
+
+  // ---------------------------------------------------------------- flagship
+
   /** Flagship: the reference's showcase shape — groupBy-agg → left join →
     * CASE segmentation (reference: examples/databricks/transactions/silver/
-    * nb_create_customer_summary.py:25-64), re-expressed on the TPC-H-ish
-    * tables. Aggregate per customer over orders, left-join customer dims,
-    * segment by total spend. */
+    * nb_create_customer_summary.py:25-64) on the TPC-H-ish tables. */
   val customerSummary: Q = (spark, dir) => {
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")
@@ -29,8 +44,7 @@ object GraftQueries {
         dsum(col("o_totalprice")).as("total_spent"),
         davg(col("o_totalprice")).as("avg_spent"),
         min(col("o_totalprice")).as("min_order"),
-        max(col("o_totalprice")).as("max_order")
-      )
+        max(col("o_totalprice")).as("max_order"))
     agg
       .join(customer, col("o_custkey") === col("c_custkey"), "left")
       .withColumn(
@@ -57,8 +71,581 @@ object GraftQueries {
        |GROUP BY o_custkey, c_name, c_mktsegment
        |ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------- §2.3 projections / filters
+
+  val selectProject: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterString: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter("l_quantity > 30 AND l_returnflag = 'R'")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val withColumnCast: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      // reference pattern: (qty * price).cast('float'),
+      // nb_clean_transactions.py:42
+      .withColumn("revenue",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("float"))
+      .withColumn("ship_date", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .select("l_orderkey", "l_linenumber", "revenue", "ship_date")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val renameCase: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .withColumnRenamed("o_totalprice", "total_price")
+      .withColumn("priority_class",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+          .when(col("o_orderpriority") === "3-MEDIUM", "normal")
+          .otherwise("low"))
+      .withColumn("null_fill", lit(null).cast("double"))
+      .select("o_orderkey", "total_price", "priority_class", "null_fill")
+      .orderBy("o_orderkey")
+
+  // ----------------------------------------------------------- §2.4 joins
+
+  val joinInner: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val joinLeft: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+  }
+
+  val semiJoin: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val antiJoin: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** The reference's one non-trivial operator (storage/basic.py:136-191):
+    * a real MERGE through the storage layer — full table from orders
+    * (keys not divisible by 5), incremental with bumped prices (keys
+    * divisible by 3), conditional update + unconditional insert — then
+    * read the merged table back. The oracle re-derives the same result
+    * relationally (FULL OUTER JOIN + CASE). */
+  val mergeUpsert: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val full = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val incremental = orders.filter(col("o_orderkey") % 3 === 0)
+      // exact decimal product, not round(double*1.1): Spark's HALF_UP
+      // BigDecimal round and DuckDB's double round disagree on edge cases
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) *
+          lit("1.1").cast(DecimalType(3, 2))).cast("double"))
+      .withColumn("o_orderstatus", lit("U"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merge_q").toString + "/t"
+    st.write(full, path, "delta", "overwrite")
+    st.merge(incremental, path, "full.o_orderkey = incremental.o_orderkey",
+      updateCondition = Some("incremental.o_totalprice > 200000"))
+    st.read(path, "delta")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      |f AS (SELECT * FROM base WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey,
+      |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+      |             'U' AS o_orderstatus FROM base WHERE o_orderkey % 3 = 0)
+      |SELECT
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_orderkey ELSE f.o_orderkey END AS o_orderkey,
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_custkey ELSE f.o_custkey END AS o_custkey,
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_totalprice ELSE f.o_totalprice END AS o_totalprice,
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_orderstatus ELSE f.o_orderstatus END AS o_orderstatus
+      |FROM f FULL OUTER JOIN i ON f.o_orderkey = i.o_orderkey
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------- §2.5 aggregations
+
+  /** TPC-H Q1-shaped pricing summary (count/sum/avg/min/max + aliases —
+    * the reference's groupBy-agg vocabulary). */
+  val groupbyAgg: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val groupbyAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  min(l_quantity) AS min_qty,
+       |  max(l_quantity) AS max_qty,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Global aggregate (reference: isolation.py:110 F.max select). */
+  val globalAgg: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        date_format(max(to_date(col("o_orderdate"))), "yyyy-MM-dd")
+          .as("last_order_date"))
+
+  val globalAggSql: String =
+    """SELECT count(*) AS n_orders, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price,
+      |  strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order_date
+      |FROM orders""".stripMargin
+
+  val countDistinctQ: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val countDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------- §2.6 sort / top-k
+
+  val topK: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(50)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------- §2.7 set ops
+
+  val unionByNameQ: Q = (spark, dir) => {
+    val hi = t(spark, dir, "orders").filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
+    // deliberately different column order — unionByName's whole point
+    val lo = t(spark, dir, "orders").filter(col("o_totalprice") < 5000)
+      .select(lit("low").as("bucket"), col("o_totalprice"), col("o_orderkey"))
+    hi.unionByName(lo)
+      .select("o_orderkey", "o_totalprice", "bucket")
+      .orderBy("o_orderkey")
+  }
+
+  val unionByNameSql: String =
+    """SELECT o_orderkey, o_totalprice, bucket FROM (
+      |  SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 450000
+      |  UNION ALL BY NAME
+      |  SELECT 'low' AS bucket, o_totalprice, o_orderkey FROM orders WHERE o_totalprice < 5000)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val exceptQ: Q = (spark, dir) => {
+    val all = t(spark, dir, "customer").select("c_custkey")
+    val active = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    all.except(active).orderBy("c_custkey")
+  }
+
+  val exceptSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  val intersectQ: Q = (spark, dir) => {
+    val buyers = t(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    val machinery = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").as("custkey"))
+    buyers.intersect(machinery).orderBy("custkey")
+  }
+
+  val intersectSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY custkey""".stripMargin
+
+  // --------------------------------------------- §2.8 date/string scalars
+
+  val dateFunctions: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("event_date"),
+        hour(col("ts")).as("event_hour"),
+        col("event_type"))
+      .orderBy("event_id")
+
+  val dateFunctionsSql: String =
+    """SELECT event_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |  CAST(hour(ts) AS INT) AS event_hour, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------- §2.11 window functions
+
+  val windowRowNumber: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type")
+      .orderBy("user_id", "rn")
+  }
+
+  val windowRowNumberSql: String =
+    """SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn,
+      |  event_id, event_type
+      |FROM events
+      |QUALIFY rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
+  val windowLag: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        rank().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id").asc)).as("value_rank"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val windowLagSql: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Sliding-frame aggregate; decimal accumulation keeps the rolling sum
+    * bit-identical across engines (double frame sums re-associate). */
+  val windowFrame: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-2, 0)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("rolling_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val windowFrameSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------ §2.11 dedup operators
+
+  /** Exact dedup, deterministic survivor. Input doubles the documents
+    * table (sf docs have no duplicates — the operator must find the
+    * planted ones). */
+  val dedupExact: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.select("doc_id", "text", "lang")
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text"), col("lang")))
+    Dedup.exactDeterministic(doubled, Seq("text", "lang"), "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val dedupExactSql: String =
+    """WITH doubled AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents)
+      |SELECT min(doc_id) AS doc_id, lang FROM doubled
+      |GROUP BY text, lang ORDER BY doc_id""".stripMargin
+
+  /** Near-dup by normalized sha256 text hash. */
+  val dedupHash: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.select("doc_id", "text")
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        upper(col("text")).as("text")))
+    Dedup.byNormalizedHash(doubled, "text", "doc_id")
+      .select("text_hash", "doc_id", "dup_count")
+      .orderBy("doc_id")
+  }
+
+  val dedupHashSql: String =
+    """WITH doubled AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, upper(text) AS text FROM documents)
+      |SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+      |  min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM doubled GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** MinHash-LSH fuzzy dedup over planted duplicates (hash family is
+    * Spark's xxhash64 — no SQL oracle; driver records rows-only). */
+  val minhashDedup: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.select("doc_id", "text")
+      .unionByName(docs.limit(200).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.minHashLshPairs(doubled, "doc_id", "text",
+      numHashes = 32, bands = 8, jaccardThreshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs (custom Catalyst expression; no oracle). */
+  val simhashDedup: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.select("doc_id", "text")
+      .unionByName(docs.limit(200).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.simHashPairs(doubled, "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------- §2.11 similarity search
+
+  /** Brute-force cosine top-k (exact baseline). Cosines computed in
+    * double with identical fold order on both engines; ordering ties
+    * broken on the rounded value + neighbor id so both engines rank
+    * identically. */
+  val cosineTopK: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 10)
+      .withColumn("cos", round(col("cos"), 6))
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val cosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id != query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+      |    round(cos, 6) AS cos
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, cos FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (the 100 TB scale path; no oracle — rows-only). */
+  val annLsh: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.lshTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 10, dim = 64, nPlanes = 4, nTables = 8)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------- §2.11 text analysis
+
+  val textStats: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("mean_token_len"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
+      |  round(CAST(length(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) AS DOUBLE)
+      |        / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 6) AS mean_token_len,
+      |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language histogram over the declared lang column (lang-filter [Q]);
+    * the heuristic classifier's agreement with it rides along as a
+    * Spark-only metric in q_lang_predict (no oracle). */
+  val langFilter: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .filter(col("lang").isin("en", "de", "fr"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+
+  val langFilterSql: String =
+    s"""SELECT lang, source, count(*) AS n, ${sqlDsum("n_chars")} AS total_chars
+       |FROM documents WHERE lang IN ('en','de','fr')
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Heuristic language-ID + quality scoring (Spark-only marker vocab —
+    * no oracle). */
+  val langPredict: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------ §2.11 multimodal
+
+  /** Binary media plumbing over text-as-bytes payloads: byte length +
+    * magic-number mime sniffing (real logic, oracle-checkable). */
+  val multimodalMeta: Q = (spark, dir) =>
+    Multimodal.withMediaMeta(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "media")
+      .select(col("doc_id"),
+        col("media_meta.mime").as("mime"),
+        col("media_meta.byte_length").as("byte_length"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, 'application/octet-stream' AS mime,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_length
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Feature-extraction stub over binary payloads (mapPartitions batch
+    * plumbing; deterministic fake decode — no oracle). */
+  val multimodalFeatures: Q = (spark, dir) => {
+    val media = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    Multimodal.extractFeatures(media, "media", dim = 8)
+      .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ §2.10 streaming
+
+  /** File-stream passthrough: readStream (schema probe) → writeStream →
+    * drain → read result (reference streaming surface; no oracle). */
+  val streamPassthrough: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_q").toString
+    // File-stream sources watch directories; stage the events into one
+    // (the reference's own stream tests follow the same batch-write →
+    // stream-read shape, test/storage/test_basic.py:46-69).
+    val staged = t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    st.write(staged, s"$out/in", "parquet", "overwrite")
+    val stream = st.readStream(s"$out/in", "parquet")
+    val q = st.writeStream(stream, s"$out/data", "parquet", s"$out/cp")
+    q.processAllAvailable()
+    q.stop()
+    st.read(s"$out/data", "parquet").orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- registry
+
   /** name → (spark query, optional oracle SQL) */
   def all: Map[String, (Q, Option[String])] = Map(
-    "customer_summary" -> (customerSummary, Some(customerSummarySql))
+    entry("customer_summary", customerSummary, customerSummarySql),
+    entry("q_select_project", selectProject,
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    entry("q_filter_string", filterString,
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    entry("q_withcolumn_cast", withColumnCast,
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice * (1 - l_discount) AS REAL) AS revenue,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    entry("q_rename_case_isin", renameCase,
+      """SELECT o_orderkey, o_totalprice AS total_price,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'urgent'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+        |       ELSE 'low' END AS priority_class,
+        |  CAST(NULL AS DOUBLE) AS null_fill
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    entry("q_join_inner", joinInner,
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin),
+    entry("q_join_left", joinLeft,
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin),
+    entry("q_semi_join", semiJoin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+    entry("q_anti_join", antiJoin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+    entry("q_merge_upsert", mergeUpsert, mergeUpsertSql),
+    entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
+    entry("q_global_agg", globalAgg, globalAggSql),
+    entry("q_count_distinct", countDistinctQ, countDistinctSql),
+    entry("q_topk", topK, topKSql),
+    entry("q_union_by_name", unionByNameQ, unionByNameSql),
+    entry("q_except", exceptQ, exceptSql),
+    entry("q_intersect", intersectQ, intersectSql),
+    entry("q_date_functions", dateFunctions, dateFunctionsSql),
+    entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
+    entry("q_window_lag", windowLag, windowLagSql),
+    entry("q_window_frame", windowFrame, windowFrameSql),
+    entry("q_dedup_exact", dedupExact, dedupExactSql),
+    entry("q_dedup_hash", dedupHash, dedupHashSql),
+    entry("q_minhash_dedup", minhashDedup),
+    entry("q_simhash_dedup", simhashDedup),
+    entry("q_cosine_topk", cosineTopK, cosineTopKSql),
+    entry("q_ann_lsh", annLsh),
+    entry("q_text_stats", textStats, textStatsSql),
+    entry("q_lang_filter", langFilter, langFilterSql),
+    entry("q_lang_predict", langPredict),
+    entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
+    entry("q_multimodal_features", multimodalFeatures),
+    entry("q_stream_passthrough", streamPassthrough)
   )
 }

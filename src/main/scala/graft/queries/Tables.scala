@@ -19,7 +19,20 @@ object Tables {
     * engine's own storage façade, so the driver-checked queries exercise
     * the same read path a library user gets. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    new graft.storage.BasicStorage(spark).read(s"$dir/$name.parquet", "parquet")
+    if (name == "events") events(spark, dir)
+    else new graft.storage.BasicStorage(spark).read(s"$dir/$name.parquet", "parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright. Read nanos as long (legacy conf) and rebuild the
+    * timestamp at microsecond precision — the same truncation DuckDB's
+    * value-level comparisons never see because queries only emit derived
+    * values (hour, date-string), never the raw timestamp. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new graft.storage.BasicStorage(spark)
+      .read(s"$dir/events.parquet", "parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Exact-sum of a double column: decimal(18,4) accumulate → double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Behavioural tests for the LLM-pipeline operators on the driver test
+  * data plus planted duplicates. */
+class OpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("exactDeterministic keeps the min-tiebreaker row per key") {
+    val df = Seq((1L, "a", 10), (2L, "a", 10), (3L, "b", 20))
+      .toDF("id", "k", "v")
+    val out = Dedup.exactDeterministic(df, Seq("k", "v"), "id")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("byNormalizedHash groups case/whitespace variants") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.byNormalizedHash(df, "text", "doc_id")
+    assert(out.count() == 2)
+    val dupGroup = out.filter(col("dup_count") === 2).head()
+    assert(dupGroup.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates in documents") {
+    // plant: copy of each doc with doc_id+10000 (identical text)
+    val doubled = docs.select("doc_id", "text")
+      .union(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val pairs = Dedup.minHashLshPairs(doubled, "doc_id", "text",
+      numHashes = 32, bands = 8, jaccardThreshold = 0.9)
+    val n = docs.count()
+    // every planted pair must be found with jaccard 1.0
+    val planted = pairs.filter(col("id_b") === col("id_a") + 10000)
+    assert(planted.count() == n)
+    assert(planted.filter(col("jaccard") < 1.0).count() == 0)
+  }
+
+  test("simhash: identical text same hash, distinct text mostly differs") {
+    val hashed = docs.select(Dedup.simHash64(col("text")).as("h"))
+    val distinctHashes = hashed.distinct().count()
+    assert(distinctHashes > docs.count() * 0.9)
+    val df = Seq(("a b c d e f", "a b c d e f"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+      .select(Dedup.hamming64(Dedup.simHash64(col("t1")),
+        Dedup.simHash64(col("t2"))).as("d"))
+      .collect()
+    assert(df(0).getInt(0) == 0 || df(0).getLong(0) == 0)
+    assert(df(1).getAs[Number]("d").longValue() > 5)
+  }
+
+  test("simHashPairs finds identical planted docs at hamming 0") {
+    val doubled = docs.limit(50).select("doc_id", "text")
+      .union(docs.limit(50).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val pairs = Dedup.simHashPairs(doubled, "doc_id", "text", maxHamming = 0)
+    assert(pairs.filter(col("id_b") === col("id_a") + 10000).count() == 50)
+  }
+
+  test("cosine: orthogonal 0, identical 1") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(df(0).getDouble(0)) < 1e-12)
+    assert(math.abs(df(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5).cache()
+    assert(out.count() == 3 * 5)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // ranks are 1..5 per query, cosine non-increasing
+    val r = out.filter(col("query_id") === 0).orderBy("rank")
+      .select("cos").as[Double].collect()
+    assert(r.length == 5 && r.sameElements(r.sortBy(-_)))
+  }
+
+  test("lshTopK recall against brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 3).select("query_id", "neighbor_id")
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 3, dim = 64, nPlanes = 4, nTables = 8)
+      .select("query_id", "neighbor_id")
+    val recall = approx.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("text stats: tokens, quality, bpe-ish counts behave") {
+    val row = Seq(("The quick brown fox jumps over the lazy dog", ""))
+      .toDF("text", "ignore")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean"),
+        TextAnalysis.punctRatio(col("text")).as("punct"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.approxBpeTokenCount(col("text")).as("bpe"))
+      .head()
+    assert(row.getAs[Int]("n") == 9)
+    assert(math.abs(row.getAs[Double]("mean") - 35.0 / 9) < 1e-9)
+    assert(row.getAs[Double]("punct") == 0.0)
+    assert(row.getAs[Double]("q") > 0 && row.getAs[Double]("q") <= 1)
+    assert(row.getAs[Int]("bpe") >= 9)
+  }
+
+  test("langId marks marker-bearing text, und otherwise") {
+    val out = Seq("the cat and the dog is here",
+      "der hund ist nicht hier und das ist gut",
+      "qqq www zzz")
+      .toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("winnowing sketch: identical text identical sketch, overlap for similar") {
+    val s = docs.limit(20)
+      .select(col("doc_id"), TextAnalysis.winnowingSketch(col("text")).as("sk"))
+    val joined = s.alias("a").join(s.alias("b"),
+      col("a.doc_id") === col("b.doc_id"))
+      .select(size(array_except(col("a.sk"), col("b.sk"))).as("d"))
+    assert(joined.filter(col("d") =!= 0).count() == 0)
+  }
+
+  test("multimodal: mime magic detection") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val other = "hello".getBytes
+    val out = Seq((1L, png), (2L, jpg), (3L, other)).toDF("id", "media")
+    val meta = Multimodal.withMediaMeta(out, "media")
+      .select("media_meta.mime").as[String].collect().toSeq
+    assert(meta == Seq("image/png", "image/jpeg", "application/octet-stream"))
+  }
+
+  test("multimodal: feature extraction stub is deterministic, right shape") {
+    val df = Seq((1L, "abcdefgh".getBytes), (2L, "abcdefgh".getBytes),
+      (3L, "zzzzzzzz".getBytes)).toDF("id", "media")
+    val f = Multimodal.extractFeatures(df, "media", dim = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L).length == 4)
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+  }
+
+  test("multimodal: frame sampling shape") {
+    val bytes = Array.fill[Byte](5000)(1)
+    val df = Seq((1L, bytes)).toDF("id", "media")
+    val frames = Multimodal.sampleFrames(df, "id", "media",
+      frameSize = 1024, stride = 2).collect()
+    // 5 chunks (0..4), stride 2 -> frames 0,2,4
+    assert(frames.map(_.getAs[Int]("frame_no")).toSeq.sorted == Seq(0, 2, 4))
+  }
+}
