@@ -45,27 +45,57 @@ object Dedup {
   def normalizedHash(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
-  /** Word-level shingles of size `n` as one row per (id, shingle). */
+  /** Word-level shingles of size `n` as one row per (id, shingle).
+    * Tokens are projected as a column first — see [[shingleHashes]] for
+    * why (lambda inlining makes it quadratic otherwise). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
     val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    // sliding window over the token array, built with codegen'd
-    // transform/slice — no UDF
-    val shingleArr = when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tokens)))
-    df.select(col(idCol), explode(shingleArr).as("shingle")).distinct()
+    val toks = col("__graft_tokens")
+    val shingleArr = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    df.select(col(idCol), tokens.as("__graft_tokens"))
+      .select(col(idCol), explode(shingleArr).as("shingle")).distinct()
+  }
+
+  /** One row per (id, shingle-hash). Shingles are hashed in place with
+    * xxhash64 over the k token positions (element_at — no intermediate
+    * slice arrays or concatenated strings; hashing the strings was the
+    * measured bottleneck of the whole LSH pipeline). Hash identity
+    * stands in for shingle identity everywhere downstream — collisions
+    * are negligible at 2^-64. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    // Two projections on purpose: tokens must be a materialized column
+    // before the lambda references it, otherwise Catalyst inlines the
+    // split() into every element_at call — O(tokens²) splits per doc
+    // (measured: the entire LSH pipeline's bottleneck). The alias is
+    // referenced many times, so CollapseProject leaves it alone.
+    val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val toks = col("__graft_tokens")
+    val hashArr = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array(xxhash64(toks)))
+    df.select(col(idCol), tokens.as("__graft_tokens"))
+      .select(col(idCol), explode(hashArr).as("shingle_hash"))
   }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the document's shingle hashes. Output: (id, sig:
-    * array<long> of length numHashes). One groupBy shuffle. */
+    * array<long> of length numHashes). One groupBy shuffle — duplicate
+    * shingles need no pre-distinct, min() absorbs them. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+                        numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    signaturesFromShingles(shingleHashes(df, idCol, textCol, shingleSize),
+      idCol, numHashes)
+
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("shingle_hash"))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
@@ -88,7 +118,8 @@ object Dedup {
                       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val sh = shingleHashes(df, idCol, textCol, shingleSize)
+    val sigs = signaturesFromShingles(sh, idCol, numHashes)
     val banded = sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("signature"), b * rows + 1, lit(rows)))))
@@ -101,19 +132,25 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    verifiedJaccard(candidates, df, idCol, textCol, shingleSize)
+    jaccardFromShingles(candidates, sh, idCol)
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verify stage of
-    * LSH). Join-based: |A ∩ B| via shingle join, sizes via per-id counts. */
+    * LSH). Join-based: |A ∩ B| via shingle-hash join, sizes via per-id
+    * counts. */
   def verifiedJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
-                      textCol: String, shingleSize: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+                      textCol: String, shingleSize: Int): DataFrame =
+    jaccardFromShingles(pairs,
+      shingleHashes(df, idCol, textCol, shingleSize), idCol)
+
+  private def jaccardFromShingles(pairs: DataFrame, shRaw: DataFrame,
+                                  idCol: String): DataFrame = {
+    val sh = shRaw.distinct() // set semantics for Jaccard
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+    val shA = sh.select(col(idCol).as("id_a"), col("shingle_hash"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle_hash"))
+    val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle_hash"))
     inter.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")

