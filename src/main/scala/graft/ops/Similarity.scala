@@ -71,6 +71,43 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+    * cosine ≥ threshold. Brute-force variant — exact, O(n²) pairs;
+    * correct baseline and oracle-checkable. At corpus scale use
+    * [[lshNearDupPairs]]. */
+  def bruteForceNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup via sign-LSH prefilter: only pairs
+    * sharing a bucket in some table are scored. The 100 TB path — the
+    * all-pairs product never materializes; work is per-(table, bucket). */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int,
+                      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol), posexplode(
+      array((0 until nTables).map(t =>
+        lshBucket(col(vecCol), nPlanes, dim, seed = 42 + t)): _*))
+      .as(Seq("table", "bucket")))
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("table"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed ANN top-k: like [[bruteForceTopK]] but candidates are
     * restricted to corpus vectors sharing the query's bucket in any of
     * `nTables` independent hash tables. At 100 TB this turns the

@@ -477,6 +477,36 @@ object GraftQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Embedding-cosine near-dup detection: the corpus unioned with a
+    * scaled copy of itself (cosine is scale-invariant → planted pairs at
+    * cos 1.0; natural pairs top out at ~0.51 on this data). Brute-force
+    * scoring — exact and oracle-checkable. */
+  val embeddingNearDup: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val scaled = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x * 1.01)
+        .as("embedding"))
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(scaled)
+    Similarity.bruteForceNearDupPairs(corpus, "vec_id", "embedding", 0.99)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.01) AS v FROM base),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs
+      |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
+
   /** LSH-bucketed ANN (the 100 TB scale path; no oracle — rows-only). */
   val annLsh: Q = (spark, dir) => {
     val emb = t(spark, dir, "embeddings")
@@ -587,6 +617,38 @@ object GraftQueries {
     st.read(s"$out/data", "parquet").orderBy("event_id")
   }
 
+  /** Watermarked tumbling-window streaming aggregation (extension past
+    * the reference's passthrough streaming, SURVEY §2.10). Two staged
+    * input files processed one per micro-batch; a far-future sentinel
+    * event in the second batch advances the watermark so every real
+    * window flushes to the append-mode sink. No oracle (streaming). */
+  val streamWindow: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_streamw_q").toString
+    val events = t(spark, dir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    st.write(events, s"$out/in", "parquet", "overwrite")
+    val sentinel = events.limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+    sentinel.write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val agg = graft.streaming.StreamingOps.tumblingCounts(
+      stream, "ts", "event_type", "1 day")
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/cp")
+      .format("parquet").start(s"$out/data")
+    q.processAllAvailable()
+    q.stop()
+    st.read(s"$out/data", "parquet")
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("window_day", "event_type")
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -646,12 +708,14 @@ object GraftQueries {
     entry("q_minhash_dedup", minhashDedup),
     entry("q_simhash_dedup", simhashDedup),
     entry("q_cosine_topk", cosineTopK, cosineTopKSql),
+    entry("q_embedding_neardup", embeddingNearDup, embeddingNearDupSql),
     entry("q_ann_lsh", annLsh),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_lang_filter", langFilter, langFilterSql),
     entry("q_lang_predict", langPredict),
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
     entry("q_multimodal_features", multimodalFeatures),
-    entry("q_stream_passthrough", streamPassthrough)
+    entry("q_stream_passthrough", streamPassthrough),
+    entry("q_stream_window", streamWindow)
   )
 }
