@@ -89,19 +89,42 @@ object TextAnalysis {
   /** Winnowing-style rolling fingerprints: hash every k-gram (character
     * level), keep the minimum hash per window of w consecutive k-grams.
     * Output per row: array of selected hashes (document sketch).
-    * Codegen'd higher-order functions, no UDF. */
+    *
+    * Column variant — only safe on SHORT text: `norm` is an expression,
+    * and Catalyst inlines it into the per-gram lambda (recomputing the
+    * regex per gram). Use [[winnowingSketches]] for corpora. */
   def winnowingSketch(text: Column, k: Int = 8, w: Int = 4): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val grams = when(length(norm) >= k,
+    sketchOf(norm, k, w)
+  }
+
+  /** Corpus-scale winnowing: normalization AND the gram array are
+    * projected as real columns in separate stages, so each is computed
+    * once per row instead of once per lambda element (multi-reference
+    * aliases survive CollapseProject — same pathology and fix as
+    * Dedup.shingleHashes). Output: (idCol, sketch). */
+  def winnowingSketches(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__norm"))
+      .select(col(idCol), gramsOf(col("__norm"), k).as("__grams"))
+      .select(col(idCol), windowsOf(col("__grams"), w).as("sketch"))
+
+  private def sketchOf(norm: Column, k: Int, w: Int): Column =
+    windowsOf(gramsOf(norm, k), w)
+
+  private def gramsOf(norm: Column, k: Int): Column =
+    when(length(norm) >= k,
       transform(sequence(lit(1), length(norm) - k + 1),
         i => xxhash64(norm.substr(i, lit(k)))))
       .otherwise(array(xxhash64(norm)))
-    val windows = when(size(grams) >= w,
-      transform(sequence(lit(0), size(grams) - w),
-        i => array_min(slice(grams, i + 1, lit(w)))))
-      .otherwise(array(array_min(grams)))
-    array_distinct(windows)
-  }
+
+  private def windowsOf(grams: Column, w: Int): Column =
+    array_distinct(
+      when(size(grams) >= w,
+        transform(sequence(lit(0), size(grams) - w),
+          i => array_min(slice(grams, i + 1, lit(w)))))
+        .otherwise(array(array_min(grams))))
 
   /** Corpus-level language histogram (one shuffle). */
   def langHistogram(df: DataFrame, textCol: String): DataFrame =

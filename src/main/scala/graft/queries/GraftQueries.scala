@@ -151,11 +151,11 @@ object GraftQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     val full = orders.filter(col("o_orderkey") % 5 =!= 0)
     val incremental = orders.filter(col("o_orderkey") % 3 === 0)
-      // exact decimal product, not round(double*1.1): Spark's HALF_UP
-      // BigDecimal round and DuckDB's double round disagree on edge cases
+      // ×1.1 via scaled integers (cents·110/10^4): round()/decimal casts
+      // of doubles both disagree across engines on edge values
       .withColumn("o_totalprice",
-        (col("o_totalprice").cast(DecimalType(18, 2)) *
-          lit("1.1").cast(DecimalType(3, 2))).cast("double"))
+        (iscale(col("o_totalprice"), 2) * lit(110L)).cast("double") /
+          lit(10000.0))
       .withColumn("o_orderstatus", lit("U"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_merge_q").toString + "/t"
@@ -172,7 +172,7 @@ object GraftQueries {
       |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
       |f AS (SELECT * FROM base WHERE o_orderkey % 5 != 0),
       |i AS (SELECT o_orderkey, o_custkey,
-      |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+      |             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 110 AS DOUBLE) / 10000.0 AS o_totalprice,
       |             'U' AS o_orderstatus FROM base WHERE o_orderkey % 3 = 0)
       |SELECT
       |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
@@ -197,8 +197,11 @@ object GraftQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice").cast(DecimalType(18, 4)) *
-          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))))
+        // price·(1-disc) via scaled integers: p4·(10^4 - d4) summed
+        // exactly, one final double division — see Tables.iscale
+        (sum((iscale(col("l_extendedprice"), 4) *
+          (lit(10000L) - iscale(col("l_discount"), 4)))
+          .cast(DecimalType(38, 0))).cast("double") / lit(1e8))
           .cast("double").as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         min(col("l_quantity")).as("min_qty"),
@@ -210,7 +213,7 @@ object GraftQueries {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(sum(CAST(${sqlIscale("l_extendedprice", 4)} * (10000 - ${sqlIscale("l_discount", 4)}) AS DECIMAL(38,0))) AS DOUBLE) / 1e8 AS DOUBLE) AS sum_disc_price,
        |  ${sqlDavg("l_quantity")} AS avg_qty,
        |  min(l_quantity) AS min_qty,
        |  max(l_quantity) AS max_qty,
@@ -361,25 +364,26 @@ object GraftQueries {
       |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
-  /** Sliding-frame aggregate; decimal accumulation keeps the rolling sum
-    * bit-identical across engines (double frame sums re-associate). */
+  /** Sliding-frame aggregate; scaled-integer accumulation keeps the
+    * rolling sum bit-identical across engines (double frame sums
+    * re-associate; decimal casts of doubles diverge — Tables.iscale). */
   val windowFrame: Q = (spark, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(-2, 0)
     t(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
-        sum(col("value").cast(DecimalType(18, 6))).over(w)
+        (sum(iscale(col("value"), 6)).over(w).cast("double") / lit(1e6))
           .cast("double").as("rolling_value"))
       .orderBy("user_id", "event_id")
   }
 
   val windowFrameSql: String =
-    """SELECT user_id, event_id,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
-      |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
-      |FROM events ORDER BY user_id, event_id""".stripMargin
+    s"""SELECT user_id, event_id,
+       |  CAST(CAST(sum(${sqlIscale("value", 6)}) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS DOUBLE) AS rolling_value
+       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   // ------------------------------------------------ §2.11 dedup operators
 

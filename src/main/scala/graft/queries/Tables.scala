@@ -34,16 +34,32 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Exact-sum of a double column: decimal(18,4) accumulate → double. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  /** Scaled-integer quantization of a double: floor(x·10^s + 0.5) as a
+    * long. Pure double arithmetic + floor — bit-identical on Spark and
+    * DuckDB. This replaces `CAST(x AS DECIMAL(p,s))`, whose
+    * double→decimal rounding DuckDB does NOT perform correctly-rounded
+    * (verified: Spark + exact python decimal agree, DuckDB drifts one
+    * ulp on ~1-in-100k values), making decimal casts of doubles
+    * unusable for cross-engine hashing. */
+  def iscale(c: Column, s: Int): Column =
+    floor(c * lit(math.pow(10, s).toLong) + lit(0.5)).cast("long")
 
-  /** Exact average: decimal sum divided by count, in double space.
-    * Both engines do the identical IEEE double division. */
+  /** Exact-sum of a double column at 4 quantized decimals: integer-scale
+    * each value (deterministic), sum exactly in decimal(38,0) (no
+    * overflow at any scale), one double division at the end (identical
+    * IEEE op both engines). */
+  def dsum(c: Column): Column =
+    (sum(iscale(c, 4).cast(DecimalType(38, 0))).cast("double") /
+      lit(10000.0)).cast("double")
+
+  /** Exact average: dsum divided by count — identical IEEE division. */
   def davg(c: Column): Column = (dsum(c) / count(c)).cast("double")
 
   /** DuckDB-side equivalents (string SQL fragments). */
+  def sqlIscale(col: String, s: Int): String =
+    s"CAST(floor($col * ${math.pow(10, s).toLong} + 0.5) AS BIGINT)"
   def sqlDsum(col: String): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(${sqlIscale(col, 4)} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS DOUBLE)"
   def sqlDavg(col: String): String =
-    s"CAST(CAST(sum(CAST($col AS DECIMAL(18,4))) AS DOUBLE) / count($col) AS DOUBLE)"
+    s"CAST(${sqlDsum(col)} / count($col) AS DOUBLE)"
 }

@@ -123,6 +123,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq("en", "de", "und"))
   }
 
+  test("winnowingSketches (corpus) agrees with the Column variant") {
+    val a = docs.limit(10).select(col("doc_id"),
+      TextAnalysis.winnowingSketch(col("text")).as("sketch"))
+    val b = TextAnalysis.winnowingSketches(docs.limit(10), "doc_id", "text")
+    val joined = a.alias("a").join(b.alias("b"), "doc_id")
+      .select(size(array_except(col("a.sketch"), col("b.sketch"))).as("d"))
+    assert(joined.filter(col("d") =!= 0).count() == 0)
+  }
+
   test("winnowing sketch: identical text identical sketch, overlap for similar") {
     val s = docs.limit(20)
       .select(col("doc_id"), TextAnalysis.winnowingSketch(col("text")).as("sk"))
