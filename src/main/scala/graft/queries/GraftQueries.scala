@@ -145,7 +145,7 @@ object GraftQueries {
     * divisible by 3), conditional update + unconditional insert — then
     * read the merged table back. The oracle re-derives the same result
     * relationally (FULL OUTER JOIN + CASE). */
-  val mergeUpsert: Q = (spark, dir) => {
+  private def mergeUpsertOn(partitionFields: Seq[String]): Q = (spark, dir) => {
     val st = new BasicStorage(spark)
     val orders = t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -159,13 +159,22 @@ object GraftQueries {
       .withColumn("o_orderstatus", lit("U"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_merge_q").toString + "/t"
-    st.write(full, path, "delta", "overwrite")
+    st.write(full, path, "delta", "overwrite", partitionFields)
     st.merge(incremental, path, "full.o_orderkey = incremental.o_orderkey",
+      partitionFields = partitionFields,
       updateCondition = Some("incremental.o_totalprice > 200000"))
     st.read(path, "delta")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .orderBy("o_orderkey")
   }
+
+  val mergeUpsert: Q = mergeUpsertOn(Nil)
+
+  /** Same merge over a status-partitioned table: exercises the
+    * partition-pruned rewrite path (only partitions touched by the
+    * incremental are rewritten) — same relational semantics, same
+    * oracle. */
+  val mergeUpsertPartitioned: Q = mergeUpsertOn(Seq("o_orderstatus"))
 
   val mergeUpsertSql: String =
     """WITH base AS (
@@ -696,6 +705,7 @@ object GraftQueries {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin),
     entry("q_merge_upsert", mergeUpsert, mergeUpsertSql),
+    entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_global_agg", globalAgg, globalAggSql),
     entry("q_count_distinct", countDistinctQ, countDistinctSql),

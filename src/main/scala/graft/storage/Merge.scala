@@ -72,7 +72,28 @@ object Merge {
 
     // Pair semantics via one full-outer join; marker columns make side
     // presence unambiguous (data columns may be legitimately null).
-    val f = evolvedFull.withColumn("__graft_full", lit(true)).alias("full")
+    val base = path.stripSuffix("/")
+
+    // Partition pruning: when the table is partitioned, only partitions
+    // that can change need to participate — the partitions of the
+    // incoming rows (updates land there, inserts create them) plus the
+    // partitions of currently-matched rows (an update may move a row
+    // OUT of its old partition). Everything else stays on disk
+    // untouched. At 100 TB this is the difference between rewriting the
+    // table and rewriting a few partitions.
+    val prunedFull =
+      if (partitionFields.isEmpty) evolvedFull
+      else {
+        val partCols = partitionFields.map(col)
+        val incParts = evolvedInc.select(partCols: _*).distinct()
+        val matchedParts = evolvedFull.alias("full")
+          .join(evolvedInc.alias("incremental"), expr(mergeCondition), "left_semi")
+          .select(partCols: _*).distinct()
+        val affected = incParts.union(matchedParts).distinct()
+        evolvedFull.join(broadcast(affected), partitionFields, "left_semi")
+      }
+
+    val f = prunedFull.withColumn("__graft_full", lit(true)).alias("full")
     val i = evolvedInc.withColumn("__graft_inc", lit(true)).alias("incremental")
     val joined = f.join(i, expr(mergeCondition), "full_outer")
 
@@ -90,18 +111,53 @@ object Merge {
     // survive the insert condition (null condition = no insert, as Delta).
     val result = joined.filter(fullPresent || insCond).select(outCols.toSeq: _*)
 
-    // Copy-on-write: materialize to a tmp dir (reads the old files while
-    // writing new ones), then swap dirs and carry the op log over.
-    val base = path.stripSuffix("/")
-    val tmp = base + "__graft_tmp"
-    Fs.delete(spark, tmp)
-    var writer = result.write.format("parquet").mode("overwrite")
-    if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
-    writer.save(tmp)
-    Fs.rename(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
-    Fs.delete(spark, base)
-    Fs.rename(spark, tmp, base)
+    if (partitionFields.nonEmpty && !schemaChanged(evolvedFull, full)) {
+      // Partitioned table: rewrite ONLY the affected partitions via
+      // dynamic partition overwrite — unaffected partition directories
+      // are never touched. Dynamic overwrite skips partitions with no
+      // output rows, so partitions EMPTIED by the merge (a row updated
+      // out of its old partition) are cleared explicitly; the affected
+      // set is driver-collected metadata, bounded by touched partitions
+      // (the same driver-side bookkeeping a Delta merge keeps per file).
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val partCols = partitionFields.map(col)
+      result.persist()
+      try {
+        val present = result.select(partCols: _*).distinct()
+          .collect().map(_.toSeq).toSet
+        val affected = prunedFull.select(partCols: _*).distinct()
+          .collect().map(_.toSeq)
+        result.write.format("parquet")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionFields: _*)
+          .mode("overwrite").save(base)
+        affected.filterNot(present.contains).foreach { values =>
+          val dir = partitionFields.zip(values).map { case (k, v) =>
+            ExternalCatalogUtils.escapePathName(k) + "=" +
+              ExternalCatalogUtils.escapePathName(String.valueOf(v))
+          }.mkString("/")
+          Fs.delete(spark, s"$base/$dir")
+        }
+      } finally result.unpersist()
+    } else {
+      // Unpartitioned (or schema-evolving) table: copy-on-write —
+      // materialize to a tmp dir (reads the old files while writing new
+      // ones), then swap dirs and carry the op log over.
+      val tmp = base + "__graft_tmp"
+      Fs.delete(spark, tmp)
+      var writer = result.write.format("parquet").mode("overwrite")
+      if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
+      writer.save(tmp)
+      Fs.rename(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
+      Fs.delete(spark, base)
+      Fs.rename(spark, tmp, base)
+    }
     GraftLog.append(spark, base, "MERGE")
     false
   }
+
+  /** Schema evolution adds columns — old partitions would be missing
+    * them, so evolving merges fall back to the full rewrite. */
+  private def schemaChanged(evolved: DataFrame, original: DataFrame): Boolean =
+    evolved.schema.fields.length != original.schema.fields.length
 }

@@ -105,6 +105,51 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("merge: partitioned table rewrites only affected partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("merge_part")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "A", "v1"), (2L, "A", "v1"), (3L, "B", "v1"),
+      (4L, "C", "v1")).toDF("id", "part", "value")
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("part"))
+
+    def partFiles(p: String): Set[String] =
+      new java.io.File(s"$dir/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val bFilesBefore = partFiles("B")
+    val cFilesBefore = partFiles("C")
+
+    // touches partition A (update id=2) and D (insert id=5)
+    val incremental = Seq((2L, "A", "v2"), (5L, "D", "v2"))
+      .toDF("id", "part", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      partitionFields = Seq("part"))
+
+    val expected = Seq((1L, "A", "v1"), (2L, "A", "v2"), (3L, "B", "v1"),
+      (4L, "C", "v1"), (5L, "D", "v2")).toDF("id", "part", "value")
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "value"),
+      expected)
+    // untouched partitions keep their exact files
+    assert(partFiles("B") == bFilesBefore)
+    assert(partFiles("C") == cFilesBefore)
+    assert(new java.io.File(s"$dir/part=D").exists())
+  }
+
+  test("merge: partitioned update moving a row across partitions") {
+    val dir = tempDir("merge_move")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "A", "v1"), (2L, "B", "v1")).toDF("id", "part", "value")
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("part"))
+    // id=2 moves from partition B to partition C
+    val incremental = Seq((2L, "C", "v2")).toDF("id", "part", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      partitionFields = Seq("part"))
+    val expected = Seq((1L, "A", "v1"), (2L, "C", "v2"))
+      .toDF("id", "part", "value")
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "value"),
+      expected)
+  }
+
   test("merge: history records MERGE after WRITE") {
     val dir = tempDir("merge7")
     Fs.delete(spark, dir)
