@@ -108,6 +108,89 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def dist2ToLit(v: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(v, array(centroid.map(lit): _*),
+      (x, c) => (x - c) * (x - c)), lit(0.0d), (acc, x) => acc + x)
+
+  /** Cell assignment: index of the nearest centroid (argmin over the
+    * centroid literals — k dot products inside codegen, no UDF). */
+  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2ToLit(v, c).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** The nProbe nearest cells, as an array of cell ids. */
+  private def nearestCells(v: Column, centroids: Seq[Seq[Double]],
+                           nProbe: Int): Column =
+    slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2ToLit(v, c).as("d"), lit(i).as("i"))
+    }: _*)), 1, nProbe).getField("i")
+
+  /** Train IVF centroids with Lloyd iterations, entirely in DataFrame
+    * algebra: assignment is a codegen'd argmin, the update step is an
+    * explode + groupBy(cell, dim) average — both shuffle-bounded. Only
+    * the k×dim centroid matrix ever reaches the driver. Seeding is
+    * deterministic (hash-ordered corpus sample); averages are
+    * float-order dependent across cluster layouts, which perturbs
+    * centroids by ulps — irrelevant for an ANN index (no oracle). */
+  def ivfTrain(corpus: DataFrame, vecCol: String, nCentroids: Int,
+               iterations: Int = 3): Seq[Seq[Double]] = {
+    val v = col(vecCol).cast("array<double>")
+    var centroids: Seq[Seq[Double]] = corpus
+      .orderBy(xxhash64(to_json(struct(col(vecCol)))))
+      .limit(nCentroids)
+      .select(v.as("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iterations) {
+      val assigned = corpus
+        .select(v.as("v"), nearestCell(v, centroids).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k: corpus vectors live in their nearest centroid's
+    * cell; each query probes its `nProbe` nearest cells and scores only
+    * those candidates. The learned-bucket upgrade over [[lshTopK]] for
+    * skewed embedding distributions — candidate work follows the data's
+    * cluster structure instead of fixed hyperplanes. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
+              corpusIdCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              iterations: Int = 3): DataFrame = {
+    val centroids = ivfTrain(corpus, vecCol, nCentroids, iterations)
+    val v = col(vecCol).cast("array<double>")
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), nearestCell(v, centroids).as("cell"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(nearestCells(v, centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: like [[bruteForceTopK]] but candidates are
     * restricted to corpus vectors sharing the query's bucket in any of
     * `nTables` independent hash tables. At 100 TB this turns the

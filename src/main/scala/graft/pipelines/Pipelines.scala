@@ -11,7 +11,7 @@ import graft.storage.{GraftStorage, Storage}
   * an extract → validate → transform → validate → load runner.
   * Reference: jorvik/pipelines/etl.py.
   */
-sealed trait Input {
+trait Input {
   def schema: Option[StructType]
   def extract(spark: SparkSession): DataFrame
   protected def warnIfSchemaless(): Unit =
@@ -19,7 +19,7 @@ sealed trait Input {
       "WARNING: Missing schema definition. Specifying a schema increases a jobs cohesion and robustness.")
 }
 
-sealed trait Output {
+trait Output {
   def schema: Option[StructType]
   def load(spark: SparkSession, df: DataFrame): Unit
 }

@@ -530,6 +530,16 @@ object GraftQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN: learned-centroid cells + nProbe search (no oracle). */
+  val annIvf: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 4, iterations = 2)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------- §2.11 text analysis
 
   val textStats: Q = (spark, dir) =>
@@ -724,6 +734,7 @@ object GraftQueries {
     entry("q_cosine_topk", cosineTopK, cosineTopKSql),
     entry("q_embedding_neardup", embeddingNearDup, embeddingNearDupSql),
     entry("q_ann_lsh", annLsh),
+    entry("q_ann_ivf", annIvf),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_lang_filter", langFilter, langFilterSql),
     entry("q_lang_predict", langPredict),

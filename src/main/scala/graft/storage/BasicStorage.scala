@@ -63,7 +63,7 @@ class BasicStorage(spark: SparkSession) extends Storage {
     if (mode == "overwrite") writer = writer.option("overwriteSchema", "true")
     if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
     writer.options(opts).mode(mode).save(path)
-    if (format == "delta") GraftLog.append(spark, path, "WRITE")
+    if (format == "delta") GraftLog.append(spark, path, "WRITE", partitionFields)
     notifyOutputObservers(df, path)
   }
 
@@ -79,7 +79,8 @@ class BasicStorage(spark: SparkSession) extends Storage {
     if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
     writer = writer.options(options)
     val q = writer.option("checkpointLocation", checkpoint).start(path)
-    if (format == "delta") GraftLog.append(spark, path, "STREAMING")
+    if (format == "delta")
+      GraftLog.append(spark, path, "STREAMING", partitionFields)
     q
   }
 

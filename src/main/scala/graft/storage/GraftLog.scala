@@ -22,7 +22,8 @@ object GraftLog {
 
   val schema: StructType = StructType(Seq(
     StructField("operation", StringType),
-    StructField("timestamp", TimestampType)))
+    StructField("timestamp", TimestampType),
+    StructField("partition_fields", StringType)))
 
   def logPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "/" + LogDirName
@@ -31,9 +32,14 @@ object GraftLog {
   def isManagedTable(spark: SparkSession, path: String): Boolean =
     Fs.exists(spark, logPath(path))
 
-  /** Append one (operation, now) row. Driver-side, metadata-sized. */
-  def append(spark: SparkSession, tablePath: String, operation: String): Unit = {
-    val row = Row(operation, new Timestamp(System.currentTimeMillis()))
+  /** Append one (operation, now, partitioning) row. Driver-side,
+    * metadata-sized. The partitioning column makes managed tables
+    * self-describing: merge can recover the on-disk layout without the
+    * caller re-stating it. */
+  def append(spark: SparkSession, tablePath: String, operation: String,
+             partitionFields: Seq[String] = Nil): Unit = {
+    val row = Row(operation, new Timestamp(System.currentTimeMillis()),
+      partitionFields.mkString(","))
     spark.createDataFrame(
       java.util.Collections.singletonList(row), schema)
       .coalesce(1)
@@ -44,6 +50,23 @@ object GraftLog {
   def history(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(logPath(tablePath))
       .orderBy(org.apache.spark.sql.functions.desc("timestamp"))
+
+  /** The table's recorded partitioning: newest WRITE/MERGE entry's
+    * partition_fields (empty for unpartitioned or pre-metadata logs). */
+  def lastPartitioning(spark: SparkSession, tablePath: String): Seq[String] = {
+    val h = history(spark, tablePath)
+    if (!h.schema.fieldNames.contains("partition_fields")) Nil
+    else {
+      import org.apache.spark.sql.functions.col
+      h.filter(col("operation").isin("WRITE", "MERGE"))
+        .select("partition_fields")
+        .head(1).toSeq.headOption
+        .map(_.getString(0))
+        .filter(_ != null)
+        .map(_.split(",").filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    }
+  }
 }
 
 /** Thin Hadoop FileSystem helpers (the JVM-native version of the

@@ -47,6 +47,12 @@ object Merge {
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException("The given path is not a Delta Table.")
 
+    // Self-describing layout: when the caller does not re-state the
+    // partitioning, recover it from the table's op log.
+    val effectiveParts =
+      if (partitionFields.nonEmpty) partitionFields
+      else GraftLog.lastPartitioning(spark, path)
+
     val full = storage.read(path, "delta")
 
     // Schema evolution (basic.py:193-220): align both sides by adding
@@ -82,15 +88,15 @@ object Merge {
     // untouched. At 100 TB this is the difference between rewriting the
     // table and rewriting a few partitions.
     val prunedFull =
-      if (partitionFields.isEmpty) evolvedFull
+      if (effectiveParts.isEmpty) evolvedFull
       else {
-        val partCols = partitionFields.map(col)
+        val partCols = effectiveParts.map(col)
         val incParts = evolvedInc.select(partCols: _*).distinct()
         val matchedParts = evolvedFull.alias("full")
           .join(evolvedInc.alias("incremental"), expr(mergeCondition), "left_semi")
           .select(partCols: _*).distinct()
         val affected = incParts.union(matchedParts).distinct()
-        evolvedFull.join(broadcast(affected), partitionFields, "left_semi")
+        evolvedFull.join(broadcast(affected), effectiveParts, "left_semi")
       }
 
     val f = prunedFull.withColumn("__graft_full", lit(true)).alias("full")
@@ -111,7 +117,7 @@ object Merge {
     // survive the insert condition (null condition = no insert, as Delta).
     val result = joined.filter(fullPresent || insCond).select(outCols.toSeq: _*)
 
-    if (partitionFields.nonEmpty && !schemaChanged(evolvedFull, full)) {
+    if (effectiveParts.nonEmpty && !schemaChanged(evolvedFull, full)) {
       // Partitioned table: rewrite ONLY the affected partitions via
       // dynamic partition overwrite — unaffected partition directories
       // are never touched. Dynamic overwrite skips partitions with no
@@ -120,7 +126,7 @@ object Merge {
       // set is driver-collected metadata, bounded by touched partitions
       // (the same driver-side bookkeeping a Delta merge keeps per file).
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val partCols = partitionFields.map(col)
+      val partCols = effectiveParts.map(col)
       result.persist()
       try {
         val present = result.select(partCols: _*).distinct()
@@ -129,10 +135,10 @@ object Merge {
           .collect().map(_.toSeq)
         result.write.format("parquet")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionFields: _*)
+          .partitionBy(effectiveParts: _*)
           .mode("overwrite").save(base)
         affected.filterNot(present.contains).foreach { values =>
-          val dir = partitionFields.zip(values).map { case (k, v) =>
+          val dir = effectiveParts.zip(values).map { case (k, v) =>
             ExternalCatalogUtils.escapePathName(k) + "=" +
               ExternalCatalogUtils.escapePathName(String.valueOf(v))
           }.mkString("/")
@@ -146,13 +152,13 @@ object Merge {
       val tmp = base + "__graft_tmp"
       Fs.delete(spark, tmp)
       var writer = result.write.format("parquet").mode("overwrite")
-      if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
+      if (effectiveParts.nonEmpty) writer = writer.partitionBy(effectiveParts: _*)
       writer.save(tmp)
       Fs.rename(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
       Fs.delete(spark, base)
       Fs.rename(spark, tmp, base)
     }
-    GraftLog.append(spark, base, "MERGE")
+    GraftLog.append(spark, base, "MERGE", effectiveParts)
     false
   }
 

@@ -85,6 +85,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.length == 5 && r.sameElements(r.sortBy(-_)))
   }
 
+  test("ivfTopK recall against brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 3).select("query_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 3, nCentroids = 8, nProbe = 4, iterations = 2)
+      .select("query_id", "neighbor_id")
+    val recall = approx.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("lshTopK recall against brute force is reasonable") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",

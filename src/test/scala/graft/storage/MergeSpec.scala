@@ -150,6 +150,21 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       expected)
   }
 
+  test("merge: recorded partitioning used when caller omits it") {
+    val dir = tempDir("merge_selfdesc")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "A", "v1"), (2L, "B", "v1")).toDF("id", "part", "value")
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("part"))
+    assert(GraftLog.lastPartitioning(spark, dir) == Seq("part"))
+    // merge WITHOUT partitionFields — layout must be preserved from log
+    storage.merge(Seq((3L, "C", "v2")).toDF("id", "part", "value"),
+      dir, "full.id == incremental.id")
+    assert(new java.io.File(s"$dir/part=C").exists(),
+      "partition layout lost on self-described merge")
+    assert(storage.read(dir, "delta").count() == 3)
+    assert(GraftLog.lastPartitioning(spark, dir) == Seq("part"))
+  }
+
   test("merge: history records MERGE after WRITE") {
     val dir = tempDir("merge7")
     Fs.delete(spark, dir)
