@@ -26,19 +26,27 @@ object Similarity {
   /** Brute-force top-k: for every query row, the k nearest corpus rows by
     * cosine. The query side is broadcast (queries << corpus); the corpus
     * streams through one pass — at scale this is a map-side nested loop,
-    * no shuffle until the per-query top-k aggregation.
+    * no shuffle until the per-query top-k aggregation. Norms are
+    * precomputed per row, not per pair (3× fewer flops; identical IEEE
+    * result — the per-pair cosine divides the same dot by the same two
+    * sqrt values).
     *
     * Output: (query_id, neighbor_id, rank, cos) with rank 1..k,
     * cosine-desc, neighbor-id tiebreak. Self-matches excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
                      corpusIdCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      col(vecCol).as("__qv"))
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
-      col(vecCol).as("__cv"))
+    val q = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val c = corpus
+      .select(col(corpusIdCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -77,14 +85,34 @@ object Similarity {
     * [[lshNearDupPairs]]. */
   def bruteForceNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val withNorm = base.withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val a = withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .withColumn("cos",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Project (id, cast vector, norm, table, bucket) — the shared prefix
+    * of the LSH operators. The cast and norm are materialized columns so
+    * the per-plane lambdas don't recompute them (lambda inlining — see
+    * Dedup.shingleHashes). */
+  private def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
+                          idAs: String, vecAs: String, normAs: String,
+                          dim: Int, nPlanes: Int, nTables: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+        col(vecCol).cast("array<double>").as(vecAs))
+      .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs))))
+      .select(col(idAs), col(vecAs), col(normAs), posexplode(
+        array((0 until nTables).map(t =>
+          lshBucket(col(vecAs), nPlanes, dim, seed = 42 + t)): _*))
+        .as(Seq("table", "bucket")))
 
   /** Embedding-cosine near-dup via sign-LSH prefilter: only pairs
     * sharing a bucket in some table are scored. The 100 TB path — the
@@ -92,18 +120,14 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int,
                       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol), posexplode(
-      array((0 until nTables).map(t =>
-        lshBucket(col(vecCol), nPlanes, dim, seed = 42 + t)): _*))
-      .as(Seq("table", "bucket")))
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("table"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("table"), col("bucket"))
+    val a = lshBucketed(df, idCol, vecCol, "id_a", "__va", "__na",
+      dim, nPlanes, nTables)
+    val b = lshBucketed(df, idCol, vecCol, "id_b", "__vb", "__nb",
+      dim, nPlanes, nTables)
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("__va"), col("__vb")).as("cos"))
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
   }
@@ -173,16 +197,21 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               iterations: Int = 3): DataFrame = {
     val centroids = ivfTrain(corpus, vecCol, nCentroids, iterations)
-    val v = col(vecCol).cast("array<double>")
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), nearestCell(v, centroids).as("cell"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      col(vecCol).as("__qv"),
-      explode(nearestCells(v, centroids, nProbe)).as("cell"))
+    val c = corpus
+      .select(col(corpusIdCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .withColumn("cell", nearestCell(col("__cv"), centroids))
+    val q = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(nearestCells(col("__qv"), centroids, nProbe)).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -199,18 +228,14 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
               corpusIdCol: String, vecCol: String, k: Int, dim: Int,
               nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("*"), posexplode(array((0 until nTables).map(t =>
-        lshBucket(col(vecCol), nPlanes, dim, seed = 42 + t)): _*))
-        .as(Seq("table", "bucket")))
-        .select(col(df.columns.head).as(idAs), col(vecCol).as(vecAs),
-          col("table"), col("bucket"))
-    val q = bucketed(queries.select(col(queryIdCol), col(vecCol)), "query_id", "__qv")
-    val c = bucketed(corpus.select(col(corpusIdCol), col(vecCol)), "neighbor_id", "__cv")
+    val q = lshBucketed(queries, queryIdCol, vecCol, "query_id", "__qv",
+      "__qn", dim, nPlanes, nTables)
+    val c = lshBucketed(corpus, corpusIdCol, vecCol, "neighbor_id", "__cv",
+      "__cn", dim, nPlanes, nTables)
     val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

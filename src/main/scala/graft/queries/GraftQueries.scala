@@ -495,7 +495,9 @@ object GraftQueries {
     * cos 1.0; natural pairs top out at ~0.51 on this data). Brute-force
     * scoring — exact and oracle-checkable. */
   val embeddingNearDup: Q = (spark, dir) => {
-    val emb = t(spark, dir, "embeddings")
+    // capped corpus: brute force is the O(n²)-pairs exact baseline; the
+    // scale path is lshNearDupPairs / the q_ann_* queries
+    val emb = t(spark, dir, "embeddings").filter(col("vec_id") < 1000)
     val scaled = emb.select((col("vec_id") + 1000000).as("vec_id"),
       transform(col("embedding").cast("array<double>"), x => x * 1.01)
         .as("embedding"))
@@ -508,7 +510,7 @@ object GraftQueries {
   }
 
   val embeddingNearDupSql: String =
-    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
       |corpus AS (
       |  SELECT vec_id, v FROM base
       |  UNION ALL
