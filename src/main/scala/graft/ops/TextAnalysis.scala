@@ -130,4 +130,28 @@ object TextAnalysis {
   def langHistogram(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(langId(col(textCol)).as("predicted_lang"))
       .agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------ PII redaction
+
+  /** Conservative regexes shared with the DuckDB oracle — RE2-safe
+    * subset (no backrefs/lookaround), so Spark (java.util.regex) and
+    * DuckDB (RE2) match identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails / phone numbers / IPv4 addresses with typed
+    * placeholder tokens — the standard pre-training scrub. Map-only. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII matches before redaction (for corpus audit stats). */
+  def piiCount(text: Column): Column =
+    size(split(text, EmailPattern)) - 1 +
+      (size(split(text, Ipv4Pattern)) - 1) +
+      (size(split(text, PhonePattern)) - 1)
 }

@@ -583,6 +583,39 @@ object GraftQueries {
        |FROM documents WHERE lang IN ('en','de','fr')
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** PII scrub: plant deterministic emails/IPs into the corpus, redact
+    * with typed placeholders, audit the match counts. Regexes are an
+    * RE2-safe subset so Spark and DuckDB match identically. */
+  val piiRedact: Q = (spark, dir) => {
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+      col("doc_id") % 200, lit(".7 for details"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("__raw"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.piiCount(col("__raw")).as("pii_count"),
+        sha2(TextAnalysis.redactPii(col("__raw")), 256).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val email = TextAnalysis.EmailPattern
+    val phone = TextAnalysis.PhonePattern
+    val ip = TextAnalysis.Ipv4Pattern
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+       |         (doc_id % 200) || '.7 for details' AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(string_split_regex(raw, '$email')) - 1
+       |     + len(string_split_regex(raw, '$ip')) - 1
+       |     + len(string_split_regex(raw, '$phone')) - 1 AS INT) AS pii_count,
+       |  sha256(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')) AS redacted_hash
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   /** Heuristic language-ID + quality scoring (Spark-only marker vocab —
     * no oracle). */
   val langPredict: Q = (spark, dir) =>
@@ -739,6 +772,7 @@ object GraftQueries {
     entry("q_ann_ivf", annIvf),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_lang_filter", langFilter, langFilterSql),
+    entry("q_pii_redact", piiRedact, piiRedactSql),
     entry("q_lang_predict", langPredict),
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
     entry("q_multimodal_features", multimodalFeatures),

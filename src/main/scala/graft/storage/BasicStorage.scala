@@ -89,9 +89,11 @@ class BasicStorage(spark: SparkSession) extends Storage {
                      mergeSchemas: Boolean = false,
                      updateCondition: Option[String] = None,
                      insertCondition: Option[String] = None): Unit = {
-    Merge.run(spark, this, df, path, mergeCondition, partitionFields,
-      mergeSchemas, updateCondition, insertCondition)
-    notifyOutputObservers(df, path)
+    val created = Merge.run(spark, this, df, path, mergeCondition,
+      partitionFields, mergeSchemas, updateCondition, insertCondition)
+    // auto-create goes through write(), which already notified
+    // (reference early-returns there: basic.py:170-172)
+    if (!created) notifyOutputObservers(df, path)
   }
 
   override def exists(path: String): Boolean = Fs.exists(spark, path)

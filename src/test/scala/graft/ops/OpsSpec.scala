@@ -152,6 +152,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("d") =!= 0).count() == 0)
   }
 
+  test("PII redaction replaces emails, IPs, phones with typed tokens") {
+    val out = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "server at 192.168.0.1 and backup 10.0.0.2",
+      "call +1 555 123 4567 now",
+      "nothing here")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+      .collect()
+    assert(out(0).getString(0) == "mail me at <EMAIL> today")
+    assert(out(0).getInt(1) == 1)
+    assert(out(1).getString(0) == "server at <IP> and backup <IP>")
+    assert(out(1).getInt(1) == 2)
+    assert(out(2).getString(0).contains("<PHONE>"))
+    assert(out(3).getString(0) == "nothing here")
+    assert(out(3).getInt(1) == 0)
+  }
+
   test("multimodal: mime magic detection") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)

@@ -165,6 +165,47 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLog.lastPartitioning(spark, dir) == Seq("part"))
   }
 
+  test("merge: multi-column partitions with escape-needing values") {
+    val dir = tempDir("merge_multipart")
+    Fs.delete(spark, dir)
+    // partition values containing spaces and colons need path escaping
+    val df = Seq(
+      (1L, "region a", "2024:01", "v1"),
+      (2L, "region a", "2024:02", "v1"),
+      (3L, "region b", "2024:01", "v1")).toDF("id", "region", "month", "value")
+    storage.write(df, dir, "delta", "overwrite",
+      partitionFields = Seq("region", "month"))
+    // id=2 moves from (region a, 2024:02) to (region b, 2024:02):
+    // its old two-level partition must be emptied and cleaned
+    val incremental = Seq((2L, "region b", "2024:02", "v2"))
+      .toDF("id", "region", "month", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      partitionFields = Seq("region", "month"))
+    val expected = Seq(
+      (1L, "region a", "2024:01", "v1"),
+      (2L, "region b", "2024:02", "v2"),
+      (3L, "region b", "2024:01", "v1")).toDF("id", "region", "month", "value")
+    assertDfEqual(
+      storage.read(dir, "delta").select("id", "region", "month", "value"),
+      expected)
+    // emptied nested partition dir cleaned up (escaped path)
+    val emptied = new java.io.File(s"$dir/region=region a/month=2024%3A02")
+    assert(!emptied.exists(), s"emptied partition dir not cleaned: $emptied")
+  }
+
+  test("merge: observers notified exactly once, auto-create included") {
+    val st = storage
+    var notifications = 0
+    st.registerOutputObserver((_, _) => notifications += 1)
+    val dir = tempDir("merge_obs") + "/t"
+    val df = Seq((1L, "a")).toDF("id", "value")
+    st.merge(df, dir, "full.id == incremental.id") // auto-create -> write path
+    assert(notifications == 1)
+    st.merge(Seq((2L, "b")).toDF("id", "value"), dir,
+      "full.id == incremental.id") // real merge
+    assert(notifications == 2)
+  }
+
   test("merge: history records MERGE after WRITE") {
     val dir = tempDir("merge7")
     Fs.delete(spark, dir)
