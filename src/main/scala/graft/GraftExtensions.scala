@@ -1,24 +1,48 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
 
 import graft.functions.SimHash64Expr
+import graft.ops.TextAnalysis
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst expressions as SQL functions, so `spark.sql("SELECT
-  * graft_simhash64(tokens) ...")` works alongside the Column API.
+  * functions for SQL use alongside the Column API.
   *
-  * Usage: SparkSession.builder()
-  *   .withExtensions(new GraftExtensions) ...
+  * Only functions expressible as plain Catalyst trees are registered —
+  * Column compositions that use higher-order lambdas (cosine, quality
+  * score) stay Column-API-only: bridged ColumnNode wrappers embedded in
+  * an injected function do not resolve inside an already-running
+  * analysis pass.
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) …
   * or spark.sql.extensions=graft.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
+
+  private def register(e: SparkSessionExtensions, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
     e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SimHash64Expr].getName, "graft_simhash64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64Expr(children.head)))
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder))
+
+  private def re(child: Expression, pattern: String,
+                 replacement: String): Expression =
+    RegExpReplace(child, Literal(pattern), Literal(replacement))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // native Catalyst expression
+    register(e, "graft_simhash64", args => SimHash64Expr(args.head))
+    // sha256 of whitespace/case-normalized text (TextAnalysis.fingerprint)
+    register(e, "graft_fingerprint", args =>
+      Sha2(re(Lower(StringTrim(args.head)), "\\s+", " "), Literal(256)))
+    // typed-placeholder PII scrub (TextAnalysis.redactPii)
+    register(e, "graft_redact_pii", args =>
+      re(re(re(args.head,
+        TextAnalysis.EmailPattern, "<EMAIL>"),
+        TextAnalysis.Ipv4Pattern, "<IP>"),
+        TextAnalysis.PhonePattern, "<PHONE>"))
   }
 }

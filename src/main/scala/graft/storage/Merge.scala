@@ -87,16 +87,41 @@ object Merge {
     // OUT of its old partition). Everything else stays on disk
     // untouched. At 100 TB this is the difference between rewriting the
     // table and rewriting a few partitions.
-    val prunedFull =
-      if (effectiveParts.isEmpty) evolvedFull
+    // The affected set is driver-collected once (bounded by touched
+    // partitions) and reused as a literal IN-predicate for pruning —
+    // the predicate reaches the scan as a partition filter, so
+    // unaffected partitions are never even read.
+    val affectedParts: Seq[Seq[Any]] =
+      if (effectiveParts.isEmpty) Nil
       else {
         val partCols = effectiveParts.map(col)
         val incParts = evolvedInc.select(partCols: _*).distinct()
         val matchedParts = evolvedFull.alias("full")
           .join(evolvedInc.alias("incremental"), expr(mergeCondition), "left_semi")
           .select(partCols: _*).distinct()
-        val affected = incParts.union(matchedParts).distinct()
-        evolvedFull.join(broadcast(affected), effectiveParts, "left_semi")
+        incParts.union(matchedParts).distinct().collect().map(_.toSeq).toSeq
+      }
+
+    val prunedFull =
+      if (effectiveParts.isEmpty) evolvedFull
+      else if (affectedParts.isEmpty) evolvedFull.limit(0)
+      else if (affectedParts.size <= 1000) {
+        // literal predicate → PartitionFilters on the scan
+        val cond = affectedParts.map { vs =>
+          effectiveParts.zip(vs).map { case (f, v) =>
+            col(f) <=> lit(v)
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        evolvedFull.filter(cond)
+      } else {
+        // very wide merges: broadcast semi-join instead of a 1000+-arm
+        // OR expression
+        val affectedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            affectedParts.map(vs => org.apache.spark.sql.Row(vs: _*))),
+          org.apache.spark.sql.types.StructType(
+            effectiveParts.map(f => evolvedFull.schema(f))))
+        evolvedFull.join(broadcast(affectedDf), effectiveParts, "left_semi")
       }
 
     val f = prunedFull.withColumn("__graft_full", lit(true)).alias("full")
@@ -131,13 +156,11 @@ object Merge {
       try {
         val present = result.select(partCols: _*).distinct()
           .collect().map(_.toSeq).toSet
-        val affected = prunedFull.select(partCols: _*).distinct()
-          .collect().map(_.toSeq)
         result.write.format("parquet")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(effectiveParts: _*)
           .mode("overwrite").save(base)
-        affected.filterNot(present.contains).foreach { values =>
+        affectedParts.filterNot(present.contains).foreach { values =>
           val dir = effectiveParts.zip(values).map { case (k, v) =>
             ExternalCatalogUtils.escapePathName(k) + "=" +
               ExternalCatalogUtils.escapePathName(String.valueOf(v))

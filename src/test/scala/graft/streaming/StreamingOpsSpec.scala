@@ -43,6 +43,13 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
         .getOrCreate()
       val df = s2.sql("SELECT graft_simhash64(array('a','b','c')) AS h")
       assert(df.head().getLong(0) != 0L)
+      val row = s2.sql(
+        """SELECT graft_redact_pii('mail a@b.io now') AS r,
+          |       graft_fingerprint('  Hello   World ') AS f1,
+          |       graft_fingerprint('hello world') AS f2""".stripMargin)
+        .head()
+      assert(row.getString(0) == "mail <EMAIL> now")
+      assert(row.getString(1) == row.getString(2))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
