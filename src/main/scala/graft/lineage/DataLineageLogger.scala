@@ -28,10 +28,15 @@ class DataLineageLogger(lineageLogPath: String, timeoutSeconds: Int = 300)
     StructField("transform_code_file", StringType),
     StructField("observation_ts", TimestampType)))
 
+  /** Overridable capture step (tests swap in a hanging one). */
+  protected def computeDataSources(df: DataFrame): Seq[String] =
+    PlanWalk.dataSources(df)
+
   /** Plan capture with a timeout guard — planning a pathological query
-    * can take minutes; the write itself must not hang on lineage. */
+    * can take minutes; the write itself must not hang on lineage
+    * (reference: SIGALRM guard, observer.py:33-49). */
   private def getDataSources(df: DataFrame): Seq[String] =
-    try Await.result(Future(PlanWalk.dataSources(df)), timeoutSeconds.seconds)
+    try Await.result(Future(computeDataSources(df)), timeoutSeconds.seconds)
     catch {
       case _: concurrent.TimeoutException =>
         Seq(s"ERROR. Unable to read dataframe execution plan. Timed out after $timeoutSeconds seconds.")

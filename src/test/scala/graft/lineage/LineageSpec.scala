@@ -73,6 +73,23 @@ class LineageSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("observation_ts") != null)
   }
 
+  test("hanging plan capture times out with an ERROR record (test_observer.py:24-32)") {
+    val outDir = tempDir("lineage_to_out")
+    val logDir = tempDir("lineage_to_log") + "/log"
+    val st = new BasicStorage(spark)
+    st.registerOutputObserver(new DataLineageLogger(logDir, timeoutSeconds = 1) {
+      override protected def computeDataSources(
+          df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        Thread.sleep(3000); Seq("never")
+      }
+    })
+    st.write(Seq((1L, "a")).toDF("id", "v"), outDir, "parquet", "overwrite")
+    val sources = spark.read.parquet(logDir).head()
+      .getSeq[String](1)
+    assert(sources == Seq(
+      "ERROR. Unable to read dataframe execution plan. Timed out after 1 seconds."))
+  }
+
   test("lineage logging does not recurse into its own log writes") {
     val srcDir = tempDir("lineage_rec_src")
     val outDir = tempDir("lineage_rec_out")

@@ -124,6 +124,22 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
     intercept[RuntimeException] { bad.run(spark) }
   }
 
+  test("multi-output etl: one transform feeding two sinks") {
+    val base = tempDir("etl_multi")
+    seed(base)
+    val pipeline = Pipelines.etl(
+      inputs = Seq(FileInput(s"$base/first", "delta", storage = Some(st))),
+      outputs = Seq(
+        FileOutput(s"$base/out_hi", "parquet", "overwrite", storage = Some(st)),
+        FileOutput(s"$base/out_lo", "parquet", "overwrite", storage = Some(st))),
+      validateSchemas = false) { case Seq(d) =>
+      Seq(d.filter(col("id") <= 1), d.filter(col("id") > 1))
+    }
+    pipeline.run(spark)
+    assert(st.read(s"$base/out_hi", "parquet").count() == 1)
+    assert(st.read(s"$base/out_lo", "parquet").count() == 2)
+  }
+
   test("streaming etl end-to-end (StreamFileInput -> StreamFileOutput)") {
     val base = tempDir("etl_stream")
     st.write(firstDf, s"$base/in", "parquet", "overwrite")
