@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product in double precision (sequential fold — deterministic). */
+  /** Dot product in double precision: a fused native kernel
+    * ([[graft.functions.DotProductExpr]]) with the same sequential
+    * accumulation order as an `aggregate` fold — deterministic and
+    * oracle-stable, minus the per-pair intermediate arrays. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
