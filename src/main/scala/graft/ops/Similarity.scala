@@ -62,8 +62,11 @@ object Similarity {
   private def planes(nPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((seed, p, d))
-        (h.toDouble / Int.MaxValue)
+        // java.util.Random's algorithm is part of its spec — stable
+        // across JVMs and library versions, unlike hashing utilities
+        new java.util.Random(
+          (seed.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
+          .nextDouble() * 2.0 - 1.0
       }
     }
 

@@ -686,10 +686,13 @@ object GraftQueries {
       .createTempDirectory("graft_streamw_q").toString
     val events = t(spark, dir, "events")
       .select("event_id", "ts", "event_type", "value")
-    st.write(events, s"$out/in", "parquet", "overwrite")
+    // one file per stage: with maxFilesPerTrigger=1 each staged FILE is
+    // a micro-batch — an uncoalesced write would mean one batch per
+    // shuffle partition (32 batches of fixed overhead each)
+    st.write(events.coalesce(1), s"$out/in", "parquet", "overwrite")
     val sentinel = events.limit(1)
       .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
-    sentinel.write.mode("append").parquet(s"$out/in")
+    sentinel.coalesce(1).write.mode("append").parquet(s"$out/in")
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$out/in")
