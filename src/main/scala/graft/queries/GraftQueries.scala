@@ -262,6 +262,18 @@ object GraftQueries {
       |  count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** HyperLogLog++ approximate distinct — the at-scale variant of
+    * count-distinct (§2.11). Sketch values are Spark-specific, so no
+    * oracle (rows-only); exactness is asserted relative to the exact
+    * counts in the ops test suite. */
+  val approxDistinct: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------- §2.6 sort / top-k
 
   val topK: Q = (spark, dir) =>
@@ -690,9 +702,21 @@ object GraftQueries {
     // a micro-batch — an uncoalesced write would mean one batch per
     // shuffle partition (32 batches of fixed overhead each)
     st.write(events.coalesce(1), s"$out/in", "parquet", "overwrite")
+    // The file source orders same-mtime files arbitrarily; the sentinel
+    // must be the LAST micro-batch or the watermark drops everything as
+    // late. Identify it by diffing the listing and push its mtime well
+    // past the staged data's.
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles = fs.listStatus(inPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles.map(_.getPath.getName).toSet
     val sentinel = events.limit(1)
       .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
     sentinel.coalesce(1).write.mode("append").parquet(s"$out/in")
+    val latest = parquetFiles.map(_.getModificationTime).max
+    parquetFiles.filterNot(f => before(f.getPath.getName)).foreach(f =>
+      fs.setTimes(f.getPath, latest + 60000, -1))
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$out/in")
@@ -757,6 +781,7 @@ object GraftQueries {
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_global_agg", globalAgg, globalAggSql),
     entry("q_count_distinct", countDistinctQ, countDistinctSql),
+    entry("q_approx_distinct", approxDistinct),
     entry("q_topk", topK, topKSql),
     entry("q_union_by_name", unionByNameQ, unionByNameSql),
     entry("q_except", exceptQ, exceptSql),

@@ -152,6 +152,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("d") =!= 0).count() == 0)
   }
 
+  test("approx_count_distinct within rsd of exact counts") {
+    val rows = graft.queries.GraftQueries
+      .approxDistinct(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("PII redaction replaces emails, IPs, phones with typed tokens") {
     val out = Seq(
       "mail me at jane.doe+x@corp.example.org today",
