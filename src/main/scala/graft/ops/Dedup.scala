@@ -191,4 +191,62 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Collapse near-dup PAIRS into duplicate GROUPS: label every id with
+    * the minimum id of its connected component (transitive closure —
+    * a≈b and b≈c put a, b, c in one group even if a and c never paired).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min label among itself and its neighbors; converges in O(component
+    * diameter) rounds. Near-dup components are shallow (dup clusters,
+    * not long chains), so a handful of rounds suffices at any corpus
+    * size. Each round is one join + one aggregate — no driver state;
+    * results are persisted per round to keep the plan from deepening.
+    * Output: (id, label). */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    // localCheckpoint (not persist): caching truncates COMPUTE but not
+    // the logical plan, which references the previous round twice and
+    // doubles per iteration - exponential analysis cost (observed as an
+    // analyzer OOM by round ~12 on a toy graph).
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = neighborLabels.union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end fuzzy corpus dedup: MinHash-LSH pair detection →
+    * transitive grouping → keep one representative (the min id) per
+    * duplicate group. Returns the deduplicated frame with the original
+    * schema. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 64, bands: Int = 16,
+                  shingleSize: Int = 3,
+                  jaccardThreshold: Double = 0.8): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, jaccardThreshold)
+    val groups = duplicateGroups(pairs)
+    // ids to drop: grouped ids that are not their group's representative
+    val toDrop = groups.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
 }

@@ -461,6 +461,22 @@ object GraftQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Transitive duplicate grouping + corpus-level dedup: MinHash pairs →
+    * connected components → one representative per group (no oracle —
+    * grouping follows Spark-hash pair detection). */
+  val dedupGroups: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.select("doc_id", "text")
+      .unionByName(docs.limit(300).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val pairs = Dedup.minHashLshPairs(doubled, "doc_id", "text",
+      numHashes = 32, bands = 8, jaccardThreshold = 0.9)
+    Dedup.duplicateGroups(pairs)
+      .groupBy("label")
+      .agg(count(lit(1)).as("group_size"), max("id").as("max_id"))
+      .orderBy("label")
+  }
+
   /** SimHash near-dup pairs (custom Catalyst expression; no oracle). */
   val simhashDedup: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
@@ -793,6 +809,7 @@ object GraftQueries {
     entry("q_dedup_exact", dedupExact, dedupExactSql),
     entry("q_dedup_hash", dedupHash, dedupHashSql),
     entry("q_minhash_dedup", minhashDedup),
+    entry("q_dedup_groups", dedupGroups),
     entry("q_simhash_dedup", simhashDedup),
     entry("q_cosine_topk", cosineTopK, cosineTopKSql),
     entry("q_embedding_neardup", embeddingNearDup, embeddingNearDupSql),

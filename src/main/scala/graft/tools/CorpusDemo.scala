@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** End-to-end LLM training-data pipeline demo over the documents table:
+  * fingerprint → exact dedup → fuzzy dedup (MinHash + transitive
+  * groups) → language filter → quality threshold → PII scrub, with
+  * per-stage survivor counts. Run:
+  *   sbt "runMain graft.tools.CorpusDemo [sfDir]"
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // corpus with planted exact duplicates (the driver data has none)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.select("doc_id", "text", "lang")
+      .unionByName(docs.limit(100).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+    println(s"input docs:          ${corpus.count()}")
+
+    // 1. exact dedup on the normalized fingerprint
+    val exact = Dedup.exactDeterministic(
+      corpus.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+      keys = Seq("fp"), tieBreaker = "doc_id").drop("fp")
+    println(s"after exact dedup:   ${exact.count()}")
+
+    // 2. fuzzy dedup: MinHash-LSH pairs -> transitive groups -> one rep
+    val fuzzy = Dedup.dedupCorpus(exact, "doc_id", "text",
+      numHashes = 32, bands = 8, jaccardThreshold = 0.9)
+    println(s"after fuzzy dedup:   ${fuzzy.count()}")
+
+    // 3. language + quality gates, then PII scrub
+    val cleaned = fuzzy
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    println(s"after lang+quality:  ${cleaned.count()}")
+
+    cleaned.select("doc_id", "lang", "quality").show(5)
+    spark.stop()
+  }
+}

@@ -45,6 +45,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(planted.filter(col("jaccard") < 1.0).count() == 0)
   }
 
+  test("duplicateGroups computes transitive closure of pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+  }
+
+  test("duplicateGroups converges on a long chain") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(chain, maxIter = 20).collect()
+    assert(groups.forall(_.getLong(1) == 1L))
+  }
+
+  test("dedupCorpus removes planted duplicates, keeps min representative") {
+    val doubled = docs.select("doc_id", "text", "lang")
+      .union(docs.select((col("doc_id") + 10000).as("doc_id"),
+        col("text"), col("lang")))
+    val deduped = Dedup.dedupCorpus(doubled, "doc_id", "text",
+      numHashes = 32, bands = 8, jaccardThreshold = 0.9).cache()
+    // every planted copy has its original as a smaller-id dup, so no
+    // planted id can be a group representative
+    assert(deduped.filter(col("doc_id") >= 10000).count() == 0)
+    // at most one survivor per original doc; the corpus also contains a
+    // few NATURAL near-dups (transitively grouped), so slightly fewer
+    val n = deduped.count()
+    assert(n <= docs.count() && n > docs.count() * 0.9, s"survivors $n")
+    assert(deduped.columns.toSeq == Seq("doc_id", "text", "lang"))
+  }
+
   test("simhash: identical text same hash, distinct text mostly differs") {
     val hashed = docs.select(Dedup.simHash64(col("text")).as("h"))
     val distinctHashes = hashed.distinct().count()
