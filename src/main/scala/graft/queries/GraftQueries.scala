@@ -406,6 +406,38 @@ object GraftQueries {
        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS DOUBLE) AS rolling_value
        |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Sessionization: 30-minute inactivity gap, per-session rollup.
+    * Integer epoch arithmetic end to end — exact oracle. */
+  val sessionize: Q = (spark, dir) =>
+    graft.ops.Sessionize.sessions(
+        t(spark, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+      .select("user_id", "session_id", "n_events", "first_event",
+        "duration_sec")
+      .orderBy("user_id", "session_id")
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+      |         OR CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+      |ids AS (
+      |  SELECT user_id, event_id, es,
+      |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(es) - min(es) AS duration_sec
+      |FROM ids GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ------------------------------------------------ §2.11 dedup operators
 
   /** Exact dedup, deterministic survivor. Input doubles the documents
@@ -803,6 +835,7 @@ object GraftQueries {
     entry("q_except", exceptQ, exceptSql),
     entry("q_intersect", intersectQ, intersectSql),
     entry("q_date_functions", dateFunctions, dateFunctionsSql),
+    entry("q_sessionize", sessionize, sessionizeSql),
     entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
     entry("q_window_lag", windowLag, windowLagSql),
     entry("q_window_frame", windowFrame, windowFrameSql),

@@ -182,6 +182,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("d") =!= 0).count() == 0)
   }
 
+  test("sessionize splits on gaps and rolls up correctly") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, 100L, ts(0), 1.0), (1L, 101L, ts(10), 1.0),   // session 1
+      (1L, 102L, ts(90), 1.0),                           // gap 80min -> s2
+      (2L, 200L, ts(5), 1.0))                            // other user
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ops.Sessionize
+      .sessions(events, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Long]("duration_sec") == 600)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("first_event") == 200L)
+  }
+
   test("approx_count_distinct within rsd of exact counts") {
     val rows = graft.queries.GraftQueries
       .approxDistinct(spark, "/root/testdata/sf0.001").collect()
