@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the most recent right row
+  * (greatest right time ≤ left time) with the same key — the
+  * point-in-time lookup Spark lacks natively (preference (a) of the
+  * build rules: composed from built-ins, no custom physical operator
+  * needed).
+  *
+  * Implementation is the union + running-last trick, not a join: tag
+  * both sides, union them, and take `last(right columns, ignoreNulls)`
+  * over a (key, time)-ordered window. One shuffle on the key, no
+  * per-row probing, no range-join explosion — each partition is a
+  * single ordered sweep, which is exactly the merge-scan an as-of join
+  * wants at 100 TB. Right rows sort before left rows at equal times, so
+  * the match is inclusive (≤).
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (must be unique per (key, time) —
+    *                   pre-aggregate otherwise; ties have no defined winner)
+    * @param leftKey    join key column on the left
+    * @param rightKey   join key column on the right
+    * @param leftTime   left ordering column (numeric/date)
+    * @param rightTime  right ordering column (same type)
+    * @param rightCols  right columns to attach */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightCols.intersect(leftCols).isEmpty,
+      s"rightCols must not collide with left columns: " +
+        rightCols.intersect(leftCols).mkString(", "))
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .select(Seq(col("__key"), col("__t"), col("__is_left")) ++
+        leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__key", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+      .select(Seq(col("__key"), col("__t"), col("__is_left")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+  }
+}

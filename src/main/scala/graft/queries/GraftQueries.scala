@@ -406,6 +406,39 @@ object GraftQueries {
        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS DOUBLE) AS rolling_value
        |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** As-of join: each event picks the user's most recent order at event
+    * time (union + running-last — see [[graft.ops.AsOfJoin]]); DuckDB's
+    * native ASOF JOIN is the oracle. Orders pre-deduped to one per
+    * (customer, day) so ties have a defined winner in both engines. */
+  val asofJoin: Q = (spark, dir) => {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"))
+    val orders = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("oes"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("__m"))
+      .select(col("o_custkey"), col("oes"),
+        col("__m.o_orderkey").as("o_orderkey"),
+        col("__m.o_totalprice").as("o_totalprice"))
+    graft.ops.AsOfJoin.asOf(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "es", rightTime = "oes",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |o AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS oes,
+      |        max(o_orderkey) AS o_orderkey,
+      |        arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |      FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.es >= o.oes
+      |ORDER BY e.event_id""".stripMargin
+
   /** Sessionization: 30-minute inactivity gap, per-session rollup.
     * Integer epoch arithmetic end to end — exact oracle. */
   val sessionize: Q = (spark, dir) =>
@@ -835,6 +868,7 @@ object GraftQueries {
     entry("q_except", exceptQ, exceptSql),
     entry("q_intersect", intersectQ, intersectSql),
     entry("q_date_functions", dateFunctions, dateFunctionsSql),
+    entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_sessionize", sessionize, sessionizeSql),
     entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
     entry("q_window_lag", windowLag, windowLagSql),

@@ -182,6 +182,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("d") =!= 0).count() == 0)
   }
 
+  test("asOf join picks most recent right row at-or-before left time") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L),
+      (4L, "C", 10L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 1.0), ("A", 100L, 2.0), ("A", 200L, 3.0),
+      ("B", 60L, 9.0)).toDF("qsym", "qt", "price")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt",
+      Seq("price")).orderBy("trade_id").collect()
+    assert(out(0).getAs[Double]("price") == 2.0) // t=100 inclusive match
+    assert(out(1).getAs[Double]("price") == 3.0) // latest ≤ 205
+    assert(out(2).isNullAt(out(2).fieldIndex("price"))) // B quote after trade
+    assert(out(3).isNullAt(out(3).fieldIndex("price"))) // no C quotes
+  }
+
   test("sessionize splits on gaps and rolls up correctly") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
