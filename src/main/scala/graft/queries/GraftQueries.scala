@@ -718,6 +718,64 @@ object GraftQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Vocabulary top-k: explode tokens → count → top 100. The
+    * explode-aggregate-topk shape of corpus vocabulary analysis; count
+    * ties broken by term. */
+  val topTerms: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(100)
+
+  val topTermsSql: String =
+    """SELECT term, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents)
+      |WHERE length(term) > 0
+      |GROUP BY term ORDER BY n DESC, term LIMIT 100""".stripMargin
+
+  /** Corpus statistics per language: doc/token/char totals — the audit
+    * summary a data pipeline reports after each cleaning stage. */
+  val corpusStats: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__toks"))).as("total_tokens"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  val corpusStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens,
+      |  sum(length(text)) AS total_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Pivot: per-user event-type count matrix (explicit value list keeps
+    * the output schema deterministic); oracle via FILTER aggregation. */
+  val pivotEvents: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------ §2.11 multimodal
 
   /** Binary media plumbing over text-as-bytes payloads: byte length +
@@ -883,6 +941,9 @@ object GraftQueries {
     entry("q_ann_lsh", annLsh),
     entry("q_ann_ivf", annIvf),
     entry("q_text_stats", textStats, textStatsSql),
+    entry("q_top_terms", topTerms, topTermsSql),
+    entry("q_corpus_stats", corpusStats, corpusStatsSql),
+    entry("q_pivot_events", pivotEvents, pivotEventsSql),
     entry("q_lang_filter", langFilter, langFilterSql),
     entry("q_pii_redact", piiRedact, piiRedactSql),
     entry("q_lang_predict", langPredict),
