@@ -232,6 +232,22 @@ object GraftQueries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** ROLLUP hierarchy totals (subtotal + grand-total rows). NULL
+    * ordering pinned explicitly — Spark defaults NULLS FIRST, DuckDB
+    * NULLS LAST. */
+  val rollupAgg: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val rollupAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Global aggregate (reference: isolation.py:110 F.max select). */
   val globalAgg: Q = (spark, dir) =>
     t(spark, dir, "orders")
@@ -918,6 +934,7 @@ object GraftQueries {
     entry("q_merge_upsert", mergeUpsert, mergeUpsertSql),
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
+    entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_global_agg", globalAgg, globalAggSql),
     entry("q_count_distinct", countDistinctQ, countDistinctSql),
     entry("q_approx_distinct", approxDistinct),
