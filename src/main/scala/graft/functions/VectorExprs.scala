@@ -32,12 +32,27 @@ case class DotProductExpr(left: Expression, right: Expression)
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotProductExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+
+  /** Mismatched lengths yield null — the same result as the
+    * `aggregate(zip_with(...))` fold this expression replaces (zip_with
+    * pads with null, null poisons the sum); a silent truncated partial
+    * sum would mask corrupt/ragged vectors. */
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else DotProductExpr.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DotProductExpr.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.DotProductExpr.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =

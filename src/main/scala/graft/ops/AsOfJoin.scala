@@ -36,27 +36,34 @@ object AsOfJoin {
     require(rightCols.intersect(leftCols).isEmpty,
       s"rightCols must not collide with left columns: " +
         rightCols.intersect(leftCols).mkString(", "))
+    // The right row travels as ONE struct: filling columns independently
+    // with last(_, ignoreNulls) would skip legitimate nulls inside the
+    // most recent right row (and could even stitch values from
+    // different right rows). The struct itself is never null on right
+    // rows, so ignoreNulls applies to row presence, not field values.
+    val rowStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
       .select(Seq(col("__key"), col("__t"), col("__is_left")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(rowStructType).as("__right"): _*)
     val r = right
       .withColumn("__key", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
       .select(Seq(col("__key"), col("__t"), col("__is_left")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__right"): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+    l.unionByName(r)
+      .withColumn("__right", last(col("__right"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__right.$c").as(c)): _*)
   }
 }

@@ -204,7 +204,7 @@ object Dedup {
     * results are persisted per round to keep the plan from deepening.
     * Output: (id, label). */
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
-                      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+                      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
     // localCheckpoint (not persist): caching truncates COMPUTE but not
     // the logical plan, which references the previous round twice and
     // doubles per iteration - exponential analysis cost (observed as an
@@ -230,6 +230,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateGroups did not converge after $maxIter rounds - a " +
+          "component has diameter > maxIter and the returned labels " +
+          "would split it. Raise maxIter (rounds are cheap; the bound " +
+          "is the longest chain of pairwise-similar documents).")
     labels
   }
 

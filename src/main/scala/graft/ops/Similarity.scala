@@ -23,7 +23,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null (not NaN) for zero-norm vectors — NaN
+    * sorts ABOVE all values in Spark's descending order and compares
+    * `>= threshold` as true, so an all-zero vector would otherwise
+    * become everyone's rank-1 neighbor. Null ranks last and fails
+    * threshold filters. */
+  def cosine(a: Column, b: Column): Column =
+    safeDiv(dot(a, b), norm(a) * norm(b))
+
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0d, num / den)
 
   /** Brute-force top-k: for every query row, the k nearest corpus rows by
     * cosine. The query side is broadcast (queries << corpus); the corpus
@@ -48,7 +57,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+        safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -99,7 +108,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        safeDiv(dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -132,7 +141,7 @@ object Similarity {
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
+        (safeDiv(dot(col("__va"), col("__vb")), col("__na") * col("__nb"))).as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
   }
@@ -216,7 +225,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
+        (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -240,7 +249,7 @@ object Similarity {
     val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
+        (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -91,8 +91,14 @@ object Merge {
     // partitions) and reused as a literal IN-predicate for pruning —
     // the predicate reaches the scan as a partition filter, so
     // unaffected partitions are never even read.
+    //
+    // Schema evolution forces the full-rewrite path below (old
+    // partitions lack the new columns), so pruning MUST be disabled
+    // there too: a pruned `result` fed into the whole-table swap would
+    // silently drop every unaffected partition.
+    val evolving = schemaChanged(evolvedFull, full)
     val affectedParts: Seq[Seq[Any]] =
-      if (effectiveParts.isEmpty) Nil
+      if (effectiveParts.isEmpty || evolving) Nil
       else {
         val partCols = effectiveParts.map(col)
         val incParts = evolvedInc.select(partCols: _*).distinct()
@@ -103,10 +109,11 @@ object Merge {
       }
 
     val prunedFull =
-      if (effectiveParts.isEmpty) evolvedFull
+      if (effectiveParts.isEmpty || evolving) evolvedFull
       else if (affectedParts.isEmpty) evolvedFull.limit(0)
       else if (affectedParts.size <= 1000) {
-        // literal predicate → PartitionFilters on the scan
+        // literal predicate → PartitionFilters on the scan (null-safe:
+        // partition values may legitimately be null)
         val cond = affectedParts.map { vs =>
           effectiveParts.zip(vs).map { case (f, v) =>
             col(f) <=> lit(v)
@@ -115,13 +122,18 @@ object Merge {
         evolvedFull.filter(cond)
       } else {
         // very wide merges: broadcast semi-join instead of a 1000+-arm
-        // OR expression
+        // OR expression. Null-safe join condition — a plain equi-join
+        // would drop full rows with null partition values even when
+        // (null) is in the affected set.
         val affectedDf = spark.createDataFrame(
           spark.sparkContext.parallelize(
             affectedParts.map(vs => org.apache.spark.sql.Row(vs: _*))),
           org.apache.spark.sql.types.StructType(
             effectiveParts.map(f => evolvedFull.schema(f))))
-        evolvedFull.join(broadcast(affectedDf), effectiveParts, "left_semi")
+          .toDF(effectiveParts.map(f => s"__aff_$f"): _*)
+        val joinCond = effectiveParts.map(f =>
+          col(f) <=> col(s"__aff_$f")).reduce(_ && _)
+        evolvedFull.join(broadcast(affectedDf), joinCond, "left_semi")
       }
 
     val f = prunedFull.withColumn("__graft_full", lit(true)).alias("full")
@@ -142,7 +154,7 @@ object Merge {
     // survive the insert condition (null condition = no insert, as Delta).
     val result = joined.filter(fullPresent || insCond).select(outCols.toSeq: _*)
 
-    if (effectiveParts.nonEmpty && !schemaChanged(evolvedFull, full)) {
+    if (effectiveParts.nonEmpty && !evolving) {
       // Partitioned table: rewrite ONLY the affected partitions via
       // dynamic partition overwrite — unaffected partition directories
       // are never touched. Dynamic overwrite skips partitions with no
@@ -162,8 +174,12 @@ object Merge {
           .mode("overwrite").save(base)
         affectedParts.filterNot(present.contains).foreach { values =>
           val dir = effectiveParts.zip(values).map { case (k, v) =>
-            ExternalCatalogUtils.escapePathName(k) + "=" +
-              ExternalCatalogUtils.escapePathName(String.valueOf(v))
+            // null partition values live in __HIVE_DEFAULT_PARTITION__,
+            // not "col=null"
+            val vPath =
+              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+            ExternalCatalogUtils.escapePathName(k) + "=" + vPath
           }.mkString("/")
           Fs.delete(spark, s"$base/$dir")
         }

@@ -195,6 +195,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("price"))) // no C quotes
   }
 
+  test("asOf join: null fields in the most recent right row are kept, not skipped") {
+    val trades = Seq((1L, "A", 300L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 100L, Some(5.0), Some(10L)),
+      ("A", 200L, Option.empty[Double], Some(20L)))
+      .toDF("qsym", "qt", "price", "qty")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt",
+      Seq("price", "qty")).head()
+    // most recent row is (t=200, price=null, qty=20): the null price must
+    // come through and qty must NOT be stitched from the older row
+    assert(out.isNullAt(out.fieldIndex("price")))
+    assert(out.getAs[Long]("qty") == 20L)
+  }
+
+  test("zero-norm vectors never rank or match (no NaN poisoning)") {
+    val emb3 = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb3.filter(col("vec_id") === 0), emb3, "vec_id", "vec_id",
+      "embedding", k = 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 1L) // not the zero vector
+    val dups = Similarity.bruteForceNearDupPairs(emb3, "vec_id", "embedding", 0.5)
+    assert(dups.filter(col("id_a") === 2 || col("id_b") === 2).count() == 0)
+  }
+
+  test("duplicateGroups refuses to return split components") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateGroups(chain, maxIter = 3).collect()
+    }
+  }
+
+  test("dot product of mismatched lengths is null, not a partial sum") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("sessionize splits on gaps and rolls up correctly") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)

@@ -1,5 +1,6 @@
 package graft.storage
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -148,6 +149,41 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       .toDF("id", "part", "value")
     assertDfEqual(storage.read(dir, "delta").select("id", "part", "value"),
       expected)
+  }
+
+  test("merge: schema evolution on a partitioned table keeps every partition") {
+    val dir = tempDir("merge_evolve_part")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "A", "v1"), (2L, "B", "v1"), (3L, "C", "v1"))
+      .toDF("id", "part", "value")
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("part"))
+    // incremental with a NEW column touches only partition A
+    val incremental = Seq((1L, "A", "v2", 9L)).toDF("id", "part", "value", "extra")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      partitionFields = Seq("part"), mergeSchemas = true)
+    val out = storage.read(dir, "delta")
+    // partitions B and C must survive the evolving rewrite
+    assert(out.count() == 3, s"rows lost: ${out.collect().mkString}")
+    assert(out.filter(col("part").isin("B", "C")).count() == 2)
+    assert(out.filter(col("id") === 1).head().getAs[Long]("extra") == 9L)
+  }
+
+  test("merge: null partition value emptied by a move is cleaned up") {
+    val dir = tempDir("merge_nullpart")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, Option.empty[String], "v1"), (2L, Some("B"), "v1"))
+      .toDF("id", "part", "value")
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("part"))
+    assert(new java.io.File(s"$dir/part=__HIVE_DEFAULT_PARTITION__").exists())
+    // id=1 moves out of the null partition
+    val incremental = Seq((1L, Some("B"), "v2")).toDF("id", "part", "value")
+    storage.merge(incremental, dir, "full.id == incremental.id",
+      partitionFields = Seq("part"))
+    val out = storage.read(dir, "delta").select("id", "part", "value")
+    assertDfEqual(out,
+      Seq((1L, Some("B"), "v2"), (2L, Some("B"), "v1")).toDF("id", "part", "value"))
+    assert(!new java.io.File(s"$dir/part=__HIVE_DEFAULT_PARTITION__").exists(),
+      "stale null-partition directory survived")
   }
 
   test("merge: recorded partitioning used when caller omits it") {
