@@ -1,0 +1,94 @@
+package graft.storage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Test row (top level — Spark encoders cannot reach inner classes). */
+case class MergePropRow(id: Long, v: Long, s: String)
+
+/** Model-based property test for the merge operator: random tables and
+  * conditions, expected result computed by a plain-Scala model of Delta
+  * MERGE semantics (whenMatchedUpdateAll(cond) +
+  * whenNotMatchedInsertAll(cond)), compared row-for-row. */
+class MergePropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private type R = MergePropRow
+  private val R = MergePropRow
+
+  /** Plain-Scala reference of the merge semantics (unique ids per side). */
+  private def model(full: Seq[R], inc: Seq[R],
+                    updCond: R => Boolean, insCond: R => Boolean): Seq[R] = {
+    val incById = inc.map(r => r.id -> r).toMap
+    val fullIds = full.map(_.id).toSet
+    val kept = full.map { f =>
+      incById.get(f.id) match {
+        case Some(i) if updCond(i) => i // matched + update condition
+        case _ => f                     // unmatched or condition false
+      }
+    }
+    val inserted = inc.filter(i => !fullIds.contains(i.id) && insCond(i))
+    kept ++ inserted
+  }
+
+  private def randRows(rng: scala.util.Random, ids: Seq[Long]): Seq[R] =
+    ids.map(id => R(id, rng.nextInt(100).toLong,
+      if (rng.nextBoolean()) "x" else "y"))
+
+  test("property: merge matches the model on 25 random cases") {
+    val storage = new BasicStorage(spark)
+    for (seed <- 0 until 25) {
+      val rng = new scala.util.Random(seed)
+      val fullIds = rng.shuffle((0L until 30L).toList).take(rng.nextInt(20) + 5)
+      val incIds = rng.shuffle((0L until 30L).toList).take(rng.nextInt(20) + 5)
+      val full = randRows(rng, fullIds)
+      val inc = randRows(rng, incIds)
+
+      // random conditions from a small grammar (None = unconditional)
+      val threshold = rng.nextInt(100)
+      val (updSql, updFn): (Option[String], R => Boolean) = rng.nextInt(3) match {
+        case 0 => (None, _ => true)
+        case 1 => (Some(s"incremental.v > $threshold"), _.v > threshold)
+        case 2 => (Some("incremental.s = 'x'"), _.s == "x")
+      }
+      val (insSql, insFn): (Option[String], R => Boolean) = rng.nextInt(3) match {
+        case 0 => (None, _ => true)
+        case 1 => (Some(s"incremental.v <= $threshold"), _.v <= threshold)
+        case 2 => (Some("incremental.s = 'y'"), _.s == "y")
+      }
+
+      val dir = tempDir(s"merge_prop_$seed")
+      Fs.delete(spark, dir)
+      storage.write(full.toDF(), dir, "delta", "overwrite")
+      storage.merge(inc.toDF(), dir, "full.id = incremental.id",
+        updateCondition = updSql, insertCondition = insSql)
+
+      val got = storage.read(dir, "delta").as[R].collect().sortBy(_.id).toSeq
+      val expected = model(full, inc, updFn, insFn).sortBy(_.id)
+      assert(got == expected,
+        s"seed=$seed upd=$updSql ins=$insSql\n full=$full\n inc=$inc")
+    }
+  }
+
+  test("property: partitioned merge matches unpartitioned merge result") {
+    val storage = new BasicStorage(spark)
+    for (seed <- 100 until 110) {
+      val rng = new scala.util.Random(seed)
+      val full = randRows(rng, rng.shuffle((0L until 20L).toList).take(12))
+      val inc = randRows(rng, rng.shuffle((0L until 20L).toList).take(8))
+      val flat = tempDir(s"mp_flat_$seed"); Fs.delete(spark, flat)
+      val part = tempDir(s"mp_part_$seed"); Fs.delete(spark, part)
+      storage.write(full.toDF(), flat, "delta", "overwrite")
+      storage.write(full.toDF(), part, "delta", "overwrite",
+        partitionFields = Seq("s"))
+      storage.merge(inc.toDF(), flat, "full.id = incremental.id")
+      storage.merge(inc.toDF(), part, "full.id = incremental.id",
+        partitionFields = Seq("s"))
+      val a = storage.read(flat, "delta").as[R].collect().sortBy(_.id).toSeq
+      val b = storage.read(part, "delta")
+        .select("id", "v", "s").as[R].collect().sortBy(_.id).toSeq
+      assert(a == b, s"seed=$seed\n flat=$a\n part=$b")
+    }
+  }
+}
