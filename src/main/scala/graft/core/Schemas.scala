@@ -38,7 +38,7 @@ object Schemas {
 
   /** DataType equality modulo nullability (and struct field order),
     * applied recursively. */
-  private def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+  def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
     case (s1: StructType, s2: StructType) => areEqual(s1, s2)
     case (a1: ArrayType, a2: ArrayType) => sameType(a1.elementType, a2.elementType)
     case (m1: MapType, m2: MapType) =>

@@ -34,20 +34,22 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  /** Mismatched lengths yield null — the same result as the
-    * `aggregate(zip_with(...))` fold this expression replaces (zip_with
-    * pads with null, null poisons the sum); a silent truncated partial
-    * sum would mask corrupt/ragged vectors. */
+  /** Mismatched lengths and null elements yield null — the same result
+    * as the `aggregate(zip_with(...))` fold this expression replaces
+    * (zip_with pads with null, and null elements poison the sum); a
+    * silent truncated/garbage partial sum would mask corrupt or ragged
+    * vectors. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (x.numElements() != y.numElements()) null
+    if (x.numElements() != y.numElements() || DotProductExpr.anyNull(x, y)) null
     else DotProductExpr.dot(x, y)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |if ($a.numElements() != $b.numElements()
+         |    || graft.functions.DotProductExpr.anyNull($a, $b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.DotProductExpr.dot($a, $b);
@@ -60,9 +62,23 @@ case class DotProductExpr(left: Expression, right: Expression)
 }
 
 object DotProductExpr {
+  /** Null-element scan kept separate from the arithmetic kernel so the
+    * non-null fast path stays a primitive (unboxed) loop. isNullAt on
+    * UnsafeArrayData is a bitset probe — cheap relative to the FMA. */
+  def anyNull(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Static kernel shared by interpreted eval and generated code.
     * Sequential left-to-right accumulation — the same addition order as
-    * an `aggregate` fold. */
+    * an `aggregate` fold. Callers must have screened nulls via
+    * [[anyNull]]. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0d

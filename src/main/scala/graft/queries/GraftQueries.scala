@@ -768,8 +768,8 @@ object GraftQueries {
 
   val corpusStatsSql: String =
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens,
-      |  sum(length(text)) AS total_chars,
+      |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -23,7 +23,8 @@ object GraftLog {
   val schema: StructType = StructType(Seq(
     StructField("operation", StringType),
     StructField("timestamp", TimestampType),
-    StructField("partition_fields", StringType)))
+    StructField("partition_fields", StringType),
+    StructField("seq", LongType)))
 
   def logPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "/" + LogDirName
@@ -38,18 +39,28 @@ object GraftLog {
     * caller re-stating it. */
   def append(spark: SparkSession, tablePath: String, operation: String,
              partitionFields: Seq[String] = Nil): Unit = {
+    // seq breaks ordering ties between entries landing in the same
+    // millisecond (easy under rapid programmatic writes): nanoTime is
+    // monotonic within the JVM, so (timestamp, seq) is a total order for
+    // a single writer and timestamp still dominates across writers.
     val row = Row(operation, new Timestamp(System.currentTimeMillis()),
-      partitionFields.mkString(","))
+      partitionFields.mkString(","), System.nanoTime())
     spark.createDataFrame(
       java.util.Collections.singletonList(row), schema)
       .coalesce(1)
       .write.mode("append").parquet(logPath(tablePath))
   }
 
-  /** The operation history, newest first (history() analogue). */
-  def history(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(logPath(tablePath))
-      .orderBy(org.apache.spark.sql.functions.desc("timestamp"))
+  /** The operation history, newest first (history() analogue).
+    * mergeSchema tolerates logs written before the seq column existed. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.desc
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(logPath(tablePath))
+    if (raw.schema.fieldNames.contains("seq"))
+      raw.orderBy(desc("timestamp"), desc("seq"))
+    else raw.orderBy(desc("timestamp"))
+  }
 
   /** The table's recorded partitioning: newest WRITE/MERGE entry's
     * partition_fields (empty for unpartitioned or pre-metadata logs). */
@@ -86,4 +97,17 @@ object Fs {
     val f = new Path(from)
     f.getFileSystem(spark.sessionState.newHadoopConf()).rename(f, new Path(to))
   }
+
+  /** Hadoop delete signals failure by returning false (no exception);
+    * a swap step that silently fails can lose a whole table. Missing
+    * path counts as success (delete-if-exists semantics). */
+  def deleteChecked(spark: SparkSession, path: String): Unit =
+    if (exists(spark, path) && !delete(spark, path))
+      throw new java.io.IOException(s"Failed to delete $path")
+
+  /** Hadoop rename returns false on failure (target exists, missing
+    * parent, cross-FS, ...) instead of throwing — check it. */
+  def renameChecked(spark: SparkSession, from: String, to: String): Unit =
+    if (!rename(spark, from, to))
+      throw new java.io.IOException(s"Failed to rename $from -> $to")
 }

@@ -64,6 +64,20 @@ object Merge {
         val incNames = df.schema.fields.map(_.name).toSet
         val newFields = df.schema.fields.filter(f => !fullNames.contains(f.name))
         val missing = full.schema.fields.filter(f => !incNames.contains(f.name))
+        // Same-name/different-type fields cannot be fixed by adding null
+        // columns — raise a dedicated error naming the conflicts instead
+        // of letting the output coercion silently widen or fail deep in
+        // analysis (Delta raises a schema-mismatch here too).
+        val typeConflicts = df.schema.fields.flatMap { f =>
+          full.schema.fields.find(_.name == f.name)
+            .filterNot(g => Schemas.sameType(f.dataType, g.dataType))
+            .map(g => s"${f.name}: table ${g.dataType.simpleString} vs " +
+              s"incremental ${f.dataType.simpleString}")
+        }
+        if (typeConflicts.nonEmpty)
+          throw new IllegalArgumentException(
+            "Incremental data change the type of existing column(s): " +
+              typeConflicts.mkString("; "))
         if (!mergeSchemas)
           throw new IllegalArgumentException(
             s"""Incremental data have a different schema.
@@ -187,15 +201,23 @@ object Merge {
     } else {
       // Unpartitioned (or schema-evolving) table: copy-on-write —
       // materialize to a tmp dir (reads the old files while writing new
-      // ones), then swap dirs and carry the op log over.
+      // ones), then swap dirs and carry the op log over. Hadoop
+      // rename/delete signal failure by RETURNING FALSE (no exception),
+      // so every step is checked; the order (base → __old, tmp → base,
+      // drop __old) guarantees a full copy of the data exists on disk at
+      // every instant — a crash mid-swap leaves either the old table at
+      // `base`/`__old` or the new one at `base`, never nothing.
       val tmp = base + "__graft_tmp"
-      Fs.delete(spark, tmp)
+      val old = base + "__graft_old"
+      Fs.deleteChecked(spark, tmp)
+      Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
       var writer = result.write.format("parquet").mode("overwrite")
       if (effectiveParts.nonEmpty) writer = writer.partitionBy(effectiveParts: _*)
       writer.save(tmp)
-      Fs.rename(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
-      Fs.delete(spark, base)
-      Fs.rename(spark, tmp, base)
+      Fs.renameChecked(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
+      Fs.renameChecked(spark, base, old)
+      Fs.renameChecked(spark, tmp, base)
+      Fs.deleteChecked(spark, old)
     }
     GraftLog.append(spark, base, "MERGE", effectiveParts)
     false
