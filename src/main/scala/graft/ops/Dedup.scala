@@ -118,7 +118,13 @@ object Dedup {
                       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingleHashes(df, idCol, textCol, shingleSize)
+    // The shingle frame feeds four downstream scans (signatures, both
+    // sides of the intersection join, set sizes); checkpointing it
+    // materializes the tokenize+explode ONCE instead of four times —
+    // localCheckpoint, not persist, so lineage is truncated and the
+    // blocks are reclaimed with the RDD (no unpersist bookkeeping for
+    // callers holding the lazy result).
+    val sh = shingleHashes(df, idCol, textCol, shingleSize).localCheckpoint(true)
     val sigs = signaturesFromShingles(sh, idCol, numHashes)
     val banded = sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -209,8 +215,13 @@ object Dedup {
     // the logical plan, which references the previous round twice and
     // doubles per iteration - exponential analysis cost (observed as an
     // analyzer OOM by round ~12 on a toy graph).
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // pairs is checkpointed FIRST: the forward+reversed union below
+    // scans it twice, and the caller's pair plan (e.g. the whole LSH
+    // detection pipeline) would be recomputed per scan.
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
@@ -219,15 +230,18 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = neighborLabels.union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+      // The previous label rides along through the union (max(old) —
+      // it is unique per id) so convergence is read off the SAME
+      // checkpointed round result instead of a separate join job per
+      // round: each round costs exactly one shuffle.
+      val next = neighborLabels
+        .union(labels.withColumn("old", col("label")))
+        .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       i += 1
     }
     if (!converged)

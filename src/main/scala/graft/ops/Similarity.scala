@@ -148,23 +148,27 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
-  private def dist2ToLit(v: Column, centroid: Seq[Double]): Column =
-    aggregate(zip_with(v, array(centroid.map(lit): _*),
-      (x, c) => (x - c) * (x - c)), lit(0.0d), (acc, x) => acc + x)
+  /** Centroid affinity score: |c|² − 2·v·c. Equals squared L2 distance
+    * minus the per-row constant |v|², so argmin/ordering over centroids
+    * is identical — but it needs only one fused dot product per centroid
+    * (native [[graft.functions.DotProductExpr]] kernel) instead of a
+    * zip_with intermediate array per centroid per row. */
+  private def cellScore(v: Column, centroid: Seq[Double]): Column =
+    lit(centroid.map(x => x * x).sum) -
+      lit(2.0d) * dot(v, array(centroid.map(lit): _*))
 
   /** Cell assignment: index of the nearest centroid (argmin over the
-    * centroid literals — k dot products inside codegen, no UDF). */
+    * centroid literals — k fused dot products inside codegen, no UDF). */
   private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2ToLit(v, c).as("d"), lit(i).as("i"))
+      struct(cellScore(v, c).as("d"), lit(i).as("i"))
     }: _*)).getField("i")
 
   /** The nProbe nearest cells, as an array of cell ids. */
   private def nearestCells(v: Column, centroids: Seq[Seq[Double]],
                            nProbe: Int): Column =
     slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2ToLit(v, c).as("d"), lit(i).as("i"))
+      struct(cellScore(v, c).as("d"), lit(i).as("i"))
     }: _*)), 1, nProbe).getField("i")
 
   /** Train IVF centroids with Lloyd iterations, entirely in DataFrame
@@ -175,17 +179,26 @@ object Similarity {
     * float-order dependent across cluster layouts, which perturbs
     * centroids by ulps — irrelevant for an ANN index (no oracle). */
   def ivfTrain(corpus: DataFrame, vecCol: String, nCentroids: Int,
-               iterations: Int = 3): Seq[Seq[Double]] = {
+               iterations: Int = 3, trainSampleMod: Int = 1): Seq[Seq[Double]] = {
     val v = col(vecCol).cast("array<double>")
-    var centroids: Seq[Seq[Double]] = corpus
-      .orderBy(xxhash64(to_json(struct(col(vecCol)))))
+    // Train on a deterministic hash-slice of the corpus (standard IVF
+    // practice — centroids need a representative sample, not every
+    // vector): the filter hashes the vector VALUE, so the sample is
+    // stable across partitioning/layout. The projected sample is
+    // checkpointed once; every Lloyd pass then reads cached blocks
+    // instead of rescanning (and re-casting) the corpus.
+    val projected = corpus.select(v.as("v"))
+    val sampled = (if (trainSampleMod > 1)
+        projected.filter(pmod(xxhash64(col("v")), lit(trainSampleMod)) === 0)
+      else projected).localCheckpoint(true)
+    var centroids: Seq[Seq[Double]] = sampled
+      .orderBy(xxhash64(col("v")))
       .limit(nCentroids)
-      .select(v.as("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 0 until iterations) {
-      val assigned = corpus
-        .select(v.as("v"), nearestCell(v, centroids).as("cell"))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      val sums = sampled
+        .select(nearestCell(col("v"), centroids).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
         .agg(avg(col("x")).as("m"))
         .collect()
@@ -209,8 +222,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
               corpusIdCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              iterations: Int = 3): DataFrame = {
-    val centroids = ivfTrain(corpus, vecCol, nCentroids, iterations)
+              iterations: Int = 3, trainSampleMod: Int = 1): DataFrame = {
+    val centroids = ivfTrain(corpus, vecCol, nCentroids, iterations,
+      trainSampleMod)
     val c = corpus
       .select(col(corpusIdCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv"))

@@ -646,7 +646,8 @@ object GraftQueries {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
     Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
-      k = 10, nCentroids = 16, nProbe = 4, iterations = 2)
+      k = 10, nCentroids = 16, nProbe = 4, iterations = 2,
+      trainSampleMod = 4)
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("query_id", "rank")
   }
@@ -877,10 +878,19 @@ object GraftQueries {
       .parquet(s"$out/in")
     val agg = graft.streaming.StreamingOps.tumblingCounts(
       stream, "ts", "event_type", "1 day")
-    val q = agg.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$out/cp")
-      .format("parquet").start(s"$out/data")
-    q.processAllAvailable()
+    // Stateful streaming pins shuffle partitions at first checkpoint
+    // and instantiates one state store per partition per micro-batch;
+    // at this state size (days × event types) 4 partitions carry the
+    // load and 32 would be 8× fixed store overhead per batch.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      val q0 = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q0.processAllAvailable()
+      q0
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.stop()
     st.read(s"$out/data", "parquet")
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),

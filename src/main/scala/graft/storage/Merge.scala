@@ -116,10 +116,23 @@ object Merge {
       else {
         val partCols = effectiveParts.map(col)
         val incParts = evolvedInc.select(partCols: _*).distinct()
-        val matchedParts = evolvedFull.alias("full")
-          .join(evolvedInc.alias("incremental"), expr(mergeCondition), "left_semi")
-          .select(partCols: _*).distinct()
-        incParts.union(matchedParts).distinct().collect().map(_.toSeq).toSeq
+        // When every partition field is pinned equal by the merge
+        // condition (full.p = incremental.p conjunct), a matched row's
+        // partition values equal its incoming row's — matched rows
+        // cannot sit outside incParts, so the full-table semi-join scan
+        // is pure overhead. Date-partitioned merges keyed on
+        // (date, id) hit this fast path; at 100 TB it removes one full
+        // scan + shuffle join per merge.
+        val pinned = pinnedPartitionFields(spark, mergeCondition)
+        val parts =
+          if (effectiveParts.forall(p => pinned.contains(p.toLowerCase))) incParts
+          else {
+            val matchedParts = evolvedFull.alias("full")
+              .join(evolvedInc.alias("incremental"), expr(mergeCondition), "left_semi")
+              .select(partCols: _*).distinct()
+            incParts.union(matchedParts).distinct()
+          }
+        parts.collect().map(_.toSeq).toSeq
       }
 
     val prunedFull =
@@ -227,4 +240,36 @@ object Merge {
     * them, so evolving merges fall back to the full rewrite. */
   private def schemaChanged(evolved: DataFrame, original: DataFrame): Boolean =
     evolved.schema.fields.length != original.schema.fields.length
+
+  /** Column names pinned equal across the two merge sides by a
+    * top-level `full.c = incremental.c` (or `<=>`) conjunct of the
+    * condition. For a MATCHED row such a conjunct held, so the kept/
+    * updated row's value equals the incoming row's — its partition is
+    * already in the incoming partition set. Parse failures degrade to
+    * "nothing pinned" (the conservative full scan). */
+  private def pinnedPartitionFields(spark: SparkSession,
+                                    cond: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def pinOf(l: Expression, r: Expression): Option[String] = (l, r) match {
+      case (a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.length == 2 && b.nameParts.length == 2 &&
+          Set(a.nameParts.head.toLowerCase, b.nameParts.head.toLowerCase) ==
+            Set("full", "incremental") &&
+          a.nameParts(1).equalsIgnoreCase(b.nameParts(1)) =>
+        Some(a.nameParts(1).toLowerCase)
+      case _ => None
+    }
+    try {
+      conjuncts(spark.sessionState.sqlParser.parseExpression(cond)).flatMap {
+        case EqualTo(l, r) => pinOf(l, r)
+        case EqualNullSafe(l, r) => pinOf(l, r)
+        case _ => None
+      }.toSet
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+  }
 }
