@@ -166,6 +166,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Distinct character n-gram set per row: (id, ngrams: array<string>).
+    * Text is case/whitespace-normalized first; rows shorter than `n`
+    * contribute their whole text as the single gram. The normalized
+    * text is projected as a real column before the lambda references it
+    * (lambda inlining — see [[shingleHashes]]). */
+  def charNgramSets(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val tc = col("__graft_t")
+    df.select(col(idCol), t.as("__graft_t"))
+      .select(col(idCol), array_distinct(
+        when(length(tc) >= n,
+          transform(sequence(lit(1), length(tc) - (n - 1)),
+            i => tc.substr(i, lit(n))))
+          .otherwise(array(tc))).as("ngrams"))
+  }
+
+  /** Exact character-n-gram Jaccard near-dup pairs: all (id_a < id_b)
+    * with |A∩B| / |A∪B| ≥ threshold over distinct n-gram sets. O(n²)
+    * pairs — the exact baseline for small/capped corpora and the
+    * verifier behind sampled audits; the corpus-scale path is
+    * [[minHashLshPairs]] (MinHash approximates exactly this Jaccard).
+    * Output: (id_a, id_b, common, jaccard). */
+  def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val g = charNgramSets(df, idCol, textCol, n)
+    val a = g.select(col(idCol).as("id_a"), col("ngrams").as("__ga"))
+    val b = g.select(col(idCol).as("id_b"), col("ngrams").as("__gb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("common", size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("__ga")) + size(col("__gb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (custom Catalyst expression —
     * see [[graft.functions.SimHash64Expr]]). Near-dups have small
     * Hamming distance, see [[hamming64]]. */

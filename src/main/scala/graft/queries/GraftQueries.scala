@@ -568,6 +568,69 @@ object GraftQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact char-trigram Jaccard near-dup pairs over a capped corpus with
+    * planted suffix-modified copies — the exact-set-similarity baseline
+    * behind MinHash, with a full DuckDB oracle (integer set sizes, one
+    * double division). Scale path: q_minhash_dedup. */
+  val jaccardNgram: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 100)
+    val modified = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(modified)
+    Dedup.jaccardNgramPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val jaccardNgramSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+      |  FROM base WHERE doc_id < 50),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN length(t) >= 3
+      |      THEN list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))
+      |      ELSE [t] END) AS g
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |        FROM corpus)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.g, b.g)) AS INT) AS common,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |      CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, common, round(jaccard, 6) AS jaccard
+      |FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  /** Range (point-in-interval) join: every lineitem row lands in its
+    * quantity band via a broadcast nested-loop join — the small interval
+    * table broadcasts, the fact table streams through one pass with no
+    * shuffle before the final aggregation. */
+  val rangeJoin: Q = (spark, dir) => {
+    val bands = spark.createDataFrame(Seq(
+      (0.0d, 10.0d, "low"), (10.0d, 25.0d, "mid"), (25.0d, 51.0d, "high")))
+      .toDF("lo", "hi", "band")
+    t(spark, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("band")
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT band, count(*) AS n, ${sqlDsum("l_extendedprice")} AS total_price
+       |FROM lineitem
+       |JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
+       |  AS bands(lo, hi, band)
+       |  ON l_quantity >= lo AND l_quantity < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
   // ------------------------------------------- §2.11 similarity search
 
   /** Brute-force cosine top-k (exact baseline). Cosines computed in
@@ -969,6 +1032,8 @@ object GraftQueries {
     entry("q_ann_ivf", annIvf),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_top_terms", topTerms, topTermsSql),
+    entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
+    entry("q_range_join", rangeJoin, rangeJoinSql),
     entry("q_corpus_stats", corpusStats, corpusStatsSql),
     entry("q_pivot_events", pivotEvents, pivotEventsSql),
     entry("q_lang_filter", langFilter, langFilterSql),

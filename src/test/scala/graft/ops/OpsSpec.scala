@@ -233,6 +233,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("dot product with a null element is null, matching the fold") {
+    val df = Seq((Seq[java.lang.Double](1.0, null, 3.0),
+      Seq[java.lang.Double](1.0, 2.0, 3.0))).toDF("a", "b")
+    val native = df.select(Similarity.dot(col("a"), col("b")).as("d")).head()
+    assert(native.isNullAt(0))
+    // the higher-order fold it documents itself as bit-identical to
+    val fold = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x).as("d")).head()
+    assert(fold.isNullAt(0))
+  }
+
+  test("charNgramSets: distinct trigrams of normalized text") {
+    val df = Seq((1L, "AB  cd"), (2L, "ab")).toDF("doc_id", "text")
+    val out = Dedup.charNgramSets(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(1L) == Set("ab ", "b c", " cd")) // "ab cd" normalized
+    assert(out(2L) == Set("ab")) // shorter than n -> whole text
+  }
+
+  test("jaccardNgramPairs: identical 1.0, disjoint absent, suffix high") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "The quick  brown fox jumps"), // normalizes identical to 1
+      (3L, "zzzz yyyy xxxx wwww"),
+      (4L, "the quick brown fox jumps extra")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardNgramPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 4L)) > 0.7 && pairs((1L, 4L)) < 1.0)
+  }
+
   test("sessionize splits on gaps and rolls up correctly") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)

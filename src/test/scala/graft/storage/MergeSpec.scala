@@ -253,4 +253,42 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       .as[String].collect().toSeq
     assert(ops == Seq("MERGE", "WRITE"))
   }
+
+  test("merge: partition field pinned by the condition skips nothing it needs") {
+    // condition pins part equal across sides -> the matched-partitions
+    // semi-join is skipped; result must still be exactly right, and
+    // untouched partitions must keep their files
+    val dir = tempDir("merge_pinned")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "A", "v1"), (2L, "A", "v1"), (3L, "B", "v1"))
+      .toDF("id", "part", "value")
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("part"))
+    def bFiles: Set[String] =
+      new java.io.File(s"$dir/part=B").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = bFiles
+    val incremental = Seq((2L, "A", "v2"), (4L, "C", "v2"))
+      .toDF("id", "part", "value")
+    storage.merge(incremental, dir,
+      "full.part == incremental.part AND full.id == incremental.id",
+      partitionFields = Seq("part"))
+    val expected = Seq((1L, "A", "v1"), (2L, "A", "v2"), (3L, "B", "v1"),
+      (4L, "C", "v2")).toDF("id", "part", "value")
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "value"),
+      expected)
+    assert(bFiles == before)
+  }
+
+  test("merge: same-name different-type column is a dedicated error") {
+    val dir = tempDir("merge_typeconflict")
+    Fs.delete(spark, dir)
+    storage.write(Seq((1L, "a")).toDF("id", "value"), dir, "delta", "overwrite")
+    val incremental = Seq((2L, 42)).toDF("id", "value") // value: int, was string
+    val e = intercept[IllegalArgumentException] {
+      storage.merge(incremental, dir, "full.id == incremental.id",
+        mergeSchemas = true)
+    }
+    assert(e.getMessage.contains("value"))
+    assert(e.getMessage.contains("string") && e.getMessage.contains("int"))
+  }
 }
