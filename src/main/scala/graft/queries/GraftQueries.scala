@@ -962,6 +962,54 @@ object GraftQueries {
       .orderBy("window_day", "event_type")
   }
 
+  /** Streaming MERGE (CDC upsert): a staged update stream applied to a
+    * managed table batch-by-batch through foreachBatch + storage.merge.
+    * Update keys are unique and the batches disjoint, so the final
+    * table state is independent of micro-batch order — which makes this
+    * streaming query fully oracle-checkable (FULL OUTER JOIN + CASE),
+    * unlike windowed aggregations. */
+  val streamMerge: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_streammerge_q").toString
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val full = orders.filter(col("o_orderkey") % 5 =!= 0)
+    st.write(full, s"$out/t", "delta", "overwrite")
+    val updates = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    // two disjoint staged files -> two micro-batches (keys unique
+    // across batches, so final state is batching-order independent)
+    updates.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1).write.parquet(s"$out/in")
+    updates.filter(col("o_orderkey") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = graft.streaming.StreamingOps.mergeStream(st, stream, s"$out/t",
+      "full.o_orderkey = incremental.o_orderkey", s"$out/cp")
+    q.processAllAvailable()
+    q.stop()
+    st.read(s"$out/t", "delta")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val streamMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      |f AS (SELECT * FROM base WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey, o_totalprice, 'U' AS o_orderstatus
+      |      FROM base WHERE o_orderkey % 3 = 0)
+      |SELECT
+      |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderkey ELSE f.o_orderkey END AS o_orderkey,
+      |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_custkey ELSE f.o_custkey END AS o_custkey,
+      |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE f.o_totalprice END AS o_totalprice,
+      |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE f.o_orderstatus END AS o_orderstatus
+      |FROM f FULL OUTER JOIN i ON f.o_orderkey = i.o_orderkey
+      |ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -1042,6 +1090,7 @@ object GraftQueries {
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
     entry("q_multimodal_features", multimodalFeatures),
     entry("q_stream_passthrough", streamPassthrough),
-    entry("q_stream_window", streamWindow)
+    entry("q_stream_window", streamWindow),
+    entry("q_stream_merge", streamMerge, streamMergeSql)
   )
 }

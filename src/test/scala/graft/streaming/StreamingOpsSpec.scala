@@ -29,6 +29,41 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == events.count())
   }
 
+  test("mergeStream applies each micro-batch as an upsert") {
+    import spark.implicits._
+    val storage = new graft.storage.BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_streammerge_t").toString
+    storage.write(Seq((1L, "a"), (2L, "a")).toDF("id", "value"),
+      s"$out/t", "delta", "overwrite")
+    // two staged files -> two micro-batches: update id=2, insert id=3
+    Seq((2L, "b")).toDF("id", "value")
+      .coalesce(1).write.parquet(s"$out/in")
+    Seq((3L, "b")).toDF("id", "value")
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(Seq((0L, "")).toDF("id", "value").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = StreamingOps.mergeStream(storage, stream, s"$out/t",
+      "full.id = incremental.id", s"$out/cp")
+    q.processAllAvailable()
+    q.stop()
+    val got = storage.read(s"$out/t", "delta")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "b"))
+  }
+
+  test("q_stream_merge matches its relational oracle shape") {
+    val rows = GraftQueries.streamMerge(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // every key %3==0 ended as status U; every kept key %5!=0 present
+    assert(rows.filter(_.getLong(0) % 3 == 0)
+      .forall(_.getString(3) == "U"))
+    assert(!rows.exists(r => r.getLong(0) % 5 == 0 && r.getLong(0) % 3 != 0))
+  }
+
   test("simhash SQL function registered via GraftExtensions") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists
