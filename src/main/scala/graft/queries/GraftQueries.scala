@@ -962,6 +962,34 @@ object GraftQueries {
       .orderBy("window_day", "event_type")
   }
 
+  /** File-level data skipping: write lineitem range-clustered on
+    * l_orderkey, collect per-file min/max footer stats into the
+    * `_graft_stats` sidecar, then answer a selective key-range query
+    * reading ONLY the files whose range intersects — partition-pruning
+    * power on a non-partition column (the poor man's Z-order). The
+    * oracle is the same aggregation over the raw table: pruning must be
+    * invisible to results. */
+  val dataSkipping: Q = (spark, dir) => {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_skip_q").toString + "/t"
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    li.repartitionByRange(8, col("l_orderkey")).write.parquet(out)
+    graft.storage.DataSkipping.collectStats(spark, out, Seq("l_orderkey"))
+    graft.storage.DataSkipping
+      .prunedRead(spark, out, "l_orderkey", Some(1000L), Some(2000L))
+      .filter(col("l_orderkey").between(1000L, 2000L))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("total_price"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val dataSkippingSql: String =
+    s"""SELECT count(*) AS n, ${sqlDsum("l_extendedprice")} AS total_price,
+       |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+       |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin
+
   /** Streaming MERGE (CDC upsert): a staged update stream applied to a
     * managed table batch-by-batch through foreachBatch + storage.merge.
     * Update keys are unique and the batches disjoint, so the final
@@ -1081,6 +1109,7 @@ object GraftQueries {
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
+    entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_range_join", rangeJoin, rangeJoinSql),
     entry("q_corpus_stats", corpusStats, corpusStatsSql),
     entry("q_pivot_events", pivotEvents, pivotEventsSql),

@@ -1,0 +1,199 @@
+package graft.storage
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-level data skipping for managed parquet tables — the pruning
+  * layer a Delta/Iceberg transaction log provides, rebuilt on a parquet
+  * sidecar (no Delta jar in this environment, SURVEY.md §7).
+  *
+  * [[collectStats]] reads each data file's FOOTER (metadata only, no
+  * row data) and records per-file min/max/null-count for chosen
+  * columns in `<table>/_graft_stats`. [[prunedRead]] then drops files
+  * whose [min,max] cannot intersect a requested range BEFORE Spark
+  * ever lists them into a scan.
+  *
+  * Why this matters at 100 TB: partition pruning works only on
+  * partition columns; for a selective predicate on anything else,
+  * Spark must still schedule a task per file and let the parquet
+  * reader's row-group filter reject it. With layout-correlated columns
+  * (time-ordered ingest, range-repartitioned writes) file-level stats
+  * remove those tasks entirely — the poor man's Z-order. Footer
+  * reading is distributed (one task per file batch), so stats
+  * collection itself scales with the cluster, and the stats table is
+  * metadata-sized (files × columns).
+  *
+  * Pruning is CONSERVATIVE: files without recorded stats for the
+  * column (later writes, unsupported types) are always kept, so a
+  * pruned read is a superset of the matching rows — callers still
+  * apply the row filter (exactly Delta's data-skipping contract).
+  */
+object DataSkipping {
+  val StatsDirName = "_graft_stats"
+
+  def statsPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "/" + StatsDirName
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("column", StringType),
+    StructField("dtype", StringType),
+    StructField("min", StringType),
+    StructField("max", StringType),
+    StructField("null_count", LongType),
+    StructField("num_rows", LongType)))
+
+  /** All data files of the table (recursive — partitioned layouts),
+    * excluding sidecar dirs/files (underscore/dot prefixed anywhere in
+    * the relative path). */
+  private def dataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val base = new Path(tablePath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(base, true)
+    val out = mutable.ArrayBuffer.empty[String]
+    val baseStr = fs.makeQualified(base).toString
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      val rel = p.stripPrefix(baseStr).stripPrefix("/")
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && p.endsWith(".parquet")) out += p
+    }
+    out.toSeq
+  }
+
+  /** Read per-file column stats from parquet footers and write the
+    * stats sidecar (overwrite — stats describe the current table
+    * state). Footer reads run on executors; only (files × columns)
+    * metadata rows come back. Returns the stats as a DataFrame. */
+  def collectStats(spark: SparkSession, tablePath: String,
+                   columns: Seq[String]): DataFrame = {
+    val files = dataFiles(spark, tablePath)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableWritable(spark.sessionState.newHadoopConf()))
+    val cols = columns
+    val statsRows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { file =>
+        val conf = confBc.value.value
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(file), conf))
+        try {
+          val footer = reader.getFooter
+          cols.flatMap { c =>
+            var dtype: String = null
+            var minV: Any = null
+            var maxV: Any = null
+            var nulls = 0L
+            var rows = 0L
+            var statsOk = true
+            footer.getBlocks.asScala.foreach { block =>
+              rows += block.getRowCount
+              block.getColumns.asScala
+                .filter(_.getPath.toDotString == c)
+                .foreach { cc =>
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty) statsOk = false
+                  else {
+                    if (st.getNumNulls >= 0) nulls += st.getNumNulls
+                    else statsOk = false
+                    if (st.hasNonNullValue) {
+                      val tmm = typedMinMax(
+                        st.genericGetMin.asInstanceOf[AnyRef],
+                        st.genericGetMax.asInstanceOf[AnyRef])
+                      val t = tmm._1
+                      if (t == null) statsOk = false
+                      else {
+                        dtype = t
+                        minV = if (minV == null) tmm._2 else minTyped(t, minV, tmm._2)
+                        maxV = if (maxV == null) tmm._3 else maxTyped(t, maxV, tmm._3)
+                      }
+                    }
+                  }
+                }
+            }
+            if (!statsOk || dtype == null) None
+            else Some(Row(file, c, dtype,
+              String.valueOf(minV), String.valueOf(maxV), nulls, rows))
+          }
+        } finally reader.close()
+      }
+    val df = spark.createDataFrame(statsRows, statsSchema)
+    df.coalesce(1).write.mode("overwrite").parquet(statsPath(tablePath))
+    spark.read.parquet(statsPath(tablePath))
+  }
+
+  /** Map a parquet statistics value pair to (dtype tag, typed min/max).
+    * Unsupported physical types → null tag (file stays unpruned). */
+  private def typedMinMax(min: AnyRef, max: AnyRef): (String, Any, Any) =
+    (min, max) match {
+      case (a: java.lang.Long, b: java.lang.Long) => ("long", a.longValue, b.longValue)
+      case (a: java.lang.Integer, b: java.lang.Integer) => ("long", a.longValue, b.longValue)
+      case (a: java.lang.Double, b: java.lang.Double) => ("double", a.doubleValue, b.doubleValue)
+      case (a: java.lang.Float, b: java.lang.Float) => ("double", a.doubleValue, b.doubleValue)
+      case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+        ("string", a.toStringUsingUTF8, b.toStringUsingUTF8)
+      case _ => (null, null, null)
+    }
+
+  private def cmp(dtype: String, a: Any, b: Any): Int = dtype match {
+    case "long" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "string" => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+  }
+
+  private def minTyped(t: String, a: Any, b: Any): Any = if (cmp(t, a, b) <= 0) a else b
+  private def maxTyped(t: String, a: Any, b: Any): Any = if (cmp(t, a, b) >= 0) a else b
+
+  private def parse(dtype: String, s: String): Any = dtype match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case "string" => s
+  }
+
+  /** Files that can hold rows with `column` in [lower, upper]
+    * (inclusive; None = unbounded). Files lacking stats for the column
+    * are kept conservatively. Driver-side over the metadata-sized
+    * stats table. */
+  def pruneFiles(spark: SparkSession, tablePath: String, column: String,
+                 lower: Option[Any], upper: Option[Any]): Seq[String] = {
+    val all = dataFiles(spark, tablePath)
+    if (!Fs.exists(spark, statsPath(tablePath))) return all
+    val stats = spark.read.parquet(statsPath(tablePath))
+      .filter(col("column") === column)
+      .select("file", "dtype", "min", "max")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    all.filter { f =>
+      stats.get(f) match {
+        case Some((t, lo, hi)) =>
+          val loOk = upper.forall(u => cmp(t, parse(t, lo), parse(t, String.valueOf(u))) <= 0)
+          val hiOk = lower.forall(l => cmp(t, parse(t, hi), parse(t, String.valueOf(l))) >= 0)
+          loOk && hiOk
+        case None => true // no stats -> cannot prune
+      }
+    }
+  }
+
+  /** Read the table with file-level pruning for `column` ∈ [lower,
+    * upper]. The result is a SUPERSET of matching rows (whole files) —
+    * apply the row predicate on top, as with any data-skipping layer.
+    * basePath keeps partition-directory columns intact. */
+  def prunedRead(spark: SparkSession, tablePath: String, column: String,
+                 lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val files = pruneFiles(spark, tablePath, column, lower, upper)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.option("basePath", tablePath).parquet(files: _*)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DataSkippingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("stats record per-file min/max; pruning reads only intersecting files") {
+    val dir = tempDir("skip1")
+    Fs.delete(spark, dir)
+    // range-clustered layout -> tight per-file key ranges
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "value")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    val stats = DataSkipping.collectStats(spark, dir, Seq("id"))
+    assert(stats.select("file").distinct().count() == 4)
+    assert(stats.agg(sum("num_rows")).head().getLong(0) == 1000L)
+
+    val all = DataSkipping.pruneFiles(spark, dir, "id", None, None)
+    assert(all.size == 4)
+    val some = DataSkipping.pruneFiles(spark, dir, "id", Some(100L), Some(120L))
+    assert(some.size < 4 && some.nonEmpty)
+
+    val got = DataSkipping.prunedRead(spark, dir, "id", Some(100L), Some(120L))
+      .filter(col("id").between(100L, 120L))
+    assert(got.count() == 21)
+  }
+
+  test("pruned read is a superset; files without stats are kept") {
+    val dir = tempDir("skip2")
+    Fs.delete(spark, dir)
+    (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartitionByRange(2, col("id")).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    // a later write the stats don't know about
+    Seq((1000L, 1L)).toDF("id", "v").write.mode("append").parquet(dir)
+    val files = DataSkipping.pruneFiles(spark, dir, "id", Some(999L), Some(2000L))
+    // the stats-less new file must survive pruning
+    val rows = DataSkipping.prunedRead(spark, dir, "id", Some(999L), Some(2000L))
+      .filter(col("id") >= 999L).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1000L))
+    assert(files.nonEmpty)
+  }
+
+  test("string column stats prune lexicographically") {
+    val dir = tempDir("skip3")
+    Fs.delete(spark, dir)
+    Seq("apple", "banana", "cherry").toDF("s").coalesce(1).write.parquet(dir)
+    Seq("xray", "yak", "zebra").toDF("s").coalesce(1)
+      .write.mode("append").parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("s"))
+    val hit = DataSkipping.pruneFiles(spark, dir, "s", Some("x"), Some("z"))
+    assert(hit.size == 1)
+    val out = DataSkipping.prunedRead(spark, dir, "s", Some("x"), Some("z"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("xray", "yak", "zebra"))
+  }
+
+  test("empty intersection yields an empty (but valid-schema) frame") {
+    val dir = tempDir("skip4")
+    Fs.delete(spark, dir)
+    (1L to 10L).toDF("id").coalesce(1).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    val got = DataSkipping.prunedRead(spark, dir, "id", Some(500L), Some(600L))
+    assert(got.columns.toSeq == Seq("id"))
+    assert(got.count() == 0)
+  }
+}
