@@ -76,6 +76,34 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: emit a `resized` binary of exactly width×height bytes
+    * by nearest-neighbor sampling the source payload — the
+    * decode → resample → re-encode shape (and output contract: fixed
+    * dimensions regardless of input size) of a real image resize,
+    * without a codec. Partition-batched like [[extractFeatures]]. */
+  def resizeStub(df: DataFrame, binCol: String, width: Int,
+                 height: Int): DataFrame = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    val outSchema = df.schema.add("resized", BinaryType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out = new Array[Byte](width * height)
+        if (bytes != null && bytes.length > 0) {
+          var i = 0
+          while (i < out.length) {
+            // ??? real decode + interpolation here
+            out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+            i += 1
+          }
+        }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+  }
+
   /** STUB frame sampling: split the payload into `frameSize`-byte chunks
     * and keep every `stride`-th chunk — the partitioning/explode shape of
     * real video frame extraction. One row per (id, frame_no). */

@@ -335,6 +335,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f(1L) != f(3L))
   }
 
+  test("multimodal: resize stub emits fixed-size deterministic payloads") {
+    val small = Array.fill[Byte](10)(3)
+    val big = Array.tabulate[Byte](9000)(i => (i % 127).toByte)
+    val df = Seq((1L, small), (2L, big), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "media")
+    val out = Multimodal.resizeStub(df, "media", 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    // fixed output dimensions regardless of input size (incl. null)
+    assert(out.values.forall(_.length == 32))
+    val again = Multimodal.resizeStub(df, "media", 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    assert(out.keys.forall(k => out(k).toSeq == again(k).toSeq))
+    assert(out(1L).toSeq != out(2L).toSeq)
+  }
+
   test("multimodal: frame sampling shape") {
     val bytes = Array.fill[Byte](5000)(1)
     val df = Seq((1L, bytes)).toDF("id", "media")
