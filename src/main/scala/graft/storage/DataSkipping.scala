@@ -36,6 +36,19 @@ import org.apache.spark.sql.types._
   * pruned read is a superset of the matching rows — callers still
   * apply the row filter (exactly Delta's data-skipping contract).
   */
+/** Output observer that refreshes the footer-stats sidecar for the
+  * configured columns after every observed write/merge — metadata-only
+  * work that scales with file count, not data size. Columns absent
+  * from a written frame are skipped, so one observer serves tables of
+  * different schemas. */
+class DataSkippingObserver(columns: Seq[String]) extends StorageOutputObserver {
+  override def update(df: DataFrame, outputPath: String): Unit = {
+    val present = columns.filter(df.schema.fieldNames.contains)
+    if (present.nonEmpty && df.sparkSession != null)
+      DataSkipping.collectStats(df.sparkSession, outputPath, present)
+  }
+}
+
 object DataSkipping {
   val StatsDirName = "_graft_stats"
 

@@ -13,6 +13,12 @@ import graft.lineage.DataLineageLogger
   *   - io.jorvik.storage.isolation_provider / isolation_context /
   *     isolation_folder / mount_point — see [[IsolationProviders]] /
   *     [[IsolatedStorage]]
+  *
+  * Engine extension keys (beyond the reference surface):
+  *   - io.graft.storage.skipping_columns — csv of column names; when
+  *     set, every observed write/merge refreshes the [[DataSkipping]]
+  *     footer-stats sidecar for those columns (runtime conf, so it can
+  *     be toggled per session).
   */
 object GraftStorage {
 
@@ -29,6 +35,12 @@ object GraftStorage {
 
     if (trackLineage && lineageLogPath.nonEmpty)
       st.registerOutputObserver(new DataLineageLogger(lineageLogPath))
+
+    val skippingCols = spark.conf
+      .get("io.graft.storage.skipping_columns", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (skippingCols.nonEmpty)
+      st.registerOutputObserver(new DataSkippingObserver(skippingCols))
 
     val provider = isolationProvider
       .getOrElse(IsolationProviders.getIsolationProvider(spark))

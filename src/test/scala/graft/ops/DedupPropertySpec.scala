@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Model-based property tests for the set-similarity dedup operators:
+  * random corpora, expected results computed by plain-Scala models. */
+class DedupPropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+
+  private def randText(rng: scala.util.Random): String =
+    Seq.fill(rng.nextInt(12) + 2)(words(rng.nextInt(words.size)))
+      .mkString(" ")
+
+  /** Plain-Scala model of char n-gram sets over normalized text. */
+  private def modelGrams(text: String, n: Int): Set[String] = {
+    val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (t.length >= n) t.sliding(n).toSet else Set(t)
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  test("property: jaccardNgramPairs matches the set-algebra model") {
+    for (seed <- 0 until 10) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until 12L).map(i => (i, randText(rng)))
+      val threshold = 0.1 + rng.nextDouble() * 0.6
+      val got = Dedup.jaccardNgramPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", 3, threshold)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val grams = docs.map { case (id, t) => id -> modelGrams(t, 3) }.toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        j = jaccard(grams(a), grams(b)) if j >= threshold
+      } yield (a, b) -> j).toMap
+      assert(got.keySet == expected.keySet, s"seed=$seed")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expected(k)) < 1e-12, s"seed=$seed pair=$k")
+      }
+    }
+  }
+
+  test("property: minhash component agreement estimates shingle Jaccard") {
+    // MinHash theory: each signature component matches with probability
+    // J(A,B); with 64 components the estimate's sigma is <= 0.0625, so
+    // |estimate - J| < 0.35 is a >5-sigma bound — deterministic seeds,
+    // no flake. Shingle size 1 makes the model the word-set Jaccard.
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 8L).map(i => (i, randText(rng)))
+    val sigs = Dedup.minHashSignatures(docs.toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 64, shingleSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sets = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSet
+    }.toMap
+    for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+      val exact = jaccard(sets(a), sets(b))
+      assert(math.abs(est - exact) < 0.35,
+        s"pair=($a,$b) est=$est exact=$exact")
+    }
+  }
+}

@@ -58,6 +58,26 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set("xray", "yak", "zebra"))
   }
 
+  test("configured observer refreshes stats on every write and merge") {
+    val dir = tempDir("skip_obs")
+    Fs.delete(spark, dir)
+    spark.conf.set("io.graft.storage.skipping_columns", "id, other_col")
+    try {
+      val st = GraftStorage.configure(spark,
+        isolationProvider = Some(() => ""), trackLineage = false)
+      st.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "value"),
+        dir, "delta", "overwrite")
+      val stats1 = spark.read.parquet(DataSkipping.statsPath(dir))
+      assert(stats1.select("column").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("id"))
+      assert(stats1.agg(max("max")).head().getString(0).toLong == 50L)
+      st.merge(Seq((60L, "new")).toDF("id", "value"), dir,
+        "full.id = incremental.id")
+      val stats2 = spark.read.parquet(DataSkipping.statsPath(dir))
+      assert(stats2.agg(max(col("max").cast("long"))).head().getLong(0) == 60L)
+    } finally spark.conf.unset("io.graft.storage.skipping_columns")
+  }
+
   test("empty intersection yields an empty (but valid-schema) frame") {
     val dir = tempDir("skip4")
     Fs.delete(spark, dir)
@@ -66,5 +86,27 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     val got = DataSkipping.prunedRead(spark, dir, "id", Some(500L), Some(600L))
     assert(got.columns.toSeq == Seq("id"))
     assert(got.count() == 0)
+  }
+
+  test("property: pruned read + row filter equals full filter") {
+    for (seed <- 0 until 8) {
+      val rng = new scala.util.Random(seed)
+      val dir = tempDir(s"skip_prop$seed")
+      Fs.delete(spark, dir)
+      val n = rng.nextInt(400) + 100
+      val data = (0 until n).map(_ => rng.nextLong() % 1000L)
+      val layout = rng.nextInt(5) + 1
+      val df = data.toDF("id")
+      (if (rng.nextBoolean()) df.repartitionByRange(layout, col("id"))
+       else df.repartition(layout)).write.parquet(dir)
+      DataSkipping.collectStats(spark, dir, Seq("id"))
+      val lo = rng.nextLong() % 800L
+      val hi = lo + rng.nextInt(400)
+      val pruned = DataSkipping.prunedRead(spark, dir, "id", Some(lo), Some(hi))
+        .filter(col("id").between(lo, hi))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val expected = data.filter(v => v >= lo && v <= hi).sorted
+      assert(pruned == expected, s"seed=$seed lo=$lo hi=$hi layout=$layout")
+    }
   }
 }
