@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the declared queries — the
+  * properties that matter at 100 TB, pinned so a regression in scan
+  * pruning, filter pushdown, or join strategy fails CI rather than
+  * silently multiplying cluster cost. Runs on sf0.001 (plan shape is
+  * scale-invariant; AQE finalizes after one action). */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Executed-plan string after forcing execution (AQE final plan). */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_select_project prunes the parquet read schema to selected columns") {
+    val p = planOf(GraftQueries.selectProject(spark, dir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "unselected column read from parquet")
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q_filter_string pushes the predicate into the parquet scan") {
+    val p = planOf(GraftQueries.filterString(spark, dir))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(l_quantity,30.0)"),
+      s"quantity filter not pushed:\n$p")
+    // (the PushedFilters list is string-truncated at 100 chars — assert
+    // on an entry that survives truncation)
+    assert(p.contains("IsNotNull(l_returnflag)"))
+  }
+
+  test("customer_summary joins the small dimension by broadcast") {
+    val p = planOf(GraftQueries.customerSummary(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension join not broadcast:\n$p")
+  }
+
+  test("q_range_join broadcasts the interval table, no shuffle before agg") {
+    val p = planOf(GraftQueries.rangeJoin(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"interval join should be a broadcast nested loop:\n$p")
+  }
+
+  test("q_topk is TakeOrderedAndProject, not a full sort") {
+    val p = planOf(GraftQueries.topK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to sort:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = planOf(GraftQueries.cosineTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project hot path") {
+    // codegen stages print as "*(n) Op" in the tree string
+    val p = planOf(GraftQueries.filterString(spark, dir))
+    assert(p.contains("*(1) Filter") || p.contains("WholeStageCodegen"),
+      s"no codegen span:\n$p")
+  }
+}
