@@ -885,6 +885,28 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Resize stub over binary payloads: fixed 8×4 output, nearest-
+    * neighbor byte sampling — exact enough to oracle-check byte-for-byte
+    * (DuckDB reproduces the sampling with blob substring algebra). */
+  val multimodalResize: Q = (spark, dir) => {
+    val media = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    Multimodal.resizeStub(media, "media", 8, 4)
+      .select(col("doc_id"), upper(hex(col("resized"))).as("resized_hex"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id,
+      |  upper(list_aggregate(
+      |    list_transform(generate_series(0, 31),
+      |      i -> substr(h, CAST(2 * ((i * n) // 32) AS INT) + 1, 2)),
+      |    'string_agg', '')) AS resized_hex
+      |FROM (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+      |        octet_length(CAST(text AS BLOB)) AS n
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ §2.10 streaming
 
   /** File-stream passthrough: readStream (schema probe) → writeStream →
@@ -1118,6 +1140,7 @@ object GraftQueries {
     entry("q_lang_predict", langPredict),
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
     entry("q_multimodal_features", multimodalFeatures),
+    entry("q_multimodal_resize", multimodalResize, multimodalResizeSql),
     entry("q_stream_passthrough", streamPassthrough),
     entry("q_stream_window", streamWindow),
     entry("q_stream_merge", streamMerge, streamMergeSql)
