@@ -837,6 +837,59 @@ object GraftQueries {
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Quality filtering: keep documents whose heuristic quality score
+    * clears a bar — the standard pre-training corpus scrub. The score
+    * mixes token count, mean word length and punctuation ratio; every
+    * component is mirrored exactly in the DuckDB oracle (single
+    * divisions, same operation order). */
+  val qualityFilter: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.99)
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+
+  val qualityFilterSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    round(
+      |      least(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 20.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(length(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) AS DOUBLE)
+      |                    / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE))
+      |                   BETWEEN 3.0 AND 10.0
+      |              THEN 1.0 ELSE 0.5 END) * 0.3
+      |      + (1.0 - least(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+      |                     / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.3
+      |    , 6) AS quality
+      |  FROM documents)
+      |SELECT doc_id, lang, quality FROM q
+      |WHERE quality >= 0.99 ORDER BY doc_id""".stripMargin
+
+  /** Token budgeting per source: whitespace tokens plus the BPE-ish
+    * subword estimate (words + punctuation + 1 per 6 chars of long
+    * words) — the numbers a training-data pipeline reports before a
+    * tokenizer run. Integer arithmetic end-to-end. */
+  val tokenBudget: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("__ws", TextAnalysis.tokenCount(col("text")))
+      .withColumn("__bpe", TextAnalysis.approxBpeTokenCount(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ws")).as("ws_tokens"),
+        sum(col("__bpe")).as("bpe_tokens"))
+      .orderBy("source")
+
+  val tokenBudgetSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t,
+      |    length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS punct
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(t)) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(t) + punct +
+      |    list_sum(list_transform(t, w -> greatest(0, (length(w) - 1) // 6)))) AS BIGINT) AS bpe_tokens
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
   /** Pivot: per-user event-type count matrix (explicit value list keeps
     * the output schema deterministic); oracle via FILTER aggregation. */
   val pivotEvents: Q = (spark, dir) =>
@@ -1136,6 +1189,8 @@ object GraftQueries {
     entry("q_corpus_stats", corpusStats, corpusStatsSql),
     entry("q_pivot_events", pivotEvents, pivotEventsSql),
     entry("q_lang_filter", langFilter, langFilterSql),
+    entry("q_quality_filter", qualityFilter, qualityFilterSql),
+    entry("q_token_budget", tokenBudget, tokenBudgetSql),
     entry("q_pii_redact", piiRedact, piiRedactSql),
     entry("q_lang_predict", langPredict),
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
