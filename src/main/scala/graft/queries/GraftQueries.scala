@@ -248,6 +248,42 @@ object GraftQueries {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE: all grouping combinations of (returnflag, linestatus) —
+    * rollup's sibling, one Catalyst built-in, exact DuckDB equivalent. */
+  val cubeAgg: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val cubeAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Skew-salted join: lineitem⨝part on the (skew-prone) part key with
+    * an 8-way salt — hot keys spread over 8 reducers instead of one.
+    * Salting must be result-invisible: the oracle is the PLAIN join. */
+  val saltedJoin: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("__rowid",
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    graft.ops.Skew.saltedJoin(li, part, Seq("l_partkey"), "__rowid", 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  val saltedJoinSql: String =
+    s"""SELECT p_brand, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Global aggregate (reference: isolation.py:110 F.max select). */
   val globalAgg: Q = (spark, dir) =>
     t(spark, dir, "orders")
@@ -1159,6 +1195,8 @@ object GraftQueries {
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
+    entry("q_cube", cubeAgg, cubeAggSql),
+    entry("q_salted_join", saltedJoin, saltedJoinSql),
     entry("q_global_agg", globalAgg, globalAggSql),
     entry("q_count_distinct", countDistinctQ, countDistinctSql),
     entry("q_approx_distinct", approxDistinct),

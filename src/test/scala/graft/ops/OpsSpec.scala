@@ -335,6 +335,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f(1L) != f(3L))
   }
 
+  test("saltedJoin is row-for-row identical to the plain join") {
+    val large = (1L to 500L).map(i => (i, i % 3, s"r$i")) // heavy skew: 3 keys
+      .toDF("rowid", "k", "payload")
+    val small = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val salted = Skew.saltedJoin(large, small, Seq("k"), "rowid", 8)
+      .select("rowid", "k", "payload", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("rowid", "k", "payload", "name")
+    assert(salted.count() == 500)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("multimodal: resize stub emits fixed-size deterministic payloads") {
     val small = Array.fill[Byte](10)(3)
     val big = Array.tabulate[Byte](9000)(i => (i % 127).toByte)
