@@ -284,6 +284,70 @@ object GraftQueries {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** JSON property extraction: events.props carries a JSON payload;
+    * pull a typed field out and aggregate — get_json_object stays a
+    * codegen'd expression (no UDF). */
+  val jsonExtract: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS INT)) AS min_k,
+      |  max(CAST(props->>'k' AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** String-function battery over customer: substring, case, padding,
+    * regex extraction, replace, reverse — each with an exact DuckDB
+    * twin. */
+  val stringFunctions: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("key_digits"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("renamed"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+
+  val stringFunctionsSql: String =
+    """SELECT c_custkey,
+      |  substr(c_name, 1, 8) AS prefix,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS key_digits,
+      |  regexp_replace(c_name, 'Customer#', 'C-', 'g') AS renamed,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  CAST(length(c_name) AS INT) AS name_len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    * `quantile_cont` — both linear interpolation over the sorted
+    * values); rounded to 4dp to absorb the one interpolation multiply. */
+  val percentileAgg: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val percentileAggSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Global aggregate (reference: isolation.py:110 F.max select). */
   val globalAgg: Q = (spark, dir) =>
     t(spark, dir, "orders")
@@ -1196,6 +1260,9 @@ object GraftQueries {
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),
+    entry("q_json_extract", jsonExtract, jsonExtractSql),
+    entry("q_string_functions", stringFunctions, stringFunctionsSql),
+    entry("q_percentile", percentileAgg, percentileAggSql),
     entry("q_salted_join", saltedJoin, saltedJoinSql),
     entry("q_global_agg", globalAgg, globalAggSql),
     entry("q_count_distinct", countDistinctQ, countDistinctSql),
