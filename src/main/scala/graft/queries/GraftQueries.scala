@@ -1165,6 +1165,33 @@ object GraftQueries {
        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin
 
+  /** OPTIMIZE: a fragmented managed table (16 scattered files) is
+    * compacted and range-clustered on user_id, skipping stats refresh,
+    * and a selective key-range aggregate runs over the pruned file
+    * list. The oracle is the same aggregate over the raw events table —
+    * compaction, clustering, and pruning must all be result-invisible. */
+  val optimizeTable: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_opt_q").toString + "/t"
+    val ev = t(spark, dir, "events").select("event_id", "user_id", "value")
+    st.write(ev.repartition(16), out, "delta", "overwrite")
+    graft.storage.Optimize.run(spark, st, out,
+      clusterBy = Seq("user_id"), targetFileBytes = 256L * 1024)
+    graft.storage.DataSkipping.collectStats(spark, out, Seq("user_id"))
+    graft.storage.DataSkipping
+      .prunedRead(spark, out, "user_id", Some(10L), Some(20L))
+      .filter(col("user_id").between(10L, 20L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val optimizeTableSql: String =
+    s"""SELECT user_id, count(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events WHERE user_id BETWEEN 10 AND 20
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Streaming MERGE (CDC upsert): a staged update stream applied to a
     * managed table batch-by-batch through foreachBatch + storage.merge.
     * Update keys are unique and the batches disjoint, so the final
@@ -1290,6 +1317,7 @@ object GraftQueries {
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
+    entry("q_optimize", optimizeTable, optimizeTableSql),
     entry("q_range_join", rangeJoin, rangeJoinSql),
     entry("q_corpus_stats", corpusStats, corpusStatsSql),
     entry("q_pivot_events", pivotEvents, pivotEventsSql),

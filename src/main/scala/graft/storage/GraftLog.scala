@@ -51,6 +51,21 @@ object GraftLog {
       .write.mode("append").parquet(logPath(tablePath))
   }
 
+  /** Carry the op log into a freshly-written replacement dir and swap
+    * it into place. Hadoop rename/delete signal failure by RETURNING
+    * FALSE, so every step is checked; the order (base → __old,
+    * tmp → base, drop __old) keeps a full copy of the data on disk at
+    * every instant — a crash mid-swap leaves either the old table at
+    * `base`/`__old` or the new one at `base`, never nothing. */
+  def carryLogAndSwap(spark: SparkSession, base: String, tmp: String): Unit = {
+    val old = base + "__graft_old"
+    Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
+    Fs.renameChecked(spark, logPath(base), logPath(tmp))
+    Fs.renameChecked(spark, base, old)
+    Fs.renameChecked(spark, tmp, base)
+    Fs.deleteChecked(spark, old)
+  }
+
   /** The operation history, newest first (history() analogue).
     * mergeSchema tolerates logs written before the seq column existed. */
   def history(spark: SparkSession, tablePath: String): DataFrame = {

@@ -214,23 +214,14 @@ object Merge {
     } else {
       // Unpartitioned (or schema-evolving) table: copy-on-write —
       // materialize to a tmp dir (reads the old files while writing new
-      // ones), then swap dirs and carry the op log over. Hadoop
-      // rename/delete signal failure by RETURNING FALSE (no exception),
-      // so every step is checked; the order (base → __old, tmp → base,
-      // drop __old) guarantees a full copy of the data exists on disk at
-      // every instant — a crash mid-swap leaves either the old table at
-      // `base`/`__old` or the new one at `base`, never nothing.
+      // ones), then the checked no-data-loss-window swap
+      // (GraftLog.carryLogAndSwap).
       val tmp = base + "__graft_tmp"
-      val old = base + "__graft_old"
       Fs.deleteChecked(spark, tmp)
-      Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
       var writer = result.write.format("parquet").mode("overwrite")
       if (effectiveParts.nonEmpty) writer = writer.partitionBy(effectiveParts: _*)
       writer.save(tmp)
-      Fs.renameChecked(spark, GraftLog.logPath(base), GraftLog.logPath(tmp))
-      Fs.renameChecked(spark, base, old)
-      Fs.renameChecked(spark, tmp, base)
-      Fs.deleteChecked(spark, old)
+      GraftLog.carryLogAndSwap(spark, base, tmp)
     }
     GraftLog.append(spark, base, "MERGE", effectiveParts)
     false

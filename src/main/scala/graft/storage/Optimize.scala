@@ -1,0 +1,100 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE for managed tables: small-file compaction plus optional
+  * range clustering — the lakehouse maintenance pass Delta spells
+  * `OPTIMIZE ... ZORDER BY`, rebuilt on parquet.
+  *
+  * Why it exists: streaming MERGE and frequent small appends produce
+  * one file (or more) per micro-batch; at 100 TB a scan's task count —
+  * and the namenode/list cost — is driven by FILE COUNT, not bytes.
+  * Compaction rewrites the table into ~`targetFileBytes` files.
+  * `clusterBy` additionally range-partitions and sorts rows so
+  * [[DataSkipping]] file stats become tight and selective reads prune
+  * hard (the poor man's Z-order, completing the skipping story).
+  *
+  * The rewrite is one distributed job (shuffle only when clustering —
+  * pure compaction uses coalesce, which merges files with NO shuffle);
+  * the swap is the same checked no-data-loss-window sequence the merge
+  * uses; the op log records OPTIMIZE; tracked skipping stats are
+  * re-collected afterwards.
+  */
+object Optimize {
+
+  /** Compact (and optionally cluster) a managed table in place.
+    * Returns the number of data files after the rewrite. */
+  def run(spark: SparkSession, storage: BasicStorage, path: String,
+          clusterBy: Seq[String] = Nil,
+          targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    if (!GraftLog.isManagedTable(spark, path))
+      throw new IllegalArgumentException("The given path is not a Delta Table.")
+    val base = path.stripSuffix("/")
+    val parts = GraftLog.lastPartitioning(spark, base)
+
+    // Remember which columns carry skipping stats — the swap replaces
+    // the directory (sidecar included), so they are re-collected after.
+    val trackedCols: Seq[String] =
+      if (Fs.exists(spark, DataSkipping.statsPath(base)))
+        spark.read.parquet(DataSkipping.statsPath(base))
+          .select("column").distinct().collect().map(_.getString(0)).toSeq
+      else Nil
+
+    val df = storage.read(base, "delta")
+    val totalBytes = dataBytes(spark, base)
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val shaped =
+      if (clusterBy.nonEmpty)
+        // range partitioning gives each output file a disjoint key
+        // range; the within-partition sort tightens row-group stats too
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.coalesce(nFiles)
+
+    val tmp = base + "__graft_tmp"
+    Fs.deleteChecked(spark, tmp)
+    var writer = shaped.write.format("parquet").mode("overwrite")
+    if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
+    writer.save(tmp)
+    GraftLog.carryLogAndSwap(spark, base, tmp)
+    GraftLog.append(spark, base, "OPTIMIZE", parts)
+
+    if (trackedCols.nonEmpty)
+      DataSkipping.collectStats(spark, base, trackedCols)
+    fileCount(spark, base)
+  }
+
+  private def dataBytes(spark: SparkSession, base: String): Long = {
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    val baseStr = fs.makeQualified(p).toString
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(baseStr).stripPrefix("/")
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && rel.endsWith(".parquet")) bytes += f.getLen
+    }
+    bytes
+  }
+
+  private def fileCount(spark: SparkSession, base: String): Long = {
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    val baseStr = fs.makeQualified(p).toString
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(baseStr).stripPrefix("/")
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && rel.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

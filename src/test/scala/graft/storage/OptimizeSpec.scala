@@ -1,0 +1,76 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class OptimizeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def storage = new BasicStorage(spark)
+
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory && !f.getName.startsWith("_")) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")) Seq(f)
+      else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("compaction merges many small files into few; rows unchanged") {
+    val dir = tempDir("opt1")
+    Fs.delete(spark, dir)
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "value")
+    storage.write(df.repartition(24), dir, "delta", "overwrite")
+    assert(dataFiles(dir).size > 8)
+    val n = Optimize.run(spark, storage, dir)
+    assert(n <= 2 && dataFiles(dir).size.toLong == n)
+    assertDfEqual(storage.read(dir, "delta"), df)
+    val ops = GraftLog.history(spark, dir).select("operation")
+      .as[String].collect().toSeq
+    assert(ops.head == "OPTIMIZE")
+  }
+
+  test("clusterBy makes data-skipping prune hard; stats are refreshed") {
+    val dir = tempDir("opt2")
+    Fs.delete(spark, dir)
+    // scattered layout: every file spans the whole key range
+    val df = (1L to 4000L).map(i => (i, i % 7)).toDF("id", "junk")
+    storage.write(df.repartition(8), dir, "delta", "overwrite")
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    val before = DataSkipping.pruneFiles(spark, dir, "id", Some(1L), Some(100L))
+    assert(before.size == 8) // no pruning possible on a scattered layout
+    Optimize.run(spark, storage, dir, clusterBy = Seq("id"),
+      targetFileBytes = 8L * 1024)
+    val total = dataFiles(dir).size
+    assert(total > 1)
+    val after = DataSkipping.pruneFiles(spark, dir, "id", Some(1L), Some(100L))
+    assert(after.size < total, s"clustered pruning kept $after of $total")
+    val got = DataSkipping.prunedRead(spark, dir, "id", Some(1L), Some(100L))
+      .filter(col("id").between(1L, 100L))
+    assert(got.count() == 100L)
+  }
+
+  test("partitioned table keeps its layout through optimize") {
+    val dir = tempDir("opt3")
+    Fs.delete(spark, dir)
+    val df = (1L to 500L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "part")
+    storage.write(df.repartition(6), dir, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    Optimize.run(spark, storage, dir)
+    assert(new java.io.File(s"$dir/part=A").isDirectory)
+    assert(new java.io.File(s"$dir/part=B").isDirectory)
+    assertDfEqual(storage.read(dir, "delta").select("id", "part"), df)
+  }
+
+  test("non-managed path is rejected") {
+    val dir = tempDir("opt4")
+    Fs.delete(spark, dir)
+    (1L to 10L).toDF("id").write.parquet(dir)
+    intercept[IllegalArgumentException] {
+      Optimize.run(spark, storage, dir)
+    }
+  }
+}
