@@ -159,7 +159,14 @@ object GraftQueries {
       .withColumn("o_orderstatus", lit("U"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_merge_q").toString + "/t"
-    st.write(full, path, "delta", "overwrite", partitionFields)
+    // Partitioned writes: pre-shuffle on the partition key so each
+    // partition dir gets one file instead of one per shuffle partition
+    // (32×3 small files otherwise) — standard partitioned-layout
+    // practice, and what Optimize would restore anyway.
+    val toWrite =
+      if (partitionFields.isEmpty) full
+      else full.repartition(partitionFields.map(col): _*)
+    st.write(toWrite, path, "delta", "overwrite", partitionFields)
     st.merge(incremental, path, "full.o_orderkey = incremental.o_orderkey",
       partitionFields = partitionFields,
       updateCondition = Some("incremental.o_totalprice > 200000"))
