@@ -70,6 +70,11 @@ object DataSkipping {
   private def dataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
     val base = new Path(tablePath)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // Observers fire before a stream sink's first batch exists
+    // (writeStream notifies pre-start, mirroring the reference's
+    // basic.py:126 asymmetry) — a missing dir is "no files", not an
+    // error.
+    if (!fs.exists(base)) return Nil
     val it = fs.listFiles(base, true)
     val out = mutable.ArrayBuffer.empty[String]
     val baseStr = fs.makeQualified(base).toString
@@ -90,6 +95,13 @@ object DataSkipping {
   def collectStats(spark: SparkSession, tablePath: String,
                    columns: Seq[String]): DataFrame = {
     val files = dataFiles(spark, tablePath)
+    // No data files (e.g. a stream sink observed before its first
+    // batch): do NOT create a sidecar under a table dir that may not
+    // exist yet — an empty stats dir would make `exists(path)` true and
+    // derail auto-create logic downstream.
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], statsSchema)
     val confBc = spark.sparkContext.broadcast(
       new SerializableWritable(spark.sessionState.newHadoopConf()))
     val cols = columns
@@ -189,9 +201,14 @@ object DataSkipping {
     all.filter { f =>
       stats.get(f) match {
         case Some((t, lo, hi)) =>
-          val loOk = upper.forall(u => cmp(t, parse(t, lo), parse(t, String.valueOf(u))) <= 0)
-          val hiOk = lower.forall(l => cmp(t, parse(t, hi), parse(t, String.valueOf(l))) >= 0)
-          loOk && hiOk
+          // a bound that does not parse in the column's stat domain
+          // (e.g. a Date object against long-typed stats) must KEEP the
+          // file — skipping is only ever allowed to be conservative
+          try {
+            val loOk = upper.forall(u => cmp(t, parse(t, lo), parse(t, String.valueOf(u))) <= 0)
+            val hiOk = lower.forall(l => cmp(t, parse(t, hi), parse(t, String.valueOf(l))) >= 0)
+            loOk && hiOk
+          } catch { case scala.util.control.NonFatal(_) => true }
         case None => true // no stats -> cannot prune
       }
     }

@@ -88,6 +88,21 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("missing dir and unparseable bounds degrade conservatively") {
+    val dir = tempDir("skip_edge")
+    Fs.delete(spark, dir)
+    // collectStats on a path with no files: no crash, no dir created
+    val empty = DataSkipping.collectStats(spark, dir, Seq("id"))
+    assert(empty.count() == 0)
+    assert(!Fs.exists(spark, dir))
+    // bounds that don't parse in the stat domain keep every file
+    (1L to 10L).toDF("id").coalesce(1).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    val kept = DataSkipping.pruneFiles(spark, dir, "id",
+      Some(java.sql.Date.valueOf("2024-01-01")), None)
+    assert(kept.size == 1)
+  }
+
   test("property: pruned read + row filter equals full filter") {
     for (seed <- 0 until 8) {
       val rng = new scala.util.Random(seed)
