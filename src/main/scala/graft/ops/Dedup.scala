@@ -43,14 +43,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   def normalizedHash(text: Column): Column =
-    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+    sha2(TextAnalysis.normalize(text), 256)
 
   /** Word-level shingles of size `n` as one row per (id, shingle).
     * Tokens are projected as a column first — see [[shingleHashes]] for
     * why (lambda inlining makes it quadratic otherwise). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
-    val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val tokens = split(TextAnalysis.normalize(col(textCol)), " ")
     val toks = col("__graft_tokens")
     val shingleArr = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -73,7 +73,7 @@ object Dedup {
     // split() into every element_at call — O(tokens²) splits per doc
     // (measured: the entire LSH pipeline's bottleneck). The alias is
     // referenced many times, so CollapseProject leaves it alone.
-    val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val tokens = split(TextAnalysis.normalize(col(textCol)), " ")
     val toks = col("__graft_tokens")
     val hashArr = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -173,7 +173,7 @@ object Dedup {
     * (lambda inlining — see [[shingleHashes]]). */
   def charNgramSets(df: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val t = TextAnalysis.normalize(col(textCol))
     val tc = col("__graft_t")
     df.select(col(idCol), t.as("__graft_t"))
       .select(col(idCol), array_distinct(
@@ -191,7 +191,10 @@ object Dedup {
     * Output: (id_a, id_b, common, jaccard). */
   def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val g = charNgramSets(df, idCol, textCol, n)
+    // both sides of the self-cross-join read the gram frame —
+    // checkpoint so tokenization runs once, not once per side (same
+    // pathology and fix as minHashLshPairs)
+    val g = charNgramSets(df, idCol, textCol, n).localCheckpoint(true)
     val a = g.select(col(idCol).as("id_a"), col("ngrams").as("__ga"))
     val b = g.select(col(idCol).as("id_b"), col("ngrams").as("__gb"))
     a.crossJoin(b)

@@ -188,13 +188,21 @@ object Similarity {
     // checkpointed once; every Lloyd pass then reads cached blocks
     // instead of rescanning (and re-casting) the corpus.
     val projected = corpus.select(v.as("v"))
-    val sampled = (if (trainSampleMod > 1)
+    var sampled = (if (trainSampleMod > 1)
         projected.filter(pmod(xxhash64(col("v")), lit(trainSampleMod)) === 0)
       else projected).localCheckpoint(true)
     var centroids: Seq[Seq[Double]] = sampled
       .orderBy(xxhash64(col("v")))
       .limit(nCentroids)
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // A small corpus can leave the hash slice with fewer vectors than
+    // centroids (or none — empty centroid lists break the argmin
+    // expression downstream): fall back to training on everything.
+    if (centroids.size < nCentroids && trainSampleMod > 1) {
+      sampled = projected.localCheckpoint(true)
+      centroids = sampled.orderBy(xxhash64(col("v"))).limit(nCentroids)
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    }
     for (_ <- 0 until iterations) {
       val sums = sampled
         .select(nearestCell(col("v"), centroids).as("cell"),

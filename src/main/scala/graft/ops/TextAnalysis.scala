@@ -9,9 +9,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** THE whitespace/case normalization — lowercase, trim, collapse
+    * runs of whitespace to single spaces. One definition shared by
+    * every text operator (tokens, hashes, shingles, n-grams, sketches)
+    * and mirrored expression-for-expression in the DuckDB oracles; a
+    * change here must reach all of them together or dedup operators
+    * silently disagree with each other and their oracles. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** Whitespace tokens of normalized text. */
-  def tokens(text: Column): Column =
-    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+  def tokens(text: Column): Column = split(normalize(text), " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -94,7 +102,7 @@ object TextAnalysis {
     * and Catalyst inlines it into the per-gram lambda (recomputing the
     * regex per gram). Use [[winnowingSketches]] for corpora. */
   def winnowingSketch(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val norm = normalize(text)
     sketchOf(norm, k, w)
   }
 
@@ -106,7 +114,7 @@ object TextAnalysis {
   def winnowingSketches(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, w: Int = 4): DataFrame =
     df.select(col(idCol),
-        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__norm"))
+        normalize(col(textCol)).as("__norm"))
       .select(col(idCol), gramsOf(col("__norm"), k).as("__grams"))
       .select(col(idCol), windowsOf(col("__grams"), w).as("sketch"))
 

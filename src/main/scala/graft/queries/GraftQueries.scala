@@ -1049,7 +1049,11 @@ object GraftQueries {
     * neighbor byte sampling — exact enough to oracle-check byte-for-byte
     * (DuckDB reproduces the sampling with blob substring algebra). */
   val multimodalResize: Q = (spark, dir) => {
+    // empty payloads excluded on BOTH sides: the stub emits 32 zero
+    // bytes for them while the oracle's substr algebra emits '' — the
+    // one case where the two formulations differ
     val media = t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     Multimodal.resizeStub(media, "media", 8, 4)
       .select(col("doc_id"), upper(hex(col("resized"))).as("resized_hex"))
@@ -1064,7 +1068,7 @@ object GraftQueries {
       |    'string_agg', '')) AS resized_hex
       |FROM (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
       |        octet_length(CAST(text AS BLOB)) AS n
-      |      FROM documents)
+      |      FROM documents WHERE length(text) > 0)
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ §2.10 streaming
@@ -1129,14 +1133,17 @@ object GraftQueries {
     // load and 32 would be 8× fixed store overhead per batch.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      val q0 = agg.writeStream.outputMode("append")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = agg.writeStream.outputMode("append")
         .option("checkpointLocation", s"$out/cp")
         .format("parquet").start(s"$out/data")
-      q0.processAllAvailable()
-      q0
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.stop()
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — a leaked query would
+                              // keep running against the temp checkpoint
+    }
     st.read(s"$out/data", "parquet")
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
         col("event_type"), col("n"),

@@ -64,33 +64,19 @@ object DataSkipping {
     StructField("null_count", LongType),
     StructField("num_rows", LongType)))
 
-  /** All data files of the table (recursive — partitioned layouts),
-    * excluding sidecar dirs/files (underscore/dot prefixed anywhere in
-    * the relative path). */
-  private def dataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
-    val base = new Path(tablePath)
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    // Observers fire before a stream sink's first batch exists
-    // (writeStream notifies pre-start, mirroring the reference's
-    // basic.py:126 asymmetry) — a missing dir is "no files", not an
-    // error.
-    if (!fs.exists(base)) return Nil
-    val it = fs.listFiles(base, true)
-    val out = mutable.ArrayBuffer.empty[String]
-    val baseStr = fs.makeQualified(base).toString
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath.toString
-      val rel = p.stripPrefix(baseStr).stripPrefix("/")
-      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden && p.endsWith(".parquet")) out += p
-    }
-    out.toSeq
-  }
+  /** All data files of the table — delegated to the shared walk
+    * ([[Fs.dataFiles]]) so skipping, compaction sizing, and file
+    * counting agree on what counts as data. */
+  private def dataFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    Fs.dataFiles(spark, tablePath).map(_._1)
 
   /** Read per-file column stats from parquet footers and write the
     * stats sidecar (overwrite — stats describe the current table
-    * state). Footer reads run on executors; only (files × columns)
+    * state). INCREMENTAL: rows in the existing sidecar for files that
+    * still exist are reused, so refreshing after an append costs one
+    * footer read per NEW file, not O(total files) — parquet files are
+    * immutable (unique names per write), which is what makes reuse
+    * sound. Footer reads run on executors; only (files × columns)
     * metadata rows come back. Returns the stats as a DataFrame. */
   def collectStats(spark: SparkSession, tablePath: String,
                    columns: Seq[String]): DataFrame = {
@@ -102,11 +88,29 @@ object DataSkipping {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], statsSchema)
+    val fileSet = files.toSet
+    // reuse: existing rows for still-live files and requested columns
+    val reused: Seq[Row] =
+      if (!Fs.exists(spark, statsPath(tablePath))) Nil
+      else spark.read.parquet(statsPath(tablePath)).collect().toSeq
+        .filter(r => fileSet.contains(r.getString(0)) &&
+          columns.contains(r.getString(1)))
+    val covered: Map[String, Set[String]] = reused
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getString(1)).toSet }
+    val toRead = files.filterNot(f =>
+      covered.get(f).exists(cs => columns.forall(cs.contains)))
+    if (toRead.isEmpty && reused.nonEmpty) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(reused, 1), statsSchema)
+      df.coalesce(1).write.mode("overwrite").parquet(statsPath(tablePath))
+      return spark.read.parquet(statsPath(tablePath))
+    }
     val confBc = spark.sparkContext.broadcast(
       new SerializableWritable(spark.sessionState.newHadoopConf()))
     val cols = columns
     val statsRows = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .parallelize(toRead, math.max(1, math.min(toRead.size, 64)))
       .flatMap { file =>
         val conf = confBc.value.value
         val reader = ParquetFileReader.open(
@@ -151,7 +155,12 @@ object DataSkipping {
           }
         } finally reader.close()
       }
+    // a partially-covered file is fully re-read — drop its reused rows
+    val toReadSet = toRead.toSet
+    val keep = reused.filterNot(r => toReadSet.contains(r.getString(0)))
     val df = spark.createDataFrame(statsRows, statsSchema)
+      .union(spark.createDataFrame(
+        spark.sparkContext.parallelize(keep, 1), statsSchema))
     df.coalesce(1).write.mode("overwrite").parquet(statsPath(tablePath))
     spark.read.parquet(statsPath(tablePath))
   }
@@ -172,7 +181,26 @@ object DataSkipping {
   private def cmp(dtype: String, a: Any, b: Any): Int = dtype match {
     case "long" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case "string" => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case "string" =>
+      // Parquet stats and Spark's UTF8String order strings by UTF-8
+      // BYTES; Java String.compareTo orders by UTF-16 code units. The
+      // two disagree for supplementary-plane characters (emoji sort
+      // below ￿ in UTF-16 but above it in UTF-8) — comparing in
+      // the wrong order could prune a file whose rows actually match.
+      utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String])
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   private def minTyped(t: String, a: Any, b: Any): Any = if (cmp(t, a, b) <= 0) a else b

@@ -125,4 +125,28 @@ object Fs {
   def renameChecked(spark: SparkSession, from: String, to: String): Unit =
     if (!rename(spark, from, to))
       throw new java.io.IOException(s"Failed to rename $from -> $to")
+
+  /** The DATA files of a table directory as (path, byteLength),
+    * recursing through partition dirs and excluding sidecars (any
+    * underscore/dot-prefixed path segment: `_graft_log`,
+    * `_graft_stats`, `_SUCCESS`, checkpoints). The single definition of
+    * "what counts as data" shared by data skipping, compaction sizing,
+    * and file counting. A missing directory is no files, not an error
+    * (observers fire before stream sinks exist). */
+  def dataFiles(spark: SparkSession, tablePath: String): Seq[(String, Long)] = {
+    val base = new Path(tablePath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Nil
+    val baseStr = fs.makeQualified(base).toString
+    val it = fs.listFiles(base, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      val rel = p.stripPrefix(baseStr).stripPrefix("/")
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && p.endsWith(".parquet")) out += (p -> f.getLen)
+    }
+    out.toSeq
+  }
 }

@@ -124,8 +124,20 @@ object Merge {
         // (date, id) hit this fast path; at 100 TB it removes one full
         // scan + shuffle join per merge.
         val pinned = pinnedPartitionFields(spark, mergeCondition)
+        // SQL equality does not imply identical partition DIRECTORY for
+        // floating-point columns (0.0 = -0.0 is true but the rows live
+        // in different dirs) — the fast path requires exact value
+        // identity, so float/double partition fields disqualify it.
+        val floatFree = effectiveParts.forall { p =>
+          evolvedFull.schema(p).dataType match {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType => false
+            case _ => true
+          }
+        }
         val parts =
-          if (effectiveParts.forall(p => pinned.contains(p.toLowerCase))) incParts
+          if (floatFree &&
+              effectiveParts.forall(p => pinned.contains(p.toLowerCase))) incParts
           else {
             val matchedParts = evolvedFull.alias("full")
               .join(evolvedInc.alias("incremental"), expr(mergeCondition), "left_semi")

@@ -68,33 +68,9 @@ object Optimize {
     fileCount(spark, base)
   }
 
-  private def dataBytes(spark: SparkSession, base: String): Long = {
-    val p = new Path(base)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
-    var bytes = 0L
-    val baseStr = fs.makeQualified(p).toString
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = f.getPath.toString.stripPrefix(baseStr).stripPrefix("/")
-      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden && rel.endsWith(".parquet")) bytes += f.getLen
-    }
-    bytes
-  }
+  private def dataBytes(spark: SparkSession, base: String): Long =
+    Fs.dataFiles(spark, base).map(_._2).sum
 
-  private def fileCount(spark: SparkSession, base: String): Long = {
-    val p = new Path(base)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
-    var n = 0L
-    val baseStr = fs.makeQualified(p).toString
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = f.getPath.toString.stripPrefix(baseStr).stripPrefix("/")
-      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden && rel.endsWith(".parquet")) n += 1
-    }
-    n
-  }
+  private def fileCount(spark: SparkSession, base: String): Long =
+    Fs.dataFiles(spark, base).size.toLong
 }
