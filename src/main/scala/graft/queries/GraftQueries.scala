@@ -1089,8 +1089,16 @@ object GraftQueries {
     val q = st.writeStream(stream, s"$out/data", "parquet", s"$out/cp")
     q.processAllAvailable()
     q.stop()
-    st.read(s"$out/data", "parquet").orderBy("event_id")
+    st.read(s"$out/data", "parquet")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
   }
+
+  /** Passthrough means exactly that — the sink must hold the staged
+    * rows byte-for-byte, so the oracle is the plain projection. */
+  val streamPassthroughSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
 
   /** Watermarked tumbling-window streaming aggregation (extension past
     * the reference's passthrough streaming, SURVEY §2.10). Two staged
@@ -1116,7 +1124,7 @@ object GraftQueries {
     def parquetFiles = fs.listStatus(inPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles.map(_.getPath.getName).toSet
-    val sentinel = events.limit(1)
+    val sentinel = events.orderBy("event_id").limit(1)
       .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
     sentinel.coalesce(1).write.mode("append").parquet(s"$out/in")
     val latest = parquetFiles.map(_.getModificationTime).max
@@ -1343,7 +1351,7 @@ object GraftQueries {
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
     entry("q_multimodal_features", multimodalFeatures),
     entry("q_multimodal_resize", multimodalResize, multimodalResizeSql),
-    entry("q_stream_passthrough", streamPassthrough),
+    entry("q_stream_passthrough", streamPassthrough, streamPassthroughSql),
     entry("q_stream_window", streamWindow),
     entry("q_stream_merge", streamMerge, streamMergeSql)
   )
