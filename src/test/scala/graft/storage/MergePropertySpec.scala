@@ -91,4 +91,59 @@ class MergePropertySpec extends AnyFunSuite with SparkSpec {
       assert(a == b, s"seed=$seed\n flat=$a\n part=$b")
     }
   }
+
+  test("property: random schema-evolution merge sequences match the model") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val storage = new BasicStorage(spark)
+    val pool = Seq("a", "b", "c", "d")
+
+    def schemaOf(cols: Seq[String]): StructType =
+      StructType(StructField("id", LongType, nullable = false) +:
+        cols.map(c => StructField(c, LongType, nullable = true)))
+    def toDf(rows: Map[Long, Map[String, Long]], cols: Seq[String]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map { case (id, m) =>
+          Row.fromSeq(id +: cols.map(c => m.get(c).map(Long.box).orNull))
+        }),
+        schemaOf(cols))
+
+    for (seed <- 200 until 210) {
+      val rng = new scala.util.Random(seed)
+      def randCols() = pool.filter(_ => rng.nextBoolean()) match {
+        case Nil => Seq(pool(rng.nextInt(pool.size)))
+        case cs => cs
+      }
+      def randRows(cols: Seq[String]): Map[Long, Map[String, Long]] =
+        rng.shuffle((0L until 15L).toList).take(rng.nextInt(8) + 3)
+          .map(id => id -> cols.map(c => c -> rng.nextLong(100)).toMap).toMap
+
+      // model state: per id, col -> value (absent = null)
+      var cols = randCols()
+      var table: Map[Long, Map[String, Long]] = randRows(cols)
+      val dir = tempDir(s"mp_evo_$seed"); Fs.delete(spark, dir)
+      storage.write(toDf(table, cols), dir, "delta", "overwrite")
+
+      for (_ <- 0 until 3) {
+        val incCols = randCols()
+        val inc = randRows(incCols)
+        storage.merge(toDf(inc, incCols), dir, "full.id = incremental.id",
+          mergeSchemas = true)
+        cols = (cols ++ incCols).distinct
+        // matched rows are replaced wholesale (update-all), unmatched
+        // kept, new ids inserted — absent columns stay null
+        table = table.map { case (id, m) =>
+          id -> inc.getOrElse(id, m)
+        } ++ inc.filterNot { case (id, _) => table.contains(id) }
+      }
+
+      val got = storage.read(dir, "delta").collect()
+        .map { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          id -> cols.flatMap(c =>
+            Option(r.getAs[Any](c)).map(v => c -> v.asInstanceOf[Long])).toMap
+        }.toMap
+      assert(got == table, s"seed=$seed cols=$cols\n got=$got\n exp=$table")
+    }
+  }
 }
