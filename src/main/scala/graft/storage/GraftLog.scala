@@ -24,7 +24,9 @@ object GraftLog {
     StructField("operation", StringType),
     StructField("timestamp", TimestampType),
     StructField("partition_fields", StringType),
-    StructField("seq", LongType)))
+    StructField("seq", LongType),
+    StructField("txn_app", StringType),
+    StructField("txn_batch", LongType)))
 
   def logPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "/" + LogDirName
@@ -38,17 +40,36 @@ object GraftLog {
     * self-describing: merge can recover the on-disk layout without the
     * caller re-stating it. */
   def append(spark: SparkSession, tablePath: String, operation: String,
-             partitionFields: Seq[String] = Nil): Unit = {
+             partitionFields: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Unit = {
     // seq breaks ordering ties between entries landing in the same
     // millisecond (easy under rapid programmatic writes): nanoTime is
     // monotonic within the JVM, so (timestamp, seq) is a total order for
     // a single writer and timestamp still dominates across writers.
     val row = Row(operation, new Timestamp(System.currentTimeMillis()),
-      partitionFields.mkString(","), System.nanoTime())
+      partitionFields.mkString(","), System.nanoTime(),
+      txn.map(_._1).orNull, txn.map(t => Long.box(t._2)).orNull)
     spark.createDataFrame(
       java.util.Collections.singletonList(row), schema)
       .coalesce(1)
       .write.mode("append").parquet(logPath(tablePath))
+  }
+
+  /** Highest transaction batch recorded for `appId` (Delta's
+    * txnAppId/txnVersion pattern): a writer replaying batches after a
+    * restart asks this before applying — batches at or below the
+    * answer were already committed to the table. */
+  def lastTxnBatch(spark: SparkSession, tablePath: String,
+                   appId: String): Option[Long] = {
+    val h = history(spark, tablePath)
+    if (!h.schema.fieldNames.contains("txn_app")) None
+    else {
+      import org.apache.spark.sql.functions.{col, max}
+      h.filter(col("txn_app") === appId)
+        .agg(max(col("txn_batch")))
+        .head().toSeq.headOption
+        .flatMap(v => Option(v).map(_.asInstanceOf[Long]))
+    }
   }
 
   /** Carry the op log into a freshly-written replacement dir and swap

@@ -37,26 +37,49 @@ object StreamingOps {
     *
     * Semantics: each micro-batch applies the merge condition against
     * the CURRENT table state, so later batches see earlier batches'
-    * upserts. Delivery is at-least-once across restarts (foreachBatch
-    * may replay the in-flight batch; an idempotent condition — upsert
-    * keyed on a stable id — makes the replay harmless, the same
-    * contract Delta documents for non-idempotent foreachBatch writes).
+    * upserts.
+    *
+    * Delivery: with `txnAppId` set, applied batch ids are recorded in
+    * the table's op log (Delta's txnAppId/txnVersion pattern) and a
+    * replayed batch — after a checkpoint reset or restart race — is
+    * SKIPPED instead of re-applied, so a stale batch can never
+    * overwrite newer upserts. Without it, delivery is at-least-once
+    * and safety relies on the merge being idempotent (key-based
+    * conditions). The txn record lands after the merge's swap, so a
+    * crash exactly between the two replays one batch — the same
+    * at-least-once floor as any two-step commit without a
+    * transactional log.
     *
     * Scale: state lives entirely in the target table; the stream side
     * holds no aggregation state, so arbitrarily long streams cost
     * per-batch merge work only (partition-pruned when the table is
-    * partitioned — see [[graft.storage.Merge]]). */
+    * partitioned — see [[graft.storage.Merge]]).
+    *
+    * txn bookkeeping reads/writes the op log AT `path` — when running
+    * behind storage isolation pass the resolved (isolated) path, or
+    * the txn records would land beside a table that lives elsewhere. */
   def mergeStream(storage: Storage, stream: DataFrame, path: String,
                   mergeCondition: String, checkpoint: String,
                   partitionFields: Seq[String] = Nil,
                   mergeSchemas: Boolean = false,
                   updateCondition: Option[String] = None,
-                  insertCondition: Option[String] = None): StreamingQuery =
+                  insertCondition: Option[String] = None,
+                  txnAppId: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        storage.merge(batch, path, mergeCondition, partitionFields,
-          mergeSchemas, updateCondition, insertCondition)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val alreadyApplied = txnAppId.exists { app =>
+          graft.storage.GraftLog.isManagedTable(spark, path) &&
+            graft.storage.GraftLog.lastTxnBatch(spark, path, app)
+              .exists(_ >= batchId)
+        }
+        if (!alreadyApplied) {
+          storage.merge(batch, path, mergeCondition, partitionFields,
+            mergeSchemas, updateCondition, insertCondition)
+          txnAppId.foreach(app => graft.storage.GraftLog.append(
+            spark, path, "TXN", Nil, Some(app -> batchId)))
+        }
       }
       .start()
 }

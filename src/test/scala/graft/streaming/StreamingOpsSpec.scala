@@ -54,6 +54,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "b"))
   }
 
+  test("mergeStream with txnAppId skips replayed batches") {
+    import spark.implicits._
+    val storage = new graft.storage.BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_txnmerge_t").toString
+    storage.write(Seq((1L, "v0")).toDF("id", "value"),
+      s"$out/t", "delta", "overwrite")
+    def runStream(cp: String): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((0L, "")).toDF("id", "value").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$out/in")
+      val q = StreamingOps.mergeStream(storage, stream, s"$out/t",
+        "full.id = incremental.id", cp, txnAppId = Some("app1"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    // batch 0: id=1 -> v1
+    Seq((1L, "v1")).toDF("id", "value").coalesce(1).write.parquet(s"$out/in")
+    runStream(s"$out/cp1")
+    assert(graft.storage.GraftLog.lastTxnBatch(spark, s"$out/t", "app1")
+      .contains(0L))
+    // out-of-band newer write: id=1 -> v2
+    storage.merge(Seq((1L, "v2")).toDF("id", "value"), s"$out/t",
+      "full.id = incremental.id")
+    // checkpoint reset: the same staged file replays as batch 0 — with
+    // txn tracking the stale v1 must NOT overwrite v2
+    runStream(s"$out/cp2")
+    val v = storage.read(s"$out/t", "delta")
+      .filter(col("id") === 1L).head().getString(1)
+    assert(v == "v2", s"replayed batch overwrote newer data: $v")
+  }
+
   test("q_stream_merge matches its relational oracle shape") {
     val rows = GraftQueries.streamMerge(spark, "/root/testdata/sf0.001")
       .collect()
