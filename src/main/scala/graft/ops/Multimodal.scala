@@ -71,7 +71,10 @@ object Multimodal {
           var d = 0
           while (d < dim) { acc(d) /= blocks.toFloat; d += 1 }
         }
-        Row.fromSeq(row.toSeq :+ acc.toSeq)
+        // clone: Array.toSeq WRAPS the array (2.13 unsafeWrapArray) —
+        // emitting the scratch buffer itself would let the next row's
+        // mutation corrupt this row wherever the consumer buffers Rows
+        Row.fromSeq(row.toSeq :+ acc.clone().toSeq)
       }
     }
   }

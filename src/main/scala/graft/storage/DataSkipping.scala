@@ -247,11 +247,23 @@ object DataSkipping {
     * apply the row predicate on top, as with any data-skipping layer.
     * basePath keeps partition-directory columns intact. */
   def prunedRead(spark: SparkSession, tablePath: String, column: String,
-                 lower: Option[Any], upper: Option[Any]): DataFrame = {
-    val files = pruneFiles(spark, tablePath, column, lower, upper)
+                 lower: Option[Any], upper: Option[Any]): DataFrame =
+    prunedReadMulti(spark, tablePath, Seq((column, lower, upper)))
+
+  /** Multi-predicate pruning: a file survives only if EVERY
+    * (column, lower, upper) range can intersect it — the file-level
+    * mirror of a conjunctive WHERE clause. Each range prunes
+    * independently; the surviving set is the intersection. */
+  def prunedReadMulti(spark: SparkSession, tablePath: String,
+                      preds: Seq[(String, Option[Any], Option[Any])])
+    : DataFrame = {
+    val files = preds
+      .map { case (c, lo, hi) => pruneFiles(spark, tablePath, c, lo, hi).toSet }
+      .reduceOption(_ intersect _)
+      .getOrElse(dataFiles(spark, tablePath).toSet)
     if (files.isEmpty)
       spark.read.parquet(tablePath).limit(0)
     else
-      spark.read.option("basePath", tablePath).parquet(files: _*)
+      spark.read.option("basePath", tablePath).parquet(files.toSeq.sorted: _*)
   }
 }

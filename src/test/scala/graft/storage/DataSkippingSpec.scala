@@ -88,6 +88,23 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("multi-column pruning intersects the per-column survivor sets") {
+    val dir = tempDir("skip_multi")
+    Fs.delete(spark, dir)
+    // two clustered dimensions: id ranges AND v ranges both tight
+    Seq((1L, 100L), (2L, 110L)).toDF("id", "v").coalesce(1).write.parquet(dir)
+    Seq((50L, 100L), (51L, 120L)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq((90L, 500L), (91L, 510L)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id", "v"))
+    // id <= 60 keeps files 1+2; v >= 115 keeps files 2+3; AND keeps 2
+    val got = DataSkipping.prunedReadMulti(spark, dir, Seq(
+      ("id", None, Some(60L)), ("v", Some(115L), None)))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(50L, 51L)) // exactly one file's rows
+  }
+
   test("missing dir and unparseable bounds degrade conservatively") {
     val dir = tempDir("skip_edge")
     Fs.delete(spark, dir)
