@@ -263,21 +263,33 @@ object Dedup {
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    val idType = edges.schema("src").dataType
+    var labels: DataFrame = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id")) // only used if maxIter=0
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"),
-          lit(null).cast(labels.schema("label").dataType).as("old"))
+      // Round 1 needs NO join: every initial label equals its id, so a
+      // neighbor's label IS the edge target — the seed-labels frame and
+      // its distinct shuffle never materialize. Later rounds join the
+      // previous labels as usual.
+      val (neighborLabels, selfLabels) =
+        if (i == 0)
+          (edges.select(col("src").as("id"), col("dst").as("label"),
+            lit(null).cast(idType).as("old")),
+           edges.select(col("src").as("id"), col("src").as("label"),
+             col("src").as("old")))
+        else
+          (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+             .select(col("src").as("id"), col("label"),
+               lit(null).cast(idType).as("old")),
+           labels.withColumn("old", col("label")))
       // The previous label rides along through the union (max(old) —
-      // it is unique per id) so convergence is read off the SAME
-      // checkpointed round result instead of a separate join job per
-      // round: each round costs exactly one shuffle.
-      val next = neighborLabels
-        .union(labels.withColumn("old", col("label")))
+      // it is unique per id; duplicate self rows in round 1 agree) so
+      // convergence is read off the SAME checkpointed round result
+      // instead of a separate join job per round: each round costs
+      // exactly one shuffle.
+      val next = neighborLabels.union(selfLabels)
         .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
