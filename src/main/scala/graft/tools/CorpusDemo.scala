@@ -48,6 +48,22 @@ object CorpusDemo {
     println(s"after lang+quality:  ${cleaned.count()}")
 
     cleaned.select("doc_id", "lang", "quality").show(5)
+
+    // 4. token budget for the surviving corpus (what a tokenizer run
+    // will cost), then persist as an optimized, stats-backed table
+    val budget = cleaned.agg(
+      sum(TextAnalysis.tokenCount(col("text"))).as("ws_tokens"),
+      sum(TextAnalysis.approxBpeTokenCount(col("text"))).as("bpe_tokens"))
+      .head()
+    println(s"token budget:        ws=${budget.getLong(0)} bpe=${budget.getLong(1)}")
+
+    val st = new graft.storage.BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_corpus_demo").toString + "/corpus"
+    st.write(cleaned, out, "delta", "overwrite")
+    graft.storage.Optimize.run(spark, st, out, clusterBy = Seq("doc_id"))
+    graft.storage.DataSkipping.collectStats(spark, out, Seq("doc_id"))
+    println(s"published:           $out (optimized, doc_id-clustered, stats-backed)")
     spark.stop()
   }
 }
