@@ -977,13 +977,19 @@ object GraftQueries {
     * words) — the numbers a training-data pipeline reports before a
     * tokenizer run. Integer arithmetic end-to-end. */
   val tokenBudget: Q = (spark, dir) =>
+    // tokens projected ONCE (see textStats: recomputing the split per
+    // stat is the measured pathology), punctuation count likewise
     t(spark, dir, "documents")
-      .withColumn("__ws", TextAnalysis.tokenCount(col("text")))
-      .withColumn("__bpe", TextAnalysis.approxBpeTokenCount(col("text")))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__punct",
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("__ws")).as("ws_tokens"),
-        sum(col("__bpe")).as("bpe_tokens"))
+        sum(size(col("__toks"))).as("ws_tokens"),
+        sum(size(col("__toks")) + col("__punct") +
+          aggregate(col("__toks"), lit(0), (acc, w) =>
+            acc + greatest(lit(0), floor((length(w) - 1) / 6).cast("int"))))
+          .as("bpe_tokens"))
       .orderBy("source")
 
   val tokenBudgetSql: String =
