@@ -1093,8 +1093,8 @@ object GraftQueries {
     st.write(staged, s"$out/in", "parquet", "overwrite")
     val stream = st.readStream(s"$out/in", "parquet")
     val q = st.writeStream(stream, s"$out/data", "parquet", s"$out/cp")
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // also on failure — don't leak a running query
     st.read(s"$out/data", "parquet")
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
@@ -1247,8 +1247,8 @@ object GraftQueries {
       .parquet(s"$out/in")
     val q = graft.streaming.StreamingOps.mergeStream(st, stream, s"$out/t",
       "full.o_orderkey = incremental.o_orderkey", s"$out/cp")
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // also on failure — don't leak a running query
     st.read(s"$out/t", "delta")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .orderBy("o_orderkey")

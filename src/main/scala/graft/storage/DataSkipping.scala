@@ -89,12 +89,17 @@ object DataSkipping {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], statsSchema)
     val fileSet = files.toSet
-    // reuse: existing rows for still-live files and requested columns
+    // reuse: EVERY existing row for still-live files — including
+    // columns outside this call's request. An observer firing with a
+    // narrower frame (schema-evolving merge) must not wipe the other
+    // columns' stats for unchanged files.
     val reused: Seq[Row] =
       if (!Fs.exists(spark, statsPath(tablePath))) Nil
       else spark.read.parquet(statsPath(tablePath)).collect().toSeq
-        .filter(r => fileSet.contains(r.getString(0)) &&
-          columns.contains(r.getString(1)))
+        .filter(r => fileSet.contains(r.getString(0)))
+    if (columns.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(reused, 1), statsSchema)
     val covered: Map[String, Set[String]] = reused
       .groupBy(_.getString(0))
       .map { case (f, rows) => f -> rows.map(_.getString(1)).toSet }
@@ -155,9 +160,12 @@ object DataSkipping {
           }
         } finally reader.close()
       }
-    // a partially-covered file is fully re-read — drop its reused rows
+    // a re-read file gets fresh rows for the REQUESTED columns — keep
+    // its reused rows for other columns (the file is unchanged; parquet
+    // files are immutable, so those stats are still valid)
     val toReadSet = toRead.toSet
-    val keep = reused.filterNot(r => toReadSet.contains(r.getString(0)))
+    val keep = reused.filterNot(r =>
+      toReadSet.contains(r.getString(0)) && columns.contains(r.getString(1)))
     val df = spark.createDataFrame(statsRows, statsSchema)
       .union(spark.createDataFrame(
         spark.sparkContext.parallelize(keep, 1), statsSchema))
@@ -212,35 +220,53 @@ object DataSkipping {
     case "string" => s
   }
 
+  /** Survivors of ALL (column, lower, upper) predicates over ONE
+    * consistent snapshot: the file listing and the stats sidecar are
+    * each read exactly once, however many predicates there are — a
+    * per-predicate re-list would both multiply the dominant metadata
+    * cost and race concurrent appends (a file added between listings
+    * would be absent from one survivor set and wrongly dropped from
+    * the intersection, breaking the superset contract). */
+  private def survivingFiles(spark: SparkSession, tablePath: String,
+                             preds: Seq[(String, Option[Any], Option[Any])])
+    : Seq[String] = {
+    val all = dataFiles(spark, tablePath)
+    if (preds.isEmpty || !Fs.exists(spark, statsPath(tablePath))) return all
+    val stats: Map[(String, String), (String, String, String)] =
+      spark.read.parquet(statsPath(tablePath))
+        .select("file", "column", "dtype", "min", "max")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getString(2), r.getString(3), r.getString(4))))
+        .toMap
+    all.filter { f =>
+      preds.forall { case (column, lower, upper) =>
+        stats.get((f, column)) match {
+          case Some((t, lo, hi)) =>
+            // a bound that does not parse in the column's stat domain
+            // (e.g. a Date object against long-typed stats) must KEEP
+            // the file — skipping is only ever allowed to be
+            // conservative
+            try {
+              val loOk = upper.forall(u =>
+                cmp(t, parse(t, lo), parse(t, String.valueOf(u))) <= 0)
+              val hiOk = lower.forall(l =>
+                cmp(t, parse(t, hi), parse(t, String.valueOf(l))) >= 0)
+              loOk && hiOk
+            } catch { case scala.util.control.NonFatal(_) => true }
+          case None => true // no stats -> cannot prune
+        }
+      }
+    }
+  }
+
   /** Files that can hold rows with `column` in [lower, upper]
     * (inclusive; None = unbounded). Files lacking stats for the column
     * are kept conservatively. Driver-side over the metadata-sized
     * stats table. */
   def pruneFiles(spark: SparkSession, tablePath: String, column: String,
-                 lower: Option[Any], upper: Option[Any]): Seq[String] = {
-    val all = dataFiles(spark, tablePath)
-    if (!Fs.exists(spark, statsPath(tablePath))) return all
-    val stats = spark.read.parquet(statsPath(tablePath))
-      .filter(col("column") === column)
-      .select("file", "dtype", "min", "max")
-      .collect()
-      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
-      .toMap
-    all.filter { f =>
-      stats.get(f) match {
-        case Some((t, lo, hi)) =>
-          // a bound that does not parse in the column's stat domain
-          // (e.g. a Date object against long-typed stats) must KEEP the
-          // file — skipping is only ever allowed to be conservative
-          try {
-            val loOk = upper.forall(u => cmp(t, parse(t, lo), parse(t, String.valueOf(u))) <= 0)
-            val hiOk = lower.forall(l => cmp(t, parse(t, hi), parse(t, String.valueOf(l))) >= 0)
-            loOk && hiOk
-          } catch { case scala.util.control.NonFatal(_) => true }
-        case None => true // no stats -> cannot prune
-      }
-    }
-  }
+                 lower: Option[Any], upper: Option[Any]): Seq[String] =
+    survivingFiles(spark, tablePath, Seq((column, lower, upper)))
 
   /** Read the table with file-level pruning for `column` ∈ [lower,
     * upper]. The result is a SUPERSET of matching rows (whole files) —
@@ -252,18 +278,15 @@ object DataSkipping {
 
   /** Multi-predicate pruning: a file survives only if EVERY
     * (column, lower, upper) range can intersect it — the file-level
-    * mirror of a conjunctive WHERE clause. Each range prunes
-    * independently; the surviving set is the intersection. */
+    * mirror of a conjunctive WHERE clause, evaluated over one listing/
+    * stats snapshot. */
   def prunedReadMulti(spark: SparkSession, tablePath: String,
                       preds: Seq[(String, Option[Any], Option[Any])])
     : DataFrame = {
-    val files = preds
-      .map { case (c, lo, hi) => pruneFiles(spark, tablePath, c, lo, hi).toSet }
-      .reduceOption(_ intersect _)
-      .getOrElse(dataFiles(spark, tablePath).toSet)
+    val files = survivingFiles(spark, tablePath, preds)
     if (files.isEmpty)
       spark.read.parquet(tablePath).limit(0)
     else
-      spark.read.option("basePath", tablePath).parquet(files.toSeq.sorted: _*)
+      spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
   }
 }

@@ -74,14 +74,17 @@ object GraftLog {
 
   /** Carry the op log into a freshly-written replacement dir and swap
     * it into place. Hadoop rename/delete signal failure by RETURNING
-    * FALSE, so every step is checked; the order (base → __old,
-    * tmp → base, drop __old) keeps a full copy of the data on disk at
-    * every instant — a crash mid-swap leaves either the old table at
-    * `base`/`__old` or the new one at `base`, never nothing. */
+    * FALSE, so every step is checked. The log is COPIED (not moved)
+    * into tmp first: `base` stays a complete managed table (data +
+    * log) right up to its own rename, and tmp is complete before the
+    * swap — so at every instant a crash leaves at least one COMPLETE
+    * table on disk, and `base` is only ever absent or complete, never
+    * present-but-unmanaged. The original log's copy leaves with
+    * `__old`. */
   def carryLogAndSwap(spark: SparkSession, base: String, tmp: String): Unit = {
     val old = base + "__graft_old"
     Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
-    Fs.renameChecked(spark, logPath(base), logPath(tmp))
+    Fs.copyDirChecked(spark, logPath(base), logPath(tmp))
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     Fs.deleteChecked(spark, old)
@@ -146,6 +149,18 @@ object Fs {
   def renameChecked(spark: SparkSession, from: String, to: String): Unit =
     if (!rename(spark, from, to))
       throw new java.io.IOException(s"Failed to rename $from -> $to")
+
+  /** Recursive directory copy (driver-side; op-log sized). Unlike
+    * rename, the source stays intact — used where a swap needs the
+    * original to remain a complete table until its own rename. */
+  def copyDirChecked(spark: SparkSession, from: String, to: String): Unit = {
+    val src = new Path(from)
+    val dst = new Path(to)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = src.getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
+      throw new java.io.IOException(s"Failed to copy $from -> $to")
+  }
 
   /** The DATA files of a table directory as (path, byteLength),
     * recursing through partition dirs and excluding sidecars (any

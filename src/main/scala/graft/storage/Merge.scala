@@ -55,20 +55,31 @@ object Merge {
 
     val full = storage.read(path, "delta")
 
+    // Case alignment first (Spark resolves names case-insensitively;
+    // partitionBy("PART") over a `part` column reads back as `PART`):
+    // incremental columns differing only by case are renamed to the
+    // table's casing, as Delta's resolution would — otherwise the
+    // evolution logic below sees a phantom add+drop pair.
+    val df0 = df.columns.foldLeft(df) { (d, c) =>
+      full.schema.fields
+        .find(f => f.name.equalsIgnoreCase(c) && f.name != c)
+        .map(f => d.withColumnRenamed(c, f.name)).getOrElse(d)
+    }
+
     // Schema evolution (basic.py:193-220): align both sides by adding
     // typed-null columns, or fail when evolution is off.
     val (evolvedFull, evolvedInc) =
-      if (Schemas.areEqual(df.schema, full.schema)) (full, df)
+      if (Schemas.areEqual(df0.schema, full.schema)) (full, df0)
       else {
         val fullNames = full.schema.fields.map(_.name).toSet
-        val incNames = df.schema.fields.map(_.name).toSet
-        val newFields = df.schema.fields.filter(f => !fullNames.contains(f.name))
+        val incNames = df0.schema.fields.map(_.name).toSet
+        val newFields = df0.schema.fields.filter(f => !fullNames.contains(f.name))
         val missing = full.schema.fields.filter(f => !incNames.contains(f.name))
         // Same-name/different-type fields cannot be fixed by adding null
         // columns — raise a dedicated error naming the conflicts instead
         // of letting the output coercion silently widen or fail deep in
         // analysis (Delta raises a schema-mismatch here too).
-        val typeConflicts = df.schema.fields.flatMap { f =>
+        val typeConflicts = df0.schema.fields.flatMap { f =>
           full.schema.fields.find(_.name == f.name)
             .filterNot(g => Schemas.sameType(f.dataType, g.dataType))
             .map(g => s"${f.name}: table ${g.dataType.simpleString} vs " +
@@ -83,7 +94,7 @@ object Merge {
             s"""Incremental data have a different schema.
                |New fields: ${newFields.mkString(", ")}
                |Missing fields: ${missing.mkString(", ")}""".stripMargin)
-        val inc2 = missing.foldLeft(df)((d, f) =>
+        val inc2 = missing.foldLeft(df0)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType)))
         val full2 = newFields.foldLeft(full)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -128,12 +139,17 @@ object Merge {
         // floating-point columns (0.0 = -0.0 is true but the rows live
         // in different dirs) — the fast path requires exact value
         // identity, so float/double partition fields disqualify it.
+        // field resolution must be case-INsensitive (Spark resolves
+        // partitionBy that way, and the op log records the caller's
+        // casing); an unresolvable field conservatively disables the
+        // fast path rather than crashing the merge
         val floatFree = effectiveParts.forall { p =>
-          evolvedFull.schema(p).dataType match {
-            case org.apache.spark.sql.types.FloatType |
-                 org.apache.spark.sql.types.DoubleType => false
-            case _ => true
-          }
+          evolvedFull.schema.fields.find(_.name.equalsIgnoreCase(p))
+            .exists(_.dataType match {
+              case org.apache.spark.sql.types.FloatType |
+                   org.apache.spark.sql.types.DoubleType => false
+              case _ => true
+            })
         }
         val parts =
           if (floatFree &&

@@ -47,12 +47,23 @@ object Optimize {
     val totalBytes = dataBytes(spark, base)
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
+    // Hive-partitioned tables: the writer emits one file per partition
+    // VALUE per task, so shaping must keep a partition's rows together
+    // or an nFiles-way shuffle explodes into nFiles × dirs fragments —
+    // the opposite of compaction. Leading the range/hash keys with the
+    // partition columns bounds output at ~one file per dir per
+    // overlapping task.
+    val shapeKeys = (parts ++ clusterBy.filterNot(parts.contains)).map(col)
     val shaped =
       if (clusterBy.nonEmpty)
         // range partitioning gives each output file a disjoint key
         // range; the within-partition sort tightens row-group stats too
-        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
+        df.repartitionByRange(nFiles, shapeKeys: _*)
+          .sortWithinPartitions(shapeKeys: _*)
+      else if (parts.nonEmpty)
+        // hash on the partition cols: each dir's rows land in exactly
+        // one task → exactly one output file per partition dir
+        df.repartition(nFiles, parts.map(col): _*)
       else df.coalesce(nFiles)
 
     val tmp = base + "__graft_tmp"

@@ -45,7 +45,13 @@ object CorpusDemo {
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
       .withColumn("text", TextAnalysis.redactPii(col("text")))
-    println(s"after lang+quality:  ${cleaned.count()}")
+    val survivors = cleaned.count()
+    println(s"after lang+quality:  $survivors")
+    if (survivors == 0) {
+      println("nothing survived the gates - no budget/publish stages")
+      spark.stop()
+      return
+    }
 
     cleaned.select("doc_id", "lang", "quality").show(5)
 

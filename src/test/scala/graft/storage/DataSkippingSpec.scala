@@ -105,6 +105,21 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(50L, 51L)) // exactly one file's rows
   }
 
+  test("a narrower collect does not wipe other columns' stats") {
+    val dir = tempDir("skip_narrow")
+    Fs.delete(spark, dir)
+    (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id", "v"))
+    // an observer firing with a frame that only has "id" (schema-
+    // evolving merge) must leave the "v" stats for unchanged files
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    val cols = spark.read.parquet(DataSkipping.statsPath(dir))
+      .select("column").distinct().collect().map(_.getString(0)).toSet
+    assert(cols == Set("id", "v"))
+    assert(DataSkipping.pruneFiles(spark, dir, "v", Some(5000L), None).isEmpty)
+  }
+
   test("missing dir and unparseable bounds degrade conservatively") {
     val dir = tempDir("skip_edge")
     Fs.delete(spark, dir)

@@ -279,6 +279,22 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(bFiles == before)
   }
 
+  test("merge: partition field casing differs from the column - still works") {
+    val dir = tempDir("merge_casing")
+    Fs.delete(spark, dir)
+    val df = Seq((1L, "A", "v1"), (2L, "B", "v1")).toDF("id", "part", "value")
+    // caller states the partition field with different casing than the
+    // schema; Spark's partitionBy resolves it, and so must the merge
+    storage.write(df, dir, "delta", "overwrite", partitionFields = Seq("PART"))
+    storage.merge(Seq((2L, "B", "v2"), (3L, "C", "v2"))
+      .toDF("id", "part", "value"), dir,
+      "full.part == incremental.part AND full.id == incremental.id",
+      partitionFields = Seq("PART"))
+    val got = storage.read(dir, "delta").select("id", "value")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> "v2"))
+  }
+
   test("merge: same-name different-type column is a dedicated error") {
     val dir = tempDir("merge_typeconflict")
     Fs.delete(spark, dir)
