@@ -1178,10 +1178,17 @@ object GraftQueries {
     val li = t(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")
     li.repartitionByRange(8, col("l_orderkey")).write.parquet(out)
-    graft.storage.DataSkipping.collectStats(spark, out, Seq("l_orderkey"))
+    graft.storage.DataSkipping.collectStats(spark, out,
+      Seq("l_orderkey", "l_quantity"))
+    // conjunctive pruning: the key range prunes files (clustered
+    // layout); the quantity range rides along (scattered — prunes
+    // nothing, must also drop nothing)
     graft.storage.DataSkipping
-      .prunedRead(spark, out, "l_orderkey", Some(1000L), Some(2000L))
-      .filter(col("l_orderkey").between(1000L, 2000L))
+      .prunedReadMulti(spark, out, Seq(
+        ("l_orderkey", Some(1000L), Some(2000L)),
+        ("l_quantity", Some(5.0d), None)))
+      .filter(col("l_orderkey").between(1000L, 2000L) &&
+        col("l_quantity") >= 5.0d)
       .agg(count(lit(1)).as("n"),
         dsum(col("l_extendedprice")).as("total_price"),
         min(col("l_orderkey")).as("min_key"),
@@ -1191,7 +1198,8 @@ object GraftQueries {
   val dataSkippingSql: String =
     s"""SELECT count(*) AS n, ${sqlDsum("l_extendedprice")} AS total_price,
        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
-       |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin
+       |FROM lineitem
+       |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_quantity >= 5.0""".stripMargin
 
   /** OPTIMIZE: a fragmented managed table (16 scattered files) is
     * compacted and range-clustered on user_id, skipping stats refresh,
