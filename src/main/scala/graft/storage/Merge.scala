@@ -49,11 +49,24 @@ object Merge {
 
     // Self-describing layout: when the caller does not re-state the
     // partitioning, recover it from the table's op log.
-    val effectiveParts =
+    val statedParts =
       if (partitionFields.nonEmpty) partitionFields
       else GraftLog.lastPartitioning(spark, path)
 
     val full = storage.read(path, "delta")
+
+    // Normalize the partition fields ONCE to the table's on-disk casing
+    // (the read-back schema carries the physical directory names).
+    // Every downstream use — the pruning predicate, the partitionBy of
+    // the rewrite, the emptied-directory cleanup — must match the
+    // physical dirs exactly: writing partitionBy("PART") against
+    // existing part= dirs creates SIBLING directories instead of
+    // replacing them (verified on Spark 4.1.2), i.e. silent duplicate
+    // rows. A field absent from the schema keeps the caller's spelling
+    // and fails downstream as before.
+    val effectiveParts = statedParts.map(p =>
+      full.schema.fields.find(_.name.equalsIgnoreCase(p))
+        .map(_.name).getOrElse(p))
 
     // Case alignment first (Spark resolves names case-insensitively;
     // partitionBy("PART") over a `part` column reads back as `PART`):
@@ -139,12 +152,10 @@ object Merge {
         // floating-point columns (0.0 = -0.0 is true but the rows live
         // in different dirs) — the fast path requires exact value
         // identity, so float/double partition fields disqualify it.
-        // field resolution must be case-INsensitive (Spark resolves
-        // partitionBy that way, and the op log records the caller's
-        // casing); an unresolvable field conservatively disables the
-        // fast path rather than crashing the merge
+        // (effectiveParts are already normalized to schema casing; an
+        // unresolvable field conservatively disables the fast path.)
         val floatFree = effectiveParts.forall { p =>
-          evolvedFull.schema.fields.find(_.name.equalsIgnoreCase(p))
+          evolvedFull.schema.fields.find(_.name == p)
             .exists(_.dataType match {
               case org.apache.spark.sql.types.FloatType |
                    org.apache.spark.sql.types.DoubleType => false

@@ -52,19 +52,31 @@ object Optimize {
     // or an nFiles-way shuffle explodes into nFiles × dirs fragments —
     // the opposite of compaction. Leading the range/hash keys with the
     // partition columns bounds output at ~one file per dir per
-    // overlapping task.
-    val shapeKeys = (parts ++ clusterBy.filterNot(parts.contains)).map(col)
+    // overlapping task. (Dedup is case-insensitive: a clusterBy that
+    // restates a partition column in different casing is the same
+    // physical column.)
+    val shapeKeys = (parts ++ clusterBy.filterNot(c =>
+      parts.exists(_.equalsIgnoreCase(c)))).map(col)
     val shaped =
       if (clusterBy.nonEmpty)
         // range partitioning gives each output file a disjoint key
         // range; the within-partition sort tightens row-group stats too
         df.repartitionByRange(nFiles, shapeKeys: _*)
           .sortWithinPartitions(shapeKeys: _*)
-      else if (parts.nonEmpty)
-        // hash on the partition cols: each dir's rows land in exactly
-        // one task → exactly one output file per partition dir
-        df.repartition(nFiles, parts.map(col): _*)
-      else df.coalesce(nFiles)
+      else if (parts.nonEmpty) {
+        // hash on (partition cols, salt): each dir's rows spread over
+        // ~filesPerDir tasks, so a large or skewed partition still
+        // lands in ~targetFileBytes files instead of one arbitrarily
+        // large single-task file; the salt is a deterministic row hash
+        val dirCount = math.max(1, Fs.dataFiles(spark, base)
+          .map(f => new Path(f._1).getParent.toString).distinct.size)
+        val filesPerDir = math.max(1, math.ceil(
+          totalBytes.toDouble / targetFileBytes / dirCount).toInt)
+        val salt = pmod(
+          xxhash64(struct(df.columns.map(col): _*)), lit(filesPerDir.toLong))
+        val numTasks = math.min(math.max(nFiles, dirCount * filesPerDir), 10000)
+        df.repartition(numTasks, parts.map(col) :+ salt: _*)
+      } else df.coalesce(nFiles)
 
     val tmp = base + "__graft_tmp"
     Fs.deleteChecked(spark, tmp)

@@ -295,6 +295,24 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> "v2"))
   }
 
+  test("merge: caller casing diverges from on-disk dirs - no sibling dirs") {
+    val dir = tempDir("merge_casing2")
+    Fs.delete(spark, dir)
+    // table written lowercase -> physical dirs part=A / part=B
+    storage.write(Seq((1L, "A", "v1"), (2L, "B", "v1"))
+      .toDF("id", "part", "value"), dir, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    // merge states the field uppercase; the rewrite must target the
+    // EXISTING part= dirs, not create sibling PART= dirs with stale
+    // rows left behind
+    storage.merge(Seq((2L, "B", "v2")).toDF("id", "part", "value"), dir,
+      "full.id == incremental.id", partitionFields = Seq("PART"))
+    assert(!new java.io.File(s"$dir/PART=B").exists())
+    val got = storage.read(dir, "delta").select("id", "value")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "v2"))
+  }
+
   test("merge: same-name different-type column is a dedicated error") {
     val dir = tempDir("merge_typeconflict")
     Fs.delete(spark, dir)
