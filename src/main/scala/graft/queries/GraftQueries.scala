@@ -355,6 +355,26 @@ object GraftQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Array aggregation: per-customer sorted order-key list.
+    * collect_list is unordered across partitions — sort_array makes it
+    * deterministic; emitted as a joined string so the cross-engine
+    * value compare is unambiguous. */
+  val arrayAgg: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("order_keys"))
+      .orderBy("o_custkey")
+
+  val arrayAggSql: String =
+    """SELECT o_custkey, count(*) AS n,
+      |  list_aggregate(
+      |    list_transform(list_sort(list(o_orderkey)), x -> CAST(x AS VARCHAR)),
+      |    'string_agg', ',') AS order_keys
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Global aggregate (reference: isolation.py:110 F.max select). */
   val globalAgg: Q = (spark, dir) =>
     t(spark, dir, "orders")
@@ -1326,6 +1346,7 @@ object GraftQueries {
     entry("q_json_extract", jsonExtract, jsonExtractSql),
     entry("q_string_functions", stringFunctions, stringFunctionsSql),
     entry("q_percentile", percentileAgg, percentileAggSql),
+    entry("q_array_agg", arrayAgg, arrayAggSql),
     entry("q_salted_join", saltedJoin, saltedJoinSql),
     entry("q_global_agg", globalAgg, globalAggSql),
     entry("q_count_distinct", countDistinctQ, countDistinctSql),
