@@ -45,11 +45,16 @@ case class DotProductExpr(left: Expression, right: Expression)
     else DotProductExpr.dot(x, y)
   }
 
+  // Codegen note: no generated line may BEGIN with '|' — Spark's Block
+  // plumbing treats a leading pipe as a stripMargin margin char and eats
+  // it, producing uncompilable Java (observed: the '||' of a wrapped
+  // condition vanished and every dot-product stage silently fell back
+  // to interpreted eval).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()
-         |    || graft.functions.DotProductExpr.anyNull($a, $b)) {
+         |if ($a.numElements() != $b.numElements() ||
+         |    graft.functions.DotProductExpr.anyNull($a, $b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.DotProductExpr.dot($a, $b);

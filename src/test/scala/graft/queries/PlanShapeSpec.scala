@@ -66,4 +66,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("*(1) Filter") || p.contains("WholeStageCodegen"),
       s"no codegen span:\n$p")
   }
+
+  test("custom expressions compile under whole-stage codegen (no fallback)") {
+    // Regression: a generated line starting with '|' loses the pipe to
+    // Spark's margin stripping, the Java fails to compile, and every
+    // dot-product stage silently drops to interpreted eval. Disabling
+    // the fallback turns that silent 10× into a test failure. The input
+    // must be NULLABLE (parquet, not literals) so the null-guarded
+    // branch of nullSafeCodeGen is exercised.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = emb
+        .withColumn("norm", sqrt(graft.functions.DotProductExpr
+          .dot_product(col("v"), col("v"))))
+        .filter(col("norm") > 0).count()
+      assert(n > 0)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val s = docs
+        .select(graft.ops.Dedup.simHash64(col("text")).as("sh"))
+        .filter(col("sh") =!= 0).count()
+      assert(s > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
