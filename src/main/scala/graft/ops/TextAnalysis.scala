@@ -134,6 +134,52 @@ object TextAnalysis {
           i => array_min(slice(grams, i + 1, lit(w)))))
         .otherwise(array(array_min(grams))))
 
+  /** 31^j multipliers for the polynomial rolling hash (j < 9 keeps the
+    * whole k-gram sum below 2^46 — exact in long arithmetic, no
+    * modulus). */
+  private def pow31(j: Int): Long = (0 until j).foldLeft(1L)((a, _) => a * 31L)
+
+  /** Engine-portable rolling-hash fingerprint: min over all character
+    * k-gram polynomial hashes of the ASCII-projected normalized text
+    * (Σ ascii(c_j)·31^j per gram — Rabin-Karp's rolling polynomial,
+    * evaluated directly since k is small). Unlike the xxhash-based
+    * [[winnowingSketch]], every step is plain integer arithmetic any
+    * engine reproduces exactly, so the result is oracle-checkable.
+    * Non-ASCII characters are dropped first: Spark's ascii() reads the
+    * leading UTF-8 byte while other engines return the code point, so
+    * only the ASCII subset hashes identically everywhere. Map-only.
+    *
+    * The caller must pass a MATERIALIZED column (not an expression) —
+    * the per-gram lambda references it k+1 times and Catalyst inlines
+    * single-use alias expressions into lambdas (see
+    * [[graft.ops.Dedup.shingleHashes]]). Use [[rollingFingerprints]]
+    * for the safe frame-level form. */
+  def rollingFingerprint(asciiNorm: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), length(asciiNorm) - (k - 1)),
+      i => (0 until k).map(j =>
+        ascii(asciiNorm.substr(i + j, lit(1))).cast("long") * lit(pow31(j)))
+        .reduce(_ + _)))
+
+  /** ASCII projection + space-padding to k of normalized text — the
+    * input contract of [[rollingFingerprint]] (padding guarantees at
+    * least one gram for short/empty docs). */
+  def asciiNormalized(text: Column, k: Int = 8): Column = {
+    val a = regexp_replace(normalize(text), "[^ -~]", "")
+    // rpad with a column length: never truncates (len >= length(a))
+    call_function("rpad", a, greatest(length(a), lit(k)), lit(" "))
+  }
+
+  /** Frame-level rolling fingerprint: (idCol, n_grams, fingerprint) with
+    * the normalized text materialized between stages (lambda-inlining
+    * rule). */
+  def rollingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame =
+    df.select(col(idCol), asciiNormalized(col(textCol), k).as("__t"))
+      .select(col(idCol),
+        (length(col("__t")) - (k - 1)).as("n_grams"),
+        rollingFingerprint(col("__t"), k).as("fingerprint"))
+
   /** Corpus-level language histogram (one shuffle). */
   def langHistogram(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(langId(col(textCol)).as("predicted_lang"))

@@ -270,6 +270,26 @@ object GraftQueries {
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS beyond rollup/cube's reach: a non-hierarchical set
+    * list — (flag, status), (status) alone, and the grand total.
+    * Rollup can only nest prefixes; this is the general form. */
+  val groupingSetsAgg: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Skew-salted join: lineitem⨝part on the (skew-prone) part key with
     * an 8-way salt — hot keys spread over 8 reducers instead of one.
     * Salting must be result-invisible: the oracle is the PLAIN join. */
@@ -944,6 +964,62 @@ object GraftQueries {
       |WHERE length(term) > 0
       |GROUP BY term ORDER BY n DESC, term LIMIT 100""".stripMargin
 
+  /** Positional token explode: one row per (doc, position, token) — the
+    * flatten step under inverted indexes and n-gram models. posexplode ≙
+    * DuckDB list indexing over generate_series. Bounded to 100 docs so
+    * the oracle dump stays small; the operator itself is map-only. */
+  val explodePos: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+      .orderBy("doc_id", "pos")
+
+  val explodePosSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS token
+      |FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+      |WHERE length(ts[i]) > 0
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** Rolling-hash document fingerprint: min over all character-8-gram
+    * polynomial hashes (Rabin-Karp) of the ASCII-projected normalized
+    * text. Integer arithmetic end-to-end — unlike xxhash winnowing this
+    * is reproducible in any engine, so it carries a full oracle. */
+  val fingerprintQ: Q = (spark, dir) =>
+    TextAnalysis.rollingFingerprints(
+        t(spark, dir, "documents"), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+        col("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String = {
+    // Σ_{j=0..7} ascii(c_{i+j})·31^j, written out termwise
+    val terms = (0 until 8).map(j =>
+      s"CAST(ascii(substr(t, i + $j, 1)) AS BIGINT) * " +
+        s"${(0 until j).foldLeft(1L)((a, _) => a * 31L)}")
+      .mkString(" + ")
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |                   '[^ -~]', '', 'g') AS t0
+      |  FROM documents),
+      |pad AS (
+      |  SELECT doc_id,
+      |    rpad(t0, CAST(greatest(length(t0), 8) AS INTEGER), ' ') AS t
+      |  FROM norm),
+      |grams AS (
+      |  SELECT doc_id, length(t) - 7 AS n_grams, TERMS AS h
+      |  FROM pad, unnest(generate_series(1, length(t) - 7)) AS g(i))
+      |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+      |  min(h) AS fingerprint
+      |FROM grams GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+      .replace("TERMS", terms)
+  }
+
   /** Corpus statistics per language: doc/token/char totals — the audit
     * summary a data pipeline reports after each cleaning stage. */
   val corpusStats: Q = (spark, dir) =>
@@ -1185,6 +1261,47 @@ object GraftQueries {
       .orderBy("window_day", "event_type")
   }
 
+  /** Streaming deduplication: a second staged file replays exact copies
+    * of ~1/7th of the events; stateful dropDuplicates on the key emits
+    * each event once across micro-batches. Replayed rows are identical
+    * in every column, so the surviving set is batch-order independent —
+    * the oracle is the plain distinct projection. */
+  val streamDedup: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_streamdd_q").toString
+    val events = t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    st.write(events.coalesce(1), s"$out/in", "parquet", "overwrite")
+    events.filter(col("event_id") % 7 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val deduped = stream.dropDuplicates("event_id")
+    // one state store per shuffle partition per micro-batch — size the
+    // state shuffle like q_stream_window does
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — don't leak the query
+    }
+    st.read(s"$out/data", "parquet")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** File-level data skipping: write lineitem range-clustered on
     * l_orderkey, collect per-file min/max footer stats into the
     * `_graft_stats` sidecar, then answer a selective key-range query
@@ -1343,6 +1460,7 @@ object GraftQueries {
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),
+    entry("q_grouping_sets", groupingSetsAgg, groupingSetsAggSql),
     entry("q_json_extract", jsonExtract, jsonExtractSql),
     entry("q_string_functions", stringFunctions, stringFunctionsSql),
     entry("q_percentile", percentileAgg, percentileAggSql),
@@ -1372,6 +1490,8 @@ object GraftQueries {
     entry("q_ann_ivf", annIvf),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_top_terms", topTerms, topTermsSql),
+    entry("q_explode_pos", explodePos, explodePosSql),
+    entry("q_fingerprint", fingerprintQ, fingerprintSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_optimize", optimizeTable, optimizeTableSql),
@@ -1388,6 +1508,7 @@ object GraftQueries {
     entry("q_multimodal_resize", multimodalResize, multimodalResizeSql),
     entry("q_stream_passthrough", streamPassthrough, streamPassthroughSql),
     entry("q_stream_window", streamWindow),
+    entry("q_stream_dedup", streamDedup, streamDedupSql),
     entry("q_stream_merge", streamMerge, streamMergeSql)
   )
 }

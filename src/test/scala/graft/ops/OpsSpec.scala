@@ -75,6 +75,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deduped.columns.toSeq == Seq("doc_id", "text", "lang"))
   }
 
+  test("rollingFingerprints matches the plain-Scala Rabin-Karp model") {
+    def model(text: String, k: Int): (Int, Long) = {
+      val t0 = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        .replaceAll("[^ -~]", "")
+      val t = if (t0.length >= k) t0 else t0.padTo(k, ' ')
+      val hashes = t.sliding(k).map(g =>
+        g.zipWithIndex.map { case (c, j) =>
+          c.toLong * (0 until j).foldLeft(1L)((a, _) => a * 31L)
+        }.sum).toSeq
+      (t.length - (k - 1), hashes.min)
+    }
+    val df = Seq(
+      (1L, "The quick brown Fox jumps"),
+      (2L, "the  quick   brown fox JUMPS"), // normalizes to the same
+      (3L, "short"),                        // shorter than k -> padded
+      (4L, ""),                             // empty -> all-space gram
+      (5L, "unicode é世 mixed in ascii text")) // non-ASCII dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rollingFingerprints(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    df.collect().foreach { r =>
+      val expected = model(r.getString(1), 8)
+      assert(got(r.getLong(0)) == expected,
+        s"doc ${r.getLong(0)}: got ${got(r.getLong(0))}, want $expected")
+    }
+    // normalization-equal docs fingerprint identically
+    assert(got(1L) == got(2L))
+  }
+
   test("simhash: identical text same hash, distinct text mostly differs") {
     val hashed = docs.select(Dedup.simHash64(col("text")).as("h"))
     val distinctHashes = hashed.distinct().count()
