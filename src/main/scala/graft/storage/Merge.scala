@@ -9,18 +9,22 @@ import graft.core.Schemas
   *
   * Re-expresses Delta Lake's
   * `whenMatchedUpdateAll(cond).whenNotMatchedInsertAll(cond)` merge
-  * (reference: jorvik/storage/basic.py:136-220) as pure DataFrame algebra:
-  * one full-outer join of the existing table ("full") against the incoming
-  * frame ("incremental") on the user's merge condition, a per-pair CASE
-  * choosing updated / kept / inserted values, then an atomic-ish
+  * (reference: jorvik/storage/basic.py:136-220) as pure DataFrame
+  * algebra: the existing table ("full") is split against the incoming
+  * frame ("incremental") into untouched / matched / inserted row sets
+  * (anti / inner / anti joins on the user's merge condition — see the
+  * decomposition comment in [[run]]), then an atomic-ish
   * write-tmp-and-swap rewrite.
   *
-  * Scale notes: the full-outer join shuffles both sides on the merge keys
-  * (Catalyst extracts equi-keys from the condition); everything is
-  * executor-side — no driver state, no collect. Matching multiple
-  * incremental rows to one full row duplicates the full row (Delta raises
-  * an error there; we document instead of paying a distributed duplicate
-  * check on every merge).
+  * Scale notes: with a small incremental every table-side join
+  * broadcasts, so the table is scanned but NEVER shuffled — the
+  * DataFrame-algebra analogue of Delta's touched-file planning. With a
+  * large incremental the joins shuffle on the same extracted equi-keys
+  * and AQE reuses the table's exchange. Everything is executor-side —
+  * no driver state, no collect. Matching multiple incremental rows to
+  * one full row duplicates the full row (Delta raises an error there;
+  * we document instead of paying a distributed duplicate check on every
+  * merge).
   */
 object Merge {
 
@@ -202,23 +206,57 @@ object Merge {
         evolvedFull.join(broadcast(affectedDf), joinCond, "left_semi")
       }
 
-    val f = prunedFull.withColumn("__graft_full", lit(true)).alias("full")
-    val i = evolvedInc.withColumn("__graft_inc", lit(true)).alias("incremental")
-    val joined = f.join(i, expr(mergeCondition), "full_outer")
-
-    val fullPresent = col("full.__graft_full").isNotNull
-    val incPresent = col("incremental.__graft_inc").isNotNull
+    // Pair semantics DECOMPOSED instead of one full-outer join: a
+    // full-outer join can never broadcast in Spark, so it would shuffle
+    // the entire table even for a 10-row incremental. The same result
+    // split three ways:
+    //   keep    = full LEFT ANTI incremental  (untouched rows)
+    //   touched = full INNER incremental      (one row per matched pair:
+    //             incremental values if the update condition holds,
+    //             else the kept full values — multi-match duplication
+    //             semantics identical to the full-outer form)
+    //   inserts = incremental rows matching NO full row, filtered by
+    //             the insert condition
+    // With a small incremental both table-side joins are broadcast —
+    // the table is scanned, never shuffled (the same touched/untouched
+    // file split a Delta merge plans). With a large incremental both
+    // joins shuffle on the SAME extracted equi-keys, so AQE reuses one
+    // exchange of the table — no worse than the full-outer plan.
+    val cond = expr(mergeCondition)
+    val f = prunedFull.alias("full")
+    val i = evolvedInc.alias("incremental")
     val updCond = updateCondition.map(expr).getOrElse(lit(true))
     val insCond = insertCondition.map(expr).getOrElse(lit(true))
+    val outNames = evolvedFull.schema.fields.map(_.name).toSeq
 
-    val outCols = evolvedFull.schema.fields.map { fld =>
-      when(incPresent && (!fullPresent || updCond), col(s"incremental.${fld.name}"))
-        .otherwise(col(s"full.${fld.name}"))
-        .as(fld.name)
-    }
-    // Matched and full-only rows always survive; incremental-only rows
-    // survive the insert condition (null condition = no insert, as Delta).
-    val result = joined.filter(fullPresent || insCond).select(outCols.toSeq: _*)
+    val keep = f.join(i, cond, "left_anti")
+      .select(outNames.map(col): _*)
+
+    val matched = f.join(i, cond, "inner")
+    val touched = matched.select(outNames.map(n =>
+      when(updCond, col(s"incremental.$n"))
+        .otherwise(col(s"full.$n")).as(n)): _*)
+
+    // Incremental rows that matched nothing: anti against the matched
+    // pairs' incremental side, null-safe on every column so rows with
+    // null fields subtract correctly (a plain equi-anti would re-insert
+    // them). Both sides are incremental-sized.
+    val matchedInc = matched.select(outNames.map(n =>
+      col(s"incremental.$n").as(n)): _*)
+    val antiCond = outNames.map(n =>
+      col(s"__l.$n") <=> col(s"__r.$n")).reduce(_ && _)
+    val unmatchedInc = evolvedInc.alias("__l")
+      .join(matchedInc.alias("__r"), antiCond, "left_anti")
+    // The insert condition may reference full.* (evaluates against the
+    // absent side's nulls, exactly as in the full-outer row): attach an
+    // all-null full side via a never-matching left join against an
+    // empty aliased frame.
+    val inserts = unmatchedInc.alias("incremental")
+      .join(evolvedFull.limit(0).alias("full"), lit(false), "left")
+      .filter(insCond)
+      .select(outNames.map(n => col(s"incremental.$n").as(n)): _*)
+
+    val result = keep.unionByName(touched).unionByName(inserts)
 
     if (effectiveParts.nonEmpty && !evolving) {
       // Partitioned table: rewrite ONLY the affected partitions via
