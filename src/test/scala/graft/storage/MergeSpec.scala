@@ -313,6 +313,44 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "v1", 2L -> "v2"))
   }
 
+  test("merge: small incremental broadcasts; the table is never shuffled") {
+    val dir = tempDir("merge_broadcast")
+    Fs.delete(spark, dir)
+    val big = spark.range(0, 5000).toDF("id")
+      .withColumn("value", col("id").cast("string"))
+    storage.write(big, dir, "delta", "overwrite")
+
+    val plans = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val inc = Seq((1L, "u"), (9999L, "n")).toDF("id", "value")
+      storage.merge(inc, dir, "full.id == incremental.id")
+      // listener delivery is async — poll for the write's plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def all = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      }
+      while (!all.contains("BroadcastHashJoin") &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(all.contains("BroadcastHashJoin"),
+        s"table-side merge joins did not broadcast:\n$all")
+      assert(!all.contains("SortMergeJoin"),
+        s"merge shuffled the table for a 2-row incremental:\n$all")
+    } finally spark.listenerManager.unregister(listener)
+    val got = storage.read(dir, "delta")
+    assert(got.count() == 5001)
+    assert(got.filter(col("id") === 1L).head().getString(1) == "u")
+  }
+
   test("merge: same-name different-type column is a dedicated error") {
     val dir = tempDir("merge_typeconflict")
     Fs.delete(spark, dir)
