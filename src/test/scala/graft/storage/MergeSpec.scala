@@ -351,6 +351,42 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(col("id") === 1L).head().getString(1) == "u")
   }
 
+  test("merge: multiple incremental matches duplicate the full row per pair") {
+    // Delta errors on multi-match; we document per-pair duplication —
+    // the decomposed plan must reproduce the full-outer pair semantics
+    // exactly, including a mixed update/keep split across the pairs.
+    val dir = tempDir("merge_multimatch")
+    Fs.delete(spark, dir)
+    storage.write(Seq((1L, "old"), (2L, "other")).toDF("id", "value"),
+      dir, "delta", "overwrite")
+    val inc = Seq((1L, "upd-a"), (1L, "keep-me-not")).toDF("id", "value")
+    storage.merge(inc, dir, "full.id == incremental.id",
+      updateCondition = Some("incremental.value = 'upd-a'"))
+    val got = storage.read(dir, "delta").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_.toString).toSeq
+    // pair (1,upd-a) -> updated; pair (1,keep-me-not) -> kept copy of full
+    assert(got == Seq((1L, "old"), (1L, "upd-a"), (2L, "other")).sortBy(_.toString))
+  }
+
+  test("merge: null keys never match — kept on full side, inserted from incremental") {
+    val dir = tempDir("merge_nullkeys")
+    Fs.delete(spark, dir)
+    val full = Seq((Some(1L), "a"), (None, "null-full"))
+      .toDF("id", "value")
+    storage.write(full, dir, "delta", "overwrite")
+    // two IDENTICAL null-key rows: both must insert (null-safe anti must
+    // not collapse or re-match them), plus a normal update
+    val inc = Seq((Some(1L), "a2"), (None, "null-inc"), (None, "null-inc"))
+      .toDF("id", "value")
+    storage.merge(inc, dir, "full.id == incremental.id")
+    val got = storage.read(dir, "delta").collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSeq
+      .sortBy(_.toString)
+    assert(got == Seq(
+      (Some(1L), "a2"), (None, "null-full"),
+      (None, "null-inc"), (None, "null-inc")).sortBy(_.toString))
+  }
+
   test("merge: same-name different-type column is a dedicated error") {
     val dir = tempDir("merge_typeconflict")
     Fs.delete(spark, dir)
