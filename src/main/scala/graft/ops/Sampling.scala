@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for dataset splits.
+  *
+  * `df.sample()` seeds Spark's own RNG — results change with
+  * partitioning and are irreproducible outside Spark. Training
+  * pipelines need the opposite: a row's split membership must be a pure
+  * function of its key, stable across engines, runs, and repartitions
+  * (so a holdout set never leaks into training when the pipeline is
+  * re-run or the data is re-laid-out). Knuth's multiplicative hash over
+  * the key gives uniform buckets in plain integer arithmetic any engine
+  * reproduces exactly. All map-only — no shuffle, no state.
+  */
+object Sampling {
+
+  /** Knuth's 32-bit multiplicative constant (2^32 / φ). */
+  val HashA = 2654435761L
+  private val M32 = 4294967296L // 2^32
+
+  /** Uniform bucket in [0, buckets) as a pure function of an integer
+    * key: (key·A mod 2³²) mod buckets. Exact in long arithmetic for
+    * |key| < 2^33 (key·A < 2^63). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(pmod(key.cast("long") * lit(HashA), lit(M32)), lit(buckets.toLong))
+
+  /** Keep a deterministic pct% sample by key — the train/holdout split.
+    * Complementary selections (pct and 100-pct via >=) partition the
+    * data exactly. */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+  }
+
+  /** Stratified sample: per stratum, keep ceil(frac·|stratum|) rows,
+    * chosen by hash rank (deterministic; ties broken by key). One
+    * shuffle on the stratum column; rank and stratum size share the
+    * same window partitioning, so it's a single exchange. */
+  def stratified(df: DataFrame, stratumCol: String, keyCol: String,
+                 fracPct: Int): DataFrame = {
+    require(fracPct >= 0 && fracPct <= 100,
+      s"fracPct must be 0..100, got $fracPct")
+    val w = Window.partitionBy(col(stratumCol))
+    val rank = row_number().over(
+      w.orderBy(hashBucket(col(keyCol), 1000000), col(keyCol)))
+    df.withColumn("__rank", rank)
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rank") <= ceil(col("__n") * lit(fracPct) / lit(100.0)))
+      .drop("__rank", "__n")
+  }
+}

@@ -270,6 +270,62 @@ object GraftQueries {
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Price histogram: fixed-width bucketing by one floor-division —
+    * the profiling pass before choosing clustering/partition ranges.
+    * floor(x/w) is a single IEEE op, identical across engines. */
+  val histogram: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .withColumn("bucket",
+        floor(col("l_extendedprice") / lit(10000.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    s"""SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+       |  count(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pearson correlation from exact integer sums: quantity (int-valued)
+    * vs discount (2-decimal quantized). Spark's corr() accumulates
+    * doubles in partition order — irreproducible; this form sums exact
+    * longs (every sum < 2^53, so the double casts are exact) and runs
+    * ONE deterministic double expression at the end. The profiling
+    * discipline for any cross-engine-checked statistic. */
+  val corrStats: Q = (spark, dir) => {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+        iscale(col("l_discount"), 2).as("dd"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"), sum("dd").as("sd"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("dd") * col("dd")).as("sdd"),
+        sum(col("q") * col("dd")).as("sqd"))
+      .select(col("l_returnflag"), col("n"),
+        round((d(col("n")) * d(col("sqd")) - d(col("sq")) * d(col("sd"))) /
+          (sqrt(d(col("n")) * d(col("sqq")) - d(col("sq")) * d(col("sq"))) *
+           sqrt(d(col("n")) * d(col("sdd")) - d(col("sd")) * d(col("sd")))), 6)
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val corrStatsSql: String =
+    s"""WITH s AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST(l_quantity AS BIGINT)) AS sq,
+       |    sum(${sqlIscale("l_discount", 2)}) AS sd,
+       |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+       |    sum(${sqlIscale("l_discount", 2)} * ${sqlIscale("l_discount", 2)}) AS sdd,
+       |    sum(CAST(l_quantity AS BIGINT) * ${sqlIscale("l_discount", 2)}) AS sqd
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+       |    (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+       |     sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+       |    AS corr_qty_disc
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** GROUPING SETS beyond rollup/cube's reach: a non-hierarchical set
     * list — (flag, status), (status) alone, and the grand total.
     * Rollup can only nest prefixes; this is the general form. */
@@ -1173,6 +1229,46 @@ object GraftQueries {
       |      FROM documents WHERE length(text) > 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- §2.11 dataset sampling
+
+  /** Deterministic train/holdout split: membership is a pure function
+    * of the key (Knuth multiplicative hash), stable across engines,
+    * runs and layouts — what df.sample() (seeded RNG, partition-
+    * dependent) cannot give a reproducible pipeline. Map-only. */
+  val hashSample: Q = (spark, dir) =>
+    graft.ops.Sampling.sampleByHash(
+        t(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_orderkey", 10)
+      .orderBy("o_orderkey")
+
+  val hashSampleSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |WHERE ((o_orderkey * ${graft.ops.Sampling.HashA}) % 4294967296) % 100 < 10
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Stratified sample: exactly ceil(20% · |stratum|) docs per
+    * language, chosen by hash rank — balanced subcorpora with
+    * deterministic membership. One shuffle (both windows share the
+    * stratum partitioning). */
+  val stratifiedSample: Q = (spark, dir) =>
+    graft.ops.Sampling.stratified(
+        t(spark, dir, "documents").select("doc_id", "lang", "source"),
+        "lang", "doc_id", 20)
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang, source,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ((doc_id * ${graft.ops.Sampling.HashA}) % 4294967296) % 1000000,
+       |               doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT doc_id, lang, source FROM ranked
+       |WHERE rn <= ceil((n * 20) / 100.0)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ §2.10 streaming
 
   /** File-stream passthrough: readStream (schema probe) → writeStream →
@@ -1461,6 +1557,8 @@ object GraftQueries {
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),
     entry("q_grouping_sets", groupingSetsAgg, groupingSetsAggSql),
+    entry("q_histogram", histogram, histogramSql),
+    entry("q_corr_stats", corrStats, corrStatsSql),
     entry("q_json_extract", jsonExtract, jsonExtractSql),
     entry("q_string_functions", stringFunctions, stringFunctionsSql),
     entry("q_percentile", percentileAgg, percentileAggSql),
@@ -1492,6 +1590,8 @@ object GraftQueries {
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_explode_pos", explodePos, explodePosSql),
     entry("q_fingerprint", fingerprintQ, fingerprintSql),
+    entry("q_hash_sample", hashSample, hashSampleSql),
+    entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_optimize", optimizeTable, optimizeTableSql),

@@ -75,6 +75,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deduped.columns.toSeq == Seq("doc_id", "text", "lang"))
   }
 
+  test("sampleByHash: complementary selections partition the data exactly") {
+    val df = spark.range(0, 10000).toDF("id")
+    val in = Sampling.sampleByHash(df, "id", 30)
+    val out = df.exceptAll(in)
+    val nIn = in.count()
+    assert(nIn + out.count() == 10000)
+    // uniformity: 30% ± 3 points
+    assert(math.abs(nIn - 3000) < 300, s"sample size $nIn")
+    // determinism under re-layout: same membership after repartition
+    val in2 = Sampling.sampleByHash(df.repartition(7), "id", 30)
+    assert(in2.exceptAll(in).isEmpty && in.exceptAll(in2).isEmpty)
+  }
+
+  test("stratified: ceil(frac*n) rows per stratum, deterministic") {
+    val sampled = Sampling.stratified(docs, "lang", "doc_id", 20)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotPerLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(gotPerLang(lang) == math.ceil(n * 20 / 100.0).toLong,
+        s"lang=$lang n=$n got=${gotPerLang.get(lang)}")
+    }
+    val again = Sampling.stratified(docs.repartition(5), "lang", "doc_id", 20)
+    assert(again.exceptAll(sampled).isEmpty)
+  }
+
   test("rollingFingerprints matches the plain-Scala Rabin-Karp model") {
     def model(text: String, k: Int): (Int, Long) = {
       val t0 = text.trim.toLowerCase.replaceAll("\\s+", " ")
