@@ -1461,6 +1461,45 @@ object GraftQueries {
        |FROM events WHERE user_id BETWEEN 10 AND 20
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** OPTIMIZE ZORDER: rewrite lineitem interleaving (l_orderkey,
+    * l_partkey) bits, then answer range predicates on EACH column over
+    * the pruned file list — multi-dimensional skipping that
+    * lexicographic clustering cannot give (pinned in OptimizeSpec).
+    * The oracle is the same union of aggregates on the raw table:
+    * layout + pruning must be result-invisible. */
+  val zorderTable: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder_q").toString + "/t"
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    st.write(li.repartition(16), out, "delta", "overwrite")
+    graft.storage.Optimize.run(spark, st, out,
+      clusterBy = Seq("l_orderkey", "l_partkey"),
+      targetFileBytes = 256L * 1024, zOrder = true)
+    graft.storage.DataSkipping.collectStats(spark, out,
+      Seq("l_orderkey", "l_partkey"))
+    val byKey = graft.storage.DataSkipping
+      .prunedRead(spark, out, "l_orderkey", Some(1000L), Some(3000L))
+      .filter(col("l_orderkey").between(1000L, 3000L))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .withColumn("dim", lit("orderkey"))
+    val byPart = graft.storage.DataSkipping
+      .prunedRead(spark, out, "l_partkey", Some(100L), Some(500L))
+      .filter(col("l_partkey").between(100L, 500L))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .withColumn("dim", lit("partkey"))
+    byKey.unionByName(byPart).select("dim", "n", "sum_qty").orderBy("dim")
+  }
+
+  val zorderTableSql: String =
+    s"""SELECT 'orderkey' AS dim, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+       |UNION ALL
+       |SELECT 'partkey' AS dim, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_partkey BETWEEN 100 AND 500
+       |ORDER BY dim""".stripMargin
+
   /** Streaming MERGE (CDC upsert): a staged update stream applied to a
     * managed table batch-by-batch through foreachBatch + storage.merge.
     * Update keys are unique and the batches disjoint, so the final
@@ -1595,6 +1634,7 @@ object GraftQueries {
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_optimize", optimizeTable, optimizeTableSql),
+    entry("q_zorder", zorderTable, zorderTableSql),
     entry("q_range_join", rangeJoin, rangeJoinSql),
     entry("q_corpus_stats", corpusStats, corpusStatsSql),
     entry("q_pivot_events", pivotEvents, pivotEventsSql),

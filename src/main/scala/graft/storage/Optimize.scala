@@ -25,10 +25,21 @@ import org.apache.spark.sql.functions._
 object Optimize {
 
   /** Compact (and optionally cluster) a managed table in place.
+    *
+    * `zOrder = true` with ≥2 numeric `clusterBy` columns interleaves
+    * the columns' bits into one Z-value and range-partitions + sorts on
+    * it: every clustering column's per-file min/max stays tight, so
+    * [[DataSkipping]] prunes on ANY of them — plain (lexicographic)
+    * range clustering only ever helps the leading column. The Z-value
+    * is computed from fixed-width buckets over each column's global
+    * [min, max] (one extra aggregate pass — at 100 TB a metadata-sized
+    * cost for a layout that cuts every future multi-predicate scan).
+    *
     * Returns the number of data files after the rewrite. */
   def run(spark: SparkSession, storage: BasicStorage, path: String,
           clusterBy: Seq[String] = Nil,
-          targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+          targetFileBytes: Long = 128L * 1024 * 1024,
+          zOrder: Boolean = false): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException("The given path is not a Delta Table.")
@@ -57,8 +68,16 @@ object Optimize {
     // physical column.)
     val shapeKeys = (parts ++ clusterBy.filterNot(c =>
       parts.exists(_.equalsIgnoreCase(c)))).map(col)
+    val zCols = clusterBy.filterNot(c => parts.exists(_.equalsIgnoreCase(c)))
     val shaped =
-      if (clusterBy.nonEmpty)
+      if (clusterBy.nonEmpty && zOrder && zCols.size >= 2) {
+        val z = zValueOf(spark, df, zCols)
+        val keys = parts.map(col) :+ col("__graft_z")
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__graft_z")
+      } else if (clusterBy.nonEmpty)
         // range partitioning gives each output file a disjoint key
         // range; the within-partition sort tightens row-group stats too
         df.repartitionByRange(nFiles, shapeKeys: _*)
@@ -89,6 +108,51 @@ object Optimize {
     if (trackedCols.nonEmpty)
       DataSkipping.collectStats(spark, base, trackedCols)
     fileCount(spark, base)
+  }
+
+  /** Bits of Z-resolution per clustering column: 2^16 buckets is far
+    * finer than any file count, and keeps the interleave expression at
+    * 16·n shift terms (codegen-friendly). */
+  private val ZBits = 16
+
+  /** The interleaved Z-value column for `zCols` of `df`: one aggregate
+    * pass collects each column's global [min, max]; each value maps to
+    * a fixed-width bucket in [0, 2^16); bucket bits interleave
+    * round-robin so no column dominates the sort prefix. Nulls bucket
+    * to 0 (they cluster together, like a NULLS FIRST sort). */
+  private def zValueOf(spark: SparkSession,
+                       df: org.apache.spark.sql.DataFrame,
+                       zCols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.NumericType
+    val nonNumeric = zCols.filterNot(c =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType.isInstanceOf[NumericType]))
+    if (nonNumeric.nonEmpty)
+      throw new IllegalArgumentException(
+        s"zOrder supports numeric clustering columns; not numeric: " +
+          nonNumeric.mkString(", "))
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = (1L << ZBits) - 1
+    val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
+      val (mnI, mxI) = (2 * i, 2 * i + 1)
+      if (row.isNullAt(mnI) || row.isNullAt(mxI) ||
+          row.getDouble(mxI) <= row.getDouble(mnI)) lit(0L)
+      else {
+        val (mn, mx) = (row.getDouble(mnI), row.getDouble(mxI))
+        val scaled = floor((col(c).cast("double") - lit(mn)) /
+          lit(mx - mn) * lit(buckets.toDouble)).cast("long")
+        when(col(c).isNull, 0L)
+          .otherwise(least(lit(buckets), greatest(lit(0L), scaled)))
+      }
+    }
+    val n = bucketCols.size
+    (for {
+      (b, i) <- bucketCols.zipWithIndex
+      j <- 0 until ZBits
+    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i))
+      .reduce(_ bitwiseOR _)
   }
 
   private def dataBytes(spark: SparkSession, base: String): Long =

@@ -52,6 +52,59 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == 100L)
   }
 
+  test("zOrder prunes on BOTH columns; plain clustering only the first") {
+    // two independent uniform keys: after lexicographic clustering on
+    // (a, b), file stats are tight on a but span everything on b; after
+    // z-order both predicates prune
+    val rng = new scala.util.Random(42)
+    val df = (1L to 8000L).map(i =>
+      (i, rng.nextInt(8000).toLong, rng.nextInt(8000).toLong))
+      .toDF("id", "a", "b")
+
+    def prunedCount(dir: String, colName: String): Int =
+      DataSkipping.pruneFiles(spark, dir, colName, Some(1L), Some(400L)).size
+
+    val lex = tempDir("opt_lex"); Fs.delete(spark, lex)
+    storage.write(df.repartition(8), lex, "delta", "overwrite")
+    DataSkipping.collectStats(spark, lex, Seq("a", "b"))
+    Optimize.run(spark, storage, lex, clusterBy = Seq("a", "b"),
+      targetFileBytes = 12L * 1024)
+    val lexTotal = dataFiles(lex).size
+    assert(lexTotal >= 6, s"want many files, got $lexTotal")
+    assert(prunedCount(lex, "a") < lexTotal) // leading column prunes
+    assert(prunedCount(lex, "b") == lexTotal,
+      "lexicographic clustering should NOT prune the trailing column")
+
+    val zed = tempDir("opt_z"); Fs.delete(spark, zed)
+    storage.write(df.repartition(8), zed, "delta", "overwrite")
+    DataSkipping.collectStats(spark, zed, Seq("a", "b"))
+    Optimize.run(spark, storage, zed, clusterBy = Seq("a", "b"),
+      targetFileBytes = 12L * 1024, zOrder = true)
+    val zTotal = dataFiles(zed).size
+    assert(zTotal >= 6, s"want many files, got $zTotal")
+    assert(prunedCount(zed, "a") < zTotal, "z-order must prune on a")
+    assert(prunedCount(zed, "b") < zTotal, "z-order must prune on b")
+
+    // layout change is result-invisible
+    assertDfEqual(storage.read(zed, "delta"), df)
+    // pruned read + row filter returns exactly the matching rows
+    val got = DataSkipping.prunedRead(spark, zed, "b", Some(1L), Some(400L))
+      .filter(col("b").between(1L, 400L))
+    assert(got.count() == df.filter(col("b").between(1L, 400L)).count())
+  }
+
+  test("zOrder rejects non-numeric clustering columns") {
+    val dir = tempDir("opt_znn")
+    Fs.delete(spark, dir)
+    storage.write((1L to 50L).map(i => (i, s"s$i")).toDF("id", "s"),
+      dir, "delta", "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      Optimize.run(spark, storage, dir, clusterBy = Seq("id", "s"),
+        zOrder = true)
+    }
+    assert(e.getMessage.contains("s"))
+  }
+
   test("partitioned table keeps its layout through optimize") {
     val dir = tempDir("opt3")
     Fs.delete(spark, dir)
