@@ -33,8 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     RegExpReplace(child, Literal(pattern), Literal(replacement))
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    // native Catalyst expression
+    // native Catalyst expressions
     register(e, "graft_simhash64", args => SimHash64Expr(args.head))
+    register(e, "graft_dot_product", args => {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      graft.functions.DotProductExpr(
+        Cast(args(0), ArrayType(DoubleType)),
+        Cast(args(1), ArrayType(DoubleType)))
+    })
     // sha256 of whitespace/case-normalized text (TextAnalysis.fingerprint)
     register(e, "graft_fingerprint", args =>
       Sha2(re(Lower(StringTrim(args.head)), "\\s+", " "), Literal(256)))

@@ -111,6 +111,9 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
         .getOrCreate()
       val df = s2.sql("SELECT graft_simhash64(array('a','b','c')) AS h")
       assert(df.head().getLong(0) != 0L)
+      val dot = s2.sql(
+        "SELECT graft_dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d")
+      assert(dot.head().getDouble(0) == 11.0)
       val row = s2.sql(
         """SELECT graft_redact_pii('mail a@b.io now') AS r,
           |       graft_fingerprint('  Hello   World ') AS f1,
