@@ -19,13 +19,19 @@ object Sampling {
 
   /** Knuth's 32-bit multiplicative constant (2^32 / φ). */
   val HashA = 2654435761L
+  val M31 = 2147483648L  // 2^31 — pre-multiply key fold
   private val M32 = 4294967296L // 2^32
 
   /** Uniform bucket in [0, buckets) as a pure function of an integer
-    * key: (key·A mod 2³²) mod buckets. Exact in long arithmetic for
-    * |key| < 2^33 (key·A < 2^63). */
+    * key: ((key mod 2³¹)·A mod 2³²) mod buckets. The key is folded to
+    * 31 bits BEFORE the multiply so the product stays under 2^63 for
+    * any long key — without the fold, |key| > 2^63/A ≈ 3.4e9 silently
+    * wraps in Spark and raises a BIGINT overflow in other engines,
+    * breaking the cross-engine membership guarantee this module exists
+    * for. */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(pmod(key.cast("long") * lit(HashA), lit(M32)), lit(buckets.toLong))
+    pmod(pmod(pmod(key.cast("long"), lit(M31)) * lit(HashA), lit(M32)),
+      lit(buckets.toLong))
 
   /** Keep a deterministic pct% sample by key — the train/holdout split.
     * Complementary selections (pct and 100-pct via >=) partition the
@@ -43,12 +49,18 @@ object Sampling {
                  fracPct: Int): DataFrame = {
     require(fracPct >= 0 && fracPct <= 100,
       s"fracPct must be 0..100, got $fracPct")
+    val scratch = Seq("__graft_rank", "__graft_n")
+    val clash = df.columns.toSeq.intersect(scratch)
+    require(clash.isEmpty, // withColumn would silently REPLACE them
+      s"input columns collide with stratified()'s scratch names: " +
+        clash.mkString(", "))
     val w = Window.partitionBy(col(stratumCol))
     val rank = row_number().over(
       w.orderBy(hashBucket(col(keyCol), 1000000), col(keyCol)))
-    df.withColumn("__rank", rank)
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rank") <= ceil(col("__n") * lit(fracPct) / lit(100.0)))
-      .drop("__rank", "__n")
+    df.withColumn("__graft_rank", rank)
+      .withColumn("__graft_n", count(lit(1)).over(w))
+      .filter(col("__graft_rank") <=
+        ceil(col("__graft_n") * lit(fracPct) / lit(100.0)))
+      .drop(scratch: _*)
   }
 }

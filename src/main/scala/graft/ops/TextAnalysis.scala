@@ -163,9 +163,12 @@ object TextAnalysis {
 
   /** ASCII projection + space-padding to k of normalized text — the
     * input contract of [[rollingFingerprint]] (padding guarantees at
-    * least one gram for short/empty docs). */
+    * least one gram for short/empty docs). Null text is treated as
+    * empty, so the fingerprint is TOTAL — a null would otherwise
+    * propagate to a null gram array and a row the oracle's
+    * unnest(generate_series(1, NULL)) silently drops. */
   def asciiNormalized(text: Column, k: Int = 8): Column = {
-    val a = regexp_replace(normalize(text), "[^ -~]", "")
+    val a = regexp_replace(normalize(coalesce(text, lit(""))), "[^ -~]", "")
     // rpad with a column length: never truncates (len >= length(a))
     call_function("rpad", a, greatest(length(a), lit(k)), lit(" "))
   }

@@ -1060,7 +1060,7 @@ object GraftQueries {
       .mkString(" + ")
     """WITH norm AS (
       |  SELECT doc_id,
-      |    regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |    regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
       |                   '[^ -~]', '', 'g') AS t0
       |  FROM documents),
       |pad AS (
@@ -1244,7 +1244,7 @@ object GraftQueries {
 
   val hashSampleSql: String =
     s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-       |WHERE ((o_orderkey * ${graft.ops.Sampling.HashA}) % 4294967296) % 100 < 10
+       |WHERE (((o_orderkey % ${graft.ops.Sampling.M31}) * ${graft.ops.Sampling.HashA}) % 4294967296) % 100 < 10
        |ORDER BY o_orderkey""".stripMargin
 
   /** Stratified sample: exactly ceil(20% · |stratum|) docs per
@@ -1261,7 +1261,7 @@ object GraftQueries {
     s"""WITH ranked AS (
        |  SELECT doc_id, lang, source,
        |    row_number() OVER (PARTITION BY lang
-       |      ORDER BY ((doc_id * ${graft.ops.Sampling.HashA}) % 4294967296) % 1000000,
+       |      ORDER BY (((doc_id % ${graft.ops.Sampling.M31}) * ${graft.ops.Sampling.HashA}) % 4294967296) % 1000000,
        |               doc_id) AS rn,
        |    count(*) OVER (PARTITION BY lang) AS n
        |  FROM documents)

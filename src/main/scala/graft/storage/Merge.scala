@@ -240,11 +240,33 @@ object Merge {
     // Incremental rows that matched nothing: anti against the matched
     // pairs' incremental side, null-safe on every column so rows with
     // null fields subtract correctly (a plain equi-anti would re-insert
-    // them). Both sides are incremental-sized.
+    // them). Both sides are incremental-sized. Map columns reject <=>
+    // (unorderable) AND hashing (Spark forbids hash-on-map) — compare
+    // their canonical sorted entry arrays instead, which is exact:
+    // equal maps always produce equal sorted entries.
     val matchedInc = matched.select(outNames.map(n =>
       col(s"incremental.$n").as(n)): _*)
-    val antiCond = outNames.map(n =>
-      col(s"__l.$n") <=> col(s"__r.$n")).reduce(_ && _)
+    def cmpCol(n: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      val dt = evolvedFull.schema.fields.find(_.name == n).map(_.dataType)
+      val (canon, canonType): (org.apache.spark.sql.Column => org.apache.spark.sql.Column, Option[DataType]) =
+        dt match {
+          case Some(MapType(k, v, vn)) =>
+            (c => array_sort(map_entries(c)),
+              Some(ArrayType(StructType(Seq(
+                StructField("key", k, nullable = false),
+                StructField("value", v, vn))))))
+          case other => (identity, other)
+        }
+      if (!canonType.forall(
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable))
+        throw new IllegalArgumentException(
+          s"merge cannot compare column '$n' of type " +
+            s"${dt.map(_.simpleString).getOrElse("?")} for insert " +
+            "detection (not orderable even as sorted map entries)")
+      canon(col(s"__l.$n")) <=> canon(col(s"__r.$n"))
+    }
+    val antiCond = outNames.map(cmpCol).reduce(_ && _)
     val unmatchedInc = evolvedInc.alias("__l")
       .join(matchedInc.alias("__r"), antiCond, "left_anti")
     // The insert condition may reference full.* (evaluates against the

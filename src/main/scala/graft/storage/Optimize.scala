@@ -69,6 +69,10 @@ object Optimize {
     val shapeKeys = (parts ++ clusterBy.filterNot(c =>
       parts.exists(_.equalsIgnoreCase(c)))).map(col)
     val zCols = clusterBy.filterNot(c => parts.exists(_.equalsIgnoreCase(c)))
+    // zOrder input validation runs for ANY zOrder call — a single
+    // surviving column degrades to range clustering (z-order of one
+    // column IS its range order), but never silently skips type checks.
+    if (zOrder && zCols.nonEmpty) requireNumeric(df, zCols)
     val shaped =
       if (clusterBy.nonEmpty && zOrder && zCols.size >= 2) {
         val z = zValueOf(spark, df, zCols)
@@ -110,19 +114,15 @@ object Optimize {
     fileCount(spark, base)
   }
 
-  /** Bits of Z-resolution per clustering column: 2^16 buckets is far
-    * finer than any file count, and keeps the interleave expression at
-    * 16·n shift terms (codegen-friendly). */
-  private val ZBits = 16
+  /** Bits of Z-resolution per clustering column: up to 2^16 buckets is
+    * far finer than any file count; with many columns the budget shrinks
+    * so the interleaved value stays inside the 63 non-sign bits of a
+    * long (shift amounts past 63 would silently wrap under Java's
+    * 6-bit shift masking and corrupt the curve). */
+  private def zBits(nCols: Int): Int = math.min(16, 63 / nCols)
 
-  /** The interleaved Z-value column for `zCols` of `df`: one aggregate
-    * pass collects each column's global [min, max]; each value maps to
-    * a fixed-width bucket in [0, 2^16); bucket bits interleave
-    * round-robin so no column dominates the sort prefix. Nulls bucket
-    * to 0 (they cluster together, like a NULLS FIRST sort). */
-  private def zValueOf(spark: SparkSession,
-                       df: org.apache.spark.sql.DataFrame,
-                       zCols: Seq[String]): org.apache.spark.sql.Column = {
+  private def requireNumeric(df: org.apache.spark.sql.DataFrame,
+                             zCols: Seq[String]): Unit = {
     import org.apache.spark.sql.types.NumericType
     val nonNumeric = zCols.filterNot(c =>
       df.schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -131,6 +131,17 @@ object Optimize {
       throw new IllegalArgumentException(
         s"zOrder supports numeric clustering columns; not numeric: " +
           nonNumeric.mkString(", "))
+  }
+
+  /** The interleaved Z-value column for `zCols` of `df`: one aggregate
+    * pass collects each column's global [min, max]; each value maps to
+    * a fixed-width bucket in [0, 2^bits); bucket bits interleave
+    * round-robin so no column dominates the sort prefix. Nulls bucket
+    * to 0 (they cluster together, like a NULLS FIRST sort). */
+  private def zValueOf(spark: SparkSession,
+                       df: org.apache.spark.sql.DataFrame,
+                       zCols: Seq[String]): org.apache.spark.sql.Column = {
+    val ZBits = zBits(zCols.size)
     val aggs = zCols.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()

@@ -104,7 +104,8 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("rollingFingerprints matches the plain-Scala Rabin-Karp model") {
     def model(text: String, k: Int): (Int, Long) = {
-      val t0 = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val t0 = Option(text).getOrElse("")
+        .trim.toLowerCase.replaceAll("\\s+", " ")
         .replaceAll("[^ -~]", "")
       val t = if (t0.length >= k) t0 else t0.padTo(k, ' ')
       val hashes = t.sliding(k).map(g =>
@@ -118,7 +119,8 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       (2L, "the  quick   brown fox JUMPS"), // normalizes to the same
       (3L, "short"),                        // shorter than k -> padded
       (4L, ""),                             // empty -> all-space gram
-      (5L, "unicode é世 mixed in ascii text")) // non-ASCII dropped
+      (5L, "unicode é世 mixed in ascii text"), // non-ASCII dropped
+      (6L, null.asInstanceOf[String]))         // null -> empty, total fn
       .toDF("doc_id", "text")
     val got = TextAnalysis.rollingFingerprints(df, "doc_id", "text", k = 8)
       .orderBy("doc_id").collect()

@@ -387,6 +387,24 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       (None, "null-inc"), (None, "null-inc")).sortBy(_.toString))
   }
 
+  test("merge: map-typed columns merge (unorderable - hash-compared in anti)") {
+    val dir = tempDir("merge_map")
+    Fs.delete(spark, dir)
+    val full = Seq((1L, Map("a" -> "1")), (2L, Map("b" -> "2")))
+      .toDF("id", "attrs")
+    storage.write(full, dir, "delta", "overwrite")
+    val inc = Seq((2L, Map("b" -> "updated")), (3L, Map("c" -> "3")),
+      (4L, null.asInstanceOf[Map[String, String]]))
+      .toDF("id", "attrs")
+    storage.merge(inc, dir, "full.id == incremental.id")
+    val got = storage.read(dir, "delta").collect()
+      .map(r => r.getLong(0) -> Option(r.getMap[String, String](1))
+        .map(_.toString).orNull).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L).contains("updated"))
+    assert(got(4L) == null) // null map row inserted once
+  }
+
   test("merge: same-name different-type column is a dedicated error") {
     val dir = tempDir("merge_typeconflict")
     Fs.delete(spark, dir)
