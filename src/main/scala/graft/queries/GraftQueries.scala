@@ -1229,6 +1229,47 @@ object GraftQueries {
       |      FROM documents WHERE length(text) > 0)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- §2.1/2.2 format round-trips
+
+  /** ORC round-trip through the storage façade: write orders to ORC,
+    * read back, project. ORC is lossless for every column type here —
+    * the sink/source pair must be byte-faithful, so the oracle is the
+    * plain projection of the original table. */
+  val orcRoundtrip: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_orc_q").toString + "/t"
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    st.write(orders, out, "orc", "overwrite")
+    st.read(out, "orc")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** JSON round-trip (longs + strings — the types JSON carries without
+    * loss; doubles go through decimal text and are excluded by
+    * construction). Exercises the schema-carrying JSON read path. */
+  val jsonRoundtrip: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_json_q").toString + "/t"
+    val customer = t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    st.write(customer, out, "json", "overwrite")
+    spark.read.schema(customer.schema).json(out)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------- §2.11 dataset sampling
 
   /** Deterministic train/holdout split: membership is a pure function
@@ -1629,6 +1670,8 @@ object GraftQueries {
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_explode_pos", explodePos, explodePosSql),
     entry("q_fingerprint", fingerprintQ, fingerprintSql),
+    entry("q_orc_roundtrip", orcRoundtrip, orcRoundtripSql),
+    entry("q_json_roundtrip", jsonRoundtrip, jsonRoundtripSql),
     entry("q_hash_sample", hashSample, hashSampleSql),
     entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
