@@ -1270,6 +1270,26 @@ object GraftQueries {
     """SELECT c_custkey, c_name, c_mktsegment, c_nationkey
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** CSV round-trip through the storage façade — exercises the
+    * reference's csv defaults (header=true on write, header+inferSchema
+    * on read, basic.py:35-37): longs infer back as longs, strings as
+    * strings, so the projection is lossless. */
+  val csvRoundtrip: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_csv_q").toString + "/t"
+    val nation = t(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    st.write(nation, out, "csv", "overwrite")
+    st.read(out, "csv")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ------------------------------------------- §2.11 dataset sampling
 
   /** Deterministic train/holdout split: membership is a pure function
@@ -1672,6 +1692,7 @@ object GraftQueries {
     entry("q_fingerprint", fingerprintQ, fingerprintSql),
     entry("q_orc_roundtrip", orcRoundtrip, orcRoundtripSql),
     entry("q_json_roundtrip", jsonRoundtrip, jsonRoundtripSql),
+    entry("q_csv_roundtrip", csvRoundtrip, csvRoundtripSql),
     entry("q_hash_sample", hashSample, hashSampleSql),
     entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),

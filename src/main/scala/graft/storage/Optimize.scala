@@ -114,6 +114,46 @@ object Optimize {
     fileCount(spark, base)
   }
 
+  /** Clean up (and when necessary, recover from) the intermediate
+    * directories a crashed COW rewrite or swap leaves behind:
+    *
+    *  - `<base>__graft_tmp`: rewrite output, crash before the swap —
+    *    the table is intact; drop the tmp.
+    *  - `<base>__graft_old` with `<base>` present: crash after the swap
+    *    completed but before the old copy was deleted; drop it.
+    *  - `<base>__graft_old` with `<base>` MISSING: crash mid-swap. The
+    *    new data (tmp) was fully written before the swap began, so
+    *    complete the swap if tmp exists; otherwise restore the old
+    *    copy. Either way the table reappears — no data was lost, which
+    *    is the invariant the checked swap maintains.
+    *
+    * Returns a human-readable action log (empty = nothing to do). */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val base = path.stripSuffix("/")
+    val tmp = base + "__graft_tmp"
+    val old = base + "__graft_old"
+    val actions = scala.collection.mutable.Buffer[String]()
+    if (!Fs.exists(spark, base) && Fs.exists(spark, old)) {
+      if (Fs.exists(spark, tmp)) {
+        Fs.renameChecked(spark, tmp, base)
+        Fs.deleteChecked(spark, old)
+        actions += s"completed interrupted swap: $tmp -> $base"
+      } else {
+        Fs.renameChecked(spark, old, base)
+        actions += s"restored table from $old"
+      }
+    }
+    if (Fs.exists(spark, base) && Fs.exists(spark, tmp)) {
+      Fs.deleteChecked(spark, tmp)
+      actions += s"removed stale rewrite output $tmp"
+    }
+    if (Fs.exists(spark, base) && Fs.exists(spark, old)) {
+      Fs.deleteChecked(spark, old)
+      actions += s"removed stale pre-swap copy $old"
+    }
+    actions.toSeq
+  }
+
   /** Bits of Z-resolution per clustering column: up to 2^16 buckets is
     * far finer than any file count; with many columns the budget shrinks
     * so the interleaved value stays inside the 63 non-sign bits of a

@@ -118,6 +118,38 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
     assertDfEqual(storage.read(dir, "delta").select("id", "part"), df)
   }
 
+  test("vacuum: drops stale tmp/old dirs; completes or restores a crashed swap") {
+    val dir = tempDir("opt_vac") + "/t"
+    Fs.delete(spark, dir)
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "value")
+    storage.write(df, dir, "delta", "overwrite")
+
+    // healthy table + leftovers from a crash-before-swap
+    storage.read(dir, "delta").write.parquet(dir + "__graft_tmp")
+    storage.read(dir, "delta").write.parquet(dir + "__graft_old")
+    val acts1 = Optimize.vacuum(spark, dir)
+    assert(acts1.size == 2)
+    assert(!Fs.exists(spark, dir + "__graft_tmp"))
+    assert(!Fs.exists(spark, dir + "__graft_old"))
+    assertDfEqual(storage.read(dir, "delta"), df)
+
+    // crash mid-swap: base renamed away, new data sits in tmp
+    Fs.renameChecked(spark, dir, dir + "__graft_old")
+    df.limit(50).write.parquet(dir + "__graft_tmp")
+    val acts2 = Optimize.vacuum(spark, dir)
+    assert(acts2.exists(_.contains("completed interrupted swap")), acts2)
+    assert(spark.read.parquet(dir).count() == 50)
+    assert(!Fs.exists(spark, dir + "__graft_old"))
+
+    // crash right after base rename, no tmp: restore the old copy
+    Fs.renameChecked(spark, dir, dir + "__graft_old")
+    val acts3 = Optimize.vacuum(spark, dir)
+    assert(acts3.exists(_.contains("restored table")), acts3)
+    assert(spark.read.parquet(dir).count() == 50)
+
+    assert(Optimize.vacuum(spark, dir).isEmpty) // idempotent
+  }
+
   test("non-managed path is rejected") {
     val dir = tempDir("opt4")
     Fs.delete(spark, dir)
