@@ -1229,6 +1229,69 @@ object GraftQueries {
       |      FROM documents WHERE length(text) > 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** Array-function battery over token arrays: size/element_at/
+    * contains/position/sort+slice/distinct — each with an exact DuckDB
+    * list-function twin. Spark's array_position returns 0 for absent
+    * (DuckDB NULL — coalesced to 0 in the oracle). */
+  val arrayFunctions: Q = (spark, dir) =>
+    t(spark, dir, "documents").filter(col("doc_id") < 200)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        element_at(col("__toks"), 1).as("first_token"),
+        array_contains(col("__toks"), "the").cast("int").as("has_the"),
+        array_position(col("__toks"), "the").cast("int").as("pos_the"),
+        array_join(slice(sort_array(col("__toks")), 1, 3), ",")
+          .as("first3_sorted"),
+        size(array_distinct(col("__toks"))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  val arrayFunctionsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  CAST(len(ts) AS INT) AS n_tokens,
+      |  ts[1] AS first_token,
+      |  CAST(list_contains(ts, 'the') AS INT) AS has_the,
+      |  CAST(coalesce(list_position(ts, 'the'), 0) AS INT) AS pos_the,
+      |  array_to_string(list_slice(list_sort(ts), 1, 3), ',') AS first3_sorted,
+      |  CAST(len(list_distinct(ts)) AS INT) AS n_distinct
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Date-arithmetic battery: add/trunc/last_day/diff/derived month
+    * index/day-of-week, emitted as strings or ints per the determinism
+    * rules (dates never compare raw through pandas). Spark's dayofweek
+    * is 1-based Sunday; DuckDB's 0-based — shifted in the oracle. */
+  val dateArith: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .withColumn("d", to_date(col("o_orderdate")))
+      .select(
+        col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+        date_format(date_add(col("d"), 30), "yyyy-MM-dd").as("due_date"),
+        date_format(trunc(col("d"), "month"), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+        datediff(col("d"), lit("1995-01-01").cast("date"))
+          .cast("int").as("days_since_95"),
+        ((year(col("d")) - 1995) * 12 + month(col("d")) - 1)
+          .cast("int").as("months_since_95"),
+        dayofweek(col("d")).cast("int").as("dow"))
+      .orderBy("o_orderkey")
+
+  val dateArithSql: String =
+    """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      |SELECT o_orderkey,
+      |  strftime(d, '%Y-%m-%d') AS order_date,
+      |  strftime(CAST(d + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+      |  strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(d), '%Y-%m-%d') AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', d) AS INT) AS days_since_95,
+      |  CAST((year(d) - 1995) * 12 + month(d) - 1 AS INT) AS months_since_95,
+      |  CAST(dayofweek(d) + 1 AS INT) AS dow
+      |FROM b ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------- §2.1/2.2 format round-trips
 
   /** ORC round-trip through the storage façade: write orders to ORC,
@@ -1672,6 +1735,8 @@ object GraftQueries {
     entry("q_except", exceptQ, exceptSql),
     entry("q_intersect", intersectQ, intersectSql),
     entry("q_date_functions", dateFunctions, dateFunctionsSql),
+    entry("q_date_arith", dateArith, dateArithSql),
+    entry("q_array_functions", arrayFunctions, arrayFunctionsSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_sessionize", sessionize, sessionizeSql),
     entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
