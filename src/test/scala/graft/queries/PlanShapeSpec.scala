@@ -67,6 +67,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"no codegen span:\n$p")
   }
 
+  test("stratified sampling shares one hash exchange across both windows") {
+    // rank and per-stratum count partition identically; a second
+    // hashpartitioning exchange would double the shuffle at scale
+    // the AQE tree prints Final AND Initial plans — count only the final
+    val p = planOf(GraftQueries.stratifiedSample(spark, dir))
+      .split("== Initial Plan ==").head
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1,
+      s"expected one hash exchange for both windows, got $hashExchanges:\n$p")
+  }
+
   test("custom expressions compile under whole-stage codegen (no fallback)") {
     // Regression: a generated line starting with '|' loses the pipe to
     // Spark's margin stripping, the Java fails to compile, and every
