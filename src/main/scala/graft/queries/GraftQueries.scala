@@ -1292,6 +1292,42 @@ object GraftQueries {
       |  CAST(dayofweek(d) + 1 AS INT) AS dow
       |FROM b ORDER BY o_orderkey""".stripMargin
 
+  /** Struct battery: build nested structs (named_struct), access
+    * fields through the nesting, and compare whole structs — DuckDB's
+    * struct_pack/dot-access twins. Output is flattened scalars (struct
+    * columns don't hash stably through pandas). */
+  val structFunctions: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .withColumn("cust", struct(
+        col("c_custkey").as("key"),
+        col("c_name").as("name"),
+        struct(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation")).as("mkt")))
+      .select(
+        col("cust.key").as("c_custkey"),
+        col("cust.name").as("name"),
+        col("cust.mkt.segment").as("segment"),
+        (col("cust.mkt.nation") * 2).as("nation_x2"),
+        (col("cust") === struct(
+          col("cust.key").as("key"), col("cust.name").as("name"),
+          struct(lit("BUILDING").as("segment"),
+            col("cust.mkt.nation").as("nation")).as("mkt")))
+          .cast("int").as("is_building"))
+      .orderBy("c_custkey")
+
+  val structFunctionsSql: String =
+    """WITH s AS (
+      |  SELECT struct_pack(key := c_custkey, name := c_name,
+      |    mkt := struct_pack(segment := c_mktsegment, nation := c_nationkey)) AS cust
+      |  FROM customer)
+      |SELECT cust.key AS c_custkey, cust.name AS name,
+      |  cust.mkt.segment AS segment,
+      |  cust.mkt.nation * 2 AS nation_x2,
+      |  CAST(cust = struct_pack(key := cust.key, name := cust.name,
+      |    mkt := struct_pack(segment := 'BUILDING', nation := cust.mkt.nation)) AS INT)
+      |    AS is_building
+      |FROM s ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------- §2.1/2.2 format round-trips
 
   /** ORC round-trip through the storage façade: write orders to ORC,
@@ -1737,6 +1773,7 @@ object GraftQueries {
     entry("q_date_functions", dateFunctions, dateFunctionsSql),
     entry("q_date_arith", dateArith, dateArithSql),
     entry("q_array_functions", arrayFunctions, arrayFunctionsSql),
+    entry("q_struct_functions", structFunctions, structFunctionsSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_sessionize", sessionize, sessionizeSql),
     entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
