@@ -60,14 +60,14 @@ object Dedup {
       .select(col(idCol), explode(shingleArr).as("shingle")).distinct()
   }
 
-  /** One row per (id, shingle-hash). Shingles are hashed in place with
-    * xxhash64 over the k token positions (element_at — no intermediate
-    * slice arrays or concatenated strings; hashing the strings was the
-    * measured bottleneck of the whole LSH pipeline). Hash identity
-    * stands in for shingle identity everywhere downstream — collisions
-    * are negligible at 2^-64. */
-  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
+  /** One array of shingle hashes per id. Shingles are hashed in place
+    * with xxhash64 over the k token positions (element_at — no
+    * intermediate slice arrays or concatenated strings; hashing the
+    * strings was the measured bottleneck of the whole LSH pipeline).
+    * Hash identity stands in for shingle identity everywhere
+    * downstream — collisions are negligible at 2^-64. */
+  def shingleHashArrays(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
     // Two projections on purpose: tokens must be a materialized column
     // before the lambda references it, otherwise Catalyst inlines the
     // split() into every element_at call — O(tokens²) splits per doc
@@ -80,8 +80,22 @@ object Dedup {
         i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array(xxhash64(toks)))
     df.select(col(idCol), tokens.as("__graft_tokens"))
-      .select(col(idCol), explode(hashArr).as("shingle_hash"))
+      .select(col(idCol), hashArr.as("shingle_hashes"))
   }
+
+  /** One row per (id, shingle-hash) — [[shingleHashArrays]] exploded.
+    * Callers that scan the result more than once should checkpoint the
+    * ARRAY frame first and explode the cached arrays (see
+    * [[minHashLshPairs]]): explode triggers InferFiltersFromGenerate,
+    * and without a pushdown barrier its size(...)>0 filter re-inlines
+    * the whole hash-array expression — tokenizer inside the lambda,
+    * O(tokens²) per doc. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    explodeShingles(shingleHashArrays(df, idCol, textCol, n), idCol)
+
+  private def explodeShingles(arrays: DataFrame, idCol: String): DataFrame =
+    arrays.select(col(idCol), explode(col("shingle_hashes")).as("shingle_hash"))
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the document's shingle hashes. Output: (id, sig:
@@ -118,13 +132,18 @@ object Dedup {
                       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // The shingle frame feeds four downstream scans (signatures, both
-    // sides of the intersection join, set sizes); checkpointing it
-    // materializes the tokenize+explode ONCE instead of four times —
-    // localCheckpoint, not persist, so lineage is truncated and the
-    // blocks are reclaimed with the RDD (no unpersist bookkeeping for
-    // callers holding the lazy result).
-    val sh = shingleHashes(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    // The shingle ARRAY frame feeds four downstream scans (signatures,
+    // both sides of the intersection join, set sizes); checkpointing it
+    // materializes the tokenize ONCE instead of four times, and — the
+    // part that matters most — acts as a pushdown barrier so the
+    // explode's inferred size(...)>0 filter runs against materialized
+    // arrays instead of re-inlining the tokenizer into the lambda (see
+    // [[shingleHashes]]). localCheckpoint, not persist, so lineage is
+    // truncated and the blocks are reclaimed with the RDD (no unpersist
+    // bookkeeping for callers holding the lazy result).
+    val sh = explodeShingles(
+      shingleHashArrays(df, idCol, textCol, shingleSize).localCheckpoint(true),
+      idCol)
     val sigs = signaturesFromShingles(sh, idCol, numHashes)
     val banded = sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -147,8 +166,9 @@ object Dedup {
     * counts. */
   def verifiedJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
                       textCol: String, shingleSize: Int): DataFrame =
-    jaccardFromShingles(pairs,
-      shingleHashes(df, idCol, textCol, shingleSize), idCol)
+    jaccardFromShingles(pairs, explodeShingles(
+      shingleHashArrays(df, idCol, textCol, shingleSize).localCheckpoint(true),
+      idCol), idCol)
 
   private def jaccardFromShingles(pairs: DataFrame, shRaw: DataFrame,
                                   idCol: String): DataFrame = {
@@ -202,6 +222,70 @@ object Dedup {
       .withColumn("common", size(array_intersect(col("__ga"), col("__gb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("__ga")) + size(col("__gb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
+  /** Char-n-gram Jaccard near-dup pairs with a MinHash-LSH prefilter:
+    * the scale form of [[jaccardNgramPairs]], same output contract
+    * (id_a, id_b, common, jaccard) and byte-identical values — only
+    * pairs sharing an LSH band bucket are verified, and verification is
+    * an exact join over the gram STRINGS (hash-free), so every surviving
+    * row matches the all-pairs form exactly. The all-pairs product never
+    * materializes; candidate work is per-(band, bucket).
+    *
+    * Recall: a true pair at Jaccard s is a candidate with probability
+    * 1-(1-s^r)^b (r = numHashes/bands rows per band). The default
+    * (64 hashes, 16 bands, r=4) gives ≥ 1-10⁻³ at s = 0.8 rising to
+    * 1-10⁻²² at s = 0.99 — and keeps the candidate rate at LOW Jaccard
+    * small (~12% at s=0.3, vs ~95% with r=2, which would degenerate the
+    * verify join back toward all-pairs). The verify stage restores
+    * exactness on everything surfaced. */
+  def jaccardNgramPairsLsh(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double,
+                           numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // The ARRAY frame is checkpointed (not the exploded rows): the
+    // explode triggers InferFiltersFromGenerate, whose size(...)>0
+    // filter pushes below the projection and re-inlines the whole
+    // gram-array expression — normalize() inside the per-element
+    // lambda, O(len²·regex) per doc (measured 14 s vs 1 s on the
+    // declared query). The checkpoint is a pushdown barrier, so the
+    // inferred filter runs against the materialized array; the three
+    // downstream scans (signatures, both verify-join sides) re-explode
+    // cached arrays, which is cheap.
+    val g = charNgramSets(df, idCol, textCol, n).localCheckpoint(true)
+    val grams = g.select(col(idCol), explode(col("ngrams")).as("gram"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    val sigs = grams.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val banded = sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("signature"), b * rows + 1, lit(rows)))))
+      .as(Seq("band", "bucket")))
+    val candidates = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // Exact verify on gram strings: |A∩B| via join (grams are already
+    // distinct per id — charNgramSets applies array_distinct), sizes
+    // from the set arrays. Matches jaccardNgramPairs bit-for-bit.
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val gA = grams.select(col(idCol).as("id_a"), col("gram"))
+    val gB = grams.select(col(idCol).as("id_b"), col("gram"))
+    candidates.join(gA, "id_a").join(gB, Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
   }

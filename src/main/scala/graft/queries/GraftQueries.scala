@@ -771,17 +771,21 @@ object GraftQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Exact char-trigram Jaccard near-dup pairs over a capped corpus with
-    * planted suffix-modified copies — the exact-set-similarity baseline
-    * behind MinHash, with a full DuckDB oracle (integer set sizes, one
-    * double division). Scale path: q_minhash_dedup. */
+  /** Char-trigram Jaccard near-dup pairs over a corpus with planted
+    * suffix-modified copies, via the MinHash-LSH-bucketed scale path:
+    * candidates come from band buckets (never the all-pairs product)
+    * and every candidate is verified with the exact gram-set Jaccard,
+    * so the result is byte-identical to the all-pairs DuckDB oracle.
+    * The O(n²) form survives as [[Dedup.jaccardNgramPairs]] for
+    * capped audits. */
   val jaccardNgram: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents").filter(col("doc_id") < 100)
     val modified = docs.filter(col("doc_id") < 50)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
     val corpus = docs.select("doc_id", "text").unionByName(modified)
-    Dedup.jaccardNgramPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.jaccardNgramPairsLsh(corpus, "doc_id", "text", n = 3,
+        threshold = 0.8)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
   }
@@ -867,11 +871,14 @@ object GraftQueries {
 
   /** Embedding-cosine near-dup detection: the corpus unioned with a
     * scaled copy of itself (cosine is scale-invariant → planted pairs at
-    * cos 1.0; natural pairs top out at ~0.51 on this data). Brute-force
-    * scoring — exact and oracle-checkable. */
+    * cos 1.0; natural pairs top out at ~0.51 on this data), scored via
+    * the sign-LSH-bucketed scale path — only pairs sharing a hyperplane
+    * bucket are scored, the all-pairs product never materializes. At
+    * threshold 0.99 the candidate set is recall-complete: a vector and
+    * its positive-scale copy have identical signs against every
+    * hyperplane, so they share every bucket. Brute force survives as
+    * [[Similarity.bruteForceNearDupPairs]] for capped audits. */
   val embeddingNearDup: Q = (spark, dir) => {
-    // capped corpus: brute force is the O(n²)-pairs exact baseline; the
-    // scale path is lshNearDupPairs / the q_ann_* queries
     val emb = t(spark, dir, "embeddings").filter(col("vec_id") < 1000)
     val scaled = emb.select((col("vec_id") + 1000000).as("vec_id"),
       transform(col("embedding").cast("array<double>"), x => x * 1.01)
@@ -879,7 +886,8 @@ object GraftQueries {
     val corpus = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
       .unionByName(scaled)
-    Similarity.bruteForceNearDupPairs(corpus, "vec_id", "embedding", 0.99)
+    Similarity.lshNearDupPairs(corpus, "vec_id", "embedding", 0.99,
+        dim = 64)
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("id_a", "id_b")
   }
@@ -1193,8 +1201,9 @@ object GraftQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_length
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Feature-extraction stub over binary payloads (mapPartitions batch
-    * plumbing; deterministic fake decode — no oracle). */
+  /** Feature extraction over binary payloads (mapPartitions batch
+    * plumbing; text payloads take the deterministic byte-block branch,
+    * real images the imageio luma-grid branch — no oracle). */
   val multimodalFeatures: Q = (spark, dir) => {
     val media = t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("media"))
@@ -1203,17 +1212,21 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
-  /** Resize stub over binary payloads: fixed 8×4 output, nearest-
-    * neighbor byte sampling — exact enough to oracle-check byte-for-byte
-    * (DuckDB reproduces the sampling with blob substring algebra). */
+  /** Resize over binary payloads: text-as-bytes payloads are not
+    * decodable images, so they exercise the deterministic byte-resample
+    * branch of [[Multimodal.resize]] (fixed 8×4 output) — byte-for-byte
+    * oracle-checkable (DuckDB reproduces the sampling with blob
+    * substring algebra). The real imageio decode branch is pinned by
+    * unit tests on synthesized PNGs (no image column exists in the
+    * test tables). */
   val multimodalResize: Q = (spark, dir) => {
-    // empty payloads excluded on BOTH sides: the stub emits 32 zero
+    // empty payloads excluded on BOTH sides: the fallback emits 32 zero
     // bytes for them while the oracle's substr algebra emits '' — the
     // one case where the two formulations differ
     val media = t(spark, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
-    Multimodal.resizeStub(media, "media", 8, 4)
+    Multimodal.resize(media, "media", 8, 4)
       .select(col("doc_id"), upper(hex(col("resized"))).as("resized_hex"))
       .orderBy("doc_id")
   }

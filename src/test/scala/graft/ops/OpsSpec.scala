@@ -406,19 +406,91 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("multimodal: resize stub emits fixed-size deterministic payloads") {
+  test("multimodal: resize fallback emits fixed-size deterministic payloads") {
     val small = Array.fill[Byte](10)(3)
     val big = Array.tabulate[Byte](9000)(i => (i % 127).toByte)
     val df = Seq((1L, small), (2L, big), (3L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "media")
-    val out = Multimodal.resizeStub(df, "media", 8, 4).collect()
+    val out = Multimodal.resize(df, "media", 8, 4).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
     // fixed output dimensions regardless of input size (incl. null)
     assert(out.values.forall(_.length == 32))
-    val again = Multimodal.resizeStub(df, "media", 8, 4).collect()
+    val again = Multimodal.resize(df, "media", 8, 4).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
     assert(out.keys.forall(k => out(k).toSeq == again(k).toSeq))
     assert(out(1L).toSeq != out(2L).toSeq)
+  }
+
+  /** Deterministic test PNG: a w×h RGB gradient (r = x*255/(w-1),
+    * g = y*255/(h-1), b = 64). */
+  private def testPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = if (w > 1) x * 255 / (w - 1) else 0
+      val g = if (h > 1) y * 255 / (h - 1) else 0
+      img.setRGB(x, y, (r << 16) | (g << 8) | 64)
+    }
+    Multimodal.encodePng(img)
+  }
+
+  test("multimodal: real PNG decode + bilinear resize round-trips") {
+    val df = Seq((1L, testPng(16, 8)), (2L, "not an image".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.resize(df, "media", 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    // image branch: the output is a real 8×4 PNG
+    val resized = Multimodal.decodeImage(out(1L))
+    assert(resized.isDefined)
+    assert(resized.get.getWidth == 8 && resized.get.getHeight == 4)
+    // gradient survives: red still increases left->right, blue constant
+    val px = resized.get.getRGB(0, 0, 8, 4, null, 0, 8)
+    val red = (x: Int) => (px(x) >>> 16) & 0xff
+    assert(red(0) < red(3) && red(3) < red(7))
+    assert(px.forall(p => (p & 0xff) == 64))
+    // opaque branch keeps the byte-resample contract
+    assert(out(2L).length == 32)
+  }
+
+  test("multimodal: bilinear interpolation midpoint is exact") {
+    // 2x1 black/white image upsampled to 4x1: half-pixel-center mapping
+    // puts targets 0,3 on the sources and 1,2 at 1/4 and 3/4 blends
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xffffff)
+    val out = Multimodal.bilinearResize(img, 4, 1)
+    val v = (0 until 4).map(x => out.getRGB(x, 0) & 0xff)
+    assert(v == Seq(0, 64, 191, 255), s"got $v")
+  }
+
+  test("multimodal: header width/height parsed for png without decoding") {
+    val df = Seq((1L, testPng(20, 10)), (2L, "plain text".getBytes))
+      .toDF("id", "media")
+    val meta = Multimodal.withMediaMeta(df, "media")
+      .select("id", "media_meta.mime", "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(1) == "image/png")
+    assert(meta(1L).getInt(2) == 20 && meta(1L).getInt(3) == 10)
+    assert(meta(2L).getString(1) == "application/octet-stream")
+    assert(meta(2L).isNullAt(2) && meta(2L).isNullAt(3))
+  }
+
+  test("multimodal: real image features use the luma-grid branch") {
+    // all-white vs all-black images: luma means 1.0 vs 0.0 per cell
+    def flat(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      Multimodal.encodePng(img)
+    }
+    val df = Seq((1L, flat(0xffffff)), (2L, flat(0x000000)))
+      .toDF("id", "media")
+    val f = Multimodal.extractFeatures(df, "media", dim = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L).forall(v => math.abs(v - 1.0f) < 1e-3))
+    assert(f(2L).forall(_ == 0.0f))
   }
 
   test("multimodal: frame sampling shape") {

@@ -78,6 +78,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected one hash exchange for both windows, got $hashExchanges:\n$p")
   }
 
+  test("q_embedding_neardup never materializes the all-pairs product") {
+    val p = planOf(GraftQueries.embeddingNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup fell back to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup scored all pairs via nested loop:\n$p")
+  }
+
+  test("q_jaccard_ngram never materializes the all-pairs product") {
+    val p = planOf(GraftQueries.jaccardNgram(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"jaccard fell back to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"jaccard scored all pairs via nested loop:\n$p")
+  }
+
   test("custom expressions compile under whole-stage codegen (no fallback)") {
     // Regression: a generated line starting with '|' loses the pipe to
     // Spark's margin stripping, the Java fails to compile, and every
