@@ -88,9 +88,11 @@ class BasicStorage(spark: SparkSession) extends Storage {
                      partitionFields: Seq[String] = Nil,
                      mergeSchemas: Boolean = false,
                      updateCondition: Option[String] = None,
-                     insertCondition: Option[String] = None): Unit = {
+                     insertCondition: Option[String] = None,
+                     errorOnMultiMatch: Boolean = false): Unit = {
     val created = Merge.run(spark, this, df, path, mergeCondition,
-      partitionFields, mergeSchemas, updateCondition, insertCondition)
+      partitionFields, mergeSchemas, updateCondition, insertCondition,
+      errorOnMultiMatch)
     // auto-create goes through write(), which already notified
     // (reference early-returns there: basic.py:170-172)
     if (!created) notifyOutputObservers(df, path)

@@ -1,6 +1,5 @@
 package graft.storage
 
-import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
@@ -70,16 +69,48 @@ object DataSkipping {
   private def dataFiles(spark: SparkSession, tablePath: String): Seq[String] =
     Fs.dataFiles(spark, tablePath).map(_._1)
 
+  /** Sidecar shard count: one file up to ~200k stats rows, then one
+    * shard per 200k — the sidecar stays a handful of files at any
+    * realistic table size instead of a single ever-growing file whose
+    * one-task write serializes the refresh. */
+  private def statsShards(rowEstimate: Long): Int =
+    math.max(1, math.min(64, (rowEstimate / 200000L).toInt + 1))
+
+  /** The current sidecar as a DataFrame (empty frame with the stats
+    * schema when none exists). */
+  private def statsFrame(spark: SparkSession, tablePath: String): DataFrame =
+    if (Fs.exists(spark, statsPath(tablePath)))
+      spark.read.parquet(statsPath(tablePath))
+        .select(statsSchema.fieldNames.map(col).toSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema)
+
+  /** Overwrite the sidecar from a stats frame. The frame usually READS
+    * the old sidecar (incremental reuse), so it is materialized
+    * (localCheckpoint — metadata-sized) before the overwrite destroys
+    * its input. */
+  private def writeSidecar(spark: SparkSession, tablePath: String,
+                           df: DataFrame, rowEstimate: Long): DataFrame = {
+    val materialized = df.localCheckpoint(true)
+    materialized.repartition(statsShards(rowEstimate))
+      .write.mode("overwrite").parquet(statsPath(tablePath))
+    spark.read.parquet(statsPath(tablePath))
+  }
+
   /** Read per-file column stats from parquet footers and write the
     * stats sidecar (overwrite — stats describe the current table
     * state). INCREMENTAL: rows in the existing sidecar for files that
     * still exist are reused, so refreshing after an append costs one
     * footer read per NEW file, not O(total files) — parquet files are
     * immutable (unique names per write), which is what makes reuse
-    * sound. Footer reads run on executors; only (files × columns)
-    * metadata rows come back. Returns the stats as a DataFrame. */
+    * sound. Footer reads run on executors; the reuse filter and the
+    * coverage check are joins against the sidecar frame, so no
+    * files × columns stats ever collect to the driver — only FILE
+    * NAMES (the listing the driver already holds) cross the boundary.
+    * Returns the stats as a DataFrame. */
   def collectStats(spark: SparkSession, tablePath: String,
                    columns: Seq[String]): DataFrame = {
+    import spark.implicits._
     val files = dataFiles(spark, tablePath)
     // No data files (e.g. a stream sink observed before its first
     // batch): do NOT create a sidecar under a table dir that may not
@@ -88,28 +119,30 @@ object DataSkipping {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], statsSchema)
-    val fileSet = files.toSet
+    val filesDf = files.toDF("file")
     // reuse: EVERY existing row for still-live files — including
     // columns outside this call's request. An observer firing with a
     // narrower frame (schema-evolving merge) must not wipe the other
     // columns' stats for unchanged files.
-    val reused: Seq[Row] =
-      if (!Fs.exists(spark, statsPath(tablePath))) Nil
-      else spark.read.parquet(statsPath(tablePath)).collect().toSeq
-        .filter(r => fileSet.contains(r.getString(0)))
-    if (columns.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(reused, 1), statsSchema)
-    val covered: Map[String, Set[String]] = reused
-      .groupBy(_.getString(0))
-      .map { case (f, rows) => f -> rows.map(_.getString(1)).toSet }
-    val toRead = files.filterNot(f =>
-      covered.get(f).exists(cs => columns.forall(cs.contains)))
-    if (toRead.isEmpty && reused.nonEmpty) {
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(reused, 1), statsSchema)
-      df.coalesce(1).write.mode("overwrite").parquet(statsPath(tablePath))
-      return spark.read.parquet(statsPath(tablePath))
+    // inner join keeps only live files' rows; the file-name frame is a
+    // local relation (the listing the driver already holds) and Spark
+    // broadcasts it when small — no hint, so a huge listing can still
+    // shuffle instead of OOMing the driver broadcast
+    val reused: DataFrame =
+      statsFrame(spark, tablePath).join(filesDf, Seq("file"))
+    if (columns.isEmpty) return reused
+    // files already covered for every requested column need no footer
+    // read — names only come back, never the stats rows
+    val coveredFiles: Set[String] = reused
+      .filter(col("column").isin(columns: _*))
+      .groupBy(col("file"))
+      .agg(countDistinct(col("column")).as("__nc"))
+      .filter(col("__nc") === columns.size)
+      .select("file").as[String].collect().toSet
+    val toRead = files.filterNot(coveredFiles.contains)
+    if (toRead.isEmpty) {
+      return writeSidecar(spark, tablePath, reused,
+        files.size.toLong * columns.size)
     }
     val confBc = spark.sparkContext.broadcast(
       new SerializableWritable(spark.sessionState.newHadoopConf()))
@@ -163,14 +196,12 @@ object DataSkipping {
     // a re-read file gets fresh rows for the REQUESTED columns — keep
     // its reused rows for other columns (the file is unchanged; parquet
     // files are immutable, so those stats are still valid)
-    val toReadSet = toRead.toSet
-    val keep = reused.filterNot(r =>
-      toReadSet.contains(r.getString(0)) && columns.contains(r.getString(1)))
-    val df = spark.createDataFrame(statsRows, statsSchema)
-      .union(spark.createDataFrame(
-        spark.sparkContext.parallelize(keep, 1), statsSchema))
-    df.coalesce(1).write.mode("overwrite").parquet(statsPath(tablePath))
-    spark.read.parquet(statsPath(tablePath))
+    val toReadDf = toRead.toDF("file")
+    val keep = reused.join(toReadDf, Seq("file"), "left_anti")
+      .union(reused.join(toReadDf, Seq("file"))
+        .filter(!col("column").isin(columns: _*)))
+    val df = spark.createDataFrame(statsRows, statsSchema).union(keep)
+    writeSidecar(spark, tablePath, df, files.size.toLong * columns.size)
   }
 
   /** Map a parquet statistics value pair to (dtype tag, typed min/max).
@@ -214,10 +245,39 @@ object DataSkipping {
   private def minTyped(t: String, a: Any, b: Any): Any = if (cmp(t, a, b) <= 0) a else b
   private def maxTyped(t: String, a: Any, b: Any): Any = if (cmp(t, a, b) >= 0) a else b
 
-  private def parse(dtype: String, s: String): Any = dtype match {
-    case "long" => s.toLong
-    case "double" => s.toDouble
-    case "string" => s
+  /** Can-this-file's-[min,max]-intersect-[lower,upper], as a column
+    * expression over one stats row, dispatching on the row's dtype tag.
+    * Numeric stats compare after a cast (safe — min/max strings were
+    * rendered FROM that type, and the when() guard keeps wrong-dtype
+    * rows out of the branch); string stats compare directly — Spark
+    * compares strings by UTF-8 binary order, the same order parquet
+    * footer stats use. Bounds are parsed DRIVER-side (they are driver
+    * values; an executor-side cast would throw under ANSI mode): a
+    * bound that does not parse in the column's stat domain yields
+    * lit(true) — skipping is only ever allowed to be conservative, so
+    * unparseable means keep. */
+  private def keepExpr(lower: Option[Any], upper: Option[Any])
+    : org.apache.spark.sql.Column = {
+    def parseBound(t: String, b: Any): Option[org.apache.spark.sql.Column] =
+      try {
+        t match {
+          case "long" => Some(lit(String.valueOf(b).toLong))
+          case "double" => Some(lit(String.valueOf(b).toDouble))
+          case _ => Some(lit(String.valueOf(b)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def forType(t: String): org.apache.spark.sql.Column = {
+      def c(s: org.apache.spark.sql.Column) =
+        if (t == "string") s else s.cast(t)
+      def ok(bound: Option[Any],
+             check: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        bound.flatMap(parseBound(t, _)).map(check).getOrElse(lit(true))
+      ok(upper, u => c(col("min")) <= u) && ok(lower, l => c(col("max")) >= l)
+    }
+    when(col("dtype") === "long", forType("long"))
+      .when(col("dtype") === "double", forType("double"))
+      .when(col("dtype") === "string", forType("string"))
+      .otherwise(lit(true)) // unknown dtype tag -> keep
   }
 
   /** Survivors of ALL (column, lower, upper) predicates over ONE
@@ -226,38 +286,29 @@ object DataSkipping {
     * per-predicate re-list would both multiply the dominant metadata
     * cost and race concurrent appends (a file added between listings
     * would be absent from one survivor set and wrongly dropped from
-    * the intersection, breaking the superset contract). */
+    * the intersection, breaking the superset contract).
+    *
+    * The prune is DISTRIBUTED: the stats sidecar is filtered/evaluated
+    * as a DataFrame and only the DROPPED files' names reach the driver
+    * — never the files × columns stats rows. Files without a stats row
+    * for a predicate column never enter the dropped set, so the
+    * conservative superset contract holds by construction. */
   private def survivingFiles(spark: SparkSession, tablePath: String,
                              preds: Seq[(String, Option[Any], Option[Any])])
     : Seq[String] = {
+    import spark.implicits._
     val all = dataFiles(spark, tablePath)
     if (preds.isEmpty || !Fs.exists(spark, statsPath(tablePath))) return all
-    val stats: Map[(String, String), (String, String, String)] =
-      spark.read.parquet(statsPath(tablePath))
-        .select("file", "column", "dtype", "min", "max")
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          ((r.getString(2), r.getString(3), r.getString(4))))
-        .toMap
-    all.filter { f =>
-      preds.forall { case (column, lower, upper) =>
-        stats.get((f, column)) match {
-          case Some((t, lo, hi)) =>
-            // a bound that does not parse in the column's stat domain
-            // (e.g. a Date object against long-typed stats) must KEEP
-            // the file — skipping is only ever allowed to be
-            // conservative
-            try {
-              val loOk = upper.forall(u =>
-                cmp(t, parse(t, lo), parse(t, String.valueOf(u))) <= 0)
-              val hiOk = lower.forall(l =>
-                cmp(t, parse(t, hi), parse(t, String.valueOf(l))) >= 0)
-              loOk && hiOk
-            } catch { case scala.util.control.NonFatal(_) => true }
-          case None => true // no stats -> cannot prune
-        }
-      }
-    }
+    // a file is dropped iff SOME stats row for a predicate column
+    // proves its range cannot intersect that predicate
+    val violations = preds.map { case (column, lower, upper) =>
+      col("column") === column && !keepExpr(lower, upper)
+    }.reduce(_ || _)
+    val dropped: Set[String] = statsFrame(spark, tablePath)
+      .filter(col("column").isin(preds.map(_._1): _*))
+      .filter(violations)
+      .select("file").distinct().as[String].collect().toSet
+    all.filterNot(dropped.contains)
   }
 
   /** Files that can hold rows with `column` in [lower, upper]

@@ -120,12 +120,13 @@ class IsolatedStorage(val storage: Storage, spark: SparkSession,
                      partitionFields: Seq[String] = Nil,
                      mergeSchemas: Boolean = false,
                      updateCondition: Option[String] = None,
-                     insertCondition: Option[String] = None): Unit = {
+                     insertCondition: Option[String] = None,
+                     errorOnMultiMatch: Boolean = false): Unit = {
     val iso = createIsolationPath(path)
     val target = if (exists(iso)) iso else path
     verboseOutput(target, "Merging", "delta")
     storage.merge(df, target, mergeCondition, partitionFields, mergeSchemas,
-      updateCondition, insertCondition)
+      updateCondition, insertCondition, errorOnMultiMatch)
   }
 
   override def registerOutputObserver(observer: StorageOutputObserver): Unit =

@@ -22,9 +22,10 @@ import graft.core.Schemas
   * large incremental the joins shuffle on the same extracted equi-keys
   * and AQE reuses the table's exchange. Everything is executor-side —
   * no driver state, no collect. Matching multiple incremental rows to
-  * one full row duplicates the full row (Delta raises an error there;
-  * we document instead of paying a distributed duplicate check on every
-  * merge).
+  * one full row duplicates the full row by default (documented
+  * deviation — Delta raises an error there); opt into Delta's
+  * behavior with `errorOnMultiMatch`, which costs one extra
+  * aggregation over the matched pairs per merge.
   */
 object Merge {
 
@@ -35,7 +36,8 @@ object Merge {
           partitionFields: Seq[String],
           mergeSchemas: Boolean,
           updateCondition: Option[String],
-          insertCondition: Option[String]): Boolean = {
+          insertCondition: Option[String],
+          errorOnMultiMatch: Boolean = false): Boolean = {
 
     if (updateCondition.map(_.toLowerCase).contains("false") &&
         insertCondition.map(_.toLowerCase).contains("false"))
@@ -225,6 +227,25 @@ object Merge {
     val cond = expr(mergeCondition)
     val f = prunedFull.alias("full")
     val i = evolvedInc.alias("incremental")
+
+    if (errorOnMultiMatch) {
+      // Delta parity (opt-in): a full row matched by >1 incremental
+      // rows would be duplicated by the decomposition below — detect
+      // with ONE aggregation over the matched pairs. The row id is
+      // per-job (monotonically_increasing_id), used only inside this
+      // one count, so recompute instability across jobs cannot leak.
+      val tagged = prunedFull
+        .withColumn("__graft_mid", monotonically_increasing_id())
+      val multi = tagged.alias("full").join(i, cond, "inner")
+        .groupBy(col("full.__graft_mid")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      if (multi > 0)
+        throw new IllegalStateException(
+          "Cannot perform merge: multiple rows of the incremental data " +
+            "matched the same table row. Make the merge condition " +
+            "unique per table row, deduplicate the incremental frame, " +
+            "or drop errorOnMultiMatch to accept duplication.")
+    }
     val updCond = updateCondition.map(expr).getOrElse(lit(true))
     val insCond = insertCondition.map(expr).getOrElse(lit(true))
     val outNames = evolvedFull.schema.fields.map(_.name).toSeq

@@ -31,9 +31,9 @@ object Optimize {
     * it: every clustering column's per-file min/max stays tight, so
     * [[DataSkipping]] prunes on ANY of them — plain (lexicographic)
     * range clustering only ever helps the leading column. The Z-value
-    * is computed from fixed-width buckets over each column's global
-    * [min, max] (one extra aggregate pass — at 100 TB a metadata-sized
-    * cost for a layout that cuts every future multi-predicate scan).
+    * is computed from EQUI-DEPTH (quantile) buckets per column — one
+    * extra sketch-aggregate pass, metadata-sized at 100 TB — so skewed
+    * columns cluster as well as uniform ones (see [[zValueOf]]).
     *
     * Returns the number of data files after the rewrite. */
   def run(spark: SparkSession, storage: BasicStorage, path: String,
@@ -173,27 +173,71 @@ object Optimize {
           nonNumeric.mkString(", "))
   }
 
-  /** The interleaved Z-value column for `zCols` of `df`: one aggregate
-    * pass collects each column's global [min, max]; each value maps to
-    * a fixed-width bucket in [0, 2^bits); bucket bits interleave
-    * round-robin so no column dominates the sort prefix. Nulls bucket
-    * to 0 (they cluster together, like a NULLS FIRST sort). */
+  /** Number of equi-depth CDF knots per clustering column. 64 pieces
+    * bound the driver state and the generated search tree while giving
+    * 1/64-quantile resolution to the skew adaptation; WITHIN a piece
+    * the mapping interpolates linearly, so the full 2^bits bucket
+    * resolution is preserved. */
+  private val CdfKnots = 64
+
+  /** The interleaved Z-value column for `zCols` of `df`.
+    *
+    * Buckets are EQUI-DEPTH, not fixed-width: one aggregate pass
+    * collects `CdfKnots` approx-percentile knots per column (a
+    * distributed sketch — bounded memory at any scale, only knots×cols
+    * doubles reach the driver); each value maps through the
+    * piecewise-linear CDF those knots define (codegen'd binary-search
+    * `when` tree, ~log2(64) comparisons per row) and the [0,1] CDF
+    * value buckets uniformly into [0, 2^bits). Fixed-width buckets
+    * degrade on skew — a heavy-tailed column with range ≫ mass
+    * concentration collapses most rows into bucket 0, the Z-values
+    * tie, and the range partitioner (which cannot split equal keys)
+    * emits one giant file. Equi-depth bucketing spreads any
+    * distribution ~uniformly, so files stay balanced and per-file
+    * stats stay selective. Bucket bits interleave round-robin so no
+    * column dominates the sort prefix. Nulls bucket to 0 (they cluster
+    * together, like a NULLS FIRST sort). */
   private def zValueOf(spark: SparkSession,
                        df: org.apache.spark.sql.DataFrame,
                        zCols: Seq[String]): org.apache.spark.sql.Column = {
     val ZBits = zBits(zCols.size)
-    val aggs = zCols.flatMap(c => Seq(
-      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val percentages = array((0 to CdfKnots).map(k =>
+      lit(k.toDouble / CdfKnots)): _*)
+    val aggs = zCols.map(c =>
+      percentile_approx(col(c).cast("double"), percentages, lit(10000)))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = (1L << ZBits) - 1
     val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
-      val (mnI, mxI) = (2 * i, 2 * i + 1)
-      if (row.isNullAt(mnI) || row.isNullAt(mxI) ||
-          row.getDouble(mxI) <= row.getDouble(mnI)) lit(0L)
+      val knots: Seq[(Double, Double)] =
+        if (row.isNullAt(i)) Nil
+        else {
+          val vals = row.getSeq[Double](i)
+          // compress ties to a strictly increasing sequence, keeping
+          // the HIGHEST cdf per value: a heavy repeated value maps to
+          // one bucket (identical rows are identical — nothing can
+          // split them) and the pieces around it stay well-defined
+          (0 to CdfKnots).map(k => (vals(k), k.toDouble / CdfKnots))
+            .groupBy(_._1).map { case (v, qs) => (v, qs.map(_._2).max) }
+            .toSeq.sortBy(_._1)
+        }
+      if (knots.size < 2) lit(0L)
       else {
-        val (mn, mx) = (row.getDouble(mnI), row.getDouble(mxI))
-        val scaled = floor((col(c).cast("double") - lit(mn)) /
-          lit(mx - mn) * lit(buckets.toDouble)).cast("long")
+        val v = col(c).cast("double")
+        // balanced binary-search tree over the CDF pieces: piece p
+        // covers [knot(p).value, knot(p+1).value) and interpolates
+        // linearly between the two knots' cdf values
+        def tree(lo: Int, hi: Int): org.apache.spark.sql.Column =
+          if (hi - lo == 1) {
+            val (v0, q0) = knots(lo)
+            val (v1, q1) = knots(lo + 1)
+            lit(q0) + (v - lit(v0)) / lit(v1 - v0) * lit(q1 - q0)
+          } else {
+            val mid = (lo + hi) / 2
+            when(v < lit(knots(mid)._1), tree(lo, mid))
+              .otherwise(tree(mid, hi))
+          }
+        val cdf = least(lit(1.0d), greatest(lit(0.0d), tree(0, knots.size - 1)))
+        val scaled = floor(cdf * lit(buckets.toDouble)).cast("long")
         when(col(c).isNull, 0L)
           .otherwise(least(lit(buckets), greatest(lit(0L), scaled)))
       }

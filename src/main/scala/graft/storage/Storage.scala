@@ -32,7 +32,8 @@ trait Storage {
             partitionFields: Seq[String] = Nil,
             mergeSchemas: Boolean = false,
             updateCondition: Option[String] = None,
-            insertCondition: Option[String] = None): Unit
+            insertCondition: Option[String] = None,
+            errorOnMultiMatch: Boolean = false): Unit
   def exists(path: String): Boolean
   def registerOutputObserver(observer: StorageOutputObserver): Unit
 }

@@ -368,6 +368,29 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, "old"), (1L, "upd-a"), (2L, "other")).sortBy(_.toString))
   }
 
+  test("merge: errorOnMultiMatch raises on multi-match, passes 1:1 merges") {
+    val dir = tempDir("merge_multierr")
+    Fs.delete(spark, dir)
+    storage.write(Seq((1L, "old"), (2L, "other")).toDF("id", "value"),
+      dir, "delta", "overwrite")
+    // 1:1 matches pass with the flag on, and merge normally
+    storage.merge(Seq((1L, "upd")).toDF("id", "value"), dir,
+      "full.id == incremental.id", errorOnMultiMatch = true)
+    assert(storage.read(dir, "delta").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "upd"), (2L, "other")))
+    // two incremental rows hitting one table row raise; table untouched
+    val inc = Seq((1L, "a"), (1L, "b")).toDF("id", "value")
+    val e = intercept[IllegalStateException] {
+      storage.merge(inc, dir, "full.id == incremental.id",
+        errorOnMultiMatch = true)
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    assert(storage.read(dir, "delta").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "upd"), (2L, "other")))
+  }
+
   test("merge: null keys never match — kept on full side, inserted from incremental") {
     val dir = tempDir("merge_nullkeys")
     Fs.delete(spark, dir)

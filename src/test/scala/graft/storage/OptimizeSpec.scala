@@ -93,6 +93,39 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == df.filter(col("b").between(1L, 400L)).count())
   }
 
+  test("zOrder balances file sizes on heavy-tailed columns (equi-depth buckets)") {
+    // 99% of the mass sits in [0, 1000] while the range extends to 1e12:
+    // fixed-width buckets would map ~all rows to bucket 0, the Z-values
+    // would tie, and the range partitioner (which cannot split equal
+    // keys) would emit one giant file. Equi-depth buckets spread the
+    // mass, so files stay balanced AND the dense region stays prunable.
+    val rng = new scala.util.Random(7)
+    def skewed(): Long =
+      if (rng.nextInt(100) == 0) (rng.nextDouble() * 1e12).toLong
+      else rng.nextInt(1000).toLong
+    val df = (1L to 8000L).map(i => (i, skewed(), skewed()))
+      .toDF("id", "a", "b")
+
+    val dir = tempDir("opt_zskew"); Fs.delete(spark, dir)
+    storage.write(df.repartition(8), dir, "delta", "overwrite")
+    DataSkipping.collectStats(spark, dir, Seq("a", "b"))
+    Optimize.run(spark, storage, dir, clusterBy = Seq("a", "b"),
+      targetFileBytes = 16L * 1024, zOrder = true)
+
+    val sizes = dataFiles(dir).map(_.length()).sorted
+    assert(sizes.size >= 4, s"want several files, got ${sizes.size}")
+    assert(sizes.last < 4 * sizes.head,
+      s"skewed z-order produced unbalanced files: $sizes")
+
+    // the dense region still prunes: a predicate inside [0, 1000]
+    // must skip files despite the 1e12 outlier range
+    val total = dataFiles(dir).size
+    val pruned = DataSkipping.pruneFiles(spark, dir, "a",
+      Some(0L), Some(100L)).size
+    assert(pruned < total, s"dense-region predicate kept $pruned of $total")
+    assertDfEqual(storage.read(dir, "delta"), df)
+  }
+
   test("zOrder rejects non-numeric clustering columns") {
     val dir = tempDir("opt_znn")
     Fs.delete(spark, dir)
