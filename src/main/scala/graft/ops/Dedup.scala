@@ -47,7 +47,13 @@ object Dedup {
 
   /** Word-level shingles of size `n` as one row per (id, shingle).
     * Tokens are projected as a column first — see [[shingleHashes]] for
-    * why (lambda inlining makes it quadratic otherwise). */
+    * why (lambda inlining makes it quadratic otherwise). explode_OUTER
+    * on purpose: the array is non-empty by construction (short texts
+    * yield their whole text as one shingle), so outer changes no rows —
+    * but it keeps InferFiltersFromGenerate from planting a size(...)>0
+    * filter whose pushdown re-inlines the tokenizer into the lambda
+    * (the same O(tokens²) pathology the checkpoint barrier fixes in
+    * [[minHashLshPairs]], avoided here without materializing). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
     val tokens = split(TextAnalysis.normalize(col(textCol)), " ")
@@ -57,8 +63,34 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
     df.select(col(idCol), tokens.as("__graft_tokens"))
-      .select(col(idCol), explode(shingleArr).as("shingle")).distinct()
+      .select(col(idCol), explode_outer(shingleArr).as("shingle")).distinct()
   }
+
+  /** Cross-corpus contamination check: for every training row sharing
+    * at least one word n-gram with ANY eval row, the count of distinct
+    * shared n-grams — the standard benchmark-decontamination primitive
+    * (eval questions leaking into the training corpus). Scale shape:
+    * one shingle join keyed by the gram itself, eval side deduplicated
+    * first; never corpus × corpus. Output: (idCol, shared_grams). */
+  def contaminationOverlap(train: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val tg = shingles(train, idCol, textCol, n)
+    val eg = shingles(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    tg.join(eg, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Decontaminate: training rows with any `n`-gram overlap against
+    * the eval corpus are dropped (anti-join against the contaminated
+    * id set — incremental over [[contaminationOverlap]]). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame =
+    train.join(
+      contaminationOverlap(train, eval, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
 
   /** One array of shingle hashes per id. Shingles are hashed in place
     * with xxhash64 over the k token positions (element_at — no

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.storage.BasicStorage
 
 import Tables._
@@ -813,6 +813,93 @@ object GraftQueries {
       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, common, round(jaccard, 6) AS jaccard
       |FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  /** Benchmark decontamination: training docs (doc_id % 10 != 0)
+    * sharing any 5-word-gram with the eval slice (doc_id % 10 == 0)
+    * are flagged with their distinct-shared-gram count. One join keyed
+    * by the gram itself — never corpus × corpus. */
+  val decontaminate: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.contaminationOverlap(train, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram
+      |  FROM (SELECT doc_id, unnest(CASE WHEN len(ts) >= 5
+      |      THEN list_transform(generate_series(1, len(ts) - 4),
+      |        i -> array_to_string(ts[i:i+4], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS gram
+      |    FROM toks)),
+      |eval_g AS (
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+      |SELECT g.doc_id, count(*) AS shared_grams
+      |FROM grams g JOIN eval_g e USING (gram)
+      |WHERE g.doc_id % 10 != 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** Sequence packing: fill 512-token bins with documents, packing in
+    * doc_id order within independent 50-doc shards (the unit of
+    * parallelism — a global greedy pack would serialize; see
+    * [[Packing]]). Reports per-(shard, bin) doc and token totals. */
+  val sequencePack: Q = (spark, dir) =>
+    Packing.packingSummary(t(spark, dir, "documents"), "doc_id", "text",
+        shard = floor(col("doc_id") / 50).cast("long"), budget = 512)
+      .orderBy("shard", "bin")
+
+  val sequencePackSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 50 AS shard,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  /** Max-abs int8 embedding quantization: per-vector scale + quantized
+    * components (spot-checked head values and full checksum — the
+    * whole vector is compared through qsum without 64 output
+    * columns). */
+  val embeddingQuantize: Q = (spark, dir) =>
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("__ma", Similarity.maxAbs(col("v")))
+      .withColumn("__q", Similarity.quantizeInt8(col("v"), col("__ma")))
+      .select(col("vec_id"),
+        round(col("__ma") / 127.0d, 6).as("scale"),
+        element_at(col("__q"), 1).as("q0"),
+        element_at(col("__q"), 2).as("q1"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("qsum"))
+      .orderBy("vec_id")
+
+  val embeddingQuantizeSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> abs(x))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, maxabs,
+      |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+      |      ELSE list_transform(v, x -> CAST(round(x / maxabs * 127) AS INT))
+      |    END AS qv
+      |  FROM m)
+      |SELECT vec_id, round(maxabs / 127, 6) AS scale,
+      |  qv[1] AS q0, qv[2] AS q1,
+      |  CAST(list_sum(qv) AS BIGINT) AS qsum
+      |FROM q ORDER BY vec_id""".stripMargin
 
   /** Range (point-in-interval) join: every lineitem row lands in its
     * quantity band via a broadcast nested-loop join — the small interval
@@ -1811,6 +1898,9 @@ object GraftQueries {
     entry("q_hash_sample", hashSample, hashSampleSql),
     entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
+    entry("q_decontaminate", decontaminate, decontaminateSql),
+    entry("q_sequence_pack", sequencePack, sequencePackSql),
+    entry("q_embedding_quantize", embeddingQuantize, embeddingQuantizeSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_optimize", optimizeTable, optimizeTableSql),
     entry("q_zorder", zorderTable, zorderTableSql),

@@ -493,6 +493,54 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f(2L).forall(_ == 0.0f))
   }
 
+  test("contamination: flags only training docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training text here today"),
+      (3L, "shared secret benchmark answer phrase plus extra words"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "shared secret benchmark answer phrase appears in eval"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationOverlap(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(3L)) // only the planted overlap
+    assert(hits(3L) >= 1L)
+    val clean = Dedup.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L, 2L))
+  }
+
+  test("packing: fills budget bins in id order within shards") {
+    // 4 tokens per doc, budget 10 -> docs 1,2 in bin 0 (cum-before 0,4),
+    // doc 3 starts at 8 < 10 -> still bin 0; doc 4 at 12 -> bin 1
+    val df = (1L to 4L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val packed = Packing.packByTokenBudget(df, "doc_id", "text",
+      lit(0L), budget = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // shards pack independently: same docs, two shards, bins restart
+    val sharded = Packing.packByTokenBudget(df, "doc_id", "text",
+      (col("doc_id") % 2).cast("long"), budget = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(sharded.values.forall(_ == 0L)) // 2 docs x 4 tokens < 10 per shard
+  }
+
+  test("quantizeInt8: exact scale, zero-vector safe, dequantize close") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val out = df
+      .withColumn("ma", Similarity.maxAbs(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("ma")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getSeq[Int](3)))).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == Seq(64, -127, 32)) // round(0.5*127)=64 (half-up)
+    assert(out(2L)._2 == Seq(0, 0, 0))
+  }
+
   test("multimodal: frame sampling shape") {
     val bytes = Array.fill[Byte](5000)(1)
     val df = Seq((1L, bytes)).toDF("id", "media")
