@@ -260,11 +260,13 @@ object Dedup {
 
   /** Char-n-gram Jaccard near-dup pairs with a MinHash-LSH prefilter:
     * the scale form of [[jaccardNgramPairs]], same output contract
-    * (id_a, id_b, common, jaccard) and byte-identical values — only
-    * pairs sharing an LSH band bucket are verified, and verification is
-    * an exact join over the gram STRINGS (hash-free), so every surviving
-    * row matches the all-pairs form exactly. The all-pairs product never
-    * materializes; candidate work is per-(band, bucket).
+    * (id_a, id_b, common, jaccard). Every SURFACED row is byte-identical
+    * to the all-pairs form — verification is an exact join over the
+    * gram STRINGS (hash-free) — but which pairs surface is subject to
+    * LSH recall (below): a true pair only barely above the threshold
+    * has a small, dataset-deterministic chance of never sharing a band
+    * bucket. The all-pairs product never materializes; candidate work
+    * is per-(band, bucket).
     *
     * Recall: a true pair at Jaccard s is a candidate with probability
     * 1-(1-s^r)^b (r = numHashes/bands rows per band). The default

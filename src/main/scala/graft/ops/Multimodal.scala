@@ -59,11 +59,16 @@ object Multimodal {
     * logical screen (little-endian at byte 7), BMP info header
     * (little-endian at byte 19, 4 bytes). JPEG dimensions live in a
     * variable-offset SOF marker and require a scan — decode-time
-    * metadata, left null here. */
+    * metadata, left null here. Each branch also requires the payload
+    * to REACH its field's end offset: substring past the end returns
+    * the available bytes and conv() would read a truncated slice as a
+    * small fabricated integer — unparseable must mean null. */
   def headerWidth(bin: Column): Column =
-    when(detectMime(bin) === "image/png", beInt(bin, 17, 4))
-      .when(detectMime(bin) === "image/gif", leShort(bin, 7))
-      .when(detectMime(bin) === "image/bmp",
+    when(detectMime(bin) === "image/png" && length(bin) >= 20,
+      beInt(bin, 17, 4))
+      .when(detectMime(bin) === "image/gif" && length(bin) >= 8,
+        leShort(bin, 7))
+      .when(detectMime(bin) === "image/bmp" && length(bin) >= 22,
         conv(concat(hex(substring(bin, 22, 1)), hex(substring(bin, 21, 1)),
           hex(substring(bin, 20, 1)), hex(substring(bin, 19, 1))), 16, 10)
           .cast("int"))
@@ -71,9 +76,11 @@ object Multimodal {
 
   /** Image height from the container header; see [[headerWidth]]. */
   def headerHeight(bin: Column): Column =
-    when(detectMime(bin) === "image/png", beInt(bin, 21, 4))
-      .when(detectMime(bin) === "image/gif", leShort(bin, 9))
-      .when(detectMime(bin) === "image/bmp",
+    when(detectMime(bin) === "image/png" && length(bin) >= 24,
+      beInt(bin, 21, 4))
+      .when(detectMime(bin) === "image/gif" && length(bin) >= 10,
+        leShort(bin, 9))
+      .when(detectMime(bin) === "image/bmp" && length(bin) >= 26,
         conv(concat(hex(substring(bin, 26, 1)), hex(substring(bin, 25, 1)),
           hex(substring(bin, 24, 1)), hex(substring(bin, 23, 1))), 16, 10)
           .cast("int"))
@@ -88,14 +95,23 @@ object Multimodal {
       headerWidth(col(binCol)).as("width"),
       headerHeight(col(binCol)).as("height")))
 
+  // ImageIO defaults to a DISK cache: every read/write round-trips a
+  // temp file — one create/write/delete per ROW in the mapPartitions
+  // hot loops below, and a /tmp-exhaustion hazard at corpus scale.
+  // Static JVM-wide switch, set once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode an image payload with the JDK-native codecs (PNG/JPEG/GIF/
     * BMP/WBMP). None for null/empty/undecodable payloads — the caller's
-    * fallback branch handles those. */
+    * fallback branch handles those. Catches all non-fatal throwables:
+    * the JDK readers throw unchecked exceptions (not just IOException)
+    * on corrupt bodies behind valid magic numbers, and a hostile
+    * payload must take the fallback, not kill the job. */
   def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
     if (bytes == null || bytes.length == 0) None
     else try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None } // truncated/corrupt payload
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic bilinear resample to w×h (half-pixel-center source
     * mapping, edge clamp): hand-rolled over `getRGB` so the result is a

@@ -29,7 +29,11 @@ object Packing {
   def packByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                         shard: Column, budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // ROWS frame, not the default RANGE: RANGE aggregates all order-key
+    // PEERS together, so duplicate ids in a shard would share one
+    // inflated cumulative sum instead of packing sequentially
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), shard.as("shard"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))

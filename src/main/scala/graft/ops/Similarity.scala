@@ -131,14 +131,19 @@ object Similarity {
 
   /** Embedding-cosine near-dup via sign-LSH prefilter: only pairs
     * sharing a bucket in some table are scored. The 100 TB path — the
-    * all-pairs product never materializes; work is per-(table, bucket). */
+    * all-pairs product never materializes; work is per-(table, bucket).
+    * The bucketed frame is computed ONCE and checkpointed, then both
+    * self-join sides are cheap renames of the cached blocks —
+    * nPlanes × nTables projections per vector instead of twice that,
+    * and a pushdown barrier for the join's inferred filters. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int,
                       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val a = lshBucketed(df, idCol, vecCol, "id_a", "__va", "__na",
-      dim, nPlanes, nTables)
-    val b = lshBucketed(df, idCol, vecCol, "id_b", "__vb", "__nb",
-      dim, nPlanes, nTables)
+    val bucketed = lshBucketed(df, idCol, vecCol, "id_a", "__va", "__na",
+      dim, nPlanes, nTables).localCheckpoint(true)
+    val a = bucketed
+    val b = bucketed.select(col("id_a").as("id_b"), col("__va").as("__vb"),
+      col("__na").as("__nb"), col("table"), col("bucket"))
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -211,4 +211,42 @@ object TextAnalysis {
     size(split(text, EmailPattern)) - 1 +
       (size(split(text, Ipv4Pattern)) - 1) +
       (size(split(text, PhonePattern)) - 1)
+
+  /** Repetition statistics per document — the Gopher-style repetition
+    * signals a pre-training scrub filters on: duplicate-token fraction
+    * (1 − distinct/total) and top-bigram fraction (2 · occurrences of
+    * the most frequent word bigram / tokens). Docs shorter than
+    * `minTokens` are excluded (the fractions are meaningless there;
+    * minTokens ≥ 2 also guarantees every surviving doc has at least
+    * one bigram, keeping the lambda indices in range).
+    * Shape: map-only bigram explode + two groupBys keyed by doc —
+    * shuffle-bounded, no driver state.
+    * Output: (idCol, n_tokens, dup_token_frac, top_bigram_frac). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 4): DataFrame = {
+    require(minTokens >= 2,
+      "minTokens must be >= 2 - a bigram needs two tokens")
+    val toks = col("__graft_toks")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__graft_toks"))
+      .filter(size(toks) >= minTokens)
+      .select(col(idCol), toks,
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("__nd"))
+    // explode_outer: sequence(0, size-2) is non-empty for size >= 2 —
+    // outer changes no rows but skips InferFiltersFromGenerate (whose
+    // pushed filter would re-inline the bigram lambda; see Dedup)
+    val bigrams = base.select(col(idCol), col("n_tokens"), col("__nd"),
+      explode_outer(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2)))).as("__bg"))
+    val top = bigrams
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        (lit(1.0d) - col("__nd").cast("double") / col("n_tokens")
+          .cast("double")).as("dup_token_frac"),
+        (col("__top").cast("double") * 2.0d / col("n_tokens")
+          .cast("double")).as("top_bigram_frac"))
+  }
 }

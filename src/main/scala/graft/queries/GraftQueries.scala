@@ -814,6 +814,47 @@ object GraftQueries {
       |SELECT id_a, id_b, common, round(jaccard, 6) AS jaccard
       |FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  /** Gopher-style repetition scrub: duplicate-token and top-bigram
+    * fractions per doc, flagged when either crosses its threshold
+    * (0.5 / 0.2) — flag computed on UNROUNDED fractions, mirrored
+    * exactly in the oracle. */
+  val repetitionFilter: Q = (spark, dir) =>
+    TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
+      .withColumn("flagged",
+        (col("top_bigram_frac") > 0.2d || col("dup_token_frac") > 0.5d)
+          .cast("int"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        col("flagged"))
+      .orderBy("doc_id")
+
+  val repetitionFilterSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, ts, len(ts) AS n_tokens,
+      |    len(list_distinct(ts)) AS n_distinct
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS ts
+      |        FROM documents)
+      |  WHERE len(ts) >= 4),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |  FROM base),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_cnt
+      |  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS dup_token_frac,
+      |  round(CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_tokens AS DOUBLE), 6)
+      |    AS top_bigram_frac,
+      |  CAST(CASE WHEN CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_tokens AS DOUBLE) > 0.2
+      |         OR 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.5
+      |       THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM base b JOIN top USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   /** Benchmark decontamination: training docs (doc_id % 10 != 0)
     * sharing any 5-word-gram with the eval slice (doc_id % 10 == 0)
     * are flagged with their distinct-shared-gram count. One join keyed
@@ -1898,6 +1939,7 @@ object GraftQueries {
     entry("q_hash_sample", hashSample, hashSampleSql),
     entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
+    entry("q_repetition_filter", repetitionFilter, repetitionFilterSql),
     entry("q_decontaminate", decontaminate, decontaminateSql),
     entry("q_sequence_pack", sequencePack, sequencePackSql),
     entry("q_embedding_quantize", embeddingQuantize, embeddingQuantizeSql),

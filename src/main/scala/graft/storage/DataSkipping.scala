@@ -132,12 +132,15 @@ object DataSkipping {
       statsFrame(spark, tablePath).join(filesDf, Seq("file"))
     if (columns.isEmpty) return reused
     // files already covered for every requested column need no footer
-    // read — names only come back, never the stats rows
+    // read — names only come back, never the stats rows. Compare
+    // against the DISTINCT request size: a duplicated column in the
+    // request would otherwise make coverage unsatisfiable and every
+    // refresh O(total files) again.
     val coveredFiles: Set[String] = reused
       .filter(col("column").isin(columns: _*))
       .groupBy(col("file"))
       .agg(countDistinct(col("column")).as("__nc"))
-      .filter(col("__nc") === columns.size)
+      .filter(col("__nc") === columns.distinct.size)
       .select("file").as[String].collect().toSet
     val toRead = files.filterNot(coveredFiles.contains)
     if (toRead.isEmpty) {

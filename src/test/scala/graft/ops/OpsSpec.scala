@@ -526,6 +526,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(sharded.values.forall(_ == 0L)) // 2 docs x 4 tokens < 10 per shard
   }
 
+  test("repetitionStats: planted repetition flagged, varied text not") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all these tokens are completely different words here"),
+      (3L, "hi"))
+      .toDF("doc_id", "text")
+    val stats = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!stats.contains(3L)) // below minTokens
+    assert(stats(1L) == ((4, 0.75, 1.5))) // 1 distinct of 4; "spam spam" x3
+    assert(stats(2L)._2 == 0.0)
+    assert(stats(2L)._3 == 2.0 / 8.0) // every bigram unique
+  }
+
   test("quantizeInt8: exact scale, zero-vector safe, dequantize close") {
     val df = Seq(
       (1L, Seq(0.5, -1.0, 0.25)),
@@ -539,6 +554,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._1 == 1.0)
     assert(out(1L)._2 == Seq(64, -127, 32)) // round(0.5*127)=64 (half-up)
     assert(out(2L)._2 == Seq(0, 0, 0))
+  }
+
+  test("multimodal: corrupt/truncated image payloads fall back, not crash") {
+    // valid PNG magic + garbage body, and a real PNG cut mid-header
+    val corrupt = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a) ++ Array.fill[Byte](40)(0x7f)
+    val truncated = testPng(16, 8).take(18)
+    val df = Seq((1L, corrupt), (2L, truncated)).toDF("id", "media")
+    val out = Multimodal.resize(df, "media", 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    assert(out.values.forall(_.length == 32)) // fallback branch, both rows
+    // truncated header must yield NULL dims, not a fabricated integer
+    val meta = Multimodal.withMediaMeta(df, "media")
+      .select("id", "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(2L).isNullAt(1) && meta(2L).isNullAt(2))
+  }
+
+  test("packing: duplicate ids in a shard still pack sequentially (ROWS frame)") {
+    // three equal ids x 6 tokens, budget 10: RANGE framing would lump
+    // all three at cum=18 (bins 1,1,1); ROWS packs 0,0,1
+    val df = Seq((7L, "a b c d e f"), (7L, "a b c d e f"),
+      (7L, "a b c d e f")).toDF("doc_id", "text")
+    val bins = Packing.packByTokenBudget(df, "doc_id", "text", lit(0L), 10)
+      .select("bin").as[Long].collect().sorted.toSeq
+    assert(bins == Seq(0L, 0L, 1L))
   }
 
   test("multimodal: frame sampling shape") {
