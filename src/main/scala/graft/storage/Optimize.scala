@@ -75,9 +75,8 @@ object Optimize {
     if (zOrder && zCols.nonEmpty) requireNumeric(df, zCols)
     val shaped =
       if (clusterBy.nonEmpty && zOrder && zCols.size >= 2) {
-        val z = zValueOf(spark, df, zCols)
         val keys = parts.map(col) :+ col("__graft_z")
-        df.withColumn("__graft_z", z)
+        withZValue(spark, df, zCols)
           .repartitionByRange(nFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop("__graft_z")
@@ -180,14 +179,14 @@ object Optimize {
     * resolution is preserved. */
   private val CdfKnots = 64
 
-  /** The interleaved Z-value column for `zCols` of `df`.
+  /** `df` plus an interleaved `__graft_z` Z-value column for `zCols`.
     *
     * Buckets are EQUI-DEPTH, not fixed-width: one aggregate pass
     * collects `CdfKnots` approx-percentile knots per column (a
     * distributed sketch — bounded memory at any scale, only knots×cols
     * doubles reach the driver); each value maps through the
-    * piecewise-linear CDF those knots define (codegen'd binary-search
-    * `when` tree, ~log2(64) comparisons per row) and the [0,1] CDF
+    * piecewise-linear CDF those knots define (codegen'd binary search,
+    * [[graft.functions.CdfBucketExpr]], ~log2(64) comparisons/row) and the [0,1] CDF
     * value buckets uniformly into [0, 2^bits). Fixed-width buckets
     * degrade on skew — a heavy-tailed column with range ≫ mass
     * concentration collapses most rows into bucket 0, the Z-values
@@ -196,15 +195,31 @@ object Optimize {
     * distribution ~uniformly, so files stay balanced and per-file
     * stats stay selective. Bucket bits interleave round-robin so no
     * column dominates the sort prefix. Nulls bucket to 0 (they cluster
-    * together, like a NULLS FIRST sort). */
-  private def zValueOf(spark: SparkSession,
-                       df: org.apache.spark.sql.DataFrame,
-                       zCols: Seq[String]): org.apache.spark.sql.Column = {
+    * together, like a NULLS FIRST sort).
+    *
+    * Each column's bucket value is MATERIALIZED as a real column before
+    * the bit interleave. The interleave references its bucket once per
+    * bit — as a raw Column expression that means 16 embedded copies of
+    * the bucket expression per clustering column, and every analyzer/
+    * optimizer rule and the codegen pass walks all of them (measured 4×
+    * slower end-to-end on q_zorder when the bucket expression was the
+    * 63-piece when-tree). Through a materialized column the bits
+    * reference a cheap attribute, the bucket expression appears exactly
+    * once per column, and CollapseProject keeps it that way (it never
+    * inlines a non-trivial producer with multiple consumers). */
+  private def withZValue(spark: SparkSession,
+                         df: org.apache.spark.sql.DataFrame,
+                         zCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val ZBits = zBits(zCols.size)
     val percentages = array((0 to CdfKnots).map(k =>
       lit(k.toDouble / CdfKnots)): _*)
+    // Sketch accuracy 1000 resolves ~1/1000 quantiles — 8× finer than
+    // the 1/(2·64) the knot grid can even express, at ~10× less sketch
+    // build/merge cost than the accuracy-10000 first cut (measured
+    // 5.5 s → 25 s on q_zorder at sf0.1; knot values move by < one
+    // knot spacing, so file balance is unchanged).
     val aggs = zCols.map(c =>
-      percentile_approx(col(c).cast("double"), percentages, lit(10000)))
+      percentile_approx(col(c).cast("double"), percentages, lit(1000)))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = (1L << ZBits) - 1
     val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
@@ -222,32 +237,30 @@ object Optimize {
         }
       if (knots.size < 2) lit(0L)
       else {
-        val v = col(c).cast("double")
-        // balanced binary-search tree over the CDF pieces: piece p
-        // covers [knot(p).value, knot(p+1).value) and interpolates
-        // linearly between the two knots' cdf values
-        def tree(lo: Int, hi: Int): org.apache.spark.sql.Column =
-          if (hi - lo == 1) {
-            val (v0, q0) = knots(lo)
-            val (v1, q1) = knots(lo + 1)
-            lit(q0) + (v - lit(v0)) / lit(v1 - v0) * lit(q1 - q0)
-          } else {
-            val mid = (lo + hi) / 2
-            when(v < lit(knots(mid)._1), tree(lo, mid))
-              .otherwise(tree(mid, hi))
-          }
-        val cdf = least(lit(1.0d), greatest(lit(0.0d), tree(0, knots.size - 1)))
-        val scaled = floor(cdf * lit(buckets.toDouble)).cast("long")
+        // Piece lookup + interpolation as ONE codegen'd binary search
+        // (graft.functions.CdfBucketExpr). Both column-algebra
+        // formulations measured badly in this per-row hot path: a
+        // balanced 63-piece when-tree made janino compilation of the
+        // generated Java dominate the clustered write (~4.5 s of 6 s
+        // at sf0.1), and a size(filter(knotArray, v >= _)) counting
+        // loop is a higher-order function — interpreted per row per
+        // element and a whole-stage-codegen break in the rewrite
+        // projection (measured ~3× on q_zorder end-to-end).
         when(col(c).isNull, 0L)
-          .otherwise(least(lit(buckets), greatest(lit(0L), scaled)))
+          .otherwise(graft.functions.CdfBucketExpr.cdfBucket(
+            col(c).cast("double"), knots.map(_._1), knots.map(_._2),
+            buckets))
       }
     }
     val n = bucketCols.size
-    (for {
-      (b, i) <- bucketCols.zipWithIndex
+    val names = zCols.indices.map(i => s"__graft_zb_$i")
+    val withBuckets = df.withColumns(names.zip(bucketCols).toMap)
+    val z = (for {
+      (name, i) <- names.zipWithIndex
       j <- 0 until ZBits
-    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i))
+    } yield shiftleft(shiftright(col(name), j).bitwiseAND(lit(1L)), j * n + i))
       .reduce(_ bitwiseOR _)
+    withBuckets.withColumn("__graft_z", z).drop(names: _*)
   }
 
   private def dataBytes(spark: SparkSession, base: String): Long =

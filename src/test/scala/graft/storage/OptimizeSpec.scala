@@ -126,6 +126,21 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
     assertDfEqual(storage.read(dir, "delta"), df)
   }
 
+  test("CdfBucketExpr kernel: monotone, clamped at both ends, tie/NaN-safe") {
+    import graft.functions.CdfBucketExpr.bucket
+    val vals = Array(0.0, 10.0, 50.0, 100.0)
+    val cdfs = Array(0.0, 0.25, 0.75, 1.0)
+    assert(bucket(-5.0, vals, cdfs, 15) == 0L)   // below range clamps
+    assert(bucket(200.0, vals, cdfs, 15) == 15L) // above range clamps
+    val sweep = (-10 to 110).map(v => bucket(v.toDouble, vals, cdfs, 15))
+    assert(sweep == sweep.sorted, "bucket must be monotone in the value")
+    assert(bucket(10.0, vals, cdfs, 15) == Math.floor(0.25 * 15).toLong)
+    // equal adjacent knots (possible after clamping p at the array
+    // edge) must take the right knot's cdf, not divide by zero
+    assert(bucket(99.0, Array(0.0, 10.0, 10.0), Array(0.0, 0.5, 1.0), 15) == 15L)
+    assert(bucket(Double.NaN, vals, cdfs, 15) == 0L)
+  }
+
   test("zOrder rejects non-numeric clustering columns") {
     val dir = tempDir("opt_znn")
     Fs.delete(spark, dir)
