@@ -54,15 +54,18 @@ object Multimodal {
     conv(concat(hex(substring(bin, pos + 1, 1)),
       hex(substring(bin, pos, 1))), 16, 10).cast("int")
 
-  /** Image width parsed from the container header — pure column
-    * expressions, no decode: PNG IHDR (big-endian at byte 17), GIF
-    * logical screen (little-endian at byte 7), BMP info header
-    * (little-endian at byte 19, 4 bytes). JPEG dimensions live in a
-    * variable-offset SOF marker and require a scan — decode-time
-    * metadata, left null here. Each branch also requires the payload
-    * to REACH its field's end offset: substring past the end returns
-    * the available bytes and conv() would read a truncated slice as a
-    * small fabricated integer — unparseable must mean null. */
+  /** Image width parsed from the container header — no decode: PNG
+    * IHDR (big-endian at byte 17), GIF logical screen (little-endian
+    * at byte 7), BMP info header (little-endian at byte 19, 4 bytes)
+    * as pure column expressions; JPEG via the bounded SOF-marker scan
+    * of [[graft.functions.JpegDimsExpr]] (variable-offset segment
+    * walk — a codegen'd custom expression, since fixed-offset
+    * substring algebra can't express it). Each fixed-offset branch
+    * also requires the payload to REACH its field's end offset:
+    * substring past the end returns the available bytes and conv()
+    * would read a truncated slice as a small fabricated integer —
+    * unparseable must mean null (the JPEG kernel bounds-checks
+    * internally). */
   def headerWidth(bin: Column): Column =
     when(detectMime(bin) === "image/png" && length(bin) >= 20,
       beInt(bin, 17, 4))
@@ -72,6 +75,8 @@ object Multimodal {
         conv(concat(hex(substring(bin, 22, 1)), hex(substring(bin, 21, 1)),
           hex(substring(bin, 20, 1)), hex(substring(bin, 19, 1))), 16, 10)
           .cast("int"))
+      .when(detectMime(bin) === "image/jpeg",
+        shiftright(graft.functions.JpegDimsExpr.jpegDims(bin), 32).cast("int"))
       .otherwise(lit(null).cast("int"))
 
   /** Image height from the container header; see [[headerWidth]]. */
@@ -84,10 +89,14 @@ object Multimodal {
         conv(concat(hex(substring(bin, 26, 1)), hex(substring(bin, 25, 1)),
           hex(substring(bin, 24, 1)), hex(substring(bin, 23, 1))), 16, 10)
           .cast("int"))
+      .when(detectMime(bin) === "image/jpeg",
+        graft.functions.JpegDimsExpr.jpegDims(bin)
+          .bitwiseAND(lit(0xffffffffL)).cast("int"))
       .otherwise(lit(null).cast("int"))
 
   /** Attach a metadata struct to a binary media column. Width/height
-    * are header-parsed (null for formats without fixed-offset headers). */
+    * are header-parsed (PNG/GIF/BMP fixed offsets, JPEG SOF scan;
+    * null for non-image or unparseable payloads). */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("media_meta", struct(
       detectMime(col(binCol)).as("mime"),
