@@ -224,125 +224,143 @@ object Merge {
     // file split a Delta merge plans). With a large incremental both
     // joins shuffle on the SAME extracted equi-keys, so AQE reuses one
     // exchange of the table — no worse than the full-outer plan.
-    val cond = expr(mergeCondition)
-    val f = prunedFull.alias("full")
-    val i = evolvedInc.alias("incremental")
+    // Unpartitioned (or schema-evolving) merges rewrite the whole
+    // table, and the decomposition below reads it THREE times — keep
+    // (anti), touched (inner), insert detection (inner again via
+    // `matched`). Persist the scanned frame so the table's parquet is
+    // read once and the other passes hit memory-or-local-disk blocks
+    // (recompute-safe on executor loss, unlike a checkpoint; spills,
+    // never OOMs). Partitioned merges skip this: pruning already
+    // bounds the scan to affected partitions and the dynamic-overwrite
+    // branch persists `result` instead.
+    val cowRewrite = effectiveParts.isEmpty || evolving
+    val scannedFull =
+      if (cowRewrite)
+        prunedFull.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prunedFull
+    try {
 
-    if (errorOnMultiMatch) {
-      // Delta parity (opt-in): a full row matched by >1 incremental
-      // rows would be duplicated by the decomposition below — detect
-      // with ONE aggregation over the matched pairs. The row id is
-      // per-job (monotonically_increasing_id), used only inside this
-      // one count, so recompute instability across jobs cannot leak.
-      val tagged = prunedFull
-        .withColumn("__graft_mid", monotonically_increasing_id())
-      val multi = tagged.alias("full").join(i, cond, "inner")
-        .groupBy(col("full.__graft_mid")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).count()
-      if (multi > 0)
-        throw new IllegalStateException(
-          "Cannot perform merge: multiple rows of the incremental data " +
-            "matched the same table row. Make the merge condition " +
-            "unique per table row, deduplicate the incremental frame, " +
-            "or drop errorOnMultiMatch to accept duplication.")
-    }
-    val updCond = updateCondition.map(expr).getOrElse(lit(true))
-    val insCond = insertCondition.map(expr).getOrElse(lit(true))
-    val outNames = evolvedFull.schema.fields.map(_.name).toSeq
+      val cond = expr(mergeCondition)
+      val f = scannedFull.alias("full")
+      val i = evolvedInc.alias("incremental")
 
-    val keep = f.join(i, cond, "left_anti")
-      .select(outNames.map(col): _*)
+      if (errorOnMultiMatch) {
+        // Delta parity (opt-in): a full row matched by >1 incremental
+        // rows would be duplicated by the decomposition below — detect
+        // with ONE aggregation over the matched pairs. The row id is
+        // per-job (monotonically_increasing_id), used only inside this
+        // one count, so recompute instability across jobs cannot leak.
+        val tagged = scannedFull
+          .withColumn("__graft_mid", monotonically_increasing_id())
+        val multi = tagged.alias("full").join(i, cond, "inner")
+          .groupBy(col("full.__graft_mid")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count()
+        if (multi > 0)
+          throw new IllegalStateException(
+            "Cannot perform merge: multiple rows of the incremental data " +
+              "matched the same table row. Make the merge condition " +
+              "unique per table row, deduplicate the incremental frame, " +
+              "or drop errorOnMultiMatch to accept duplication.")
+      }
+      val updCond = updateCondition.map(expr).getOrElse(lit(true))
+      val insCond = insertCondition.map(expr).getOrElse(lit(true))
+      val outNames = evolvedFull.schema.fields.map(_.name).toSeq
 
-    val matched = f.join(i, cond, "inner")
-    val touched = matched.select(outNames.map(n =>
-      when(updCond, col(s"incremental.$n"))
-        .otherwise(col(s"full.$n")).as(n)): _*)
+      val keep = f.join(i, cond, "left_anti")
+        .select(outNames.map(col): _*)
 
-    // Incremental rows that matched nothing: anti against the matched
-    // pairs' incremental side, null-safe on every column so rows with
-    // null fields subtract correctly (a plain equi-anti would re-insert
-    // them). Both sides are incremental-sized. Map columns reject <=>
-    // (unorderable) AND hashing (Spark forbids hash-on-map) — compare
-    // their canonical sorted entry arrays instead, which is exact:
-    // equal maps always produce equal sorted entries.
-    val matchedInc = matched.select(outNames.map(n =>
-      col(s"incremental.$n").as(n)): _*)
-    def cmpCol(n: String): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.types._
-      val dt = evolvedFull.schema.fields.find(_.name == n).map(_.dataType)
-      val (canon, canonType): (org.apache.spark.sql.Column => org.apache.spark.sql.Column, Option[DataType]) =
-        dt match {
-          case Some(MapType(k, v, vn)) =>
-            (c => array_sort(map_entries(c)),
-              Some(ArrayType(StructType(Seq(
-                StructField("key", k, nullable = false),
-                StructField("value", v, vn))))))
-          case other => (identity, other)
-        }
-      if (!canonType.forall(
-          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable))
-        throw new IllegalArgumentException(
-          s"merge cannot compare column '$n' of type " +
-            s"${dt.map(_.simpleString).getOrElse("?")} for insert " +
-            "detection (not orderable even as sorted map entries)")
-      canon(col(s"__l.$n")) <=> canon(col(s"__r.$n"))
-    }
-    val antiCond = outNames.map(cmpCol).reduce(_ && _)
-    val unmatchedInc = evolvedInc.alias("__l")
-      .join(matchedInc.alias("__r"), antiCond, "left_anti")
-    // The insert condition may reference full.* (evaluates against the
-    // absent side's nulls, exactly as in the full-outer row): attach an
-    // all-null full side via a never-matching left join against an
-    // empty aliased frame.
-    val inserts = unmatchedInc.alias("incremental")
-      .join(evolvedFull.limit(0).alias("full"), lit(false), "left")
-      .filter(insCond)
-      .select(outNames.map(n => col(s"incremental.$n").as(n)): _*)
+      val matched = f.join(i, cond, "inner")
+      val touched = matched.select(outNames.map(n =>
+        when(updCond, col(s"incremental.$n"))
+          .otherwise(col(s"full.$n")).as(n)): _*)
 
-    val result = keep.unionByName(touched).unionByName(inserts)
+      // Incremental rows that matched nothing: anti against the matched
+      // pairs' incremental side, null-safe on every column so rows with
+      // null fields subtract correctly (a plain equi-anti would re-insert
+      // them). Both sides are incremental-sized. Map columns reject <=>
+      // (unorderable) AND hashing (Spark forbids hash-on-map) — compare
+      // their canonical sorted entry arrays instead, which is exact:
+      // equal maps always produce equal sorted entries.
+      val matchedInc = matched.select(outNames.map(n =>
+        col(s"incremental.$n").as(n)): _*)
+      def cmpCol(n: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types._
+        val dt = evolvedFull.schema.fields.find(_.name == n).map(_.dataType)
+        val (canon, canonType): (org.apache.spark.sql.Column => org.apache.spark.sql.Column, Option[DataType]) =
+          dt match {
+            case Some(MapType(k, v, vn)) =>
+              (c => array_sort(map_entries(c)),
+                Some(ArrayType(StructType(Seq(
+                  StructField("key", k, nullable = false),
+                  StructField("value", v, vn))))))
+            case other => (identity, other)
+          }
+        if (!canonType.forall(
+            org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable))
+          throw new IllegalArgumentException(
+            s"merge cannot compare column '$n' of type " +
+              s"${dt.map(_.simpleString).getOrElse("?")} for insert " +
+              "detection (not orderable even as sorted map entries)")
+        canon(col(s"__l.$n")) <=> canon(col(s"__r.$n"))
+      }
+      val antiCond = outNames.map(cmpCol).reduce(_ && _)
+      val unmatchedInc = evolvedInc.alias("__l")
+        .join(matchedInc.alias("__r"), antiCond, "left_anti")
+      // The insert condition may reference full.* (evaluates against the
+      // absent side's nulls, exactly as in the full-outer row): attach an
+      // all-null full side via a never-matching left join against an
+      // empty aliased frame.
+      val inserts = unmatchedInc.alias("incremental")
+        .join(evolvedFull.limit(0).alias("full"), lit(false), "left")
+        .filter(insCond)
+        .select(outNames.map(n => col(s"incremental.$n").as(n)): _*)
 
-    if (effectiveParts.nonEmpty && !evolving) {
-      // Partitioned table: rewrite ONLY the affected partitions via
-      // dynamic partition overwrite — unaffected partition directories
-      // are never touched. Dynamic overwrite skips partitions with no
-      // output rows, so partitions EMPTIED by the merge (a row updated
-      // out of its old partition) are cleared explicitly; the affected
-      // set is driver-collected metadata, bounded by touched partitions
-      // (the same driver-side bookkeeping a Delta merge keeps per file).
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val partCols = effectiveParts.map(col)
-      result.persist()
-      try {
-        val present = result.select(partCols: _*).distinct()
-          .collect().map(_.toSeq).toSet
-        result.write.format("parquet")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(effectiveParts: _*)
-          .mode("overwrite").save(base)
-        affectedParts.filterNot(present.contains).foreach { values =>
-          val dir = effectiveParts.zip(values).map { case (k, v) =>
-            // null partition values live in __HIVE_DEFAULT_PARTITION__,
-            // not "col=null"
-            val vPath =
-              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-              else ExternalCatalogUtils.escapePathName(String.valueOf(v))
-            ExternalCatalogUtils.escapePathName(k) + "=" + vPath
-          }.mkString("/")
-          Fs.delete(spark, s"$base/$dir")
-        }
-      } finally result.unpersist()
-    } else {
-      // Unpartitioned (or schema-evolving) table: copy-on-write —
-      // materialize to a tmp dir (reads the old files while writing new
-      // ones), then the checked no-data-loss-window swap
-      // (GraftLog.carryLogAndSwap).
-      val tmp = base + "__graft_tmp"
-      Fs.deleteChecked(spark, tmp)
-      var writer = result.write.format("parquet").mode("overwrite")
-      if (effectiveParts.nonEmpty) writer = writer.partitionBy(effectiveParts: _*)
-      writer.save(tmp)
-      GraftLog.carryLogAndSwap(spark, base, tmp)
-    }
+      val result = keep.unionByName(touched).unionByName(inserts)
+
+      if (effectiveParts.nonEmpty && !evolving) {
+        // Partitioned table: rewrite ONLY the affected partitions via
+        // dynamic partition overwrite — unaffected partition directories
+        // are never touched. Dynamic overwrite skips partitions with no
+        // output rows, so partitions EMPTIED by the merge (a row updated
+        // out of its old partition) are cleared explicitly; the affected
+        // set is driver-collected metadata, bounded by touched partitions
+        // (the same driver-side bookkeeping a Delta merge keeps per file).
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val partCols = effectiveParts.map(col)
+        result.persist()
+        try {
+          val present = result.select(partCols: _*).distinct()
+            .collect().map(_.toSeq).toSet
+          result.write.format("parquet")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(effectiveParts: _*)
+            .mode("overwrite").save(base)
+          affectedParts.filterNot(present.contains).foreach { values =>
+            val dir = effectiveParts.zip(values).map { case (k, v) =>
+              // null partition values live in __HIVE_DEFAULT_PARTITION__,
+              // not "col=null"
+              val vPath =
+                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+              ExternalCatalogUtils.escapePathName(k) + "=" + vPath
+            }.mkString("/")
+            Fs.delete(spark, s"$base/$dir")
+          }
+        } finally result.unpersist()
+      } else {
+        // Unpartitioned (or schema-evolving) table: copy-on-write —
+        // materialize to a tmp dir (reads the old files while writing new
+        // ones), then the checked no-data-loss-window swap
+        // (GraftLog.carryLogAndSwap).
+        val tmp = base + "__graft_tmp"
+        Fs.deleteChecked(spark, tmp)
+        var writer = result.write.format("parquet").mode("overwrite")
+        if (effectiveParts.nonEmpty) writer = writer.partitionBy(effectiveParts: _*)
+        writer.save(tmp)
+        GraftLog.carryLogAndSwap(spark, base, tmp)
+      }
+
+    } finally if (cowRewrite) scannedFull.unpersist()
     GraftLog.append(spark, base, "MERGE", effectiveParts)
     false
   }

@@ -94,6 +94,71 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"jaccard scored all pairs via nested loop:\n$p")
   }
 
+  test("unpartitioned COW merge scans the table's parquet once (cached decomposition)") {
+    // The merge decomposition reads the table three times (keep anti,
+    // touched inner, insert-detection inner). The COW path persists the
+    // scanned frame, so the write job's plan must read the CACHE for
+    // every branch and contain no direct file scan of the table dir.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.storage.{BasicStorage, Fs}
+
+    val tableDir = tempDir("plan_merge_onescan")
+    Fs.delete(spark, tableDir)
+    val storage = new BasicStorage(spark)
+    storage.write(
+      spark.range(0, 2000).toDF("id").withColumn("value", col("id").cast("string")),
+      tableDir, "delta", "overwrite")
+
+    val plans = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val inc = Seq((1L, "u"), (9999L, "n")).toDF("id", "value")
+      storage.merge(inc, tableDir, "full.id == incremental.id")
+
+      // (directFileScansOfTable, inMemoryScans); does NOT descend into
+      // cached plans — the cache build's single scan is the one allowed
+      val dirName = new java.io.File(tableDir).getName
+      def walk(p: SparkPlan): (Int, Int) = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case _: InMemoryTableScanExec => (0, 1)
+        case f: FileSourceScanExec =>
+          (if (f.relation.location.rootPaths.exists(_.toString.contains(dirName))) 1
+           else 0, 0)
+        case other =>
+          val cs = other.children.map(walk)
+          (cs.map(_._1).sum, cs.map(_._2).sum)
+      }
+      // listener delivery is async — poll for the COW write's plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def writePlan: Option[SparkPlan] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.find(_.toString.contains("__graft_tmp"))
+      }
+      while (writePlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val plan = writePlan.getOrElse(fail("COW write plan never observed"))
+      val (direct, cached) = walk(plan)
+      assert(direct == 0,
+        s"COW merge re-scanned the table parquet $direct time(s) past the cache:\n$plan")
+      assert(cached >= 2,
+        s"decomposition branches did not read the cached scan (got $cached):\n$plan")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("custom expressions compile under whole-stage codegen (no fallback)") {
     // Regression: a generated line starting with '|' loses the pipe to
     // Spark's margin stripping, the Java fails to compile, and every
@@ -117,6 +182,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
         .select(graft.ops.Dedup.simHash64(col("text")).as("sh"))
         .filter(col("sh") =!= 0).count()
       assert(s > 0)
+      // JpegDimsExpr: nullable result (the kernel's -1 sentinel path)
+      // on top of nullable input — both null branches must compile
+      val j = docs
+        .select(graft.functions.JpegDimsExpr
+          .jpegDims(col("text").cast("binary")).as("d"))
+        .filter(col("d").isNull).count()
+      assert(j > 0)
+      // CdfBucketExpr: referenced double[] knots must reach the
+      // generated code (addReferenceObj), not break compilation
+      val b = emb
+        .select(graft.functions.CdfBucketExpr.cdfBucket(
+          col("vec_id").cast("double"), Seq(0.0, 100.0, 500.0),
+          Seq(0.0, 0.5, 1.0), 15L).as("b"))
+        .filter(col("b") >= 0).count()
+      assert(b > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 }
