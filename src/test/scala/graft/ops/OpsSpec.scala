@@ -174,26 +174,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.length == 5 && r.sameElements(r.sortBy(-_)))
   }
 
-  test("ivfTopK recall against brute force is reasonable") {
+  // The two ANN queries are the only declared ops whose quality no
+  // oracle pins — these recall floors are that pin. Parameters MUST
+  // match the q_ann_ivf / q_ann_lsh declarations in GraftQueries; the
+  // floors are documented in Similarity's scaladoc.
+
+  test("ivfTopK recall@10 vs brute force ≥ 0.9 at the declared q_ann_ivf parameters") {
+    // The fixture is isotropic (no cluster structure) — IVF's worst
+    // case; 0.9 with 6/16 cells probed and spill=2 is the honest
+    // ceiling here, and the floor still catches any geometry
+    // regression (unnormalized assignment alone scores ~0.6).
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
-      "embedding", k = 3).select("query_id", "neighbor_id")
+      "embedding", k = 10).select("query_id", "neighbor_id")
     val approx = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id",
-      "embedding", k = 3, nCentroids = 8, nProbe = 4, iterations = 2)
+      "embedding", k = 10, nCentroids = 16, nProbe = 6, iterations = 2,
+      trainSampleMod = 4, corpusSpill = 2)
       .select("query_id", "neighbor_id")
     val recall = approx.intersect(exact).count().toDouble / exact.count()
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(recall >= 0.9, s"IVF recall@10 $recall below the declared 0.9 floor")
   }
 
-  test("lshTopK recall against brute force is reasonable") {
+  test("lshTopK recall@10 vs brute force ≥ 0.9 at the declared q_ann_lsh parameters") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
-      "embedding", k = 3).select("query_id", "neighbor_id")
+      "embedding", k = 10).select("query_id", "neighbor_id")
     val approx = Similarity.lshTopK(queries, emb, "vec_id", "vec_id",
-      "embedding", k = 3, dim = 64, nPlanes = 4, nTables = 8)
+      "embedding", k = 10, dim = 64, nPlanes = 4, nTables = 8)
       .select("query_id", "neighbor_id")
     val recall = approx.intersect(exact).count().toDouble / exact.count()
-    assert(recall >= 0.5, s"LSH recall $recall too low")
+    assert(recall >= 0.9, s"LSH recall@10 $recall below the declared 0.9 floor")
   }
 
   test("text stats: tokens, quality, bpe-ish counts behave") {
@@ -474,6 +484,45 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(meta(1L).getInt(2) == 20 && meta(1L).getInt(3) == 10)
     assert(meta(2L).getString(1) == "application/octet-stream")
     assert(meta(2L).isNullAt(2) && meta(2L).isNullAt(3))
+  }
+
+  /** Deterministic test JPEG via the JDK encoder (baseline JFIF:
+    * APP0 + quant/huffman tables before the SOF0 segment — a real
+    * variable-offset header for the marker scan). */
+  private def testJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    bos.toByteArray
+  }
+
+  test("multimodal: jpeg header width/height via bounded SOF scan") {
+    // hand-built minimal JPEG: SOI, fill-FF padding, APP0, then SOF0
+    // with height=300 width=500 — exercises padding skip + segment walk
+    def be16(v: Int) = Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val handmade = (Seq(0xff, 0xd8, 0xff).map(_.toByte) ++ // SOI + fill FF
+      Seq(0xff, 0xe0).map(_.toByte) ++ be16(6) ++ // APP0, len 6
+      Seq(0x4a, 0x46, 0x49, 0x46).map(_.toByte) ++ // "JFIF"
+      Seq(0xff, 0xc0).map(_.toByte) ++ be16(11) ++ // SOF0, len 11
+      Seq(8.toByte) ++ be16(300) ++ be16(500) ++
+      Seq(1, 0x11, 0).map(_.toByte)).toArray
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) // SOI + EOI
+    val df = Seq(
+      (1L, testJpeg(17, 9)),
+      (2L, handmade),
+      (3L, testJpeg(17, 9).take(6)), // truncated before any SOF
+      (4L, noSof)).toDF("id", "media")
+    val meta = Multimodal.withMediaMeta(df, "media")
+      .select("id", "media_meta.mime", "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(1) == "image/jpeg")
+    assert(meta(1L).getInt(2) == 17 && meta(1L).getInt(3) == 9)
+    assert(meta(2L).getInt(2) == 500 && meta(2L).getInt(3) == 300)
+    assert(meta(3L).getString(1) == "image/jpeg")
+    assert(meta(3L).isNullAt(2) && meta(3L).isNullAt(3))
+    assert(meta(4L).isNullAt(2) && meta(4L).isNullAt(3))
   }
 
   test("multimodal: real image features use the luma-grid branch") {
