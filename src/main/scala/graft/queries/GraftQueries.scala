@@ -1043,13 +1043,15 @@ object GraftQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF ANN: learned-centroid cells + nProbe search (no oracle). */
+  /** IVF ANN: learned-centroid cells + nProbe search with spilled
+    * corpus assignment (no oracle; recall@10 ≥ 0.9 floor pinned in
+    * OpsSpec at exactly these parameters). */
   val annIvf: Q = (spark, dir) => {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
     Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
-      k = 10, nCentroids = 16, nProbe = 4, iterations = 2,
-      trainSampleMod = 4)
+      k = 10, nCentroids = 16, nProbe = 6, iterations = 2,
+      trainSampleMod = 4, corpusSpill = 2)
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("query_id", "rank")
   }
@@ -1599,11 +1601,39 @@ object GraftQueries {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Batch-mode twin of [[streamWindow]]: the SAME
+    * [[graft.streaming.StreamingOps.tumblingCounts]] aggregation over
+    * the batch events frame (one code path for both — Spark semantics
+    * guarantee the batch result equals the stream's final state). This
+    * twin gives the shared aggregation a DuckDB oracle; the
+    * stream-equals-batch half of the argument is pinned in
+    * StreamingOpsSpec, which closes the oracle gap on the streaming
+    * declaration. */
+  val windowTumblingBatch: Q = (spark, dir) =>
+    graft.streaming.StreamingOps.tumblingCounts(
+        t(spark, dir, "events").select("event_id", "ts", "event_type", "value"),
+        "ts", "event_type", "1 day")
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("window_day", "event_type")
+
+  /** Spark's "1 day" tumbling windows are epoch-aligned UTC days (the
+    * session timezone is UTC), so date_trunc reproduces the window
+    * start exactly. */
+  val windowTumblingBatchSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Watermarked tumbling-window streaming aggregation (extension past
     * the reference's passthrough streaming, SURVEY §2.10). Two staged
     * input files processed one per micro-batch; a far-future sentinel
     * event in the second batch advances the watermark so every real
-    * window flushes to the append-mode sink. No oracle (streaming). */
+    * window flushes to the append-mode sink. No oracle (streaming) —
+    * but the aggregation itself is oracle-checked through its batch
+    * twin [[windowTumblingBatch]], and stream==batch is pinned in
+    * StreamingOpsSpec. */
   val streamWindow: Q = (spark, dir) => {
     val st = new BasicStorage(spark)
     val out = java.nio.file.Files
@@ -1959,6 +1989,8 @@ object GraftQueries {
     entry("q_multimodal_resize", multimodalResize, multimodalResizeSql),
     entry("q_stream_passthrough", streamPassthrough, streamPassthroughSql),
     entry("q_stream_window", streamWindow),
+    entry("q_window_tumbling_batch", windowTumblingBatch,
+      windowTumblingBatchSql),
     entry("q_stream_dedup", streamDedup, streamDedupSql),
     entry("q_stream_merge", streamMerge, streamMergeSql)
   )

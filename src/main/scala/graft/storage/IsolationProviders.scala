@@ -45,7 +45,11 @@ object IsolationProviders {
 
   private def databricksStub(what: String): Provider = () =>
     throw new UnsupportedOperationException(
-      s"$what requires a Databricks runtime, which is not available in this environment.")
+      s"$what requires a Databricks runtime, which is not available in this " +
+        "environment. Use one of the runtime-independent providers instead: " +
+        "GIT_BRANCH (current git branch), ENVIRONMENT_VARIABLE " +
+        s"(reads $EnvVar), or SPARK_CONFIG (reads " +
+        "io.jorvik.storage.isolation_context).")
 
   /** Context must be usable as a directory name — probe with a real mkdir
     * in a temp dir (isolation_providers.py:9-25). */

@@ -69,10 +69,22 @@ class IsolationProvidersSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("DATABRICKS providers are informative stubs") {
+  test("DATABRICKS providers are informative stubs naming the alternatives") {
     spark.conf.set("io.jorvik.storage.isolation_provider", "DATABRICKS_USER")
-    try intercept[UnsupportedOperationException] {
-      IsolationProviders.getIsolationProvider(spark)
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        IsolationProviders.getIsolationProvider(spark)
+      }
+      // actionable fallback UX: the error must say which provider it
+      // was AND name every runtime-independent alternative with its
+      // configuration source
+      assert(e.getMessage.startsWith(
+        "DATABRICKS_USER requires a Databricks runtime"))
+      assert(e.getMessage.contains("GIT_BRANCH"))
+      assert(e.getMessage.contains(
+        "ENVIRONMENT_VARIABLE (reads JORVIK_ISOLATION_CONTEXT)"))
+      assert(e.getMessage.contains(
+        "SPARK_CONFIG (reads io.jorvik.storage.isolation_context)"))
     } finally spark.conf.unset("io.jorvik.storage.isolation_provider")
   }
 }

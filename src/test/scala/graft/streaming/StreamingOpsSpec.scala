@@ -29,6 +29,21 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == events.count())
   }
 
+  test("q_stream_window equals its oracle-checked batch twin exactly") {
+    // The batch twin (q_window_tumbling_batch) runs the SAME
+    // tumblingCounts code path and carries a DuckDB oracle; this
+    // equality extends that oracle to the streaming declaration. The
+    // stream's far-future sentinel only advances the watermark — its
+    // own window is never flushed (the watermark never passes it), so
+    // the flushed set must match the batch result row-for-row.
+    val dir = "/root/testdata/sf0.001"
+    val batch = GraftQueries.windowTumblingBatch(spark, dir).collect()
+    val stream = GraftQueries.streamWindow(spark, dir).collect()
+    assert(batch.nonEmpty)
+    assert(stream.length == batch.length)
+    assert(stream.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+  }
+
   test("mergeStream applies each micro-batch as an upsert") {
     import spark.implicits._
     val storage = new graft.storage.BasicStorage(spark)
