@@ -66,6 +66,111 @@ object Dedup {
       .select(col(idCol), explode_outer(shingleArr).as("shingle")).distinct()
   }
 
+  // ------------------------------------------- corpus line/chunk dedup
+
+  /** C4-style corpus-level unit dedup: every distinct unit (line,
+    * paragraph, fixed token chunk) survives only at its FIRST corpus
+    * occurrence — first = lexicographically smallest (id, pos) — and
+    * each document is reassembled from its surviving units in order
+    * (C4 drops three-sentence-duplicate spans the same way,
+    * arxiv.org/abs/1910.10683 §2.2). Documents whose every unit
+    * occurred earlier elsewhere vanish, like C4's empty-page drop.
+    *
+    * Scale shape: survivor selection is ONE groupBy on the unit itself
+    * with a map-side partial min — a heavy-hitter unit (boilerplate
+    * lines are Zipfian) collapses to one row per map task BEFORE the
+    * shuffle, so unit skew cannot hot-spot a reducer the way the
+    * equivalent row_number window (all copies sorted on one partition)
+    * would. The aggregate's output IS the kept set — no join back.
+    * Reassembly is one groupBy on the id. Two shuffles, no driver
+    * state.
+    *
+    * Input: one row per (idCol, posCol, unitCol).
+    * Output: (idCol, n_kept, text_clean). */
+  def dedupUnits(units: DataFrame, idCol: String, posCol: String,
+                 unitCol: String, delim: String = " "): DataFrame = {
+    val kept = units
+      .groupBy(col(unitCol))
+      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField(posCol).as(posCol), col(unitCol))
+    reassemble(kept, idCol, posCol, unitCol, delim)
+  }
+
+  /** Rebuild one document per id from its (pos, unit) rows, in
+    * position order: (idCol, n_kept, text_clean). One id-keyed
+    * shuffle. */
+  private def reassemble(units: DataFrame, idCol: String, posCol: String,
+                         unitCol: String, delim: String): DataFrame =
+    units.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(delim, transform(
+          array_sort(collect_list(struct(col(posCol), col(unitCol)))),
+          s => s.getField(unitCol))).as("text_clean"))
+
+  /** Units occurring in at least `minDocs` DISTINCT documents — the
+    * corpus's boilerplate vocabulary (cookie banners, nav bars,
+    * license headers). By construction this set is SMALL relative to
+    * the corpus (each member is shared by many documents), which is
+    * what makes the anti-join in [[removeBoilerplate]] broadcastable
+    * at any corpus size. */
+  def boilerplateUnits(units: DataFrame, idCol: String, unitCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    units.groupBy(col(unitCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** C4's other scrub: remove boilerplate units from EVERY document
+    * (unlike [[dedupUnits]], which keeps the first occurrence), then
+    * reassemble; documents made of nothing but boilerplate vanish.
+    * Scale shape: the frequent-unit set is small by construction →
+    * broadcast left_anti join; one distinct-count shuffle + one
+    * id-keyed reassembly shuffle. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int, minDocs: Int): DataFrame = {
+    val units = tokenChunks(df, idCol, textCol, chunkTokens)
+    val bp = boilerplateUnits(units, idCol, "unit", minDocs).select("unit")
+    reassemble(units.join(broadcast(bp), Seq("unit"), "left_anti"),
+      idCol, "pos", "unit", " ")
+  }
+
+  /** Documents split into `chunkTokens`-token units with positions —
+    * the "lines" of single-line corpora (and the unit C4 uses when
+    * pages lack newlines). Tokens are materialized as a column first
+    * (lambda-inlining rule, see [[shingles]]); posexplode_OUTER skips
+    * InferFiltersFromGenerate for the same reason explode_outer does
+    * there. Output: (idCol, pos, unit). */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = col("__graft_tokens")
+    val chunks = transform(
+      sequence(lit(1),
+        ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")),
+      i => concat_ws(" ",
+        slice(toks, (i - 1) * chunkTokens + 1, lit(chunkTokens))))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol))
+        .as("__graft_tokens"))
+      .select(col(idCol), posexplode_outer(chunks).as(Seq("pos", "unit")))
+  }
+
+  /** Corpus dedup at token-chunk granularity: [[tokenChunks]] →
+    * [[dedupUnits]]. */
+  def dedupTokenChunks(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int): DataFrame =
+    dedupUnits(tokenChunks(df, idCol, textCol, chunkTokens),
+      idCol, "pos", "unit")
+
+  /** Newline-delimited corpus line dedup — the literal C4 shape for
+    * multi-line pages. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupUnits(
+      df.select(col(idCol),
+        posexplode_outer(split(col(textCol), "\n")).as(Seq("pos", "unit"))),
+      idCol, "pos", "unit", "\n")
+
   /** Cross-corpus contamination check: for every training row sharing
     * at least one word n-gram with ANY eval row, the count of distinct
     * shared n-grams — the standard benchmark-decontamination primitive

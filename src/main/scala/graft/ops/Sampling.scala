@@ -41,6 +41,27 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Domain-mixture sampling: per-domain keep percentages — the data
+    * recipe step of a pre-training pipeline (upsample curated sources,
+    * downsample bulk crawl to hit target proportions). Membership is
+    * the same pure hash-of-key function as [[sampleByHash]], so the
+    * mixture is reproducible across engines and re-runs, and rates are
+    * per-domain CASE branches — map-only, no shuffle, no driver state.
+    * Domains absent from `pctByDomain` keep `defaultPct`%. */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    pctByDomain: Map[String, Int],
+                    defaultPct: Int = 0): DataFrame = {
+    (pctByDomain.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be 0..100, got $p"))
+    // sorted fold: a deterministic branch order keeps the plan (and its
+    // canonicalized cache key) stable across Map iteration orders
+    val rate = pctByDomain.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (dom, pct)) =>
+        when(col(domainCol) === lit(dom), lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < rate)
+  }
+
   /** Stratified sample: per stratum, keep ceil(frac·|stratum|) rows,
     * chosen by hash rank (deterministic; ties broken by key). One
     * shuffle on the stratum column; rank and stratum size share the

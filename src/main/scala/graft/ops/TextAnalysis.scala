@@ -66,6 +66,25 @@ object TextAnalysis {
     round((lenScore * 0.4 + wordLenScore * 0.3 + punctScore * 0.3), 6)
   }
 
+  /** Adaptive band filter: keep rows whose `valueCol` lies inside the
+    * corpus's exact [loQ, hiQ] quantile band — the data-driven length
+    * cut (drop the shortest/longest tails) that replaces hand-tuned
+    * thresholds when corpus composition shifts. Two passes over the
+    * data: a one-row exact-percentile aggregate, broadcast back as a
+    * nested-loop join of one row — no shuffle of the corpus itself. */
+  def quantileBandFilter(df: DataFrame, valueCol: String,
+                         loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
+      s"need 0 <= loQ <= hiQ <= 1, got [$loQ, $hiQ]")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, $loQ)").as("__graft_lo"),
+      expr(s"percentile($valueCol, $hiQ)").as("__graft_hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol) >= col("__graft_lo") &&
+        col(valueCol) <= col("__graft_hi"))
+      .drop("__graft_lo", "__graft_hi")
+  }
+
   /** Tiny per-language marker vocabularies for the n-gram/stopword
     * language-ID heuristic. */
   val LangMarkers: Map[String, Seq[String]] = Map(
@@ -182,6 +201,30 @@ object TextAnalysis {
       .select(col(idCol),
         (length(col("__t")) - (k - 1)).as("n_grams"),
         rollingFingerprint(col("__t"), k).as("fingerprint"))
+
+  /** TF-IDF scores per (document, term): tf = term count in the doc,
+    * idf = ln(N / df) with N = corpus size and df = documents
+    * containing the term. The classic relevance weight (Salton &
+    * Buckley 1988) — and the cheap first-pass ranking signal before
+    * embeddings. Scale shape: token explode is map-only; tf and df are
+    * partial-agg groupBys; the df join is keyed by the term (never
+    * doc × doc); N is a one-row broadcast. Output:
+    * (idCol, term, tf, tfidf[round 6]). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")) // tf rows are distinct (id,term)
+      .agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 6)
+          .as("tfidf"))
+  }
 
   /** Corpus-level language histogram (one shuffle). */
   def langHistogram(df: DataFrame, textCol: String): DataFrame =

@@ -1572,6 +1572,265 @@ object GraftQueries {
        |WHERE rn <= ceil((n * 20) / 100.0)
        |ORDER BY doc_id""".stripMargin
 
+  /** Domain-mixture sampling: the data-recipe step — upsample curated
+    * sources to 100%/60%, downsample the bulk tail to 25%, with
+    * hash-of-key membership so the mixture is reproducible across
+    * engines and re-runs. Map-only. */
+  val domainMixture: Q = (spark, dir) =>
+    graft.ops.Sampling.mixtureSample(
+        t(spark, dir, "documents")
+          .select("doc_id", "source", "lang", "n_chars"),
+        "source", "doc_id",
+        Map("src0" -> 100, "src1" -> 100, "src2" -> 60, "src3" -> 60),
+        defaultPct = 25)
+      .orderBy("doc_id")
+
+  val domainMixtureSql: String =
+    s"""SELECT doc_id, source, lang, n_chars FROM documents
+       |WHERE (((doc_id % ${graft.ops.Sampling.M31}) * ${graft.ops.Sampling.HashA}) % 4294967296) % 100 <
+       |  CASE WHEN source = 'src0' THEN 100 WHEN source = 'src1' THEN 100
+       |       WHEN source = 'src2' THEN 60 WHEN source = 'src3' THEN 60
+       |       ELSE 25 END
+       |ORDER BY doc_id""".stripMargin
+
+  /** Adaptive length cut: keep documents inside the corpus's exact
+    * [p5, p95] n_chars band — percentile bounds computed in one
+    * one-row aggregate, broadcast back (no corpus shuffle). */
+  val lengthBand: Q = (spark, dir) =>
+    graft.ops.TextAnalysis.quantileBandFilter(
+        t(spark, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", 0.05, 0.95)
+      .orderBy("doc_id")
+
+  val lengthBandSql: String =
+    """SELECT doc_id, n_chars FROM documents,
+      |  (SELECT quantile_cont(n_chars, 0.05) AS lo,
+      |          quantile_cont(n_chars, 0.95) AS hi FROM documents) b
+      |WHERE n_chars >= lo AND n_chars <= hi
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- §2.11 corpus line/chunk dedup
+
+  /** C4-style corpus-level chunk dedup: each distinct 8-token chunk
+    * survives only at its first (doc_id, pos) occurrence; documents are
+    * reassembled from surviving chunks. Two skew-resistant shuffles
+    * (map-side partial min on the chunk key — see Dedup.dedupUnits). */
+  val lineDedup: Q = (spark, dir) =>
+    graft.ops.Dedup.dedupTokenChunks(
+        t(spark, dir, "documents"), "doc_id", "text", 8)
+      .orderBy("doc_id")
+
+  val lineDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, tk,
+      |    unnest(generate_series(1, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS pos
+      |  FROM toks),
+      |units AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(tk[(pos - 1) * 8 + 1 : pos * 8], ' ') AS unit
+      |  FROM pos),
+      |kept AS (
+      |  SELECT doc_id, pos, unit,
+      |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+      |  FROM units)
+      |SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(unit, ' ' ORDER BY pos) AS text_clean
+      |FROM kept WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate scrub: 2-token chunks occurring in ≥25 distinct docs
+    * are removed from EVERY document (C4's cookie-banner rule); docs
+    * reassemble from what remains. The frequent-chunk set is small by
+    * construction → broadcast anti-join. */
+  val boilerplateFilter: Q = (spark, dir) =>
+    graft.ops.Dedup.removeBoilerplate(
+        t(spark, dir, "documents"), "doc_id", "text",
+        chunkTokens = 2, minDocs = 25)
+      .orderBy("doc_id")
+
+  val boilerplateFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, tk,
+      |    unnest(generate_series(1, CAST(ceil(len(tk) / 2.0) AS BIGINT))) AS pos
+      |  FROM toks),
+      |units AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(tk[(pos - 1) * 2 + 1 : pos * 2], ' ') AS unit
+      |  FROM pos),
+      |bp AS (
+      |  SELECT unit FROM units GROUP BY unit
+      |  HAVING count(DISTINCT doc_id) >= 25)
+      |SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(unit, ' ' ORDER BY pos) AS text_clean
+      |FROM units WHERE unit NOT IN (SELECT unit FROM bp)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary build: top-50 corpus terms with dense rank ids — the
+    * token-id table a tokenizer trains against. Counts shuffle once;
+    * the rank window runs over 50 rows post-limit. */
+  val vocabBuild: Q = (spark, dir) => {
+    val counts = t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(50)
+    counts.withColumn("vocab_id",
+        row_number().over(Window.orderBy(desc("n"), asc("term"))))
+      .orderBy("vocab_id")
+  }
+
+  val vocabBuildSql: String =
+    """WITH counts AS (
+      |  SELECT term, count(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0
+      |  GROUP BY term ORDER BY n DESC, term LIMIT 50)
+      |SELECT term, n,
+      |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS vocab_id
+      |FROM counts ORDER BY vocab_id""".stripMargin
+
+  /** TF-IDF per (doc, term) — corpus statistics (df, N) computed over
+    * ALL documents, output bounded to the first 50 docs. */
+  val tfidfQ: Q = (spark, dir) =>
+    graft.ops.TextAnalysis.tfIdf(t(spark, dir, "documents"), "doc_id", "text")
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id", "term")
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms
+      |  WHERE length(term) > 0 GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, tf.term, tf,
+      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf
+      |FROM tf JOIN dfq USING (term), n
+      |WHERE doc_id < 50 ORDER BY doc_id, tf.term""".stripMargin
+
+  /** Sliding (hopping) windows, batch twin: 1-day windows hopping
+    * every 12 h — each event lands in exactly two windows. Oracle
+    * reproduces Spark's epoch-aligned window starts with integer
+    * epoch arithmetic over the two hop offsets. */
+  val windowSlidingBatch: Q = (spark, dir) =>
+    graft.streaming.StreamingOps.slidingCounts(
+        t(spark, dir, "events").select("event_id", "ts", "event_type", "value"),
+        "ts", "event_type", "1 day", "12 hours")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm")
+          .as("window_start"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val windowSlidingBatchSql: String =
+    """SELECT strftime(make_timestamp(
+      |    ((CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200) * 1000000),
+      |    '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events, (SELECT unnest([0, 1]) AS k) offs
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------- §2.9 extended window ranks
+
+  /** Rank-family battery: dense_rank / ntile / percent_rank /
+    * cume_dist over one shared window (single sort per partition);
+    * ties broken by key so every rank is deterministic. */
+  val windowRanks: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
+  val windowRanksSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------- §2.5 argmin/argmax agg
+
+  /** max_by/min_by (argmax/argmin) with a composite (value, key)
+    * ordering struct — deterministic under value ties without a
+    * window. One hash-shuffle aggregate. */
+  val minmaxBy: Q = (spark, dir) =>
+    t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        max_by(col("s_name"),
+          struct(col("s_acctbal"), col("s_suppkey"))).as("top_supplier"),
+        max(col("s_acctbal")).as("top_acctbal"),
+        min_by(col("s_name"),
+          struct(col("s_acctbal"), col("s_suppkey"))).as("bottom_supplier"),
+        min(col("s_acctbal")).as("bottom_acctbal"))
+      .orderBy("s_nationkey")
+
+  /** Oracle mirrors the struct ordering with explicit tie-break
+    * windows: max_by(struct(v, k)) == first name by (v DESC, k DESC);
+    * min_by == first by (v ASC, k ASC). */
+  val minmaxBySql: String =
+    """WITH ranked AS (
+      |  SELECT s_nationkey, s_name, s_acctbal,
+      |    row_number() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal DESC, s_suppkey DESC) AS rmax,
+      |    row_number() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal ASC, s_suppkey ASC) AS rmin
+      |  FROM supplier)
+      |SELECT s_nationkey,
+      |  max(CASE WHEN rmax = 1 THEN s_name END) AS top_supplier,
+      |  max(s_acctbal) AS top_acctbal,
+      |  max(CASE WHEN rmin = 1 THEN s_name END) AS bottom_supplier,
+      |  min(s_acctbal) AS bottom_acctbal
+      |FROM ranked GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ------------------------------------------- §2.8 regexp functions
+
+  /** Regexp battery: extract (group), global replace, match-count,
+    * rlike — all RE2-safe patterns (no backrefs/lookaround) so Spark's
+    * java.util.regex and DuckDB's RE2 agree. */
+  val regexpFunctions: Q = (spark, dir) =>
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+          .as("n_vowels"),
+        col("p_type").rlike("^(ECONOMY|SMALL)$").as("is_small_econ"))
+      .orderBy("p_partkey")
+
+  val regexpFunctionsSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+      |  regexp_matches(p_type, '^(ECONOMY|SMALL)$') AS is_small_econ
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------ §2.10 streaming
 
   /** File-stream passthrough: readStream (schema probe) → writeStream →
@@ -1968,6 +2227,17 @@ object GraftQueries {
     entry("q_csv_roundtrip", csvRoundtrip, csvRoundtripSql),
     entry("q_hash_sample", hashSample, hashSampleSql),
     entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
+    entry("q_domain_mixture", domainMixture, domainMixtureSql),
+    entry("q_length_band", lengthBand, lengthBandSql),
+    entry("q_line_dedup", lineDedup, lineDedupSql),
+    entry("q_boilerplate_filter", boilerplateFilter, boilerplateFilterSql),
+    entry("q_vocab_build", vocabBuild, vocabBuildSql),
+    entry("q_tfidf", tfidfQ, tfidfSql),
+    entry("q_window_sliding_batch", windowSlidingBatch,
+      windowSlidingBatchSql),
+    entry("q_window_ranks", windowRanks, windowRanksSql),
+    entry("q_minmax_by", minmaxBy, minmaxBySql),
+    entry("q_regexp_functions", regexpFunctions, regexpFunctionsSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_repetition_filter", repetitionFilter, repetitionFilterSql),
     entry("q_decontaminate", decontaminate, decontaminateSql),

@@ -30,6 +30,23 @@ object StreamingOps {
         col("total_value"))
   }
 
+  /** Sliding (hopping) event-time windows: every event lands in
+    * size/slide overlapping windows, each epoch-aligned to the slide.
+    * Same batch/stream dual-mode contract as [[tumblingCounts]];
+    * state per (window, key) is bounded by the watermark. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLength: String, slide: String,
+                    watermarkDelay: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    withWm
+      .groupBy(window(col(tsCol), windowLength, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"),
+        col("total_value"))
+  }
+
   /** Streaming MERGE: CDC-style upserts into a managed table, one
     * [[Storage.merge]] per micro-batch via foreachBatch (the standard
     * Spark pattern for merge sinks — Delta's docs prescribe exactly

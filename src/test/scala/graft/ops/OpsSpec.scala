@@ -639,4 +639,82 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // 5 chunks (0..4), stride 2 -> frames 0,2,4
     assert(frames.map(_.getAs[Int]("frame_no")).toSeq.sorted == Seq(0, 2, 4))
   }
+
+  test("dedupLines: first occurrence survives, docs reassemble in order") {
+    val df = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma"), // "shared line" first seen in doc 1
+      (3L, "alpha")).toDF("doc_id", "text") // "alpha" first seen in doc 1
+    val out = Dedup.dedupLines(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((3L, "alpha\nshared line\nbeta")))
+    assert(out(2L) == ((1L, "gamma")))
+    assert(!out.contains(3L)) // every unit was seen earlier -> doc dropped
+  }
+
+  test("dedupTokenChunks: chunk boundaries and short tails") {
+    val df = Seq(
+      (1L, "a b c d e"), // chunks of 2: "a b","c d","e"
+      (2L, "c d x")).toDF("doc_id", "text") // "c d" dup'd, "x" short tail
+    val out = Dedup.dedupTokenChunks(df, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((3L, "a b c d e")))
+    assert(out(2L) == ((1L, "x")))
+  }
+
+  test("mixtureSample: per-domain rates, default for unlisted domains") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}"))
+      .toDF("id", "domain")
+    val out = Sampling.mixtureSample(df, "domain", "id",
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 50)
+    val byDomain = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("src0") == 250) // 100% of its 250 rows
+    assert(!byDomain.contains("src1")) // 0%
+    // default 50%: same membership function as sampleByHash at 50
+    val expected = Sampling
+      .sampleByHash(df.filter(col("domain").isin("src2", "src3")), "id", 50)
+      .count()
+    assert(byDomain.getOrElse("src2", 0L) + byDomain.getOrElse("src3", 0L)
+      == expected)
+  }
+
+  test("mixtureSample: complementary rates partition each domain") {
+    val df = (0L until 500L).map(i => (i, "d")).toDF("id", "domain")
+    val keep30 = Sampling.mixtureSample(df, "domain", "id", Map("d" -> 30))
+      .select("id").as[Long].collect().toSet
+    val keep100 = Sampling.mixtureSample(df, "domain", "id", Map("d" -> 100))
+      .select("id").as[Long].collect().toSet
+    assert(keep100.size == 500)
+    // hash membership is monotone in the rate: 30% set nests in 100%
+    assert(keep30.subsetOf(keep100))
+  }
+
+  test("removeBoilerplate strips frequent chunks from every doc") {
+    // "x y" appears in all 3 docs -> boilerplate at minDocs=3;
+    // doc 3 is pure boilerplate -> dropped entirely
+    val df = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(df, "doc_id", "text",
+        chunkTokens = 2, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "a b", 2L -> "c d"))
+  }
+
+  test("tfIdf: corpus-wide terms score zero, rare terms score ln(N/df)") {
+    val df = Seq(
+      (1L, "common rare"), (2L, "common"), (3L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, "common")) == 0.0) // ln(3/3)
+    assert(out((1L, "rare")) == math.round(math.log(3.0) * 1e6) / 1e6)
+  }
+
+  test("quantileBandFilter keeps exactly the inclusive quantile band") {
+    val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v")
+    val kept = TextAnalysis.quantileBandFilter(df, "v", 0.10, 0.90)
+      .select("v").as[Int].collect().sorted.toSeq
+    // exact percentile of 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
+    assert(kept.head == 11 && kept.last == 90 && kept.size == 80)
+  }
 }

@@ -94,6 +94,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"jaccard scored all pairs via nested loop:\n$p")
   }
 
+  test("q_line_dedup is two shuffles and no join (agg-only survivor)") {
+    // survivor selection must stay a partial-agg groupBy (skew-safe);
+    // a window or join formulation would add exchanges or hot-spot a
+    // heavy-hitter unit onto one reducer
+    val p = planOf(GraftQueries.lineDedup(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"line dedup should not join:\n$p")
+    assert(!p.contains("Window"), s"line dedup should not use a window:\n$p")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2,
+      s"expected <=2 hash exchanges (unit, id), got $hashExchanges:\n$p")
+  }
+
+  test("q_domain_mixture is map-only: no exchange at all before the sort") {
+    val p = planOf(GraftQueries.domainMixture(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("hashpartitioning"),
+      s"mixture sampling must not shuffle:\n$p")
+  }
+
   test("unpartitioned COW merge scans the table's parquet once (cached decomposition)") {
     // The merge decomposition reads the table three times (keep anti,
     // touched inner, insert-detection inner). The COW path persists the

@@ -44,6 +44,19 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(stream.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
 
+  test("slidingCounts: every event lands in exactly size/slide windows") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = StreamingOps.slidingCounts(events, "ts", "event_type",
+      "1 day", "12 hours")
+    // 1 day / 12 h = 2 windows per event
+    assert(got.agg(sum("n")).head().getLong(0) == 2 * events.count())
+    // window starts align to the 12 h slide, not just day boundaries
+    val starts = got.select("window_start").distinct().collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(starts.forall(_ % (12L * 3600 * 1000) == 0))
+    assert(starts.exists(_ % (24L * 3600 * 1000) != 0))
+  }
+
   test("mergeStream applies each micro-batch as an upsert") {
     import spark.implicits._
     val storage = new graft.storage.BasicStorage(spark)
