@@ -1722,6 +1722,44 @@ object GraftQueries {
       |FROM tf JOIN dfq USING (term), n
       |WHERE doc_id < 50 ORDER BY doc_id, tf.term""".stripMargin
 
+  /** Stateful sessionization (flatMapGroupsWithState), batch twin: the
+    * custom-state streaming operator run on the batch events frame —
+    * same handler code path; StreamingOpsSpec pins stream == batch.
+    * Sessions identified by (user, session_start) instead of an
+    * ordinal id, so the output is stable without a window. */
+  val sessionizeStateful: Q = (spark, dir) =>
+    graft.streaming.StreamingOps.sessionizeStream(
+        t(spark, dir, "events"), "user_id", "ts", "event_id", "value",
+        gapSeconds = 1800)
+      .toDF()
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"), round(col("total_value"), 4).as("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionizeStatefulSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+      |         OR CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+      |ids AS (
+      |  SELECT user_id, value, es,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  min(es) AS session_start, count(*) AS n_events,
+      |  max(es) - min(es) AS duration_sec,
+      |  round(sum(value), 4) AS total_value
+      |FROM ids GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Sliding (hopping) windows, batch twin: 1-day windows hopping
     * every 12 h — each event lands in exactly two windows. Oracle
     * reproduces Spark's epoch-aligned window starts with integer
@@ -2235,6 +2273,8 @@ object GraftQueries {
     entry("q_tfidf", tfidfQ, tfidfSql),
     entry("q_window_sliding_batch", windowSlidingBatch,
       windowSlidingBatchSql),
+    entry("q_sessionize_stateful", sessionizeStateful,
+      sessionizeStatefulSql),
     entry("q_window_ranks", windowRanks, windowRanksSql),
     entry("q_minmax_by", minmaxBy, minmaxBySql),
     entry("q_regexp_functions", regexpFunctions, regexpFunctionsSql),

@@ -1,10 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
 
 import graft.storage.Storage
+
+/** One user's open (not yet gap-closed) session — the custom state
+  * carried between micro-batches by [[StreamingOps.sessionizeStream]].
+  * Epochs are second-granular (same contract as the batch
+  * [[graft.ops.Sessionize]]). */
+case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+/** A gap-closed session as emitted downstream. */
+case class ClosedSession(user_id: Long, session_start: Long,
+                         n_events: Long, duration_sec: Long,
+                         total_value: Double)
 
 /** Structured-Streaming extensions beyond the reference's passthrough
   * file-stream surface (SURVEY.md §2.10): event-time tumbling windows
@@ -45,6 +57,89 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"),
         col("total_value"))
+  }
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state API for semantics no built-in aggregation
+    * expresses (a session's extent isn't known until the inactivity
+    * gap elapses). State: ONE [[OpenSession]] per user (four longs —
+    * bounded by the active-user cardinality, not the stream length);
+    * closed sessions emit when event time passes last+gap via
+    * event-time timeouts, so the watermark — not wall clock — drives
+    * emission and a stalled source never truncates a session.
+    *
+    * Dual-mode like [[tumblingCounts]]: on a BATCH frame each group is
+    * processed once with all its events (sorted by second-granular
+    * epoch + order column — the exact total order of the batch
+    * [[graft.ops.Sessionize]] window), timeouts never fire, and
+    * trailing open sessions are flushed at group end — so the batch
+    * result is the stream's final state, which is what the oracle
+    * checks and StreamingOpsSpec pins stream-equal.
+    *
+    * In-stream contract: events later than the watermark delay are
+    * dropped by the watermark; late-but-within-watermark events merge
+    * into the user's open session (second-granular gap arithmetic). */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+                       orderCol: String, valueCol: String,
+                       gapSeconds: Long,
+                       watermarkDelay: String = "10 minutes")
+    : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val isStream = events.isStreaming
+    val src =
+      if (isStream) events.withWatermark(tsCol, watermarkDelay) else events
+    src.select(
+        col(userCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"),
+        col(orderCol).cast("long").as("order_id"),
+        col(valueCol).cast("double").as("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        sessionHandler(gapSeconds, flushAtEnd = !isStream))
+  }
+
+  /** The per-group state transition. `flushAtEnd` = batch mode (no
+    * later micro-batch will ever fire the timeout). */
+  private def sessionHandler(gap: Long, flushAtEnd: Boolean)(
+      user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    def close(s: OpenSession) =
+      ClosedSession(user, s.start, s.n, s.last - s.start, s.total)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      out
+    } else {
+      val evs = it.map(e => (e._2.getTime / 1000, e._3, e._4))
+        .toArray.sortBy(e => (e._1, e._2))
+      var open = state.getOption
+      val closed =
+        scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      evs.foreach { case (ep, _, v) =>
+        open = open match {
+          case Some(s) if ep - s.last <= gap =>
+            Some(OpenSession(s.start, math.max(s.last, ep), s.n + 1,
+              s.total + v))
+          case Some(s) =>
+            closed += close(s)
+            Some(OpenSession(ep, ep, 1L, v))
+          case None => Some(OpenSession(ep, ep, 1L, v))
+        }
+      }
+      if (flushAtEnd) {
+        open.foreach(s => closed += close(s))
+        if (state.exists) state.remove()
+      } else {
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.last + gap + 1) * 1000L)
+        }
+      }
+      closed.iterator
+    }
   }
 
   /** Streaming MERGE: CDC-style upserts into a managed table, one

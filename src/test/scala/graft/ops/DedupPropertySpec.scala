@@ -66,4 +66,62 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
         s"pair=($a,$b) est=$est exact=$exact")
     }
   }
+
+  /** Plain-Scala chunk model shared by the corpus-hygiene properties:
+    * normalized tokens grouped in k-token units (last unit short). */
+  private def modelChunks(text: String, k: Int): Seq[String] =
+    text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+      .grouped(k).map(_.mkString(" ")).toSeq
+
+  test("property: dedupTokenChunks matches a first-occurrence model") {
+    for (seed <- 0 until 8) {
+      val rng = new scala.util.Random(seed)
+      // 3-word vocab so chunks genuinely collide across docs
+      val small = Vector("a", "b", "c")
+      val docs = (0L until 10L).map(i =>
+        (i, Seq.fill(rng.nextInt(9) + 1)(small(rng.nextInt(3)))
+          .mkString(" ")))
+      val k = rng.nextInt(3) + 1
+      // ascending (doc, pos) scan + first-sighting set == smallest
+      // (id, pos) survivor
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.flatMap { case (id, t) =>
+        val kept = modelChunks(t, k).filter(seen.add)
+        if (kept.nonEmpty) Some(id -> ((kept.size.toLong, kept.mkString(" "))))
+        else None
+      }.toMap
+      val got = Dedup.dedupTokenChunks(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      assert(got == expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("property: removeBoilerplate matches a doc-frequency model") {
+    for (seed <- 0 until 8) {
+      val rng = new scala.util.Random(100 + seed)
+      val small = Vector("a", "b", "c")
+      val docs = (0L until 10L).map(i =>
+        (i, Seq.fill(rng.nextInt(9) + 1)(small(rng.nextInt(3)))
+          .mkString(" ")))
+      val k = rng.nextInt(2) + 1
+      val minDocs = rng.nextInt(4) + 2
+      val chunked = docs.map { case (id, t) => id -> modelChunks(t, k) }
+      val bp = chunked
+        .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= minDocs)
+        .keySet
+      val expected = chunked.flatMap { case (id, cs) =>
+        val kept = cs.filterNot(bp)
+        if (kept.nonEmpty) Some(id -> ((kept.size.toLong, kept.mkString(" "))))
+        else None
+      }.toMap
+      val got = Dedup.removeBoilerplate(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      assert(got == expected, s"seed=$seed k=$k minDocs=$minDocs")
+    }
+  }
 }

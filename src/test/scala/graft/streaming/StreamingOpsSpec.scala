@@ -57,6 +57,69 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(starts.exists(_ % (24L * 3600 * 1000) != 0))
   }
 
+  test("sessionizeStream: batch twin covers every event exactly once") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val sessions = StreamingOps.sessionizeStream(events,
+      "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+    assert(sessions.toDF().agg(sum("n_events")).head().getLong(0)
+      == events.count())
+  }
+
+  test("sessionizeStream: stream closes every real session, equals batch twin") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "event_id", "value")
+    val out = tempDir("graft_sess_stream")
+    events.coalesce(1).write.parquet(s"$out/in")
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles = fs.listStatus(inPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    // Two far-future sentinel batches for one fake user: the first
+    // advances the watermark past every real session's timeout; the
+    // second advances it past the first, so those timeouts FIRE
+    // (event-time timeouts run in the batch AFTER the watermark moves).
+    // mtimes staged ascending — file order is micro-batch order.
+    var prev = parquetFiles.map(_.getModificationTime).max
+    Seq(1, 2).foreach { k =>
+      val before = parquetFiles.map(_.getPath.getName).toSet
+      events.orderBy("event_id").limit(1)
+        .withColumn("user_id",
+          lit(999999).cast(events.schema("user_id").dataType))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${100 * k} DAYS"))
+        .coalesce(1).write.mode("append").parquet(s"$out/in")
+      prev += 60000
+      parquetFiles.filterNot(f => before(f.getPath.getName))
+        .foreach(f => fs.setTimes(f.getPath, prev, -1))
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val sessions = StreamingOps.sessionizeStream(stream,
+      "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = sessions.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .filter(col("user_id") =!= 999999)
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.sessionizeStream(events,
+        "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+      .collect().map(r =>
+        Seq(r.user_id, r.session_start, r.n_events, r.duration_sec,
+          r.total_value)).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("mergeStream applies each micro-batch as an upsert") {
     import spark.implicits._
     val storage = new graft.storage.BasicStorage(spark)
