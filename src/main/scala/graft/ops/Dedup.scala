@@ -145,6 +145,8 @@ object Dedup {
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(idCol != "pos" && idCol != "unit",
+      s"idCol '$idCol' collides with tokenChunks' output columns")
     val toks = col("__graft_tokens")
     val chunks = transform(
       sequence(lit(1),

@@ -208,14 +208,23 @@ object TextAnalysis {
     * Buckley 1988) — and the cheap first-pass ranking signal before
     * embeddings. Scale shape: token explode is map-only; tf and df are
     * partial-agg groupBys; the df join is keyed by the term (never
-    * doc × doc); N is a one-row broadcast. Output:
+    * doc × doc); N is a one-row broadcast. The tf frame is
+    * localCheckpoint'ed — df derives from tf, and without the barrier
+    * both join sides would re-run the corpus explode + aggregation
+    * from scratch (tf is the compact distinct-(doc,term) frame, far
+    * smaller than the explode it summarizes). A window-over-term
+    * alternative would avoid the barrier but hot-spot stopword terms
+    * (every row of a corpus-wide term lands on one reducer). Output:
     * (idCol, term, tf, tfidf[round 6]). */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(idCol != "term" && idCol != "tf" && idCol != "tfidf",
+      s"idCol '$idCol' collides with tfIdf's output columns")
     val terms = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val docFreq = tf.groupBy(col("term")) // tf rows are distinct (id,term)
       .agg(count(lit(1)).as("__df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
