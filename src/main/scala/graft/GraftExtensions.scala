@@ -50,5 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextAnalysis.EmailPattern, "<EMAIL>"),
         TextAnalysis.Ipv4Pattern, "<IP>"),
         TextAnalysis.PhonePattern, "<PHONE>"))
+    // engine-portable sampling hash (Sampling.hashBucket): lets SQL
+    // users express the same deterministic split/mixture membership
+    register(e, "graft_hash_bucket", args => {
+      import org.apache.spark.sql.types.LongType
+      val folded = Pmod(Cast(args(0), LongType),
+        Literal(graft.ops.Sampling.M31))
+      val mixed = Pmod(Multiply(folded,
+        Literal(graft.ops.Sampling.HashA)), Literal(4294967296L))
+      Pmod(mixed, Cast(args(1), LongType))
+    })
   }
 }

@@ -1809,6 +1809,57 @@ object GraftQueries {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Null-handling battery: null-introducing casts, `na.fill` (typed
+    * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
+    * surface — all map-only. */
+  val nullHandling: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment_filled"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      .na.fill(Map("segment_filled" -> "UNKNOWN"))
+      .na.drop("any", Seq("bal"))
+      .orderBy("c_custkey")
+
+  val nullHandlingSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'UNKNOWN'
+      |       ELSE c_mktsegment END AS segment_filled,
+      |  c_acctbal AS bal
+      |FROM customer WHERE c_acctbal >= 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Group-wise top-k: top-5 terms per language. Aggregate-THEN-window:
+    * the rank window runs over the already-aggregated (lang, term)
+    * counts — per-partition rows are distinct terms, not corpus tokens,
+    * so a corpus-scale stopword costs the window one row, not one row
+    * per occurrence. */
+  val topTermsPerLang: Q = (spark, dir) => {
+    val counts = t(spark, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("term"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("lang", "rnk")
+  }
+
+  val topTermsPerLangSql: String =
+    """WITH counts AS (
+      |  SELECT lang, term, count(*) AS n FROM (
+      |    SELECT lang,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0 GROUP BY lang, term)
+      |SELECT lang, term, n,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rnk
+      |FROM counts QUALIFY rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
   // ------------------------------------------- §2.5 argmin/argmax agg
 
   /** max_by/min_by (argmax/argmin) with a composite (value, key)
@@ -2278,6 +2329,8 @@ object GraftQueries {
     entry("q_window_ranks", windowRanks, windowRanksSql),
     entry("q_minmax_by", minmaxBy, minmaxBySql),
     entry("q_regexp_functions", regexpFunctions, regexpFunctionsSql),
+    entry("q_null_handling", nullHandling, nullHandlingSql),
+    entry("q_top_terms_per_lang", topTermsPerLang, topTermsPerLangSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_repetition_filter", repetitionFilter, repetitionFilterSql),
     entry("q_decontaminate", decontaminate, decontaminateSql),

@@ -107,6 +107,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected <=2 hash exchanges (unit, id), got $hashExchanges:\n$p")
   }
 
+  test("q_boilerplate_filter anti-joins the frequent-unit set by broadcast") {
+    // the boilerplate set is small by construction; a shuffled anti
+    // join would re-shuffle the whole exploded corpus on the unit
+    val p = planOf(GraftQueries.boilerplateFilter(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"boilerplate scrub should broadcast the frequent-unit set:\n$p")
+  }
+
   test("q_domain_mixture is map-only: no exchange at all before the sort") {
     val p = planOf(GraftQueries.domainMixture(spark, dir))
       .split("== Initial Plan ==").head

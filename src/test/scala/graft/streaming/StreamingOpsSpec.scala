@@ -212,6 +212,17 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
         .head()
       assert(row.getString(0) == "mail <EMAIL> now")
       assert(row.getString(1) == row.getString(2))
+      // hash bucket agrees with the Column-API Sampling.hashBucket
+      import s2.implicits._
+      val keys = Seq(0L, 7L, 12345L, Long.MaxValue).toDF("k")
+      keys.createOrReplaceTempView("hb_keys")
+      val sqlBuckets = s2.sql(
+        "SELECT k, graft_hash_bucket(k, 100) AS b FROM hb_keys")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val colBuckets = keys.select(col("k"),
+          graft.ops.Sampling.hashBucket(col("k"), 100).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sqlBuckets == colBuckets)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
