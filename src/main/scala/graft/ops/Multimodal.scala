@@ -26,12 +26,17 @@ object Multimodal {
     StructField("mime", StringType),
     StructField("byte_length", LongType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)))
 
   /** Real magic-number sniffing over the first bytes of the payload —
-    * deterministic, pure column expressions. */
+    * deterministic, pure column expressions. RIFF containers are
+    * discriminated by their form type at byte 9 (WAVE vs "AVI ") —
+    * "RIFF" alone names the envelope, not the medium. */
   def detectMime(bin: Column): Column = {
     val hexPrefix = upper(hex(substring(bin, 1, 4)))
+    val riffForm = upper(hex(substring(bin, 9, 4)))
     when(hexPrefix.startsWith("89504E47"), "image/png")
       .when(hexPrefix.startsWith("FFD8FF"), "image/jpeg")
       .when(hexPrefix.startsWith("47494638"), "image/gif")
@@ -39,9 +44,14 @@ object Multimodal {
       // at offset 6 too, or text beginning "BM…" would sniff as bmp
       .when(hexPrefix.startsWith("424D") &&
         upper(hex(substring(bin, 7, 4))) === "00000000", "image/bmp")
-      .when(hexPrefix.startsWith("52494646"), "audio/wav") // RIFF container
+      .when(hexPrefix.startsWith("52494646") && // RIFF container
+        riffForm === "57415645", "audio/wav")   // "WAVE"
+      .when(hexPrefix.startsWith("52494646") &&
+        riffForm === "41564920", "video/x-msvideo") // "AVI "
       .when(hexPrefix.startsWith("494433"), "audio/mpeg")  // ID3
       .when(hexPrefix.startsWith("1A45DFA3"), "video/webm")
+      // ISO BMFF: size (4 bytes) then "ftyp"
+      .when(upper(hex(substring(bin, 5, 4))) === "66747970", "video/mp4")
       .otherwise("application/octet-stream")
   }
 
@@ -94,15 +104,46 @@ object Multimodal {
           .bitwiseAND(lit(0xffffffffL)).cast("int"))
       .otherwise(lit(null).cast("int"))
 
+  /** Little-endian unsigned int from 4 bytes at 1-indexed `pos`. */
+  private def leInt(bin: Column, pos: Int): Column =
+    conv(concat(hex(substring(bin, pos + 3, 1)), hex(substring(bin, pos + 2, 1)),
+      hex(substring(bin, pos + 1, 1)), hex(substring(bin, pos, 1))), 16, 10)
+      .cast("int")
+
+  /** Canonical WAV layout guard: RIFF/WAVE with the "fmt " chunk first
+    * (byte 13) and the payload reaching the sample-rate field. The
+    * canonical layout covers virtually every real WAV; non-canonical
+    * chunk orders null out rather than misread (same unparseable ⇒
+    * null rule as the image headers). */
+  private def isCanonicalWav(bin: Column): Column =
+    detectMime(bin) === "audio/wav" && length(bin) >= 28 &&
+      upper(hex(substring(bin, 13, 4))) === "666D7420" // "fmt "
+
+  /** Audio sample rate (Hz) from the canonical WAV fmt chunk
+    * (little-endian at byte 25) — header-parsed, no decode. */
+  def headerSampleRate(bin: Column): Column =
+    when(isCanonicalWav(bin), leInt(bin, 25))
+      .otherwise(lit(null).cast("int"))
+
+  /** Audio channel count from the canonical WAV fmt chunk
+    * (little-endian at byte 23). */
+  def headerChannels(bin: Column): Column =
+    when(isCanonicalWav(bin), leShort(bin, 23))
+      .otherwise(lit(null).cast("int"))
+
   /** Attach a metadata struct to a binary media column. Width/height
-    * are header-parsed (PNG/GIF/BMP fixed offsets, JPEG SOF scan;
-    * null for non-image or unparseable payloads). */
+    * are header-parsed (PNG/GIF/BMP fixed offsets, JPEG SOF scan),
+    * sample_rate/channels from the canonical WAV fmt chunk; null for
+    * fields a payload's container doesn't carry or that can't be
+    * parsed. */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("media_meta", struct(
       detectMime(col(binCol)).as("mime"),
       length(col(binCol)).cast("long").as("byte_length"),
       headerWidth(col(binCol)).as("width"),
-      headerHeight(col(binCol)).as("height")))
+      headerHeight(col(binCol)).as("height"),
+      headerSampleRate(col(binCol)).as("sample_rate"),
+      headerChannels(col(binCol)).as("channels")))
 
   // ImageIO defaults to a DISK cache: every read/write round-trips a
   // temp file — one create/write/delete per ROW in the mapPartitions

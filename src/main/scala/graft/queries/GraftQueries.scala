@@ -1809,6 +1809,32 @@ object GraftQueries {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Stream-stream interval join, batch twin: clicks attributed to
+    * same-user views within the preceding 30 min. The oracle mirrors
+    * Spark's µs timestamp comparison with epoch_us (the parquet
+    * carries ns — comparing raw ns timestamps could flip boundary
+    * pairs). */
+  val intervalJoinBatch: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    graft.streaming.StreamingOps.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", lookbackSeconds = 1800)
+      .select(col("event_id").as("click_id"),
+        col("event_id_r").as("view_id"), col("user_id"))
+      .orderBy("click_id", "view_id")
+  }
+
+  val intervalJoinBatchSql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 1800000000
+      |                        AND epoch_us(c.ts)
+      |ORDER BY click_id, view_id""".stripMargin
+
   /** Null-handling battery: null-introducing casts, `na.fill` (typed
     * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
     * surface — all map-only. */
@@ -2331,6 +2357,7 @@ object GraftQueries {
     entry("q_regexp_functions", regexpFunctions, regexpFunctionsSql),
     entry("q_null_handling", nullHandling, nullHandlingSql),
     entry("q_top_terms_per_lang", topTermsPerLang, topTermsPerLangSql),
+    entry("q_interval_join_batch", intervalJoinBatch, intervalJoinBatchSql),
     entry("q_jaccard_ngram", jaccardNgram, jaccardNgramSql),
     entry("q_repetition_filter", repetitionFilter, repetitionFilterSql),
     entry("q_decontaminate", decontaminate, decontaminateSql),

@@ -59,6 +59,32 @@ object StreamingOps {
         col("total_value"))
   }
 
+  /** Stream-stream interval join (the attribution shape: each left
+    * event matched to right events of the same key within the
+    * preceding `lookbackSeconds`). Right-side columns come back
+    * suffixed `_r`. On streams both sides are watermarked and the
+    * two-sided time bound lets Spark PRUNE join state — without it a
+    * stream-stream join buffers both streams forever; with it state
+    * is bounded by (watermark delay + lookback) of data per side.
+    * Inner-join emission itself needs no watermark, so batch frames
+    * run the identical join — the oracle-checkable twin. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookbackSeconds: Long,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val renamed = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, c + "_r"))
+    val l = if (left.isStreaming) left.withWatermark(tsCol, watermarkDelay)
+            else left
+    val r = if (renamed.isStreaming)
+              renamed.withWatermark(s"${tsCol}_r", watermarkDelay)
+            else renamed
+    l.join(r,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(s"${tsCol}_r") >=
+          col(tsCol) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col(s"${tsCol}_r") <= col(tsCol))
+  }
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state API for semantics no built-in aggregation
     * expresses (a session's extent isn't known until the inactivity

@@ -525,6 +525,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(meta(4L).isNullAt(2) && meta(4L).isNullAt(3))
   }
 
+  test("multimodal: wav header sample rate/channels; RIFF discrimination") {
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // canonical 44-byte WAV header: PCM, stereo, 44.1 kHz
+    val wav = ("RIFF".getBytes.toSeq ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)).toArray
+    val avi = ("RIFF".getBytes.toSeq ++ le32(100) ++ "AVI ".getBytes).toArray
+    val mp4 = (Seq(0, 0, 0, 24).map(_.toByte) ++ "ftypisom".getBytes).toArray
+    val df = Seq((1L, wav), (2L, avi), (3L, mp4), (4L, wav.take(20)))
+      .toDF("id", "media")
+    val meta = Multimodal.withMediaMeta(df, "media")
+      .select("id", "media_meta.mime", "media_meta.sample_rate",
+        "media_meta.channels")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(1) == "audio/wav")
+    assert(meta(1L).getInt(2) == 44100 && meta(1L).getInt(3) == 2)
+    assert(meta(2L).getString(1) == "video/x-msvideo")
+    assert(meta(2L).isNullAt(2) && meta(2L).isNullAt(3))
+    assert(meta(3L).getString(1) == "video/mp4")
+    // truncated before the sample-rate field: wav mime, null fields
+    assert(meta(4L).getString(1) == "audio/wav")
+    assert(meta(4L).isNullAt(2) && meta(4L).isNullAt(3))
+  }
+
   test("multimodal: real image features use the luma-grid branch") {
     // all-white vs all-black images: luma means 1.0 vs 0.0 per cell
     def flat(rgb: Int): Array[Byte] = {

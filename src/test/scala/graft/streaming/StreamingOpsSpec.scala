@@ -120,6 +120,42 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("intervalJoin: two real streams emit exactly the batch join") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+    val views = ev.filter(col("event_type") === "view")
+    val out = tempDir("graft_ssjoin")
+    clicks.coalesce(1).write.parquet(s"$out/clicks")
+    views.coalesce(1).write.parquet(s"$out/views")
+    def stream(p: String) = spark.readStream.schema(ev.schema).parquet(p)
+    val joined = StreamingOps.intervalJoin(
+      stream(s"$out/clicks"), stream(s"$out/views"),
+      "user_id", "ts", lookbackSeconds = 3600)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = joined.select(col("event_id").as("click_id"),
+          col("event_id_r").as("view_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingOps.intervalJoin(clicks, views,
+        "user_id", "ts", lookbackSeconds = 3600)
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("mergeStream applies each micro-batch as an upsert") {
     import spark.implicits._
     val storage = new graft.storage.BasicStorage(spark)
