@@ -31,7 +31,26 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightCols, forward = false)
+
+  /** Forward as-of: attach the EARLIEST right row at-or-after the left
+    * time (the "next quote/reading" lookup — pandas merge_asof
+    * direction='forward'). Same single-shuffle ordered sweep, scanned
+    * in descending time. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  rightCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightCols, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       rightCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"rightCols must not collide with left columns: " +
@@ -57,8 +76,11 @@ object AsOfJoin {
       .select(Seq(col("__key"), col("__t"), col("__is_left")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("__right"): _*)
+    // Inclusive in both directions: right rows sort before left rows at
+    // equal times, whichever way the sweep runs.
+    val ord = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__is_left").asc)
+      .orderBy(ord, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
       .withColumn("__right", last(col("__right"), ignoreNulls = true).over(w))

@@ -658,6 +658,38 @@ object GraftQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.es >= o.oes
       |ORDER BY e.event_id""".stripMargin
 
+  /** Forward as-of: each event attached to the user's EARLIEST order
+    * at-or-after the event (pandas merge_asof direction='forward');
+    * DuckDB's ASOF JOIN flips direction with the inequality. */
+  val asofForward: Q = (spark, dir) => {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"))
+    val orders = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("oes"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("__m"))
+      .select(col("o_custkey"), col("oes"),
+        col("__m.o_orderkey").as("o_orderkey"),
+        col("__m.o_totalprice").as("o_totalprice"))
+    graft.ops.AsOfJoin.asOfForward(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "es", rightTime = "oes",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val asofForwardSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |o AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS oes,
+      |        max(o_orderkey) AS o_orderkey,
+      |        arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |      FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.es <= o.oes
+      |ORDER BY e.event_id""".stripMargin
+
   /** Sessionization: 30-minute inactivity gap, per-session rollup.
     * Integer epoch arithmetic end to end — exact oracle. */
   val sessionize: Q = (spark, dir) =>
@@ -1323,12 +1355,18 @@ object GraftQueries {
         "media")
       .select(col("doc_id"),
         col("media_meta.mime").as("mime"),
-        col("media_meta.byte_length").as("byte_length"))
+        col("media_meta.byte_length").as("byte_length"),
+        col("media_meta.sample_rate").as("sample_rate"),
+        col("media_meta.channels").as("channels"))
       .orderBy("doc_id")
 
+  /** Text-as-bytes payloads carry no audio container, so the declared
+    * audio fields are null by the unparseable⇒null rule (real WAV
+    * parsing is unit-pinned on synthesized headers). */
   val multimodalMetaSql: String =
     """SELECT doc_id, 'application/octet-stream' AS mime,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_length
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_length,
+      |  CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Feature extraction over binary payloads (mapPartitions batch
@@ -2320,6 +2358,7 @@ object GraftQueries {
     entry("q_array_functions", arrayFunctions, arrayFunctionsSql),
     entry("q_struct_functions", structFunctions, structFunctionsSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
+    entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_sessionize", sessionize, sessionizeSql),
     entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
     entry("q_window_lag", windowLag, windowLagSql),

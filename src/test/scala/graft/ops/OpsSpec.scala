@@ -666,6 +666,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_no")).toSeq.sorted == Seq(0, 2, 4))
   }
 
+  test("asOfForward attaches the earliest right row at-or-after, inclusive") {
+    val left = Seq((1L, 10L, 5L), (2L, 10L, 20L), (3L, 10L, 99L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 10L, "a"), (10L, 20L, "b"), (10L, 30L, "c"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOfForward(left, right, "k", "rk", "t", "rt",
+        Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a") // next at t=10
+    assert(out(2L) == "b") // equal time matches (inclusive)
+    assert(out(3L) == null) // nothing after 99
+  }
+
   test("dedupLines: first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (1L, "alpha\nshared line\nbeta"),
