@@ -50,8 +50,15 @@ object Multimodal {
         riffForm === "41564920", "video/x-msvideo") // "AVI "
       .when(hexPrefix.startsWith("494433"), "audio/mpeg")  // ID3
       .when(hexPrefix.startsWith("1A45DFA3"), "video/webm")
-      // ISO BMFF: size (4 bytes) then "ftyp"
-      .when(upper(hex(substring(bin, 5, 4))) === "66747970", "video/mp4")
+      // ISO BMFF: size (4 bytes), "ftyp", then the major brand — like
+      // RIFF, "ftyp" names the envelope, not the medium; the brand
+      // carries the medium (M4A audio, HEIC/AVIF images, else video)
+      .when(upper(hex(substring(bin, 5, 4))) === "66747970",
+        when(upper(hex(substring(bin, 9, 4))) === "4D344120", "audio/mp4") // "M4A "
+          .when(upper(hex(substring(bin, 9, 3))) === "686569", "image/heic") // "hei*"
+          .when(upper(hex(substring(bin, 9, 4))) === "61766966", "image/avif") // "avif"
+          .when(upper(hex(substring(bin, 9, 4))) === "71742020", "video/quicktime") // "qt  "
+          .otherwise("video/mp4"))
       .otherwise("application/octet-stream")
   }
 

@@ -33,7 +33,7 @@ object Optimize {
     * range clustering only ever helps the leading column. The Z-value
     * is computed from EQUI-DEPTH (quantile) buckets per column — one
     * extra sketch-aggregate pass, metadata-sized at 100 TB — so skewed
-    * columns cluster as well as uniform ones (see [[zValueOf]]).
+    * columns cluster as well as uniform ones (see [[withZValue]]).
     *
     * Returns the number of data files after the rewrite. */
   def run(spark: SparkSession, storage: BasicStorage, path: String,

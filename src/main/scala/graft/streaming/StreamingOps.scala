@@ -31,13 +31,14 @@ object StreamingOps {
     * semantics guarantee the batch result is the stream's final state). */
   def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowLength: String,
-                     watermarkDelay: String = "10 minutes"): DataFrame = {
+                     watermarkDelay: String = "10 minutes",
+                     valueCol: String = "value"): DataFrame = {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
       else events
     withWm
       .groupBy(window(col(tsCol), windowLength).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"),
         col("total_value"))
   }
@@ -48,13 +49,14 @@ object StreamingOps {
     * state per (window, key) is bounded by the watermark. */
   def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
                     windowLength: String, slide: String,
-                    watermarkDelay: String = "10 minutes"): DataFrame = {
+                    watermarkDelay: String = "10 minutes",
+                    valueCol: String = "value"): DataFrame = {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
       else events
     withWm
       .groupBy(window(col(tsCol), windowLength, slide).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"),
         col("total_value"))
   }
@@ -146,9 +148,24 @@ object StreamingOps {
         scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
       evs.foreach { case (ep, _, v) =>
         open = open match {
+          case Some(s) if ep < s.start - gap =>
+            // far-late straggler (only possible across micro-batches —
+            // each batch is sorted): more than a gap BEFORE the open
+            // session, so in batch order it is its own earlier
+            // session; emit the singleton, keep the newer state.
+            // Stragglers that would have co-sessioned with each other
+            // across separate batches still emit separately — the
+            // inherent bound of single-OpenSession state; watermark ≤
+            // gap rules the case out entirely.
+            closed += ClosedSession(user, ep, 1L, 0L, v)
+            open
           case Some(s) if ep - s.last <= gap =>
-            Some(OpenSession(s.start, math.max(s.last, ep), s.n + 1,
-              s.total + v))
+            // min: a late-but-within-watermark event can precede the
+            // open session's start; without it the streamed
+            // session_start diverges from the batch twin the oracle
+            // checks
+            Some(OpenSession(math.min(s.start, ep), math.max(s.last, ep),
+              s.n + 1, s.total + v))
           case Some(s) =>
             closed += close(s)
             Some(OpenSession(ep, ep, 1L, v))

@@ -534,8 +534,11 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
       le32(44100 * 4) ++ le16(4) ++ le16(16)).toArray
     val avi = ("RIFF".getBytes.toSeq ++ le32(100) ++ "AVI ".getBytes).toArray
-    val mp4 = (Seq(0, 0, 0, 24).map(_.toByte) ++ "ftypisom".getBytes).toArray
-    val df = Seq((1L, wav), (2L, avi), (3L, mp4), (4L, wav.take(20)))
+    def bmff(brand: String) =
+      (Seq(0, 0, 0, 24).map(_.toByte) ++ s"ftyp$brand".getBytes).toArray
+    val df = Seq((1L, wav), (2L, avi), (3L, bmff("isom")),
+        (4L, wav.take(20)), (5L, bmff("M4A ")), (6L, bmff("heic")),
+        (7L, bmff("avif")))
       .toDF("id", "media")
     val meta = Multimodal.withMediaMeta(df, "media")
       .select("id", "media_meta.mime", "media_meta.sample_rate",
@@ -549,6 +552,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // truncated before the sample-rate field: wav mime, null fields
     assert(meta(4L).getString(1) == "audio/wav")
     assert(meta(4L).isNullAt(2) && meta(4L).isNullAt(3))
+    // the ftyp brand carries the medium, not the envelope
+    assert(meta(5L).getString(1) == "audio/mp4")
+    assert(meta(6L).getString(1) == "image/heic")
+    assert(meta(7L).getString(1) == "image/avif")
   }
 
   test("multimodal: real image features use the luma-grid branch") {
