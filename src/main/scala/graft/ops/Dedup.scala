@@ -66,6 +66,24 @@ object Dedup {
       .select(col(idCol), explode_outer(shingleArr).as("shingle")).distinct()
   }
 
+  /** Incremental corpus dedup — the production shape: drop incoming
+    * documents whose normalized text already exists in the BASE corpus,
+    * without ever re-deduping (or re-shuffling the content of) the
+    * corpus itself. The base side is reduced to its distinct hash
+    * column before the anti join, so the join moves one 64-byte column
+    * per base doc and the increment — the minimum possible; at 100 TB
+    * the distinct-hash frame is the "dedup index" you'd persist
+    * between ingests. Intra-increment duplicates are kept (run
+    * [[exact]]/[[byNormalizedHash]] on the increment first if needed). */
+  def dedupAgainst(base: DataFrame, incoming: DataFrame,
+                   textCol: String): DataFrame = {
+    val baseH = base.select(normalizedHash(col(textCol)).as("__graft_h"))
+      .distinct()
+    incoming.withColumn("__graft_h", normalizedHash(col(textCol)))
+      .join(baseH, Seq("__graft_h"), "left_anti")
+      .drop("__graft_h")
+  }
+
   // ------------------------------------------- corpus line/chunk dedup
 
   /** C4-style corpus-level unit dedup: every distinct unit (line,

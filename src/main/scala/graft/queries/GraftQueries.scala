@@ -1680,6 +1680,35 @@ object GraftQueries {
       |FROM kept WHERE rn = 1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup: an increment (new docs ∪ 50 planted copies of
+    * base docs) deduped AGAINST the base corpus — the planted copies
+    * vanish, genuinely-new docs survive, and the base is never
+    * re-deduped. */
+  val dedupIncremental: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    graft.ops.Dedup.dedupAgainst(base, inc, "text")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH base AS (SELECT * FROM documents WHERE doc_id < 400),
+      |inc AS (
+      |  SELECT * FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT doc_id, source, n_chars FROM inc
+      |WHERE sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN
+      |  (SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |   FROM base)
+      |ORDER BY doc_id""".stripMargin
+
   /** Boilerplate scrub: 2-token chunks occurring in ≥25 distinct docs
     * are removed from EVERY document (C4's cookie-banner rule); docs
     * reassemble from what remains. The frequent-chunk set is small by
@@ -2384,6 +2413,7 @@ object GraftQueries {
     entry("q_domain_mixture", domainMixture, domainMixtureSql),
     entry("q_length_band", lengthBand, lengthBandSql),
     entry("q_line_dedup", lineDedup, lineDedupSql),
+    entry("q_dedup_incremental", dedupIncremental, dedupIncrementalSql),
     entry("q_boilerplate_filter", boilerplateFilter, boilerplateFilterSql),
     entry("q_vocab_build", vocabBuild, vocabBuildSql),
     entry("q_tfidf", tfidfQ, tfidfSql),

@@ -708,6 +708,16 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((1L, "x")))
   }
 
+  test("dedupAgainst drops only increment docs whose text exists in base") {
+    val base = Seq((1L, "Hello  World"), (2L, "keep me")).toDF("doc_id", "text")
+    val inc = Seq((10L, "hello world"), (11L, "brand new"),
+      (12L, "brand new")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(base, inc, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 10 matches base (normalized); intra-increment dup 11/12 both kept
+    assert(out == Seq(11L, 12L))
+  }
+
   test("mixtureSample: per-domain rates, default for unlisted domains") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}"))
       .toDF("id", "domain")
