@@ -62,9 +62,17 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
+  /** Guarded narrowing: 4-byte unsigned fields can exceed Int.MaxValue
+    * in hostile/corrupt headers, and an ANSI cast would THROW — one bad
+    * file must not kill a corpus scan; unparseable means null. */
+  private def toIntOrNull(unsigned: Column): Column = {
+    val v = unsigned.cast("long")
+    when(v <= Int.MaxValue, v.cast("int"))
+  }
+
   /** Big-endian unsigned int from `len` bytes at 1-indexed `pos`. */
   private def beInt(bin: Column, pos: Int, len: Int): Column =
-    conv(hex(substring(bin, pos, len)), 16, 10).cast("int")
+    toIntOrNull(conv(hex(substring(bin, pos, len)), 16, 10))
 
   /** Little-endian unsigned short from 2 bytes at 1-indexed `pos`. */
   private def leShort(bin: Column, pos: Int): Column =
@@ -89,9 +97,9 @@ object Multimodal {
       .when(detectMime(bin) === "image/gif" && length(bin) >= 8,
         leShort(bin, 7))
       .when(detectMime(bin) === "image/bmp" && length(bin) >= 22,
-        conv(concat(hex(substring(bin, 22, 1)), hex(substring(bin, 21, 1)),
-          hex(substring(bin, 20, 1)), hex(substring(bin, 19, 1))), 16, 10)
-          .cast("int"))
+        toIntOrNull(conv(concat(hex(substring(bin, 22, 1)),
+          hex(substring(bin, 21, 1)), hex(substring(bin, 20, 1)),
+          hex(substring(bin, 19, 1))), 16, 10)))
       .when(detectMime(bin) === "image/jpeg",
         shiftright(graft.functions.JpegDimsExpr.jpegDims(bin), 32).cast("int"))
       .otherwise(lit(null).cast("int"))
@@ -103,9 +111,9 @@ object Multimodal {
       .when(detectMime(bin) === "image/gif" && length(bin) >= 10,
         leShort(bin, 9))
       .when(detectMime(bin) === "image/bmp" && length(bin) >= 26,
-        conv(concat(hex(substring(bin, 26, 1)), hex(substring(bin, 25, 1)),
-          hex(substring(bin, 24, 1)), hex(substring(bin, 23, 1))), 16, 10)
-          .cast("int"))
+        toIntOrNull(conv(concat(hex(substring(bin, 26, 1)),
+          hex(substring(bin, 25, 1)), hex(substring(bin, 24, 1)),
+          hex(substring(bin, 23, 1))), 16, 10)))
       .when(detectMime(bin) === "image/jpeg",
         graft.functions.JpegDimsExpr.jpegDims(bin)
           .bitwiseAND(lit(0xffffffffL)).cast("int"))
@@ -113,9 +121,9 @@ object Multimodal {
 
   /** Little-endian unsigned int from 4 bytes at 1-indexed `pos`. */
   private def leInt(bin: Column, pos: Int): Column =
-    conv(concat(hex(substring(bin, pos + 3, 1)), hex(substring(bin, pos + 2, 1)),
-      hex(substring(bin, pos + 1, 1)), hex(substring(bin, pos, 1))), 16, 10)
-      .cast("int")
+    toIntOrNull(conv(concat(hex(substring(bin, pos + 3, 1)),
+      hex(substring(bin, pos + 2, 1)), hex(substring(bin, pos + 1, 1)),
+      hex(substring(bin, pos, 1))), 16, 10))
 
   /** Canonical WAV layout guard: RIFF/WAVE with the "fmt " chunk first
     * (byte 13) and the payload reaching the sample-rate field. The

@@ -558,6 +558,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(meta(7L).getString(1) == "image/avif")
   }
 
+  test("property: header parsers never throw on arbitrary bytes") {
+    // magic-prefixed garbage exercises every parser branch (PNG/GIF/
+    // BMP/JPEG/WAV/BMFF) on hostile payloads; the contract is
+    // null-or-value, never an exception
+    val rng = new scala.util.Random(42)
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "GIF8".getBytes, "BM".getBytes, "RIFF".getBytes,
+      Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes, Array.empty[Byte])
+    val rows = (1L to 60L).map { i =>
+      val magic = magics(rng.nextInt(magics.size))
+      val tail = Array.fill[Byte](rng.nextInt(40))(rng.nextInt.toByte)
+      (i, magic ++ tail)
+    }
+    val out = Multimodal.withMediaMeta(rows.toDF("id", "media"), "media")
+      .select("media_meta.*").collect()
+    assert(out.length == 60) // completed without throwing
+  }
+
   test("multimodal: real image features use the luma-grid branch") {
     // all-white vs all-black images: luma means 1.0 vs 0.0 per cell
     def flat(rgb: Int): Array[Byte] = {

@@ -120,6 +120,37 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("property: batch sessionizeStream equals the window-based Sessionize") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val rng = new scala.util.Random(seed)
+      val base = 1700000000L
+      val events = (1L to 60L).map { i =>
+        (rng.nextInt(4).toLong, // user
+          new java.sql.Timestamp((base + rng.nextInt(20000)) * 1000L),
+          i, rng.nextInt(10).toDouble)
+      }
+      val df = events.toDF("user_id", "ts", "event_id", "value")
+      val viaState = StreamingOps.sessionizeStream(df,
+          "user_id", "ts", "event_id", "value", gapSeconds = 900)
+        .collect()
+        .map(s => (s.user_id, s.session_start, s.n_events, s.duration_sec))
+        .sorted.toSeq
+      val viaWindow = graft.ops.Sessionize.sessions(df,
+          "user_id", "ts", "event_id", gapSeconds = 900)
+        .join(graft.ops.Sessionize
+            .withSessionIds(df, "user_id", "ts", "event_id", 900)
+            .groupBy("user_id", "session_id")
+            .agg(min(unix_timestamp(col("ts"))).as("session_start")),
+          Seq("user_id", "session_id"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec")))
+        .sorted.toSeq
+      assert(viaState == viaWindow, s"seed=$seed")
+    }
+  }
+
   test("sessionizeStream: a late in-gap event lowers session_start") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
