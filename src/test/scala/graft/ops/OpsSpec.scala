@@ -558,6 +558,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(meta(7L).getString(1) == "image/avif")
   }
 
+  test("text operators are total over hostile inputs") {
+    // null, empty, whitespace-only, emoji/RTL/CJK, and a 100k-char doc:
+    // every corpus op must produce a row or drop it — never throw
+    val hostile = Seq(
+      (1L, null.asInstanceOf[String]), (2L, ""), (3L, "   \t\n  "),
+      (4L, "🎉 ✨ emoji only 🎊"), (5L, "مرحبا بالعالم שלום"),
+      (6L, "中文文本没有空格也要处理"), (7L, "a" * 100000))
+    val df = hostile.toDF("doc_id", "text")
+    assert(TextAnalysis.tfIdf(df, "doc_id", "text").collect().length >= 0)
+    assert(Dedup.dedupTokenChunks(df, "doc_id", "text", 4)
+      .collect().length >= 0)
+    assert(Dedup.removeBoilerplate(df, "doc_id", "text", 2, 2)
+      .collect().length >= 0)
+    assert(TextAnalysis.rollingFingerprints(df, "doc_id", "text")
+      .collect().length == 7) // total: one row per doc incl. null text
+    val stats = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+    assert(stats.collect().length == 7)
+  }
+
   test("property: header parsers never throw on arbitrary bytes") {
     // magic-prefixed garbage exercises every parser branch (PNG/GIF/
     // BMP/JPEG/WAV/BMFF) on hostile payloads; the contract is
