@@ -56,7 +56,12 @@ object Multimodal {
       .when(upper(hex(substring(bin, 5, 4))) === "66747970",
         when(upper(hex(substring(bin, 9, 4))) === "4D344120", "audio/mp4") // "M4A "
           .when(upper(hex(substring(bin, 9, 3))) === "686569", "image/heic") // "hei*"
+          // HEIF structural brands — several encoders write mif1/msf1
+          // as the MAJOR brand with heic only in compatible-brands
+          .when(upper(hex(substring(bin, 9, 4))) === "6D696631", "image/heif") // "mif1"
+          .when(upper(hex(substring(bin, 9, 4))) === "6D736631", "image/heif") // "msf1"
           .when(upper(hex(substring(bin, 9, 4))) === "61766966", "image/avif") // "avif"
+          .when(upper(hex(substring(bin, 9, 4))) === "61766973", "image/avif") // "avis" (AVIF sequence)
           .when(upper(hex(substring(bin, 9, 4))) === "71742020", "video/quicktime") // "qt  "
           .otherwise("video/mp4"))
       .otherwise("application/octet-stream")

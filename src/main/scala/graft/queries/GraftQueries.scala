@@ -1704,9 +1704,9 @@ object GraftQueries {
       |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id < 50)
       |SELECT doc_id, source, n_chars FROM inc
-      |WHERE sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN
-      |  (SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-      |   FROM base)
+      |WHERE NOT EXISTS (SELECT 1 FROM base
+      |  WHERE sha256(regexp_replace(lower(trim(base.text)), '\s+', ' ', 'g'))
+      |      = sha256(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
       |ORDER BY doc_id""".stripMargin
 
   /** Boilerplate scrub: 2-token chunks occurring in ≥25 distinct docs

@@ -144,34 +144,58 @@ object StreamingOps {
       val evs = it.map(e => (e._2.getTime / 1000, e._3, e._4))
         .toArray.sortBy(e => (e._1, e._2))
       var open = state.getOption
+      // far-late stragglers — events more than a gap BEFORE the open
+      // session's start (only possible with cross-batch late data) —
+      // accumulate in their own pending session so same-batch
+      // stragglers co-session exactly as the batch twin would, and a
+      // straggler chain that bridges into the open session merges.
+      // Only stragglers split across SEPARATE micro-batches still emit
+      // apart (the inherent bound of single-OpenSession state;
+      // watermarkDelay ≤ gap rules stragglers out entirely).
+      var pending: Option[OpenSession] = None
       val closed =
         scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
       evs.foreach { case (ep, _, v) =>
-        open = open match {
-          case Some(s) if ep < s.start - gap =>
-            // far-late straggler (only possible across micro-batches —
-            // each batch is sorted): more than a gap BEFORE the open
-            // session, so in batch order it is its own earlier
-            // session; emit the singleton, keep the newer state.
-            // Stragglers that would have co-sessioned with each other
-            // across separate batches still emit separately — the
-            // inherent bound of single-OpenSession state; watermark ≤
-            // gap rules the case out entirely.
-            closed += ClosedSession(user, ep, 1L, 0L, v)
-            open
-          case Some(s) if ep - s.last <= gap =>
-            // min: a late-but-within-watermark event can precede the
-            // open session's start; without it the streamed
-            // session_start diverges from the batch twin the oracle
-            // checks
-            Some(OpenSession(math.min(s.start, ep), math.max(s.last, ep),
-              s.n + 1, s.total + v))
-          case Some(s) =>
-            closed += close(s)
-            Some(OpenSession(ep, ep, 1L, v))
-          case None => Some(OpenSession(ep, ep, 1L, v))
+        val isStraggler = open.exists(s => ep < s.start - gap)
+        if (isStraggler) {
+          pending = pending match {
+            case Some(p) if ep - p.last <= gap =>
+              Some(OpenSession(p.start, math.max(p.last, ep), p.n + 1,
+                p.total + v))
+            case Some(p) =>
+              closed += close(p)
+              Some(OpenSession(ep, ep, 1L, v))
+            case None => Some(OpenSession(ep, ep, 1L, v))
+          }
+        } else {
+          // event interacts with the open session; a pending straggler
+          // chain that reaches to within a gap of it bridges in
+          val bridged = pending.filter(p => ep - p.last <= gap)
+          if (bridged.isEmpty) pending.foreach(p => closed += close(p))
+          pending = None
+          open = (open, bridged) match {
+            case (Some(s), Some(p)) if ep - s.last <= gap =>
+              Some(OpenSession(math.min(p.start, math.min(s.start, ep)),
+                math.max(s.last, ep), s.n + p.n + 1, s.total + p.total + v))
+            case (Some(s), None) if ep - s.last <= gap =>
+              // min: a late-but-within-watermark event can precede the
+              // open session's start; without it the streamed
+              // session_start diverges from the batch twin
+              Some(OpenSession(math.min(s.start, ep), math.max(s.last, ep),
+                s.n + 1, s.total + v))
+            case (Some(s), p) =>
+              closed += close(s)
+              Some(OpenSession(p.map(_.start).getOrElse(ep), ep,
+                p.map(_.n).getOrElse(0L) + 1L,
+                p.map(_.total).getOrElse(0.0) + v))
+            case (None, p) =>
+              Some(OpenSession(p.map(_.start).getOrElse(ep), ep,
+                p.map(_.n).getOrElse(0L) + 1L,
+                p.map(_.total).getOrElse(0.0) + v))
+          }
         }
       }
+      pending.foreach(p => closed += close(p))
       if (flushAtEnd) {
         open.foreach(s => closed += close(s))
         if (state.exists) state.remove()

@@ -202,6 +202,63 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((base + 600, 2L, 400L, 2.0)))
   }
 
+  test("sessionizeStream: same-batch stragglers co-session; chains bridge") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val base = 1700000000L
+    val out = tempDir("graft_sess_strag")
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, Double)],
+              mtime: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$out/in")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val before =
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet
+        else Set.empty[String]
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(s"$out/in")
+      fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet")
+        && !before(f.getPath.getName))
+        .foreach(f => fs.setTimes(f.getPath, mtime, -1))
+    }
+    // gap=100: batch 1 opens u1/u2 sessions at base+1000; batch 2
+    // delivers late events inside the 10-min watermark: u1 gets two
+    // co-sessioning stragglers (500,520 — both < start-gap), u2 gets a
+    // straggler chain that bridges into the open session (880,950)
+    write(Seq((1L, ts(base + 1000), 1L, 1.0), (2L, ts(base + 1000), 2L, 1.0)),
+      1000000)
+    write(Seq((1L, ts(base + 500), 3L, 1.0), (1L, ts(base + 520), 4L, 1.0),
+      (2L, ts(base + 880), 5L, 1.0), (2L, ts(base + 950), 6L, 1.0)), 1060000)
+    write(Seq((9L, ts(base + 8640000), 7L, 0.0)), 1120000)
+    write(Seq((9L, ts(base + 17280000), 8L, 0.0)), 1180000)
+    val schema = Seq((1L, ts(0), 1L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val sessions = StreamingOps.sessionizeStream(stream,
+      "user_id", "ts", "event_id", "value", gapSeconds = 100)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = sessions.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val got = spark.read.parquet(s"$out/data")
+      .filter(col("user_id") =!= 9L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec")))
+      .sorted.toSeq
+    assert(got == Seq(
+      (1L, base + 500, 2L, 20L),   // stragglers co-sessioned
+      (1L, base + 1000, 1L, 0L),   // the original opener
+      (2L, base + 880, 3L, 120L))) // chain bridged into the open session
+  }
+
   test("intervalJoin: two real streams emit exactly the batch join") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "event_type")
