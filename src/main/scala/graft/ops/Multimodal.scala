@@ -52,17 +52,18 @@ object Multimodal {
       .when(hexPrefix.startsWith("1A45DFA3"), "video/webm")
       // ISO BMFF: size (4 bytes), "ftyp", then the major brand — like
       // RIFF, "ftyp" names the envelope, not the medium; the brand
-      // carries the medium (M4A audio, HEIC/AVIF images, else video)
+      // carries the medium (M4A audio, HEIC/AVIF images, else video).
+      // riffForm is the same bytes-9-12 slice both containers key on.
+      // mif1/msf1 are HEIF structural brands several encoders write as
+      // the MAJOR brand with heic only in compatible-brands.
       .when(upper(hex(substring(bin, 5, 4))) === "66747970",
-        when(upper(hex(substring(bin, 9, 4))) === "4D344120", "audio/mp4") // "M4A "
+        when(riffForm === "4D344120", "audio/mp4")            // "M4A "
           .when(upper(hex(substring(bin, 9, 3))) === "686569", "image/heic") // "hei*"
-          // HEIF structural brands — several encoders write mif1/msf1
-          // as the MAJOR brand with heic only in compatible-brands
-          .when(upper(hex(substring(bin, 9, 4))) === "6D696631", "image/heif") // "mif1"
-          .when(upper(hex(substring(bin, 9, 4))) === "6D736631", "image/heif") // "msf1"
-          .when(upper(hex(substring(bin, 9, 4))) === "61766966", "image/avif") // "avif"
-          .when(upper(hex(substring(bin, 9, 4))) === "61766973", "image/avif") // "avis" (AVIF sequence)
-          .when(upper(hex(substring(bin, 9, 4))) === "71742020", "video/quicktime") // "qt  "
+          .when(riffForm === "6D696631", "image/heif")          // "mif1"
+          .when(riffForm === "6D736631", "image/heif-sequence") // "msf1"
+          .when(riffForm === "61766966", "image/avif")        // "avif"
+          .when(riffForm === "61766973", "image/avif-sequence") // "avis"
+          .when(riffForm === "71742020", "video/quicktime")   // "qt  "
           .otherwise("video/mp4"))
       .otherwise("application/octet-stream")
   }

@@ -183,15 +183,15 @@ object StreamingOps {
               // session_start diverges from the batch twin
               Some(OpenSession(math.min(s.start, ep), math.max(s.last, ep),
                 s.n + 1, s.total + v))
-            case (Some(s), p) =>
+            case (Some(s), _) =>
+              // ep > s.last + gap: close and reopen. bridged is
+              // provably None here (pending.last < s.start - gap, so
+              // ep - pending.last > 2·gap), as is the (None, Some)
+              // shape (pending requires an open session)
               closed += close(s)
-              Some(OpenSession(p.map(_.start).getOrElse(ep), ep,
-                p.map(_.n).getOrElse(0L) + 1L,
-                p.map(_.total).getOrElse(0.0) + v))
-            case (None, p) =>
-              Some(OpenSession(p.map(_.start).getOrElse(ep), ep,
-                p.map(_.n).getOrElse(0L) + 1L,
-                p.map(_.total).getOrElse(0.0) + v))
+              Some(OpenSession(ep, ep, 1L, v))
+            case (None, _) =>
+              Some(OpenSession(ep, ep, 1L, v))
           }
         }
       }

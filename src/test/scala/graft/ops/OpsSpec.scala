@@ -538,7 +538,7 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       (Seq(0, 0, 0, 24).map(_.toByte) ++ s"ftyp$brand".getBytes).toArray
     val df = Seq((1L, wav), (2L, avi), (3L, bmff("isom")),
         (4L, wav.take(20)), (5L, bmff("M4A ")), (6L, bmff("heic")),
-        (7L, bmff("avif")))
+        (7L, bmff("avif")), (8L, bmff("mif1")), (9L, bmff("avis")))
       .toDF("id", "media")
     val meta = Multimodal.withMediaMeta(df, "media")
       .select("id", "media_meta.mime", "media_meta.sample_rate",
@@ -556,6 +556,8 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(meta(5L).getString(1) == "audio/mp4")
     assert(meta(6L).getString(1) == "image/heic")
     assert(meta(7L).getString(1) == "image/avif")
+    assert(meta(8L).getString(1) == "image/heif") // structural major brand
+    assert(meta(9L).getString(1) == "image/avif-sequence")
   }
 
   test("text operators are total over hostile inputs") {

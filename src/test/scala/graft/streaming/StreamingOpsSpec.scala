@@ -151,13 +151,15 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("sessionizeStream: a late in-gap event lowers session_start") {
+  /** Stage each batch as one parquet file with ascending mtimes (file
+    * order IS micro-batch order), run sessionizeStream over the file
+    * stream, drain, and return the emitted sessions. */
+  private def runSessionStream(out: String, gapSeconds: Long,
+      batches: Seq[Seq[(Long, java.sql.Timestamp, Long, Double)]])
+    : Array[org.apache.spark.sql.Row] = {
     import spark.implicits._
-    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
-    val base = 1700000000L
-    val out = tempDir("graft_sess_late")
-    def write(rows: Seq[(Long, java.sql.Timestamp, Long, Double)],
-              mtime: Long): Unit = {
+    var mtime = 1000000L
+    batches.foreach { rows =>
       val p = new org.apache.hadoop.fs.Path(s"$out/in")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val before =
@@ -168,21 +170,14 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet")
         && !before(f.getPath.getName))
         .foreach(f => fs.setTimes(f.getPath, mtime, -1))
+      mtime += 60000
     }
-    // batch 1 opens the session at base+1000; batch 2 delivers a LATE
-    // event 400 s earlier (inside the 10 min watermark); batches 3-4
-    // are far-future sentinels that advance the watermark then fire
-    // the session timeout
-    write(Seq((1L, ts(base + 1000), 1L, 1.0)), 1000000)
-    write(Seq((1L, ts(base + 600), 2L, 1.0)), 1060000)
-    write(Seq((9L, ts(base + 8640000), 3L, 0.0)), 1120000)
-    write(Seq((9L, ts(base + 17280000), 4L, 0.0)), 1180000)
-    val schema = Seq((1L, ts(0), 1L, 1.0))
+    val schema = Seq((1L, new java.sql.Timestamp(0), 1L, 1.0))
       .toDF("user_id", "ts", "event_id", "value").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
     val sessions = StreamingOps.sessionizeStream(stream,
-      "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+      "user_id", "ts", "event_id", "value", gapSeconds)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
@@ -195,61 +190,41 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       if (q != null) q.stop()
     }
-    val got = spark.read.parquet(s"$out/data")
-      .filter(col("user_id") === 1L).collect()
+    spark.read.parquet(s"$out/data").collect()
+  }
+
+  test("sessionizeStream: a late in-gap event lowers session_start") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val base = 1700000000L
+    // batch 1 opens the session at base+1000; batch 2 delivers a LATE
+    // event 400 s earlier (inside the 10 min watermark); batches 3-4
+    // are far-future sentinels that advance the watermark then fire
+    // the session timeout
+    val got = runSessionStream(tempDir("graft_sess_late"), 1800, Seq(
+        Seq((1L, ts(base + 1000), 1L, 1.0)),
+        Seq((1L, ts(base + 600), 2L, 1.0)),
+        Seq((9L, ts(base + 8640000), 3L, 0.0)),
+        Seq((9L, ts(base + 17280000), 4L, 0.0))))
+      .filter(_.getAs[Long]("user_id") == 1L)
       .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("n_events"),
         r.getAs[Long]("duration_sec"), r.getAs[Double]("total_value")))
     assert(got.toSeq == Seq((base + 600, 2L, 400L, 2.0)))
   }
 
   test("sessionizeStream: same-batch stragglers co-session; chains bridge") {
-    import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val base = 1700000000L
-    val out = tempDir("graft_sess_strag")
-    def write(rows: Seq[(Long, java.sql.Timestamp, Long, Double)],
-              mtime: Long): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$out/in")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val before =
-        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet
-        else Set.empty[String]
-      rows.toDF("user_id", "ts", "event_id", "value")
-        .coalesce(1).write.mode("append").parquet(s"$out/in")
-      fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet")
-        && !before(f.getPath.getName))
-        .foreach(f => fs.setTimes(f.getPath, mtime, -1))
-    }
     // gap=100: batch 1 opens u1/u2 sessions at base+1000; batch 2
     // delivers late events inside the 10-min watermark: u1 gets two
     // co-sessioning stragglers (500,520 — both < start-gap), u2 gets a
     // straggler chain that bridges into the open session (880,950)
-    write(Seq((1L, ts(base + 1000), 1L, 1.0), (2L, ts(base + 1000), 2L, 1.0)),
-      1000000)
-    write(Seq((1L, ts(base + 500), 3L, 1.0), (1L, ts(base + 520), 4L, 1.0),
-      (2L, ts(base + 880), 5L, 1.0), (2L, ts(base + 950), 6L, 1.0)), 1060000)
-    write(Seq((9L, ts(base + 8640000), 7L, 0.0)), 1120000)
-    write(Seq((9L, ts(base + 17280000), 8L, 0.0)), 1180000)
-    val schema = Seq((1L, ts(0), 1L, 1.0))
-      .toDF("user_id", "ts", "event_id", "value").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
-    val sessions = StreamingOps.sessionizeStream(stream,
-      "user_id", "ts", "event_id", "value", gapSeconds = 100)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = sessions.toDF().writeStream.outputMode("append")
-        .option("checkpointLocation", s"$out/cp")
-        .format("parquet").start(s"$out/data")
-      q.processAllAvailable()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      if (q != null) q.stop()
-    }
-    val got = spark.read.parquet(s"$out/data")
-      .filter(col("user_id") =!= 9L).collect()
+    val got = runSessionStream(tempDir("graft_sess_strag"), 100, Seq(
+        Seq((1L, ts(base + 1000), 1L, 1.0), (2L, ts(base + 1000), 2L, 1.0)),
+        Seq((1L, ts(base + 500), 3L, 1.0), (1L, ts(base + 520), 4L, 1.0),
+          (2L, ts(base + 880), 5L, 1.0), (2L, ts(base + 950), 6L, 1.0)),
+        Seq((9L, ts(base + 8640000), 7L, 0.0)),
+        Seq((9L, ts(base + 17280000), 8L, 0.0))))
+      .filter(_.getAs[Long]("user_id") != 9L)
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
         r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec")))
       .sorted.toSeq
