@@ -302,10 +302,7 @@ object Dedup {
       shingleHashArrays(df, idCol, textCol, shingleSize).localCheckpoint(true),
       idCol)
     val sigs = signaturesFromShingles(sh, idCol, numHashes)
-    val banded = sigs.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("signature"), b * rows + 1, lit(rows)))))
-      .as(Seq("band", "bucket")))
+    val banded = bandedBuckets(sigs, idCol, bands, rows)
     val left = banded.alias("a")
     val right = banded.alias("b")
     val candidates = left.join(right,
@@ -318,6 +315,54 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** (id, band, bucket) rows from minhash signatures — the LSH
+    * bucketing shared by the self-join and bipartite variants. */
+  private def bandedBuckets(sigs: DataFrame, idCol: String, bands: Int,
+                            rows: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("signature"), b * rows + 1, lit(rows)))))
+      .as(Seq("band", "bucket")))
+
+  /** Incremental NEAR-dup dedup — [[dedupAgainst]]'s fuzzy sibling:
+    * drop incoming docs whose shingle-set Jaccard with ANY base doc
+    * reaches `jaccardThreshold`. Bipartite MinHash-LSH: candidates
+    * come from (band, bucket) joins of the increment's signatures
+    * against the base's (never increment × base content), then exact
+    * shingle-set verification — same scale shape as
+    * [[minHashLshPairs]] with the self-join replaced by the bipartite
+    * join. The base's banded-signature frame is the persistable fuzzy
+    * dedup index (bands × base-docs small rows). The base is never
+    * re-deduped; intra-increment dups are kept (compose with
+    * [[minHashLshPairs]] on the increment if needed). */
+  def nearDedupAgainst(base: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3,
+                       jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bSh = explodeShingles(
+      shingleHashArrays(base, idCol, textCol, shingleSize)
+        .localCheckpoint(true), idCol)
+    val iSh = explodeShingles(
+      shingleHashArrays(incoming, idCol, textCol, shingleSize)
+        .localCheckpoint(true), idCol)
+    val bBand = bandedBuckets(
+      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands, rows)
+    val iBand = bandedBuckets(
+      signaturesFromShingles(iSh, idCol, numHashes), idCol, bands, rows)
+    val candidates = iBand.alias("a").join(bBand.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val dropIds = jaccardBipartite(candidates, iSh, bSh, idCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a").as(idCol)).distinct()
+    incoming.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs (the verify stage of
     * LSH). Join-based: |A ∩ B| via shingle-hash join, sizes via per-id
     * counts. */
@@ -328,16 +373,24 @@ object Dedup {
       idCol), idCol)
 
   private def jaccardFromShingles(pairs: DataFrame, shRaw: DataFrame,
-                                  idCol: String): DataFrame = {
-    val sh = shRaw.distinct() // set semantics for Jaccard
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col(idCol).as("id_a"), col("shingle_hash"))
-    val shB = sh.select(col(idCol).as("id_b"), col("shingle_hash"))
+                                  idCol: String): DataFrame =
+    jaccardBipartite(pairs, shRaw, shRaw, idCol)
+
+  /** Exact Jaccard for (id_a, id_b) pairs where a-ids index `shARaw`
+    * and b-ids index `shBRaw` (the same frame for self-join callers). */
+  private def jaccardBipartite(pairs: DataFrame, shARaw: DataFrame,
+                               shBRaw: DataFrame, idCol: String): DataFrame = {
+    val a = shARaw.distinct() // set semantics for Jaccard
+    val b = shBRaw.distinct()
+    val sizesA = a.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sizesB = b.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shA = a.select(col(idCol).as("id_a"), col("shingle_hash"))
+    val shB = b.select(col(idCol).as("id_b"), col("shingle_hash"))
     val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle_hash"))
     inter.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .join(sizesA.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizesB.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .select("id_a", "id_b", "jaccard")

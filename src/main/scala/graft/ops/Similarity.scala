@@ -191,6 +191,31 @@ object Similarity {
       .otherwise(transform(vec, x =>
         round(x / maxAbsVal * lit(127.0d)).cast("int")))
 
+  /** Per-group element-wise mean embedding (class centroids) — the
+    * labeled-data reduction behind centroid classifiers, per-domain
+    * "typical document" probes, and seeding clustering from existing
+    * labels. Output: (groupCol, n, centroid array<double>).
+    *
+    * Scale shape: posexplode → one partial-agg groupBy on
+    * (group, position) — dims × groups cells, each a partial-summed
+    * avg (map-side combine carries (sum, count), so the shuffle moves
+    * one row per (group, pos) per map task, never per input vector) —
+    * then a groups-sized reassembly groupBy. No collect, no window
+    * over the corpus; skew-free (every vector contributes the same
+    * `dim` cells). Vectors are averaged as doubles regardless of the
+    * stored float width. */
+  def labelCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame = {
+    val ex = df.select(col(groupCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
+    val cells = ex.groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__v")).as("__m"), count(lit(1)).as("__n"))
+    cells.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("centroid"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Centroid affinity score: |c|² − 2·v·c. Equals squared L2 distance

@@ -974,6 +974,29 @@ object GraftQueries {
       |  CAST(list_sum(qv) AS BIGINT) AS qsum
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Bloom-prefilter join: orders Bloom-filtered map-side by the
+    * BUILDING customers' keys before the exact join — row-identical to
+    * the plain join (the oracle IS the plain join; false positives die
+    * in the exact join), but only plausible matches reach the join's
+    * exchange. The sketch moves to the driver, never the keys. */
+  val bloomJoin: Q = (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.ops.BloomJoin.bloomPrefilterJoin(
+        orders, "o_custkey", cust, "c_custkey", expectedItems = 100000L)
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val bloomJoinSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Range (point-in-interval) join: every lineitem row lands in its
     * quantity band via a broadcast nested-loop join — the small interval
     * table broadcasts, the fact table streams through one pass with no
@@ -999,6 +1022,24 @@ object GraftQueries {
        |GROUP BY band ORDER BY band""".stripMargin
 
   // ------------------------------------------- §2.11 similarity search
+
+  /** Per-label mean embedding (class centroids), exploded to
+    * (label, n, pos, value) rows so the oracle compares scalars;
+    * averaged in double on both engines, round 6. */
+  val embeddingCentroid: Q = (spark, dir) =>
+    Similarity.labelCentroids(t(spark, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("n"),
+        posexplode(col("centroid")).as(Seq("pos", "cv")))
+      .select(col("label"), col("n"), col("pos"), round(col("cv"), 6).as("cv"))
+      .orderBy("label", "pos")
+
+  val embeddingCentroidSql: String =
+    """WITH ex AS (
+      |  SELECT label, unnest(embedding)::DOUBLE AS v,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n, pos, round(avg(v), 6) AS cv
+      |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
   /** Brute-force cosine top-k (exact baseline). Cosines computed in
     * double with identical fold order on both engines; ordering ties
@@ -1709,6 +1750,23 @@ object GraftQueries {
       |      = sha256(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup dedup (no oracle — MinHash family): the
+    * increment (new docs ∪ 30 planted copies of base docs) deduped
+    * against the base by bipartite LSH + exact Jaccard verification;
+    * recall pinned by OpsSpec's planted-copy test. */
+  val nearDedupIncremental: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    graft.ops.Dedup.nearDedupAgainst(base, inc, "doc_id", "text",
+        jaccardThreshold = 0.9)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate scrub: 2-token chunks occurring in ≥25 distinct docs
     * are removed from EVERY document (C4's cookie-banner rule); docs
     * reassemble from what remains. The frequent-chunk set is small by
@@ -2398,6 +2456,7 @@ object GraftQueries {
     entry("q_dedup_groups", dedupGroups),
     entry("q_simhash_dedup", simhashDedup),
     entry("q_cosine_topk", cosineTopK, cosineTopKSql),
+    entry("q_embedding_centroid", embeddingCentroid, embeddingCentroidSql),
     entry("q_embedding_neardup", embeddingNearDup, embeddingNearDupSql),
     entry("q_ann_lsh", annLsh),
     entry("q_ann_ivf", annIvf),
@@ -2414,6 +2473,7 @@ object GraftQueries {
     entry("q_length_band", lengthBand, lengthBandSql),
     entry("q_line_dedup", lineDedup, lineDedupSql),
     entry("q_dedup_incremental", dedupIncremental, dedupIncrementalSql),
+    entry("q_neardedup_incremental", nearDedupIncremental),
     entry("q_boilerplate_filter", boilerplateFilter, boilerplateFilterSql),
     entry("q_vocab_build", vocabBuild, vocabBuildSql),
     entry("q_tfidf", tfidfQ, tfidfSql),
@@ -2436,6 +2496,7 @@ object GraftQueries {
     entry("q_optimize", optimizeTable, optimizeTableSql),
     entry("q_zorder", zorderTable, zorderTableSql),
     entry("q_range_join", rangeJoin, rangeJoinSql),
+    entry("q_bloom_join", bloomJoin, bloomJoinSql),
     entry("q_corpus_stats", corpusStats, corpusStatsSql),
     entry("q_pivot_events", pivotEvents, pivotEventsSql),
     entry("q_lang_filter", langFilter, langFilterSql),

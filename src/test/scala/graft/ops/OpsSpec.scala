@@ -762,6 +762,70 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(11L, 12L))
   }
 
+  test("nearDedupAgainst drops near-copies of base docs, keeps the rest") {
+    // disjoint vocabularies: base from a*, fresh from b* (jaccard 0 by
+    // construction — the documents fixture itself contains planted
+    // near-dups, so a fixture-based "fresh" set wouldn't be fresh)
+    val rng = new scala.util.Random(5)
+    def text(vocab: String) =
+      Seq.fill(30)(vocab + rng.nextInt(10)).mkString(" ")
+    val base = (0L until 30L).map(i => (i, text("a")))
+      .toDF("doc_id", "text")
+    val copies = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val nears = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val fresh = (100L until 120L).map(i => (i, text("b")))
+      .toDF("doc_id", "text")
+    val inc = copies.unionByName(nears).unionByName(fresh)
+    val kept = Dedup.nearDedupAgainst(base, inc, "doc_id", "text",
+        jaccardThreshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(i => !kept.contains(i + 10000)),
+      "exact copies must drop")
+    assert((0L until 10L).forall(i => !kept.contains(i + 20000)),
+      "near copies (one appended token) must drop")
+    assert((100L until 120L).forall(kept.contains),
+      "genuinely-new docs must survive")
+  }
+
+  test("bloomPrefilterJoin equals the plain join; no false negatives") {
+    val big = (0L until 2000L).map(i => (i, i % 500)).toDF("row_id", "fk")
+    val small = Seq((3L, "x"), (7L, "y"), (499L, "z")).toDF("pk", "name")
+    val got = BloomJoin.bloomPrefilterJoin(big, "fk", small, "pk",
+        expectedItems = 100L)
+      .select("row_id", "fk", "pk", "name").orderBy("row_id").collect()
+    val want = big.join(small, col("fk") === col("pk"))
+      .select("row_id", "fk", "pk", "name").orderBy("row_id").collect()
+    assert(got.toSeq == want.toSeq) // bloom FNs are impossible; FPs die in the join
+    assert(got.length == 12) // 4 big rows per small key
+  }
+
+  test("keyBloom/mightContain: members always pass, non-members mostly drop") {
+    val keys = (0L until 1000L).map(k => Tuple1(k * 2)).toDF("k") // evens
+    val bloom = BloomJoin.keyBloom(keys, "k", expectedItems = 1000L, fpp = 0.01)
+    val probe = (0L until 2000L).map(Tuple1(_)).toDF("k")
+    val kept = probe.filter(BloomJoin.mightContain(bloom, col("k")))
+      .as[Long].collect().toSet
+    assert((0L until 1000L).forall(k => kept.contains(k * 2)),
+      "every inserted key must pass")
+    val falsePos = kept.count(_ % 2 == 1)
+    assert(falsePos <= 50, s"~1% fpp expected, got $falsePos/1000 odd keys")
+  }
+
+  test("labelCentroids averages element-wise per group") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 6.0f)),
+      (2, Seq(10.0f, 0.0f)))
+      .toDF("label", "vec")
+    val out = Similarity.labelCentroids(df, "label", "vec")
+      .orderBy("label")
+      .select("label", "n", "centroid")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(out == Seq((1, 2L, Seq(2.0, 4.0)), (2, 1L, Seq(10.0, 0.0))))
+  }
+
   test("mixtureSample: per-domain rates, default for unlisted domains") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}"))
       .toDF("id", "domain")
