@@ -37,17 +37,25 @@ object BloomJoin {
     * (~0.9 MB for 1M keys at 1% fpp), independent of row count. */
   def keyBloom(df: DataFrame, keyCol: String,
                expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bytes = keyBloomOpt(df, keyCol, expectedItems, fpp)
+    require(bytes.isDefined, s"no rows to build a Bloom filter from ($keyCol)")
+    bytes.get
+  }
+
+  /** [[keyBloom]], but None when the frame has no rows (the aggregate
+    * yields a null sketch) instead of failing. */
+  def keyBloomOpt(df: DataFrame, keyCol: String,
+                  expectedItems: Long, fpp: Double = 0.01)
+    : Option[Array[Byte]] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
       GraftColumnBridge.expression(col(keyCol).cast("long")),
       Literal(expectedItems), Literal(numBits))
-    val bytes = df
+    Option(df
       .agg(GraftColumnBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    require(bytes != null, s"no rows to build a Bloom filter from ($keyCol)")
-    bytes
+      .head().getAs[Array[Byte]](0))
   }
 
   /** Codegen'd membership predicate over a serialized filter from
@@ -66,8 +74,10 @@ object BloomJoin {
                          small: DataFrame, smallKey: String,
                          expectedItems: Long,
                          fpp: Double = 0.01): DataFrame = {
-    val bloom = keyBloom(small, smallKey, expectedItems, fpp)
-    big.filter(mightContain(bloom, col(bigKey)))
-      .join(small, col(bigKey) === col(smallKey))
+    // empty small side ⇒ empty plain-join result, not an error
+    val prefilter = keyBloomOpt(small, smallKey, expectedItems, fpp)
+      .map(bloom => mightContain(bloom, col(bigKey)))
+      .getOrElse(lit(false))
+    big.filter(prefilter).join(small, col(bigKey) === col(smallKey))
   }
 }

@@ -235,6 +235,32 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Fixed-size token chunking with overlap — context-window prep for
+    * embedding / RAG / training pipelines: each document becomes
+    * ceil(max(n_tokens,1) / (chunk − overlap)) rows of
+    * (id, chunk_id, n_tokens, chunk_text), consecutive chunks sharing
+    * `overlapTokens` tokens. Tokens are the shared [[tokens]]
+    * definition, so chunk boundaries agree with every other text
+    * operator. Map-only (generator + slice column algebra, no
+    * shuffle, no UDF) — scales linearly; the trailing chunk may be
+    * shorter than `chunkTokens` (never empty). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(step))).as(Seq("chunk_id", "__start")))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("__start"), lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Corpus-level language histogram (one shuffle). */
   def langHistogram(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(langId(col(textCol)).as("predicted_lang"))

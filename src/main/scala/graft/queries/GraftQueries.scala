@@ -690,6 +690,51 @@ object GraftQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.es <= o.oes
       |ORDER BY e.event_id""".stripMargin
 
+  /** Nearest as-of: each event attached to the user's closest-in-time
+    * order, backward on ties (merge_asof direction='nearest'); the
+    * oracle composes DuckDB's two directional ASOF joins and picks the
+    * nearer match with the same tie-break. */
+  val asofNearest: Q = (spark, dir) => {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"))
+    val orders = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("oes"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("__m"))
+      .select(col("o_custkey"), col("oes"),
+        col("__m.o_orderkey").as("o_orderkey"),
+        col("__m.o_totalprice").as("o_totalprice"))
+    graft.ops.AsOfJoin.asOfNearest(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "es", rightTime = "oes",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val asofNearestSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |o AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS oes,
+      |        max(o_orderkey) AS o_orderkey,
+      |        arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |      FROM orders GROUP BY 1, 2),
+      |b AS (SELECT e.event_id, e.user_id, e.es, o.oes AS boes,
+      |        o.o_orderkey AS bok, o.o_totalprice AS btp
+      |      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.es >= o.oes),
+      |f AS (SELECT e.event_id, o.oes AS foes, o.o_orderkey AS fok,
+      |        o.o_totalprice AS ftp
+      |      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.es <= o.oes)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN boes IS NULL THEN fok
+      |       WHEN foes IS NULL THEN bok
+      |       WHEN (b.es - boes) <= (foes - b.es) THEN bok ELSE fok END AS o_orderkey,
+      |  CASE WHEN boes IS NULL THEN ftp
+      |       WHEN foes IS NULL THEN btp
+      |       WHEN (b.es - boes) <= (foes - b.es) THEN btp ELSE ftp END AS o_totalprice
+      |FROM b JOIN f USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Sessionization: 30-minute inactivity gap, per-session rollup.
     * Integer epoch arithmetic end to end — exact oracle. */
   val sessionize: Q = (spark, dir) =>
@@ -1365,6 +1410,28 @@ object GraftQueries {
       |  CAST(sum(len(t) + punct +
       |    list_sum(list_transform(t, w -> greatest(0, (length(w) - 1) // 6)))) AS BIGINT) AS bpe_tokens
       |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
+  /** Document chunking: 32-token windows, 8-token overlap — the
+    * context-window prep shape (map-only generator; the oracle mirrors
+    * the shared tokenizer and the 1-based slice arithmetic). */
+  val docChunks: Q = (spark, dir) =>
+    TextAnalysis.chunkDocuments(t(spark, dir, "documents"),
+        "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  val docChunksSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start_pos
+      |  FROM tok)
+      |SELECT doc_id, CAST((start_pos - 1) // 24 AS INT) AS chunk_id,
+      |  CAST(len(toks[start_pos : start_pos + 31]) AS INT) AS n_tokens,
+      |  array_to_string(toks[start_pos : start_pos + 31], ' ') AS chunk_text
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Pivot: per-user event-type count matrix (explicit value list keeps
     * the output schema deterministic); oracle via FILTER aggregation. */
@@ -2446,6 +2513,7 @@ object GraftQueries {
     entry("q_struct_functions", structFunctions, structFunctionsSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
+    entry("q_asof_nearest", asofNearest, asofNearestSql),
     entry("q_sessionize", sessionize, sessionizeSql),
     entry("q_window_rownum", windowRowNumber, windowRowNumberSql),
     entry("q_window_lag", windowLag, windowLagSql),
@@ -2502,6 +2570,7 @@ object GraftQueries {
     entry("q_lang_filter", langFilter, langFilterSql),
     entry("q_quality_filter", qualityFilter, qualityFilterSql),
     entry("q_token_budget", tokenBudget, tokenBudgetSql),
+    entry("q_doc_chunks", docChunks, docChunksSql),
     entry("q_pii_redact", piiRedact, piiRedactSql),
     entry("q_lang_predict", langPredict),
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),

@@ -730,6 +730,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == null) // nothing after 99
   }
 
+  test("asOfNearest picks the closer side; backward wins ties") {
+    val left = Seq((1L, 10L, 12L), (2L, 10L, 18L), (3L, 10L, 25L),
+        (4L, 10L, 2L), (5L, 10L, 99L), (6L, 99L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 10L, "a"), (10L, 20L, "b"), (10L, 30L, "c"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "rk", "t", "rt",
+        Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a") // 12: back 10 (d=2) beats fwd 20 (d=8)
+    assert(out(2L) == "b") // 18: fwd 20 (d=2) beats back 10 (d=8)
+    assert(out(3L) == "b") // 25: tie (d=5 both ways) → backward
+    assert(out(4L) == "a") // 2: nothing before → forward match
+    assert(out(5L) == "c") // 99: nothing after → backward match
+    assert(out(6L) == null) // key with no right rows at all
+  }
+
   test("dedupLines: first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (1L, "alpha\nshared line\nbeta"),
@@ -802,6 +819,13 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 12) // 4 big rows per small key
   }
 
+  test("bloomPrefilterJoin: empty small side is an empty result, not an error") {
+    val big = (0L until 10L).map(i => (i, i)).toDF("row_id", "fk")
+    val small = Seq.empty[(Long, String)].toDF("pk", "name")
+    assert(BloomJoin.bloomPrefilterJoin(big, "fk", small, "pk",
+      expectedItems = 10L).count() == 0)
+  }
+
   test("keyBloom/mightContain: members always pass, non-members mostly drop") {
     val keys = (0L until 1000L).map(k => Tuple1(k * 2)).toDF("k") // evens
     val bloom = BloomJoin.keyBloom(keys, "k", expectedItems = 1000L, fpp = 0.01)
@@ -824,6 +848,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .select("label", "n", "centroid")
       .as[(Int, Long, Seq[Double])].collect().toSeq
     assert(out == Seq((1, 2L, Seq(2.0, 4.0)), (2, 1L, Seq(10.0, 0.0))))
+  }
+
+  test("chunkDocuments: window boundaries, overlap, trailing chunk") {
+    val doc = (0 until 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 4, "t0 t1 t2 t3"),
+      (1L, 1, 4, "t3 t4 t5 t6"), // starts share one token with predecessor
+      (1L, 2, 4, "t6 t7 t8 t9"),
+      (1L, 3, 1, "t9"), // trailing chunk, short but never empty
+      (2L, 0, 1, ""))) // empty doc → one empty-token chunk, not zero rows
   }
 
   test("mixtureSample: per-domain rates, default for unlisted domains") {

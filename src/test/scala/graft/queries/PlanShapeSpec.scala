@@ -49,6 +49,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"interval join should be a broadcast nested loop:\n$p")
   }
 
+  test("q_bloom_join keeps the bloom predicate map-side under the exact join") {
+    val p = planOf(GraftQueries.bloomJoin(spark, dir))
+    assert(p.contains("might_contain"),
+      s"bloom membership predicate missing from the executed plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small-dimension exact join should broadcast:\n$p")
+    // the predicate must sit on the fact-scan side, not post-join: in the
+    // top-down plan print the join header precedes its children, so the
+    // filter line must appear after it
+    assert(p.indexOf("might_contain") > p.indexOf("BroadcastHashJoin"),
+      s"bloom filter printed above the join — applied post-join?\n$p")
+  }
+
   test("q_topk is TakeOrderedAndProject, not a full sort") {
     val p = planOf(GraftQueries.topK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to sort:\n$p")
@@ -76,6 +89,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val hashExchanges = "hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges <= 1,
       s"expected one hash exchange for both windows, got $hashExchanges:\n$p")
+  }
+
+  test("asOfNearest runs both sweeps over one union-frame exchange") {
+    // the backward and forward windows partition on the same key; a
+    // second hashpartitioning of the union frame would double the
+    // shuffled bytes of the operator's dominant stage at scale
+    val left = spark.range(100).selectExpr("id", "id % 7 AS k", "id AS t")
+    val right = spark.range(40)
+      .selectExpr("id % 7 AS rk", "id * 3 AS rt", "id AS v")
+    val df = graft.ops.AsOfJoin.asOfNearest(left.toDF(), right.toDF(),
+      "k", "rk", "t", "rt", Seq("v"))
+    val p = planOf(df).split("== Initial Plan ==").head
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1,
+      s"expected one hash exchange for both sweeps, got $hashExchanges:\n$p")
   }
 
   test("q_embedding_neardup never materializes the all-pairs product") {
