@@ -33,7 +33,7 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
     val (u, leftCols) = unionFrame(left, right, leftKey, rightKey,
-      leftTime, rightTime, rightCols)
+      leftTime, rightTime, rightCols, withRt = false)
     finish(u.withColumn("__right", runningLast(sweep(asc = true))),
       leftCols, rightCols)
   }
@@ -47,7 +47,7 @@ object AsOfJoin {
                   leftTime: String, rightTime: String,
                   rightCols: Seq[String]): DataFrame = {
     val (u, leftCols) = unionFrame(left, right, leftKey, rightKey,
-      leftTime, rightTime, rightCols)
+      leftTime, rightTime, rightCols, withRt = false)
     finish(u.withColumn("__right", runningLast(sweep(asc = false))),
       leftCols, rightCols)
   }
@@ -64,7 +64,7 @@ object AsOfJoin {
                   leftTime: String, rightTime: String,
                   rightCols: Seq[String]): DataFrame = {
     val (u, leftCols) = unionFrame(left, right, leftKey, rightKey,
-      leftTime, rightTime, rightCols)
+      leftTime, rightTime, rightCols, withRt = true)
     val distBack = col("__t") - col("__rb.__rt") // ≥ 0 by construction
     val distFwd = col("__rf.__rt") - col("__t")
     finish(
@@ -98,22 +98,28 @@ object AsOfJoin {
   }
 
   /** Tagged union of the two sides: (__key, __t, __is_left, left
-    * columns, __right struct). The struct carries the right time as
-    * `__rt` (for nearest's distance compare) plus `rightCols`. Returns
-    * the frame and the left column names for the final projection. */
+    * columns, __right struct). Only when `withRt` (the nearest
+    * variant's distance compare) does the struct carry the right time
+    * as `__rt` — backward/forward never read it, and it would be a
+    * second copy of the time column through the operator's dominant
+    * shuffle. Returns the frame and the left column names for the
+    * final projection. */
   private def unionFrame(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,
-                         rightCols: Seq[String])
+                         rightCols: Seq[String],
+                         withRt: Boolean)
     : (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"rightCols must not collide with left columns: " +
         rightCols.intersect(leftCols).mkString(", "))
+    val rtField =
+      if (withRt) Seq(org.apache.spark.sql.types.StructField(
+        "__rt", right.schema(rightTime).dataType))
+      else Seq.empty
     val rowStructType = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField(
-        "__rt", right.schema(rightTime).dataType) +:
-        rightCols.map(c => right.schema(c)))
+      rtField ++ rightCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
@@ -127,7 +133,8 @@ object AsOfJoin {
       .withColumn("__is_left", lit(0))
       .select(Seq(col("__key"), col("__t"), col("__is_left")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(col(rightTime).as("__rt") +: rightCols.map(col): _*)
+        struct((if (withRt) Seq(col(rightTime).as("__rt")) else Seq.empty) ++
+          rightCols.map(col): _*)
           .as("__right"): _*)
     (l.unionByName(r), leftCols)
   }

@@ -32,9 +32,17 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomJoin {
 
-  /** Serialized Bloom filter of `keyCol`'s values (cast to long).
-    * Distributed build; driver receives `optimalNumOfBits/8` bytes
-    * (~0.9 MB for 1M keys at 1% fpp), independent of row count. */
+  /** Serialized Bloom filter of `keyCol`'s values. Keys of ANY type
+    * enter the sketch as `xxhash64(key)` — the same hash is applied on
+    * the probe side, so false negatives stay impossible for string/
+    * date/decimal keys too (a cast-to-long would null non-numeric keys
+    * and silently drop their matches). Distributed build; driver
+    * receives `optimalNumOfBits/8` bytes (~0.9 MB for 1M keys at 1%
+    * fpp), independent of row count.
+    *
+    * `expectedItems` is capped by
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) — raise that conf for larger dimension snapshots. */
   def keyBloom(df: DataFrame, keyCol: String,
                expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     val bytes = keyBloomOpt(df, keyCol, expectedItems, fpp)
@@ -49,9 +57,16 @@ object BloomJoin {
     : Option[Array[Byte]] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val cap = df.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    require(expectedItems <= cap,
+      s"expectedItems=$expectedItems exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$cap — " +
+        "raise the conf for larger dimension snapshots")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
-      GraftColumnBridge.expression(col(keyCol).cast("long")),
+      GraftColumnBridge.expression(xxhash64(col(keyCol))),
       Literal(expectedItems), Literal(numBits))
     Option(df
       .agg(GraftColumnBridge.column(agg.toAggregateExpression()).as("bf"))
@@ -59,11 +74,14 @@ object BloomJoin {
   }
 
   /** Codegen'd membership predicate over a serialized filter from
-    * [[keyBloom]]. True ⇒ maybe present; false ⇒ definitely absent. */
+    * [[keyBloom]]. True ⇒ maybe present; false ⇒ definitely absent.
+    * Null keys hash to the seed constant and pass the sketch; the
+    * exact join's null-rejecting equality still drops them, so the
+    * end-to-end contract is unaffected. */
   def mightContain(bloom: Array[Byte], key: Column): Column =
     GraftColumnBridge.column(BloomFilterMightContain(
       Literal.create(bloom, BinaryType),
-      GraftColumnBridge.expression(key.cast("long"))))
+      GraftColumnBridge.expression(xxhash64(key))))
 
   /** Inner equi-join with the big side Bloom-prefiltered by the small
     * side's keys. Row-for-row identical to
@@ -78,6 +96,8 @@ object BloomJoin {
     val prefilter = keyBloomOpt(small, smallKey, expectedItems, fpp)
       .map(bloom => mightContain(bloom, col(bigKey)))
       .getOrElse(lit(false))
-    big.filter(prefilter).join(small, col(bigKey) === col(smallKey))
+    // frame-qualified keys: unqualified col() would be ambiguous
+    // whenever both frames carry the key name
+    big.filter(prefilter).join(small, big(bigKey) === small(smallKey))
   }
 }

@@ -377,13 +377,16 @@ object Dedup {
     jaccardBipartite(pairs, shRaw, shRaw, idCol)
 
   /** Exact Jaccard for (id_a, id_b) pairs where a-ids index `shARaw`
-    * and b-ids index `shBRaw` (the same frame for self-join callers). */
+    * and b-ids index `shBRaw` (the same frame for self-join callers —
+    * detected by reference so the distinct/size aggregates run once,
+    * not twice, over the corpus shingle frame). */
   private def jaccardBipartite(pairs: DataFrame, shARaw: DataFrame,
                                shBRaw: DataFrame, idCol: String): DataFrame = {
     val a = shARaw.distinct() // set semantics for Jaccard
-    val b = shBRaw.distinct()
+    val b = if (shBRaw eq shARaw) a else shBRaw.distinct()
     val sizesA = a.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val sizesB = b.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sizesB = if (b eq a) sizesA
+      else b.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val shA = a.select(col(idCol).as("id_a"), col("shingle_hash"))
     val shB = b.select(col(idCol).as("id_b"), col("shingle_hash"))
     val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle_hash"))

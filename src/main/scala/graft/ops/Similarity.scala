@@ -203,7 +203,15 @@ object Similarity {
     * then a groups-sized reassembly groupBy. No collect, no window
     * over the corpus; skew-free (every vector contributes the same
     * `dim` cells). Vectors are averaged as doubles regardless of the
-    * stored float width. */
+    * stored float width.
+    *
+    * Assumes uniform dimensionality per group (the embeddings-table
+    * contract). If upstream corruption makes vectors ragged, each
+    * position averages over the vectors that HAVE it (no error), the
+    * centroid is as long as the longest vector, and `n` — defined as
+    * the maximum per-position support — is the group's vector count
+    * only in the uniform case. Groups whose vectors are all empty or
+    * null produce no output row (nothing to explode). */
   def labelCentroids(df: DataFrame, groupCol: String,
                      vecCol: String): DataFrame = {
     val ex = df.select(col(groupCol),

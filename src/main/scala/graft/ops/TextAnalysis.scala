@@ -243,7 +243,12 @@ object TextAnalysis {
     * definition, so chunk boundaries agree with every other text
     * operator. Map-only (generator + slice column algebra, no
     * shuffle, no UDF) — scales linearly; the trailing chunk may be
-    * shorter than `chunkTokens` (never empty). */
+    * shorter than `chunkTokens` (never empty), and no chunk is ever a
+    * pure subset of its predecessor: starts run only to
+    * `size − overlap` (further starts would add zero new tokens —
+    * duplicate rows an embedding/dedup consumer would index twice),
+    * which still covers every token because consecutive starts are
+    * `chunk − overlap` apart. */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int, overlapTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
@@ -252,7 +257,8 @@ object TextAnalysis {
     val step = chunkTokens - overlapTokens
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+        posexplode(sequence(lit(1),
+          greatest(size(col("__toks")) - overlapTokens, lit(1)),
           lit(step))).as(Seq("chunk_id", "__start")))
       .withColumn("__chunk",
         slice(col("__toks"), col("__start"), lit(chunkTokens)))

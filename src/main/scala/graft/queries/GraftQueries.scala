@@ -1426,7 +1426,7 @@ object GraftQueries {
       |  FROM documents),
       |st AS (
       |  SELECT doc_id, toks,
-      |    unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start_pos
+      |    unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS start_pos
       |  FROM tok)
       |SELECT doc_id, CAST((start_pos - 1) // 24 AS INT) AS chunk_id,
       |  CAST(len(toks[start_pos : start_pos + 31]) AS INT) AS n_tokens,

@@ -819,6 +819,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 12) // 4 big rows per small key
   }
 
+  test("bloomPrefilterJoin: string keys join exactly (hashed, not cast)") {
+    // a cast-to-long key path would null "abc"/"xyz" and silently drop
+    // their matches — the hash path must keep them
+    val big = Seq((1L, "abc"), (2L, "42"), (3L, "xyz"), (4L, "nomatch"))
+      .toDF("row_id", "fk")
+    val small = Seq(("abc", "a"), ("42", "n"), ("xyz", "z"))
+      .toDF("pk", "name")
+    val got = BloomJoin.bloomPrefilterJoin(big, "fk", small, "pk",
+        expectedItems = 10L)
+      .select("row_id", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "n"), (3L, "z")))
+  }
+
   test("bloomPrefilterJoin: empty small side is an empty result, not an error") {
     val big = (0L until 10L).map(i => (i, i)).toDF("row_id", "fk")
     val small = Seq.empty[(Long, String)].toDF("pk", "name")
@@ -852,7 +865,8 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("chunkDocuments: window boundaries, overlap, trailing chunk") {
     val doc = (0 until 10).map(i => s"t$i").mkString(" ")
-    val df = Seq((1L, doc), (2L, "")).toDF("doc_id", "text")
+    val doc11 = (0 until 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, ""), (3L, doc11)).toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
         chunkTokens = 4, overlapTokens = 1)
       .orderBy("doc_id", "chunk_id")
@@ -861,9 +875,12 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(
       (1L, 0, 4, "t0 t1 t2 t3"),
       (1L, 1, 4, "t3 t4 t5 t6"), // starts share one token with predecessor
-      (1L, 2, 4, "t6 t7 t8 t9"),
-      (1L, 3, 1, "t9"), // trailing chunk, short but never empty
-      (2L, 0, 1, ""))) // empty doc → one empty-token chunk, not zero rows
+      (1L, 2, 4, "t6 t7 t8 t9"), // t9 covered — NO subset-only "t9" chunk
+      (2L, 0, 1, ""), // empty doc → one empty-token chunk, not zero rows
+      (3L, 0, 4, "t0 t1 t2 t3"),
+      (3L, 1, 4, "t3 t4 t5 t6"),
+      (3L, 2, 4, "t6 t7 t8 t9"),
+      (3L, 3, 2, "t9 t10"))) // trailing chunk: short, but adds t10
   }
 
   test("mixtureSample: per-domain rates, default for unlisted domains") {
