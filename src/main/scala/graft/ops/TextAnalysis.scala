@@ -267,6 +267,51 @@ object TextAnalysis {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Corpus word-n-gram (collocation) counts: for every n-token
+    * window over the shared tokenizer, the number of occurrences and
+    * of distinct containing docs — the frequency table behind
+    * collocation mining, boilerplate discovery, and vocab induction
+    * beyond unigrams. One explode + one groupBy keyed by the gram —
+    * work follows gram frequency, shuffle rows are (gram, id) pairs.
+    * Docs shorter than n contribute nothing. Uses explode_outer +
+    * null-filter as the generate barrier (InferFiltersFromGenerate
+    * skips outer generates — see SCALE.md's measured pathology; a
+    * plain explode would re-inline the tokenizer per element). */
+  def ngramCounts(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(lit(null).cast("array<string>"))
+    df.select(col(idCol), explode_outer(grams).as("ngram"))
+      .filter(col("ngram").isNotNull)
+      .groupBy("ngram")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Token-id encoding — the last prep step before training: every
+    * token of every document mapped through a vocabulary frame
+    * (term → vocab_id) to (id, pos, term_id) rows, OOV tokens → -1.
+    * The vocabulary broadcasts (vocabularies are small by
+    * construction); the corpus explodes once map-side and never
+    * shuffles — output order is recoverable from (id, pos), so
+    * downstream packing/batching can reassemble sequences without
+    * this operator imposing a sort. */
+  def termIds(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame, termCol: String = "term",
+              vocabIdCol: String = "vocab_id"): DataFrame = {
+    val v = vocab.select(col(termCol).as("__term"),
+      col(vocabIdCol).as("__vid"))
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "__term")))
+      .join(broadcast(v), Seq("__term"), "left_outer")
+      .select(col(idCol), col("pos"),
+        coalesce(col("__vid"), lit(-1)).as("term_id"))
+  }
+
   /** Corpus-level language histogram (one shuffle). */
   def langHistogram(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(langId(col(textCol)).as("predicted_lang"))

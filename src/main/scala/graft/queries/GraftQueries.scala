@@ -1433,6 +1433,30 @@ object GraftQueries {
       |  array_to_string(toks[start_pos : start_pos + 31], ' ') AS chunk_text
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Top-30 corpus bigrams by occurrence (collocations); total order
+    * via (count desc, gram) so the rank-30 cut is engine-stable. */
+  val ngramCountsQ: Q = (spark, dir) =>
+    TextAnalysis.ngramCounts(t(spark, dir, "documents"),
+        "doc_id", "text", n = 2)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(30)
+
+  val ngramCountsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)),
+      |      i -> array_to_string(toks[i : i + 1], ' '))
+      |    ELSE [] END) AS ngram
+      |  FROM tok)
+      |SELECT ngram, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occurrences
+      |FROM g GROUP BY ngram
+      |ORDER BY n_occurrences DESC, ngram LIMIT 30""".stripMargin
+
   /** Pivot: per-user event-type count matrix (explicit value list keeps
     * the output schema deterministic); oracle via FILTER aggregation. */
   val pivotEvents: Q = (spark, dir) =>
@@ -1892,6 +1916,48 @@ object GraftQueries {
       |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS vocab_id
       |FROM counts ORDER BY vocab_id""".stripMargin
 
+  /** Token-id encoding of the first 50 docs through the corpus top-20
+    * vocabulary (so OOV → -1 is exercised); positions keep sequences
+    * reassemblable. */
+  val termIdsQ: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(20)
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(desc("n"), asc("term"))))
+    TextAnalysis.termIds(docs.filter(col("doc_id") < 50),
+        "doc_id", "text", vocab)
+      .orderBy("doc_id", "pos")
+  }
+
+  val termIdsSql: String =
+    """WITH counts AS (
+      |  SELECT term, count(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0
+      |  GROUP BY term ORDER BY n DESC, term LIMIT 20),
+      |vocab AS (
+      |  SELECT term,
+      |    CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS vocab_id
+      |  FROM counts),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term,
+      |    CAST(unnest(range(1, len(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) + 1)) - 1
+      |      AS INT) AS pos
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, -1) AS term_id
+      |FROM toks t LEFT JOIN vocab v USING (term)
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** TF-IDF per (doc, term) — corpus statistics (df, N) computed over
     * ALL documents, output bounded to the first 50 docs. */
   val tfidfQ: Q = (spark, dir) =>
@@ -2166,6 +2232,34 @@ object GraftQueries {
   val streamPassthroughSql: String =
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** Stream-static enrichment: a REAL file stream of events left-joins
+    * the static customer dimension (broadcast per micro-batch, no
+    * state store) on its way to the sink; the oracle is the plain
+    * batch left join — streaming must not change join results. */
+  val streamStaticJoin: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_sj").toString
+    val staged = t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    st.write(staged, s"$out/in", "parquet", "overwrite")
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = graft.streaming.StreamingOps.enrichStream(
+      st.readStream(s"$out/in", "parquet"), dim, "user_id", "c_custkey")
+    val q = st.writeStream(enriched, s"$out/data", "parquet", s"$out/cp")
+    try q.processAllAvailable()
+    finally q.stop()
+    st.read(s"$out/data", "parquet")
+      .select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+      .orderBy("event_id")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY event_id""".stripMargin
 
   /** Batch-mode twin of [[streamWindow]]: the SAME
     * [[graft.streaming.StreamingOps.tumblingCounts]] aggregation over
@@ -2571,12 +2665,15 @@ object GraftQueries {
     entry("q_quality_filter", qualityFilter, qualityFilterSql),
     entry("q_token_budget", tokenBudget, tokenBudgetSql),
     entry("q_doc_chunks", docChunks, docChunksSql),
+    entry("q_ngram_counts", ngramCountsQ, ngramCountsSql),
+    entry("q_term_ids", termIdsQ, termIdsSql),
     entry("q_pii_redact", piiRedact, piiRedactSql),
     entry("q_lang_predict", langPredict),
     entry("q_multimodal_meta", multimodalMeta, multimodalMetaSql),
     entry("q_multimodal_features", multimodalFeatures),
     entry("q_multimodal_resize", multimodalResize, multimodalResizeSql),
     entry("q_stream_passthrough", streamPassthrough, streamPassthroughSql),
+    entry("q_stream_static_join", streamStaticJoin, streamStaticJoinSql),
     entry("q_stream_window", streamWindow),
     entry("q_window_tumbling_batch", windowTumblingBatch,
       windowTumblingBatchSql),

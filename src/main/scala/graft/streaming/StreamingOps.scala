@@ -26,6 +26,18 @@ case class ClosedSession(user_id: Long, session_start: Long,
   */
 object StreamingOps {
 
+  /** Stream-static enrichment join: every stream row picks up the
+    * matching dimension row (left outer — unmatched rows survive with
+    * nulls, enrichment must not drop events). The static side is
+    * broadcast: stateless per micro-batch, no stream-side state store,
+    * no watermark needed — at scale the dimension ships once per
+    * executor per batch while the stream only ever streams. Works on
+    * batch frames too (same code path, plain broadcast left join). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey),
+      "left_outer").drop(dim(dimKey))
+
   /** Tumbling event-time window aggregation with a watermark.
     * Works on both batch and streaming frames (same code path — Spark
     * semantics guarantee the batch result is the stream's final state). */

@@ -883,6 +883,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       (3L, 3, 2, "t9 t10"))) // trailing chunk: short, but adds t10
   }
 
+  test("termIds maps tokens through the vocab; OOV is -1; positions dense") {
+    val docs = Seq((1L, "a B zzz a")).toDF("doc_id", "text") // B lowercases
+    val vocab = Seq(("a", 1), ("b", 2)).toDF("term", "vocab_id")
+    val out = TextAnalysis.termIds(docs, "doc_id", "text", vocab)
+      .orderBy("pos").select("pos", "term_id")
+      .as[(Int, Int)].collect().toSeq
+    assert(out == Seq((0, 1), (1, 2), (2, -1), (3, 1)))
+  }
+
+  test("ngramCounts: occurrences vs containing docs; short docs skipped") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams: "a b" ×2, "b a" ×1
+      (2L, "a b c"),   // "a b", "b c"
+      (3L, "x"))       // shorter than n → contributes nothing
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCounts(df, "doc_id", "text", n = 2)
+      .orderBy("ngram")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a b", 2L, 3L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
   test("mixtureSample: per-domain rates, default for unlisted domains") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}"))
       .toDF("id", "domain")
