@@ -280,12 +280,18 @@ object TextAnalysis {
   def ngramCounts(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
     require(n >= 1, "n must be positive")
-    val toks = tokens(col(textCol))
+    // tokenize ONCE per row behind an alias: the gram lambda references
+    // the token array three times (condition, bound, slice) and inlining
+    // tokens() into the per-index lambda would re-run the regex split
+    // per gram — the winnowingSketches/__norm pathology. Multi-reference
+    // aliases survive CollapseProject.
+    val toks = col("__toks")
     val grams = when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - n + 1),
           i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(lit(null).cast("array<string>"))
-    df.select(col(idCol), explode_outer(grams).as("ngram"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode_outer(grams).as("ngram"))
       .filter(col("ngram").isNotNull)
       .groupBy("ngram")
       .agg(countDistinct(col(idCol)).as("n_docs"),
