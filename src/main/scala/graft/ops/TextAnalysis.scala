@@ -220,7 +220,9 @@ object TextAnalysis {
     require(idCol != "term" && idCol != "tf" && idCol != "tfidf",
       s"idCol '$idCol' collides with tfIdf's output columns")
     val terms = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      // alias barrier: keep the tokenizer out of the generate-filter
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -311,8 +313,9 @@ object TextAnalysis {
               vocabIdCol: String = "vocab_id"): DataFrame = {
     val v = vocab.select(col(termCol).as("__term"),
       col(vocabIdCol).as("__vid"))
-    df.select(col(idCol),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "__term")))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(col("__toks")).as(Seq("pos", "__term")))
       .join(broadcast(v), Seq("__term"), "left_outer")
       .select(col(idCol), col("pos"),
         coalesce(col("__vid"), lit(-1)).as("term_id"))

@@ -1262,7 +1262,10 @@ object GraftQueries {
     * ties broken by term. */
   val topTerms: Q = (spark, dir) =>
     t(spark, dir, "documents")
-      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      // alias barrier: the generate-filter rule would re-run the
+      // tokenizer in its size()>0 filter if it wrapped the raw expr
+      .select(TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(explode(col("__toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("n"))
@@ -1283,8 +1286,9 @@ object GraftQueries {
   val explodePos: Q = (spark, dir) =>
     t(spark, dir, "documents")
       .filter(col("doc_id") < 100)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+        posexplode(col("__toks")).as(Seq("pos", "token")))
       .filter(length(col("token")) > 0)
       .orderBy("doc_id", "pos")
 
@@ -1894,7 +1898,8 @@ object GraftQueries {
     * the rank window runs over 50 rows post-limit. */
   val vocabBuild: Q = (spark, dir) => {
     val counts = t(spark, dir, "documents")
-      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(explode(col("__toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("n"))
@@ -1922,7 +1927,8 @@ object GraftQueries {
   val termIdsQ: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
     val vocab = docs
-      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(explode(col("__toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("n"))
@@ -2122,7 +2128,8 @@ object GraftQueries {
     * per occurrence. */
   val topTermsPerLang: Q = (spark, dir) => {
     val counts = t(spark, dir, "documents")
-      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("lang"), explode(col("__toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("n"))
