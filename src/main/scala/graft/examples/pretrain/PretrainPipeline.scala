@@ -1,0 +1,88 @@
+package graft.examples.pretrain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Packing, TextAnalysis}
+
+/** End-to-end pretraining-corpus curation: the showcase composition of
+  * the operator families this library adds over the reference —
+  * quality filter → exact dedup → fuzzy (MinHash-LSH) dedup →
+  * benchmark decontamination → context-window chunking → token-budget
+  * packing. Every stage is an operator with its own oracle-checked
+  * declared query and spec; this object wires them the way a real
+  * ingest job would and reports per-stage survivor counts.
+  *
+  * Scale shape is inherited from the stages: quality and chunking are
+  * map-only; each dedup is candidate-bucketed (never all-pairs);
+  * decontamination joins by gram; packing windows within hash shards.
+  * The only driver-side work is the per-stage counts — six count()
+  * aggregates a production job would log anyway.
+  */
+object PretrainPipeline {
+
+  /** Survivor count after each stage, in pipeline order. */
+  final case class StageCount(stage: String, rows: Long)
+
+  /** @param docs       corpus (idCol, textCol, …) — extra columns ride along
+    * @param evalSet    benchmark/eval texts to decontaminate against
+    * @param minQuality drop docs scoring below this ([[TextAnalysis.qualityScore]])
+    * @param jaccardThreshold fuzzy-dup cut ([[Dedup.minHashLshPairs]])
+    * @param decontamGram word-n-gram size for eval overlap
+    * @param chunkTokens / overlapTokens  context-window chunking
+    * @param packBudget tokens per training bin
+    * @param shards     packing parallelism (bins fill within a shard)
+    * @return (packed chunk frame, per-stage survivor counts) — the
+    *         frame carries (idCol, chunk_id, chunk_uid, n_tokens,
+    *         chunk_text, shard, bin) */
+  def curate(docs: DataFrame, evalSet: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             minQuality: Double = 0.3,
+             jaccardThreshold: Double = 0.9,
+             decontamGram: Int = 8,
+             chunkTokens: Int = 256, overlapTokens: Int = 32,
+             packBudget: Int = 1024, shards: Int = 8)
+    : (DataFrame, Seq[StageCount]) = {
+    val counts = Seq.newBuilder[StageCount]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      counts += StageCount(name, df.count()); df
+    }
+
+    val quality = stage("quality_filter", docs.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality))
+
+    // exact dedup on the normalized fingerprint, smallest id survives
+    val exact = stage("exact_dedup", Dedup.exactDeterministic(
+        quality.withColumn("__fp", Dedup.normalizedHash(col(textCol))),
+        Seq("__fp"), idCol)
+      .drop("__fp"))
+
+    // fuzzy dedup: of every near-dup pair (id_a < id_b) drop the
+    // larger id — the canonical smallest-survivor policy
+    val dupIds = Dedup.minHashLshPairs(exact, idCol, textCol,
+        jaccardThreshold = jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val fuzzy = stage("fuzzy_dedup",
+      exact.join(dupIds, Seq(idCol), "left_anti"))
+
+    val clean = stage("decontaminate",
+      Dedup.decontaminate(fuzzy, evalSet, idCol, textCol, decontamGram))
+
+    // context-window chunks; chunk_uid is a stable per-chunk key for
+    // packing (chunk_id < 2^20 per doc by construction at any sane
+    // chunk size — documents are not 4-billion-token monsters)
+    val chunks = stage("chunk", TextAnalysis.chunkDocuments(
+        clean, idCol, textCol, chunkTokens, overlapTokens)
+      .withColumn("chunk_uid",
+        col(idCol).cast("long") * lit(1L << 20) + col("chunk_id")))
+
+    val packed = stage("pack", chunks.join(
+      Packing.packByTokenBudget(chunks, "chunk_uid", "chunk_text",
+        shard = pmod(xxhash64(col("chunk_uid")), lit(shards.toLong)),
+        budget = packBudget)
+        .select(col("chunk_uid"), col("shard"), col("bin")),
+      Seq("chunk_uid")))
+
+    (packed, counts.result())
+  }
+}

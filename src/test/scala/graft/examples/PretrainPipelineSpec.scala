@@ -1,0 +1,69 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.examples.pretrain.PretrainPipeline
+
+/** End-to-end run of the curation showcase on a corpus with planted
+  * exact dups, near dups, junk, and eval contamination — each stage
+  * must catch exactly its planted rows and survivors must flow through
+  * to packed chunks. */
+class PretrainPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def words(seed: Int, n: Int, vocab: String) = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(vocab + rng.nextInt(50)).mkString(" ")
+  }
+
+  test("each curation stage drops exactly its planted rows") {
+    val goodDocs = (0L until 20L).map(i =>
+      (i, words(i.toInt, 120, "tok"))) // long, clean, mutually distinct
+    val junk = Seq((100L, "!!! ??? !!! ,,, ...")) // punctuation soup
+    val exactDup = Seq((101L, goodDocs(3)._2)) // byte-identical to doc 3
+    val nearDup = Seq((102L, goodDocs(4)._2 + " tail")) // jaccard ≈ 0.99 vs doc 4
+    val contaminated = Seq((103L, words(900, 120, "evl")))
+    val docs = (goodDocs ++ junk ++ exactDup ++ nearDup ++ contaminated)
+      .toDF("doc_id", "text")
+    val evalSet = Seq((1L, words(900, 120, "evl"))) // shares grams with 103
+      .toDF("doc_id", "text")
+
+    val (packed, counts) = PretrainPipeline.curate(
+      docs, evalSet,
+      minQuality = 0.5, jaccardThreshold = 0.9, decontamGram = 8,
+      chunkTokens = 64, overlapTokens = 16, packBudget = 128, shards = 2)
+
+    val byStage = counts.map(c => c.stage -> c.rows).toMap
+    assert(byStage("quality_filter") == 23) // of 24: junk gone (scores 0.4)
+    assert(byStage("exact_dedup") == 22) // planted copy gone, doc 3 kept
+    assert(byStage("fuzzy_dedup") == 21) // near-copy gone, doc 4 kept
+    assert(byStage("decontaminate") == 20) // contaminated doc gone
+    // 20 docs × 120 tokens: starts 1/49/97 (bounded at 120−16) → 3 each
+    assert(byStage("chunk") == 60)
+    assert(byStage("pack") == 60) // packing labels bins, never drops
+
+    assert(packed.select("doc_id").as[Long].collect().toSet ==
+      (0L until 20L).toSet, "only the 20 good docs survive")
+  }
+
+  test("packed bins respect the token budget up to one straddling doc") {
+    val docs = (0L until 30L).map(i => (i, words(i.toInt, 100, "w")))
+      .toDF("doc_id", "text")
+    val (packed, _) = PretrainPipeline.curate(
+      docs, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      minQuality = 0.0, jaccardThreshold = 0.99, decontamGram = 8,
+      chunkTokens = 50, overlapTokens = 0, packBudget = 120, shards = 3)
+    // bins fill in chunk_uid order within a shard: every bin's token
+    // total stays under budget + one chunk (the straddle allowance)
+    val over = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("biggest"))
+      .filter(col("tot") > lit(120L) + col("biggest"))
+    assert(over.count() == 0)
+    // chunks of one doc keep dense chunk ids for reassembly
+    val ids = packed.filter(col("doc_id") === 7L)
+      .select("chunk_id").as[Int].collect().sorted.toSeq
+    assert(ids == Seq(0, 1))
+  }
+}
