@@ -62,6 +62,43 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < rate)
   }
 
+  /** Weighted mixture with UPSAMPLING: each domain's rows are emitted
+    * `factor`× on average, where factor is a per-mille integer (2500 =
+    * 2.5×) — the data-recipe step when curated sources must be seen
+    * more than once per epoch. Each row yields floor(factor) full
+    * copies plus one more iff its hash fraction falls under the
+    * fractional part, so expected counts are exact per domain and
+    * membership of the extra copy is the same pure hash-of-key
+    * function as [[sampleByHash]] (reproducible across engines and
+    * re-runs; factors < 1000 degrade to plain downsampling). Emits
+    * `copy_idx` (1-based) so downstream ops can tell copies apart.
+    *
+    * Scale shape: a CASE factor + `explode(sequence)` — map-side only,
+    * no shuffle, no driver state; at 100 TB the blow-up happens after
+    * the scan, sized exactly by the factors, never through an
+    * exchange. */
+  def upsampleMixture(df: DataFrame, domainCol: String, keyCol: String,
+                      perMilleByDomain: Map[String, Int],
+                      defaultPerMille: Int = 1000): DataFrame = {
+    (perMilleByDomain.values.toSeq :+ defaultPerMille).foreach(f =>
+      require(f >= 0, s"factor must be >= 0 per-mille, got $f"))
+    require(!df.columns.contains("copy_idx"),
+      "input already has a copy_idx column")
+    val perMille = perMilleByDomain.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (dom, f)) =>
+        when(col(domainCol) === lit(dom), lit(f)).otherwise(acc)
+      }
+    val copies = (perMille / lit(1000)).cast("int") +
+      when(hashBucket(col(keyCol), 1000) < perMille % lit(1000), lit(1))
+        .otherwise(lit(0))
+    // sequence(1, 0) counts DOWN ([1, 0]) rather than yielding an empty
+    // array — guard the zero-copy case explicitly
+    df.withColumn("copy_idx",
+        explode(when(copies >= lit(1),
+            sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+  }
+
   /** Stratified sample: per stratum, keep ceil(frac·|stratum|) rows,
     * chosen by hash rank (deterministic; ties broken by key). One
     * shuffle on the stratum column; rank and stratum size share the

@@ -73,6 +73,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** kNN majority-vote classification: each query takes the modal
+    * label among its k nearest corpus neighbors (exact cosine) — the
+    * standard label-propagation/auto-tagging shape for curation
+    * (topic/domain tagging of new docs from a labeled seed set).
+    * Deterministic tie-breaks everywhere: neighbor rank ties on
+    * (cos desc, id), vote ties on (votes desc, label asc). Output:
+    * (query_id, predicted_label, votes).
+    *
+    * Scale shape: neighbor generation is [[bruteForceTopK]] (queries
+    * broadcast, corpus one pass — swap in lshTopK/ivfTopK for big
+    * query sets); the label lookup joins k·|queries| rows against the
+    * corpus keyed by id, and the vote itself is queries-sized. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame,
+                  queryIdCol: String, corpusIdCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, queryIdCol, corpusIdCol,
+      vecCol, k)
+    val labels = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      col(labelCol).as("__lbl"))
+    val votes = nn.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("predicted_label"),
+        col("votes"))
+  }
+
   /** SplitMix64 finalizer (public-domain constant set): full-avalanche
     * bijective mixer, stable by construction on every JVM. */
   private def mix64(z0: Long): Long = {

@@ -123,6 +123,135 @@ object GraftQueries {
       .orderBy("c_custkey")
   }
 
+  /** Snapshot diff (CDC): a synthetic "next" version of orders —
+    * keys %13 deleted, prices bumped for %7, new keys appended for
+    * %53 — classified against the base by Diff.snapshotDiff (one
+    * full-outer join on the key, null-safe value compare), unchanged
+    * rows filtered out. */
+  val tableDiff: Q = (spark, dir) => {
+    val prev = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val next = prev.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0,
+          round(col("o_totalprice") * 1.1d, 2))
+          .otherwise(col("o_totalprice")))
+      .unionByName(prev.filter(col("o_orderkey") % 53 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.ops.Diff.snapshotDiff(prev, next, Seq("o_orderkey"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("o_orderkey")
+  }
+
+  val tableDiffSql: String =
+    """WITH prev AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |next AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 53 = 0),
+      |d AS (
+      |  SELECT coalesce(n.o_orderkey, p.o_orderkey) AS o_orderkey,
+      |    CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+      |         WHEN n.o_orderkey IS NULL THEN 'delete'
+      |         WHEN p.o_custkey IS DISTINCT FROM n.o_custkey
+      |           OR p.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |           THEN 'update'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey, change_type FROM d
+      |WHERE change_type != 'unchanged' ORDER BY o_orderkey""".stripMargin
+
+  /** Blocked fuzzy match: part names corrupted deterministically
+    * (char dropped at position 3 / suffix appended) matched back to
+    * the clean vocabulary at edit distance ≤ 1 — prefix(2) blocking +
+    * length band keeps candidates block-local (never all-pairs). The
+    * planted edits sit past the prefix, so blocking is recall-complete
+    * here (the general caveat lives in FuzzyJoin's scaladoc). */
+  val fuzzyMatch: Q = (spark, dir) => {
+    val names = t(spark, dir, "part").select("p_name").distinct()
+    val dirty = names.select(
+      when(length(col("p_name")) % 2 === 1,
+        concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 4)")))
+        .otherwise(concat(col("p_name"), lit("x"))).as("dirty_name"))
+    val clean = names.select(col("p_name").as("clean_name"))
+    graft.ops.FuzzyJoin.editDistanceJoin(
+        dirty, "dirty_name", clean, "clean_name", maxDist = 1)
+      .select(col("dirty_name"), col("clean_name"), col("dist"))
+      .orderBy("dirty_name", "clean_name")
+  }
+
+  val fuzzyMatchSql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |dirty AS (
+      |  SELECT CASE WHEN length(p_name) % 2 = 1
+      |      THEN substr(p_name, 1, 2) || substr(p_name, 4)
+      |      ELSE p_name || 'x' END AS dirty_name
+      |  FROM names),
+      |clean AS (SELECT p_name AS clean_name FROM names),
+      |cand AS (
+      |  SELECT dirty_name, clean_name FROM dirty JOIN clean
+      |    ON substr(dirty_name, 1, 2) = substr(clean_name, 1, 2)
+      |   AND abs(length(dirty_name) - length(clean_name)) <= 1),
+      |m AS (SELECT dirty_name, clean_name,
+      |        levenshtein(dirty_name, clean_name) AS dist FROM cand)
+      |SELECT dirty_name, clean_name, CAST(dist AS INT) AS dist
+      |FROM m WHERE dist <= 1 ORDER BY dirty_name, clean_name""".stripMargin
+
+  /** Full outer equi-join: high-balance customers vs per-customer
+    * urgent-order rollups — unmatched rows survive from BOTH sides
+    * (the reconciliation shape: who spends without being a premium
+    * account, which premium accounts are dormant). */
+  val joinFull: Q = (spark, dir) => {
+    val hv = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val oc = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_urgent"),
+        round(dsum(col("o_totalprice")), 4).as("urgent_value"))
+    hv.join(oc, hv("c_custkey") === oc("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("c_acctbal"), col("n_urgent"),
+        col("urgent_value"))
+      .orderBy("custkey")
+  }
+
+  val joinFullSql: String =
+    s"""WITH hv AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+       |  WHERE c_acctbal > 9000),
+       |oc AS (SELECT o_custkey, count(*) AS n_urgent,
+       |    round(${sqlDsum("o_totalprice")}, 4) AS urgent_value
+       |  FROM orders WHERE o_orderpriority = '1-URGENT'
+       |  GROUP BY o_custkey)
+       |SELECT coalesce(hv.c_custkey, oc.o_custkey) AS custkey,
+       |  c_name, c_acctbal, n_urgent, urgent_value
+       |FROM hv FULL OUTER JOIN oc ON hv.c_custkey = oc.o_custkey
+       |ORDER BY custkey""".stripMargin
+
+  /** Explicit cross join (small×small only — the API surface; at scale
+    * a cartesian is always a bug unless one side is tiny and broadcast,
+    * which is exactly the plan Spark picks here). */
+  val crossJoin: Q = (spark, dir) => {
+    val r = t(spark, dir, "region").select(col("r_name"))
+    val n = t(spark, dir, "nation")
+      .select(col("n_name"), col("n_regionkey"))
+    r.crossJoin(n)
+      .select(col("r_name"), col("n_name"),
+        (length(col("r_name")) + length(col("n_name"))).as("pair_len"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val crossJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(length(r_name) + length(n_name) AS INT) AS pair_len
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   val semiJoin: Q = (spark, dir) => {
     val c = t(spark, dir, "customer")
     val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -891,6 +1020,33 @@ object GraftQueries {
       |SELECT id_a, id_b, common, round(jaccard, 6) AS jaccard
       |FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  /** Information-density quality cut: per-doc token entropy (nats) via
+    * the map-only run-length pass (no explode, no shuffle — see
+    * TextAnalysis.tokenEntropy), docs under 2.5 nats dropped. The
+    * filter compares the UNROUNDED entropy; rounding is presentation
+    * only, mirrored in the oracle (which re-derives entropy the
+    * relational way: unnest → per-token counts → Σ c·ln c). */
+  val entropyFilterQ: Q = (spark, dir) =>
+    TextAnalysis.entropyFilter(
+        t(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", minEntropy = 2.5d)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("entropy"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  val entropyFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |h AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_tokens,
+      |        ln(CAST(sum(cnt) AS DOUBLE))
+      |          - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt) AS e
+      |      FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, round(e, 6) AS entropy
+      |FROM h WHERE e >= 2.5 ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition scrub: duplicate-token and top-bigram
     * fractions per doc, flagged when either crosses its threshold
     * (0.5 / 0.2) — flag computed on UNROUNDED fractions, mirrored
@@ -1115,6 +1271,41 @@ object GraftQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** kNN majority-vote classification: 20 query vectors labeled by
+    * their 10 exact-cosine nearest neighbors' modal label — the
+    * auto-tagging shape (topic/domain labels propagated from a seed
+    * set). Every tie deterministic: rank on (cos desc, id), vote on
+    * (votes desc, label asc). */
+  val knnLabel: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.knnClassify(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "vec_id", "embedding", "label", 10)
+      .orderBy("query_id")
+  }
+
+  val knnLabelSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, label,
+      |        CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, label,
+      |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id != query_id),
+      |ranked AS (
+      |  SELECT query_id, label,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored),
+      |votes AS (
+      |  SELECT query_id, label, count(*) AS votes FROM ranked
+      |  WHERE rank <= 10 GROUP BY 1, 2),
+      |best AS (
+      |  SELECT query_id, label AS predicted_label, votes,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      |  FROM votes)
+      |SELECT query_id, predicted_label, votes FROM best
+      |WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   /** Embedding-cosine near-dup detection: the corpus unioned with a
     * scaled copy of itself (cosine is scale-invariant → planted pairs at
     * cos 1.0; natural pairs top out at ~0.51 on this data), scored via
@@ -1214,6 +1405,37 @@ object GraftQueries {
     s"""SELECT lang, source, count(*) AS n, ${sqlDsum("n_chars")} AS total_chars
        |FROM documents WHERE lang IN ('en','de','fr')
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** URL decomposition for web-corpus curation: synthesize a
+    * well-formed URL per doc (the corpus ships no URL column), then
+    * split it with Spark's native parse_url — host, registrable
+    * domain, path, one query parameter. Map-only; the oracle
+    * re-derives each part with RE2 regexes (independent of
+    * java.net.URI). */
+  val urlParse: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang")))
+      .select(col("doc_id"),
+        graft.ops.Urls.host(col("url")).as("host"),
+        graft.ops.Urls.registeredDomain(col("url")).as("domain"),
+        graft.ops.Urls.path(col("url")).as("path"),
+        graft.ops.Urls.queryParam(col("url"), "lang").as("lang_param"))
+      .orderBy("doc_id")
+
+  val urlParseSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, 'https://' || source || '.example.com/docs/'
+      |    || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+      |    '([^.]+\.[^.]+)$', 1) AS domain,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param
+      |FROM u ORDER BY doc_id""".stripMargin
 
   /** PII scrub: plant deterministic emails/IPs into the corpus, redact
     * with typed placeholders, audit the match counts. Regexes are an
@@ -1645,6 +1867,43 @@ object GraftQueries {
       |    AS is_building
       |FROM s ORDER BY c_custkey""".stripMargin
 
+  /** Map battery: per-nation segment→count maps built with
+    * map_from_entries, then interrogated with map_keys / try_element_at
+    * (ANSI-safe missing-key → null) / map_filter / aggregate over
+    * map_values. Output is flattened scalars (maps don't hash stably
+    * through pandas); the oracle re-derives each scalar relationally
+    * from the same (nation, segment) rollup. */
+  val mapFunctions: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("c_nationkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("c_mktsegment"), col("cnt"))))).as("segmap"))
+      .select(
+        col("c_nationkey"),
+        size(map_keys(col("segmap"))).as("n_segments"),
+        try_element_at(col("segmap"), lit("BUILDING")).as("n_building"),
+        try_element_at(col("segmap"), lit("MACHINERY")).as("n_machinery"),
+        try_element_at(col("segmap"), lit("AEROSPACE")).as("n_missing"),
+        size(map_filter(col("segmap"), (_, v) => v >= 12)).as("n_popular"),
+        aggregate(map_values(col("segmap")), lit(0L), (a, v) => a + v)
+          .as("n_total"))
+      .orderBy("c_nationkey")
+
+  val mapFunctionsSql: String =
+    """WITH sc AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_nationkey,
+      |  CAST(count(*) AS INT) AS n_segments,
+      |  max(cnt) FILTER (c_mktsegment = 'BUILDING') AS n_building,
+      |  max(cnt) FILTER (c_mktsegment = 'MACHINERY') AS n_machinery,
+      |  CAST(NULL AS BIGINT) AS n_missing,
+      |  CAST(count(*) FILTER (cnt >= 12) AS INT) AS n_popular,
+      |  CAST(sum(cnt) AS BIGINT) AS n_total
+      |FROM sc GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // -------------------------------------- §2.1/2.2 format round-trips
 
   /** ORC round-trip through the storage façade: write orders to ORC,
@@ -1706,6 +1965,37 @@ object GraftQueries {
     """SELECT n_nationkey, n_name, n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** Schema evolution on read: two parquet batches with different
+    * schemas land in one directory (month N has no `o_orderpriority`,
+    * month N+1 adds it); mergeSchema=true unions them with nulls for
+    * the missing column — the long-lived-dataset shape where columns
+    * arrive over time. Schema merging is footer-metadata work, not a
+    * data pass. */
+  val schemaEvolution: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_evo_q").toString + "/t"
+    val orders = t(spark, dir, "orders")
+    st.write(orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice"),
+      out, "parquet", "overwrite")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(out)
+    st.read(out, "parquet", Map("mergeSchema" -> "true"))
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------- §2.11 dataset sampling
 
   /** Deterministic train/holdout split: membership is a pure function
@@ -1766,6 +2056,33 @@ object GraftQueries {
        |       WHEN source = 'src2' THEN 60 WHEN source = 'src3' THEN 60
        |       ELSE 25 END
        |ORDER BY doc_id""".stripMargin
+
+  /** Weighted mixture with UPSAMPLING: curated src0 seen 2.5×, src1
+    * 1.5×, the crawl tail halved — fractional copies decided by the
+    * same portable hash, so the epoch recipe is reproducible across
+    * engines. Map-only (explode(sequence)); copy_idx keeps replicas
+    * distinguishable downstream. */
+  val upsampleMixtureQ: Q = (spark, dir) =>
+    graft.ops.Sampling.upsampleMixture(
+        t(spark, dir, "documents").select("doc_id", "source", "lang"),
+        "source", "doc_id",
+        Map("src0" -> 2500, "src1" -> 1500), defaultPerMille = 500)
+      .orderBy("doc_id", "copy_idx")
+
+  val upsampleMixtureSql: String =
+    s"""WITH f AS (SELECT doc_id, source, lang,
+       |    CASE WHEN source = 'src0' THEN 2500
+       |         WHEN source = 'src1' THEN 1500 ELSE 500 END AS fm,
+       |    (((doc_id % ${graft.ops.Sampling.M31}) * ${graft.ops.Sampling.HashA}) % 4294967296) % 1000 AS hb
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, lang,
+       |    CAST(fm // 1000 AS INT)
+       |      + CASE WHEN hb < fm % 1000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM f),
+       |s AS (SELECT unnest(range(1, 4)) AS gs)
+       |SELECT doc_id, source, lang, CAST(gs AS INT) AS copy_idx
+       |FROM c JOIN s ON s.gs <= c.n_copies
+       |ORDER BY doc_id, copy_idx""".stripMargin
 
   /** Adaptive length cut: keep documents inside the corpus's exact
     * [p5, p95] n_chars band — percentile bounds computed in one
@@ -2396,6 +2713,47 @@ object GraftQueries {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    * evicts key state once the watermark passes it (plain streaming
+    * dropDuplicates grows state forever — this is the indefinitely-
+    * running ingest shape). Replays land inside the horizon here, so
+    * the surviving set is the plain distinct projection, which is the
+    * oracle; event timestamps stay out of the output (nanos rule). */
+  val streamDedupWatermark: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_streamwdd_q").toString
+    val events = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    st.write(events.coalesce(1), s"$out/in", "parquet", "overwrite")
+    events.filter(col("event_id") % 7 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
+      stream, "ts", "1 day", Seq("event_id"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — don't leak the query
+    }
+    st.read(s"$out/data", "parquet")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  val streamDedupWatermarkSql: String =
+    """SELECT event_id, user_id, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** File-level data skipping: write lineitem range-clustered on
     * l_orderkey, collect per-file min/max footer stats into the
     * `_graft_stats` sidecar, then answer a selective key-range query
@@ -2458,6 +2816,68 @@ object GraftQueries {
     s"""SELECT user_id, count(*) AS n, ${sqlDsum("value")} AS total_value
        |FROM events WHERE user_id BETWEEN 10 AND 20
        |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Predicate DELETE (GDPR / retention expiry) on a partitioned
+    * managed table: one partition (1-URGENT) deleted entirely — its
+    * directory is cleared, dynamic overwrite would have skipped it —
+    * one partition partially (2-HIGH over a price cut), the other
+    * three never rewritten (partition-pruned). The oracle is the
+    * survivor set from the raw table. */
+  val deleteWhere: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_del_q").toString + "/t"
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    st.write(orders, out, "delta", "overwrite",
+      partitionFields = Seq("o_orderpriority"))
+    graft.storage.Delete.where(spark, st, out,
+      "o_orderpriority = '1-URGENT' OR " +
+        "(o_orderpriority = '2-HIGH' AND o_totalprice > 300000)")
+    st.read(out, "delta")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val deleteWhereSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE NOT (o_orderpriority = '1-URGENT'
+      |  OR (o_orderpriority = '2-HIGH' AND o_totalprice > 300000))
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Bucketed co-located join: both sides written as bucketed parquet
+    * tables on the join key (8 buckets, bucket-sorted), then joined —
+    * the scan's bucket partitioning satisfies the join's distribution
+    * requirement, so the join runs WITHOUT a shuffle exchange (pinned
+    * in PlanShapeSpec). The storage answer for a recurring fact⋈fact
+    * join at 100 TB: two one-time bucketed writes replace two
+    * full-table exchanges per run. The oracle is the plain join over
+    * the raw tables — bucketing must be result-invisible. */
+  val bucketedJoin: Q = (spark, dir) => {
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft_buck_q").toString
+    graft.storage.Buckets.ensureDatabase(spark, "graft_buckets", loc)
+    graft.storage.Buckets.writeBucketed(
+      t(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+      "graft_buckets.customer_b", 8, Seq("c_custkey"), Seq("c_custkey"))
+    graft.storage.Buckets.writeBucketed(
+      t(spark, dir, "orders").select("o_custkey", "o_totalprice"),
+      "graft_buckets.orders_b", 8, Seq("o_custkey"), Seq("o_custkey"))
+    val c = spark.table("graft_buckets.customer_b")
+    val o = spark.table("graft_buckets.orders_b")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 4).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  round(${sqlDsum("o_totalprice")}, 4) AS total_value
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** OPTIMIZE ZORDER: rewrite lineitem interleaving (l_orderkey,
     * l_partkey) bits, then answer range predicates on EACH column over
@@ -2578,6 +2998,10 @@ object GraftQueries {
       """SELECT c_custkey, c_name, n_name
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin),
+    entry("q_join_full", joinFull, joinFullSql),
+    entry("q_table_diff", tableDiff, tableDiffSql),
+    entry("q_fuzzy_match", fuzzyMatch, fuzzyMatchSql),
+    entry("q_cross_join", crossJoin, crossJoinSql),
     entry("q_semi_join", semiJoin,
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -2612,6 +3036,9 @@ object GraftQueries {
     entry("q_date_arith", dateArith, dateArithSql),
     entry("q_array_functions", arrayFunctions, arrayFunctionsSql),
     entry("q_struct_functions", structFunctions, structFunctionsSql),
+    entry("q_map_functions", mapFunctions, mapFunctionsSql),
+    entry("q_url_parse", urlParse, urlParseSql),
+    entry("q_entropy_filter", entropyFilterQ, entropyFilterSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_asof_nearest", asofNearest, asofNearestSql),
@@ -2625,6 +3052,7 @@ object GraftQueries {
     entry("q_dedup_groups", dedupGroups),
     entry("q_simhash_dedup", simhashDedup),
     entry("q_cosine_topk", cosineTopK, cosineTopKSql),
+    entry("q_knn_label", knnLabel, knnLabelSql),
     entry("q_embedding_centroid", embeddingCentroid, embeddingCentroidSql),
     entry("q_embedding_neardup", embeddingNearDup, embeddingNearDupSql),
     entry("q_ann_lsh", annLsh),
@@ -2636,9 +3064,11 @@ object GraftQueries {
     entry("q_orc_roundtrip", orcRoundtrip, orcRoundtripSql),
     entry("q_json_roundtrip", jsonRoundtrip, jsonRoundtripSql),
     entry("q_csv_roundtrip", csvRoundtrip, csvRoundtripSql),
+    entry("q_schema_evolution", schemaEvolution, schemaEvolutionSql),
     entry("q_hash_sample", hashSample, hashSampleSql),
     entry("q_stratified_sample", stratifiedSample, stratifiedSampleSql),
     entry("q_domain_mixture", domainMixture, domainMixtureSql),
+    entry("q_upsample_mixture", upsampleMixtureQ, upsampleMixtureSql),
     entry("q_length_band", lengthBand, lengthBandSql),
     entry("q_line_dedup", lineDedup, lineDedupSql),
     entry("q_dedup_incremental", dedupIncremental, dedupIncrementalSql),
@@ -2663,6 +3093,8 @@ object GraftQueries {
     entry("q_embedding_quantize", embeddingQuantize, embeddingQuantizeSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_optimize", optimizeTable, optimizeTableSql),
+    entry("q_bucketed_join", bucketedJoin, bucketedJoinSql),
+    entry("q_delete_where", deleteWhere, deleteWhereSql),
     entry("q_zorder", zorderTable, zorderTableSql),
     entry("q_range_join", rangeJoin, rangeJoinSql),
     entry("q_bloom_join", bloomJoin, bloomJoinSql),
@@ -2685,6 +3117,8 @@ object GraftQueries {
     entry("q_window_tumbling_batch", windowTumblingBatch,
       windowTumblingBatchSql),
     entry("q_stream_dedup", streamDedup, streamDedupSql),
+    entry("q_stream_dedup_watermark", streamDedupWatermark,
+      streamDedupWatermarkSql),
     entry("q_stream_merge", streamMerge, streamMergeSql)
   )
 }

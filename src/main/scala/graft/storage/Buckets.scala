@@ -14,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Buckets {
 
+  /** Create (once) a database whose tables live under `location` —
+    * keeps bucketed artifacts out of the default warehouse. The
+    * location binds at first creation; later calls reuse it. */
+  def ensureDatabase(spark: SparkSession, db: String,
+                     location: String): Unit =
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$location'")
+
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     bucketCols: Seq[String], sortCols: Seq[String] = Nil,
                     format: String = "parquet"): Unit = {

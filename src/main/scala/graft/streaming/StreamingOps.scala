@@ -38,6 +38,27 @@ object StreamingOps {
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey),
       "left_outer").drop(dim(dimKey))
 
+  /** Streaming deduplication with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps one row per key among
+    * arrivals within the watermark horizon, and — unlike plain
+    * streaming `dropDuplicates`, whose key state grows forever — EVICTS
+    * key state once the watermark passes it. That bound is what makes
+    * indefinitely-running ingest dedup viable: state is O(keys per
+    * watermark window), not O(keys ever seen). The trade-off is
+    * re-admission of a key after the horizon, so this is the at-least-
+    * once ingest cleaner, not an exact global dedup (that is the batch
+    * dedup family in [[graft.ops.Dedup]]). Streaming frames only —
+    * Spark rejects it on batch plans. */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+                           watermarkDelay: String,
+                           keyCols: Seq[String]): DataFrame = {
+    require(stream.isStreaming,
+      "dedupWithinWatermark needs a streaming frame; batch dedup is " +
+        "Dedup.exact")
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Tumbling event-time window aggregation with a watermark.
     * Works on both batch and streaming frames (same code path — Spark
     * semantics guarantee the batch result is the stream's final state). */

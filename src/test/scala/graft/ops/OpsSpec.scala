@@ -88,6 +88,150 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(in2.exceptAll(in).isEmpty && in.exceptAll(in2).isEmpty)
   }
 
+  test("upsampleMixture: per-domain expected counts, copy_idx, zero-copy drop") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 300) "curated" else if (i < 600) "mid" else "tail"))
+      .toDF("id", "dom")
+    val up = Sampling.upsampleMixture(df, "dom", "id",
+      Map("curated" -> 2500, "mid" -> 1000), defaultPerMille = 0).cache()
+    val byDom = up.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // curated: 2 full copies + ~50% one more → expect ~750 of 300 docs
+    assert(math.abs(byDom("curated") - 750) < 75, s"curated=${byDom("curated")}")
+    // mid: exactly 1 copy each; tail: factor 0 → gone entirely
+    assert(byDom("mid") == 300)
+    assert(!byDom.contains("tail"))
+    // copy_idx enumerates copies from 1 with no gaps
+    val idxs = up.filter(col("dom") === "curated")
+      .groupBy("id").agg(collect_list("copy_idx").as("idxs"))
+      .select(array_sort(col("idxs")).as("idxs")).distinct().collect()
+      .map(_.getSeq[Int](0).toSeq).toSet
+    assert(idxs.subsetOf(Set(Seq(1, 2), Seq(1, 2, 3))), s"idxs=$idxs")
+    // determinism under re-layout
+    val again = Sampling.upsampleMixture(df.repartition(7), "dom", "id",
+      Map("curated" -> 2500, "mid" -> 1000), defaultPerMille = 0)
+    assert(again.exceptAll(up).isEmpty && up.exceptAll(again).isEmpty)
+  }
+
+  test("tokenEntropy matches the plain-Scala Shannon model") {
+    val df = Seq(
+      (1L, "a a a a"),                    // zero entropy
+      (2L, "a b c d"),                    // max entropy ln(4)
+      (3L, "the the cat cat cat sat"),
+      (4L, ""),                           // tokenizer yields [""] → H=0
+      (5L, "Spark  SPARK spark")          // normalization folds case/ws
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def model(toks: Seq[String]): Double = {
+      val n = toks.size.toDouble
+      val counts = toks.groupBy(identity).values.map(_.size.toDouble)
+      math.log(n) - counts.map(c => c * math.log(c)).sum / n
+    }
+    val texts = Map(
+      1L -> Seq("a", "a", "a", "a"), 2L -> Seq("a", "b", "c", "d"),
+      3L -> Seq("the", "the", "cat", "cat", "cat", "sat"),
+      4L -> Seq(""), 5L -> Seq("spark", "spark", "spark"))
+    got.foreach { case (id, n, h) =>
+      assert(n == texts(id).size, s"doc $id token count")
+      assert(math.abs(h - model(texts(id))) < 1e-12,
+        s"doc $id entropy $h vs model ${model(texts(id))}")
+    }
+    // the filter keeps only the high-entropy docs, on the raw value
+    val kept = TextAnalysis.entropyFilter(df, "doc_id", "text", 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("snapshotDiff classifies insert/delete/update/unchanged; null-safe") {
+    val prev = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None, 30),
+      (4L, Some("d"), 40)).toDF("id", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), 10),          // unchanged
+      (2L, Some("B"), 20),          // update (value change)
+      (3L, Some("c"), 30),          // update (null → value, <=> catches it)
+      (5L, None, 50)                // insert (with null field)
+    ).toDF("id", "s", "v")          // 4L absent → delete
+    val got = Diff.snapshotDiff(prev, next, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "update", 3L -> "update",
+      4L -> "delete", 5L -> "insert"))
+  }
+
+  test("knnClassify: planted clusters vote their own label; ties deterministic") {
+    // two tight clusters along orthogonal axes + one query near each
+    val rows =
+      (1 to 10).map(i => (100L + i, Array(1.0f, 0.001f * i), 7)) ++
+      (1 to 10).map(i => (200L + i, Array(0.001f * i, 1.0f), 9))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(0.9f, 0.1f), -1), (2L, Array(0.1f, 0.9f), -1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(queries, corpus,
+        "vec_id", "vec_id", "embedding", "label", 5)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 7, 5L), (2L, 9, 5L)))
+    // vote tie (k=2 straddling both clusters would still be 5-0 here;
+    // force a tie with k spanning equal halves of a symmetric query)
+    val mid = Seq((3L, Array(1.0f, 1.0f), -1))
+      .toDF("vec_id", "embedding", "label")
+    val tied = Similarity.knnClassify(mid, corpus,
+        "vec_id", "vec_id", "embedding", "label", 10)
+      .collect().head
+    assert(tied.getInt(1) == 7, "5-5 vote tie must pick the smaller label")
+    assert(tied.getLong(2) == 5L)
+  }
+
+  test("editDistanceJoin: planted typos match; prefix edits miss (documented)") {
+    val dirty = Seq("blue wdget", "red gearx", "XLue bolt")
+      .toDF("dirty_name")
+    val clean = Seq("blue widget", "red gear", "blue bolt", "green gear")
+      .toDF("clean_name")
+    val got = FuzzyJoin.editDistanceJoin(
+        dirty, "dirty_name", clean, "clean_name", maxDist = 1)
+      .select("dirty_name", "clean_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // deletion past the prefix and a suffix insert both match at dist 1;
+    // the first-character edit lands in another block — the documented
+    // recall trade-off of prefix blocking, pinned here
+    assert(got == Set(
+      ("blue wdget", "blue widget"), ("red gearx", "red gear")))
+    // overlapping column names are rejected, not silently ambiguous
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(dirty, "dirty_name",
+        dirty.toDF("dirty_name"), "dirty_name", 1)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("urls: parts extracted, malformed input yields nulls") {
+    val df = Seq(
+      (1L, "https://sub.example.com/a/b?lang=en&x=1"),
+      (2L, "http://localhost/path"),
+      (3L, "not a url at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "url")
+    val out = df.select(col("id"),
+      Urls.host(col("url")).as("h"),
+      Urls.registeredDomain(col("url")).as("d"),
+      Urls.path(col("url")).as("p"),
+      Urls.queryParam(col("url"), "lang").as("q"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "sub.example.com")
+    assert(out(0).getString(2) == "example.com")
+    assert(out(0).getString(3) == "/a/b")
+    assert(out(0).getString(4) == "en")
+    assert(out(1).getString(1) == "localhost")
+    assert(out(1).isNullAt(2), "single-label host has no registrable domain")
+    assert(out(1).isNullAt(4), "absent param must be null")
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1),
+      "malformed/null urls must yield nulls, not errors")
+  }
+
   test("stratified: ceil(frac*n) rows per stratum, deterministic") {
     val sampled = Sampling.stratified(docs, "lang", "doc_id", 20)
     val perLang = docs.groupBy("lang").count().collect()

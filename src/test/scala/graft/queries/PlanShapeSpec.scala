@@ -150,6 +150,57 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"mixture sampling must not shuffle:\n$p")
   }
 
+  test("q_upsample_mixture is map-only: no exchange before the sort") {
+    val p = planOf(GraftQueries.upsampleMixtureQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("hashpartitioning"),
+      s"upsampling must not shuffle:\n$p")
+    assert(p.contains("Generate"), "explode(sequence) missing")
+  }
+
+  test("q_entropy_filter is map-only: no shuffle, entropy computed once") {
+    val p = planOf(GraftQueries.entropyFilterQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("hashpartitioning"),
+      s"run-length entropy must not shuffle:\n$p")
+    // exactly one Generate — the row-preserving explode_outer(array)
+    // pushdown barrier, NOT a per-token explode
+    assert("Generate".r.findAllIn(p).length == 1 &&
+      p.contains("explode(array("),
+      s"expected only the single-element filter barrier generate:\n$p")
+    // the barrier keeps the filter above the projects: the sorted token
+    // array must appear once, not re-inlined into the pushed predicate
+    assert("sort_array".r.findAllIn(p).length == 1,
+      s"entropy expression duplicated by predicate pushdown:\n$p")
+  }
+
+  test("q_bucketed_join joins without a shuffle exchange on either side") {
+    // force non-broadcast so the exchange (or its absence) is decisive
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val df = GraftQueries.bucketedJoin(spark, dir)
+      df.collect()
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case s: QueryStageExec => expand(s.plan)
+        case other => other +: other.children.flatMap(expand)
+      }
+      val nodes = expand(df.queryExecution.executedPlan)
+      val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("no sort-merge join in bucketed plan"))
+      val under = smj.children.flatMap(expand)
+      assert(!under.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"bucketed join must read co-located buckets, not shuffle:\n$smj")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"),
+        "scan did not use bucket metadata")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("unpartitioned COW merge scans the table's parquet once (cached decomposition)") {
     // The merge decomposition reads the table three times (keep anti,
     // touched inner, insert-detection inner). The COW path persists the

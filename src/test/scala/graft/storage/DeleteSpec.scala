@@ -1,0 +1,84 @@
+package graft.storage
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DeleteSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def st = new BasicStorage(spark)
+
+  test("unpartitioned delete removes matches through the checked swap") {
+    val path = tempDir("del_unpart") + "/t"
+    st.write((1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "g"),
+      path, "delta", "overwrite")
+    val n = Delete.where(spark, st, path, "g = 0")
+    assert(n == 20)
+    val back = st.read(path, "delta")
+    assert(back.count() == 80)
+    assert(back.filter(col("g") === 0).count() == 0)
+    // history records the operation
+    assert(GraftLog.history(spark, path).head().getString(
+      GraftLog.history(spark, path).schema.fieldIndex("operation"))
+      == "DELETE")
+  }
+
+  test("null conditions keep rows (SQL DELETE semantics)") {
+    val path = tempDir("del_null") + "/t"
+    st.write(Seq((1L, Some(1)), (2L, None), (3L, Some(3)))
+      .toDF("id", "v"), path, "delta", "overwrite")
+    // v > 2 is null for the null row — it must survive
+    val n = Delete.where(spark, st, path, "v > 2")
+    assert(n == 1)
+    assert(st.read(path, "delta").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("partitioned delete rewrites only affected partitions; empties cleared") {
+    val path = tempDir("del_part") + "/t"
+    val df = (1 to 90).map(i => (i.toLong, s"p${i % 3}", i * 1.0))
+      .toDF("id", "part", "v")
+    st.write(df, path, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    def files(p: String): Set[String] = {
+      val d = new File(s"$path/part=$p")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val untouchedBefore = files("p2")
+    assert(untouchedBefore.nonEmpty)
+    // p0 deleted entirely, p1 partially (v > 50), p2 untouched
+    val n = Delete.where(spark, st, path,
+      "part = 'p0' OR (part = 'p1' AND v > 50)")
+    assert(n == 30 + (1 to 90).count(i => i % 3 == 1 && i > 50))
+    // the fully-deleted partition directory is gone (dynamic overwrite
+    // alone would have left it behind)
+    assert(files("p0").isEmpty, "emptied partition dir must be cleared")
+    // the untouched partition's files are byte-for-byte the same ones
+    assert(files("p2") == untouchedBefore,
+      "untouched partition must not be rewritten")
+    val back = st.read(path, "delta")
+    assert(back.filter(col("part") === "p0").count() == 0)
+    assert(back.filter(col("part") === "p2").count() == 30)
+  }
+
+  test("zero matches is a no-op returning 0") {
+    val path = tempDir("del_none") + "/t"
+    st.write(Seq((1L, 1)).toDF("id", "v"), path, "delta", "overwrite")
+    assert(Delete.where(spark, st, path, "v = 99") == 0L)
+    assert(st.read(path, "delta").count() == 1)
+  }
+
+  test("non-managed path is rejected") {
+    val path = tempDir("del_raw") + "/t"
+    Seq((1L, 1)).toDF("id", "v").write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Delete.where(spark, st, path, "v = 1")
+    }
+    assert(e.getMessage.contains("not a Delta Table"))
+  }
+}

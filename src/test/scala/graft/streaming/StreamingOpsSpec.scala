@@ -234,6 +234,23 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       (2L, base + 880, 3L, 120L))) // chain bridged into the open session
   }
 
+  test("dedupWithinWatermark rejects batch frames; stream equals distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type")
+    // batch frames must be pushed to the batch dedup family
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.dedupWithinWatermark(events, "ts", "1 day",
+        Seq("event_id"))
+    }
+    assert(err.getMessage.contains("streaming"))
+    // the declared query: replayed rows collapse to the distinct set
+    val out = GraftQueries.streamDedupWatermark(spark, dir).collect()
+    assert(out.length == events.count(),
+      s"expected one row per distinct event_id, got ${out.length}")
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
   test("intervalJoin: two real streams emit exactly the batch join") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "event_type")
