@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series primitives: gap-filled resampling and
+  * forward fill — the feature-engineering shapes behind activity
+  * matrices, rate series, and sensor/telemetry cleanup, where "no row"
+  * must become an explicit zero/carried value before models see it.
+  */
+object TimeSeries {
+
+  private val IntervalRe = "^[0-9]+ [a-z]+$".r
+
+  /** Per-key resample onto a dense time grid: bucket `tsCol` with
+    * `date_trunc(unit)`, aggregate `aggs` per (key, bucket), then
+    * LEFT-join the aggregates onto every grid point from each key's
+    * min to max bucket stepped by `step` (e.g. "1 day"). Buckets with
+    * no rows appear with null aggregate values — the caller picks the
+    * fill (coalesce to 0 for counts, leave null for averages).
+    * Output: keyCol, `bucket` (timestamp), then the aggregates.
+    *
+    * Scale shape: ONE data-sized shuffle (the bucket aggregate — with
+    * map-side partial agg, so shuffle rows are (key, bucket) groups,
+    * not events); the per-key min/max re-agg and the grid explode run
+    * over the already-compact bucket frame, and the final join is
+    * keyed (key, bucket) against grid rows. The bucket frame is
+    * localCheckpoint'ed because BOTH the range frame and the join
+    * probe side derive from it — without the barrier the corpus
+    * aggregation would run twice (the tfIdf discipline). Rows with a
+    * null timestamp survive as one null-bucket row per key (outer
+    * explode), never silently dropped. Caveat, documented not hidden:
+    * a single key spanning years at a seconds-level step produces a
+    * grid array per key — pick `step` so span/step stays file-sized
+    * (the explode is lazy, but the per-key array is materialized
+    * row-wise). */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               unit: String, step: String, aggs: Seq[Column]): DataFrame = {
+    require(IntervalRe.pattern.matcher(step).matches,
+      s"step must look like '1 day', got '$step'")
+    require(aggs.nonEmpty, "resample needs at least one aggregate")
+    val bucketed = df
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val grid = bucketed
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(keyCol),
+        explode_outer(expr(s"sequence(__mn, __mx, interval $step)"))
+          .as("bucket"))
+    // null-safe on the bucket so the null-timestamp row keeps its
+    // aggregates (plain USING-equality would null them out)
+    val aggCols = bucketed.columns.filterNot(c =>
+      c == keyCol || c == "bucket").toSeq
+    grid.alias("__g").join(bucketed.alias("__b"),
+        col(s"__g.$keyCol") <=> col(s"__b.$keyCol") &&
+          col("__g.bucket") <=> col("__b.bucket"), "left_outer")
+      .select(col(s"__g.$keyCol").as(keyCol) +:
+        col("__g.bucket").as("bucket") +:
+        aggCols.map(c => col(s"__b.$c")): _*)
+  }
+
+  /** Forward fill: for every column in `fillCols`, the last non-null
+    * value at or before the current row within the key's
+    * (`orderCols`-ordered) history, emitted as `<col>_filled` next to
+    * the original. Rows before a key's first observation stay null
+    * (there is nothing to carry). `orderCols` must be a total order
+    * per key (include a unique id as tie-break) or fill-through-ties
+    * is undefined.
+    *
+    * Scale shape: one hash shuffle on the key + one sort per
+    * partition; ALL fill columns share the same window, so adding
+    * columns adds no passes. The frame stays row-preserving — this is
+    * the running-frame sibling of `last_value IGNORE NULLS`. */
+  def forwardFill(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                  fillCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "forwardFill needs ordering columns")
+    require(fillCols.nonEmpty, "forwardFill needs columns to fill")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

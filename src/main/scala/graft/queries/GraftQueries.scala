@@ -1047,6 +1047,88 @@ object GraftQueries {
       |SELECT doc_id, n_tokens, round(e, 6) AS entropy
       |FROM h WHERE e >= 2.5 ORDER BY doc_id""".stripMargin
 
+  /** Gap-filled daily activity series: events bucketed per (user, day),
+    * re-gridded over each user's min..max day so silent days appear as
+    * explicit zeros — the activity-matrix prep no model sees raw event
+    * streams without. One data-sized shuffle; grid explode and join run
+    * over the compact bucket frame (TimeSeries.resample). */
+  val resampleQ: Q = (spark, dir) =>
+    graft.ops.TimeSeries.resample(
+        t(spark, dir, "events"), "user_id", "ts", "day", "1 day",
+        Seq(count(lit(1)).as("__ne"), sum(col("value")).as("__vs")))
+      .select(col("user_id"), col("bucket").as("day"),
+        coalesce(col("__ne"), lit(0L)).as("n_events"),
+        coalesce(round(col("__vs"), 6), lit(0.0d)).as("value_sum"))
+      .orderBy("user_id", "day")
+
+  val resampleSql: String =
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d,
+      |         count(*) AS n_events, round(sum(value), 6) AS value_sum
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+      |  FROM r)
+      |SELECT g.user_id, g.d AS day,
+      |       coalesce(b.n_events, 0) AS n_events,
+      |       coalesce(b.value_sum, 0.0) AS value_sum
+      |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.d = b.d
+      |ORDER BY g.user_id, day""".stripMargin
+
+  /** Forward fill: event values nulled on a deterministic pattern
+    * (event_id % 3 = 0 — simulating sparse sensor reads), then each
+    * user's last known value carried forward in (ts, event_id) order.
+    * Leading nulls stay null (nothing to carry). One shuffle + sort;
+    * every fill column shares the window (TimeSeries.forwardFill). */
+  val forwardFillQ: Q = (spark, dir) =>
+    graft.ops.TimeSeries.forwardFill(
+        t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_id") % 3 =!= 0, col("value")).as("v")),
+        "user_id", Seq("ts", "event_id"), Seq("v"))
+      .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
+      .orderBy("event_id")
+
+  val forwardFillSql: String =
+    """WITH nulled AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, v,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM nulled ORDER BY event_id""".stripMargin
+
+  /** Column profile of the orders table: exact per-column row/null/
+    * distinct counts and numeric ranges in ONE aggregation pass,
+    * unpivoted to a row per column (Profile.numericProfile) — the
+    * stored-and-diffed data-quality reconnaissance artifact. */
+  val columnProfile: Q = (spark, dir) =>
+    graft.ops.Profile.numericProfile(
+        t(spark, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .orderBy("col_name")
+
+  val columnProfileSql: String =
+    """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+      |       count(*) - count(o_orderkey) AS n_nulls,
+      |       count(DISTINCT o_orderkey) AS n_distinct,
+      |       CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+      |       CAST(max(o_orderkey) AS DOUBLE) AS max_v FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+      |       count(DISTINCT o_custkey),
+      |       CAST(min(o_custkey) AS DOUBLE),
+      |       CAST(max(o_custkey) AS DOUBLE) FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |       count(DISTINCT o_totalprice),
+      |       CAST(min(o_totalprice) AS DOUBLE),
+      |       CAST(max(o_totalprice) AS DOUBLE) FROM orders
+      |ORDER BY col_name""".stripMargin
+
   /** Gopher-style repetition scrub: duplicate-token and top-bigram
     * fractions per doc, flagged when either crosses its threshold
     * (0.5 / 0.2) — flag computed on UNROUNDED fractions, mirrored
@@ -3039,6 +3121,9 @@ object GraftQueries {
     entry("q_map_functions", mapFunctions, mapFunctionsSql),
     entry("q_url_parse", urlParse, urlParseSql),
     entry("q_entropy_filter", entropyFilterQ, entropyFilterSql),
+    entry("q_resample", resampleQ, resampleSql),
+    entry("q_forward_fill", forwardFillQ, forwardFillSql),
+    entry("q_column_profile", columnProfile, columnProfileSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_asof_nearest", asofNearest, asofNearestSql),

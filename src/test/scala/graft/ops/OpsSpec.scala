@@ -232,6 +232,61 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "malformed/null urls must yield nulls, not errors")
   }
 
+  test("resample: dense grid per key, gaps null, null ts survives") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 11:30:00", 2.0), // same bucket at hour grain? no — day grain
+      (1L, "2024-01-04 09:00:00", 4.0), // days 2,3 are gaps
+      (2L, "2024-02-01 00:00:00", 7.0), // single-day key → one grid row
+      (3L, null.asInstanceOf[String], 9.0) // null ts → one null-bucket row
+    ).toDF("k", "ts_s", "v")
+      .select(col("k"), col("ts_s").cast("timestamp").as("ts"), col("v"))
+    val out = TimeSeries.resample(df, "k", "ts", "day", "1 day",
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("vs")))
+    val rows = out.collect().map(r => (r.getLong(0),
+      Option(r.getTimestamp(1)).map(_.toString).orNull,
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, "2024-01-01 00:00:00.0", 2L),
+      (1L, "2024-01-02 00:00:00.0", -1L), // gap: aggregate null
+      (1L, "2024-01-03 00:00:00.0", -1L),
+      (1L, "2024-01-04 00:00:00.0", 1L),
+      (2L, "2024-02-01 00:00:00.0", 1L),
+      (3L, null, 1L)), s"got $rows")
+    val bad = intercept[IllegalArgumentException] {
+      TimeSeries.resample(df, "k", "ts", "day", "1 day; DROP", Seq(count(lit(1)).as("n")))
+    }
+    assert(bad.getMessage.contains("step"))
+  }
+
+  test("forwardFill carries last non-null per key; leading nulls stay") {
+    val df = Seq(
+      (1L, 1, None: Option[Double]), (1L, 2, Some(5.0)),
+      (1L, 3, None: Option[Double]), (1L, 4, None: Option[Double]),
+      (1L, 5, Some(8.0)), (2L, 1, None: Option[Double]))
+      .toDF("k", "seq", "v")
+    val got = TimeSeries.forwardFill(df, "k", Seq("seq"), Seq("v"))
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(got(0)._3.isNaN, "leading null has nothing to carry")
+    assert(got(1)._3 == 5.0 && got(2)._3 == 5.0 && got(3)._3 == 5.0)
+    assert(got(4)._3 == 8.0)
+    assert(got(5)._3.isNaN, "other keys never bleed in")
+  }
+
+  test("numericProfile: exact counts/nulls/distincts/ranges per column") {
+    val df = Seq(
+      (Some(1L), Some(1.5)), (Some(2L), None), (Some(2L), Some(-3.0)),
+      (None: Option[Long], Some(1.5))).toDF("a", "b")
+    val got = Profile.numericProfile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got(0) == ("a", 4L, 1L, 2L, 1.0, 2.0))
+    assert(got(1) == ("b", 4L, 1L, 2L, -3.0, 1.5))
+  }
+
   test("stratified: ceil(frac*n) rows per stratum, deterministic") {
     val sampled = Sampling.stratified(docs, "lang", "doc_id", 20)
     val perLang = docs.groupBy("lang").count().collect()
