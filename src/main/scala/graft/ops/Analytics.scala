@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics primitives over (user, timestamp, type, value)
+  * streams: ordered conversion funnels, cohort retention, and
+  * per-group z-score outliers — the product-analytics trio every
+  * event warehouse reimplements, expressed as single-pass Spark
+  * aggregations.
+  */
+object Analytics {
+
+  private val IntervalRe = "^[0-9]+ [a-z]+$".r
+
+  /** Ordered conversion funnel: how many users performed `steps` in
+    * strict temporal order, each step within `window` of the previous
+    * one. Stage k's time is the EARLIEST qualifying event after stage
+    * k-1 (greedy-earliest semantics — deterministic, and the standard
+    * funnel definition). Output: (stage 1-based, users).
+    *
+    * Scale shape: ONE shuffle — events filtered to the step types and
+    * grouped per user with a sorted timestamp array per step
+    * (collect_list partial-aggregates map-side), then the whole
+    * stage cascade is per-user array algebra (array_min over a
+    * filtered array per stage) and the stage counts collapse in a
+    * single-row aggregate unpivoted via struct-array explode. No
+    * self-joins, no repeated event scans. Caveat, documented: a
+    * user's per-step event list is materialized as one array — same
+    * hot-key bound as sessionization; filter bot-grade users first
+    * if a single user can hold millions of one step's events. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             window: String): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    require(IntervalRe.pattern.matcher(window).matches,
+      s"window must look like '24 hours', got '$window'")
+    val perUser = df
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(when(col(typeCol) === steps.head,
+          col(tsCol)))).as("__ts_0"),
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          sort_array(collect_list(when(col(typeCol) === s, col(tsCol))))
+            .as(s"__ts_${i + 1}")
+        }: _*)
+    // stage-time cascade: t0 = first step-0 event; tk = earliest
+    // step-k event with t(k-1) < ts <= t(k-1) + window
+    val w = expr(s"interval $window")
+    val stageTimes = steps.indices.foldLeft(Seq.empty[Column]) {
+      (acc, i) =>
+        val ts = col(s"__ts_$i")
+        val t = // try_: a user with no step-0 events has an empty array
+          if (i == 0) try_element_at(ts, lit(1))
+          else {
+            val prev = acc.last
+            array_min(filter(ts, x => x > prev && x <= prev + w))
+          }
+        acc :+ t
+    }
+    val staged = perUser.select(
+      stageTimes.zipWithIndex.map { case (t, i) => t.as(s"__t_$i") }: _*)
+    staged
+      .agg(count(col("__t_0")).as("__c_0"),
+        steps.indices.tail.map(i =>
+          count(col(s"__t_$i")).as(s"__c_$i")): _*)
+      .select(explode(array(steps.indices.map(i => struct(
+        lit(i + 1).as("stage"),
+        col(s"__c_$i").as("users"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Cohort retention: users bucketed by their first-activity day
+    * (the cohort), counted per (cohort day, day offset) of later
+    * activity — the retention-curve input. Output:
+    * (cohort_day, day_offset, n_users).
+    *
+    * Scale shape: cohort day is a whole-partition window min over the
+    * user hash partitioning (one shuffle, no join, no second scan of
+    * the events), then one distinct-count aggregate. Window
+    * partitions are per-USER — high cardinality, skew-free — not
+    * per-cohort. */
+  def cohortRetention(df: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val day = date_trunc("day", col(tsCol))
+    val w = Window.partitionBy(col(userCol))
+    df.select(col(userCol), day.as("__day"))
+      .withColumn("cohort_day", min(col("__day")).over(w))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Rows whose `valueCol` sits more than `threshold` sample standard
+    * deviations from their group's mean — the interpretable outlier
+    * cut for monitoring and data validation. Emits the z-score;
+    * groups with fewer than 2 rows (undefined stddev) produce no
+    * outliers. The threshold compares the UNROUNDED z.
+    *
+    * Scale shape: per-group mean/stddev is a tiny partial-agg
+    * aggregate broadcast back onto the events — two scans of the
+    * input, zero data-sized shuffles. The window-function alternative
+    * (stats over partitionBy(group)) is one scan but hot-spots every
+    * row of a group onto one reducer when the group cardinality is
+    * low — exactly the monitoring case (handful of event types). */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("__mu"),
+        stddev_samp(col(valueCol)).as("__sd"))
+    val z = (col(valueCol) - col("__mu")) / col("__sd")
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(abs(z) > threshold)
+      .withColumn("z", z)
+      .drop("__mu", "__sd")
+  }
+}

@@ -384,6 +384,41 @@ object TextAnalysis {
         explode_outer(array(col("entropy"))).as("entropy"))
       .filter(col("entropy") >= minEntropy)
 
+  /** Corpus-unigram language-model score per document: the mean
+    * negative log probability of the doc's tokens under the corpus's
+    * OWN unigram distribution — the cheap perplexity proxy (CCNet
+    * lineage) that flags gibberish and off-distribution docs without
+    * an external LM: common-word prose scores low, random strings and
+    * vocab-stuffing score high. Output:
+    * (idCol, n_tokens, avg_neg_logprob) in nats.
+    *
+    * Scale shape: one token explode feeding a (doc,term) partial-agg
+    * groupBy (the tf frame, localCheckpoint'ed — the corpus-frequency
+    * side derives from it, and without the barrier both sides would
+    * re-run the explode); corpus frequencies are a vocab-sized re-agg;
+    * the probe join is keyed by the term over DISTINCT (doc,term) rows
+    * — work follows document frequency, the accepted tfIdf shape.
+    * Total token count reaches every row as a one-row broadcast. */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val tf = df
+      // alias barrier: keep the tokenizer out of the generate-filter
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("__term"))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val freq = tf.groupBy(col("__term")).agg(sum(col("__tf")).as("__c"))
+    val total = freq.agg(sum(col("__c")).cast("double").as("__n"))
+    tf.join(freq, "__term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        (sum(col("__tf") *
+            -(log(col("__c").cast("double")) - log(col("__n")))) /
+          sum(col("__tf")).cast("double")).as("avg_neg_logprob"))
+  }
+
   /** Corpus-level language histogram (one shuffle). */
   def langHistogram(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(langId(col(textCol)).as("predicted_lang"))

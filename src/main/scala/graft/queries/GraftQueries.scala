@@ -1129,6 +1129,167 @@ object GraftQueries {
       |       CAST(max(o_totalprice) AS DOUBLE) FROM orders
       |ORDER BY col_name""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase, each step
+    * within 24 h of the previous — greedy-earliest stage times, one
+    * shuffle, no self-joins (Analytics.funnel). */
+  val funnelQ: Q = (spark, dir) =>
+    graft.ops.Analytics.funnel(t(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), "24 hours")
+      .orderBy("stage")
+
+  val funnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT 1 AS stage, count(*) AS users FROM s1
+      |UNION ALL SELECT 2, count(*) FROM s2
+      |UNION ALL SELECT 3, count(*) FROM s3 ORDER BY stage""".stripMargin
+
+  /** Cohort retention curve: users bucketed by first-activity day,
+    * distinct-counted per (cohort, day offset). Cohort day is a
+    * per-user window min — one shuffle, no join, no second event scan
+    * (Analytics.cohortRetention). */
+  val cohortRetentionQ: Q = (spark, dir) =>
+    graft.ops.Analytics.cohortRetention(
+        t(spark, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+
+  val cohortRetentionSql: String =
+    """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+      |       count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN coh USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-type z-score outliers: |value − μ(type)| > 2σ(type) — the
+    * monitoring cut. Stats frame broadcast back; flag compares the
+    * UNROUNDED z, rounding is presentation (Analytics.zScoreOutliers). */
+  val outliersQ: Q = (spark, dir) =>
+    graft.ops.Analytics.zScoreOutliers(
+        t(spark, dir, "events"), "event_type", "value", 2.0)
+      .select(col("event_id"), col("event_type"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+
+  val outliersSql: String =
+    """WITH s AS (SELECT event_type, avg(value) AS mu,
+      |                  stddev_samp(value) AS sd
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type,
+      |       round((e.value - s.mu) / s.sd, 6) AS z
+      |FROM events e JOIN s USING (event_type)
+      |WHERE abs((e.value - s.mu) / s.sd) > 2 ORDER BY e.event_id""".stripMargin
+
+  /** Wide → long unpivot of order metrics via the native Dataset API
+    * (metric name + value rows) — the melt/stack surface; map-only
+    * Expand, no shuffle. */
+  val unpivotQ: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("double").as("o_custkey"),
+        col("o_totalprice"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_custkey"), col("o_totalprice")), "metric", "value")
+      .orderBy("o_orderkey", "metric")
+
+  val unpivotSql: String =
+    """SELECT o_orderkey, 'o_custkey' AS metric,
+      |       CAST(o_custkey AS DOUBLE) AS value FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'o_totalprice', o_totalprice FROM orders
+      |ORDER BY o_orderkey, metric""".stripMargin
+
+  /** Unigram-LM quality score: per-doc mean −ln p(token) under the
+    * corpus's own unigram distribution — the cheap perplexity proxy
+    * (TextAnalysis.unigramLogProb); rounding is presentation only. */
+  val unigramLogprobQ: Q = (spark, dir) =>
+    TextAnalysis.unigramLogProb(
+        t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_neg_logprob"), 6).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+
+  val unigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      |total AS (SELECT sum(c) AS n FROM freq)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       round(avg(-(ln(f.c) - ln(total.n))), 6) AS avg_neg_logprob
+      |FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Native session_window twin of the column-algebra sessionizer:
+    * per-user gap sessions (30 min) with end = last event + gap —
+    * batch here, identical code path streams
+    * (StreamingOps.sessionWindowCounts). */
+  val sessionWindowBatch: Q = (spark, dir) =>
+    graft.streaming.StreamingOps.sessionWindowCounts(
+        t(spark, dir, "events"), "ts", "user_id", "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowBatchSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              IS NULL OR
+      |              ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |g AS (SELECT user_id, ts,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM o)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Operation history of a managed table (DESCRIBE HISTORY analogue):
+    * a scratch table goes through write → merge → delete and the op
+    * log comes back as ordered (step, operation, partition_fields) —
+    * merge and delete recover the partitioning from the log itself
+    * (self-describing layout), which the literal oracle pins. */
+  val tableHistory: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hist_q").toString + "/t"
+    st.write(orders.filter(col("o_orderkey") % 5 =!= 0)
+        .repartition(col("o_orderstatus")),
+      path, "delta", "overwrite", Seq("o_orderstatus"))
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0), path,
+      "full.o_orderkey = incremental.o_orderkey")
+    graft.storage.Delete.where(spark, st, path, "o_totalprice > 400000")
+    graft.storage.GraftLog.history(spark, path)
+      .withColumn("step", row_number().over(
+        Window.orderBy(col("timestamp").asc, col("seq").asc)))
+      .select(col("step"), col("operation"), col("partition_fields"))
+      .orderBy("step")
+  }
+
+  val tableHistorySql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'WRITE', 'o_orderstatus'),
+      |  (2, 'MERGE', 'o_orderstatus'),
+      |  (3, 'DELETE', 'o_orderstatus'))
+      |  AS t(step, operation, partition_fields)
+      |ORDER BY step""".stripMargin
+
   /** Gopher-style repetition scrub: duplicate-token and top-bigram
     * fractions per doc, flagged when either crosses its threshold
     * (0.5 / 0.2) — flag computed on UNROUNDED fractions, mirrored
@@ -3124,6 +3285,14 @@ object GraftQueries {
     entry("q_resample", resampleQ, resampleSql),
     entry("q_forward_fill", forwardFillQ, forwardFillSql),
     entry("q_column_profile", columnProfile, columnProfileSql),
+    entry("q_funnel", funnelQ, funnelSql),
+    entry("q_cohort_retention", cohortRetentionQ, cohortRetentionSql),
+    entry("q_outliers", outliersQ, outliersSql),
+    entry("q_unpivot", unpivotQ, unpivotSql),
+    entry("q_unigram_logprob", unigramLogprobQ, unigramLogprobSql),
+    entry("q_session_window_batch", sessionWindowBatch,
+      sessionWindowBatchSql),
+    entry("q_table_history", tableHistory, tableHistorySql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_asof_nearest", asofNearest, asofNearestSql),

@@ -76,6 +76,28 @@ object StreamingOps {
         col("total_value"))
   }
 
+  /** Native session-window aggregation: Spark's `session_window`
+    * merges events separated by gaps ≤ `gap` into one window whose end
+    * is the last event + gap — the built-in sibling of the
+    * column-algebra batch sessionizer ([[graft.ops.Sessionize]]) and
+    * the custom-state stream sessionizer ([[sessionizeStream]], which
+    * carries richer per-session payloads). Works on batch and
+    * streaming frames (same code path); streaming state is merged and
+    * evicted by the watermark. Output:
+    * (keyCol, session_start, session_end, n_events). */
+  def sessionWindowCounts(events: DataFrame, tsCol: String,
+                          keyCol: String, gap: String,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    withWm
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+  }
+
   /** Sliding (hopping) event-time windows: every event lands in
     * size/slide overlapping windows, each epoch-aligned to the slide.
     * Same batch/stream dual-mode contract as [[tumblingCounts]];

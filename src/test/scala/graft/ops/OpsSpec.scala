@@ -287,6 +287,88 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1) == ("b", 4L, 1L, 2L, -3.0, 1.5))
   }
 
+  test("unigramLogProb matches the plain-Scala unigram model") {
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    // corpus: a×3, b×2, c×1, total 6
+    val n = 6.0
+    def nl(c: Double) = math.log(n) - math.log(c)
+    val expect = Map(
+      1L -> (3L, (2 * nl(3) + nl(2)) / 3.0),
+      2L -> (2L, (nl(2) + nl(1)) / 2.0),
+      3L -> (1L, nl(3)))
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    expect.foreach { case (id, (nt, h)) =>
+      assert(got(id)._1 == nt, s"doc $id token count")
+      assert(math.abs(got(id)._2 - h) < 1e-12,
+        s"doc $id: ${got(id)._2} vs model $h")
+    }
+    // rare-vocab docs score strictly higher than common-word docs
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("funnel: strict order within window, greedy-earliest, joinless plan") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(h: Double) = new java.sql.Timestamp(
+      t0.getTime + (h * 3600 * 1000).toLong)
+    val ev = Seq(
+      // user 1: full funnel inside the windows
+      (1L, at(0), "view"), (1L, at(1), "click"), (1L, at(2), "purchase"),
+      // user 2: click 30h after the first view — outside the window
+      (2L, at(0), "view"), (2L, at(30), "click"),
+      // user 3: click with no view — never enters the funnel
+      (3L, at(0), "click"),
+      // user 4: purchase BEFORE the view→click chain — order enforced
+      (4L, at(0), "purchase"), (4L, at(1), "view"), (4L, at(2), "click"),
+      // user 5: purchase between view and click — not after click
+      (5L, at(0), "view"), (5L, at(0.5), "purchase"), (5L, at(1), "click"),
+      // user 6: second view irrelevant — stage 1 pins the FIRST view
+      (6L, at(0), "view"), (6L, at(10), "view"), (6L, at(12), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), "24 hours")
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "funnel must be a single aggregation cascade, not self-joins")
+    val got = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 5L, 2 -> 4L, 3 -> 1L), s"got $got")
+    val bad = intercept[IllegalArgumentException] {
+      Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "view"), "24 hours")
+    }
+    assert(bad.getMessage.contains("distinct"))
+  }
+
+  test("cohortRetention counts distinct users per (cohort, offset)") {
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-03 09:00:00"),
+      (2L, "2024-03-01 23:59:59"), (2L, "2024-03-02 00:00:01"),
+      (3L, "2024-03-02 05:00:00")
+    ).toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Analytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r =>
+        (r.getTimestamp(0).toString.take(10), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("2024-03-01", 0) -> 2L, ("2024-03-01", 1) -> 1L,
+      ("2024-03-01", 2) -> 1L, ("2024-03-02", 0) -> 1L), s"got $got")
+  }
+
+  test("zScoreOutliers: threshold on unrounded z; tiny groups yield none") {
+    val df = Seq(
+      ("a", 0.0), ("a", 0.0), ("a", 0.0), ("a", 10.0), // sd=5, z(10)=1.5
+      ("b", 42.0) // single row: stddev undefined → no outliers
+    ).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    assert(Analytics.zScoreOutliers(df, "g", "v", 2.0).count() == 0)
+    val hit = Analytics.zScoreOutliers(df, "g", "v", 1.4)
+      .select("id", "z").collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 3L)
+    assert(math.abs(hit.head.getDouble(1) - 1.5) < 1e-12)
+  }
+
   test("stratified: ceil(frac*n) rows per stratum, deterministic") {
     val sampled = Sampling.stratified(docs, "lang", "doc_id", 20)
     val perLang = docs.groupBy("lang").count().collect()

@@ -287,6 +287,43 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionWindowCounts: stream equals batch through the watermark") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id")
+    val out = tempDir("graft_swin")
+    ev.coalesce(1).write.parquet(s"$out/in")
+    // far-future sentinel advances the watermark past every real
+    // session; its own session never flushes (same trick as
+    // q_stream_window's declared query)
+    spark.sql("SELECT timestamp'2030-01-01 00:00:00' AS ts, " +
+        "CAST(-1 AS BIGINT) AS user_id")
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val sessions = StreamingOps.sessionWindowCounts(
+      stream, "ts", "user_id", "30 minutes")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.sessionWindowCounts(
+        ev, "ts", "user_id", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"flushed sessions (${streamed.size}) != batch (${batch.size})")
+  }
+
   test("mergeStream applies each micro-batch as an upsert") {
     import spark.implicits._
     val storage = new graft.storage.BasicStorage(spark)
