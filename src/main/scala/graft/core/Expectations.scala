@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the row-level sibling of the
+  * schema audit ([[Schemas]], reference `jorvik/audit/schemas.py:4-56`):
+  * where the reference validates a frame's SHAPE on every ETL boundary
+  * (`jorvik/pipelines/etl.py:189-211`), these rules validate its
+  * VALUES, returning a violation count per rule so a pipeline can gate
+  * a load on `violations == 0` (or log the drift and continue).
+  *
+  * Scale shape: every rule compiles to a conditional aggregate and ALL
+  * rules run in ONE aggregation pass over one scan (uniqueness rules
+  * add the standard multi-distinct expand; still no joins, no second
+  * scan), then the single result row is unpivoted driver-free by
+  * exploding an array of per-rule structs — the [[graft.ops.Profile]]
+  * shape. Null semantics: only [[Expectations.NotNull]] counts nulls;
+  * range/set/regex rules skip null values (compose with NotNull to
+  * forbid them), and uniqueness counts duplicates among fully non-null
+  * keys.
+  */
+object Expectations {
+
+  sealed trait Rule { def name: String }
+
+  /** `column` must hold no nulls. */
+  case class NotNull(column: String) extends Rule {
+    val name = s"not_null($column)"
+  }
+
+  /** The non-null tuples of `columns` must be distinct; violations =
+    * number of surplus rows (total non-null-keyed rows − distinct
+    * keys). */
+  case class Unique(columns: Seq[String]) extends Rule {
+    require(columns.nonEmpty, "unique needs at least one column")
+    val name = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Non-null values must fall in [lo, hi]. */
+  case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val name = s"in_range($column)"
+  }
+
+  /** Non-null values must be one of `allowed`. */
+  case class OneOf(column: String, allowed: Seq[String]) extends Rule {
+    require(allowed.nonEmpty, "one_of needs at least one allowed value")
+    val name = s"one_of($column)"
+  }
+
+  /** Non-null values must match `regex` (Java/RE2-portable subset). */
+  case class Matches(column: String, regex: String) extends Rule {
+    val name = s"matches($column)"
+  }
+
+  private def violationCount(r: Rule): Column = (r match {
+    case NotNull(c) => count(when(col(c).isNull, lit(1)))
+    case Unique(cs) =>
+      count(when(cs.map(col(_).isNotNull).reduce(_ && _), lit(1))) -
+        countDistinct(col(cs.head), cs.tail.map(col): _*)
+    case InRange(c, lo, hi) =>
+      count(when(col(c).isNotNull &&
+        !col(c).cast("double").between(lo, hi), lit(1)))
+    case OneOf(c, allowed) =>
+      count(when(col(c).isNotNull && !col(c).isin(allowed: _*), lit(1)))
+    case Matches(c, re) =>
+      count(when(col(c).isNotNull && !col(c).rlike(re), lit(1)))
+  }).as(s"__v_${r.name}")
+
+  /** Evaluate every rule in one pass; returns (rule, violations) with
+    * one row per rule, in the given rule order-insensitive form (sort
+    * on `rule` for a stable report). */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "check needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "duplicate rule names: " + rules.map(_.name).mkString(", "))
+    val aggs = rules.map(violationCount)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map(r => struct(
+        lit(r.name).as("rule"),
+        col(s"__v_${r.name}").as("violations"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** True iff every rule passes — the boolean gate form for
+    * `smokeTestEtl`-style checks. One job. */
+  def holds(df: DataFrame, rules: Seq[Rule]): Boolean =
+    check(df, rules).agg(sum(col("violations")).as("v"))
+      .head().getLong(0) == 0L
+}

@@ -117,4 +117,39 @@ object Analytics {
       .withColumn("z", z)
       .drop("__mu", "__sd")
   }
+
+  /** Consistency constant making 1.4826·MAD estimate σ under
+    * normality. */
+  val MadSigma = 1.4826
+
+  /** Robust (median/MAD) outliers: rows with
+    * |value − median(group)| > threshold·1.4826·MAD(group), where MAD
+    * is the median absolute deviation from the group median — the cut
+    * that survives what breaks [[zScoreOutliers]]: a few extreme
+    * points inflate the mean AND the stddev until they mask
+    * themselves; medians don't move. Emits `z_mad` (the robust
+    * z-score). Groups with MAD = 0 (a majority-constant column)
+    * produce no outliers — every deviation would be infinitely many
+    * MADs out, which reads as noise, not signal.
+    *
+    * Scale shape: two tiny per-group aggregates (exact `percentile` —
+    * swap `percentile_approx` in at corpus scale, same shape), each
+    * broadcast back — three scans of the input, zero data-sized
+    * shuffles, same low-cardinality-group reasoning as
+    * [[zScoreOutliers]]. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5))
+        .as("__mad"))
+    val z = (col(valueCol) - col("__med")) / (lit(MadSigma) * col("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("__mad") > 0 && abs(z) > threshold)
+      .withColumn("z_mad", z)
+      .drop("__med", "__mad")
+  }
 }

@@ -121,4 +121,27 @@ object Sampling {
         ceil(col("__graft_n") * lit(fracPct) / lit(100.0)))
       .drop(scratch: _*)
   }
+
+  /** Deterministic per-group reservoir: exactly min(k, |group|) keys
+    * per group, chosen by hash rank (the same engine-portable
+    * [[hashBucket]] priority as every split in this module, ties
+    * broken by key) — "show me k uniform examples from every stratum"
+    * without an RNG, stable across runs, engines, and re-layouts.
+    * Output: (groupCol, keyCol) rows.
+    *
+    * Scale shape: one partial-aggregating shuffle carrying AT MOST k
+    * values per group per partition — the bounded custom aggregate
+    * ([[graft.functions.BoundedTopKAgg]]), not a window: the
+    * row_number() form ([[stratified]]'s shape, fine when keeping a
+    * FRACTION) would shuffle and sort a billion-row group to keep 5
+    * of them. */
+  def reservoirPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                        k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.BoundedTopKAgg.minK(
+        struct(hashBucket(col(keyCol), 1000000).as("h"),
+          col(keyCol).as("k")), k).as("__kept"))
+      .select(col(groupCol), explode(col("__kept.k")).as(keyCol))
+  }
 }

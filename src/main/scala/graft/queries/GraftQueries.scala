@@ -1265,8 +1265,11 @@ object GraftQueries {
     * (self-describing layout), which the literal oracle pins. */
   val tableHistory: Q = (spark, dir) => {
     val st = new BasicStorage(spark)
+    // the oracle pins the op LOG, not the data — a thin slice keeps the
+    // three table operations cheap in BENCH without weakening the check
     val orders = t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .filter(col("o_orderkey") % 17 === 0)
     val path = java.nio.file.Files
       .createTempDirectory("graft_hist_q").toString + "/t"
     st.write(orders.filter(col("o_orderkey") % 5 =!= 0)
@@ -1289,6 +1292,82 @@ object GraftQueries {
       |  (3, 'DELETE', 'o_orderstatus'))
       |  AS t(step, operation, partition_fields)
       |ORDER BY step""".stripMargin
+
+  /** Declarative data-quality gate: five expectation rules (null-free,
+    * unique key, value range, accepted set, regex shape) evaluated in
+    * ONE aggregation pass and unpivoted to (rule, violations) — the
+    * row-level sibling of the schema audit (Expectations.check). */
+  val expectationsQ: Q = (spark, dir) =>
+    graft.core.Expectations.check(t(spark, dir, "customer"), Seq(
+        graft.core.Expectations.NotNull("c_name"),
+        graft.core.Expectations.Unique(Seq("c_custkey")),
+        graft.core.Expectations.InRange("c_acctbal", -900, 9000),
+        graft.core.Expectations.OneOf("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+        graft.core.Expectations.Matches("c_name", "^Customer#[0-9]{9}$")))
+      .orderBy("rule")
+
+  val expectationsSql: String =
+    """SELECT 'in_range(c_acctbal)' AS rule,
+      |       count(*) FILTER (c_acctbal IS NOT NULL
+      |         AND (CAST(c_acctbal AS DOUBLE) < -900
+      |              OR CAST(c_acctbal AS DOUBLE) > 9000)) AS violations
+      |FROM customer
+      |UNION ALL SELECT 'matches(c_name)',
+      |  count(*) FILTER (c_name IS NOT NULL
+      |    AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$'))
+      |FROM customer
+      |UNION ALL SELECT 'not_null(c_name)',
+      |  count(*) FILTER (c_name IS NULL) FROM customer
+      |UNION ALL SELECT 'one_of(c_mktsegment)',
+      |  count(*) FILTER (c_mktsegment IS NOT NULL AND c_mktsegment
+      |    NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY'))
+      |FROM customer
+      |UNION ALL SELECT 'unique(c_custkey)',
+      |  count(*) FILTER (c_custkey IS NOT NULL) - count(DISTINCT c_custkey)
+      |FROM customer
+      |ORDER BY rule""".stripMargin
+
+  /** Robust (median/MAD) per-type outliers at 3 robust sigmas — the
+    * cut that survives mean/stddev self-masking
+    * (Analytics.madOutliers); flag on the UNROUNDED robust z, rounding
+    * is presentation. */
+  val madOutliersQ: Q = (spark, dir) =>
+    graft.ops.Analytics.madOutliers(
+        t(spark, dir, "events"), "event_type", "value", 3.0)
+      .select(col("event_id"), col("event_type"),
+        round(col("z_mad"), 6).as("z_mad"))
+      .orderBy("event_id")
+
+  val madOutliersSql: String =
+    """WITH m AS (SELECT event_type, median(value) AS med
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      |      FROM events e JOIN m USING (event_type)),
+      |s AS (SELECT event_type, median(abs(value - med)) AS mad
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_id, d.event_type,
+      |       round((d.value - d.med) / (1.4826 * s.mad), 6) AS z_mad
+      |FROM d JOIN s USING (event_type)
+      |WHERE s.mad > 0
+      |  AND abs((d.value - d.med) / (1.4826 * s.mad)) > 3
+      |ORDER BY d.event_id""".stripMargin
+
+  /** Deterministic 5-doc reservoir per language via the bounded
+    * custom top-k aggregate — at most k values per group per partition
+    * cross the shuffle, never the group's row set
+    * (Sampling.reservoirPerGroup over functions.BoundedTopKAgg). */
+  val reservoirSampleQ: Q = (spark, dir) =>
+    graft.ops.Sampling.reservoirPerGroup(
+        t(spark, dir, "documents"), "lang", "doc_id", 5)
+      .orderBy("lang", "doc_id")
+
+  val reservoirSampleSql: String =
+    """SELECT lang, doc_id FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY lang
+      |  ORDER BY ((doc_id % 2147483648) * 2654435761)
+      |           % 4294967296 % 1000000, doc_id) <= 5
+      |ORDER BY lang, doc_id""".stripMargin
 
   /** Gopher-style repetition scrub: duplicate-token and top-bigram
     * fractions per doc, flagged when either crosses its threshold
@@ -3293,6 +3372,9 @@ object GraftQueries {
     entry("q_session_window_batch", sessionWindowBatch,
       sessionWindowBatchSql),
     entry("q_table_history", tableHistory, tableHistorySql),
+    entry("q_expectations", expectationsQ, expectationsSql),
+    entry("q_mad_outliers", madOutliersQ, madOutliersSql),
+    entry("q_reservoir_sample", reservoirSampleQ, reservoirSampleSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_asof_nearest", asofNearest, asofNearestSql),

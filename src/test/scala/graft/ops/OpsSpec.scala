@@ -369,6 +369,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(hit.head.getDouble(1) - 1.5) < 1e-12)
   }
 
+  test("madOutliers flags what mean/stddev masking hides; MAD=0 yields none") {
+    // group a: 9 points at 0..8 plus one wild 1000; the wild point
+    // inflates stddev so much that z-score at 2σ misses it is false —
+    // but a SECOND wild point does mask the first for z-scores, while
+    // MAD still flags both
+    val base = (0 to 8).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 1000.0), ("a", 1001.0)) ++
+      Seq(("c", 7.0), ("c", 7.0), ("c", 7.0), ("c", 99.0)) // MAD = 0
+    val df = base.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val mad = Analytics.madOutliers(df, "g", "v", 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mad == Set(9L, 10L), s"MAD should flag both wild points, got $mad")
+    // the classical z-score at the same threshold finds NEITHER (the
+    // two wild points inflate sigma past their own deviation / 3)
+    val z = Analytics.zScoreOutliers(df, "g", "v", 3.0).count()
+    assert(z == 0, "sanity: z-score self-masking premise broke")
+  }
+
+  test("reservoirPerGroup: min(k,|g|) keys per group, repartition-stable") {
+    val out = Sampling.reservoirPerGroup(docs, "lang", "doc_id", 7)
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(7L, n), s"lang=$lang") }
+    // sampled keys come from the group
+    val joined = out.join(docs.select("lang", "doc_id"),
+      Seq("lang", "doc_id"), "left_anti")
+    assert(joined.count() == 0)
+    // layout-independent: same sample after an adversarial repartition
+    val again = Sampling.reservoirPerGroup(
+      docs.repartition(13, col("doc_id")), "lang", "doc_id", 7)
+    assert(out.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+  }
+
   test("stratified: ceil(frac*n) rows per stratum, deterministic") {
     val sampled = Sampling.stratified(docs, "lang", "doc_id", 20)
     val perLang = docs.groupBy("lang").count().collect()
