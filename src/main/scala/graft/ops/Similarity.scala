@@ -34,6 +34,30 @@ object Similarity {
   private def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0.0d, num / den)
 
+  /** Per-query top-k over a scored candidate frame
+    * (query_id, neighbor_id, cos) via the bounded custom aggregate:
+    * `minK` on struct(−cos, id) keeps the k best candidates with
+    * (cos desc, id asc) order — at most k values per query per
+    * partition cross the shuffle, combined map-side. The former
+    * `row_number() OVER (PARTITION BY query_id ORDER BY ...)` form
+    * shuffled and SORTED every scored candidate (|queries|·|corpus|
+    * rows for the brute-force path) to keep k of them — the measured
+    * bottleneck shape at scale. Negating the double is an exact sign
+    * flip, so emitted cosines are bit-identical to the window form.
+    * Null cosines (zero-norm vectors, see [[cosine]]) are excluded —
+    * a degenerate vector is not a neighbor. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.filter(col("cos").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopKAgg.minK(
+        struct((-col("cos")).as("nc"), col("neighbor_id").as("id")), k)
+        .as("__nn"))
+      .select(col("query_id"),
+        posexplode(col("__nn")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        (-col("__s.nc")).as("cos"))
+
   /** Unit-normalized copy of `v` (`n` = its precomputed norm); zero
     * vectors pass through unchanged. On the unit sphere
     * |a−b|² = 2−2·cos(a,b), so L2 cell geometry becomes MONOTONE in
@@ -66,11 +90,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** kNN majority-vote classification: each query takes the modal
@@ -386,11 +406,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: like [[bruteForceTopK]] but candidates are
@@ -432,10 +448,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    topKPerQuery(scored, k)
   }
 }

@@ -73,6 +73,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("per-query top-k is a bounded aggregate, not a window sort") {
+    // the row_number() form sorted |queries|·|corpus| scored rows; the
+    // BoundedTopKAgg form must show the custom aggregate and no Sort
+    // or Window over the scored candidates
+    val p = planOf(GraftQueries.cosineTopK(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("partial_bounded_top_k_min"),
+      s"map-side partial of the custom aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"window survived the top-k swap:\n$p")
+    // deeper operators print later: any Sort AFTER the partial-agg line
+    // would be sorting the scored candidates (the result-sized
+    // presentation orderBy prints above it and is fine)
+    val below = p.substring(p.indexOf("partial_bounded_top_k_min"))
+    assert(!below.contains("Sort "), s"candidate sort survived:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // codegen stages print as "*(n) Op" in the tree string
     val p = planOf(GraftQueries.filterString(spark, dir))
