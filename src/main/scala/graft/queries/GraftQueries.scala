@@ -2760,11 +2760,15 @@ object GraftQueries {
       |FROM customer WHERE c_acctbal >= 0
       |ORDER BY c_custkey""".stripMargin
 
-  /** Group-wise top-k: top-5 terms per language. Aggregate-THEN-window:
-    * the rank window runs over the already-aggregated (lang, term)
-    * counts — per-partition rows are distinct terms, not corpus tokens,
-    * so a corpus-scale stopword costs the window one row, not one row
-    * per occurrence. */
+  /** Group-wise top-k: top-5 terms per language. Aggregate-then-
+    * BOUNDED-aggregate: term counts partial-agg map-side, then the
+    * per-language pick is `minK(struct(−n, term), 5)` — ≤ 5 terms per
+    * language per partition cross the second shuffle. The former rank
+    * window partitioned by `lang` funneled every distinct term of a
+    * language through ONE reducer — the low-cardinality-partition
+    * hot spot (a handful of languages = a handful of busy cores at
+    * 100 TB). Sign-flipped count gives (n desc, term asc), the
+    * row_number ordering, exactly. */
   val topTermsPerLang: Q = (spark, dir) => {
     val counts = t(spark, dir, "documents")
       .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
@@ -2772,9 +2776,13 @@ object GraftQueries {
       .filter(length(col("term")) > 0)
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("term"))
-    counts.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    counts.groupBy(col("lang"))
+      .agg(graft.functions.BoundedTopKAgg.minK(
+        struct((-col("n")).as("nn"), col("term").as("term")), 5)
+        .as("__top"))
+      .select(col("lang"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("lang"), col("__s.term").as("term"),
+        (-col("__s.nn")).as("n"), (col("__pos") + 1).cast("int").as("rnk"))
       .orderBy("lang", "rnk")
   }
 
