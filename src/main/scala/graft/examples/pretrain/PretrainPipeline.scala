@@ -3,7 +3,8 @@ package graft.examples.pretrain
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Packing, TextAnalysis}
+import graft.core.Expectations
+import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
 
 /** End-to-end pretraining-corpus curation: the showcase composition of
   * the operator families this library adds over the reference —
@@ -48,6 +49,18 @@ object PretrainPipeline {
       counts += StageCount(name, df.count()); df
     }
 
+    // input contract, checked up front in ONE aggregation job: a null
+    // or duplicated id would silently corrupt every dedup decision and
+    // chunk_uid downstream — fail here, loudly, instead
+    val contract = Seq(
+      Expectations.NotNull(idCol), Expectations.Unique(Seq(idCol)),
+      Expectations.NotNull(textCol))
+    val broken = Expectations.check(docs, contract)
+      .filter(col("violations") > 0).collect()
+    require(broken.isEmpty,
+      "input contract violated: " + broken.map(r =>
+        s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+
     val quality = stage("quality_filter", docs.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality))
 
@@ -84,5 +97,19 @@ object PretrainPipeline {
       Seq("chunk_uid")))
 
     (packed, counts.result())
+  }
+
+  /** Deterministic reviewer sample of the curated output: k packed
+    * chunks per (shard, bin) — the eyeball pass every corpus release
+    * ships with, reproducible across runs because membership is
+    * hash-of-key ([[Sampling.reservoirPerGroup]] over the bounded
+    * top-k aggregate), so reviewers diff the SAME examples between
+    * pipeline versions. */
+  def auditSample(packed: DataFrame, k: Int = 3): DataFrame = {
+    val keyed = packed.withColumn("__grp",
+      concat_ws("/", col("shard"), col("bin")))
+    Sampling.reservoirPerGroup(keyed, "__grp", "chunk_uid", k)
+      .join(keyed, Seq("__grp", "chunk_uid"))
+      .drop("__grp")
   }
 }

@@ -48,6 +48,37 @@ class PretrainPipelineSpec extends AnyFunSuite with SparkSpec {
       (0L until 20L).toSet, "only the 20 good docs survive")
   }
 
+  test("input contract gate rejects duplicate ids loudly") {
+    val docs = Seq((1L, words(1, 120, "tok")), (1L, words(2, 120, "tok")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      PretrainPipeline.curate(docs,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("unique(doc_id)=1"), e.getMessage)
+  }
+
+  test("auditSample: k chunks per bin, stable across runs") {
+    val docs = (0L until 30L).map(i => (i, words(i.toInt, 100, "w")))
+      .toDF("doc_id", "text")
+    val (packed, _) = PretrainPipeline.curate(
+      docs, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      minQuality = 0.0, jaccardThreshold = 0.99, decontamGram = 8,
+      chunkTokens = 50, overlapTokens = 0, packBudget = 120, shards = 3)
+    val s1 = PretrainPipeline.auditSample(packed, 2)
+    val binSizes = s1.groupBy("shard", "bin").count().collect()
+    val full = packed.groupBy("shard", "bin").count().collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    binSizes.foreach { r =>
+      val want = math.min(2L, full((r.get(0), r.get(1))))
+      assert(r.getLong(2) == want, s"bin ${(r.get(0), r.get(1))}") }
+    assert(binSizes.length == full.size, "every bin sampled")
+    // reproducible: the sample is a pure function of the keys
+    val s2 = PretrainPipeline.auditSample(packed, 2)
+    assert(s1.select("chunk_uid").collect().map(_.getLong(0)).toSet ==
+      s2.select("chunk_uid").collect().map(_.getLong(0)).toSet)
+  }
+
   test("packed bins respect the token budget up to one straddling doc") {
     val docs = (0L until 30L).map(i => (i, words(i.toInt, 100, "w")))
       .toDF("doc_id", "text")
