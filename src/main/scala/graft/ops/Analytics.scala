@@ -152,4 +152,54 @@ object Analytics {
       .withColumn("z_mad", z)
       .drop("__med", "__mad")
   }
+
+  /** Cumulative distinct users by day — the growth curve. Spark
+    * windows can't run `count(distinct)` cumulatively; the standard
+    * decomposition is exact and cheap: each user's FIRST activity day
+    * (one groupBy), daily new-user counts, then a running sum. Output:
+    * (day, new_users, cum_users).
+    *
+    * Scale shape: one user-keyed aggregate (the only data-sized
+    * shuffle), then a days-cardinality frame; the running-sum window
+    * is single-partition BY DESIGN over that tiny frame (the
+    * aggregate-then-window shape — a global order over ~10³ day rows,
+    * not over events). */
+  def cumulativeUsers(df: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val firstDay = df.groupBy(col(userCol))
+      .agg(min(date_trunc("day", col(tsCol))).as("day"))
+    val daily = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** Rolling N-day active users (DAU/WAU/MAU family): for every day
+    * that has events, the distinct users active in the trailing
+    * `windowDays`-day window ending that day. Exact, not sketched.
+    * Output: (obs_day, active_users).
+    *
+    * Scale shape: distinct (user, day) first (one shuffle — collapses
+    * event volume to user-day grain), each user-day then fans out
+    * map-side into its `windowDays` observation days, observation days
+    * are bounded to REAL event days by a broadcast semi-join against
+    * the tiny day list, and one distinct-count aggregate finishes. The
+    * fan-out multiplies the user-day frame, not the event stream —
+    * the standard exact-rolling-distinct trade. */
+  def rollingActive(df: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be > 0, got $windowDays")
+    val userDays = df
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("__day"))
+      .distinct()
+    val obsDays = userDays.select(col("__day").as("obs_day")).distinct()
+    val fanned = userDays.select(col(userCol),
+      explode(sequence(col("__day"),
+        col("__day") + expr(s"interval ${windowDays - 1} days"),
+        expr("interval 1 day"))).as("obs_day"))
+    fanned.join(broadcast(obsDays), Seq("obs_day"), "left_semi")
+      .groupBy(col("obs_day"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
 }

@@ -138,7 +138,10 @@ object Sampling {
   def reservoirPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                         k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
-    df.groupBy(col(groupCol))
+    // a null key has no hash priority (null struct field sorts first
+    // and would crowd into every group's sample) — not a sample member
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(graft.functions.BoundedTopKAgg.minK(
         struct(hashBucket(col(keyCol), 1000000).as("h"),
           col(keyCol).as("k")), k).as("__kept"))

@@ -1369,6 +1369,42 @@ object GraftQueries {
       |           % 4294967296 % 1000000, doc_id) <= 5
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** User growth curve: first-seen day per user → daily new users →
+    * running cumulative total (the exact decomposition of a cumulative
+    * count-distinct, which windows can't express directly)
+    * (Analytics.cumulativeUsers). */
+  val cumulativeUsersQ: Q = (spark, dir) =>
+    graft.ops.Analytics.cumulativeUsers(
+        t(spark, dir, "events"), "user_id", "ts")
+      .orderBy("day")
+
+  val cumulativeUsersSql: String =
+    """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+      |           FROM events GROUP BY 1),
+      |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_users
+      |FROM n ORDER BY day""".stripMargin
+
+  /** Rolling 7-day active users per observed day — exact trailing
+    * distinct via user-day fan-out bounded to real event days
+    * (Analytics.rollingActive). */
+  val rollingActiveQ: Q = (spark, dir) =>
+    graft.ops.Analytics.rollingActive(
+        t(spark, dir, "events"), "user_id", "ts", 7)
+      .orderBy("obs_day")
+
+  val rollingActiveSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      |           FROM events),
+      |x AS (SELECT user_id, day + INTERVAL (o) DAY AS obs_day
+      |      FROM d, generate_series(0, 6) AS g(o))
+      |SELECT obs_day, count(DISTINCT user_id) AS active_users
+      |FROM x WHERE obs_day IN (SELECT day FROM d)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gopher-style repetition scrub: duplicate-token and top-bigram
     * fractions per doc, flagged when either crosses its threshold
     * (0.5 / 0.2) — flag computed on UNROUNDED fractions, mirrored
@@ -3383,6 +3419,8 @@ object GraftQueries {
     entry("q_expectations", expectationsQ, expectationsSql),
     entry("q_mad_outliers", madOutliersQ, madOutliersSql),
     entry("q_reservoir_sample", reservoirSampleQ, reservoirSampleSql),
+    entry("q_cumulative_users", cumulativeUsersQ, cumulativeUsersSql),
+    entry("q_rolling_active", rollingActiveQ, rollingActiveSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_asof_nearest", asofNearest, asofNearestSql),

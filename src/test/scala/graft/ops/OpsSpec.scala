@@ -407,6 +407,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       again.collect().map(_.toSeq).toSet)
   }
 
+  test("cumulativeUsers: first-seen decomposition equals the running distinct") {
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-03 09:00:00"),
+      (2L, "2024-03-01 12:00:00"), (3L, "2024-03-02 05:00:00"),
+      (3L, "2024-03-04 05:00:00"), (4L, "2024-03-04 06:00:00")
+    ).toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Analytics.cumulativeUsers(ev, "user_id", "ts")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "2024-03-01" -> (2L, 2L), "2024-03-02" -> (1L, 3L),
+      "2024-03-04" -> (1L, 4L))) // 03-03 has no NEW users → no row
+  }
+
+  test("rollingActive: trailing window, only observed days reported") {
+    val ev = Seq(
+      (1L, "2024-03-01"), (2L, "2024-03-01"),
+      (2L, "2024-03-03"), (3L, "2024-03-08")
+    ).toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val got = Analytics.rollingActive(ev, "user_id", "ts", 3)
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        r.getLong(1)).toMap
+    // 03-01: {1,2}; 03-03: {1,2 (from 03-01, within 3d), 2} = {1,2};
+    // 03-08: only user 3 (03-03 is 5 days back, outside the window);
+    // 03-02 etc. have no events → not observation days
+    assert(got == Map(
+      "2024-03-01" -> 2L, "2024-03-03" -> 2L, "2024-03-08" -> 1L))
+  }
+
   test("stratified: ceil(frac*n) rows per stratum, deterministic") {
     val sampled = Sampling.stratified(docs, "lang", "doc_id", 20)
     val perLang = docs.groupBy("lang").count().collect()
