@@ -37,7 +37,9 @@ object Expectations {
     val name = s"unique(${columns.mkString(",")})"
   }
 
-  /** Non-null values must fall in [lo, hi]. */
+  /** Non-null values must fall in [lo, hi]; a non-null value that is
+    * not numeric at all is a violation too (try_cast, so the check
+    * COUNTS dirty data instead of crashing on it under ANSI casts). */
   case class InRange(column: String, lo: Double, hi: Double) extends Rule {
     require(lo <= hi, s"empty range [$lo, $hi]")
     val name = s"in_range($column)"
@@ -54,32 +56,48 @@ object Expectations {
     val name = s"matches($column)"
   }
 
-  private def violationCount(r: Rule): Column = (r match {
+  private def violationCount(r: Rule): Column = r match {
     case NotNull(c) => count(when(col(c).isNull, lit(1)))
     case Unique(cs) =>
       count(when(cs.map(col(_).isNotNull).reduce(_ && _), lit(1))) -
         countDistinct(col(cs.head), cs.tail.map(col): _*)
     case InRange(c, lo, hi) =>
+      // try_cast + coalesce(false): an unparseable non-null value is a
+      // VIOLATION, not a query-killing ANSI cast error
       count(when(col(c).isNotNull &&
-        !col(c).cast("double").between(lo, hi), lit(1)))
+        !coalesce(col(c).try_cast("double").between(lo, hi),
+          lit(false)), lit(1)))
     case OneOf(c, allowed) =>
       count(when(col(c).isNotNull && !col(c).isin(allowed: _*), lit(1)))
     case Matches(c, re) =>
       count(when(col(c).isNotNull && !col(c).rlike(re), lit(1)))
-  }).as(s"__v_${r.name}")
+  }
+
+  /** Rule display names, with repeats disambiguated by a #i suffix
+    * (two regex rules on one column are legitimate; output rows must
+    * still be distinguishable). */
+  private def displayNames(rules: Seq[Rule]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    rules.map { r =>
+      val n = seen.updateWith(r.name)(c => Some(c.getOrElse(0) + 1)).get
+      if (n == 1) r.name else s"${r.name}#$n"
+    }
+  }
 
   /** Evaluate every rule in one pass; returns (rule, violations) with
     * one row per rule, in the given rule order-insensitive form (sort
     * on `rule` for a stable report). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "check needs at least one rule")
-    require(rules.map(_.name).distinct.size == rules.size,
-      "duplicate rule names: " + rules.map(_.name).mkString(", "))
-    val aggs = rules.map(violationCount)
+    val names = displayNames(rules)
+    // positional scratch aliases: a rule's display name may hold dots
+    // or parens that col() would parse as nested-field syntax
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      violationCount(r).as(s"__v_$i") }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rules.map(r => struct(
-        lit(r.name).as("rule"),
-        col(s"__v_${r.name}").as("violations"))): _*)).as("p"))
+      .select(explode(array(names.zipWithIndex.map { case (n, i) => struct(
+        lit(n).as("rule"),
+        col(s"__v_$i").as("violations")) }: _*)).as("p"))
       .select("p.*")
   }
 

@@ -47,21 +47,23 @@ object Analytics {
             .as(s"__ts_${i + 1}")
         }: _*)
     // stage-time cascade: t0 = first step-0 event; tk = earliest
-    // step-k event with t(k-1) < ts <= t(k-1) + window
+    // step-k event with t(k-1) < ts <= t(k-1) + window. Each stage is
+    // materialized as its own column so `prev` is a plain attribute
+    // REFERENCE — inlining the previous stage's expression (used twice
+    // per level) would grow the tree 2^steps and hang analysis on
+    // long funnels (CollapseProject leaves multiply-referenced
+    // non-trivial projections alone, so growth stays linear)
     val w = expr(s"interval $window")
-    val stageTimes = steps.indices.foldLeft(Seq.empty[Column]) {
-      (acc, i) =>
-        val ts = col(s"__ts_$i")
-        val t = // try_: a user with no step-0 events has an empty array
-          if (i == 0) try_element_at(ts, lit(1))
-          else {
-            val prev = acc.last
-            array_min(filter(ts, x => x > prev && x <= prev + w))
-          }
-        acc :+ t
-    }
-    val staged = perUser.select(
-      stageTimes.zipWithIndex.map { case (t, i) => t.as(s"__t_$i") }: _*)
+    val staged = steps.indices.foldLeft(perUser) { (df, i) =>
+      val ts = col(s"__ts_$i")
+      val t = // try_: a user with no step-0 events has an empty array
+        if (i == 0) try_element_at(ts, lit(1))
+        else {
+          val prev = col(s"__t_${i - 1}")
+          array_min(filter(ts, x => x > prev && x <= prev + w))
+        }
+      df.withColumn(s"__t_$i", t)
+    }.select(steps.indices.map(i => col(s"__t_$i")): _*)
     staged
       .agg(count(col("__t_0")).as("__c_0"),
         steps.indices.tail.map(i =>
@@ -96,8 +98,9 @@ object Analytics {
   /** Rows whose `valueCol` sits more than `threshold` sample standard
     * deviations from their group's mean — the interpretable outlier
     * cut for monitoring and data validation. Emits the z-score;
-    * groups with fewer than 2 rows (undefined stddev) produce no
-    * outliers. The threshold compares the UNROUNDED z.
+    * groups with fewer than 2 rows (undefined stddev) or constant
+    * values (sd = 0, z would be NaN) produce no outliers. The
+    * threshold compares the UNROUNDED z.
     *
     * Scale shape: per-group mean/stddev is a tiny partial-agg
     * aggregate broadcast back onto the events — two scans of the
@@ -112,8 +115,12 @@ object Analytics {
       .agg(avg(col(valueCol)).as("__mu"),
         stddev_samp(col(valueCol)).as("__sd"))
     val z = (col(valueCol) - col("__mu")) / col("__sd")
+    // __sd > 0 guard: a constant group has sd = 0 exactly, making
+    // z = 0/0 = NaN — and NaN compares GREATER than any double in
+    // Spark's total order, so without the guard every row of a
+    // flat-lined group would be emitted as an "outlier"
     df.join(broadcast(stats), Seq(groupCol))
-      .filter(abs(z) > threshold)
+      .filter(col("__sd") > 0 && abs(z) > threshold)
       .withColumn("z", z)
       .drop("__mu", "__sd")
   }

@@ -122,8 +122,9 @@ object Sampling {
       .drop(scratch: _*)
   }
 
-  /** Deterministic per-group reservoir: exactly min(k, |group|) keys
-    * per group, chosen by hash rank (the same engine-portable
+  /** Deterministic per-group reservoir: exactly min(k, |distinct
+    * non-null keys of the group|) keys per group, chosen by hash rank
+    * (the same engine-portable
     * [[hashBucket]] priority as every split in this module, ties
     * broken by key) — "show me k uniform examples from every stratum"
     * without an RNG, stable across runs, engines, and re-layouts.
@@ -139,8 +140,13 @@ object Sampling {
                         k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     // a null key has no hash priority (null struct field sorts first
-    // and would crowd into every group's sample) — not a sample member
-    df.filter(col(keyCol).isNotNull)
+    // and would crowd into every group's sample) — not a sample member.
+    // distinct first: repeated keys are ONE sample member (the heap
+    // would otherwise admit both copies and emit a duplicate row);
+    // partial aggregation makes the extra exchange key-grained, cheap
+    df.select(col(groupCol), col(keyCol))
+      .filter(col(keyCol).isNotNull)
+      .distinct()
       .groupBy(col(groupCol))
       .agg(graft.functions.BoundedTopKAgg.minK(
         struct(hashBucket(col(keyCol), 1000000).as("h"),

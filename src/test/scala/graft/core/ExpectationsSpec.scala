@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -54,10 +55,33 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), s"expected joinless plan:\n$plan")
   }
 
-  test("duplicate rules are rejected") {
-    val e = intercept[IllegalArgumentException] {
-      check(df, Seq(NotNull("name"), NotNull("name")))
-    }
-    assert(e.getMessage.contains("duplicate rule"))
+  test("same-named rules are disambiguated, not rejected") {
+    // two independent format constraints on one column are legitimate
+    val got = check(df, Seq(
+        Matches("name", "^[a-zA-Z]+$"), Matches("name", "^.{4,}$")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "matches(name)" -> 0L,    // all four non-null names alphabetic
+      "matches(name)#2" -> 1L)) // "bob" is only 3 chars
+  }
+
+  test("in_range counts unparseable strings instead of ANSI-crashing") {
+    val d2 = Seq(("1", "10"), ("2", "N/A"), ("3", null), ("4", "250"))
+      .toDF("id", "amount")
+    val got = check(d2, Seq(InRange("amount", 0, 100)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "N/A" unparseable → violation; 250 out of range; null skipped
+    assert(got == Map("in_range(amount)" -> 2L))
+  }
+
+  test("rules on nested fields work despite dots in display names") {
+    val d2 = Seq((1L, ("x", 5.0)), (2L, (null: String, -1.0)))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta._1").as("tag"), col("meta"))
+    val got = check(d2, Seq(
+        NotNull("meta._1"), InRange("meta._2", 0, 10)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null(meta._1)" -> 1L, "in_range(meta._2)" -> 1L))
   }
 }

@@ -407,6 +407,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       again.collect().map(_.toSeq).toSet)
   }
 
+  test("zScoreOutliers: a constant group (sd=0, z=NaN) yields no outliers") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 9.0))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    // without the sd>0 guard, NaN > threshold is TRUE in Spark's total
+    // order and every row of the flat-lined group comes back
+    assert(Analytics.zScoreOutliers(df, "g", "v", 2.0).count() == 0)
+  }
+
+  test("reservoirPerGroup: repeated keys are one sample member") {
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L))
+      .toDF("lang", "doc_id")
+    val got = Sampling.reservoirPerGroup(df, "lang", "doc_id", 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.length == 2 && got.distinct.length == 2, s"got $got")
+  }
+
+  test("funnel analysis stays linear in the number of steps") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+      "s0")).toDF("user_id", "ts", "event_type")
+    val steps = (0 until 12).map(i => s"s$i")
+    val t0 = System.nanoTime()
+    val out = Analytics.funnel(ev, "user_id", "ts", "event_type",
+      steps, "1 hours")
+    out.queryExecution.optimizedPlan // force analysis + optimization
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the inlined-cascade form grew 2^steps and never finished here
+    assert(secs < 60, s"12-step funnel took ${secs}s to plan")
+    assert(out.count() == 12)
+  }
+
   test("cumulativeUsers: first-seen decomposition equals the running distinct") {
     val ev = Seq(
       (1L, "2024-03-01 10:00:00"), (1L, "2024-03-03 09:00:00"),
