@@ -1388,6 +1388,25 @@ object GraftQueries {
       |         AS BIGINT) AS cum_users
       |FROM n ORDER BY day""".stripMargin
 
+  /** Batch twin of the streaming per-window top-k: 3 largest-value
+    * events per epoch-aligned UTC day, ranked (value desc, id asc) via
+    * the bounded aggregate — identical code path streams with ≤ k
+    * state entries per window (StreamingOps.windowTopK). */
+  val windowTopKBatch: Q = (spark, dir) =>
+    graft.streaming.StreamingOps.windowTopK(
+        t(spark, dir, "events"), "ts", "event_id", "value", "1 day", 3)
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+        col("rank"), col("event_id"), round(col("value"), 6).as("value"))
+      .orderBy("window_day", "rank")
+
+  val windowTopKBatchSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+      |  CAST(row_number() OVER (PARTITION BY date_trunc('day', ts)
+      |    ORDER BY value DESC, event_id) AS INT) AS rank,
+      |  event_id, round(value, 6) AS value
+      |FROM events WHERE value IS NOT NULL
+      |QUALIFY rank <= 3 ORDER BY window_day, rank""".stripMargin
+
   /** Rolling 7-day active users per observed day — exact trailing
     * distinct via user-day fan-out bounded to real event days
     * (Analytics.rollingActive). */
@@ -3421,6 +3440,7 @@ object GraftQueries {
     entry("q_reservoir_sample", reservoirSampleQ, reservoirSampleSql),
     entry("q_cumulative_users", cumulativeUsersQ, cumulativeUsersSql),
     entry("q_rolling_active", rollingActiveQ, rollingActiveSql),
+    entry("q_window_topk_batch", windowTopKBatch, windowTopKBatchSql),
     entry("q_asof_join", asofJoin, asofJoinSql),
     entry("q_asof_forward", asofForward, asofForwardSql),
     entry("q_asof_nearest", asofNearest, asofNearestSql),

@@ -76,6 +76,36 @@ object StreamingOps {
         col("total_value"))
   }
 
+  /** Per-tumbling-window top-k: the k largest `valCol` rows of each
+    * event-time window, ranked (value desc, id asc) — the live
+    * leaderboard / worst-offenders view. Same dual batch/stream
+    * contract as [[tumblingCounts]]; the pick is the bounded custom
+    * aggregate ([[graft.functions.BoundedTopKAgg]]) rather than a rank
+    * window, so per-(window) state is ≤ k entries in the streaming
+    * state store and ≤ k per partition in batch partial aggregation —
+    * a window's full row set never materializes anywhere. Null values
+    * are not rankable and are skipped. Output:
+    * (window_start, window_end, rank, idCol, valCol). */
+  def windowTopK(events: DataFrame, tsCol: String, idCol: String,
+                 valCol: String, windowLen: String, k: Int,
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    withWm
+      .filter(col(valCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(graft.functions.BoundedTopKAgg.minK(
+        struct((-col(valCol)).as("nv"), col(idCol).as("id")), k)
+        .as("__top"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("window_start"), col("window_end"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__s.id").as(idCol), (-col("__s.nv")).as(valCol))
+  }
+
   /** Native session-window aggregation: Spark's `session_window`
     * merges events separated by gaps ≤ `gap` into one window whose end
     * is the last event + gap — the built-in sibling of the

@@ -287,6 +287,40 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("windowTopK: stream equals batch; state is k entries per window") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_id", "value")
+    val out = tempDir("graft_wtopk")
+    ev.coalesce(1).write.parquet(s"$out/in")
+    spark.sql("SELECT timestamp'2030-01-01 00:00:00' AS ts, " +
+        "CAST(-1 AS BIGINT) AS event_id, CAST(0.0 AS DOUBLE) AS value")
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val top = StreamingOps.windowTopK(
+      stream, "ts", "event_id", "value", "1 day", 5)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = top.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.windowTopK(
+        ev, "ts", "event_id", "value", "1 day", 5)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"flushed windows (${streamed.size}) != batch (${batch.size})")
+  }
+
   test("sessionWindowCounts: stream equals batch through the watermark") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("ts", "user_id")
