@@ -106,4 +106,25 @@ object Expectations {
   def holds(df: DataFrame, rules: Seq[Rule]): Boolean =
     check(df, rules).agg(sum(col("violations")).as("v"))
       .head().getLong(0) == 0L
+
+  /** Referential containment (the dbt "relationships" test): counts
+    * rows of `df` whose non-null `fkCol` has no match in `dim.pkCol`.
+    * Kept OUT of [[check]] because it needs a join — it can't share
+    * the rules' single aggregation pass; union the one-row results
+    * instead. Null foreign keys are skipped (compose with NotNull);
+    * null dimension keys match nothing.
+    *
+    * Scale shape: one left-anti equi-join (broadcast when the
+    * dimension is small — the usual FK audit) feeding a single count;
+    * nothing is collected. Output: one (rule, violations) row. */
+  def checkReferential(df: DataFrame, fkCol: String, dim: DataFrame,
+                       pkCol: String, dimName: String): DataFrame = {
+    val orphans = df.filter(col(fkCol).isNotNull)
+      .join(dim.filter(col(pkCol).isNotNull)
+        .select(col(pkCol).as("__pk")).distinct(),
+        col(fkCol) === col("__pk"), "left_anti")
+    orphans.agg(count(lit(1)).as("violations"))
+      .select(lit(s"referential($fkCol->$dimName.$pkCol)").as("rule"),
+        col("violations"))
+  }
 }

@@ -1328,6 +1328,36 @@ object GraftQueries {
       |FROM customer
       |ORDER BY rule""".stripMargin
 
+  /** Referential-integrity audit (dbt "relationships" test): orders→
+    * customer is clean by construction; lineitem is checked against a
+    * deliberately RESTRICTED order set (keys divisible by 7 removed)
+    * so the orphan count is non-zero and the counting path is
+    * actually exercised (Expectations.checkReferential; left-anti
+    * joins, one count row each, unioned). */
+  val referentialQ: Q = (spark, dir) =>
+    graft.core.Expectations.checkReferential(
+        t(spark, dir, "orders"), "o_custkey",
+        t(spark, dir, "customer"), "c_custkey", "customer")
+      .unionByName(graft.core.Expectations.checkReferential(
+        t(spark, dir, "lineitem"), "l_orderkey",
+        t(spark, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        "o_orderkey", "orders_no7"))
+      .orderBy("rule")
+
+  val referentialSql: String =
+    """SELECT 'referential(o_custkey->customer.c_custkey)' AS rule,
+      |  count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+      |    AS violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'referential(l_orderkey->orders_no7.o_orderkey)',
+      |  count(*) FILTER (l_orderkey IS NOT NULL AND l_orderkey NOT IN
+      |    (SELECT o_orderkey FROM orders
+      |     WHERE o_orderkey IS NOT NULL AND o_orderkey % 7 <> 0))
+      |FROM lineitem
+      |ORDER BY rule""".stripMargin
+
   /** Robust (median/MAD) per-type outliers at 3 robust sigmas — the
     * cut that survives mean/stddev self-masking
     * (Analytics.madOutliers); flag on the UNROUNDED robust z, rounding
@@ -3436,6 +3466,7 @@ object GraftQueries {
       sessionWindowBatchSql),
     entry("q_table_history", tableHistory, tableHistorySql),
     entry("q_expectations", expectationsQ, expectationsSql),
+    entry("q_referential", referentialQ, referentialSql),
     entry("q_mad_outliers", madOutliersQ, madOutliersSql),
     entry("q_reservoir_sample", reservoirSampleQ, reservoirSampleSql),
     entry("q_cumulative_users", cumulativeUsersQ, cumulativeUsersSql),

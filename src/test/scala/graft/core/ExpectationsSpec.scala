@@ -74,6 +74,16 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("in_range(amount)" -> 2L))
   }
 
+  test("checkReferential counts orphans; null fks and dim keys ignored") {
+    val facts = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, None)).toDF("id", "fk")
+    val dim = Seq(Some(10L), Some(20L), None).toDF("pk")
+    val got = checkReferential(facts, "fk", dim, "pk", "dim")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 99 is an orphan; the null fk is skipped; the null pk matches nothing
+    assert(got == Map("referential(fk->dim.pk)" -> 1L))
+  }
+
   test("rules on nested fields work despite dots in display names") {
     val d2 = Seq((1L, ("x", 5.0)), (2L, (null: String, -1.0)))
       .toDF("id", "meta")
