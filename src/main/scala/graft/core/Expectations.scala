@@ -56,6 +56,16 @@ object Expectations {
     val name = s"matches($column)"
   }
 
+  /** Cross-column CHECK constraint: `condition` is any boolean SQL
+    * expression over the row (e.g. `"ship_date >= order_date"`).
+    * SQL CHECK semantics: only rows where the condition is FALSE
+    * violate — a NULL result passes (guard inputs with [[NotNull]] if
+    * null must not pass). `label` is the display name. */
+  case class Satisfies(label: String, condition: String) extends Rule {
+    require(label.nonEmpty, "satisfies needs a label")
+    val name = s"satisfies($label)"
+  }
+
   private def violationCount(r: Rule): Column = r match {
     case NotNull(c) => count(when(col(c).isNull, lit(1)))
     case Unique(cs) =>
@@ -71,6 +81,10 @@ object Expectations {
       count(when(col(c).isNotNull && !col(c).isin(allowed: _*), lit(1)))
     case Matches(c, re) =>
       count(when(col(c).isNotNull && !col(c).rlike(re), lit(1)))
+    case Satisfies(_, cond) =>
+      // NOT(null) is null, so a null condition falls out of the WHEN —
+      // exactly SQL CHECK's null-passes rule
+      count(when(!expr(cond), lit(1)))
   }
 
   /** Rule display names, with repeats disambiguated by a #i suffix

@@ -1304,7 +1304,9 @@ object GraftQueries {
         graft.core.Expectations.InRange("c_acctbal", -900, 9000),
         graft.core.Expectations.OneOf("c_mktsegment",
           Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
-        graft.core.Expectations.Matches("c_name", "^Customer#[0-9]{9}$")))
+        graft.core.Expectations.Matches("c_name", "^Customer#[0-9]{9}$"),
+        graft.core.Expectations.Satisfies("name_matches_key",
+          "c_name = format_string('Customer#%09d', c_custkey)")))
       .orderBy("rule")
 
   val expectationsSql: String =
@@ -1322,6 +1324,10 @@ object GraftQueries {
       |UNION ALL SELECT 'one_of(c_mktsegment)',
       |  count(*) FILTER (c_mktsegment IS NOT NULL AND c_mktsegment
       |    NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY'))
+      |FROM customer
+      |UNION ALL SELECT 'satisfies(name_matches_key)',
+      |  count(*) FILTER
+      |    (NOT (c_name = printf('Customer#%09d', c_custkey)))
       |FROM customer
       |UNION ALL SELECT 'unique(c_custkey)',
       |  count(*) FILTER (c_custkey IS NOT NULL) - count(DISTINCT c_custkey)

@@ -74,6 +74,15 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("in_range(amount)" -> 2L))
   }
 
+  test("satisfies: CHECK semantics — FALSE violates, NULL passes") {
+    val d2 = Seq((Some(1), Some(2)), (Some(5), Some(3)), (None, Some(1)))
+      .toDF("a", "b")
+    val got = check(d2, Seq(Satisfies("a_lt_b", "a < b")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (5,3) violates; (null,1) evaluates NULL → passes per SQL CHECK
+    assert(got == Map("satisfies(a_lt_b)" -> 1L))
+  }
+
   test("checkReferential counts orphans; null fks and dim keys ignored") {
     val facts = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
       (4L, None)).toDF("id", "fk")
