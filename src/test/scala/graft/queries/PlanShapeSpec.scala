@@ -73,6 +73,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("q_rolling_active bounds observation days by a broadcast semi-join") {
+    val p = planOf(GraftQueries.rollingActiveQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"day-list bound not a broadcast semi-join:\n$p")
+    // the ×N fan-out must sit ABOVE the user-day distinct (explode of
+    // the compact grain), never on the raw event scan: in tree-string
+    // order the Generate prints above (before) the first aggregate's
+    // exchange-fed scan section
+    assert(p.contains("Generate explode"), s"fan-out missing:\n$p")
+  }
+
   test("per-query top-k is a bounded aggregate, not a window sort") {
     // the row_number() form sorted |queries|·|corpus| scored rows; the
     // BoundedTopKAgg form must show the custom aggregate and no Sort
