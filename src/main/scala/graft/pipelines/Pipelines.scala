@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
-import graft.core.Schemas
+import graft.core.{Expectations, Schemas}
 import graft.storage.{GraftStorage, Storage}
 
 /** Typed ETL framework: Input/Output bindings (path + format + schema) and
@@ -24,11 +24,24 @@ trait Output {
   def load(spark: SparkSession, df: DataFrame): Unit
 }
 
+/** Batch bindings may carry value-level [[graft.core.Expectations]]
+  * rules, checked by the runner at the same boundaries as the schema
+  * validation (extract → check-in, transform → check-out) — the
+  * reference validates SHAPE there (`etl.py:189-211`); rules validate
+  * VALUES. One extra aggregation job per ruled frame. Streaming
+  * bindings don't carry rules (an aggregation gate has no meaning
+  * mid-stream — gate the batch source instead). */
+trait ValueChecked {
+  def expectations: Seq[Expectations.Rule]
+}
+
 /** Batch file input (etl.py:34-52). */
 case class FileInput(path: String, format: String,
                      options: Map[String, String] = Map.empty,
                      schema: Option[StructType] = None,
-                     storage: Option[Storage] = None) extends Input {
+                     storage: Option[Storage] = None,
+                     expectations: Seq[Expectations.Rule] = Nil)
+    extends Input with ValueChecked {
   warnIfSchemaless()
   override def extract(spark: SparkSession): DataFrame =
     storage.getOrElse(GraftStorage.configure(spark)).read(path, format, options)
@@ -50,7 +63,9 @@ case class FileOutput(path: String, format: String, mode: String,
                       partitionFields: Seq[String] = Nil,
                       options: Map[String, String] = Map.empty,
                       schema: Option[StructType] = None,
-                      storage: Option[Storage] = None) extends Output {
+                      storage: Option[Storage] = None,
+                      expectations: Seq[Expectations.Rule] = Nil)
+    extends Output with ValueChecked {
   override def load(spark: SparkSession, df: DataFrame): Unit =
     storage.getOrElse(GraftStorage.configure(spark))
       .write(df, path, format, mode, partitionFields, options)
@@ -64,7 +79,9 @@ case class MergeOutput(path: String, mergeCondition: String,
                        insertCondition: Option[String] = None,
                        partitionFields: Seq[String] = Nil,
                        schema: Option[StructType] = None,
-                       storage: Option[Storage] = None) extends Output {
+                       storage: Option[Storage] = None,
+                       expectations: Seq[Expectations.Rule] = Nil)
+    extends Output with ValueChecked {
   override def load(spark: SparkSession, df: DataFrame): Unit =
     storage.getOrElse(GraftStorage.configure(spark))
       .merge(df, path, mergeCondition, partitionFields, mergeSchemas,
@@ -104,10 +121,30 @@ class ETL(val inputs: Seq[Input], val outputs: Seq[Output],
   def run(spark: SparkSession): Unit = {
     val data = extract(spark)
     if (validateSchemas) verifyInputSchemas(data)
+    verifyExpectations(inputs.zip(data), "Input")
     val transformed = transformFunc(data)
     if (validateSchemas) verifyOutputSchemas(transformed)
+    verifyExpectations(outputs.zip(transformed), "Output")
     load(spark, transformed)
   }
+
+  /** Value-rule gate at the same boundaries as the schema checks:
+    * batch bindings carrying [[graft.core.Expectations]] rules fail
+    * the run with per-rule violation counts. Streaming frames are
+    * skipped (no mid-stream aggregation gate). */
+  private def verifyExpectations(bound: Seq[(Any, DataFrame)],
+                                 side: String): Unit =
+    bound.foreach {
+      case (b: ValueChecked, df)
+          if b.expectations.nonEmpty && !df.isStreaming =>
+        val broken = Expectations.check(df, b.expectations)
+          .filter(org.apache.spark.sql.functions.col("violations") > 0)
+          .collect()
+        if (broken.nonEmpty) throw new RuntimeException(
+          s"$side expectations did not match: " + broken.map(r =>
+            s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+      case _ => ()
+    }
 
   /** Declared input schema must be a subset of the extracted schema. */
   def verifyInputSchemas(data: Seq[DataFrame]): Unit =

@@ -91,6 +91,50 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
     intercept[RuntimeException] { simpleJoin(base, Some(outSchema), inSch = None).run(spark) }
   }
 
+  test("input expectations gate the run with per-rule counts") {
+    import graft.core.Expectations._
+    val base = tempDir("etl_exp")
+    seed(base)
+    val job = Pipelines.etl(
+      inputs = Seq(FileInput(s"$base/first", "delta",
+        schema = Some(firstSchema),
+        expectations = Seq(NotNull("id"), Unique(Seq("id")),
+          OneOf("name", Seq("Alice", "Bob"))))), // Cathy violates
+      outputs = Seq(FileOutput(s"$base/out", "delta", "overwrite",
+        schema = Some(firstSchema)))) { dfs => dfs }
+    val e = intercept[RuntimeException] { job.run(spark) }
+    assert(e.getMessage.contains("Input expectations did not match"))
+    assert(e.getMessage.contains("one_of(name)=1"), e.getMessage)
+  }
+
+  test("output expectations catch a transform bug before the load") {
+    import graft.core.Expectations._
+    val base = tempDir("etl_expo")
+    seed(base)
+    val out = FileOutput(s"$base/out", "delta", "overwrite",
+      schema = Some(firstSchema),
+      expectations = Seq(Satisfies("value_positive",
+        "CAST(value AS DOUBLE) > 0")))
+    val bad = Pipelines.etl(
+      inputs = Seq(FileInput(s"$base/first", "delta",
+        schema = Some(firstSchema))),
+      outputs = Seq(out)) { case Seq(df) =>
+      Seq(df.withColumn("value", // the planted bug: negates values
+        (-col("value").cast("double")).cast("string")))
+    }
+    val e = intercept[RuntimeException] { bad.run(spark) }
+    assert(e.getMessage.contains("Output expectations did not match"))
+    assert(e.getMessage.contains("satisfies(value_positive)=3"))
+    assert(!graft.storage.Fs.exists(spark, s"$base/out"),
+      "nothing must be loaded after a failed gate")
+    // the clean transform passes the same gate
+    Pipelines.etl(
+      inputs = Seq(FileInput(s"$base/first", "delta",
+        schema = Some(firstSchema))),
+      outputs = Seq(out)) { dfs => dfs }.run(spark)
+    assertDfEqual(st.read(s"$base/out", "delta"), firstDf)
+  }
+
   test("etl with merge output (test_etl_with_merge)") {
     val base = tempDir("etl_merge")
     val df = Seq((1L, "existing"), (2L, "existing"), (3L, "existing"))
