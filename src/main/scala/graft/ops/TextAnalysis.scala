@@ -237,6 +237,61 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** BM25 (Okapi) ranked retrieval over the corpus for a fixed bag of
+    * query terms — the classic sparse-retrieval scorer (the lexical
+    * complement of the dense [[graft.ops.Similarity]] family in a
+    * RAG / eval-retrieval pipeline):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Scale shape: one tokenize+explode pass FILTERED to the query
+    * terms before any shuffle (the grouped frame carries only
+    * |docs-with-a-hit| × |terms| rows, not the corpus's full posting
+    * list); document length rides along from the same pass (max of a
+    * per-row constant, no second scan); df per term and the corpus
+    * (N, avgdl) constants are metadata-sized broadcasts. Result is one
+    * row per matching document — ranking/limiting is the caller's
+    * (top-k composes with `orderBy(...).limit(k)`'s
+    * TakeOrderedAndProject). Scores rounded to 6 decimals: ln ulp
+    * differences across engines vanish, ordering becomes
+    * cross-engine-stable. Corpus text is scanned twice, both map-only:
+    * once filtered to query-term postings, once for the global
+    * (N, avgdl) constants — filtering the posting pass BEFORE its
+    * shuffle matters more at scale than the second scan costs. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    // per-(doc, term) frequency; __dl is constant per doc, max() carries it
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+      .localCheckpoint() // consumed twice: df(t) below + the score join
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val corpus = df.agg(
+      count(lit(1)).as("__n"),
+      sum(size(tokens(col(textCol))).cast("long")).as("__len"))
+    val scored = tf
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__avgdl", col("__len").cast("double") / col("__n"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl") / col("__avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
   /** Fixed-size token chunking with overlap — context-window prep for
     * embedding / RAG / training pipelines: each document becomes
     * ceil(max(n_tokens,1) / (chunk − overlap)) rows of

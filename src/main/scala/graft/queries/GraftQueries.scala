@@ -3387,6 +3387,153 @@ object GraftQueries {
       |FROM f FULL OUTER JOIN i ON f.o_orderkey = i.o_orderkey
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- round-5: sketches & retrieval
+
+  /** Sketch-table rollup (the pattern that justifies the custom
+    * mergeable quantile sketch, SURVEY round-5): per-(day, event_type)
+    * binary sketches — the rows a 100 TB pipeline would PERSIST once
+    * per partition — merged per event_type and queried for quantiles
+    * without ever rescanning raw values. No oracle: past k values the
+    * sketch is approximate and merge-order dependent by design
+    * (rows-only check; exactness + error bounds pinned in
+    * QuantileSketchSpec, same precedent as q_approx_distinct). */
+  val sketchRollup: Q = (spark, dir) => {
+    import graft.functions.QSketch
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(QSketch.sketchAgg(col("value")).as("sk"),
+        count(col("value")).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sketches"),
+        sum(col("n")).as("n_values"),
+        QSketch.sketchQuantiles(QSketch.sketchMerge(col("sk")),
+          Seq(0.25, 0.5, 0.9)).as("__q"))
+      .select(col("event_type"), col("n_sketches"), col("n_values"),
+        round(col("__q").getItem(0), 4).as("p25"),
+        round(col("__q").getItem(1), 4).as("p50"),
+        round(col("__q").getItem(2), 4).as("p90"))
+      .orderBy("event_type")
+  }
+
+  /** HLL sketch rollup — same persisted-sketch pattern for distinct
+    * counts, on Spark's built-in Datasketches HLL aggregates: per-day
+    * user sketches unioned per event_type. No oracle (approximate;
+    * DuckDB's approx_count_distinct is a different sketch);
+    * StreamingOpsSpec-style ±5% floor pinned in OpsSpec. */
+  val hllRollup: Q = (spark, dir) => {
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("hll"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** BM25 ranked retrieval for a fixed query over the document corpus
+    * — sparse-retrieval complement of the dense cosine/ANN family. */
+  val bm25Q: Q = (spark, dir) =>
+    TextAnalysis.bm25(t(spark, dir, "documents"), "doc_id", "text",
+        Seq("join", "vector", "stream"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+      .select("doc_id", "bm25", "n_terms_hit")
+
+  /** Mirrors [[graft.ops.TextAnalysis.bm25]] op-for-op: every float
+    * expression parenthesized identically (same IEEE evaluation
+    * order), constants spelled as the same arithmetic (1.2 + 1.0, not
+    * 2.2 — the sums differ in the last ulp). */
+  val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+      |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+      |  WHERE term IN ('join', 'vector', 'stream') GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS dfd FROM tf GROUP BY term),
+      |corpus AS (
+      |  SELECT count(*) AS n,
+      |    sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS totlen
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(sum(
+      |    ln(1.0 + (n - dfd + 0.5) / (dfd + 0.5)) * tf * (1.2 + 1.0) /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(totlen AS DOUBLE) / n)))
+      |  ), 6) AS bm25,
+      |  count(*) AS n_terms_hit
+      |FROM tf JOIN dfq USING (term), corpus
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Contiguous 0..n-1 global row numbering, distributed (no global
+    * single-reducer sort — see [[graft.ops.Indexing.globalIndex]]). */
+  val globalIndexQ: Q = (spark, dir) =>
+    graft.ops.Indexing.globalIndex(
+        t(spark, dir, "events").select("event_id", "user_id"),
+        "event_id", "row_idx")
+      .select("event_id", "user_id", "row_idx")
+      .orderBy("event_id")
+
+  val globalIndexSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS row_idx
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Incremental aggregate maintenance: state built from pre-1996
+    * orders, the 1996+ batch folded in — the oracle recomputes from
+    * the full table, proving fold == recompute. */
+  val incrementalAggQ: Q = (spark, dir) => {
+    import graft.ops.IncrementalAgg
+    val orders = t(spark, dir, "orders")
+    val cut = lit("1996-01-01").cast("timestamp")
+    val state = IncrementalAgg.partials(
+      orders.filter(col("o_orderdate") < cut), Seq("o_custkey"), "o_totalprice")
+    val merged = IncrementalAgg.merge(
+      state,
+      IncrementalAgg.partials(
+        orders.filter(col("o_orderdate") >= cut), Seq("o_custkey"), "o_totalprice"),
+      Seq("o_custkey"))
+    merged.select(col("o_custkey"), col("cnt"),
+        col("sum").cast("double").as("total"),
+        col("min"), col("max"),
+        round(col("sum").cast("double") / col("cnt"), 6).as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT o_custkey, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS min, max(o_totalprice) AS max,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_price
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Per-day value percentiles through the sketch aggregate's
+    * streaming-state path, batch twin (stream==batch pinned in
+    * StreamingOpsSpec). k=8192 >> any day's row count through sf1, so
+    * the sketch is in its EXACT regime and percentile_disc is a true
+    * oracle (ceil(p·n) rank rule verified identical). */
+  val windowQuantileBatch: Q = (spark, dir) =>
+    graft.streaming.StreamingOps.windowQuantiles(
+        t(spark, dir, "events").select("ts", "event_type", "value"),
+        "ts", "event_type", "value", "1 day", sketchK = 8192)
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+        col("event_type"), col("n"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"),
+        round(col("p99"), 6).as("p99"))
+      .orderBy("window_day", "event_type")
+
+  val windowQuantileBatchSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+      |  event_type, count(value) AS n,
+      |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+      |  round(percentile_disc(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+      |  round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -3558,6 +3705,13 @@ object GraftQueries {
     entry("q_stream_dedup", streamDedup, streamDedupSql),
     entry("q_stream_dedup_watermark", streamDedupWatermark,
       streamDedupWatermarkSql),
-    entry("q_stream_merge", streamMerge, streamMergeSql)
+    entry("q_stream_merge", streamMerge, streamMergeSql),
+    entry("q_sketch_quantile", sketchRollup),
+    entry("q_hll_rollup", hllRollup),
+    entry("q_bm25", bm25Q, bm25Sql),
+    entry("q_global_index", globalIndexQ, globalIndexSql),
+    entry("q_incremental_agg", incrementalAggQ, incrementalAggSql),
+    entry("q_window_quantile_batch", windowQuantileBatch,
+      windowQuantileBatchSql)
   )
 }

@@ -106,6 +106,32 @@ object StreamingOps {
         col("__s.id").as(idCol), (-col("__s.nv")).as(valCol))
   }
 
+  /** Per-tumbling-window quantiles via the mergeable sketch
+    * ([[graft.functions.QSketch]]): each event-time window carries ONE
+    * bounded sketch (≤ k·log levels doubles) through the streaming
+    * state store instead of its full value set — the live latency-
+    * percentile dashboard shape. Same dual batch/stream contract as
+    * [[tumblingCounts]]; exact while a window holds ≤ k values,
+    * bounded rank error beyond (QuantileSketchSpec pins both).
+    * Output: (window_start, keyCol, n, p50, p90, p99). */
+  def windowQuantiles(events: DataFrame, tsCol: String, keyCol: String,
+                      valCol: String, windowLen: String,
+                      sketchK: Int = graft.functions.QSketch.DefaultK,
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    val qs = graft.functions.QSketch.sketchQuantiles(
+      col("__sk"), Seq(0.5, 0.9, 0.99))
+    withWm
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(col(valCol)).as("n"),
+        graft.functions.QSketch.sketchAgg(col(valCol), sketchK).as("__sk"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"),
+        qs.getItem(0).as("p50"), qs.getItem(1).as("p90"),
+        qs.getItem(2).as("p99"))
+  }
+
   /** Native session-window aggregation: Spark's `session_window`
     * merges events separated by gaps ≤ `gap` into one window whose end
     * is the last event + gap — the built-in sibling of the
