@@ -1340,4 +1340,98 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // exact percentile of 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
     assert(kept.head == 11 && kept.last == 90 && kept.size == 80)
   }
+
+  test("HLL rollup estimate lands within 5% of exact distinct counts") {
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.01")
+    val est = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("hll"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) <= math.max(1L, (0.05 * n).toLong),
+        s"$k: approx $e vs exact $n")
+    }
+  }
+
+  test("globalIndex assigns the dense rank of the key, over any layout") {
+    val data = (0 until 500).map(i => ((i * 7919) % 500).toLong -> i)
+    val truth = data.map(_._1).sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val df = data.toDF("k", "payload").repartition(parts)
+      val out = Indexing.globalIndex(df, "k", "idx", numPartitions = 4)
+        .select("k", "idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == truth, s"input partitions=$parts")
+    }
+  }
+
+  test("globalIndex output stays distributed — no single-partition funnel") {
+    val df = (0 until 2000).map(_.toLong).toDF("k")
+    val byPid = Indexing.globalIndex(df, "k", "idx", numPartitions = 8)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().collect()
+    assert(byPid.length > 1, "all rows collapsed into one partition")
+    assert(byPid.map(_.getLong(1)).max < 2000,
+      "one partition holds the whole table")
+  }
+
+  test("incremental aggregate fold over three batches equals full recompute") {
+    val all = (0 until 900).map(i =>
+      ((i % 13).toLong, (i * 31 % 97).toDouble - 11.0, i / 300))
+    val full = all.toDF("k", "v", "batch")
+    val expected = IncrementalAgg.partials(full, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toMap
+    // fold batch 0, then 1, then 2 — state never sees raw history again
+    val state = (0 until 3).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (st, b) =>
+        val p = IncrementalAgg.partials(
+          full.filter(col("batch") === b).drop("batch"), Seq("k"), "v")
+        Some(st.fold(p)(s => IncrementalAgg.merge(s, p, Seq("k"))))
+    }.get
+    val got = state.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (cnt, sum, mn, mx)) =>
+      val (ecnt, esum, emn, emx) = expected(k)
+      assert(cnt == ecnt && sum.compareTo(esum) == 0 && mn == emn && mx == emx,
+        s"key $k: got ($cnt,$sum,$mn,$mx) expected ($ecnt,$esum,$emn,$emx)")
+    }
+  }
+
+  test("incremental aggregate: new keys enter, untouched keys pass through") {
+    val state = IncrementalAgg.partials(
+      Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v"), Seq("k"), "v")
+    val batch = IncrementalAgg.partials(
+      Seq((2L, 7.0), (3L, 1.0)).toDF("k", "v"), Seq("k"), "v")
+    val out = IncrementalAgg.merge(state, batch, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((2L, 30.0, 10.0, 20.0))) // untouched
+    assert(out(2L) == ((2L, 12.0, 5.0, 7.0)))   // folded
+    assert(out(3L) == ((1L, 1.0, 1.0, 1.0)))    // new key
+  }
+
+  test("bm25 ranks the doc saturated with a rare term above common-term docs") {
+    val df = Seq(
+      (1L, "alpha beta beta beta"),       // rare term, repeated
+      (2L, "alpha common common common"), // common term, repeated
+      (3L, "common x y z"),
+      (4L, "common p q r"),
+      (5L, "common s t u")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25(df, "doc_id", "text", Seq("beta", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // beta appears in 1 of 5 docs, common in 4 of 5 — idf(beta) >> idf(common)
+    assert(scores(1L) > scores(2L))
+    assert(!scores.contains(0L) && scores.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

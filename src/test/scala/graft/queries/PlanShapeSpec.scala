@@ -334,4 +334,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(b > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("q_bm25 broadcasts the term stats and corpus constants") {
+    val p = planOf(GraftQueries.bm25Q(spark, dir))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"document-frequency/corpus sides not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"posting-list join fell back to SMJ (full shuffle of postings):\n$p")
+  }
+
+  test("quantile sketch aggregates partially (map-side combine)") {
+    val p = planOf(GraftQueries.sketchRollup(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("partial_quantile_sketch"),
+      s"map-side partial of the sketch aggregate missing:\n$p")
+    assert(p.contains("quantile_sketch_merge"),
+      s"rollup stage should fold stored sketches:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in a sketch rollup:\n$p")
+  }
+
+  test("sketch_quantiles expression compiles under whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // nullable binary input (parquet round-trip) exercises the
+      // null-guarded branch of the generated code
+      val tmp = tempDir("qsketch_cg")
+      spark.range(1000)
+        .select((col("id") % 100).cast("double").as("v"))
+        .groupBy().agg(graft.functions.QSketch.sketchAgg(col("v")).as("sk"))
+        .write.mode("overwrite").parquet(tmp)
+      val q = spark.read.parquet(tmp)
+        .select(graft.functions.QSketch.sketchQuantiles(
+          col("sk"), Seq(0.5)).as("q"))
+        .collect()
+      assert(q.length == 1 && q(0).getSeq[Double](0).nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }

@@ -321,6 +321,60 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       s"flushed windows (${streamed.size}) != batch (${batch.size})")
   }
 
+  test("windowQuantiles: stream equals batch (sketch state through the store)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+    val out = tempDir("graft_wquant")
+    ev.coalesce(1).write.parquet(s"$out/in")
+    // far-future sentinel advances the watermark so every real window
+    // flushes; its own window never does (and batch input omits it)
+    spark.sql("SELECT timestamp'2030-01-01 00:00:00' AS ts, " +
+        "'click' AS event_type, CAST(0.0 AS DOUBLE) AS value")
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    // k larger than any window's row count → sketch in its EXACT
+    // regime → the result is update-order independent, so the
+    // micro-batched serialize/merge path must reproduce batch exactly
+    val quants = StreamingOps.windowQuantiles(
+      stream, "ts", "event_type", "value", "1 day", sketchK = 8192)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = quants.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.windowQuantiles(
+        ev, "ts", "event_type", "value", "1 day", sketchK = 8192)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"flushed windows (${streamed.size}) != batch (${batch.size})")
+    // and the exact-regime answers equal the discrete-percentile ground
+    // truth (rank ceil(p·n) of the sorted window values)
+    val truth = ev
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        element_at(col("vs"),
+          ceil(size(col("vs")) * 0.5).cast("int")).as("p50x"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    val gotP50 = StreamingOps.windowQuantiles(
+        ev, "ts", "event_type", "value", "1 day", sketchK = 8192)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        r.getDouble(3)).toMap
+    assert(gotP50 == truth)
+  }
+
   test("sessionWindowCounts: stream equals batch through the watermark") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("ts", "user_id")
