@@ -22,16 +22,24 @@ object Tables {
     if (name == "events") events(spark, dir)
     else new graft.storage.BasicStorage(spark).read(s"$dir/$name.parquet", "parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright. Read nanos as long (legacy conf) and rebuild the
-    * timestamp at microsecond precision — the same truncation DuckDB's
-    * value-level comparisons never see because queries only emit derived
-    * values (hour, date-string), never the raw timestamp. */
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * outright — read nanos as long via the legacy conf and rebuild at
+    * microsecond precision) and TIMESTAMP(MICROS) without timezone
+    * (which Spark reads as TIMESTAMP_NTZ). Normalize both to a session-TZ
+    * TimestampType so every downstream query sees one stable type; under
+    * the engine's fixed UTC session zone the NTZ→TZ cast is value-identical
+    * to what DuckDB's naive-timestamp oracle reads from the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    new graft.storage.BasicStorage(spark)
+    val raw = new graft.storage.BasicStorage(spark)
       .read(s"$dir/events.parquet", "parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos read as long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // TIMESTAMP_NTZ (or already session-TZ): one stable type
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Scaled-integer quantization of a double: floor(x·10^s + 0.5) as a
