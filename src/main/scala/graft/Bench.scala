@@ -48,7 +48,26 @@ object Bench {
     // broken query doesn't subtract from — or masquerade inside — the
     // headline number; they remain visible per-query.
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFail = results.values.count(_ < 0)
+    // Truncation-proofing (the driver records a bounded LOG TAIL; at 140
+    // queries the single full line is ~3 KB and has twice lost its own
+    // headline to the cut): (a) a short total-only line first, (b) the
+    // full contract line, (c) the full JSON also written to
+    // BENCH_LOCAL.json so the end-of-round snapshot commit carries a
+    // self-sufficient artifact no log window can eat.
+    val headline =
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
+    val full =
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(headline)
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(p,
+        (headline + "\n" + full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+    }
     spark.stop()
   }
 }

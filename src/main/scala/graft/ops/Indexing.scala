@@ -22,12 +22,31 @@ import org.apache.spark.sql.functions._
   *  3. broadcast the offsets back and add them to a PARTITION-LOCAL
   *     row_number — each partition numbers itself in parallel.
   *
-  * The frame is localCheckpoint'ed after step 1 because steps 2 and 3
-  * both consume it: range partitioning samples boundaries
+  * The frame is materialized after step 1 because steps 2 and 3 both
+  * consume it: range partitioning samples boundaries
   * nondeterministically, so recomputation could disagree with the
   * counted layout (same barrier discipline as
   * [[TimeSeries.resample]]'s grid). One materialization, no global
   * single-reducer stage, result independent of the sampled boundaries.
+  *
+  * `checkpointMode` picks the barrier's durability/cost point:
+  *
+  *  - `"local"` (default): `localCheckpoint()` — partitions go to
+  *    executor block storage and LINEAGE IS TRUNCATED. Fastest, but
+  *    2× transient footprint, and losing an executor after the
+  *    checkpoint FAILS THE JOB (nothing left to recompute from).
+  *    Right for local/ephemeral runs and short jobs.
+  *  - `"reliable"`: `checkpoint()` to
+  *    `spark.sparkContext.setCheckpointDir` (required, or Spark
+  *    throws) — partitions written to the reliable FS; executor loss
+  *    recovers by re-reading the checkpoint. The long-job /
+  *    preemptible-cluster choice; costs one distributed write+read.
+  *  - `"persist"`: `persist(MEMORY_AND_DISK)` — lineage kept, nothing
+  *    truncated; evicted partitions recompute. Safe ONLY for
+  *    single-action callers: both consumers then read the same
+  *    shuffle files (exchange reuse), so the sampled boundaries
+  *    cannot diverge; a second action after full eviction could
+  *    re-sample and renumber.
   */
 object Indexing {
 
@@ -35,14 +54,22 @@ object Indexing {
     * unique — ties would make the numbering nondeterministic). */
   def globalIndex(df: DataFrame, orderCol: String,
                   indexName: String = "row_idx",
-                  numPartitions: Int = 0): DataFrame = {
+                  numPartitions: Int = 0,
+                  checkpointMode: String = "local"): DataFrame = {
     val parts = {
       val p = if (numPartitions > 0)
         df.repartitionByRange(numPartitions, col(orderCol))
       else df.repartitionByRange(col(orderCol))
-      p.sortWithinPartitions(orderCol)
+      val sorted = p.sortWithinPartitions(orderCol)
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint()
+      checkpointMode match {
+        case "local"    => sorted.localCheckpoint()
+        case "reliable" => sorted.checkpoint()
+        case "persist" =>
+          sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case other => throw new IllegalArgumentException(
+          s"checkpointMode must be local | reliable | persist, got '$other'")
+      }
     }
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))

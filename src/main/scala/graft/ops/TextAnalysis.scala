@@ -292,6 +292,73 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Multi-query BM25: score a whole QUERY TABLE against the corpus in
+    * one pass — the retrieval shape a curation pipeline actually runs
+    * (topic tagging, eval-set retrieval, per-topic sampling), where
+    * looping [[bm25]] per query would rescan the corpus |queries|
+    * times.
+    *
+    * `queries` carries (`queryIdCol`, `termsCol`: array<string>);
+    * duplicate terms inside one query score once. Scale shape: the
+    * corpus tokenizes+explodes ONCE, filtered map-side (broadcast
+    * semi-join) to the union of all query terms before any shuffle; tf
+    * and df are the same per-(doc,term) partial-agg groupBys as
+    * [[bm25]] regardless of query count; the query table fans scored
+    * postings out by term via a broadcast join (queries are small by
+    * construction — they are human- or eval-authored). The per-query
+    * top-k tail is [[graft.functions.BoundedTopKAgg]]: ≤ `topK` rows
+    * per query cross the final shuffle — no rank window over the full
+    * (query × doc) score matrix. Queries with zero hits simply emit no
+    * rows (they never acquire postings), matching the SQL oracle.
+    * Ties rank deterministically (bm25 desc, id asc). */
+  def bm25Multi(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, queryIdCol: String, termsCol: String,
+                topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val qTerms = queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("term"))
+      .distinct()
+    val wanted = qTerms.select("term").distinct()
+    val terms = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("term"))
+      .join(broadcast(wanted), Seq("term"), "left_semi")
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+      .localCheckpoint() // consumed twice: df(t) + the score join
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val corpus = docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(tokens(col(textCol))).cast("long")).as("__len"))
+    val scored = tf
+      .join(broadcast(docFreq), "term")
+      .join(broadcast(qTerms), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__avgdl", col("__len").cast("double") / col("__n"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl") / col("__avgdl"))))
+    val perDoc = scored.groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+    perDoc.groupBy(col(queryIdCol))
+      .agg(graft.functions.BoundedTopKAgg.minK(
+        struct((-col("bm25")).as("ns"), col(idCol).as("id"),
+          col("n_terms_hit").as("nh")), topK).as("__top"))
+      .select(col(queryIdCol),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col(queryIdCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__s.id").as(idCol),
+        (-col("__s.ns")).as("bm25"),
+        col("__s.nh").as("n_terms_hit"))
+  }
+
   /** Fixed-size token chunking with overlap — context-window prep for
     * embedding / RAG / training pipelines: each document becomes
     * ceil(max(n_tokens,1) / (chunk − overlap)) rows of

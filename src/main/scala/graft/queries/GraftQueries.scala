@@ -3534,6 +3534,113 @@ object GraftQueries {
       |  round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Persisted-state refresh — the load-boundary lifecycle every
+    * "persistable index" in this engine gestures at, done end-to-end:
+    * bootstrap state from history-so-far and WRITE it through storage;
+    * later, RELOAD the stored state (the raw pre-cut history is never
+    * rescanned), fold the next increment with [[graft.ops.IncrementalAgg]],
+    * persist the new snapshot; answer the final question from stored
+    * state + the newest increment only. The oracle recomputes from the
+    * FULL history — fold-of-snapshots == recompute, exactly (decimal
+    * partials are partition-order independent, so even the hash
+    * matches). At 100 TB the two `write`s are the point: each refresh
+    * touches |state| + |batch|, never the archive. */
+  val stateRefreshQ: Q = (spark, dir) => {
+    import graft.ops.IncrementalAgg
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+    val cut1 = lit("1995-01-01").cast("timestamp")
+    val cut2 = lit("1996-01-01").cast("timestamp")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_state_q").toString
+    val (v1, v2) = (base + "/state_v1", base + "/state_v2")
+    // epoch 1: bootstrap from the initial history, persist snapshot v1
+    st.write(IncrementalAgg.partials(
+        orders.filter(col("o_orderdate") < cut1),
+        Seq("o_custkey"), "o_totalprice"),
+      v1, "parquet", "overwrite")
+    // epoch 2: reload v1 (NOT the raw history), fold 1995, persist v2
+    st.write(IncrementalAgg.merge(
+        st.read(v1, "parquet"),
+        IncrementalAgg.partials(
+          orders.filter(col("o_orderdate") >= cut1 &&
+            col("o_orderdate") < cut2),
+          Seq("o_custkey"), "o_totalprice"),
+        Seq("o_custkey")),
+      v2, "parquet", "overwrite")
+    // epoch 3: answer from stored v2 + the newest increment
+    val merged = IncrementalAgg.merge(
+      st.read(v2, "parquet"),
+      IncrementalAgg.partials(
+        orders.filter(col("o_orderdate") >= cut2),
+        Seq("o_custkey"), "o_totalprice"),
+      Seq("o_custkey"))
+    merged.select(col("o_custkey"), col("cnt"),
+        col("sum").cast("double").as("total"),
+        col("min"), col("max"),
+        round(col("sum").cast("double") / col("cnt"), 6).as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** The oracle is the FULL-history re-aggregation — the exact result
+    * the three-epoch snapshot fold must reproduce. */
+  val stateRefreshSql: String =
+    """SELECT o_custkey, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS min, max(o_totalprice) AS max,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_price
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Multi-query BM25 over a literal query table — three queries, one
+    * with zero hits (emits no rows on both engines); top-10 per query
+    * through the bounded aggregate (window-free; pinned in
+    * PlanShapeSpec). */
+  val bm25MultiQ: Q = (spark, dir) => {
+    import spark.implicits._
+    val queries = Seq(
+      ("q_spark", Seq("join", "vector", "stream")),
+      ("q_quality", Seq("data", "quality")),
+      ("q_nohit", Seq("zzz_unseen_term"))).toDF("query_id", "terms")
+    TextAnalysis.bm25Multi(t(spark, dir, "documents"), "doc_id", "text",
+        queries, "query_id", "terms", topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25MultiSql: String =
+    """WITH queries(query_id, term) AS (VALUES
+      |    ('q_spark', 'join'), ('q_spark', 'vector'), ('q_spark', 'stream'),
+      |    ('q_quality', 'data'), ('q_quality', 'quality'),
+      |    ('q_nohit', 'zzz_unseen_term')),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+      |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+      |  WHERE term IN (SELECT term FROM queries) GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS dfd FROM tf GROUP BY term),
+      |corpus AS (
+      |  SELECT count(*) AS n,
+      |    sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS totlen
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    round(sum(
+      |      ln(1.0 + (n - dfd + 0.5) / (dfd + 0.5)) * tf * (1.2 + 1.0) /
+      |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(totlen AS DOUBLE) / n)))
+      |    ), 6) AS bm25,
+      |    count(*) AS n_terms_hit
+      |  FROM tf t JOIN dfq USING (term) JOIN queries q USING (term), corpus
+      |  GROUP BY q.query_id, t.doc_id)
+      |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, bm25, n_terms_hit
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+      |      FROM perdoc)
+      |WHERE rnk <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -3711,6 +3818,8 @@ object GraftQueries {
     entry("q_bm25", bm25Q, bm25Sql),
     entry("q_global_index", globalIndexQ, globalIndexSql),
     entry("q_incremental_agg", incrementalAggQ, incrementalAggSql),
+    entry("q_state_refresh", stateRefreshQ, stateRefreshSql),
+    entry("q_bm25_multi", bm25MultiQ, bm25MultiSql),
     entry("q_window_quantile_batch", windowQuantileBatch,
       windowQuantileBatchSql)
   )

@@ -73,6 +73,35 @@ class QuantileSketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cross-snapshot refresh: two stored snapshots re-merge EQUAL to bulk (exact regime)") {
+    // the persisted-sketch-table lifecycle over a REAL parquet round-trip
+    // of the binary sketch column: day snapshots written separately,
+    // read back, merged — in the exact regime (n <= k) the merged
+    // quantiles are EQUAL to a one-shot bulk sketch and to ground truth,
+    // not merely within the rank-error bound
+    val day1 = (0 until 300).map(i => ((i * 193) % 700).toDouble)
+    val day2 = (0 until 250).map(i => ((i * 389) % 900).toDouble + 0.5)
+    val (d1, d2) = (tempDir("qs_snap1"), tempDir("qs_snap2"))
+    day1.toDF("v").agg(sketchAgg(col("v"), k = 2048).as("sk"))
+      .withColumn("day", lit("2024-01-01"))
+      .write.mode("overwrite").parquet(d1)
+    day2.toDF("v").agg(sketchAgg(col("v"), k = 2048).as("sk"))
+      .withColumn("day", lit("2024-01-02"))
+      .write.mode("overwrite").parquet(d2)
+    val merged = spark.read.parquet(d1)
+      .unionByName(spark.read.parquet(d2))
+      .agg(sketchQuantiles(sketchMerge(col("sk"), k = 2048), Ps).as("q"))
+      .collect()(0).getSeq[Double](0)
+    val bulk = (day1 ++ day2).toDF("v")
+      .agg(sketchQuantiles(sketchAgg(col("v"), k = 2048), Ps).as("q"))
+      .collect()(0).getSeq[Double](0)
+    assert(merged == bulk, "snapshot-merge drifted from the bulk sketch")
+    val sorted = (day1 ++ day2).sorted.toVector
+    Ps.zip(merged).foreach { case (p, v) =>
+      assert(v == exactQ(sorted, p), s"p=$p: merged=$v truth=${exactQ(sorted, p)}")
+    }
+  }
+
   test("nulls are skipped; all-null group yields null quantiles") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None))
       .toDF("g", "v")

@@ -1434,4 +1434,83 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(scores(1L) > scores(2L))
     assert(!scores.contains(0L) && scores.keySet == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("bm25Multi matches single-query scores; zero-hit query emits nothing; topK bounds") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta"),
+      (2L, "alpha common common common"),
+      (3L, "common x y z"),
+      (4L, "common p q r"),
+      (5L, "common s t u")).toDF("doc_id", "text")
+    val queries = Seq(
+      ("qa", Seq("beta", "common")),
+      ("qb", Seq("alpha", "alpha")), // duplicate term scores once
+      ("qz", Seq("zz_nope"))).toDF("query_id", "terms")
+    val rows = TextAnalysis.bm25Multi(docs, "doc_id", "text",
+        queries, "query_id", "terms", topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(!byQ.contains("qz"), "zero-hit query must emit no rows")
+    // qa: all 5 docs hit — bounded to top 3, scores equal single-query bm25
+    val single = TextAnalysis.bm25(docs, "doc_id", "text", Seq("beta", "common"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val qa = byQ("qa").sortBy(_._2)
+    assert(qa.length == 3, s"topK=3 not enforced: $qa")
+    val expectedOrder = single.toSeq
+      .sortBy { case (id, (s, _)) => (-s, id) }.take(3).map(_._1)
+    assert(qa.map(_._3).toSeq == expectedOrder, "per-query ranking disagrees")
+    qa.foreach { case (_, _, id, s, nh) =>
+      assert((s, nh) == single(id), s"score drift for doc $id") }
+    // qb: 'alpha' hits docs 1 and 2; duplicate term in the list scores once
+    val qb = byQ("qb").sortBy(_._2)
+    assert(qb.map(_._3).toSet == Set(1L, 2L))
+    assert(qb.forall(_._5 == 1L), "duplicate query term double-counted")
+  }
+
+  test("editDistanceJoin prefix-suffix blocking recovers first-character edits") {
+    val dirty = Seq("blue wdget", "red gearx", "XLue bolt").toDF("dirty_name")
+    val clean = Seq("blue widget", "red gear", "blue bolt", "green gear")
+      .toDF("clean_name")
+    val out = FuzzyJoin.editDistanceJoin(
+        dirty, "dirty_name", clean, "clean_name",
+        maxDist = 2, blocking = "prefix-suffix")
+      .select("dirty_name", "clean_name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // every true pair within dist 2, INCLUDING the first-char edit that
+    // prefix-only blocking misses ("XLue bolt" reaches "blue bolt"
+    // through the shared suffix block)
+    assert(out.toSet == Set(
+      ("blue wdget", "blue widget"),
+      ("red gearx", "red gear"),
+      ("XLue bolt", "blue bolt")))
+    // pairs matched via BOTH blocks are deduplicated, not doubled
+    assert(out.length == 3, s"duplicate pairs from dual blocking: ${out.toSeq}")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(dirty, "dirty_name",
+        clean, "clean_name", 1, blocking = "soundex")
+    }
+    assert(e.getMessage.contains("blocking"))
+  }
+
+  test("globalIndex reliable and persist checkpoint modes number identically") {
+    val data = (0 until 300).map(i => ((i * 31) % 300).toLong -> i)
+    val truth = data.map(_._1).sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    spark.sparkContext.setCheckpointDir(tempDir("gidx_ckpt"))
+    for (mode <- Seq("reliable", "persist")) {
+      val out = Indexing.globalIndex(
+          data.toDF("k", "payload").repartition(5), "k", "idx",
+          numPartitions = 4, checkpointMode = mode)
+        .select("k", "idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == truth, s"checkpointMode=$mode")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Indexing.globalIndex(data.toDF("k", "p"), "k",
+        checkpointMode = "bogus")
+    }
+    assert(e.getMessage.contains("checkpointMode"))
+  }
 }

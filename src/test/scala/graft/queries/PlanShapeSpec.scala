@@ -354,6 +354,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"no window belongs in a sketch rollup:\n$p")
   }
 
+  test("q_bm25_multi keeps the per-query top-k window-free (bounded aggregate)") {
+    val p = planOf(GraftQueries.bm25MultiQ(spark, dir))
+    assert(!p.contains("Window"),
+      s"rank window over the (query × doc) score matrix:\n$p")
+    assert(p.contains("partial_bounded_top_k_min"),
+      s"map-side partial of the bounded top-k aggregate missing:\n$p")
+  }
+
+  test("q_state_refresh answers from stored state — raw history pruned to the newest increment") {
+    val df = GraftQueries.stateRefreshQ(spark, dir)
+    df.collect()
+    // final AQE plan only — the trailing "== Initial Plan ==" section
+    // repeats every scan and would double-count
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("state_v2"),
+      s"stored state snapshot not in the final plan:\n$p")
+    assert(raw"orders\.parquet".r.findAllMatchIn(p).size == 1,
+      s"raw history scanned more than once in the refresh answer:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"increment cut not pushed into the orders scan:\n$p")
+  }
+
   test("sketch_quantiles expression compiles under whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
