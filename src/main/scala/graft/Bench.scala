@@ -49,18 +49,25 @@ object Bench {
     // headline number; they remain visible per-query.
     val total = results.values.filter(_ >= 0).sum
     val nFail = results.values.count(_ < 0)
-    // Truncation-proofing (the driver records a bounded LOG TAIL; at 140
-    // queries the single full line is ~3 KB and has twice lost its own
-    // headline to the cut): (a) a short total-only line first, (b) the
-    // full contract line, (c) the full JSON also written to
+    // Truncation-proofing (the driver records a bounded LOG TAIL of
+    // ~3 KB; at 140+ queries the single full line is ~3 KB and has
+    // repeatedly lost its own headline to the cut — round 6 recorded
+    // "parsed": null because the only complete JSON line fell off the
+    // FRONT of the tail window): (a) the full contract line first,
+    // (b) a compact headline line LAST — total + the 25 slowest
+    // queries, bounded ~900 B, so the end of the log always carries one
+    // complete parseable line — and (c) both lines also written to
     // BENCH_LOCAL.json so the end-of-round snapshot commit carries a
     // self-sufficient artifact no log window can eat.
+    val slowest = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + r(v) }
+      .mkString("{", ",", "}")
     val headline =
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
     val full =
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(headline)
     println(full)
+    println(headline)
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,

@@ -450,4 +450,66 @@ object Similarity {
       .distinct()
     topKPerQuery(scored, k)
   }
+
+  /** Lloyd's k-means in EXACT scaled-integer arithmetic — deterministic
+    * to the bit on any engine, so (unusually for clustering) the full
+    * iterated result is SQL-oracle-checkable by hash.
+    *
+    * Vectors quantize once to 1e-6 units (`floor(x·1e6 + 0.5)` as
+    * BIGINT); squared distances are then exact integer sums
+    * (associative — partition order cannot change them, unlike double
+    * accumulation); centroid updates are `floor(sum/count)` with one
+    * double division (the identical IEEE op everywhere, sums < 2⁵³).
+    * Seeds: the `k` smallest `idCol` vectors, cluster index = seed
+    * order — fully specified, no RNG. Ties in assignment break on the
+    * lower cluster index.
+    *
+    * Scale shape per iteration: assignment is a BROADCAST cross join
+    * (k·dim longs ≈ KBs) + a map-side fused fold — no shuffle of the
+    * corpus; the centroid update shuffles (cluster, pos) partial sums
+    * — k·dim rows per partition. Centroids localCheckpoint each round
+    * (k rows) so the plan stays one-iteration deep instead of
+    * replaying the corpus scan per round — the bounded-iteration
+    * barrier pattern ([[Dedup]] connected components). The quantized
+    * grid (1e-6 of a unit-ish embedding coordinate) is ~5 orders
+    * below cluster geometry; it buys exactness, not speed.
+    *
+    * Output: (idCol, cluster int, d2 bigint — squared distance in
+    * 1e-12 units to the final centroid). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iterations: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val base = df.select(col(idCol).as("__id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1000000.0d) + lit(0.5d)).cast("long")).as("__vq"))
+    val seedW = Window.orderBy(col("__id")) // k rows — single partition is fine
+    var centroids = base.orderBy(col("__id")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("int").as("cluster"),
+        col("__vq").as("__cv"))
+      .localCheckpoint()
+    def assign(cent: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cent))
+        .withColumn("__d2", aggregate(
+          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy(col("__id"), col("__vq"))
+        .agg(min(struct(col("__d2"), col("cluster"))).as("__best"))
+        .select(col("__id"), col("__vq"),
+          col("__best.cluster").as("cluster"), col("__best.__d2").as("d2"))
+    for (_ <- 1 to iterations) {
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("__vq")).as(Seq("__pos", "__v")))
+        .groupBy(col("cluster"), col("__pos"))
+        .agg(floor(sum(col("__v")).cast("double") / count(lit(1)))
+          .cast("long").as("__c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+          s => s.getField("__c")).as("__cv"))
+        .localCheckpoint()
+    }
+    assign(centroids)
+      .select(col("__id").as(idCol), col("cluster"), col("d2"))
+  }
 }

@@ -607,4 +607,74 @@ object TextAnalysis {
         (col("__top").cast("double") * 2.0d / col("n_tokens")
           .cast("double")).as("top_bigram_frac"))
   }
+
+  /** EXACT corpus heavy hitters without a full-vocabulary shuffle —
+    * the two-pass sketch-then-recount pattern:
+    *
+    *  1. one pass folds every token into a Misra-Gries sketch
+    *     ([[graft.functions.HeavyHittersAgg]], capacity `m`) PLUS the
+    *     exact token total n — a single aggregation whose shuffle
+    *     payload is one m-entry row per partition, not one row per
+    *     distinct term;
+    *  2. the candidate terms (guaranteed to include every term with
+    *     frequency > n/(m+1)) broadcast back as a map-side semi-join
+    *     filter, and a second pass counts ONLY candidate rows exactly
+    *     — a groupBy over ≤ m distinct keys.
+    *
+    * The result — terms with exact count ≥ ceil(n · minFrac) — is
+    * provably identical to the full `groupBy(term).count` answer as
+    * long as `minFrac > 1/(m+1)` (enforced), because no qualifying
+    * term can be missing from the sketch. Compare `topTerms`: same
+    * answer, but its shuffle carries the whole vocabulary — at 100 TB
+    * this version crosses the wire with O(partitions · m) candidate
+    * state + O(m) recount keys.
+    *
+    * Output: (term, cnt) — exact counts, SQL-oracle-checkable. */
+  def heavyHitterTerms(df: DataFrame, textCol: String,
+                       minFrac: Double, m: Int = 4096): DataFrame = {
+    require(minFrac > 0 && minFrac < 1, s"minFrac in (0,1), got $minFrac")
+    require(minFrac > 1.0 / (m + 1),
+      s"minFrac=$minFrac below the sketch guarantee 1/(m+1)=${1.0 / (m + 1)}: " +
+        "a qualifying term could evade the sketch; raise m or minFrac")
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    val sketch = toks.agg(
+      graft.functions.HeavyHittersAgg.sketch(col("term"), m).as("__sk"),
+      count(lit(1)).as("__n"))
+    val cands = sketch.select(
+      explode(col("__sk.term")).as("term"), col("__n"))
+    // threshold in exact integer arithmetic: ceil(n * minFrac) with
+    // minFrac expressed as a scaled-integer ratio, identical on any
+    // engine (no double rounding at the cut)
+    val fracScaled = math.round(minFrac * 1e9)
+    toks.join(broadcast(cands), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__n"))
+      .filter(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * lit(1000000000L)
+        >= col("__n").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(fracScaled))
+      .select(col("term"), col("cnt"))
+  }
+
+  /** Inverted index with BOUNDED posting lists: per term, the document
+    * frequency and the `maxPostings` smallest doc ids (sorted) — the
+    * retrieval/index-build shape. The postings tail is
+    * [[graft.functions.BoundedTopKAgg]], so a stopword appearing in
+    * every document carries at most `maxPostings` ids per partition
+    * through the shuffle instead of materializing its full (unbounded)
+    * posting list the way `collect_list` + `slice` would; `df_docs`
+    * stays exact regardless of the cap. One distinct on (term, doc)
+    * then one term-keyed aggregation.
+    * Output: (term, df_docs, postings array<bigint>). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    df.select(col(idCol).cast("long").as("__doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"),
+        graft.functions.BoundedTopKAgg.minK(col("__doc"), maxPostings)
+          .as("postings"))
+  }
 }

@@ -85,4 +85,39 @@ object TimeSeries {
       acc.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Exponentially weighted moving average over a BOUNDED trailing
+    * window: per key (ordered by `orderCols` — pass a total order),
+    * `<valueCol>_ewma` = Σⱼ wⱼ·x₍ₜ₋ⱼ₎ / Σⱼ wⱼ with wⱼ = (1−α)ʲ over
+    * the last `span` observations (fewer near a series head — the
+    * denominator only sums weights of rows that exist, the standard
+    * `adjust=true` EWM normalization).
+    *
+    * The unbounded-history EWMA recurrence is inherently sequential;
+    * the distributed formulation either carries exploding powers
+    * ((1−α)⁻ⁱ overflows past ~10³ rows) or loses associativity. The
+    * bounded form is the scale-correct one: an explicitly unrolled
+    * weighted sum of `span` `lag` terms in ONE shared window — one
+    * shuffle + one sort per key regardless of span, every addition in
+    * a fixed left-to-right order so the double result is deterministic
+    * and engine-portable (the identical unrolled expression in any SQL
+    * engine reproduces it bit-for-bit). Weights below ~1e-5·w₀ are a
+    * span-choice concern, not a correctness one. */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valueCol: String, alpha: Double, span: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(span >= 1 && span <= 64, s"span in [1,64], got $span")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val terms = (0 until span).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      // j = 0 is the row's own value (lag-0 support differs across
+      // engines, so neither side uses it)
+      val x = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (when(x.isNotNull, x * lit(wj)).otherwise(lit(0.0d)),
+        when(x.isNotNull, lit(wj)).otherwise(lit(0.0d)))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    df.withColumn(s"${valueCol}_ewma", num / den)
+  }
 }

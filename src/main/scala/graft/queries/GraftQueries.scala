@@ -3641,6 +3641,196 @@ object GraftQueries {
       |WHERE rnk <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------- §2.11 round-7: sketch-recount / index / graph / kmeans
+
+  /** EXACT corpus heavy hitters (terms ≥ 2% of all tokens) via the
+    * two-pass Misra-Gries sketch → broadcast-candidates → filtered
+    * recount (TextAnalysis.heavyHitterTerms). The answer is provably
+    * the full groupBy answer (minFrac 0.02 ≫ the m=512 sketch bound
+    * 1/513) but the shuffle never carries the vocabulary — the oracle
+    * below IS the naive full groupBy, which is the point. */
+  val heavyHittersQ: Q = (spark, dir) =>
+    TextAnalysis.heavyHitterTerms(t(spark, dir, "documents"), "text",
+        minFrac = 0.02, m = 512)
+      .orderBy(col("cnt").desc, col("term"))
+
+  val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT term, count(*) AS cnt FROM toks, tot GROUP BY term, n
+      |HAVING CAST(count(*) AS HUGEINT) * 1000000000
+      |  >= CAST(n AS HUGEINT) * 20000000
+      |ORDER BY cnt DESC, term""".stripMargin
+
+  /** Inverted index with bounded postings: per term, document
+    * frequency + the 20 smallest doc ids (TextAnalysis.invertedIndex —
+    * BoundedTopKAgg postings, so stopword terms never materialize full
+    * lists). Postings joined to a string for unambiguous compare. */
+  val invertedIndexQ: Q = (spark, dir) =>
+    TextAnalysis.invertedIndex(t(spark, dir, "documents"),
+        "doc_id", "text", maxPostings = 20)
+      .select(col("term"), col("df_docs"),
+        array_join(col("postings"), ",").as("postings"))
+      .orderBy("term")
+
+  val invertedIndexSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents)
+      |SELECT term, count(*) AS df_docs,
+      |  list_aggregate(
+      |    list_transform(list_sort(list(doc_id))[1:20], x -> CAST(x AS VARCHAR)),
+      |    'string_agg', ',') AS postings
+      |FROM toks GROUP BY term ORDER BY term""".stripMargin
+
+  /** Markov transition counts between consecutive event types per user
+    * (Graph.transitionCounts): one window shuffle, (prev→curr) counts
+    * partial-agg to |states|². */
+  val transitionCountsQ: Q = (spark, dir) =>
+    graft.ops.Graph.transitionCounts(t(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("prev_state", "state")
+
+  val transitionCountsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS state,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      |  FROM events)
+      |SELECT prev_state, state, count(*) AS cnt FROM seq
+      |WHERE prev_state IS NOT NULL
+      |GROUP BY prev_state, state ORDER BY prev_state, state""".stripMargin
+
+  /** PageRank over the event-type transition graph, 5 power
+    * iterations in scaled-integer arithmetic (Graph.pageRankScaled) —
+    * deterministic to the bit, so the oracle is the identical unrolled
+    * computation in SQL, hash-matched. */
+  val pageRankQ: Q = (spark, dir) => {
+    val edges = graft.ops.Graph.transitionCounts(t(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+    graft.ops.Graph.pageRankScaled(edges, "prev_state", "state", "cnt",
+        iterations = 5)
+      .orderBy("node")
+  }
+
+  val pageRankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT dst,
+         |    sum(CAST(floor(rank_scaled * p / 1000000) AS BIGINT)) AS inflow
+         |  FROM r${i - 1} r JOIN prob ON r.node = prob.src GROUP BY dst),
+         |r$i AS (
+         |  SELECT b.node,
+         |    CAST(floor(b.base * 15 / 100) AS BIGINT)
+         |      + CAST(floor(85 * coalesce(c$i.inflow, 0) / 100) AS BIGINT)
+         |      AS rank_scaled
+         |  FROM base b LEFT JOIN c$i ON b.node = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS state,
+       |    lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+       |  FROM events),
+       |e AS (
+       |  SELECT prev_state AS src, state AS dst, count(*) AS w FROM seq
+       |  WHERE prev_state IS NOT NULL GROUP BY prev_state, state),
+       |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |prob AS (
+       |  SELECT src, dst, CAST(floor(w * 1000000 / ow) AS BIGINT) AS p
+       |  FROM e JOIN outw USING (src)),
+       |nodes AS (SELECT src AS node FROM prob
+       |          UNION SELECT dst AS node FROM prob),
+       |nv AS (SELECT count(*) AS n FROM nodes),
+       |base AS (
+       |  SELECT node, CAST(floor(1000000000 / n) AS BIGINT) AS base
+       |  FROM nodes, nv),
+       |r0 AS (SELECT node, base AS rank_scaled FROM base),
+       |$iters
+       |SELECT node, rank_scaled,
+       |  CAST(rank_scaled AS DOUBLE) / 1e9 AS rank
+       |FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** K-means (k=8, 2 Lloyd iterations) over the embeddings in exact
+    * scaled-integer arithmetic (Similarity.kmeansAssign) — the full
+    * iterated clustering hash-matches the identical unrolled SQL. */
+  val kmeansQ: Q = (spark, dir) =>
+    Similarity.kmeansAssign(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iterations = 2)
+      .orderBy("vec_id")
+
+  val kmeansSql: String = {
+    val steps = (0 until 2).map { t =>
+      s"""s$t AS (
+         |  SELECT id, vq, cluster,
+         |    CAST(list_sum(list_transform(generate_series(1, len(vq)),
+         |      i -> (vq[i] - cv[i]) * (vq[i] - cv[i]))) AS BIGINT) AS d2
+         |  FROM base CROSS JOIN c$t),
+         |a$t AS (
+         |  SELECT id, vq, cluster, d2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY id ORDER BY d2, cluster) AS rn FROM s$t)
+         |  WHERE rn = 1),
+         |c${t + 1} AS (
+         |  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+         |    SELECT cluster, pos,
+         |      CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |    FROM (SELECT cluster, unnest(vq) AS v,
+         |            generate_subscripts(vq, 1) AS pos FROM a$t)
+         |    GROUP BY cluster, pos)
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
+       |    vq AS cv
+       |  FROM base WHERE id < 8),
+       |$steps,
+       |fin AS (
+       |  SELECT id, cluster, d2 FROM (
+       |    SELECT id, cluster, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, cluster) AS rn
+       |    FROM (SELECT id, cluster,
+       |        CAST(list_sum(list_transform(generate_series(1, len(vq)),
+       |          i -> (vq[i] - cv[i]) * (vq[i] - cv[i]))) AS BIGINT) AS d2
+       |      FROM base CROSS JOIN c2))
+       |  WHERE rn = 1)
+       |SELECT id AS vec_id, cluster, d2 FROM fin ORDER BY vec_id""".stripMargin
+  }
+
+  /** Bounded-window EWMA over each user's value series
+    * (TimeSeries.ewma, span 8, α 0.3): the unrolled weighted lag sum —
+    * identical fold order both engines, rounded at 6. */
+  val ewmaQ: Q = (spark, dir) =>
+    graft.ops.TimeSeries.ewma(
+        t(spark, dir, "events").filter(col("value").isNotNull),
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.3, span = 8)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("value_ewma"), 6).as("value_ewma"))
+      .orderBy("user_id", "event_id")
+
+  val ewmaSql: String = {
+    val terms = (0 until 8).map { j =>
+      val wj = math.pow(1.0 - 0.3, j)
+      val x = if (j == 0) "value" else s"lag(value, $j) OVER w"
+      (s"(CASE WHEN $x IS NOT NULL THEN $x * $wj ELSE 0.0 END)",
+        s"(CASE WHEN $x IS NOT NULL THEN CAST($wj AS DOUBLE) ELSE 0.0 END)")
+    }
+    s"""SELECT user_id, event_id, value,
+       |  round((${terms.map(_._1).mkString(" + ")})
+       |    / (${terms.map(_._2).mkString(" + ")}), 6) AS value_ewma
+       |FROM events WHERE value IS NOT NULL
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -3820,6 +4010,12 @@ object GraftQueries {
     entry("q_incremental_agg", incrementalAggQ, incrementalAggSql),
     entry("q_state_refresh", stateRefreshQ, stateRefreshSql),
     entry("q_bm25_multi", bm25MultiQ, bm25MultiSql),
+    entry("q_heavy_hitters", heavyHittersQ, heavyHittersSql),
+    entry("q_inverted_index", invertedIndexQ, invertedIndexSql),
+    entry("q_transition_counts", transitionCountsQ, transitionCountsSql),
+    entry("q_pagerank", pageRankQ, pageRankSql),
+    entry("q_kmeans", kmeansQ, kmeansSql),
+    entry("q_ewma", ewmaQ, ewmaSql),
     entry("q_window_quantile_batch", windowQuantileBatch,
       windowQuantileBatchSql)
   )
