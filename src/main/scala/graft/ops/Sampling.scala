@@ -153,4 +153,65 @@ object Sampling {
           col(keyCol).as("k")), k).as("__kept"))
       .select(col(groupCol), explode(col("__kept.k")).as(keyCol))
   }
+
+  /** Three-way train/val/test assignment as a pure function of the
+    * key: bucket < pctTrain → "train", < pctTrain+pctVal → "val", else
+    * "test". The canonical dataset-split contract — membership never
+    * moves between splits across runs, engines, or re-layouts (the
+    * leakage guarantee), and the three selections partition the data
+    * exactly. Adds a `split` column; map-only. */
+  def datasetSplit(df: DataFrame, keyCol: String,
+                   pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"pcts must be >= 0 with train+val <= 100, got $pctTrain/$pctVal")
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("split",
+      when(b < pctTrain, "train")
+        .when(b < pctTrain + pctVal, "val")
+        .otherwise("test"))
+  }
+
+  /** Temperature-scaled mixture sampling — the multilingual/multi-
+    * domain data-recipe step (the mBERT/XLM-R exponent-smoothing
+    * scheme): target proportions p_d ∝ c_d^(1/τ), so τ > 1 upweights
+    * small domains relative to their natural share. Given a global
+    * budget of `budgetPerMille`/1000 of all rows, each domain keeps
+    * rate_d = min(1, n_target·p_d / c_d) by the engine-portable
+    * [[hashBucket]] membership at per-mille resolution.
+    *
+    * Determinism: domain sizes c_d are exact integers;
+    * c_d^(1/τ) quantizes to 1e-6 units immediately (for τ = 2 the
+    * root is an IEEE-exact `sqrt`; other τ use `pow` — correctly-
+    * rounded on common libms for these magnitudes, but τ = 2 is the
+    * cross-engine-guaranteed configuration and the declared one); the
+    * rate then derives in ONE fixed-order double expression both
+    * engines evaluate identically.
+    *
+    * Scale shape: one partial-agg count shuffle (domain-sized frame),
+    * rates broadcast back, membership map-only — the corpus itself
+    * never shuffles. */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+                        budgetPerMille: Int, tau: Double = 2.0): DataFrame = {
+    require(budgetPerMille > 0 && budgetPerMille <= 1000,
+      s"budgetPerMille in (0,1000], got $budgetPerMille")
+    require(tau >= 1.0, s"tau must be >= 1, got $tau")
+    val a = 1.0 / tau
+    def root(c: Column): Column =
+      if (a == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), a)
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__q", floor(root(col("__c")) * lit(1e6)).cast("long"))
+    val totals = counts.agg(sum(col("__c")).as("__n"), sum(col("__q")).as("__sq"))
+    // fixed-order double chain — mirrored textually in the SQL oracle
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("__ntarget",
+        floor(col("__n").cast("double") * lit(budgetPerMille) / lit(1000.0)))
+      .withColumn("__rate", least(lit(1000.0),
+        floor(lit(1000.0) * col("__ntarget") * col("__q").cast("double") /
+          (col("__sq").cast("double") * col("__c").cast("double")))))
+      .select(col(domainCol), col("__rate"))
+    df.join(broadcast(rates), domainCol)
+      .filter(hashBucket(col(keyCol), 1000) < col("__rate"))
+      .drop("__rate")
+  }
 }

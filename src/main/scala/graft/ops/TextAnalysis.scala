@@ -656,6 +656,32 @@ object TextAnalysis {
       .select(col("term"), col("cnt"))
   }
 
+  /** BPE merge-candidate pair counts — the inner loop of byte-pair-
+    * encoding tokenizer training: for every adjacent character pair
+    * inside a word, the total corpus occurrence count (weighted by
+    * word frequency). The highest-count pair is the next BPE merge.
+    *
+    * Scale shape — the insight that makes BPE trainable at 100 TB: the
+    * corpus collapses to its WORD-FREQUENCY table first (one shuffle,
+    * partial-agg; vocabulary-sized output), and all pair arithmetic
+    * runs over that vocab table (|vocab|·avg_len rows), never over the
+    * corpus. A driver loop applying merges re-derives pairs from the
+    * same vocab-sized frame per round — the corpus is scanned exactly
+    * once regardless of merge count.
+    *
+    * Output: (pair string — the two adjacent chars, cnt). Words
+    * shorter than 2 chars contribute nothing. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val wf = words.groupBy(col("w")).agg(count(lit(1)).as("__wf"))
+    wf.select(col("__wf"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("__wf")).as("cnt"))
+  }
+
   /** Inverted index with BOUNDED posting lists: per term, the document
     * frequency and the `maxPostings` smallest doc ids (sorted) — the
     * retrieval/index-build shape. The postings tail is

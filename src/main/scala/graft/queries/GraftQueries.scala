@@ -3831,6 +3831,82 @@ object GraftQueries {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** BPE merge-candidate pair counts (TextAnalysis.bpePairCounts):
+    * corpus → word-frequency table (one shuffle) → vocab-sized pair
+    * arithmetic. The top pair is the next tokenizer merge. */
+  val bpePairsQ: Q = (spark, dir) =>
+    TextAnalysis.bpePairCounts(t(spark, dir, "documents"), "text")
+      .orderBy(col("cnt").desc, col("pair"))
+
+  val bpePairsSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |wf AS (
+      |  SELECT w, count(*) AS wf FROM words WHERE length(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, wf
+      |  FROM (SELECT w, wf,
+      |          unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM wf))
+      |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM pairs
+      |GROUP BY pair ORDER BY cnt DESC, pair""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split
+    * (Sampling.datasetSplit): membership a pure hash of doc_id —
+    * leakage-stable across runs/engines/layouts; summarized per split. */
+  val datasetSplitQ: Q = (spark, dir) =>
+    graft.ops.Sampling.datasetSplit(
+        t(spark, dir, "documents"), "doc_id", pctTrain = 80, pctVal = 10)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+
+  val datasetSplitSql: String =
+    s"""SELECT CASE WHEN b < 80 THEN 'train'
+       |            WHEN b < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT n_chars,
+       |        ((doc_id % ${graft.ops.Sampling.M31}) * ${graft.ops.Sampling.HashA}
+       |          % 4294967296) % 100 AS b
+       |      FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin
+
+  /** Temperature-scaled mixture sample (τ=2, 50% global budget —
+    * Sampling.temperatureSample): small sources keep a larger share
+    * than their natural proportion; per-source kept counts. */
+  val temperatureSampleQ: Q = (spark, dir) =>
+    graft.ops.Sampling.temperatureSample(
+        t(spark, dir, "documents"), "source", "doc_id",
+        budgetPerMille = 500, tau = 2.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+
+  val temperatureSampleSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS c FROM documents GROUP BY source),
+       |q AS (
+       |  SELECT source, c,
+       |    CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS qd
+       |  FROM counts),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(qd) AS BIGINT) AS sq
+       |  FROM q),
+       |rates AS (
+       |  SELECT source,
+       |    least(1000.0,
+       |      floor(1000.0 * floor(CAST(n AS DOUBLE) * 500 / 1000.0)
+       |        * CAST(qd AS DOUBLE)
+       |        / (CAST(sq AS DOUBLE) * CAST(c AS DOUBLE)))) AS rate
+       |  FROM q, tot)
+       |SELECT d.source, count(*) AS n_kept
+       |FROM documents d JOIN rates r ON d.source = r.source
+       |WHERE ((d.doc_id % ${graft.ops.Sampling.M31})
+       |    * ${graft.ops.Sampling.HashA} % 4294967296) % 1000 < r.rate
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4016,6 +4092,9 @@ object GraftQueries {
     entry("q_pagerank", pageRankQ, pageRankSql),
     entry("q_kmeans", kmeansQ, kmeansSql),
     entry("q_ewma", ewmaQ, ewmaSql),
+    entry("q_bpe_pairs", bpePairsQ, bpePairsSql),
+    entry("q_dataset_split", datasetSplitQ, datasetSplitSql),
+    entry("q_temperature_sample", temperatureSampleQ, temperatureSampleSql),
     entry("q_window_quantile_batch", windowQuantileBatch,
       windowQuantileBatchSql)
   )

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Dataset split, temperature sampling, and BPE pair counts. */
+class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("datasetSplit partitions exactly and is repartition-stable") {
+    val df = spark.range(0, 10000).toDF("id")
+    val s = Sampling.datasetSplit(df, "id", 80, 10)
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L) // a partition, no loss/duplication
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // ~80/10/10 within loose tolerance (hash uniformity, not RNG)
+    assert(math.abs(counts("train") - 8000L) < 400,
+      s"train share off: ${counts("train")}")
+    val again = Sampling.datasetSplit(df.repartition(7), "id", 80, 10)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+    // membership (not just counts) is key-stable
+    val m1 = s.filter(col("split") === "val").select("id")
+      .as[Long].collect().sorted.toSeq
+    val m2 = Sampling.datasetSplit(df.repartition(3), "id", 80, 10)
+      .filter(col("split") === "val").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(m1 == m2)
+  }
+
+  test("temperatureSample: tau > 1 upweights small domains; budget is honored") {
+    // heavily skewed domains: big=9000, small=1000
+    val df = (0 until 9000).map(i => (i.toLong, "big")) ++
+      (9000 until 10000).map(i => (i.toLong, "small"))
+    val d = df.toDF("id", "dom")
+    val kept = Sampling.temperatureSample(d, "dom", "id",
+        budgetPerMille = 500, tau = 2.0)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    val total = kept.values.sum
+    assert(total <= 5600 && total >= 4400, s"budget ~50% violated: $total")
+    // natural shares are 90/10; tau=2 targets sqrt-proportions 75/25
+    val smallShare = kept("small").toDouble / total
+    assert(smallShare > 0.18 && smallShare < 0.32,
+      s"small-domain share not temperature-boosted: $smallShare")
+    // deterministic across layouts
+    val again = Sampling.temperatureSample(d.repartition(5), "dom", "id",
+        budgetPerMille = 500, tau = 2.0)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
+  test("bpePairCounts: hand-computed weighted pair counts") {
+    // "ab ab abc x" -> wf: ab=2, abc=1; x dropped (len<2)
+    val docs = Seq("ab ab abc", "x").toDF("text")
+    val got = TextAnalysis.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ab" -> 3L, "bc" -> 1L))
+  }
+}

@@ -396,4 +396,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(q.length == 1 && q(0).getSeq[Double](0).nonEmpty)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("q_heavy_hitters recounts via broadcast candidates, never a sort-merge join") {
+    val p = planOf(GraftQueries.heavyHittersQ(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate filter should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocabulary-sized shuffle join crept in:\n$p")
+  }
+
+  test("q_kmeans assigns via broadcast centroids — the corpus never shuffles for assignment") {
+    val p = planOf(GraftQueries.kmeansQ(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid cross join should broadcast:\n$p")
+  }
+
+  test("q_inverted_index bounds postings without a rank window") {
+    val p = planOf(GraftQueries.invertedIndexQ(spark, dir))
+    assert(!p.contains("Window"),
+      s"bounded postings must not sort groups under a window:\n$p")
+    assert(p.contains("bounded_top_k"),
+      s"BoundedTopKAgg missing from the postings plan:\n$p")
+  }
+
+  test("q_temperature_sample broadcasts rates; the corpus side is map-only to the filter") {
+    val p = planOf(GraftQueries.temperatureSampleQ(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-domain rates should broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rate join must not shuffle the corpus:\n$p")
+  }
 }
