@@ -20,7 +20,13 @@ object Bench {
     // the min of two runs is reproducible within ~±30%. Failures are
     // REPORTED (stderr + a -1 sentinel in the JSON), never silently
     // timed as a fast pass.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // builder-side narrowing for targeted perf iteration; the driver
+    // never sets this, so the recorded bench always covers everything
+    val only = sys.env.get("GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -68,7 +74,9 @@ object Bench {
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(full)
     println(headline)
-    try {
+    // a narrowed run must not overwrite the committed full-inventory
+    // record
+    if (only.isEmpty) try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,
         (headline + "\n" + full + "\n").getBytes("UTF-8"))

@@ -43,7 +43,7 @@ case class HeavyHittersAgg(
     m: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
   with UnaryLike[Expression] {
 
   require(m > 0, s"heavy-hitters capacity must be > 0, got $m")
@@ -60,17 +60,20 @@ case class HeavyHittersAgg(
     containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 
-  override def update(buf: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+                      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val term = v.asInstanceOf[UTF8String].toString
+      // probe with the buffer-backed UTF8String (content hash/equals —
+      // no allocation); clone only on first insertion, since the input
+      // may point into a reused UnsafeRow buffer
+      val term = v.asInstanceOf[UTF8String]
       buf.get(term) match {
         case Some(c) => buf.update(term, c + 1)
-        case None if buf.size < m => buf.update(term, 1L)
+        case None if buf.size < m => buf.update(term.clone(), 1L)
         case None =>
           // classic MG step: a new term against a full table decrements
           // every counter; zeros vacate their slots. O(m), amortized
@@ -82,9 +85,9 @@ case class HeavyHittersAgg(
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, Long],
-                     other: mutable.HashMap[String, Long])
-    : mutable.HashMap[String, Long] = {
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+                     other: mutable.HashMap[UTF8String, Long])
+    : mutable.HashMap[UTF8String, Long] = {
     other.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
     if (buf.size > m) {
       // subtract the (m+1)-th largest counter from all, drop <= 0:
@@ -98,28 +101,26 @@ case class HeavyHittersAgg(
     buf
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
     val rows = buf.toArray
       .sortBy { case (t, c) => (-c, t) }
-      .map { case (t, c) =>
-        new GenericInternalRow(Array[Any](UTF8String.fromString(t), c))
-      }
+      .map { case (t, c) => new GenericInternalRow(Array[Any](t, c)) }
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (t, c) =>
-      val b = t.getBytes("UTF-8")
+      val b = t.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
@@ -128,7 +129,7 @@ case class HeavyHittersAgg(
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.update(new String(b, "UTF-8"), in.readLong())
+      buf.update(UTF8String.fromBytes(b), in.readLong())
       i += 1
     }
     buf

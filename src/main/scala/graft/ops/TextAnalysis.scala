@@ -656,6 +656,70 @@ object TextAnalysis {
       .select(col("term"), col("cnt"))
   }
 
+  /** TF-IDF cosine similarity self-join: document pairs whose sparse
+    * TF-IDF vectors (over the INFORMATIVE term set — terms with
+    * df ≤ maxDf; the stopword cut that both defines the metric and
+    * bounds the blocking) have cosine ≥ `threshold`. The lexical
+    * entity-resolution / template-near-dup shape — catches rearranged
+    * or partially overlapping documents that edit-distance
+    * ([[FuzzyJoin]]) and shingle-Jaccard ([[Dedup]]) miss.
+    *
+    * Exact-deterministic scoring (the [[Similarity.kmeansAssign]]
+    * discipline): weights w = tf·ln(1 + N/df) quantize to 1e-4 units
+    * as BIGINTs immediately, so pair dot products and norm sums are
+    * associative integer arithmetic — partition order cannot move a
+    * pair across the threshold, and one fixed-order double expression
+    * (int dot / (sqrt·sqrt)) reproduces bit-for-bit in any engine.
+    *
+    * Scale shape: candidate pairs come from a TERM-KEYED self-join of
+    * the (doc, term, wq) frame — the all-pairs product never
+    * materializes, and the df cap bounds the per-term fanout at
+    * maxDf² rows (Σ_t df_t·min(df_t,cap) total); norms ride a
+    * doc-keyed partial agg. At 100 TB the df cap is the knob: it is
+    * both the IDF floor (terms that frequent carry ~no signal) and the
+    * hard bound on join skew. */
+  def tfidfCosineJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, maxDf: Long): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1], got $threshold")
+    require(maxDf >= 2, s"maxDf must be >= 2 (pairs need two docs), got $maxDf")
+    val terms = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // consumed by df(t), norms, and both join sides
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    val weights = tf
+      .join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        floor(col("__tf") * log(lit(1.0) +
+            col("__n").cast("double") / col("__df").cast("double")) *
+          lit(10000.0) + lit(0.5)).cast("long").as("__wq"))
+      .localCheckpoint() // norms + both pair sides; exact ints from here
+    val norms = weights.groupBy(col(idCol))
+      .agg(sum(col("__wq") * col("__wq")).as("__n2"))
+    val a = weights.select(col(idCol).as("id_a"), col("term"),
+      col("__wq").as("__wa"))
+    val b = weights.select(col(idCol).as("id_b"), col("term"),
+      col("__wq").as("__wb"))
+    val dots = a.join(b, "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("__n2").as("__na")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("__n2").as("__nb")), "id_b")
+      .withColumn("cos", col("__dot").cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** BPE merge-candidate pair counts — the inner loop of byte-pair-
     * encoding tokenizer training: for every adjacent character pair
     * inside a word, the total corpus occurrence count (weighted by

@@ -3907,6 +3907,53 @@ object GraftQueries {
        |    * ${graft.ops.Sampling.HashA} % 4294967296) % 1000 < r.rate
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** TF-IDF cosine similarity self-join (TextAnalysis.tfidfCosineJoin):
+    * document pairs at cosine ≥ 0.8 over integer-quantized sparse
+    * vectors — lexical near-dup/entity-resolution. Bounded to a fixed
+    * 150-doc slice: this corpus's 31-term vocabulary makes every term
+    * a stopword (df ≈ |corpus|), so the df-cap blocking the operator
+    * relies on at scale cannot thin THESE candidates — the slice keeps
+    * the declared pair join constant-sized per sf while the operator's
+    * df knob stays exercised in-plan. */
+  val tfidfCosineQ: Q = (spark, dir) =>
+    TextAnalysis.tfidfCosineJoin(
+        t(spark, dir, "documents").filter(col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.8, maxDf = 150L)
+      .orderBy("id_a", "id_b")
+
+  val tfidfCosineSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE length(term) > 0 GROUP BY 1, 2),
+      |dfq AS (
+      |  SELECT term, count(*) AS dfd FROM tf
+      |  GROUP BY term HAVING count(*) <= 150),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+      |w AS (
+      |  SELECT doc_id, term,
+      |    CAST(floor(tf * ln(1.0 + CAST(n AS DOUBLE) / CAST(dfd AS DOUBLE))
+      |      * 10000.0 + 0.5) AS BIGINT) AS wq
+      |  FROM tf JOIN dfq USING (term), nd),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
+      |  FROM w GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+      |  SELECT id_a, id_b, CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      |  FROM dots JOIN norms na ON dots.id_a = na.doc_id
+      |            JOIN norms nb ON dots.id_b = nb.doc_id)
+      |WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4093,6 +4140,7 @@ object GraftQueries {
     entry("q_kmeans", kmeansQ, kmeansSql),
     entry("q_ewma", ewmaQ, ewmaSql),
     entry("q_bpe_pairs", bpePairsQ, bpePairsSql),
+    entry("q_tfidf_cosine", tfidfCosineQ, tfidfCosineSql),
     entry("q_dataset_split", datasetSplitQ, datasetSplitSql),
     entry("q_temperature_sample", temperatureSampleQ, temperatureSampleSql),
     entry("q_window_quantile_batch", windowQuantileBatch,

@@ -58,4 +58,27 @@ class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("ab" -> 3L, "bc" -> 1L))
   }
+
+  test("tfidfCosineJoin: rearranged near-dup found; stopword-only overlap is not a pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta common"),
+      (2L, "delta gamma beta alpha common"), // rearranged copy of 1
+      (3L, "epsilon zeta eta theta common"), // shares only the stopword
+      (4L, "alpha beta iota kappa common"))  // partial overlap with 1
+      .toDF("doc_id", "text")
+    // df cap 3 cuts 'common' (df=4): it neither scores nor blocks
+    val pairs = TextAnalysis.tfidfCosineJoin(docs, "doc_id", "text",
+        threshold = 0.9, maxDf = 3L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs") // word order irrelevant
+    assert(pairs((1L, 2L)) > 0.999) // identical bags => cosine ~ 1
+    // determinism across layouts
+    val again = TextAnalysis.tfidfCosineJoin(
+        docs.repartition(5), "doc_id", "text",
+        threshold = 0.9, maxDf = 3L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(again == pairs)
+  }
 }
