@@ -512,4 +512,41 @@ object Similarity {
     assign(centroids)
       .select(col("__id").as(idCol), col("cluster"), col("d2"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with the exact-deterministic [[kmeansAssign]], then score cosine
+    * ONLY within clusters — pairs (id_a < id_b, cluster, cos) with
+    * cos ≥ threshold.
+    *
+    * The scale contract (per the SemDeDup recipe): the all-pairs
+    * product shrinks to Σ_c |c|² via the cluster-keyed self-join —
+    * k trades recall for fanout (a near-dup pair straddling a cluster
+    * boundary is missed; duplicates at these thresholds are near-
+    * coincident and almost always co-cluster — the documented
+    * trade). Deterministic end to end: integer k-means + fixed-order
+    * double cosines, so the full pipeline is SQL-oracle-checkable —
+    * unlike the sign-LSH path ([[lshNearDupPairs]]), whose bucket
+    * structure has no tractable SQL twin.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iterations: Int,
+                           threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iterations)
+      .select(col(idCol).as("__aid"), col("cluster"))
+    val vecs = df.select(col(idCol).as("__aid"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val members = assigned.join(vecs, "__aid")
+    val a = members.select(col("cluster"), col("__aid").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = members.select(col("cluster"), col("__aid").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        safeDiv(dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

@@ -3954,6 +3954,79 @@ object GraftQueries {
       |            JOIN norms nb ON dots.id_b = nb.doc_id)
       |WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup-style semantic near-dup (Similarity.semanticNearDupPairs):
+    * exact-integer k-means buckets the corpus (k=8, one Lloyd round),
+    * cosine scored only within clusters. Planted exact copies
+    * (ids + 1e6) co-cluster deterministically and surface at cos 1.0;
+    * the all-pairs product never materializes (Σ_c |c|² candidate
+    * bound). Same 1000-vector slice as q_embedding_neardup. */
+  val semDedupQ: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings").filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding"))
+    val copy = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      col("embedding"))
+    Similarity.semanticNearDupPairs(emb.unionByName(copy),
+        "vec_id", "embedding", k = 8, iterations = 1, threshold = 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
+  val semDedupSql: String = {
+    val steps = (0 until 1).map { t =>
+      s"""s$t AS (
+         |  SELECT id, vq, cluster,
+         |    CAST(list_sum(list_transform(generate_series(1, len(vq)),
+         |      i -> (vq[i] - cv[i]) * (vq[i] - cv[i]))) AS BIGINT) AS d2
+         |  FROM base CROSS JOIN c$t),
+         |a$t AS (
+         |  SELECT id, vq, cluster, d2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY id ORDER BY d2, cluster) AS rn FROM s$t)
+         |  WHERE rn = 1),
+         |c${t + 1} AS (
+         |  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+         |    SELECT cluster, pos,
+         |      CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |    FROM (SELECT cluster, unnest(vq) AS v,
+         |            generate_subscripts(vq, 1) AS pos FROM a$t)
+         |    GROUP BY cluster, pos)
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 1000),
+       |u AS (SELECT id, v FROM eb
+       |      UNION ALL SELECT id + 1000000 AS id, v FROM eb),
+       |base AS (
+       |  SELECT id, list_transform(v,
+       |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+       |  FROM u),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
+       |    vq AS cv
+       |  FROM base WHERE id < 8),
+       |$steps,
+       |fin AS (
+       |  SELECT id, cluster FROM (
+       |    SELECT id, cluster, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, cluster) AS rn
+       |    FROM (SELECT id, cluster,
+       |        CAST(list_sum(list_transform(generate_series(1, len(vq)),
+       |          i -> (vq[i] - cv[i]) * (vq[i] - cv[i]))) AS BIGINT) AS d2
+       |      FROM base CROSS JOIN c1))
+       |  WHERE rn = 1),
+       |withn AS (
+       |  SELECT f.id, f.cluster, u.v,
+       |    sqrt(list_dot_product(u.v, u.v)) AS nrm
+       |  FROM fin f JOIN u ON f.id = u.id),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.cluster AS cluster,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM withn a JOIN withn b
+       |    ON a.cluster = b.cluster AND a.id < b.id)
+       |SELECT id_a, id_b, cluster, round(cos, 6) AS cos FROM pairs
+       |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4141,6 +4214,7 @@ object GraftQueries {
     entry("q_ewma", ewmaQ, ewmaSql),
     entry("q_bpe_pairs", bpePairsQ, bpePairsSql),
     entry("q_tfidf_cosine", tfidfCosineQ, tfidfCosineSql),
+    entry("q_semdedup", semDedupQ, semDedupSql),
     entry("q_dataset_split", datasetSplitQ, datasetSplitSql),
     entry("q_temperature_sample", temperatureSampleQ, temperatureSampleSql),
     entry("q_window_quantile_batch", windowQuantileBatch,

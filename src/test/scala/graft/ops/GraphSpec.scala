@@ -97,4 +97,23 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val wcss2 = a2.map(_._3).sum
     assert(wcss2 <= wcss0)
   }
+
+  test("semanticNearDupPairs: planted copies co-cluster and surface at cos 1") {
+    val pts = (0 until 12).map { i =>
+      val blob = i % 2
+      val base = if (blob == 0) 0.0 else 10.0
+      (i.toLong, Array(base + 0.01 * i, base, base - 0.01 * i, 1.0))
+    }
+    val df = pts.toDF("id", "vec")
+    val planted = df.select((col("id") + 100).as("id"), col("vec"))
+    val pairs = Similarity.semanticNearDupPairs(df.unionByName(planted),
+        "id", "vec", k = 2, iterations = 1, threshold = 0.999999)
+      .as[(Long, Long, Int, Double)].collect()
+    // every planted (i, i+100) pair found, in i's blob cluster
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 12).foreach { i =>
+      assert(found.contains((i.toLong, i + 100L)), s"copy pair $i missing")
+    }
+    pairs.foreach { case (_, _, _, c) => assert(c >= 0.999999) }
+  }
 }
