@@ -209,4 +209,42 @@ object Analytics {
       .groupBy(col("obs_day"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** Multi-touch attribution, first- and last-touch models in one
+    * pass: every conversion event is credited to the channel of the
+    * FIRST and the LAST preceding touch event in the same user's
+    * history ('direct' when the user converted with no prior touch).
+    * Output: (channel, model, conversions, revenue) — one row per
+    * (channel, model ∈ {first_touch, last_touch}) pair.
+    *
+    * Scale shape: one shuffle — the per-user ordered window computes
+    * running first/last touch with IGNORE NULLS (no self-join of
+    * conversions against touches, the naive formulation that
+    * re-scans the event table per model), then a partial-aggregated
+    * groupBy on (channel, model) collapses to |channels|·2 rows. The
+    * two models share the single sorted pass. */
+  def attribution(df: DataFrame, userCol: String, orderCols: Seq[String],
+                  typeCol: String, valueCol: String,
+                  touchTypes: Seq[String],
+                  conversionType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs touch types")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col(typeCol).isin(touchTypes.map(lit): _*),
+      col(typeCol))
+    val credited = df
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+    credited
+      .select(coalesce(col("__first"), lit("direct")).as("channel"),
+        lit("first_touch").as("model"), col(valueCol).as("__v"))
+      .unionAll(credited.select(
+        coalesce(col("__last"), lit("direct")).as("channel"),
+        lit("last_touch").as("model"), col(valueCol).as("__v")))
+      .groupBy(col("channel"), col("model"))
+      .agg(count(lit(1)).as("conversions"),
+        graft.queries.Tables.dsum(col("__v")).as("revenue"))
+  }
 }

@@ -4027,6 +4027,124 @@ object GraftQueries {
        |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------- classic warehouse star-join suite
+
+  /** TPC-H Q3-shaped shipping-priority revenue: segment-filtered
+    * customers gate date-bounded orders (semi-join — the customer table
+    * contributes no columns, so it must not widen the row), then the
+    * open lineitems aggregate revenue per order. The canonical
+    * selective star join: both date filters reach the parquet scans,
+    * the semi-join side is aggregate-free, and the top-10 collapses to
+    * TakeOrderedAndProject — no global sort materializes. */
+  val tpchQ3: Q = (spark, dir) => {
+    val cutoff = lit("1997-07-01").cast("timestamp")
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    s"""SELECT l_orderkey,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '1997-07-01'
+       |  AND l_shipdate > TIMESTAMP '1997-07-01'
+       |  AND EXISTS (SELECT 1 FROM customer
+       |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped local-supplier volume: the six-table star —
+    * region⨝nation collapse to a broadcast dim, orders carry the year
+    * filter to the scan, and the customer⨝supplier same-nation
+    * condition rides the supplier equi-join (no extra shuffle). The
+    * fact table shuffles exactly twice (orders key, supplier key);
+    * every dimension arrives broadcast. */
+  val tpchQ5: Q = (spark, dir) => {
+    val natAsia = t(spark, dir, "nation")
+      .join(t(spark, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val tpchQ5Sql: String =
+    s"""SELECT n_name,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** First/last-touch attribution over the event stream
+    * (Analytics.attribution): running IGNORE-NULLS first/last touch in
+    * one per-user window pass, both models from the same sorted scan. */
+  val attributionQ: Q = (spark, dir) =>
+    graft.ops.Analytics.attribution(t(spark, dir, "events"),
+        "user_id", Seq("ts", "event_id"), "event_type", "value",
+        touchTypes = Seq("click", "view"), conversionType = "purchase")
+      .orderBy("model", "channel")
+
+  val attributionSql: String =
+    s"""WITH cr AS (
+       |  SELECT user_id, event_type, value,
+       |    first_value(CASE WHEN event_type IN ('click','view')
+       |        THEN event_type END IGNORE NULLS) OVER w AS f,
+       |    last_value(CASE WHEN event_type IN ('click','view')
+       |        THEN event_type END IGNORE NULLS) OVER w AS l
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |cv AS (SELECT * FROM cr WHERE event_type = 'purchase'),
+       |u AS (
+       |  SELECT coalesce(f, 'direct') AS channel,
+       |    'first_touch' AS model, value FROM cv
+       |  UNION ALL
+       |  SELECT coalesce(l, 'direct') AS channel,
+       |    'last_touch' AS model, value FROM cv)
+       |SELECT channel, model, count(*) AS conversions,
+       |  ${sqlDsum("value")} AS revenue
+       |FROM u GROUP BY channel, model ORDER BY model, channel""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4218,6 +4336,9 @@ object GraftQueries {
     entry("q_dataset_split", datasetSplitQ, datasetSplitSql),
     entry("q_temperature_sample", temperatureSampleQ, temperatureSampleSql),
     entry("q_window_quantile_batch", windowQuantileBatch,
-      windowQuantileBatchSql)
+      windowQuantileBatchSql),
+    entry("q_tpch_q3", tpchQ3, tpchQ3Sql),
+    entry("q_tpch_q5", tpchQ5, tpchQ5Sql),
+    entry("q_attribution", attributionQ, attributionSql)
   )
 }

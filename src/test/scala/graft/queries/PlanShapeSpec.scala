@@ -426,4 +426,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"rate join must not shuffle the corpus:\n$p")
   }
+
+  test("q_tpch_q3 pushes both date filters to the scans and takes top-10 without a global sort") {
+    val p = planOf(GraftQueries.tpchQ3(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 should be TakeOrderedAndProject, not sort+limit:\n$p")
+    assert(p.contains("PushedFilters"), s"no pushed filters:\n$p")
+    assert(p.contains("IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThan(l_shipdate"),
+      s"lineitem ship-date filter not pushed to the scan:\n$p")
+  }
+
+  test("q_tpch_q5 joins every dimension by broadcast at this scale") {
+    val p = planOf(GraftQueries.tpchQ5(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension joins should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q_attribution computes both models from one window pass — a single events scan") {
+    val q = GraftQueries.attributionQ(spark, dir)
+    val p = planOf(q)
+    // one Window node (first+last share the frame), scans the events
+    // parquet once per union branch at most — the window itself must
+    // not be duplicated per model
+    assert("(?s)Window".r.findAllIn(p).size >= 1)
+    assert(!p.contains("SortMergeJoin"),
+      s"attribution must not self-join conversions against touches:\n$p")
+  }
 }
