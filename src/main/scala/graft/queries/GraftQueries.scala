@@ -4145,6 +4145,70 @@ object GraftQueries {
        |  ${sqlDsum("value")} AS revenue
        |FROM u GROUP BY channel, model ORDER BY model, channel""".stripMargin
 
+  /** SCD Type-2 dimension history from the event feed
+    * (Scd.scd2FromChanges): per-user event_type runs with validity
+    * intervals, versions, and the open-interval flag. Interval bounds
+    * serialize as microsecond strings — identical text both engines. */
+  val scd2Q: Q = (spark, dir) =>
+    graft.ops.Scd.scd2FromChanges(
+        t(spark, dir, "events").withColumnRenamed("event_type", "state"),
+        "user_id", Seq("ts", "event_id"), Seq("state"))
+      .select(col("user_id"), col("state"),
+        date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("effective_from"),
+        date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("effective_to"),
+        col("version"), col("is_current"))
+      .orderBy("user_id", "version")
+
+  val scd2Sql: String =
+    """WITH chg AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, state FROM chg
+      |  WHERE prev IS NULL OR state <> prev),
+      |num AS (
+      |  SELECT user_id, state, ts AS effective_from,
+      |    lead(ts) OVER w AS effective_to,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM runs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, state,
+      |  strftime(effective_from, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+      |  strftime(effective_to, '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+      |  version, effective_to IS NULL AS is_current
+      |FROM num ORDER BY user_id, version""".stripMargin
+
+  /** k-anonymity / l-diversity audit (Privacy.kAnonymityAudit) over
+    * banded customer quasi-identifiers — the release-blocking
+    * equivalence classes. */
+  val kAnonymityQ: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+      .withColumn("acctbal_band",
+        graft.ops.Privacy.band(col("c_acctbal"), 2000L))
+    graft.ops.Privacy.kAnonymityAudit(c,
+        Seq("c_mktsegment", "c_nationkey", "acctbal_band"),
+        sensitiveCol = "c_acctbal", k = 3, l = 3)
+      .orderBy("c_mktsegment", "c_nationkey", "acctbal_band")
+  }
+
+  val kAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS acctbal_band,
+      |    count(*) AS group_n,
+      |    count(DISTINCT c_acctbal) AS sensitive_distinct
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment, c_nationkey, acctbal_band, group_n,
+      |  sensitive_distinct,
+      |  group_n < 3 AS k_violation,
+      |  sensitive_distinct < 3 AS l_violation
+      |FROM g WHERE group_n < 3 OR sensitive_distinct < 3
+      |ORDER BY c_mktsegment, c_nationkey, acctbal_band""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4339,6 +4403,8 @@ object GraftQueries {
       windowQuantileBatchSql),
     entry("q_tpch_q3", tpchQ3, tpchQ3Sql),
     entry("q_tpch_q5", tpchQ5, tpchQ5Sql),
-    entry("q_attribution", attributionQ, attributionSql)
+    entry("q_attribution", attributionQ, attributionSql),
+    entry("q_scd2", scd2Q, scd2Sql),
+    entry("q_k_anonymity", kAnonymityQ, kAnonymitySql)
   )
 }
