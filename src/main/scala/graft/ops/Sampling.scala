@@ -214,4 +214,83 @@ object Sampling {
       .filter(hashBucket(col(keyCol), 1000) < col("__rate"))
       .drop("__rate")
   }
+
+  /** Systematic probability-proportional-to-size sampling: ~`n` rows
+    * with inclusion probability proportional to `weightCol`, fully
+    * deterministic (a pure function of the data — no RNG), exact
+    * integer arithmetic end to end so the selection is reproducible on
+    * any engine.
+    *
+    * The classic survey-sampling design: quantize weights to integers
+    * (scale `weightScale`), lay rows on the cumulative-weight axis in
+    * `keyCol` order, drop `n` equi-spaced thresholds t_m = ⌈m·W/n⌉,
+    * and keep every row whose weight interval (cum−w, cum] contains a
+    * threshold. Rows heavier than W/n are always selected (their
+    * interval must contain a threshold); w ≤ 0 rows never are.
+    *
+    * Scale shape: the cumulative sum is DISTRIBUTED — the same
+    * range-repartition + per-partition-offset pattern as
+    * [[graft.ops.Indexing.globalIndex]] (one metadata-sized offsets
+    * aggregate broadcast back; no single-reducer global window), with
+    * the same `checkpointMode` barrier semantics (local | reliable |
+    * persist) because range boundaries are sampled
+    * nondeterministically and two plan branches consume the layout.
+    * The n thresholds broadcast; selection is a broadcast semi-join.
+    *
+    * Overflow bound (asserted at runtime, metadata-sized check):
+    * n · W·10^s must fit in a long — pick `weightScale` accordingly
+    * (s=2 holds to ~9·10^16 of raw weight at n=1000). */
+  def systematicSample(df: DataFrame, keyCol: String, weightCol: String,
+                       n: Int, weightScale: Int = 2,
+                       checkpointMode: String = "local"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(weightScale >= 0 && weightScale <= 6,
+      s"weightScale in [0,6], got $weightScale")
+    val scale = math.pow(10, weightScale).toLong
+    val base = df
+      .withColumn("__wq",
+        floor(col(weightCol) * lit(scale) + lit(0.5)).cast("long"))
+      .filter(col("__wq") > 0)
+    val parts = {
+      val sorted = base.repartitionByRange(col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .withColumn("__pid", spark_partition_id())
+      checkpointMode match {
+        case "local"    => sorted.localCheckpoint()
+        case "reliable" => sorted.checkpoint()
+        case "persist" =>
+          sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case other => throw new IllegalArgumentException(
+          s"checkpointMode must be local | reliable | persist, got '$other'")
+      }
+    }
+    val perPart = parts.groupBy(col("__pid"))
+      .agg(sum(col("__wq")).as("__wn"))
+    val offsets = perPart
+      .withColumn("__off",
+        coalesce(
+          sum(col("__wn")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val thresholds = perPart.agg(sum(col("__wn")).as("__W"))
+      // assert_true is NULL on pass — the filter keeps the row and the
+      // job dies with the message if the threshold math would overflow
+      .filter(assert_true(col("__W") <= lit(Long.MaxValue / n),
+        lit(s"systematicSample: n*W overflows long — lower weightScale ($weightScale) or n ($n)")).isNull)
+      .select(explode(sequence(lit(1L), lit(n.toLong))).as("__m"),
+        col("__W"))
+      .select(expr(s"(__m * __W + ${n - 1}) div $n").as("__t"))
+    val cum = parts
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__cum",
+        col("__off") + sum(col("__wq")).over(
+          Window.partitionBy(col("__pid")).orderBy(col(keyCol))))
+    cum
+      .join(broadcast(thresholds),
+        col("__t") > col("__cum") - col("__wq") && col("__t") <= col("__cum"),
+        "left_semi")
+      .drop("__wq", "__pid", "__off", "__cum")
+  }
 }

@@ -4209,6 +4209,32 @@ object GraftQueries {
       |FROM g WHERE group_n < 3 OR sensitive_distinct < 3
       |ORDER BY c_mktsegment, c_nationkey, acctbal_band""".stripMargin
 
+  /** Systematic PPS weighted sample (Sampling.systematicSample):
+    * ~200 orders with probability ∝ o_totalprice, RNG-free exact
+    * integer selection — distributed cumulative weights, broadcast
+    * thresholds. */
+  val weightedSampleQ: Q = (spark, dir) =>
+    graft.ops.Sampling.systematicSample(
+        t(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", n = 200)
+      .orderBy("o_orderkey")
+
+  val weightedSampleSql: String =
+    """WITH w AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS wq
+      |  FROM orders
+      |  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+      |c AS (
+      |  SELECT o_orderkey, o_totalprice, wq,
+      |    sum(wq) OVER (ORDER BY o_orderkey) AS cum FROM w),
+      |tot AS (SELECT sum(wq) AS W FROM w),
+      |th AS (SELECT (i * W + 199) // 200 AS t FROM range(1, 201) r(i), tot)
+      |SELECT o_orderkey, o_totalprice FROM c
+      |WHERE EXISTS (SELECT 1 FROM th
+      |  WHERE th.t > c.cum - c.wq AND th.t <= c.cum)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4405,6 +4431,7 @@ object GraftQueries {
     entry("q_tpch_q5", tpchQ5, tpchQ5Sql),
     entry("q_attribution", attributionQ, attributionSql),
     entry("q_scd2", scd2Q, scd2Sql),
-    entry("q_k_anonymity", kAnonymityQ, kAnonymitySql)
+    entry("q_k_anonymity", kAnonymityQ, kAnonymitySql),
+    entry("q_weighted_sample", weightedSampleQ, weightedSampleSql)
   )
 }

@@ -81,4 +81,29 @@ class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
       .map { case (a, b, c) => (a, b) -> c }.toMap
     assert(again == pairs)
   }
+
+  test("systematicSample: ~n PPS rows, heavy rows always in, layout-independent") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (i, if (i == 500) 5000.0 else 1.0))
+    val df = rows.toDF("k", "w")
+    val n = 50
+    val s = Sampling.systematicSample(df, "k", "w", n)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // W = 999 + 5000 = 5999, step ≈ 120: the heavy row spans ~41 steps
+    // but is emitted once; light rows contribute the rest
+    assert(s.contains(500L), "heavy row (83% of mass) must be selected")
+    assert(s.size >= n / 5 && s.size <= n,
+      s"expected roughly n distinct selections, got ${s.size}")
+    // zero/negative weights are never selected
+    val withZero = (df.as[(Long, Double)].collect().toSeq :+ (2000L, 0.0) :+
+      (2001L, -3.0)).toDF("k", "w")
+    val s2 = Sampling.systematicSample(withZero, "k", "w", n)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(!s2.contains(2000L) && !s2.contains(2001L))
+    assert(s2 == s, "appending unselectable rows must not change the sample")
+    // pure function of the data: repartitioned layout, same selection
+    val s3 = Sampling.systematicSample(df.repartition(7), "k", "w", n)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(s3 == s)
+  }
 }
