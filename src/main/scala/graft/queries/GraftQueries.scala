@@ -4235,6 +4235,43 @@ object GraftQueries {
       |  WHERE th.t > c.cum - c.wq AND th.t <= c.cum)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Exact prefix-filtered set-similarity self-join
+    * (SetSimJoin.jaccardJoin): document pairs with 3-shingle-set
+    * Jaccard ≥ 0.8 — lossless PPJoin-style blocking, oracle is the
+    * unfiltered all-pairs semantics. Shingles, not words: this
+    * corpus's vocabulary is ~31 tokens, so word-set Jaccard is a
+    * degenerate metric (every doc resembles every doc and no exact
+    * filter can prune); 3-shingles sharpen df and make the metric
+    * sequence-sensitive. */
+  val setsimJoinQ: Q = (spark, dir) =>
+    graft.ops.SetSimJoin.jaccardJoin(t(spark, dir, "documents"),
+        "doc_id", "text", threshold = 0.8, shingle = 3)
+      .orderBy(desc("jac"), col("id_a"), col("id_b"))
+      .limit(100)
+
+  val setsimJoinSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS term
+      |  FROM (SELECT doc_id, ts,
+      |          unnest(generate_series(1, len(ts) - 2)) AS i
+      |        FROM tok WHERE len(ts) >= 3)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |com AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM toks a JOIN toks b
+      |    ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b,
+      |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jac
+      |FROM com
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+      |ORDER BY jac DESC, id_a, id_b LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4432,6 +4469,7 @@ object GraftQueries {
     entry("q_attribution", attributionQ, attributionSql),
     entry("q_scd2", scd2Q, scd2Sql),
     entry("q_k_anonymity", kAnonymityQ, kAnonymitySql),
-    entry("q_weighted_sample", weightedSampleQ, weightedSampleSql)
+    entry("q_weighted_sample", weightedSampleQ, weightedSampleSql),
+    entry("q_setsim_join", setsimJoinQ, setsimJoinSql)
   )
 }
