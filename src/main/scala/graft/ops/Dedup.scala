@@ -604,6 +604,45 @@ object Dedup {
     labels
   }
 
+  /** Duplicated-span statistics per document — the suffix-array-style
+    * signal of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), on Spark: every word `n`-gram SPAN
+    * (with multiplicity and position — not a set), counted across the
+    * whole corpus; a span occurring ≥ `minCount` times anywhere
+    * (including within one document) is duplicated text. Output per
+    * document with ≥1 span: (id, n_spans, n_dup_spans, dup_frac) —
+    * the curation filter drops or trims high-dup_frac documents.
+    *
+    * Scale shape: ONE gram-keyed shuffle — the corpus-wide occurrence
+    * count rides an unordered window partitioned by the gram key (no
+    * separate count-then-join-back pass), then a per-doc partial
+    * aggregate. Grams key by xxhash64, so the wide gram strings never
+    * cross the shuffle — a 64-bit collision (P ≈ n²/2⁶⁵) could
+    * overcount one span; acceptable for a filter signal, and the only
+    * concession the single-shuffle shape asks. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 13, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val tokArr = split(trim(lower(col(textCol))), "\\s+")
+    val gramArr = when(size(tokArr) >= n,
+        transform(sequence(lit(0), size(tokArr) - n),
+          i => concat_ws(" ", slice(tokArr, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df
+      .select(col(idCol).as("__id"), explode(gramArr).as("__gram"))
+      .select(col("__id"), xxhash64(col("__gram")).as("__g"))
+    val counted = grams.withColumn("__total",
+      count(lit(1)).over(Window.partitionBy(col("__g"))))
+    counted
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("__total") >= minCount, lit(1))).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** End-to-end fuzzy corpus dedup: MinHash-LSH pair detection →
     * transitive grouping → keep one representative (the min id) per
     * duplicate group. Returns the deduplicated frame with the original

@@ -4272,6 +4272,33 @@ object GraftQueries {
       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
       |ORDER BY jac DESC, id_a, id_b LIMIT 100""".stripMargin
 
+  /** Per-document duplicated 13-gram span statistics
+    * (Dedup.duplicateSpans) — the Lee-et-al. exact-substring dedup
+    * signal; one gram-keyed shuffle. */
+  val dupSpansQ: Q = (spark, dir) =>
+    graft.ops.Dedup.duplicateSpans(t(spark, dir, "documents"),
+        "doc_id", "text", n = 13, minCount = 2)
+      .orderBy("doc_id")
+
+  val dupSpansSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+12], ' ') AS gram
+      |  FROM (SELECT doc_id, ts,
+      |          unnest(generate_series(1, len(ts) - 12)) AS i
+      |        FROM tok WHERE len(ts) >= 13)),
+      |c AS (SELECT doc_id,
+      |        count(*) OVER (PARTITION BY gram) AS total FROM g),
+      |d AS (
+      |  SELECT doc_id, count(*) AS n_spans,
+      |    count(*) FILTER (WHERE total >= 2) AS n_dup_spans
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_spans, n_dup_spans,
+      |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4470,6 +4497,7 @@ object GraftQueries {
     entry("q_scd2", scd2Q, scd2Sql),
     entry("q_k_anonymity", kAnonymityQ, kAnonymitySql),
     entry("q_weighted_sample", weightedSampleQ, weightedSampleSql),
-    entry("q_setsim_join", setsimJoinQ, setsimJoinSql)
+    entry("q_setsim_join", setsimJoinQ, setsimJoinSql),
+    entry("q_dup_spans", dupSpansQ, dupSpansSql)
   )
 }

@@ -124,4 +124,35 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
       assert(got == expected, s"seed=$seed k=$k minDocs=$minDocs")
     }
   }
+
+  test("duplicateSpans: planted cross-doc and within-doc repeats, exact counts") {
+    import spark.implicits._
+    val para = (1 to 6).map(i => s"p$i").mkString(" ")   // 6 tokens
+    val docs = Seq(
+      // doc 1: unique head + the shared paragraph → grams touching the
+      // paragraph only count as dup where the full 4-gram recurs
+      (1L, s"u1 u2 u3 u4 $para"),
+      (2L, s"v1 v2 v3 v4 $para"),
+      // doc 3: within-doc repetition — one doc alone can plant dups
+      (3L, s"$para w1 $para"),
+      // doc 4: too short for any 4-gram
+      (4L, "x1 x2 x3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // brute force over 4-gram multisets
+    val gramsOf = Map(
+      1L -> "u1 u2 u3 u4 p1 p2 p3 p4 p5 p6".split(" ").sliding(4).map(_.mkString(" ")).toSeq,
+      2L -> "v1 v2 v3 v4 p1 p2 p3 p4 p5 p6".split(" ").sliding(4).map(_.mkString(" ")).toSeq,
+      3L -> "p1 p2 p3 p4 p5 p6 w1 p1 p2 p3 p4 p5 p6".split(" ").sliding(4).map(_.mkString(" ")).toSeq)
+    val corpus = gramsOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = gramsOf.toSeq.sortBy(_._1).map { case (id, gs) =>
+      val dup = gs.count(g => corpus(g) >= 2)
+      (id, gs.size.toLong, dup.toLong,
+        math.rint(dup.toDouble / gs.size * 1e6) / 1e6)
+    }
+    assert(got == expected)
+    assert(!got.exists(_._1 == 4L), "sub-n docs must not appear")
+  }
 }
