@@ -4299,6 +4299,45 @@ object GraftQueries {
       |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Unicode canonicalization (UnicodeNormalizeExpr — codegen'd
+    * java.text.Normalizer): NFC text plus a folded variant (lower →
+    * NFD → strip combining marks → NFC → collapse whitespace) — the
+    * canonical-spelling step every hash/join/dedup should run first.
+    * Map-only. */
+  val unicodeNormalizeQ: Q = (spark, dir) => {
+    import graft.functions.UnicodeNormalizeExpr.unicodeNormalize
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        unicodeNormalize(col("text"), "NFC").as("text_nfc"),
+        regexp_replace(trim(unicodeNormalize(
+            regexp_replace(unicodeNormalize(lower(
+              unicodeNormalize(col("text"), "NFC")), "NFD"),
+              "\\p{Mn}", ""), "NFC")), "\\s+", " ").as("text_fold"))
+      .withColumn("changed", col("text_nfc") =!= col("text_fold"))
+      .orderBy("doc_id")
+  }
+
+  val unicodeNormalizeSql: String =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      |  regexp_replace(trim(strip_accents(lower(nfc_normalize(text)))),
+      |    '\s+', ' ', 'g') AS text_fold,
+      |  nfc_normalize(text) <>
+      |    regexp_replace(trim(strip_accents(lower(nfc_normalize(text)))),
+      |      '\s+', ' ', 'g') AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deflate compression ratio as a quality signal
+    * (DeflateRatioExpr): repetition/boilerplate compresses far below
+    * natural prose. zlib output is JVM-specific — no SQL oracle; the
+    * ordering contract is spec-pinned (`UnicodeDeflateSpec`). */
+  val compressRatioQ: Q = (spark, dir) => {
+    import graft.functions.DeflateRatioExpr.deflateRatio
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        round(deflateRatio(col("text")), 4).as("deflate_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4498,6 +4537,8 @@ object GraftQueries {
     entry("q_k_anonymity", kAnonymityQ, kAnonymitySql),
     entry("q_weighted_sample", weightedSampleQ, weightedSampleSql),
     entry("q_setsim_join", setsimJoinQ, setsimJoinSql),
-    entry("q_dup_spans", dupSpansQ, dupSpansSql)
+    entry("q_dup_spans", dupSpansQ, dupSpansSql),
+    entry("q_unicode_normalize", unicodeNormalizeQ, unicodeNormalizeSql),
+    entry("q_compress_ratio", compressRatioQ)
   )
 }

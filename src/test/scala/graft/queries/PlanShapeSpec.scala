@@ -332,6 +332,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
           Seq(0.0, 0.5, 1.0), 15L).as("b"))
         .filter(col("b") >= 0).count()
       assert(b > 0)
+      // UnicodeNormalizeExpr + DeflateRatioExpr on nullable parquet input
+      val u = docs
+        .select(graft.functions.UnicodeNormalizeExpr
+          .unicodeNormalize(col("text"), "NFKC").as("t"))
+        .filter(length(col("t")) > 0).count()
+      assert(u > 0)
+      val dr = docs
+        .select(graft.functions.DeflateRatioExpr
+          .deflateRatio(col("text")).as("r"))
+        .filter(col("r") > 0).count()
+      assert(dr > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
