@@ -476,29 +476,46 @@ object Similarity {
     *
     * Output: (idCol, cluster int, d2 bigint — squared distance in
     * 1e-12 units to the final centroid). */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iterations: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val base = df.select(col(idCol).as("__id"),
+  /** 10^6-scaled integer quantization of the vector column — the
+    * shared representation of the exact-deterministic clustering
+    * family. */
+  private def quantized(df: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
       transform(col(vecCol).cast("array<double>"),
         x => floor(x * lit(1000000.0d) + lit(0.5d)).cast("long")).as("__vq"))
+
+  /** Nearest-centroid assignment of quantized rows: broadcast
+    * centroids, associative integer distances, (d2, cluster) min
+    * tiebreak. */
+  private def assignQuantized(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cent))
+      .withColumn("__d2", aggregate(
+        zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("__id"), col("__vq"))
+      .agg(min(struct(col("__d2"), col("cluster"))).as("__best"))
+      .select(col("__id"), col("__vq"),
+        col("__best.cluster").as("cluster"), col("__best.__d2").as("d2"))
+
+  /** Lloyd k-means centroid FIT in exact scaled-integer arithmetic:
+    * returns the trained codebook (cluster, __cv quantized vector) —
+    * deterministic to the bit (first-k-by-id seeds, integer distances,
+    * floor-division means), the property [[kmeansAssign]] and the PQ
+    * family build on. Centroids localCheckpoint per round (the
+    * bounded-iteration barrier). */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iterations: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val base = quantized(df, idCol, vecCol)
     val seedW = Window.orderBy(col("__id")) // k rows — single partition is fine
     var centroids = base.orderBy(col("__id")).limit(k)
       .select((row_number().over(seedW) - 1).cast("int").as("cluster"),
         col("__vq").as("__cv"))
       .localCheckpoint()
-    def assign(cent: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cent))
-        .withColumn("__d2", aggregate(
-          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .groupBy(col("__id"), col("__vq"))
-        .agg(min(struct(col("__d2"), col("cluster"))).as("__best"))
-        .select(col("__id"), col("__vq"),
-          col("__best.cluster").as("cluster"), col("__best.__d2").as("d2"))
     for (_ <- 1 to iterations) {
-      val assigned = assign(centroids)
+      val assigned = assignQuantized(base, centroids)
       centroids = assigned
         .select(col("cluster"), posexplode(col("__vq")).as(Seq("__pos", "__v")))
         .groupBy(col("cluster"), col("__pos"))
@@ -509,9 +526,14 @@ object Similarity {
           s => s.getField("__c")).as("__cv"))
         .localCheckpoint()
     }
-    assign(centroids)
-      .select(col("__id").as(idCol), col("cluster"), col("d2"))
+    centroids
   }
+
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iterations: Int): DataFrame =
+    assignQuantized(quantized(df, idCol, vecCol),
+        kmeansFit(df, idCol, vecCol, k, iterations))
+      .select(col("__id").as(idCol), col("cluster"), col("d2"))
 
   /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
     * with the exact-deterministic [[kmeansAssign]], then score cosine
@@ -548,5 +570,107 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cluster"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Product-quantization ENCODE: split each D-dim vector into `m`
+    * equal subspaces, Lloyd-fit a k-centroid codebook per subspace
+    * ([[kmeansFit]] — exact scaled-integer, bit-deterministic), and
+    * store each vector as m small codes plus its total reconstruction
+    * error. The memory story of billion-scale ANN: m·log2(k) bits per
+    * vector instead of 4·D bytes (m=8,k=256 ⇒ 8 bytes for a 64-dim
+    * float vector, 32×).
+    *
+    * Determinism makes the WHOLE training+encode pipeline
+    * SQL-oracle-checkable — the same property `q_kmeans` pins, per
+    * subspace. Scale shape: m independent fits (each all-broadcast
+    * assignment — the corpus never shuffles for assignment) joined
+    * id-keyed; at 100 TB you fit codebooks on a hash-sample
+    * ([[Sampling.sampleByHash]]) and this encode pass is unchanged. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, iterations: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = df.select(size(col(vecCol)).cast("int").as("d")).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val parts = (0 until m).map { s =>
+      kmeansAssign(
+          df.select(col(idCol),
+            slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+          idCol, "__sv", k, iterations)
+        .select(col(idCol), col("cluster").as(s"code_$s"),
+          col("d2").as(s"__d2_$s"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq(idCol)))
+      .withColumn("recon_d2",
+        (0 until m).map(s => col(s"__d2_$s")).reduce(_ + _))
+      .select(col(idCol) +:
+        (0 until m).map(s => col(s"code_$s")) :+ col("recon_d2"): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes: queries
+    * never touch raw corpus vectors — each query precomputes an m×k
+    * integer distance table to the codebooks, and a corpus row's
+    * distance is m table lookups summed (exact squared L2 between the
+    * quantized query and the row's RECONSTRUCTION, since squared L2
+    * decomposes over disjoint subspaces — spec-pinned equality).
+    *
+    * Scale shape: codebooks and distance tables (|queries|·m·k rows)
+    * broadcast; the corpus streams map-side through m broadcast-hash
+    * lookups; the only shuffle is the bounded per-query top-k
+    * aggregate (≤ topK rows per query per partition). Pair with the
+    * IVF cell prune ([[annIvf]]) when even one streaming pass is too
+    * much. */
+  def pqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, queryIdCol: String,
+               m: Int, k: Int, iterations: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val dim = corpus.select(size(col(vecCol)).cast("int").as("d"))
+      .head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
+    var scored: DataFrame = null
+    for (s <- 0 until m) {
+      val slc = slice(col(vecCol), s * sub + 1, sub)
+      val cb = kmeansFit(
+        corpus.select(col(idCol), slc.as("__sv")), idCol, "__sv",
+        k, iterations)
+      val enc = assignQuantized(
+          quantized(corpus.select(col(idCol), slc.as("__sv")),
+            idCol, "__sv"), cb)
+        .select(col("__id").as("__cid"), col("cluster").as(s"__code_$s"))
+      // the FULL per-centroid distance table (not a nearest-only
+      // assignment): every centroid's d2 via the same broadcast cross
+      val dtAll = quantized(
+          queries.select(col(queryIdCol), slc.as("__sv")),
+          queryIdCol, "__sv")
+        .crossJoin(broadcast(cb))
+        .withColumn(s"__qd2_$s", aggregate(
+          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("__id").as("query_id"),
+          col("cluster").as(s"__code_$s"), col(s"__qd2_$s"))
+      scored =
+        if (scored == null)
+          enc.join(broadcast(dtAll), Seq(s"__code_$s"))
+        else
+          scored.join(enc.select(col("__cid"), col(s"__code_$s")),
+              Seq("__cid"))
+            .join(broadcast(dtAll), Seq("query_id", s"__code_$s"))
+    }
+    val total = scored
+      .withColumn("adc_d2",
+        (0 until m).map(s => col(s"__qd2_$s")).reduce(_ + _))
+      .select(col("query_id"), col("__cid").as("neighbor_id"),
+        col("adc_d2"))
+    total
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopKAgg.minK(
+        struct(col("adc_d2").as("d"), col("neighbor_id").as("id")), topK)
+        .as("__nn"))
+      .select(col("query_id"),
+        posexplode(col("__nn")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__s.d").as("adc_d2"))
   }
 }

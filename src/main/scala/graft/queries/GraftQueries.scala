@@ -4338,6 +4338,79 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Product-quantization encode (Similarity.pqEncode): m=4 subspace
+    * codebooks (k=4, 1 Lloyd round) in exact scaled-integer
+    * arithmetic — training AND encoding hash-match the unrolled
+    * per-subspace SQL, the same determinism q_kmeans pins. */
+  val pqEncodeQ: Q = (spark, dir) =>
+    Similarity.pqEncode(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", m = 4, k = 4, iterations = 1)
+      .orderBy("vec_id")
+
+  val pqEncodeSql: String = {
+    val m = 4; val k = 4; val sub = 16
+    def chain(s: Int): String = {
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""base$s AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(CAST(embedding[$lo:$hi] AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |c${s}_0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
+         |    vq AS cv
+         |  FROM base$s WHERE id < $k),
+         |a${s}_0 AS (
+         |  SELECT id, vq, cluster, d2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY id ORDER BY d2, cluster) AS rn
+         |    FROM (SELECT b.id, b.vq, c.cluster,
+         |        CAST(list_sum(list_transform(generate_series(1, len(b.vq)),
+         |          i -> (b.vq[i] - c.cv[i]) * (b.vq[i] - c.cv[i])))
+         |          AS BIGINT) AS d2
+         |      FROM base$s b CROSS JOIN c${s}_0 c))
+         |  WHERE rn = 1),
+         |c${s}_1 AS (
+         |  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+         |    SELECT cluster, pos,
+         |      CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |    FROM (SELECT cluster, unnest(vq) AS v,
+         |            generate_subscripts(vq, 1) AS pos FROM a${s}_0)
+         |    GROUP BY cluster, pos)
+         |  GROUP BY cluster),
+         |fin$s AS (
+         |  SELECT id, cluster AS code_$s, d2 AS d2_$s FROM (
+         |    SELECT id, cluster, d2, row_number() OVER (
+         |      PARTITION BY id ORDER BY d2, cluster) AS rn
+         |    FROM (SELECT b.id, c.cluster,
+         |        CAST(list_sum(list_transform(generate_series(1, len(b.vq)),
+         |          i -> (b.vq[i] - c.cv[i]) * (b.vq[i] - c.cv[i])))
+         |          AS BIGINT) AS d2
+         |      FROM base$s b CROSS JOIN c${s}_1 c))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH ${(0 until m).map(chain).mkString(",\n")}
+       |SELECT fin0.id AS vec_id, code_0, code_1, code_2, code_3,
+       |  (d2_0 + d2_1 + d2_2 + d2_3) AS recon_d2
+       |FROM fin0 JOIN fin1 USING (id) JOIN fin2 USING (id)
+       |  JOIN fin3 USING (id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** ADC top-10 search over PQ codes (Similarity.pqSearch): no SQL
+    * oracle by design — the code path is deterministic but the
+    * unrolled 4-subspace × table-lookup SQL twin adds nothing the
+    * encode oracle doesn't already pin; the ADC==reconstruction-L2
+    * identity and exact-copy-ranks-first are spec-pinned (`PqSpec`). */
+  val pqSearchQ: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.pqSearch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "qid", m = 4, k = 4, iterations = 1, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4539,6 +4612,8 @@ object GraftQueries {
     entry("q_setsim_join", setsimJoinQ, setsimJoinSql),
     entry("q_dup_spans", dupSpansQ, dupSpansSql),
     entry("q_unicode_normalize", unicodeNormalizeQ, unicodeNormalizeSql),
-    entry("q_compress_ratio", compressRatioQ)
+    entry("q_compress_ratio", compressRatioQ),
+    entry("q_pq_encode", pqEncodeQ, pqEncodeSql),
+    entry("q_pq_search", pqSearchQ)
   )
 }
