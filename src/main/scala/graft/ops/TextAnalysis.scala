@@ -746,6 +746,69 @@ object TextAnalysis {
       .agg(sum(col("__wf")).as("cnt"))
   }
 
+  /** Train a BPE merge table: the classic sequential algorithm (count
+    * weighted adjacent symbol pairs → merge the most frequent →
+    * repeat) run DRIVER-SIDE over the collapsed word-frequency table —
+    * exactly how reference tokenizer trainers work: the corpus is
+    * scanned ONCE (one shuffle to the word-frequency aggregate, the
+    * same collapse `bpePairCounts` uses) and every merge round is
+    * in-memory arithmetic over the vocabulary, never a corpus rescan.
+    * `maxWords` caps the collected vocabulary (top by frequency,
+    * lexicographic tiebreak) — the standard train-on-capped-vocab
+    * trade; at 100 TB cap or pre-sample, the encode pass is unchanged.
+    *
+    * Deterministic: ties in pair counts break lexicographically.
+    * Returns merges in rank order, ready for
+    * [[graft.functions.BpeEncodeExpr.bpeEncode]]. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 100000): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = wf.map { case (w, c) =>
+      // code-point-safe initial symbol split
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n)
+        i += n
+      }
+      (syms.toArray, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1)
+        counts.updateWith((syms(j), syms(j + 1)))(
+          o => Some(o.getOrElse(0L) + c))
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < syms.length) {
+            if (k < syms.length - 1 &&
+                syms(k) == best._1 && syms(k + 1) == best._2) {
+              out += syms(k) + syms(k + 1)
+              k += 2
+            } else { out += syms(k); k += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Inverted index with BOUNDED posting lists: per term, the document
     * frequency and the `maxPostings` smallest doc ids (sorted) — the
     * retrieval/index-build shape. The postings tail is

@@ -331,6 +331,52 @@ object GraftQueries {
       |FROM f FULL OUTER JOIN i ON f.o_orderkey = i.o_orderkey
       |ORDER BY 1""".stripMargin
 
+  /** Three-clause MERGE: WHEN MATCHED AND del THEN DELETE, WHEN
+    * MATCHED AND upd THEN UPDATE, WHEN NOT MATCHED THEN INSERT — the
+    * full Delta clause set (delete evaluated first, Delta's order)
+    * through the same COW storage path as q_merge_upsert. */
+  val mergeDelete: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val full = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val incremental = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice",
+        (iscale(col("o_totalprice"), 2) * lit(110L)).cast("double") /
+          lit(10000.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merge_del_q").toString + "/t"
+    st.write(full, path, "delta", "overwrite")
+    st.merge(incremental, path, "full.o_orderkey = incremental.o_orderkey",
+      updateCondition = Some("incremental.o_totalprice > 200000"),
+      deleteCondition = Some("incremental.o_custkey % 7 = 0"))
+    st.read(path, "delta")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val mergeDeleteSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      |f AS (SELECT * FROM base WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey,
+      |             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 110 AS DOUBLE) / 10000.0 AS o_totalprice,
+      |             'U' AS o_orderstatus FROM base WHERE o_orderkey % 3 = 0)
+      |SELECT
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_orderkey ELSE f.o_orderkey END AS o_orderkey,
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_custkey ELSE f.o_custkey END AS o_custkey,
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_totalprice ELSE f.o_totalprice END AS o_totalprice,
+      |  CASE WHEN i.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR i.o_totalprice > 200000)
+      |       THEN i.o_orderstatus ELSE f.o_orderstatus END AS o_orderstatus
+      |FROM f FULL OUTER JOIN i ON f.o_orderkey = i.o_orderkey
+      |WHERE NOT (f.o_orderkey IS NOT NULL AND i.o_orderkey IS NOT NULL
+      |           AND i.o_custkey % 7 = 0)
+      |ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------- §2.5 aggregations
 
   /** TPC-H Q1-shaped pricing summary (count/sum/avg/min/max + aliases —
@@ -679,6 +725,65 @@ object GraftQueries {
       |INTERSECT
       |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
       |ORDER BY custkey""".stripMargin
+
+  /** Multiset set ops — EXCEPT ALL / INTERSECT ALL keep multiplicity
+    * (a customer with 3 big orders and 1 flagged order survives
+    * EXCEPT ALL twice), unlike their DISTINCT cousins above. */
+  val exceptAllQ: Q = (spark, dir) => {
+    val big = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    val flagged = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    big.exceptAll(flagged).orderBy("custkey")
+  }
+
+  val exceptAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
+  val intersectAllQ: Q = (spark, dir) => {
+    val big = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    big.intersectAll(urgent).orderBy("custkey")
+  }
+
+  val intersectAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+      |INTERSECT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY custkey""".stripMargin
+
+  /** Distribution window battery: ntile quartiles, percent_rank,
+    * cume_dist over account balance within market segment — the §2.9
+    * distribution trio; the window order is totalized with the key so
+    * ntile bucket boundaries are deterministic under ties. */
+  val windowDistQ: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("balance_quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val windowDistSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
 
   // --------------------------------------------- §2.8 date/string scalars
 
@@ -4411,6 +4516,25 @@ object GraftQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** BPE tokenization end-to-end (TextAnalysis.bpeTrain +
+    * BpeEncodeExpr): merges learned driver-side from the collapsed
+    * word-frequency table (one corpus shuffle), encoding map-only via
+    * the codegen'd expression. No SQL oracle by design — the greedy
+    * merge loop has no SQL twin; `BpeSpec` pins hand-computed merges,
+    * train/encode agreement, and determinism. */
+  val bpeEncodeQ: Q = (spark, dir) => {
+    import graft.functions.BpeEncodeExpr.bpeEncode
+    val docs = t(spark, dir, "documents")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 30)
+    docs
+      .select(col("doc_id"),
+        bpeEncode(TextAnalysis.normalize(col("text")), merges).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_subwords"),
+        concat_ws(" ", slice(col("__toks"), 1, 8)).as("subword_preview"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4459,6 +4583,7 @@ object GraftQueries {
         |ORDER BY c_custkey""".stripMargin),
     entry("q_merge_upsert", mergeUpsert, mergeUpsertSql),
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
+    entry("q_merge_delete", mergeDelete, mergeDeleteSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),
@@ -4477,6 +4602,9 @@ object GraftQueries {
     entry("q_union_by_name", unionByNameQ, unionByNameSql),
     entry("q_except", exceptQ, exceptSql),
     entry("q_intersect", intersectQ, intersectSql),
+    entry("q_except_all", exceptAllQ, exceptAllSql),
+    entry("q_intersect_all", intersectAllQ, intersectAllSql),
+    entry("q_window_dist", windowDistQ, windowDistSql),
     entry("q_date_functions", dateFunctions, dateFunctionsSql),
     entry("q_date_arith", dateArith, dateArithSql),
     entry("q_array_functions", arrayFunctions, arrayFunctionsSql),
@@ -4614,6 +4742,7 @@ object GraftQueries {
     entry("q_unicode_normalize", unicodeNormalizeQ, unicodeNormalizeSql),
     entry("q_compress_ratio", compressRatioQ),
     entry("q_pq_encode", pqEncodeQ, pqEncodeSql),
-    entry("q_pq_search", pqSearchQ)
+    entry("q_pq_search", pqSearchQ),
+    entry("q_bpe_encode", bpeEncodeQ)
   )
 }

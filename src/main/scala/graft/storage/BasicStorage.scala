@@ -89,10 +89,11 @@ class BasicStorage(spark: SparkSession) extends Storage {
                      mergeSchemas: Boolean = false,
                      updateCondition: Option[String] = None,
                      insertCondition: Option[String] = None,
-                     errorOnMultiMatch: Boolean = false): Unit = {
+                     errorOnMultiMatch: Boolean = false,
+                     deleteCondition: Option[String] = None): Unit = {
     val created = Merge.run(spark, this, df, path, mergeCondition,
       partitionFields, mergeSchemas, updateCondition, insertCondition,
-      errorOnMultiMatch)
+      errorOnMultiMatch, deleteCondition)
     // auto-create goes through write(), which already notified
     // (reference early-returns there: basic.py:170-172)
     if (!created) notifyOutputObservers(df, path)

@@ -121,12 +121,13 @@ class IsolatedStorage(val storage: Storage, spark: SparkSession,
                      mergeSchemas: Boolean = false,
                      updateCondition: Option[String] = None,
                      insertCondition: Option[String] = None,
-                     errorOnMultiMatch: Boolean = false): Unit = {
+                     errorOnMultiMatch: Boolean = false,
+                     deleteCondition: Option[String] = None): Unit = {
     val iso = createIsolationPath(path)
     val target = if (exists(iso)) iso else path
     verboseOutput(target, "Merging", "delta")
     storage.merge(df, target, mergeCondition, partitionFields, mergeSchemas,
-      updateCondition, insertCondition, errorOnMultiMatch)
+      updateCondition, insertCondition, errorOnMultiMatch, deleteCondition)
   }
 
   override def registerOutputObserver(observer: StorageOutputObserver): Unit =

@@ -37,10 +37,12 @@ object Merge {
           mergeSchemas: Boolean,
           updateCondition: Option[String],
           insertCondition: Option[String],
-          errorOnMultiMatch: Boolean = false): Boolean = {
+          errorOnMultiMatch: Boolean = false,
+          deleteCondition: Option[String] = None): Boolean = {
 
     if (updateCondition.map(_.toLowerCase).contains("false") &&
-        insertCondition.map(_.toLowerCase).contains("false"))
+        insertCondition.map(_.toLowerCase).contains("false") &&
+        deleteCondition.isEmpty)
       throw new IllegalArgumentException(
         "Both inserts and updates are ignored this operation will not have an effect.")
 
@@ -270,9 +272,17 @@ object Merge {
         .select(outNames.map(col): _*)
 
       val matched = f.join(i, cond, "inner")
-      val touched = matched.select(outNames.map(n =>
-        when(updCond, col(s"incremental.$n"))
-          .otherwise(col(s"full.$n")).as(n)): _*)
+      // WHEN MATCHED AND deleteCondition THEN DELETE, evaluated before
+      // the update clause (Delta's clause order): a matched pair whose
+      // delete condition holds drops the full row entirely. NULL means
+      // "condition did not hold" (SQL WHEN semantics) — coalesce, or
+      // the negation filter would delete on null too.
+      val delCond = deleteCondition.map(expr).getOrElse(lit(false))
+      val touched = matched
+        .filter(!coalesce(delCond, lit(false)))
+        .select(outNames.map(n =>
+          when(updCond, col(s"incremental.$n"))
+            .otherwise(col(s"full.$n")).as(n)): _*)
 
       // Incremental rows that matched nothing: anti against the matched
       // pairs' incremental side, null-safe on every column so rows with

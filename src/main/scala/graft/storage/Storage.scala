@@ -33,7 +33,8 @@ trait Storage {
             mergeSchemas: Boolean = false,
             updateCondition: Option[String] = None,
             insertCondition: Option[String] = None,
-            errorOnMultiMatch: Boolean = false): Unit
+            errorOnMultiMatch: Boolean = false,
+            deleteCondition: Option[String] = None): Unit
   def exists(path: String): Boolean
   def registerOutputObserver(observer: StorageOutputObserver): Unit
 }

@@ -343,6 +343,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
           .deflateRatio(col("text")).as("r"))
         .filter(col("r") > 0).count()
       assert(dr > 0)
+      // BpeEncodeExpr: merge-table reference object must reach the
+      // generated code
+      val bp = docs
+        .select(graft.functions.BpeEncodeExpr
+          .bpeEncode(col("text"), Seq(("a", "b"), ("c", "d"))).as("t"))
+        .filter(size(col("t")) > 0).count()
+      assert(bp > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 

@@ -146,4 +146,45 @@ class MergePropertySpec extends AnyFunSuite with SparkSpec {
       assert(got == table, s"seed=$seed cols=$cols\n got=$got\n exp=$table")
     }
   }
+
+  test("property: merge with delete clause matches the three-clause model") {
+    val storage = new BasicStorage(spark)
+    val rng = new scala.util.Random(77)
+    for (case_ <- 1 to 10) {
+      val full = randRows(rng, (1L to 30L).filter(_ => rng.nextBoolean()))
+      val inc = randRows(rng, (1L to 40L).filter(_ => rng.nextBoolean()))
+      val delAt = rng.nextInt(100).toLong
+      val updAt = rng.nextInt(100).toLong
+      val dir = tempDir(s"merge_del_$case_") + "/t"
+      storage.write(full.toDF(), dir, "delta", "overwrite")
+      storage.merge(inc.toDF(), dir, "full.id = incremental.id",
+        updateCondition = Some(s"incremental.v >= $updAt"),
+        deleteCondition = Some(s"incremental.v >= $delAt"))
+      // model: delete first (Delta clause order), then update, insert
+      val incById = inc.map(r => r.id -> r).toMap
+      val fullIds = full.map(_.id).toSet
+      val kept = full.flatMap { f =>
+        incById.get(f.id) match {
+          case Some(i) if i.v >= delAt => None        // deleted
+          case Some(i) if i.v >= updAt => Some(i)     // updated
+          case _ => Some(f)                           // kept
+        }
+      }
+      val inserted = inc.filter(i => !fullIds.contains(i.id))
+      val expect = (kept ++ inserted).sortBy(_.id)
+      val got = storage.read(dir, "delta").as[MergePropRow]
+        .collect().sortBy(_.id).toSeq
+      assert(got == expect, s"case=$case_ delAt=$delAt updAt=$updAt")
+    }
+    // a NULL delete condition means "did not hold" — the row survives
+    val dir = tempDir("merge_del_null") + "/t"
+    storage.write(Seq(R(1L, 5L, "x")).toDF(), dir, "delta", "overwrite")
+    storage.merge(Seq(R(1L, 6L, null)).toDF(), dir,
+      "full.id = incremental.id",
+      deleteCondition = Some("incremental.s = 'z'")) // null = 'z' → NULL
+    val survived = storage.read(dir, "delta").as[MergePropRow].collect()
+    assert(survived.map(_.id).toSeq == Seq(1L),
+      "null delete condition must not delete")
+    assert(survived.head.v == 6L, "update-all still applies when not deleted")
+  }
 }
