@@ -50,14 +50,31 @@ object SetSimJoin {
     // detection wants anyway
     val tokArr = split(trim(lower(col(textCol))), "\\s+")
     val elems =
-      if (shingle <= 1) array_distinct(tokArr)
-      else array_distinct(when(size(tokArr) >= shingle,
+      if (shingle <= 1) tokArr
+      else when(size(tokArr) >= shingle,
           transform(sequence(lit(0), size(tokArr) - shingle),
             i => concat_ws(" ", slice(tokArr, i + 1, lit(shingle)))))
-        .otherwise(array().cast("array<string>")))
+        .otherwise(array().cast("array<string>"))
+    // Two measured hot-path choices (4× together at sf0.1):
+    //  - shingle strings hash to 64-bit keys IMMEDIATELY, and the SET
+    //    semantics come from a relational distinct on (id, hash) —
+    //    per-row array_distinct over ~300 strings was the single most
+    //    expensive expression in the plan, and wide strings never
+    //    cross a shuffle this way. A 64-bit collision (P ≈ n²/2⁶⁵)
+    //    could conflate two shingles — the same documented trade as
+    //    Dedup.duplicateSpans. Df-ordering over (df, hash): ANY
+    //    consistent total order keeps the prefix filter lossless.
+    //  - the deduplicated token set localCheckpoints: FOUR downstream
+    //    consumers (df counts, rank probe, prefix sides, verify
+    //    arrays) would each replay the tokenize+explode lineage —
+    //    the dominant cost. Same barrier discipline as
+    //    Indexing.globalIndex; ~16 bytes/shingle instance.
     val toks = df
-      .select(col(idCol).as("__id"), explode(elems).as("__term"))
-      .filter(col("__term") =!= "")
+      .select(col(idCol).as("__id"), explode(elems).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(col("__id"), xxhash64(col("__t")).as("__term"))
+      .distinct()
+      .localCheckpoint()
     val dfc = toks.groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("__id"))
@@ -89,7 +106,11 @@ object SetSimJoin {
             lit(threshold / (1.0 + threshold))))
       .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
       .distinct()
-    val arrays = toks.groupBy(col("__id"))
+    // arrays for the verify step come from `ranked`, not a fresh pass
+    // over `toks`: the rank window already hash-partitioned rows by
+    // doc, so this groupBy reuses that exchange instead of re-deriving
+    // (re-explode + re-shuffle) the token set a third time
+    val arrays = ranked.groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__term"))).as("__terms"))
     val common = cands
       .join(arrays.select(col("__id").as("id_a"),
