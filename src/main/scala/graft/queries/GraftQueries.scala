@@ -377,6 +377,64 @@ object GraftQueries {
       |           AND i.o_custkey % 7 = 0)
       |ORDER BY 1""".stripMargin
 
+  /** Change Data Feed from a three-clause merge (captureChanges):
+    * row-level insert / update_preimage / update_postimage / delete
+    * records the downstream-incremental-consumer pattern needs —
+    * Delta's table_changes, re-expressed on the sidecar layout. */
+  val mergeCdf: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val full = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val incremental = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice",
+        (iscale(col("o_totalprice"), 2) * lit(110L)).cast("double") /
+          lit(10000.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merge_cdf_q").toString + "/t"
+    st.write(full, path, "delta", "overwrite")
+    st.merge(incremental, path, "full.o_orderkey = incremental.o_orderkey",
+      updateCondition = Some("incremental.o_totalprice > 200000"),
+      deleteCondition = Some("incremental.o_custkey % 7 = 0"),
+      captureChanges = true)
+    graft.storage.Merge.changeFeed(spark, path)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "_change_type")
+      .orderBy("o_orderkey", "_change_type")
+  }
+
+  val mergeCdfSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      |f AS (SELECT * FROM base WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey,
+      |             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 110 AS DOUBLE) / 10000.0 AS o_totalprice,
+      |             'U' AS o_orderstatus FROM base WHERE o_orderkey % 3 = 0),
+      |m AS (
+      |  SELECT f.o_orderkey fk, f.o_custkey fc, f.o_totalprice fp,
+      |         f.o_orderstatus fs, i.o_orderkey ik, i.o_custkey ic,
+      |         i.o_totalprice ip, i.o_orderstatus istat
+      |  FROM f JOIN i ON f.o_orderkey = i.o_orderkey),
+      |changes AS (
+      |  SELECT fk AS o_orderkey, fc AS o_custkey, fp AS o_totalprice,
+      |         fs AS o_orderstatus, 'delete' AS _change_type
+      |  FROM m WHERE ic % 7 = 0
+      |  UNION ALL
+      |  SELECT fk, fc, fp, fs, 'update_preimage'
+      |  FROM m WHERE ic % 7 <> 0 AND ip > 200000
+      |  UNION ALL
+      |  SELECT ik, ic, ip, istat, 'update_postimage'
+      |  FROM m WHERE ic % 7 <> 0 AND ip > 200000
+      |  UNION ALL
+      |  SELECT i.o_orderkey, i.o_custkey, i.o_totalprice, i.o_orderstatus,
+      |         'insert'
+      |  FROM i WHERE NOT EXISTS (
+      |    SELECT 1 FROM f WHERE f.o_orderkey = i.o_orderkey))
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |  _change_type
+      |FROM changes ORDER BY o_orderkey, _change_type""".stripMargin
+
   // ---------------------------------------------------- §2.5 aggregations
 
   /** TPC-H Q1-shaped pricing summary (count/sum/avg/min/max + aliases —
@@ -4584,6 +4642,7 @@ object GraftQueries {
     entry("q_merge_upsert", mergeUpsert, mergeUpsertSql),
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_merge_delete", mergeDelete, mergeDeleteSql),
+    entry("q_merge_cdf", mergeCdf, mergeCdfSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),

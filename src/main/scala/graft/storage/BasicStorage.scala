@@ -90,10 +90,11 @@ class BasicStorage(spark: SparkSession) extends Storage {
                      updateCondition: Option[String] = None,
                      insertCondition: Option[String] = None,
                      errorOnMultiMatch: Boolean = false,
-                     deleteCondition: Option[String] = None): Unit = {
+                     deleteCondition: Option[String] = None,
+                     captureChanges: Boolean = false): Unit = {
     val created = Merge.run(spark, this, df, path, mergeCondition,
       partitionFields, mergeSchemas, updateCondition, insertCondition,
-      errorOnMultiMatch, deleteCondition)
+      errorOnMultiMatch, deleteCondition, captureChanges)
     // auto-create goes through write(), which already notified
     // (reference early-returns there: basic.py:170-172)
     if (!created) notifyOutputObservers(df, path)

@@ -85,6 +85,12 @@ object GraftLog {
     val old = base + "__graft_old"
     Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
     Fs.copyDirChecked(spark, logPath(base), logPath(tmp))
+    // every underscore sidecar survives the swap, not just the op log —
+    // the change feed (_graft_changes) lives beside the data too
+    val changes = base.stripSuffix("/") + "/" + Merge.ChangesDirName
+    if (Fs.exists(spark, changes))
+      Fs.copyDirChecked(spark, changes,
+        tmp.stripSuffix("/") + "/" + Merge.ChangesDirName)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     Fs.deleteChecked(spark, old)

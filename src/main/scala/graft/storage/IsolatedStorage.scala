@@ -122,12 +122,13 @@ class IsolatedStorage(val storage: Storage, spark: SparkSession,
                      updateCondition: Option[String] = None,
                      insertCondition: Option[String] = None,
                      errorOnMultiMatch: Boolean = false,
-                     deleteCondition: Option[String] = None): Unit = {
+                     deleteCondition: Option[String] = None,
+                     captureChanges: Boolean = false): Unit = {
     val iso = createIsolationPath(path)
     val target = if (exists(iso)) iso else path
     verboseOutput(target, "Merging", "delta")
     storage.merge(df, target, mergeCondition, partitionFields, mergeSchemas,
-      updateCondition, insertCondition, errorOnMultiMatch, deleteCondition)
+      updateCondition, insertCondition, errorOnMultiMatch, deleteCondition, captureChanges)
   }
 
   override def registerOutputObserver(observer: StorageOutputObserver): Unit =

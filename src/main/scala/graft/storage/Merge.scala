@@ -29,6 +29,20 @@ import graft.core.Schemas
   */
 object Merge {
 
+  val ChangesDirName = "_graft_changes"
+
+  /** Read a managed table's Change Data Feed: every change batch ever
+    * captured by a `captureChanges = true` merge, with `_change_type`
+    * and the stamping `batch` dir-partition column (monotone per
+    * writer — order by it to replay). Empty-schema-safe: a table with
+    * no captured batches yields an empty frame with just the batch
+    * column absent, so callers should guard with [[hasChanges]]. */
+  def changeFeed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path.stripSuffix("/") + "/" + ChangesDirName)
+
+  def hasChanges(spark: SparkSession, path: String): Boolean =
+    Fs.exists(spark, path.stripSuffix("/") + "/" + ChangesDirName)
+
   /** Runs the merge. Returns true if the table was auto-created (in which
     * case [[BasicStorage.write]] has already notified observers). */
   def run(spark: SparkSession, storage: BasicStorage, df: DataFrame,
@@ -38,7 +52,8 @@ object Merge {
           updateCondition: Option[String],
           insertCondition: Option[String],
           errorOnMultiMatch: Boolean = false,
-          deleteCondition: Option[String] = None): Boolean = {
+          deleteCondition: Option[String] = None,
+          captureChanges: Boolean = false): Boolean = {
 
     if (updateCondition.map(_.toLowerCase).contains("false") &&
         insertCondition.map(_.toLowerCase).contains("false") &&
@@ -326,6 +341,31 @@ object Merge {
         .select(outNames.map(n => col(s"incremental.$n").as(n)): _*)
 
       val result = keep.unionByName(touched).unionByName(inserts)
+
+      // Change Data Feed (Delta's table_changes): one batch dir of
+      // row-level changes per merge under _graft_changes (underscore
+      // prefix — invisible to table scans, like the op log), columns =
+      // table schema + _change_type ∈ {insert, update_preimage,
+      // update_postimage, delete}. Written BEFORE the data rewrite:
+      // the change rows are computed FROM the pre-merge files, and on
+      // the COW path those files are deleted by the swap — a lazy plan
+      // evaluated after it would read corpses. The batch=<nano> dir
+      // partition stamps each merge's changes (readers get the column
+      // for free); a failed merge can leave an orphan change batch —
+      // the documented at-least-once trade of log-before-data.
+      if (captureChanges) {
+        val notDel = !coalesce(delCond, lit(false))
+        val updTrue = coalesce(updCond, lit(false))
+        def side(prefix: String, tag: String, cond: org.apache.spark.sql.Column) =
+          matched.filter(cond).select(outNames.map(n =>
+            col(s"$prefix.$n").as(n)) :+ lit(tag).as("_change_type"): _*)
+        val changes = side("full", "delete", coalesce(delCond, lit(false)))
+          .unionByName(side("full", "update_preimage", notDel && updTrue))
+          .unionByName(side("incremental", "update_postimage", notDel && updTrue))
+          .unionByName(inserts.withColumn("_change_type", lit("insert")))
+        changes.write.mode("overwrite").format("parquet")
+          .save(s"$base/${ChangesDirName}/batch=${System.nanoTime()}")
+      }
 
       if (effectiveParts.nonEmpty && !evolving) {
         // Partitioned table: rewrite ONLY the affected partitions via

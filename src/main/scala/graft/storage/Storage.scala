@@ -34,7 +34,8 @@ trait Storage {
             updateCondition: Option[String] = None,
             insertCondition: Option[String] = None,
             errorOnMultiMatch: Boolean = false,
-            deleteCondition: Option[String] = None): Unit
+            deleteCondition: Option[String] = None,
+            captureChanges: Boolean = false): Unit
   def exists(path: String): Boolean
   def registerOutputObserver(observer: StorageOutputObserver): Unit
 }
