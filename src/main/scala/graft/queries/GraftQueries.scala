@@ -4345,6 +4345,51 @@ object GraftQueries {
       |  version, effective_to IS NULL AS is_current
       |FROM num ORDER BY user_id, version""".stripMargin
 
+  /** Point-in-time dimension lookup against the SCD2 history: each
+    * purchase event joined to the state version IN EFFECT at its
+    * timestamp — the fact-to-versioned-dim pattern SCD2 exists for.
+    * [from, to) intervals partition each key's timeline, so every
+    * event matches exactly one version. Key-equi join + interval
+    * filter: per-key fanout is that key's version count (use the
+    * as-of join family for high-churn dims). */
+  val scd2LookupQ: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val dim = graft.ops.Scd.scd2FromChanges(
+      ev.withColumnRenamed("event_type", "state"),
+      "user_id", Seq("ts", "event_id"), Seq("state"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .join(dim.select(col("user_id"), col("state"), col("version"),
+        col("effective_from"), col("effective_to")), Seq("user_id"))
+      .filter(col("ts") >= col("effective_from") &&
+        (col("effective_to").isNull || col("ts") < col("effective_to")))
+      .select(col("user_id"), col("event_id"), col("state"), col("version"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val scd2LookupSql: String =
+    """WITH chg AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, state FROM chg
+      |  WHERE prev IS NULL OR state <> prev),
+      |num AS (
+      |  SELECT user_id, state, ts AS effective_from,
+      |    lead(ts) OVER w AS effective_to,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM runs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, n.state, n.version
+      |FROM p JOIN num n ON p.user_id = n.user_id
+      |  AND p.ts >= n.effective_from
+      |  AND (n.effective_to IS NULL OR p.ts < n.effective_to)
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   /** k-anonymity / l-diversity audit (Privacy.kAnonymityAudit) over
     * banded customer quasi-identifiers — the release-blocking
     * equivalence classes. */
@@ -4794,6 +4839,7 @@ object GraftQueries {
     entry("q_tpch_q5", tpchQ5, tpchQ5Sql),
     entry("q_attribution", attributionQ, attributionSql),
     entry("q_scd2", scd2Q, scd2Sql),
+    entry("q_scd2_lookup", scd2LookupQ, scd2LookupSql),
     entry("q_k_anonymity", kAnonymityQ, kAnonymitySql),
     entry("q_weighted_sample", weightedSampleQ, weightedSampleSql),
     entry("q_setsim_join", setsimJoinQ, setsimJoinSql),
