@@ -435,6 +435,39 @@ object GraftQueries {
       |  _change_type
       |FROM changes ORDER BY o_orderkey, _change_type""".stripMargin
 
+  /** Replica maintenance from the change feed (Merge.replayChanges):
+    * capture a merge's CDF, replay it onto the PRE-merge snapshot, and
+    * the replica equals the post-merge table — pinned by sharing
+    * q_merge_delete's oracle verbatim. The ship-batches-not-tables
+    * replication loop. */
+  val cdfReplay: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val full = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val incremental = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice",
+        (iscale(col("o_totalprice"), 2) * lit(110L)).cast("double") /
+          lit(10000.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cdf_replay_q").toString + "/t"
+    val replica = java.nio.file.Files
+      .createTempDirectory("graft_cdf_replay_q").toString + "/replica"
+    st.write(full, path, "delta", "overwrite")
+    st.write(full, replica, "delta", "overwrite") // pre-merge snapshot
+    st.merge(incremental, path, "full.o_orderkey = incremental.o_orderkey",
+      updateCondition = Some("incremental.o_totalprice > 200000"),
+      deleteCondition = Some("incremental.o_custkey % 7 = 0"),
+      captureChanges = true)
+    graft.storage.Merge.replayChanges(
+        st.read(replica, "delta"),
+        graft.storage.Merge.changeFeed(spark, path),
+        keyCols = Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------- §2.5 aggregations
 
   /** TPC-H Q1-shaped pricing summary (count/sum/avg/min/max + aliases —
@@ -4688,6 +4721,7 @@ object GraftQueries {
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_merge_delete", mergeDelete, mergeDeleteSql),
     entry("q_merge_cdf", mergeCdf, mergeCdfSql),
+    entry("q_cdf_replay", cdfReplay, mergeDeleteSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),

@@ -43,6 +43,32 @@ object Merge {
   def hasChanges(spark: SparkSession, path: String): Boolean =
     Fs.exists(spark, path.stripSuffix("/") + "/" + ChangesDirName)
 
+  /** Replay a change batch onto a base snapshot: rows named by a
+    * delete or update_preimage leave (matched BY KEY — the replica's
+    * copy of an updated row is replaced even if byte-identical), rows
+    * named by an insert or update_postimage arrive. Applying the feed
+    * of a merge to the pre-merge snapshot reproduces the post-merge
+    * table exactly (oracle-pinned by `q_cdf_replay`) — the downstream
+    * replica maintenance loop: ship `_graft_changes` batches, replay
+    * in `batch` order, never re-copy the table.
+    *
+    * Scale shape: one key-keyed anti join (removals are batch-sized —
+    * broadcast) plus a union; the replica is scanned, never shuffled,
+    * for small batches. Feed a STREAM of batches through
+    * foreachBatch + this function for continuous replication. */
+  def replayChanges(base: DataFrame, changes: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "replay needs the table's merge keys")
+    val dataCols = base.schema.fieldNames.toSeq
+    val removed = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(keyCols.map(col): _*).distinct()
+    val added = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    base.join(removed, keyCols, "left_anti").unionByName(added)
+  }
+
   /** Runs the merge. Returns true if the table was auto-created (in which
     * case [[BasicStorage.write]] has already notified observers). */
   def run(spark: SparkSession, storage: BasicStorage, df: DataFrame,
