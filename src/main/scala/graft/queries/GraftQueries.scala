@@ -651,6 +651,64 @@ object GraftQueries {
       |  max(CAST(props->>'k' AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema-typed JSON parsing (`from_json` into a struct, field
+    * access, `to_json` round-trip) — the typed cousin of
+    * q_json_extract's path strings; parsing to a STRUCT lets Catalyst
+    * prune and push the inner fields. */
+  val jsonTyped: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .withColumn("p",
+        from_json(col("props"), "k INT", Map.empty[String, String]))
+      .select(col("event_id"), col("p.k").as("k"),
+        to_json(struct(col("p.k").as("k"))).as("rejson"),
+        (col("p.k") >= 50).as("k_high"))
+      .orderBy("event_id")
+
+  val jsonTypedSql: String =
+    """SELECT event_id, CAST(props->>'k' AS INT) AS k,
+      |  '{"k":' || (props->>'k') || '}' AS rejson,
+      |  CAST(props->>'k' AS INT) >= 50 AS k_high
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** TPC-H Q10-shaped returned-item revenue: which customers returned
+    * goods in a quarter and what revenue walked out — lineitem return
+    * filter, quarter-bounded orders, customer+nation dims. */
+  val tpchQ10: Q = (spark, dir) => {
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val line = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    line
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** String-function battery over customer: substring, case, padding,
     * regex extraction, replace, reverse — each with an exact DuckDB
     * twin. */
@@ -4871,6 +4929,8 @@ object GraftQueries {
       windowQuantileBatchSql),
     entry("q_tpch_q3", tpchQ3, tpchQ3Sql),
     entry("q_tpch_q5", tpchQ5, tpchQ5Sql),
+    entry("q_tpch_q10", tpchQ10, tpchQ10Sql),
+    entry("q_json_typed", jsonTyped, jsonTypedSql),
     entry("q_attribution", attributionQ, attributionSql),
     entry("q_scd2", scd2Q, scd2Sql),
     entry("q_scd2_lookup", scd2LookupQ, scd2LookupSql),
