@@ -468,6 +468,38 @@ object GraftQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The replica loop as a STREAM (StreamingOps.replicateStream):
+    * change-feed batch files stream through foreachBatch replay into
+    * the replica table; after the drain the replica equals the
+    * post-merge source — same oracle as q_merge_delete. */
+  val streamCdfReplicate: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val full = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val incremental = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice",
+        (iscale(col("o_totalprice"), 2) * lit(110L)).cast("double") /
+          lit(10000.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_cdf_q").toString
+    val src = root + "/src"
+    val rep = root + "/replica"
+    st.write(full, src, "delta", "overwrite")
+    st.write(full, rep, "delta", "overwrite")
+    st.merge(incremental, src, "full.o_orderkey = incremental.o_orderkey",
+      updateCondition = Some("incremental.o_totalprice > 200000"),
+      deleteCondition = Some("incremental.o_custkey % 7 = 0"),
+      captureChanges = true)
+    val q = graft.streaming.StreamingOps.replicateStream(spark, st,
+      src, rep, keyCols = Seq("o_orderkey"), checkpoint = root + "/cp")
+    try q.processAllAvailable() finally q.stop()
+    st.read(rep, "delta")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------- §2.5 aggregations
 
   /** TPC-H Q1-shaped pricing summary (count/sum/avg/min/max + aliases —
@@ -4780,6 +4812,7 @@ object GraftQueries {
     entry("q_merge_delete", mergeDelete, mergeDeleteSql),
     entry("q_merge_cdf", mergeCdf, mergeCdfSql),
     entry("q_cdf_replay", cdfReplay, mergeDeleteSql),
+    entry("q_stream_cdf_replicate", streamCdfReplicate, mergeDeleteSql),
     entry("q_groupby_agg", groupbyAgg, groupbyAggSql),
     entry("q_rollup", rollupAgg, rollupAggSql),
     entry("q_cube", cubeAgg, cubeAggSql),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery}
@@ -372,4 +372,49 @@ object StreamingOps {
         }
       }
       .start()
+
+  /** Continuous replica maintenance from a source table's Change Data
+    * Feed: stream the `_graft_changes` batch files
+    * ([[graft.storage.Merge]] `captureChanges`) and replay each onto
+    * the replica ([[graft.storage.Merge.replayChanges]]) — the
+    * ship-batches-never-recopy replication loop, as a stream.
+    *
+    * Several source merges can land in one micro-batch; their change
+    * batches replay in `batch`-stamp order (monotone per writer), so
+    * a delete that follows an insert of the same key lands last. The
+    * replica is localCheckpoint'ed before its own overwrite (a lazy
+    * plan would read the files being replaced).
+    *
+    * Scale: per micro-batch cost is batch-sized anti-join + union +
+    * replica rewrite; state lives in the replica table, not the
+    * stream. At-least-once: a crash between replay and checkpoint
+    * commit re-replays a batch — idempotent for delete/update feeds
+    * keyed on stable keys (re-removing then re-adding the same rows),
+    * the same floor as [[mergeStream]] without txn bookkeeping. */
+  def replicateStream(spark: SparkSession, storage: Storage,
+                      sourcePath: String, replicaPath: String,
+                      keyCols: Seq[String],
+                      checkpoint: String): StreamingQuery = {
+    val changesDir = sourcePath.stripSuffix("/") + "/" +
+      graft.storage.Merge.ChangesDirName
+    val schema = spark.read.parquet(changesDir).schema
+    spark.readStream.schema(schema)
+      .option("basePath", changesDir)
+      .parquet(changesDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stamps = batch.select(col("batch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (stamps.nonEmpty) {
+          var replica = storage.read(replicaPath, "delta")
+          for (b <- stamps)
+            replica = graft.storage.Merge.replayChanges(
+              replica, batch.filter(col("batch") === b), keyCols)
+          val materialized = replica.localCheckpoint()
+          storage.write(materialized, replicaPath, "delta", "overwrite")
+        }
+      }
+      .start()
+  }
 }

@@ -522,4 +522,36 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       prev.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("replicateStream keeps a replica equal to the source across merge batches") {
+    import spark.implicits._
+    val st = new graft.storage.BasicStorage(spark)
+    val root = tempDir("cdf_replica")
+    val src = root + "/src"
+    val rep = root + "/rep"
+    val cp = root + "/cp"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    st.write(base, src, "delta", "overwrite")
+    st.write(base, rep, "delta", "overwrite") // replica starts at the snapshot
+    // batch 1: update 2, delete 3, insert 4
+    st.merge(Seq((2L, "B"), (3L, "x"), (4L, "d")).toDF("id", "v"), src,
+      "full.id = incremental.id",
+      deleteCondition = Some("incremental.v = 'x'"), captureChanges = true)
+    val q = StreamingOps.replicateStream(spark, st, src, rep,
+      keyCols = Seq("id"), checkpoint = cp)
+    try {
+      q.processAllAvailable()
+      def table(p: String) = st.read(p, "delta").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(table(rep) == table(src))
+      assert(table(rep) == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+      // batch 2 lands while the stream runs: delete 1, update 4, insert 5
+      st.merge(Seq((1L, "x"), (4L, "D"), (5L, "e")).toDF("id", "v"), src,
+        "full.id = incremental.id",
+        deleteCondition = Some("incremental.v = 'x'"), captureChanges = true)
+      q.processAllAvailable()
+      assert(table(rep) == table(src))
+      assert(table(rep) == Seq((2L, "B"), (4L, "D"), (5L, "e")))
+    } finally q.stop()
+  }
 }
