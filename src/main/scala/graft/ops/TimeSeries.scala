@@ -120,4 +120,66 @@ object TimeSeries {
     val den = terms.map(_._2).reduceLeft(_ + _)
     df.withColumn(s"${valueCol}_ewma", num / den)
   }
+
+  /** Classical seasonal decomposition with anomaly flags over a daily
+    * series (day, value): additive trend / seasonal / residual — the
+    * moving-average STL-lite every metrics pipeline runs before
+    * alerting, with every step deterministic enough to hash-match a
+    * SQL twin:
+    *
+    *  - trend: centered `period`-day moving average as an UNROLLED
+    *    lag/lead chain (fixed fold order — a frame-sum's fold order is
+    *    engine-private, the [[ewma]] lesson), null until a full window
+    *    exists;
+    *  - seasonal: exact decimal-quantized mean of the detrended value
+    *    per phase (day-index mod period — pure arithmetic, no
+    *    dayofweek() locale variance);
+    *  - residual = detrended − seasonal; anomaly when |residual| >
+    *    `k` × mean |residual| (the MAD-flavored threshold — variance
+    *    needs a float fold the engines won't agree on, mean-abs is
+    *    exact under quantization).
+    *
+    * Scale note: the series here is the DAILY grain — bounded by the
+    * calendar (3 650 rows per decade), so the single ordered window
+    * is metadata-sized by construction; the heavy reduction from
+    * events to days happens in the caller's partial-aggregated
+    * groupBy. Gaps: decompose assumes a contiguous series — compose
+    * with [[resample]] first when days can be missing. */
+  def seasonalDecompose(daily: DataFrame, dayCol: String,
+                        valueCol: String, period: Int = 7,
+                        k: Double = 2.0): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(period % 2 == 1, s"centered MA needs an odd period, got $period")
+    require(k > 0, s"k must be > 0, got $k")
+    val half = period / 2
+    val w = Window.orderBy(col(dayCol))
+    val terms = (-half to half).map {
+      case 0 => col(valueCol)
+      case i if i < 0 => lag(col(valueCol), -i).over(w)
+      case i => lead(col(valueCol), i).over(w)
+    }
+    val trended = daily
+      .withColumn("trend",
+        when(terms.map(_.isNotNull).reduce(_ && _),
+          terms.reduceLeft(_ + _) / lit(period.toDouble)))
+      .withColumn("phase",
+        pmod(datediff(col(dayCol), lit("1970-01-01")), lit(period)))
+      .withColumn("detrended", col(valueCol) - col("trend"))
+    val seasonal = trended.filter(col("detrended").isNotNull)
+      .groupBy(col("phase"))
+      .agg(graft.queries.Tables.davg(col("detrended")).as("seasonal"))
+    val withSeasonal = trended
+      .join(broadcast(seasonal), Seq("phase"), "left")
+      .withColumn("residual",
+        when(col("detrended").isNotNull,
+          col("detrended") - col("seasonal")))
+    val madBar = withSeasonal.filter(col("residual").isNotNull)
+      .agg(graft.queries.Tables.davg(abs(col("residual"))).as("__mabs"))
+    withSeasonal.crossJoin(broadcast(madBar))
+      .withColumn("is_anomaly",
+        when(col("residual").isNotNull,
+          abs(col("residual")) > lit(k) * col("__mabs")))
+      .select(col(dayCol), col(valueCol), col("phase"), col("trend"),
+        col("seasonal"), col("residual"), col("is_anomaly"))
+  }
 }

@@ -4761,6 +4761,57 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Seasonal decomposition + anomaly flags over the daily event
+    * volume (TimeSeries.seasonalDecompose): centered-MA trend
+    * (unrolled fold), per-phase exact seasonal means, MAD-flavored
+    * residual threshold — hash-matched end to end. */
+  val seasonalQ: Q = (spark, dir) => {
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("total"))
+    graft.ops.TimeSeries.seasonalDecompose(daily, "day", "total",
+        period = 7, k = 2.0)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("total"), 6).as("total"), col("phase"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("residual"), 6).as("residual"), col("is_anomaly"))
+      .orderBy("day")
+  }
+
+  val seasonalSql: String = {
+    val lags = Seq("lag(total, 3) OVER w", "lag(total, 2) OVER w",
+      "lag(total, 1) OVER w", "total", "lead(total, 1) OVER w",
+      "lead(total, 2) OVER w", "lead(total, 3) OVER w")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, ${sqlDsum("value")} AS total
+       |  FROM events GROUP BY 1),
+       |t AS (
+       |  SELECT day, total,
+       |    CASE WHEN ${lags.map(l => s"($l) IS NOT NULL").mkString(" AND ")}
+       |      THEN (${lags.mkString(" + ")}) / 7.0 END AS trend,
+       |    CAST(datediff('day', DATE '1970-01-01', day) % 7 AS INT)
+       |      AS phase
+       |  FROM daily WINDOW w AS (ORDER BY day)),
+       |d AS (SELECT *, total - trend AS detrended FROM t),
+       |s AS (SELECT phase, ${sqlDavg("detrended")} AS seasonal
+       |      FROM d WHERE detrended IS NOT NULL GROUP BY phase),
+       |r AS (
+       |  SELECT d.day, d.total, d.phase, d.trend, s.seasonal,
+       |    CASE WHEN d.detrended IS NOT NULL
+       |      THEN d.detrended - s.seasonal END AS residual
+       |  FROM d LEFT JOIN s ON d.phase = s.phase),
+       |m AS (SELECT ${sqlDavg("abs(residual)")} AS mabs FROM r
+       |      WHERE residual IS NOT NULL)
+       |SELECT strftime(r.day, '%Y-%m-%d') AS day,
+       |  round(r.total, 6) AS total, r.phase,
+       |  round(r.trend, 6) AS trend, round(r.seasonal, 6) AS seasonal,
+       |  round(r.residual, 6) AS residual,
+       |  CASE WHEN r.residual IS NOT NULL
+       |    THEN abs(r.residual) > 2.0 * m.mabs END AS is_anomaly
+       |FROM r, m ORDER BY day""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -4975,6 +5026,7 @@ object GraftQueries {
     entry("q_compress_ratio", compressRatioQ),
     entry("q_pq_encode", pqEncodeQ, pqEncodeSql),
     entry("q_pq_search", pqSearchQ),
-    entry("q_bpe_encode", bpeEncodeQ)
+    entry("q_bpe_encode", bpeEncodeQ),
+    entry("q_seasonal", seasonalQ, seasonalSql)
   )
 }

@@ -1513,4 +1513,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("checkpointMode"))
   }
+
+  test("seasonalDecompose: planted weekly pattern recovered, spike flagged") {
+    import spark.implicits._
+    import java.sql.Date
+    // 6 weeks of value = 100 + 10*phase, one +500 spike on day 21
+    val days = (0 until 42).map { i =>
+      val base = 100.0 + 10.0 * (i % 7)
+      (Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + i)),
+        if (i == 21) base + 500.0 else base)
+    }
+    val out = TimeSeries.seasonalDecompose(
+        days.toDF("day", "total"), "day", "total", period = 7, k = 2.0)
+      .orderBy("day").collect()
+    // edge days (no full centered window) have null trend/residual
+    assert(out.take(3).forall(_.isNullAt(3)))
+    assert(out.takeRight(3).forall(_.isNullAt(3)))
+    val spike = out(21)
+    assert(!spike.isNullAt(6) && spike.getBoolean(6),
+      "the +500 spike must be flagged")
+    assert(out.zipWithIndex.filter(r => !r._1.isNullAt(5))
+      .maxBy(r => math.abs(r._1.getDouble(5)))._2 == 21,
+      "the spike must carry the largest residual")
+    // a clean periodic series decomposes EXACTLY: centered MA over one
+    // full period is flat, per-phase means soak up the pattern,
+    // residuals vanish, nothing flags
+    val cleanDays = (0 until 42).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + i)),
+        100.0 + 10.0 * (i % 7))
+    }
+    val cleanOut = TimeSeries.seasonalDecompose(
+        cleanDays.toDF("day", "total"), "day", "total", period = 7, k = 2.0)
+      .filter(col("residual").isNotNull).collect()
+    assert(cleanOut.nonEmpty)
+    assert(cleanOut.forall(r => math.abs(r.getDouble(5)) < 1e-9),
+      "clean periodic series must decompose to ~zero residuals")
+    assert(cleanOut.forall(r => !r.getBoolean(6)),
+      "clean periodic series must not flag anomalies")
+  }
 }
