@@ -4761,6 +4761,60 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Closed-form OLS per group: slope/intercept of extendedprice on
+    * quantity per return flag — every moment (Σx, Σy, Σxy, Σx²)
+    * accumulates EXACTLY (quantized integers in decimal(38,0), the
+    * dsum discipline), numerator and denominator cast to double once,
+    * one IEEE division — so an iterative-free regression hash-matches
+    * across engines, where `regr_slope`'s float folds never would. */
+  val linregQ: Q = (spark, dir) => {
+    val x = iscale(col("l_quantity"), 2)
+    val y = iscale(col("l_extendedprice"), 2)
+    val d38 = DecimalType(38, 0)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d38)).as("__sx"),
+        sum(y.cast(d38)).as("__sy"),
+        sum((x * y).cast(d38)).as("__sxy"),
+        sum((x * x).cast(d38)).as("__sxx"))
+      .withColumn("__num",
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double"))
+      .withColumn("__den",
+        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double"))
+      .withColumn("slope", round(col("__num") / col("__den"), 6))
+      .withColumn("intercept", round(
+        ((col("__sy").cast("double") -
+          (col("__num") / col("__den")) * col("__sx").cast("double")) /
+          col("n")) / lit(100.0), 6))
+      .select(col("l_returnflag"), col("n"), col("slope"),
+        col("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  val linregSql: String = {
+    val x = sqlIscale("l_quantity", 2)
+    val y = sqlIscale("l_extendedprice", 2)
+    s"""WITH m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST($x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST($y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST($x * $y AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST($x * $x AS DECIMAL(38,0))) AS sxx
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+       |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+       |  FROM m)
+       |SELECT l_returnflag, n, round(num / den, 6) AS slope,
+       |  round(((syd - (num / den) * sxd) / n) / 100.0, 6) AS intercept
+       |FROM d ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Seasonal decomposition + anomaly flags over the daily event
     * volume (TimeSeries.seasonalDecompose): centered-MA trend
     * (unrolled fold), per-phase exact seasonal means, MAD-flavored
@@ -5027,6 +5081,7 @@ object GraftQueries {
     entry("q_pq_encode", pqEncodeQ, pqEncodeSql),
     entry("q_pq_search", pqSearchQ),
     entry("q_bpe_encode", bpeEncodeQ),
-    entry("q_seasonal", seasonalQ, seasonalSql)
+    entry("q_seasonal", seasonalQ, seasonalSql),
+    entry("q_linreg", linregQ, linregSql)
   )
 }
