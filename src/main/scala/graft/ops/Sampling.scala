@@ -276,8 +276,11 @@ object Sampling {
       .select(col("__pid"), col("__off"))
     val thresholds = perPart.agg(sum(col("__wn")).as("__W"))
       // assert_true is NULL on pass — the filter keeps the row and the
-      // job dies with the message if the threshold math would overflow
-      .filter(assert_true(col("__W") <= lit(Long.MaxValue / n),
+      // job dies with the message if the threshold math would overflow.
+      // coalesce: an EMPTY input sums to null __W, which must pass (and
+      // then selects nothing), not throw
+      .filter(assert_true(
+        coalesce(col("__W") <= lit(Long.MaxValue / n), lit(true)),
         lit(s"systematicSample: n*W overflows long — lower weightScale ($weightScale) or n ($n)")).isNull)
       .select(explode(sequence(lit(1L), lit(n.toLong))).as("__m"),
         col("__W"))

@@ -70,7 +70,11 @@ object Merge {
   }
 
   /** Runs the merge. Returns true if the table was auto-created (in which
-    * case [[BasicStorage.write]] has already notified observers). */
+    * case [[BasicStorage.write]] has already notified observers).
+    * Note: an auto-creating merge captures NO change batch even with
+    * `captureChanges` — the feed records changes to an existing table
+    * (Delta's CDF likewise starts at the enabling version); consumers
+    * bootstrap from the initial snapshot, then follow the feed. */
   def run(spark: SparkSession, storage: BasicStorage, df: DataFrame,
           path: String, mergeCondition: String,
           partitionFields: Seq[String],
