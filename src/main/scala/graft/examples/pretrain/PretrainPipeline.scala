@@ -4,21 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Expectations
+import graft.functions.{DeflateRatioExpr, UnicodeNormalizeExpr}
 import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
 
 /** End-to-end pretraining-corpus curation: the showcase composition of
   * the operator families this library adds over the reference —
-  * quality filter → exact dedup → fuzzy (MinHash-LSH) dedup →
+  * unicode canonicalization → quality + compression-ratio filters →
+  * exact dedup → fuzzy (MinHash-LSH) dedup → duplicated-span drop →
   * benchmark decontamination → context-window chunking → token-budget
   * packing. Every stage is an operator with its own oracle-checked
   * declared query and spec; this object wires them the way a real
   * ingest job would and reports per-stage survivor counts.
   *
-  * Scale shape is inherited from the stages: quality and chunking are
-  * map-only; each dedup is candidate-bucketed (never all-pairs);
-  * decontamination joins by gram; packing windows within hash shards.
-  * The only driver-side work is the per-stage counts — six count()
-  * aggregates a production job would log anyway.
+  * Scale shape is inherited from the stages: normalization, quality,
+  * compression and chunking are map-only; each dedup is
+  * candidate-bucketed (never all-pairs); span stats shuffle once on
+  * gram hashes; decontamination joins by gram; packing windows within
+  * hash shards. The only driver-side work is the per-stage counts —
+  * the count() aggregates a production job would log anyway.
   */
 object PretrainPipeline {
 
@@ -39,7 +42,9 @@ object PretrainPipeline {
   def curate(docs: DataFrame, evalSet: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.3,
+             deflateBounds: (Double, Double) = (0.05, 1.1),
              jaccardThreshold: Double = 0.9,
+             maxDupFrac: Double = 0.5, spanGram: Int = 13,
              decontamGram: Int = 8,
              chunkTokens: Int = 256, overlapTokens: Int = 32,
              packBudget: Int = 1024, shards: Int = 8)
@@ -61,8 +66,18 @@ object PretrainPipeline {
       "input contract violated: " + broken.map(r =>
         s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
 
-    val quality = stage("quality_filter", docs.filter(
-      TextAnalysis.qualityScore(col(textCol)) >= minQuality))
+    // canonical spelling FIRST: every downstream hash, shingle, and
+    // join sees one form of composed/decomposed text
+    val normalized = docs.withColumn(textCol,
+      UnicodeNormalizeExpr.unicodeNormalize(col(textCol), "NFC"))
+
+    // two-tailed hygiene: heuristic quality score plus the deflate
+    // ratio (repetition/boilerplate compresses below the floor,
+    // keyboard-mash/encoded binary above the ceiling)
+    val quality = stage("quality_filter", normalized.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        DeflateRatioExpr.deflateRatio(col(textCol))
+          .between(deflateBounds._1, deflateBounds._2)))
 
     // exact dedup on the normalized fingerprint, smallest id survives
     val exact = stage("exact_dedup", Dedup.exactDeterministic(
@@ -78,8 +93,19 @@ object PretrainPipeline {
     val fuzzy = stage("fuzzy_dedup",
       exact.join(dupIds, Seq(idCol), "left_anti"))
 
+    // documents that are MOSTLY duplicated spans (boilerplate stitched
+    // around little fresh text) survive document-level dedup — the
+    // span statistics catch them
+    val spanStats = Dedup.duplicateSpans(fuzzy, idCol, textCol,
+      n = spanGram)
+    val spanHeavy = spanStats.filter(col("dup_frac") > maxDupFrac)
+      .select(col(idCol))
+    val despanned = stage("span_dedup",
+      fuzzy.join(spanHeavy, Seq(idCol), "left_anti"))
+
     val clean = stage("decontaminate",
-      Dedup.decontaminate(fuzzy, evalSet, idCol, textCol, decontamGram))
+      Dedup.decontaminate(despanned, evalSet, idCol, textCol,
+        decontamGram))
 
     // context-window chunks; chunk_uid is a stable per-chunk key for
     // packing (chunk_id < 2^20 per doc by construction at any sane

@@ -25,20 +25,39 @@ class PretrainPipelineSpec extends AnyFunSuite with SparkSpec {
     val exactDup = Seq((101L, goodDocs(3)._2)) // byte-identical to doc 3
     val nearDup = Seq((102L, goodDocs(4)._2 + " tail")) // jaccard ≈ 0.99 vs doc 4
     val contaminated = Seq((103L, words(900, 120, "evl")))
-    val docs = (goodDocs ++ junk ++ exactDup ++ nearDup ++ contaminated)
+    // degenerate compression: one token repeated — deflate ratio
+    // collapses under the floor, even though the length-based quality
+    // score passes
+    val zeroEntropy = Seq((104L, Seq.fill(120)("tok1").mkString(" ")))
+    // span-heavy: a fresh head stapled onto one paragraph repeated
+    // three times — token-set jaccard vs anything is low (its vocab is
+    // its own) and the repetition is too word-diverse to sink the
+    // deflate ratio below the floor, but most of its 13-gram SPANS
+    // recur within the document itself
+    val para = words(770, 40, "rep")
+    val spanHeavy = Seq((105L,
+      words(771, 10, "new") + " " + Seq.fill(3)(para).mkString(" ")))
+    val docs = (goodDocs ++ junk ++ exactDup ++ nearDup ++ contaminated ++
+      zeroEntropy ++ spanHeavy)
       .toDF("doc_id", "text")
     val evalSet = Seq((1L, words(900, 120, "evl"))) // shares grams with 103
       .toDF("doc_id", "text")
 
     val (packed, counts) = PretrainPipeline.curate(
       docs, evalSet,
-      minQuality = 0.5, jaccardThreshold = 0.9, decontamGram = 8,
+      minQuality = 0.5, jaccardThreshold = 0.9,
+      maxDupFrac = 0.5, spanGram = 13, decontamGram = 8,
       chunkTokens = 64, overlapTokens = 16, packBudget = 128, shards = 2)
 
     val byStage = counts.map(c => c.stage -> c.rows).toMap
-    assert(byStage("quality_filter") == 23) // of 24: junk gone (scores 0.4)
-    assert(byStage("exact_dedup") == 22) // planted copy gone, doc 3 kept
-    assert(byStage("fuzzy_dedup") == 21) // near-copy gone, doc 4 kept
+    // of 26: junk gone (scores 0.4) AND the zero-entropy doc gone
+    // (deflate ratio under the floor)
+    assert(byStage("quality_filter") == 24)
+    assert(byStage("exact_dedup") == 23) // planted copy gone, doc 3 kept
+    assert(byStage("fuzzy_dedup") == 22) // near-copy gone, doc 4 kept
+    // span-heavy doc gone: its repeated paragraph makes most of its
+    // own 13-gram spans corpus-duplicates (within-doc repeats count)
+    assert(byStage("span_dedup") == 21)
     assert(byStage("decontaminate") == 20) // contaminated doc gone
     // 20 docs × 120 tokens: starts 1/49/97 (bounded at 120−16) → 3 each
     assert(byStage("chunk") == 60)
