@@ -4866,6 +4866,29 @@ object GraftQueries {
        |FROM r, m ORDER BY day""".stripMargin
   }
 
+  /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
+    * facts of a managed table built with a controlled layout, so every
+    * fact is a known constant — the oracle is that constant row
+    * (size_bytes excluded: parquet encoding bytes are not a
+    * cross-version contract). */
+  val tableDetailQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_detail_q").toString + "/t"
+    val c = t(spark, dir, "customer").coalesce(1)
+    st.write(c, path, "delta", "overwrite")
+    st.write(c.filter(col("c_custkey") <= 10).coalesce(1),
+      path, "delta", "append")
+    graft.storage.GraftLog.tableDetail(spark, path)
+      .select(col("format"), col("num_files"), col("partition_columns"),
+        col("num_operations"), col("last_operation"))
+  }
+
+  val tableDetailSql: String =
+    """SELECT 'delta' AS format, CAST(2 AS BIGINT) AS num_files,
+      |  '' AS partition_columns, CAST(2 AS BIGINT) AS num_operations,
+      |  'WRITE' AS last_operation""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -5082,6 +5105,7 @@ object GraftQueries {
     entry("q_pq_search", pqSearchQ),
     entry("q_bpe_encode", bpeEncodeQ),
     entry("q_seasonal", seasonalQ, seasonalSql),
-    entry("q_linreg", linregQ, linregSql)
+    entry("q_linreg", linregQ, linregSql),
+    entry("q_table_detail", tableDetailQ, tableDetailSql)
   )
 }

@@ -96,6 +96,32 @@ object GraftLog {
     Fs.deleteChecked(spark, old)
   }
 
+  /** DESCRIBE DETAIL analogue for a managed table — one row of
+    * physical + log facts: format, data file count, total data bytes,
+    * recorded partition columns, operation count, and the newest
+    * operation. File facts come from one recursive listing (driver
+    * metadata, proportional to file count — the same cost Delta pays
+    * reading its log); log facts from the sidecar. */
+  def tableDetail(spark: SparkSession, tablePath: String): DataFrame = {
+    require(isManagedTable(spark, tablePath),
+      "The given path is not a Delta Table.")
+    val files = Fs.dataFiles(spark, tablePath)
+    val hist = history(spark, tablePath).collect()
+    val row = Row("delta", files.size.toLong, files.map(_._2).sum,
+      lastPartitioning(spark, tablePath).mkString(","),
+      hist.length.toLong,
+      hist.headOption.map(_.getString(0)).orNull)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      StructType(Seq(
+        StructField("format", StringType),
+        StructField("num_files", LongType),
+        StructField("size_bytes", LongType),
+        StructField("partition_columns", StringType),
+        StructField("num_operations", LongType),
+        StructField("last_operation", StringType))))
+  }
+
   /** The operation history, newest first (history() analogue).
     * mergeSchema tolerates logs written before the seq column existed. */
   def history(spark: SparkSession, tablePath: String): DataFrame = {
