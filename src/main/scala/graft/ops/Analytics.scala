@@ -237,12 +237,18 @@ object Analytics {
       .withColumn("__first", first(touch, ignoreNulls = true).over(w))
       .withColumn("__last", last(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === conversionType)
+    // both models leave the single window pass as a map-side 2-element
+    // explode — a union of two selects would re-plan (and re-shuffle)
+    // the window once per model
     credited
-      .select(coalesce(col("__first"), lit("direct")).as("channel"),
-        lit("first_touch").as("model"), col(valueCol).as("__v"))
-      .unionAll(credited.select(
-        coalesce(col("__last"), lit("direct")).as("channel"),
-        lit("last_touch").as("model"), col(valueCol).as("__v")))
+      .select(explode(array(
+        struct(coalesce(col("__first"), lit("direct")).as("channel"),
+          lit("first_touch").as("model")),
+        struct(coalesce(col("__last"), lit("direct")).as("channel"),
+          lit("last_touch").as("model")))).as("__m"),
+        col(valueCol).as("__v"))
+      .select(col("__m.channel").as("channel"),
+        col("__m.model").as("model"), col("__v"))
       .groupBy(col("channel"), col("model"))
       .agg(count(lit(1)).as("conversions"),
         graft.queries.Tables.dsum(col("__v")).as("revenue"))

@@ -462,13 +462,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
-  test("q_attribution computes both models from one window pass — a single events scan") {
+  test("q_attribution computes both models from exactly one window pass") {
     val q = GraftQueries.attributionQ(spark, dir)
     val p = planOf(q)
-    // one Window node (first+last share the frame), scans the events
-    // parquet once per union branch at most — the window itself must
-    // not be duplicated per model
-    assert("(?s)Window".r.findAllIn(p).size >= 1)
+    // first+last share one frame and both models leave it as a
+    // map-side explode — exactly ONE Window node, no self-join
+    assert("Window".r.findAllIn(p).size == 1,
+      s"expected exactly one Window node:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"attribution must not self-join conversions against touches:\n$p")
   }
