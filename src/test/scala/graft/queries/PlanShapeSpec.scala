@@ -462,13 +462,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
-  test("q_attribution computes both models from exactly one window pass") {
+  test("q_attribution computes both models from one window shuffle") {
     val q = GraftQueries.attributionQ(spark, dir)
-    val p = planOf(q)
-    // first+last share one frame and both models leave it as a
-    // map-side explode — exactly ONE Window node, no self-join
-    assert("Window".r.findAllIn(p).size == 1,
-      s"expected exactly one Window node:\n$p")
+    // the executed-plan string prints Final AND Initial plans under
+    // AQE — pin the final section only
+    val p = planOf(q).split("== Initial Plan ==").head
+    // one user-keyed exchange feeds one sort; Spark stacks the
+    // nth_value (first) and last Windows on it PIPELINED — two Window
+    // nodes, ONE shuffle; both models then leave as a map-side explode
+    assert("Exchange hashpartitioning\\(user".r.findAllIn(p).size == 1,
+      s"expected exactly one user-keyed window exchange:\n$p")
+    assert("\\+\\- Window \\[".r.findAllIn(p).size <= 2,
+      s"window stack must not be duplicated per model:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"attribution must not self-join conversions against touches:\n$p")
   }
