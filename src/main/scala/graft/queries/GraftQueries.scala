@@ -4866,6 +4866,61 @@ object GraftQueries {
        |FROM r, m ORDER BY day""".stripMargin
   }
 
+  /** Per-dimension embedding standardization (z-score feature
+    * scaling): each dimension's mean and variance from EXACT
+    * decimal-quantized moment sums (partition-order independent —
+    * native avg/stddev float folds are not), one sqrt + one division
+    * in doubles. The whiten-before-distance step of vector prep;
+    * output exploded (vec_id, pos, z) for the hash compare. */
+  val featureScaleQ: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val dims = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+    val xq = iscale(col("x"), 6)
+    val stats = dims.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(xq.cast(d38)).as("__sx"),
+        sum((xq * xq).cast(d38)).as("__sxx"))
+      .withColumn("mean",
+        (col("__sx").cast("double") / col("n")) / lit(1e6))
+      .withColumn("sd", sqrt(
+        ((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double") /
+          (col("n").cast("double") * (col("n") - lit(1)).cast("double"))) /
+          lit(1e12)))
+      .select(col("pos"), col("mean"), col("sd"))
+    dims.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        round((col("x") - col("mean")) / col("sd"), 6).as("z"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val featureScaleSql: String = {
+    val xq = sqlIscale("x", 6)
+    s"""WITH dims AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       |    CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)),
+       |stats AS (
+       |  SELECT pos, count(*) AS n,
+       |    sum(CAST($xq AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST($xq * $xq AS DECIMAL(38,0))) AS sxx
+       |  FROM dims GROUP BY pos),
+       |ms AS (
+       |  SELECT pos,
+       |    (CAST(sx AS DOUBLE) / n) / 1e6 AS mean,
+       |    sqrt((CAST(n * sxx - sx * sx AS DOUBLE) /
+       |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 1e12) AS sd
+       |  FROM stats)
+       |SELECT d.vec_id, d.pos, round((d.x - ms.mean) / ms.sd, 6) AS z
+       |FROM dims d JOIN ms ON d.pos = ms.pos
+       |ORDER BY d.vec_id, d.pos""".stripMargin
+  }
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5106,6 +5161,7 @@ object GraftQueries {
     entry("q_bpe_encode", bpeEncodeQ),
     entry("q_seasonal", seasonalQ, seasonalSql),
     entry("q_linreg", linregQ, linregSql),
-    entry("q_table_detail", tableDetailQ, tableDetailSql)
+    entry("q_table_detail", tableDetailQ, tableDetailSql),
+    entry("q_feature_scale", featureScaleQ, featureScaleSql)
   )
 }
