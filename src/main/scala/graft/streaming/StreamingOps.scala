@@ -387,10 +387,17 @@ object StreamingOps {
     *
     * Scale: per micro-batch cost is batch-sized anti-join + union +
     * replica rewrite; state lives in the replica table, not the
-    * stream. At-least-once: a crash between replay and checkpoint
-    * commit re-replays a batch — idempotent for delete/update feeds
-    * keyed on stable keys (re-removing then re-adding the same rows),
-    * the same floor as [[mergeStream]] without txn bookkeeping. */
+    * stream.
+    *
+    * Delivery: the highest applied change-batch stamp is recorded in
+    * the REPLICA's op log (the [[mergeStream]] txnAppId discipline) —
+    * after a checkpoint reset or a crash between replay and stream
+    * commit, already-applied batches are SKIPPED rather than
+    * re-replayed, so delivery is effectively-once as long as the
+    * replica's log survives with its data. The txn record lands after
+    * the replica write; a crash exactly between the two replays one
+    * batch — replay is idempotent anyway for key-stable feeds
+    * (re-removing then re-adding the same rows). */
   def replicateStream(spark: SparkSession, storage: Storage,
                       sourcePath: String, replicaPath: String,
                       keyCols: Seq[String],
@@ -398,14 +405,17 @@ object StreamingOps {
     val changesDir = sourcePath.stripSuffix("/") + "/" +
       graft.storage.Merge.ChangesDirName
     val schema = spark.read.parquet(changesDir).schema
+    val txnApp = s"graft_replicate:$sourcePath"
     spark.readStream.schema(schema)
       .option("basePath", changesDir)
       .parquet(changesDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val applied = graft.storage.GraftLog
+          .lastTxnBatch(spark, replicaPath, txnApp).getOrElse(Long.MinValue)
         val stamps = batch.select(col("batch")).distinct()
-          .collect().map(_.getLong(0)).sorted
+          .collect().map(_.getLong(0)).filter(_ > applied).sorted
         if (stamps.nonEmpty) {
           var replica = storage.read(replicaPath, "delta")
           for (b <- stamps)
@@ -413,6 +423,8 @@ object StreamingOps {
               replica, batch.filter(col("batch") === b), keyCols)
           val materialized = replica.localCheckpoint()
           storage.write(materialized, replicaPath, "delta", "overwrite")
+          graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,
+            Some(txnApp -> stamps.max))
         }
       }
       .start()

@@ -553,5 +553,25 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       assert(table(rep) == table(src))
       assert(table(rep) == Seq((2L, "B"), (4L, "D"), (5L, "e")))
     } finally q.stop()
+
+    // effectively-once across a CHECKPOINT RESET: the replica's op log
+    // carries the applied high-watermark, so a fresh checkpoint replays
+    // the whole feed but every batch is skipped. Proof by tamper: plant
+    // a marker on a key the feed WOULD reset (4 -> "D" post-image) —
+    // a re-replay would overwrite it, skipping preserves it.
+    val tampered = Seq((2L, "B"), (4L, "TAMPERED"), (5L, "e"))
+      .toDF("id", "v")
+    st.write(tampered.localCheckpoint(), rep, "delta", "overwrite")
+    // restore the watermark row the overwrite wiped (the stream's own
+    // writes re-append it AFTER each overwrite; this tamper bypassed it)
+    graft.storage.GraftLog.append(spark, rep, "TXN", Nil,
+      Some(s"graft_replicate:$src" -> Long.MaxValue))
+    val q2 = StreamingOps.replicateStream(spark, st, src, rep,
+      keyCols = Seq("id"), checkpoint = root + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    val after = st.read(rep, "delta").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(after == Seq((2L, "B"), (4L, "TAMPERED"), (5L, "e")),
+      "already-applied batches must be skipped after a checkpoint reset")
   }
 }
