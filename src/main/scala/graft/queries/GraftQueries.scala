@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Pca, Similarity, TextAnalysis}
 import graft.storage.BasicStorage
 
 import Tables._
@@ -4921,6 +4921,52 @@ object GraftQueries {
        |ORDER BY d.vec_id, d.pos""".stripMargin
   }
 
+  /** Exact covariance matrix of the leading embedding dims
+    * ([[Pca.covariance]]): the one-pass reduction that makes PCA
+    * cluster-shaped — shuffle volume is O(dims²) regardless of row
+    * count (map-side partial agg collapses the exploded pairs).
+    * Quantized decimal sums make the matrix exact, hence
+    * hash-matchable against DuckDB doing the same arithmetic. Leading
+    * 8 dims declared (36 upper-triangle entries); PcaSpec exercises
+    * the full 64. */
+  val embeddingCovQ: Q = (spark, dir) =>
+    Pca.covariance(t(spark, dir, "embeddings"), "embedding", dims = 8)
+      .orderBy("i", "j")
+
+  val embeddingCovSql: String =
+    s"""WITH v AS (
+       |  SELECT CAST(embedding[1:8] AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (
+       |  SELECT CAST(t1.i - 1 AS INT) AS i, CAST(t2.j - 1 AS INT) AS j,
+       |    e[t1.i] AS xi, e[t2.j] AS xj
+       |  FROM v, generate_series(1, 8) t1(i), generate_series(1, 8) t2(j)
+       |  WHERE t2.j >= t1.i)
+       |SELECT i, j,
+       |  (CAST(sum(CAST(${sqlIscale("(xi * xj)", 8)} AS DECIMAL(38,0)))
+       |     AS DOUBLE) / count(*)) / 1e8 -
+       |  ((CAST(sum(CAST(${sqlIscale("xi", 6)} AS DECIMAL(38,0)))
+       |     AS DOUBLE) / count(*)) / 1e6) *
+       |  ((CAST(sum(CAST(${sqlIscale("xj", 6)} AS DECIMAL(38,0)))
+       |     AS DOUBLE) / count(*)) / 1e6) AS cov
+       |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  /** PCA projection ([[Pca.fit]] + [[Pca.project]]): full-64-dim fit
+    * (one covariance pass + driver Jacobi eigensolve of the 64×64
+    * matrix), then a map-only projection — k fused dot products per
+    * row against broadcast-literal components, no shuffle. No oracle
+    * BY DESIGN (no eigensolve in SQL); PcaSpec pins component
+    * orthonormality, eigenvalue ordering + trace preservation,
+    * projected variance == eigenvalue, reconstruction-error monotone
+    * in k, and bit-identical refit under repartitioning. */
+  val pcaProjectQ: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val model = Pca.fit(emb, "embedding", dims = 64, k = 4)
+    Pca.project(emb, "embedding", model)
+      .select(col("vec_id"),
+        transform(col("pc"), x => round(x, 6)).as("pc"))
+      .orderBy("vec_id")
+  }
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5162,6 +5208,8 @@ object GraftQueries {
     entry("q_seasonal", seasonalQ, seasonalSql),
     entry("q_linreg", linregQ, linregSql),
     entry("q_table_detail", tableDetailQ, tableDetailSql),
-    entry("q_feature_scale", featureScaleQ, featureScaleSql)
+    entry("q_feature_scale", featureScaleQ, featureScaleSql),
+    entry("q_embedding_cov", embeddingCovQ, embeddingCovSql),
+    entry("q_pca_project", pcaProjectQ)
   )
 }
