@@ -4967,6 +4967,61 @@ object GraftQueries {
       .orderBy("vec_id")
   }
 
+  /** Spark 4 VARIANT ingestion: the open-ended semi-structured path —
+    * `parse_json` once into the binary VARIANT encoding, then typed
+    * `variant_get` extractions navigate it WITHOUT re-parsing the
+    * string per field (the scale win over repeated get_json_object: at
+    * 100 TB the parse happens once per row, fields decode from the
+    * binary form, and a VARIANT column written to parquet is shredded
+    * for pushdown). Exercises nested paths, a missing-path
+    * `try_variant_get` → NULL, a failed typed cast → NULL, and JSON
+    * null vs SQL NULL (`is_variant_null`). The doc is assembled from
+    * table columns (ints + enum strings only — float rendering is not
+    * cross-engine-stable) so DuckDB can build the identical JSON and
+    * mirror with its json functions. */
+  val variantJson: Q = (spark, dir) => {
+    val doc = concat(
+      lit("""{"meta":{"type":""""), col("event_type"),
+      lit("""","cents":"""), iscale(col("value"), 2),
+      lit("""},"props":"""), col("props"),
+      lit(""","maybe":"""),
+      when(col("event_type") === "purchase",
+        iscale(col("value"), 2).cast("string")).otherwise(lit("null")),
+      lit("}"))
+    t(spark, dir, "events")
+      .select(col("event_id"), parse_json(doc).as("v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.meta.type", "string").as("vtype"),
+        variant_get(col("v"), "$.meta.cents", "long").as("cents"),
+        variant_get(col("v"), "$.props.k", "int").as("k"),
+        try_variant_get(col("v"), "$.nope", "string").as("missing"),
+        try_variant_get(col("v"), "$.meta.type", "int").as("bad_cast"),
+        is_variant_null(variant_get(col("v"), "$.maybe", "variant"))
+          .as("maybe_is_jnull"))
+      .orderBy("event_id")
+  }
+
+  val variantJsonSql: String =
+    s"""WITH j AS (
+       |  SELECT event_id,
+       |    '{"meta":{"type":"' || event_type || '","cents":' ||
+       |    CAST(${sqlIscale("value", 2)} AS VARCHAR) ||
+       |    '},"props":' || props || ',"maybe":' ||
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN CAST(${sqlIscale("value", 2)} AS VARCHAR)
+       |         ELSE 'null' END || '}' AS doc
+       |  FROM events)
+       |SELECT event_id,
+       |  json_extract_string(doc, '$$.meta.type') AS vtype,
+       |  CAST(json_extract(doc, '$$.meta.cents') AS BIGINT) AS cents,
+       |  CAST(json_extract(doc, '$$.props.k') AS INT) AS k,
+       |  CAST(NULL AS VARCHAR) AS missing,
+       |  TRY_CAST(json_extract_string(doc, '$$.meta.type') AS INT)
+       |    AS bad_cast,
+       |  json_type(doc, '$$.maybe') = 'NULL' AS maybe_is_jnull
+       |FROM j ORDER BY event_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5210,6 +5265,7 @@ object GraftQueries {
     entry("q_table_detail", tableDetailQ, tableDetailSql),
     entry("q_feature_scale", featureScaleQ, featureScaleSql),
     entry("q_embedding_cov", embeddingCovQ, embeddingCovSql),
-    entry("q_pca_project", pcaProjectQ)
+    entry("q_pca_project", pcaProjectQ),
+    entry("q_variant_json", variantJson, variantJsonSql)
   )
 }
