@@ -182,4 +182,48 @@ object TimeSeries {
       .select(col(dayCol), col(valueCol), col("phase"), col("trend"),
         col("seasonal"), col("residual"), col("is_anomaly"))
   }
+
+  /** Per-key union of overlapping [start, end] intervals — the
+    * sweep-line primitive behind "time actually covered" metrics
+    * (watch time, machine uptime, session coverage, SLA windows)
+    * where naive sum(end - start) double-counts overlaps.
+    *
+    * Classic gaps-and-islands: within each key, ordered by (start,
+    * end), an interval opens a NEW merged block iff its start lies
+    * beyond the running max of all previous ends; the running count
+    * of such opens labels each row with its block, and per-block
+    * min(start)/max(end) give the merged extents.
+    *
+    * Output: one row per merged block — keyCol, block_start,
+    * block_end, n_intervals. Callers aggregate further (total
+    * coverage = sum(block_end - block_start)).
+    *
+    * Scale shape: ONE shuffle on the key (the window sort); the block
+    * groupBy re-uses the same hash partitioning so it adds no second
+    * exchange, and partial aggregation collapses blocks map-side. Per
+    * partition the windows need one sort of that key's rows —
+    * interval counts per key are event-scale, not corpus-scale, and a
+    * pathologically hot key is a skew-salting case like any window.
+    * Ties ((start, end) duplicates) are order-insensitive: the
+    * running max and block labels come out identical whichever
+    * duplicate sorts first, so the result is deterministic. */
+  def intervalUnion(df: DataFrame, keyCol: String,
+                    startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("__new_block",
+        when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__block",
+        sum(col("__new_block"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__block"))
+      .agg(
+        min(col(startCol)).as("block_start"),
+        max(col(endCol)).as("block_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__block")
+  }
 }

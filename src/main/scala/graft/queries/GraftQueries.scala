@@ -5022,6 +5022,54 @@ object GraftQueries {
        |  json_type(doc, '$$.maybe') = 'NULL' AS maybe_is_jnull
        |FROM j ORDER BY event_id""".stripMargin
 
+  /** Interval-union coverage ([[graft.ops.TimeSeries.intervalUnion]]):
+    * events become [s, s+60+floor(value)]-second intervals per user;
+    * the sweep-line merge unions overlaps, then one per-user rollup
+    * reports covered seconds / merged blocks / raw intervals. Naive
+    * sum(e-s) would double-count — the oracle runs the identical
+    * gaps-and-islands SQL in DuckDB. */
+  val intervalUnionQ: Q = (spark, dir) => {
+    val iv = t(spark, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + lit(60) +
+          floor(col("value")).cast("long")).as("e"))
+    graft.ops.TimeSeries.intervalUnion(iv, "user_id", "s", "e")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("block_end") - col("block_start")).as("covered_sec"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("n_intervals")).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val intervalUnionSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 60 +
+      |      CAST(floor(value) AS BIGINT) AS e
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           IS NULL
+      |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_block
+      |  FROM iv),
+      |blocks AS (
+      |  SELECT user_id, s, e,
+      |    sum(new_block) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+      |  FROM marked),
+      |merged AS (
+      |  SELECT user_id, b, min(s) AS bs, max(e) AS be, count(*) AS n
+      |  FROM blocks GROUP BY user_id, b)
+      |SELECT user_id, sum(be - bs) AS covered_sec,
+      |  count(*) AS n_blocks, sum(n) AS n_intervals
+      |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5266,6 +5314,7 @@ object GraftQueries {
     entry("q_feature_scale", featureScaleQ, featureScaleSql),
     entry("q_embedding_cov", embeddingCovQ, embeddingCovSql),
     entry("q_pca_project", pcaProjectQ),
-    entry("q_variant_json", variantJson, variantJsonSql)
+    entry("q_variant_json", variantJson, variantJsonSql),
+    entry("q_interval_union", intervalUnionQ, intervalUnionSql)
   )
 }

@@ -1551,4 +1551,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(cleanOut.forall(r => !r.getBoolean(6)),
       "clean periodic series must not flag anomalies")
   }
+
+  test("intervalUnion: overlap, touch, nest, disjoint, tie-determinism") {
+    val iv = Seq(
+      // key a: [1,5] overlaps [3,8]; [8,10] touches at 8 (merges);
+      // [2,4] nests — ONE block [1,10] of 4 intervals
+      ("a", 1L, 5L), ("a", 3L, 8L), ("a", 8L, 10L), ("a", 2L, 4L),
+      // then a gap: [20,21] is its own block
+      ("a", 20L, 21L),
+      // key b: exact duplicate rows — both count, one block
+      ("b", 5L, 7L), ("b", 5L, 7L)
+    ).toDF("k", "s", "e")
+    val out = TimeSeries.intervalUnion(iv.repartition(5), "k", "s", "e")
+      .orderBy("k", "block_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("a", 1L, 10L, 4L), ("a", 20L, 21L, 1L), ("b", 5L, 7L, 2L)))
+  }
 }
