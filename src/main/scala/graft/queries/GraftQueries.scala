@@ -5070,6 +5070,52 @@ object GraftQueries {
       |  count(*) AS n_blocks, sum(n) AS n_intervals
       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** transformWithState running totals ([[graft.streaming.StreamingOps
+    * .runningTotals]]): a REAL two-micro-batch stream through Spark 4's
+    * arbitrary-state operator (ValueState in the RocksDB store). Each
+    * batch emits cumulative per-key snapshots; the final snapshot per
+    * key (max — n is monotone) must equal the full-history aggregate,
+    * which is the oracle. Money rides as pre-quantized integer cents so
+    * the running sum is exact and batch-slicing independent. */
+  val streamRunningTotals: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tws_q").toString
+    val events = t(spark, dir, "events")
+      .select(col("user_id"), iscale(col("value"), 2).as("cents"))
+    st.write(events.filter(col("user_id") % 2 === 0).coalesce(1),
+      s"$out/in", "parquet", "overwrite")
+    events.filter(col("user_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val totals = graft.streaming.StreamingOps.runningTotals(
+      stream, "user_id", "cents")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try graft.streaming.StreamingOps.withRocksDbProvider(spark) {
+      q = totals.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — don't leak the query
+    }
+    st.read(s"$out/data", "parquet")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("total_cents")).as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  val streamRunningTotalsSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(${sqlIscale("value", 2)}) AS BIGINT) AS total_cents
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5315,6 +5361,8 @@ object GraftQueries {
     entry("q_embedding_cov", embeddingCovQ, embeddingCovSql),
     entry("q_pca_project", pcaProjectQ),
     entry("q_variant_json", variantJson, variantJsonSql),
-    entry("q_interval_union", intervalUnionQ, intervalUnionSql)
+    entry("q_interval_union", intervalUnionQ, intervalUnionSql),
+    entry("q_stream_running_totals", streamRunningTotals,
+      streamRunningTotalsSql)
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StreamingQuery}
+  OutputMode, StreamingQuery, TimeMode}
 
 import graft.storage.Storage
 
@@ -428,5 +428,88 @@ object StreamingOps {
         }
       }
       .start()
+  }
+
+  /** Per-key running totals via Spark 4's `transformWithState` — the
+    * arbitrary-state successor to mapGroupsWithState: typed state
+    * handles (ValueState here; List/Map state and TTL for richer
+    * shapes) stored in the RocksDB state store, so per-key state is
+    * bounded (two longs) and spill-safe at any key cardinality. Each
+    * micro-batch emits one cumulative snapshot row per TOUCHED key —
+    * the incremental-materialized-view shape: downstream consumers
+    * read the latest row per key instead of re-aggregating history.
+    *
+    * Money rides as pre-quantized integer cents ([[graft.queries
+    * .Tables.iscale]] semantics): the running sum is exact and
+    * arrival-order independent, which is what lets the full-history
+    * oracle hash-match the stream's final state.
+    *
+    * Dual-mode like [[sessionizeStream]]: on a batch frame Spark runs
+    * the same processor once per key (state starts empty, one
+    * handleInputRows call with all rows), so the batch result IS the
+    * stream's final per-key state — StreamingOpsSpec pins it.
+    * Streaming runs need the RocksDB state store provider
+    * ([[withRocksDbProvider]] scopes it). */
+  def runningTotals(events: DataFrame, keyCol: String,
+                    centsCol: String): Dataset[KeyTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Batch-mode transformWithState still checks out a (transient)
+    // state store, and executors resolve it through the
+    // StateStoreCoordinator RPC endpoint — which only registers when
+    // the StreamingQueryManager is instantiated. A pure-batch session
+    // that never started a stream has no endpoint and the store load
+    // fails; touching the manager registers it (idempotent).
+    spark.streams
+    events
+      .select(col(keyCol).cast("long"), col(centsCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** transformWithState only runs on the RocksDB state store; scope
+    * the provider conf to `body` and restore the previous value so
+    * co-resident HDFS-backed streaming queries are unaffected. */
+  def withRocksDbProvider[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
+/** Cumulative per-key snapshot emitted by
+  * [[StreamingOps.runningTotals]] each micro-batch. */
+case class KeyTotals(user_id: Long, n_events: Long, total_cents: Long)
+
+/** The [[StreamingOps.runningTotals]] state machine: one ValueState
+  * cell of (event count, exact integer cents) per key. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), KeyTotals] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TimeMode => TM, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TM): Unit =
+    totals = getHandle.getValueState("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[KeyTotals] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => n += 1; cents += r._2 }
+    totals.update((n, cents))
+    Iterator.single(KeyTotals(key, n, cents))
   }
 }

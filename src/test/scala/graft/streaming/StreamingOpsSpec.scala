@@ -574,4 +574,53 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(after == Seq((2L, "B"), (4L, "TAMPERED"), (5L, "e")),
       "already-applied batches must be skipped after a checkpoint reset")
   }
+
+  test("runningTotals (transformWithState): batch == groupBy; stream final == batch") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        graft.queries.Tables.iscale(col("value"), 2).as("cents"))
+    val expected = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // batch mode: one processor invocation per key, state starts empty
+    val batch = StreamingOps.runningTotals(events, "user_id", "cents")
+      .collect().map(k => (k.user_id, k.n_events, k.total_cents)).toSet
+    assert(batch == expected)
+
+    // stream: two staged files = two micro-batches; every key's LAST
+    // cumulative snapshot must equal the batch result
+    val out = tempDir("graft_tws")
+    val staged = events.select("user_id", "cents")
+    staged.filter(col("user_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$out/in")
+    staged.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val totals = StreamingOps.runningTotals(stream, "user_id", "cents")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try StreamingOps.withRocksDbProvider(spark) {
+      q = totals.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val emitted = spark.read.parquet(s"$out/data")
+    // snapshots are cumulative: max(n) per key is the final state (n
+    // strictly grows), and it must equal the full-history aggregate
+    val streamed = emitted.groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+    // each key emits at most one snapshot per micro-batch
+    val perBatch = emitted.groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBatch <= 2)
+  }
 }
