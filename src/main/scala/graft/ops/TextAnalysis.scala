@@ -830,4 +830,47 @@ object TextAnalysis {
         graft.functions.BoundedTopKAgg.minK(col("__doc"), maxPostings)
           .as("postings"))
   }
+
+  /** PMI-scored collocations: adjacent-bigram pointwise mutual
+    * information, PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with
+    * bigram probability over total bigrams and unigram probabilities
+    * over total tokens — the collocation-mining signal ("new york"
+    * scores high, "of the" near zero) used for tokenizer vocab
+    * candidates and phrase-aware dedup keys. `minCount` floors the
+    * bigram count (PMI is noise-dominated on rare pairs).
+    *
+    * Scale shape: two token-keyed partial-agg shuffles (bigram counts,
+    * unigram counts — both collapse map-side to vocab-sized frames),
+    * then two vocab-keyed equi-joins and a broadcast of the two
+    * 1-row totals. The PMI arithmetic is exact-integer ratios pushed
+    * through one ln — deterministic on both engines, so the oracle
+    * hash-matches despite the double. No per-row UDF, no window.
+    * Output: (w1, w2, c12, pmi). */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val unigrams = toks.select(explode(col("t")).as("w"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = bigrams.agg(count(lit(1)).as("p"))
+      .crossJoin(unigrams.agg(count(lit(1)).as("u")))
+    pairCounts
+      .join(uniCounts.select(col("w").as("w1"), col("cw").as("c1")),
+        Seq("w1"))
+      .join(uniCounts.select(col("w").as("w2"), col("cw").as("c2")),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          (col("c12").cast("double") * col("u") * col("u")) /
+            (col("p").cast("double") * col("c1") * col("c2"))), 6)
+          .as("pmi"))
+  }
 }

@@ -5116,6 +5116,41 @@ object GraftQueries {
        |  CAST(sum(${sqlIscale("value", 2)}) AS BIGINT) AS total_cents
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** PMI collocations ([[TextAnalysis.collocations]]): adjacent-bigram
+    * pointwise mutual information with a min-count floor. Exact integer
+    * counts through one ln — the double is deterministic on both
+    * engines, so the oracle hash-matches. */
+  val collocationsQ: Q = (spark, dir) =>
+    TextAnalysis.collocations(t(spark, dir, "documents"), "text",
+        minCount = 5)
+      .orderBy("w1", "w2")
+
+  val collocationsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |        FROM toks)),
+      |pc AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+      |  HAVING count(*) >= 5),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM bg) AS p,
+      |         (SELECT count(*) FROM uni) AS u)
+      |SELECT pc.w1, pc.w2, pc.c12,
+      |  round(ln((CAST(pc.c12 AS DOUBLE) * tot.u * tot.u) /
+      |    (CAST(tot.p AS DOUBLE) * u1.cw * u2.cw)), 6) AS pmi
+      |FROM pc
+      |JOIN uc u1 ON pc.w1 = u1.w
+      |JOIN uc u2 ON pc.w2 = u2.w
+      |CROSS JOIN tot
+      |ORDER BY pc.w1, pc.w2""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5363,6 +5398,7 @@ object GraftQueries {
     entry("q_variant_json", variantJson, variantJsonSql),
     entry("q_interval_union", intervalUnionQ, intervalUnionSql),
     entry("q_stream_running_totals", streamRunningTotals,
-      streamRunningTotalsSql)
+      streamRunningTotalsSql),
+    entry("q_collocations", collocationsQ, collocationsSql)
   )
 }
