@@ -253,4 +253,28 @@ object Analytics {
       .agg(count(lit(1)).as("conversions"),
         graft.queries.Tables.dsum(col("__v")).as("revenue"))
   }
+
+  /** Winsorized clipping: cap `valCol` to its per-group exact
+    * [pLo, pHi] percentile band — the outlier treatment that keeps
+    * every row (unlike a filter) while bounding tail influence, the
+    * standard pre-normalization step for reward/quality signals.
+    *
+    * Scale shape: one partial-agg percentile pass produces a
+    * group-count-sized bounds frame, broadcast back onto the fact
+    * side — the clip itself is map-only, no second shuffle. Exact
+    * percentiles shuffle each group's values to one reducer per
+    * group; for corpus-scale groups swap `percentile_approx` in (same
+    * shape, mergeable sketch). Appends `<valCol>_w`. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $pLo)").as("__lo"),
+      expr(s"percentile($valCol, $pHi)").as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valCol}_w",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

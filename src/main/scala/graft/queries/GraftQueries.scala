@@ -5151,6 +5151,28 @@ object GraftQueries {
       |CROSS JOIN tot
       |ORDER BY pc.w1, pc.w2""".stripMargin
 
+  /** Winsorized clipping ([[graft.ops.Analytics.winsorize]]): values
+    * capped to the per-event-type exact [p05, p95] band; broadcast
+    * bounds, map-only clip. Output rounded to 4 (the same masking the
+    * q_percentile oracle relies on for interpolated bounds). */
+  val winsorizeQ: Q = (spark, dir) =>
+    graft.ops.Analytics.winsorize(
+        t(spark, dir, "events"), "event_type", "value", 0.05, 0.95)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value_w"), 4).as("value_w"))
+      .orderBy("event_id")
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  round(least(greatest(value, b.lo), b.hi), 4) AS value_w
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5399,6 +5421,7 @@ object GraftQueries {
     entry("q_interval_union", intervalUnionQ, intervalUnionSql),
     entry("q_stream_running_totals", streamRunningTotals,
       streamRunningTotalsSql),
-    entry("q_collocations", collocationsQ, collocationsSql)
+    entry("q_collocations", collocationsQ, collocationsSql),
+    entry("q_winsorize", winsorizeQ, winsorizeSql)
   )
 }
