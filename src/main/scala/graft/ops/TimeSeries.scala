@@ -207,6 +207,49 @@ object TimeSeries {
     * Ties ((start, end) duplicates) are order-insensitive: the
     * running max and block labels come out identical whichever
     * duplicate sorts first, so the result is deterministic. */
+  /** CUSUM change-point detection: per key, the order position where
+    * the cumulative deviation from the key's mean peaks — the
+    * classic single-change-point estimator (where a metric's level
+    * shifted: deploy regressions, pricing changes, sensor drift).
+    *
+    * Exact integer arithmetic: with quantized values x (e.g. cents),
+    * CUSUM_i = Σ₁..i(x − mean) is scaled by n to
+    * T_i = n·cumsum_i − i·total — integers, so the argmax and its
+    * tie-break (earliest position) are deterministic on any engine;
+    * callers divide by n·scale to read the deviation in value units.
+    * Overflow bound: |T| ≤ n·Σ|x| — fits a long to ~3·10⁹ value-rows
+    * per key at cent scale; switch the two products to decimal for
+    * corpus-scale keys.
+    *
+    * Scale shape: ONE shuffle on the key; the running sum, the
+    * full-partition totals, and the argmax pick are three window
+    * passes over the SAME partitioning (no re-exchange). Output: one
+    * row per key — keyCol, cp_<orderCol> (position of the peak),
+    * cusum (scaled T at the peak), n. */
+  def changePoint(df: DataFrame, keyCol: String, orderCol: String,
+                  quantizedCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+    val w = byKey.orderBy(col(orderCol))
+    val scored = df
+      .withColumn("__cum", sum(col(quantizedCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__tot", sum(col(quantizedCol))
+        .over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__n", count(lit(1))
+        .over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__t",
+        col("__n") * col("__cum") - col("__i") * col("__tot"))
+    scored
+      .withColumn("__rk", row_number().over(
+        byKey.orderBy(abs(col("__t")).desc, col(orderCol))))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col(orderCol).as(s"cp_$orderCol"),
+        col("__t").as("cusum"), col("__n").as("n"))
+  }
+
   def intervalUnion(df: DataFrame, keyCol: String,
                     startCol: String, endCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))

@@ -5173,6 +5173,39 @@ object GraftQueries {
       |FROM events e JOIN b USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** CUSUM change-point ([[graft.ops.TimeSeries.changePoint]]): per
+    * user, the event where cumulative deviation from the user's mean
+    * spend peaks — exact scaled-integer CUSUM, deterministic argmax
+    * with earliest-position tie-break, one key-partitioned shuffle. */
+  val changePointQ: Q = (spark, dir) =>
+    graft.ops.TimeSeries.changePoint(
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            iscale(col("value"), 2).as("cents")),
+        "user_id", "event_id", "cents")
+      .orderBy("user_id")
+
+  val changePointSql: String =
+    s"""WITH q AS (
+       |  SELECT user_id, event_id, ${sqlIscale("value", 2)} AS c
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_id,
+       |    sum(c) OVER (PARTITION BY user_id ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+       |      AS BIGINT) AS i,
+       |    sum(c) OVER (PARTITION BY user_id) AS tot,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM q),
+       |t AS (
+       |  SELECT user_id, event_id, n * cum - i * tot AS t, n,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY abs(n * cum - i * tot) DESC, event_id) AS rk
+       |  FROM s)
+       |SELECT user_id, event_id AS cp_event_id, CAST(t AS BIGINT) AS cusum,
+       |  n FROM t WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5422,6 +5455,7 @@ object GraftQueries {
     entry("q_stream_running_totals", streamRunningTotals,
       streamRunningTotalsSql),
     entry("q_collocations", collocationsQ, collocationsSql),
-    entry("q_winsorize", winsorizeQ, winsorizeSql)
+    entry("q_winsorize", winsorizeQ, winsorizeSql),
+    entry("q_changepoint", changePointQ, changePointSql)
   )
 }

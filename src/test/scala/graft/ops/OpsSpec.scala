@@ -1569,4 +1569,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(
       ("a", 1L, 10L, 4L), ("a", 20L, 21L, 1L), ("b", 5L, 7L, 2L)))
   }
+
+  test("changePoint: planted level shift found; flat series tie-breaks first") {
+    val rows =
+      (1 to 10).map(i => ("a", i.toLong, 100L)) ++
+      (11 to 20).map(i => ("a", i.toLong, 200L)) ++
+      (1 to 5).map(i => ("flat", i.toLong, 7L))
+    val out = TimeSeries.changePoint(
+        rows.toDF("k", "id", "c").repartition(4), "k", "id", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // peak at the boundary: T_10 = 20*1000 - 10*3000 = -10000
+    assert(out("a") == (10L, -10000L, 20L))
+    // constant series: every T_i = 0, earliest position wins the tie
+    assert(out("flat") == (1L, 0L, 5L))
+  }
 }
