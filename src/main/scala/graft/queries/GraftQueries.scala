@@ -3115,6 +3115,32 @@ object GraftQueries {
       |                        AND epoch_us(c.ts)
       |ORDER BY click_id, view_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join, batch twin: clicks with
+    * or without an attributable same-user view in the lookback — the
+    * "unattributed conversions survive" variant. On streams the outer
+    * rows emit once the watermark proves no match can arrive
+    * (StreamingOpsSpec pins stream == this batch twin). */
+  val intervalJoinLeftBatch: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    graft.streaming.StreamingOps.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", lookbackSeconds = 1800, joinType = "left_outer")
+      .select(col("event_id").as("click_id"),
+        col("event_id_r").as("view_id"), col("user_id"))
+      .orderBy("click_id", "view_id")
+  }
+
+  val intervalJoinLeftBatchSql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 1800000000
+      |                        AND epoch_us(c.ts)
+      |ORDER BY click_id, view_id""".stripMargin
+
   /** Null-handling battery: null-introducing casts, `na.fill` (typed
     * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
     * surface — all map-only. */
@@ -5456,6 +5482,8 @@ object GraftQueries {
       streamRunningTotalsSql),
     entry("q_collocations", collocationsQ, collocationsSql),
     entry("q_winsorize", winsorizeQ, winsorizeSql),
-    entry("q_changepoint", changePointQ, changePointSql)
+    entry("q_changepoint", changePointQ, changePointSql),
+    entry("q_interval_join_left_batch", intervalJoinLeftBatch,
+      intervalJoinLeftBatchSql)
   )
 }

@@ -180,10 +180,20 @@ object StreamingOps {
     * stream-stream join buffers both streams forever; with it state
     * is bounded by (watermark delay + lookback) of data per side.
     * Inner-join emission itself needs no watermark, so batch frames
-    * run the identical join — the oracle-checkable twin. */
+    * run the identical join — the oracle-checkable twin.
+    *
+    * `joinType` "left_outer": unmatched left rows ALSO emit (with null
+    * `_r` columns) — but on streams only once the watermark passes the
+    * point where a match could still arrive, so null rows trail the
+    * data by (watermark delay + lookback); the stream's final output
+    * equals the batch left join (spec-pinned). Spark requires the
+    * watermarks + two-sided time bound for exactly this reason: they
+    * bound how long an unmatched row must be held before the engine
+    * can PROVE it unmatched. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lookbackSeconds: Long,
-                   watermarkDelay: String = "10 minutes"): DataFrame = {
+                   watermarkDelay: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val renamed = right.columns.foldLeft(right)(
       (d, c) => d.withColumnRenamed(c, c + "_r"))
     val l = if (left.isStreaming) left.withWatermark(tsCol, watermarkDelay)
@@ -195,7 +205,8 @@ object StreamingOps {
       col(keyCol) === col(s"${keyCol}_r") &&
         col(s"${tsCol}_r") >=
           col(tsCol) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
-        col(s"${tsCol}_r") <= col(tsCol))
+        col(s"${tsCol}_r") <= col(tsCol),
+      joinType)
   }
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —

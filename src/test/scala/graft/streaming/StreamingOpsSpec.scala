@@ -287,6 +287,65 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("intervalJoin left_outer: stream emits unmatched lefts, equals batch") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+    val views = ev.filter(col("event_type") === "view")
+    val out = tempDir("graft_ssljoin")
+    clicks.coalesce(1).write.parquet(s"$out/clicks")
+    views.coalesce(1).write.parquet(s"$out/views")
+    // far-future sentinel on BOTH sides: advances both watermarks past
+    // every real event so held unmatched lefts are provably unmatched
+    // and emit; staged as a later micro-batch via mtime
+    Seq("clicks", "views").foreach { side =>
+      val p = new org.apache.hadoop.fs.Path(s"$out/$side")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def files = fs.listStatus(p)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val before = files.map(_.getPath.getName).toSet
+      val prev = files.map(_.getModificationTime).max
+      ev.orderBy("event_id").limit(1)
+        .withColumn("user_id", lit(999999L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+        .coalesce(1).write.mode("append").parquet(s"$out/$side")
+      files.filterNot(f => before(f.getPath.getName))
+        .foreach(f => fs.setTimes(f.getPath, prev + 60000, -1))
+    }
+    def stream(p: String) = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+    val joined = StreamingOps.intervalJoin(
+      stream(s"$out/clicks"), stream(s"$out/views"),
+      "user_id", "ts", lookbackSeconds = 3600, joinType = "left_outer")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = joined.select(col("event_id").as("click_id"),
+          col("event_id_r").as("view_id"), col("user_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .filter(col("user_id") =!= 999999L)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val batch = StreamingOps.intervalJoin(clicks, views,
+        "user_id", "ts", lookbackSeconds = 3600, joinType = "left_outer")
+      .select(col("event_id"), col("event_id_r"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(batch.exists(_._2 == -1L), "twin must have unmatched clicks")
+    assert(streamed == batch)
+  }
+
   test("windowTopK: stream equals batch; state is k entries per window") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("ts", "event_id", "value")
