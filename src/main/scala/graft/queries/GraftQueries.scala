@@ -5232,6 +5232,61 @@ object GraftQueries {
        |SELECT user_id, event_id AS cp_event_id, CAST(t AS BIGINT) AS cusum,
        |  n FROM t WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** transformWithState last-N feature assembly
+    * ([[graft.streaming.StreamingOps.recentFeatures]]): a real
+    * two-micro-batch stream maintaining each user's 8 newest event
+    * values as bounded ListState; the final snapshot per key
+    * (max_by on the strictly-growing n_seen) must equal the
+    * full-history top-8-by-recency — the oracle. */
+  val streamRecentFeatures: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_rf_q").toString
+    val events = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        iscale(col("value"), 2).as("cents"))
+    // split by event id so most users appear in BOTH micro-batches —
+    // the cross-batch state merge is what's under test
+    st.write(events.filter(col("event_id") % 2 === 0).coalesce(1),
+      s"$out/in", "parquet", "overwrite")
+    events.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val feats = graft.streaming.StreamingOps.recentFeatures(
+      stream, "user_id", "event_id", "cents", n = 8)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try graft.streaming.StreamingOps.withRocksDbProvider(spark) {
+      q = feats.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — don't leak the query
+    }
+    st.read(s"$out/data", "parquet")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_seen")).as("n_seen"),
+        max_by(col("recent"), col("n_seen")).as("recent"))
+      .orderBy("user_id")
+  }
+
+  val streamRecentFeaturesSql: String =
+    s"""WITH q AS (
+       |  SELECT user_id, event_id, ${sqlIscale("value", 2)} AS c,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY event_id DESC) AS rk,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events)
+       |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+       |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY event_id DESC)
+       |    AS recent
+       |FROM q WHERE rk <= 8 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5484,6 +5539,8 @@ object GraftQueries {
     entry("q_winsorize", winsorizeQ, winsorizeSql),
     entry("q_changepoint", changePointQ, changePointSql),
     entry("q_interval_join_left_batch", intervalJoinLeftBatch,
-      intervalJoinLeftBatchSql)
+      intervalJoinLeftBatchSql),
+    entry("q_stream_recent_features", streamRecentFeatures,
+      streamRecentFeaturesSql)
   )
 }

@@ -480,6 +480,36 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  /** Last-N feature assembly via transformWithState ListState — the
+    * online-feature-store shape: per key, the N most recent values
+    * (by a monotone order column) held as BOUNDED list state and
+    * re-emitted as a ready-to-serve feature row each time the key is
+    * touched. State per key is ≤ N (orderId, value) pairs plus one
+    * counter — independent of stream length; a naive window over the
+    * raw stream could not stream at all (no rank windows on streams),
+    * and `collect_list` state would grow forever.
+    *
+    * Emission: (key, n_seen, recent) where `recent` joins the values
+    * newest-first — n_seen strictly grows per key, so the final
+    * snapshot per key is `max_by(recent, n_seen)`, and on a batch
+    * frame (one invocation per key, empty state) the result IS that
+    * final snapshot — which is what the full-history SQL oracle
+    * checks. Same dual-mode + RocksDB contract as [[runningTotals]]. */
+  def recentFeatures(events: DataFrame, keyCol: String, orderCol: String,
+                     valCol: String, n: Int): Dataset[RecentFeatures] = {
+    require(n > 0, s"n must be positive, got $n")
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.streams // register the StateStoreCoordinator (see runningTotals)
+    events
+      .select(col(keyCol).cast("long"), col(orderCol).cast("long"),
+        col(valCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentFeaturesProcessor(n), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** transformWithState only runs on the RocksDB state store; scope
     * the provider conf to `body` and restore the previous value so
     * co-resident HDFS-backed streaming queries are unaffected. */
@@ -522,5 +552,49 @@ class RunningTotalsProcessor
     rows.foreach { r => n += 1; cents += r._2 }
     totals.update((n, cents))
     Iterator.single(KeyTotals(key, n, cents))
+  }
+}
+
+/** Per-key feature snapshot emitted by
+  * [[StreamingOps.recentFeatures]]: total rows seen and the newest-N
+  * values joined newest-first (string form — unambiguous to compare
+  * across engines). */
+case class RecentFeatures(user_id: Long, n_seen: Long, recent: String)
+
+/** The [[StreamingOps.recentFeatures]] state machine: bounded
+  * ListState of the newest `n` (orderId, value) pairs + a ValueState
+  * row counter per key. */
+class RecentFeaturesProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), RecentFeatures] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TimeMode => TM, TimerValues,
+    TTLConfig, ListState, ValueState}
+
+  @transient private var recent: ListState[(Long, Long)] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TM): Unit = {
+    recent = getHandle.getListState("recent",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+    seen = getHandle.getValueState("seen", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[RecentFeatures] = {
+    val incoming = rows.map(r => (r._2, r._3)).toArray
+    val held = if (recent.exists()) recent.get().toArray
+               else Array.empty[(Long, Long)]
+    // newest-first by the monotone order id; bounded to n before it
+    // ever re-enters state
+    val merged = (held ++ incoming).sortBy(-_._1).take(n)
+    recent.put(merged)
+    val total = (if (seen.exists()) seen.get() else 0L) + incoming.length
+    seen.update(total)
+    Iterator.single(
+      RecentFeatures(key, total, merged.map(_._2).mkString(",")))
   }
 }

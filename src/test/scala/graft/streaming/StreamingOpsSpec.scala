@@ -682,4 +682,61 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       .agg(max("count")).head().getLong(0)
     assert(perBatch <= 2)
   }
+
+  test("recentFeatures (ListState): batch == full-history top-N; stream final == batch") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"),
+        graft.queries.Tables.iscale(col("value"), 2).as("cents"))
+    // full-history expectation: newest 5 cents per user, newest first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id").desc)
+    val expected = events
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("rk") <= 5)
+      .groupBy("user_id")
+      .agg(max("n").as("n"), concat_ws(",",
+        array_sort(collect_list(struct(-col("event_id"), col("cents"))))
+          .getField("cents").cast("array<string>")).as("recent"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+
+    val batch = StreamingOps.recentFeatures(
+        events, "user_id", "event_id", "cents", n = 5)
+      .collect().map(k => (k.user_id, k.n_seen, k.recent)).toSet
+    assert(batch == expected)
+
+    // stream: three staged files; final snapshot per key == batch
+    val out = tempDir("graft_rf")
+    val staged = events.select("user_id", "event_id", "cents")
+    staged.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.parquet(s"$out/in")
+    Seq(1, 2).foreach(k =>
+      staged.filter(col("event_id") % 3 === k).coalesce(1)
+        .write.mode("append").parquet(s"$out/in"))
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val feats = StreamingOps.recentFeatures(
+      stream, "user_id", "event_id", "cents", n = 5)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try StreamingOps.withRocksDbProvider(spark) {
+      q = feats.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .groupBy("user_id")
+      .agg(max("n_seen").as("n"),
+        max_by(col("recent"), col("n_seen")).as("recent"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(streamed == expected)
+  }
 }
