@@ -122,6 +122,33 @@ object Pca {
     df.withColumn(outCol, array(projected: _*))
   }
 
+  /** Deterministic Johnson–Lindenstrauss random projection: a seeded
+    * Rademacher matrix (entries ±1/√k from the SplitMix64 finalizer —
+    * the decorrelation lesson of [[Similarity]]'s LSH planes) maps
+    * `vecCol` to k dims, preserving pairwise distances in expectation
+    * exactly (E‖f(x)−f(y)‖² = ‖x−y‖²) and within JL ε bounds w.h.p.
+    * The data-independent cousin of [[fit]]+[[project]]: no pass over
+    * the data AT ALL — the matrix is a pure function of the seed, so
+    * any engine (or the DuckDB oracle) reproduces it bit-identically.
+    * Map-only, k fused dots per row, stays in whole-stage codegen. */
+  def randomProjection(df: DataFrame, vecCol: String, dims: Int, k: Int,
+                       seed: Int, outCol: String = "rp"): DataFrame = {
+    val m = rpMatrix(k, dims, seed)
+    val v = slice(col(vecCol).cast("array<double>"), 1, dims)
+    df.withColumn(outCol,
+      array(m.map(row => dot_product(v, typedLit(row.toSeq))): _*))
+  }
+
+  /** The seeded ±1/√k Rademacher matrix (k rows × dims cols). */
+  def rpMatrix(k: Int, dims: Int, seed: Int): Array[Array[Double]] = {
+    val s = 1.0 / math.sqrt(k.toDouble)
+    Array.tabulate(k, dims) { (r, c) =>
+      val z = Similarity.mix64(
+        (seed.toLong << 40) ^ (r.toLong << 20) ^ c.toLong)
+      if (z >= 0) s else -s
+    }
+  }
+
   /** Cyclic Jacobi eigensolve of a symmetric matrix: returns
     * (eigenvalues, eigenvector matrix with vectors in COLUMNS).
     * Deterministic fixed sweep order; converges quadratically — 20

@@ -124,8 +124,9 @@ object Similarity {
   }
 
   /** SplitMix64 finalizer (public-domain constant set): full-avalanche
-    * bijective mixer, stable by construction on every JVM. */
-  private def mix64(z0: Long): Long = {
+    * bijective mixer, stable by construction on every JVM. Shared with
+    * [[Pca.randomProjection]]'s Rademacher matrix. */
+  private[ops] def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

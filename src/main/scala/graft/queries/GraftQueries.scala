@@ -5287,6 +5287,30 @@ object GraftQueries {
        |    AS recent
        |FROM q WHERE rk <= 8 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection
+    * ([[Pca.randomProjection]]): data-independent 64→8 reduction via
+    * the seeded Rademacher matrix — map-only, zero passes over the
+    * data to "fit". The oracle regenerates the SAME matrix driver-side
+    * and unrolls it into SQL (the q_pq_encode technique): identical
+    * left-associated multiply-add order makes the doubles
+    * bit-identical, so the compare hash-matches. */
+  val randomProjectionQ: Q = (spark, dir) =>
+    Pca.randomProjection(t(spark, dir, "embeddings"), "embedding",
+        dims = 64, k = 8, seed = 7)
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("c", "v")))
+      .select(col("vec_id"), col("c"), round(col("v"), 6).as("v"))
+      .orderBy("vec_id", "c")
+
+  val randomProjectionSql: String = {
+    val m = Pca.rpMatrix(8, 64, 7)
+    m.zipWithIndex.map { case (row, c) =>
+      val sum = row.zipWithIndex.map { case (w, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ($w)" }.mkString(" + ")
+      s"SELECT vec_id, CAST($c AS INT) AS c, round($sum, 6) AS v " +
+        "FROM embeddings"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, c")
+  }
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5541,6 +5565,7 @@ object GraftQueries {
     entry("q_interval_join_left_batch", intervalJoinLeftBatch,
       intervalJoinLeftBatchSql),
     entry("q_stream_recent_features", streamRecentFeatures,
-      streamRecentFeaturesSql)
+      streamRecentFeaturesSql),
+    entry("q_random_projection", randomProjectionQ, randomProjectionSql)
   )
 }

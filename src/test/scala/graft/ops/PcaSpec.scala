@@ -119,6 +119,36 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(errs.last < 1e-6) // k = d reconstructs exactly
   }
 
+  test("randomProjection: E-preserved pairwise distances on real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60)
+    val k = 16
+    val proj = Pca.randomProjection(emb, "embedding", 64, k, seed = 11)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("rp"))
+      .as[(Long, Array[Double], Array[Double])].collect()
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- proj.indices; j <- (i + 1) until proj.length
+      orig = d2(proj(i)._2, proj(j)._2) if orig > 1e-12
+    } yield d2(proj(i)._3, proj(j)._3) / orig
+    assert(ratios.nonEmpty)
+    // unbiased in expectation: the mean ratio concentrates near 1
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean")
+    // JL tail at k=16 is loose but bounded — no pair collapses or blows up
+    assert(ratios.min > 0.05 && ratios.max < 5.0,
+      s"ratio range [${ratios.min}, ${ratios.max}]")
+    // matrix is deterministic: same seed → same matrix, different seed →
+    // different matrix
+    assert(Pca.rpMatrix(4, 8, 3).flatten.toSeq ==
+      Pca.rpMatrix(4, 8, 3).flatten.toSeq)
+    assert(Pca.rpMatrix(4, 8, 3).flatten.toSeq !=
+      Pca.rpMatrix(4, 8, 4).flatten.toSeq)
+  }
+
   test("refit under different partitioning is bit-identical") {
     val df = cloud
     val m1 = Pca.fit(df.repartition(1), "embedding", 4, 3)
