@@ -5311,6 +5311,50 @@ object GraftQueries {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, c")
   }
 
+  /** transformWithState MapState histograms
+    * ([[graft.streaming.StreamingOps.categoryCounts]]): a real
+    * two-micro-batch stream maintaining per-user event-type counts as
+    * map state; each batch re-emits a touched key's full histogram,
+    * so the final snapshot per (user, type) — max, counts are
+    * cumulative — must equal the full-history groupBy, the oracle. */
+  val streamCategoryCounts: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cc_q").toString
+    val events = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    st.write(events.filter(col("event_id") % 2 === 0).coalesce(1),
+      s"$out/in", "parquet", "overwrite")
+    events.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val counts = graft.streaming.StreamingOps.categoryCounts(
+      stream.drop("event_id"), "user_id", "event_type")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try graft.streaming.StreamingOps.withRocksDbProvider(spark) {
+      q = counts.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — don't leak the query
+    }
+    st.read(s"$out/data", "parquet")
+      .groupBy(col("user_id"), col("category"))
+      .agg(max(col("cnt")).as("cnt"))
+      .orderBy("user_id", "category")
+  }
+
+  val streamCategoryCountsSql: String =
+    """SELECT user_id, event_type AS category, count(*) AS cnt
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, category""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -5566,6 +5610,8 @@ object GraftQueries {
       intervalJoinLeftBatchSql),
     entry("q_stream_recent_features", streamRecentFeatures,
       streamRecentFeaturesSql),
-    entry("q_random_projection", randomProjectionQ, randomProjectionSql)
+    entry("q_random_projection", randomProjectionQ, randomProjectionSql),
+    entry("q_stream_category_counts", streamCategoryCounts,
+      streamCategoryCountsSql)
   )
 }

@@ -510,6 +510,30 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  /** Per-key categorical counters via transformWithState MapState —
+    * the third state primitive (Value/List/Map) exercised for real:
+    * each key holds a map category → count in the RocksDB store, and
+    * every batch that touches the key re-emits the key's FULL current
+    * histogram. State per key is O(categories actually seen by that
+    * key) — for a histogram over a bounded category vocabulary (event
+    * types, languages, labels) that's a handful of entries per key
+    * regardless of stream length; a streaming groupBy(key, category)
+    * could count too, but could never emit the per-key histogram as
+    * one consistent row set per batch. Dual-mode + RocksDB contract
+    * as [[runningTotals]]. */
+  def categoryCounts(events: DataFrame, keyCol: String,
+                     catCol: String): Dataset[CategoryCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.streams // register the StateStoreCoordinator (see runningTotals)
+    events
+      .select(col(keyCol).cast("long"), col(catCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CategoryCountsProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** transformWithState only runs on the RocksDB state store; scope
     * the provider conf to `body` and restore the previous value so
     * co-resident HDFS-backed streaming queries are unaffected. */
@@ -552,6 +576,38 @@ class RunningTotalsProcessor
     rows.foreach { r => n += 1; cents += r._2 }
     totals.update((n, cents))
     Iterator.single(KeyTotals(key, n, cents))
+  }
+}
+
+/** One (key, category) histogram entry emitted by
+  * [[StreamingOps.categoryCounts]] — counts are cumulative, so the
+  * final snapshot per (key, category) is the max. */
+case class CategoryCount(user_id: Long, category: String, cnt: Long)
+
+/** The [[StreamingOps.categoryCounts]] state machine: one MapState
+  * (category → running count) per key. */
+class CategoryCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), CategoryCount] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TimeMode => TM, TimerValues,
+    TTLConfig, MapState}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TM): Unit =
+    counts = getHandle.getMapState("counts", Encoders.STRING,
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[CategoryCount] = {
+    rows.foreach { case (_, cat) =>
+      val cur = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+      counts.updateValue(cat, cur + 1L)
+    }
+    // emit the key's full current histogram, deterministically ordered
+    counts.iterator().toArray.sortBy(_._1).iterator
+      .map { case (cat, c) => CategoryCount(key, cat, c) }
   }
 }
 

@@ -683,6 +683,17 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(perBatch <= 2)
   }
 
+  test("categoryCounts (MapState): batch mode equals plain groupBy counts") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type")
+    val got = StreamingOps.categoryCounts(events, "user_id", "event_type")
+      .collect().map(c => (c.user_id, c.category, c.cnt)).toSet
+    val expected = events.groupBy("user_id", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("recentFeatures (ListState): batch == full-history top-N; stream final == batch") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_id"),
