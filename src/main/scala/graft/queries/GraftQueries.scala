@@ -3523,6 +3523,34 @@ object GraftQueries {
        |FROM lineitem
        |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_quantity >= 5.0""".stripMargin
 
+  /** Bloom file skipping ([[graft.storage.DataSkipping.collectBloom]]):
+    * point lookups on a HIGH-CARDINALITY scattered column — min/max
+    * stats prune nothing there (every file spans the id range), the
+    * per-file Bloom sidecar prunes to ~the one file per needle.
+    * Conservative superset + exact row filter; the oracle is the plain
+    * IN-list query, so pruning must be result-invisible. OpsSpec pins
+    * that files are actually dropped. */
+  val bloomSkipping: Q = (spark, dir) => {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bloomskip_q").toString + "/t"
+    val ev = t(spark, dir, "events").select("event_id", "user_id", "value")
+    // hash-scatter into 8 files: ids interleave, min/max can't prune
+    ev.repartition(8, col("event_id")).write.parquet(out)
+    graft.storage.DataSkipping.collectBloom(spark, out, "event_id",
+      expectedItemsPerFile = 100000L)
+    val wanted = Seq(42L, 4242L, 7777L, 999999999L) // last one absent
+    graft.storage.DataSkipping
+      .prunedReadBloom(spark, out, "event_id", wanted)
+      .filter(col("event_id").isin(wanted: _*))
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+  }
+
+  val bloomSkippingSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_id IN (42, 4242, 7777, 999999999)
+      |ORDER BY event_id""".stripMargin
+
   /** OPTIMIZE: a fragmented managed table (16 scattered files) is
     * compacted and range-clustered on user_id, skipping stats refresh,
     * and a selective key-range aggregate runs over the pruned file
@@ -5612,6 +5640,7 @@ object GraftQueries {
       streamRecentFeaturesSql),
     entry("q_random_projection", randomProjectionQ, randomProjectionSql),
     entry("q_stream_category_counts", streamCategoryCounts,
-      streamCategoryCountsSql)
+      streamCategoryCountsSql),
+    entry("q_bloom_skipping", bloomSkipping, bloomSkippingSql)
   )
 }

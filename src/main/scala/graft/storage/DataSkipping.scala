@@ -343,4 +343,109 @@ object DataSkipping {
     else
       spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
   }
+
+  // ------------------------------------------------- Bloom file skipping
+
+  val BloomDirName = "_graft_bloom"
+
+  def bloomPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "/" + BloomDirName
+
+  /** Scheme-insensitive path form shared by the driver's file listing
+    * and `input_file_name()` (which returns a `file:`-qualified URI). */
+  private def normPath(p: String): String =
+    new Path(p).toUri.getPath
+
+  /** Build per-file Bloom filters of `column` into the
+    * `_graft_bloom` sidecar — POINT-lookup skipping for
+    * high-cardinality columns where min/max ranges prune nothing
+    * (scattered ids, hashes, UUIDs): a needle-in-haystack lookup
+    * then touches ~1 file instead of all of them. The complement of
+    * [[collectStats]]' range skipping, mirroring Delta/Iceberg's
+    * bloom-filter file indexes.
+    *
+    * Build is ONE distributed scan of (input_file_name, column):
+    * `BloomFilterAggregate` partials build executor-side per file and
+    * only sketch bytes land in the sidecar (file-count rows) — the
+    * driver never sees values. Values of any type enter as
+    * `xxhash64(value)`, the same hash probed at prune time, so false
+    * negatives are impossible (the [[graft.ops.BloomJoin]]
+    * contract). */
+  def collectBloom(spark: SparkSession, tablePath: String, column: String,
+                   expectedItemsPerFile: Long = 1000000L,
+                   fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItemsPerFile, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        B.expression(xxhash64(col(column))),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          expectedItemsPerFile),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+    val blooms = spark.read.parquet(tablePath)
+      .select(input_file_name().as("file"), col(column))
+      .groupBy(col("file"))
+      .agg(B.column(agg.toAggregateExpression()).as("bloom"))
+      .select(col("file"), lit(column).as("column"), col("bloom"))
+    // merge with other columns' sidecar rows (same reuse contract as
+    // the stats sidecar); bloom rows for this column are rebuilt whole
+    val existing =
+      if (Fs.exists(spark, bloomPath(tablePath)))
+        spark.read.parquet(bloomPath(tablePath))
+          .filter(col("column") =!= column)
+      else blooms.limit(0)
+    val merged = blooms.union(existing).localCheckpoint(true)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(bloomPath(tablePath))
+    spark.read.parquet(bloomPath(tablePath))
+  }
+
+  /** Files that may contain ANY of `values` in `column`, by probing
+    * each file's Bloom sketch. Probe hashes are computed by Spark's
+    * own xxhash64 (one metadata-sized job — guarantees hash parity
+    * with the build side); the sketch tests run executor-side over
+    * the sidecar frame and only surviving file NAMES reach the
+    * driver. Files without a sketch row for the column are kept —
+    * the conservative superset contract of every skipping layer
+    * here. */
+  def pruneFilesBloom(spark: SparkSession, tablePath: String,
+                      column: String, values: Seq[Any]): Seq[String] = {
+    import spark.implicits._
+    val all = dataFiles(spark, tablePath)
+    if (values.isEmpty || !Fs.exists(spark, bloomPath(tablePath)))
+      return all
+    val hashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val probed = spark.read.parquet(bloomPath(tablePath))
+      .filter(col("column") === column)
+      .select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .filter { case (_, bytes) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        hashes.exists(bf.mightContainLong)
+      }
+      .select("file").as[String].collect()
+      .map(normPath).toSet
+    val indexed = spark.read.parquet(bloomPath(tablePath))
+      .filter(col("column") === column)
+      .select("file").as[String].collect().map(normPath).toSet
+    all.filter(f => !indexed.contains(normPath(f)) ||
+      probed.contains(normPath(f)))
+  }
+
+  /** Read the table pruned to files that may hold `values` in
+    * `column`. Superset contract: apply the exact row predicate on
+    * top (Bloom false positives keep whole files, never add rows the
+    * row filter wouldn't). */
+  def prunedReadBloom(spark: SparkSession, tablePath: String,
+                      column: String, values: Seq[Any]): DataFrame = {
+    val files = pruneFilesBloom(spark, tablePath, column, values)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
+  }
 }

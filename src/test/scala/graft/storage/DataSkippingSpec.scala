@@ -156,4 +156,42 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
       assert(pruned == expected, s"seed=$seed lo=$lo hi=$hi layout=$layout")
     }
   }
+
+  test("bloom skipping: point lookup prunes scattered files; superset holds") {
+    val dir = tempDir("bloomskip")
+    Fs.delete(spark, dir)
+    // hash-scattered layout: every file spans the id range, so min/max
+    // stats CANNOT prune — the bloom layer is what drops files here
+    (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "value")
+      .repartition(8, col("id")).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    assert(DataSkipping.pruneFiles(spark, dir, "id",
+      Some(42L), Some(42L)).size == 8, "min/max must be useless here")
+    DataSkipping.collectBloom(spark, dir, "id",
+      expectedItemsPerFile = 10000L)
+    // a single needle lands in 1 file (+ rare FP files)
+    val one = DataSkipping.pruneFilesBloom(spark, dir, "id", Seq(42L))
+    assert(one.nonEmpty && one.size <= 3,
+      s"expected ~1 surviving file, got ${one.size}")
+    // an absent needle may prune everything; never returns wrong rows
+    val absent = DataSkipping
+      .prunedReadBloom(spark, dir, "id", Seq(99999999L))
+      .filter(col("id") === 99999999L)
+    assert(absent.count() == 0)
+    // result identical to the full read for a mixed present/absent set
+    val wanted = Seq(42L, 7L, 3999L, 99999999L)
+    val got = DataSkipping.prunedReadBloom(spark, dir, "id", wanted)
+      .filter(col("id").isin(wanted: _*))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(7L, 42L, 3999L))
+    // files without a bloom row are kept conservatively: a later
+    // append is unindexed until the next collectBloom
+    Seq((9000001L, "x")).toDF("id", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val afterAppend = DataSkipping
+      .prunedReadBloom(spark, dir, "id", Seq(9000001L))
+      .filter(col("id") === 9000001L)
+    assert(afterAppend.count() == 1,
+      "unindexed new file must survive pruning")
+  }
 }
