@@ -3551,6 +3551,79 @@ object GraftQueries {
       |WHERE event_id IN (42, 4242, 7777, 999999999)
       |ORDER BY event_id""".stripMargin
 
+  /** Merge-on-read DELETE ([[graft.storage.MorDelete]]): two
+    * tombstone deletes (no data rewrite — spec pins files
+    * byte-identical), the MoR view aggregated and MATERIALIZED, then
+    * compaction folds tombstones into one COW rewrite and the plain
+    * read must agree — the whole deletion-vector lifecycle against
+    * one oracle. */
+  val deleteMorQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_mor_q").toString + "/t"
+    val ev = t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    st.write(ev, out, "delta", "overwrite")
+    graft.storage.MorDelete.deleteWhere(spark, st, out,
+      "event_type = 'error'", Seq("event_id"))
+    graft.storage.MorDelete.deleteWhere(spark, st, out,
+      "value > 400", Seq("event_id"))
+    def agg(df: DataFrame, phase: String) = df.agg(
+        count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("phase", lit(phase))
+    // materialize the MoR view BEFORE compacting — this row must come
+    // from the tombstone-subtracting read path, not the rewritten table
+    val morRow = agg(graft.storage.MorDelete.read(spark, st, out,
+      Seq("event_id")), "mor").localCheckpoint(true)
+    graft.storage.MorDelete.compact(spark, st, out, Seq("event_id"))
+    morRow.union(agg(st.read(out, "delta"), "compacted"))
+      .select("phase", "n", "total_value", "min_id", "max_id")
+      .orderBy("phase")
+  }
+
+  val deleteMorSql: String =
+    s"""SELECT phase, count(*) AS n, ${sqlDsum("value")} AS total_value,
+       |  min(event_id) AS min_id, max(event_id) AS max_id
+       |FROM events, (VALUES ('compacted'), ('mor')) p(phase)
+       |WHERE NOT (event_type = 'error' OR value > 400)
+       |GROUP BY phase ORDER BY phase""".stripMargin
+
+  /** Metadata-only aggregates
+    * ([[graft.storage.DataSkipping.metadataProfile]]): count / nulls /
+    * min / max answered from the footer-stats sidecar with ZERO data
+    * files opened — the Delta-log instant-stats shape. The oracle
+    * computes the same from the raw rows, so the sidecar must be an
+    * exact account of the table. */
+  val metadataAggQ: Q = (spark, dir) => {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_meta_q").toString + "/t"
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(6).write.parquet(out)
+    graft.storage.DataSkipping.collectStats(spark, out,
+      Seq("l_orderkey", "l_quantity"))
+    graft.storage.DataSkipping.metadataProfile(spark, out, "l_orderkey")
+      .union(graft.storage.DataSkipping
+        .metadataProfile(spark, out, "l_quantity"))
+      .select(col("column").as("col_name"), col("dtype"),
+        col("n_rows"), col("n_nulls"),
+        col("min_v").cast("double").as("min_d"),
+        col("max_v").cast("double").as("max_d"))
+      .orderBy("col_name")
+  }
+
+  val metadataAggSql: String =
+    """SELECT 'l_orderkey' AS col_name, 'long' AS dtype,
+      |  count(*) AS n_rows, CAST(0 AS BIGINT) AS n_nulls,
+      |  CAST(min(l_orderkey) AS DOUBLE) AS min_d,
+      |  CAST(max(l_orderkey) AS DOUBLE) AS max_d
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', 'double', count(*), CAST(0 AS BIGINT),
+      |  min(l_quantity), max(l_quantity)
+      |FROM lineitem ORDER BY col_name""".stripMargin
+
   /** OPTIMIZE: a fragmented managed table (16 scattered files) is
     * compacted and range-clustered on user_id, skipping stats refresh,
     * and a selective key-range aggregate runs over the pruned file
@@ -5641,6 +5714,8 @@ object GraftQueries {
     entry("q_random_projection", randomProjectionQ, randomProjectionSql),
     entry("q_stream_category_counts", streamCategoryCounts,
       streamCategoryCountsSql),
-    entry("q_bloom_skipping", bloomSkipping, bloomSkippingSql)
+    entry("q_bloom_skipping", bloomSkipping, bloomSkippingSql),
+    entry("q_delete_mor", deleteMorQ, deleteMorSql),
+    entry("q_metadata_agg", metadataAggQ, metadataAggSql)
   )
 }

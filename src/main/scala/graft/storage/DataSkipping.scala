@@ -344,6 +344,59 @@ object DataSkipping {
       spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
   }
 
+  /** Answer count / null-count / min / max for `column` from the stats
+    * sidecar alone — ZERO data files opened: the "metadata-only query"
+    * a Delta/Iceberg log answers instantly, rebuilt on the footer
+    * sidecar. At 100 TB this is the difference between a dashboard
+    * freshness probe costing one sidecar read (a few files) and a
+    * full-table scan.
+    *
+    * Sound only with FULL coverage: every data file must carry a
+    * stats row for the column (a file without stats could hide rows
+    * past the recorded extremes), so this THROWS on partial coverage
+    * rather than return a plausible wrong answer — run
+    * [[collectStats]] first. Aggregation runs over the metadata-sized
+    * sidecar frame; min/max re-typed from their string form by the
+    * recorded dtype. Output: one row (column, dtype, n_rows, n_nulls,
+    * min_v, max_v — extremes as strings, cast by the caller). */
+  def metadataProfile(spark: SparkSession, tablePath: String,
+                      column: String): DataFrame = {
+    import spark.implicits._
+    val files = dataFiles(spark, tablePath).map(normPath).toSet
+    val stats = statsFrame(spark, tablePath)
+      .filter(col("column") === column)
+      .localCheckpoint(true) // tiny; read twice (coverage + aggregate)
+    val covered = stats.select("file").as[String].collect()
+      .map(normPath).toSet
+    val uncovered = files -- covered
+    require(uncovered.isEmpty,
+      s"metadataProfile($column): ${uncovered.size} data file(s) have " +
+        "no stats row — run collectStats first (a partial answer " +
+        "could silently miss rows)")
+    // numeric dtypes compare numerically, strings lexically — the same
+    // comparator the pruning layer uses; the winner keeps its stored
+    // string form (no lossy double round-trip for longs)
+    stats.groupBy(col("column"), col("dtype"))
+      .agg(
+        sum(col("num_rows")).as("n_rows"),
+        sum(col("null_count")).as("n_nulls"),
+        // try_cast: a string-dtype group's values must not trip the
+        // numeric branches (ANSI cast throws; the branch is unused)
+        min(expr("try_cast(min AS BIGINT)")).cast("string").as("__min_l"),
+        max(expr("try_cast(max AS BIGINT)")).cast("string").as("__max_l"),
+        min(expr("try_cast(min AS DOUBLE)")).cast("string").as("__min_d"),
+        max(expr("try_cast(max AS DOUBLE)")).cast("string").as("__max_d"),
+        min(col("min")).as("__min_s"),
+        max(col("max")).as("__max_s"))
+      .select(col("column"), col("dtype"), col("n_rows"), col("n_nulls"),
+        when(col("dtype") === "long", col("__min_l"))
+          .when(col("dtype") === "double", col("__min_d"))
+          .otherwise(col("__min_s")).as("min_v"),
+        when(col("dtype") === "long", col("__max_l"))
+          .when(col("dtype") === "double", col("__max_d"))
+          .otherwise(col("__max_s")).as("max_v"))
+  }
+
   // ------------------------------------------------- Bloom file skipping
 
   val BloomDirName = "_graft_bloom"

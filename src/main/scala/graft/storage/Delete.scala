@@ -84,3 +84,97 @@ object Delete {
     }
   }
 }
+
+/** Merge-on-read DELETE — the deletion-vector idea re-expressed on
+  * plain parquet: instead of rewriting data files ([[Delete.where]]'s
+  * copy-on-write), matching rows' KEYS append to a
+  * `_graft_tombstones` sidecar and reads subtract them. Deletes
+  * become O(matches) writes regardless of table size — the shape that
+  * makes frequent small deletes (GDPR trickle, late retractions)
+  * affordable at 100 TB, where a COW rewrite per delete would dwarf
+  * the deleted data by orders of magnitude. [[MorDelete.compact]]
+  * folds accumulated tombstones into one physical rewrite when read
+  * amplification has grown past its worth — exactly Delta's deletion-
+  * vector lifecycle (vector → OPTIMIZE applies) with the vectors
+  * keyed logically (keyCols) instead of positionally, the honest
+  * equivalent without stable row ids in open parquet.
+  *
+  * The MoR read is an explicit API ([[MorDelete.read]]): a plain
+  * parquet reader (or the DuckDB oracle) sees deleted rows until
+  * compaction — the documented trade for keeping files externally
+  * readable; Delta hides this only because its readers all speak the
+  * log.
+  */
+object MorDelete {
+
+  val TombstoneDirName = "_graft_tombstones"
+
+  def tombstonePath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "/" + TombstoneDirName
+
+  /** Tombstone every live row matching `condition`. `keyCols` must
+    * identify rows (a tombstoned key kills ALL its rows). Returns the
+    * number of rows newly logically deleted. SQL DELETE null
+    * semantics: null-condition rows are kept. */
+  def deleteWhere(spark: SparkSession, storage: BasicStorage,
+                  path: String, condition: String,
+                  keyCols: Seq[String]): Long = {
+    if (!GraftLog.isManagedTable(spark, path))
+      throw new IllegalArgumentException(
+        "The given path is not a Delta Table.")
+    require(keyCols.nonEmpty, "deleteWhere needs key columns")
+    val base = path.stripSuffix("/")
+    val cond = coalesce(expr(condition), lit(false))
+    // match against the MoR view: already-tombstoned rows can't be
+    // re-deleted (keeps the returned count and the sidecar minimal)
+    val live = read(spark, storage, base, keyCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = live.filter(cond)
+      val n = matched.count()
+      if (n > 0L) {
+        matched.select(keyCols.map(col): _*).distinct()
+          .write.mode("append").parquet(tombstonePath(base))
+        GraftLog.append(spark, base, "DELETE_MOR", Nil)
+      }
+      n
+    } finally live.unpersist()
+  }
+
+  /** The merge-on-read view: table minus tombstoned keys. One
+    * left-anti join against the metadata-sized tombstone frame (AQE
+    * broadcasts it while small — the common case; a huge tombstone
+    * set is the signal to [[compact]]). No sidecar ⇒ plain read. */
+  def read(spark: SparkSession, storage: BasicStorage, path: String,
+           keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val base = path.stripSuffix("/")
+    val df = storage.read(base, "delta")
+    if (!Fs.exists(spark, tombstonePath(base))) df
+    else df.join(
+      spark.read.parquet(tombstonePath(base)).distinct(),
+      keyCols, "left_anti")
+  }
+
+  /** Apply accumulated tombstones physically (one COW rewrite through
+    * the checked swap) and clear the sidecar. Returns rows physically
+    * removed. */
+  def compact(spark: SparkSession, storage: BasicStorage, path: String,
+              keyCols: Seq[String]): Long = {
+    val base = path.stripSuffix("/")
+    if (!Fs.exists(spark, tombstonePath(base))) return 0L
+    val before = storage.read(base, "delta").count()
+    val kept = read(spark, storage, base, keyCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val after = kept.count()
+      val tmp = base + "__graft_tmp"
+      Fs.deleteChecked(spark, tmp)
+      kept.write.format("parquet").mode("overwrite").save(tmp)
+      // the swap replaces the table dir wholesale, sidecar included —
+      // tombstones are consumed by construction, not by a second delete
+      GraftLog.carryLogAndSwap(spark, base, tmp)
+      GraftLog.append(spark, base, "DELETE_COMPACT", Nil)
+      before - after
+    } finally kept.unpersist()
+  }
+}

@@ -194,4 +194,31 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(afterAppend.count() == 1,
       "unindexed new file must survive pruning")
   }
+
+  test("metadataProfile: exact sidecar answers; partial coverage throws") {
+    val dir = tempDir("metaprof")
+    Fs.delete(spark, dir)
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 5 == 0) null else s"s${1000 - i}"))
+    rows.toDF("id", "s").repartition(4).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id", "s"))
+    val idp = DataSkipping.metadataProfile(spark, dir, "id").head()
+    assert(idp.getString(1) == "long")
+    assert(idp.getLong(2) == 500L && idp.getLong(3) == 0L)
+    assert(idp.getString(4) == "1" && idp.getString(5) == "500")
+    val sp = DataSkipping.metadataProfile(spark, dir, "s").head()
+    assert(sp.getString(1) == "string")
+    assert(sp.getLong(2) == 500L && sp.getLong(3) == 100L)
+    // lexical extremes over the non-null strings, across 4 files
+    // (i=500 is a null — the smallest surviving value is s501)
+    assert(sp.getString(4) == "s501" && sp.getString(5) == "s999")
+    // a new un-statted file makes the metadata answer unsound — throw,
+    // never a plausible wrong number
+    Seq((9999L, "zzz")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.metadataProfile(spark, dir, "id")
+    }
+    assert(e.getMessage.contains("no stats row"))
+  }
 }

@@ -81,4 +81,42 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("not a Delta Table"))
   }
+
+  test("MoR delete: files untouched, reads subtract, compact applies") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor") + "/t"
+    val df = (1L to 100L).map(i => (i, i % 10, s"v$i")).toDF("id", "m", "v")
+    st.write(df, path, "delta", "overwrite")
+    def dataFiles = Fs.dataFiles(spark, path)
+      .map { case (f, sz) => (f, sz) }.sortBy(_._1)
+    val before = dataFiles
+
+    // logical delete: no data file is rewritten, byte sizes identical
+    val n1 = MorDelete.deleteWhere(spark, st, path, "m = 3", Seq("id"))
+    assert(n1 == 10L)
+    assert(dataFiles == before, "MoR delete must not touch data files")
+    // a plain reader still sees all rows; the MoR view subtracts
+    assert(st.read(path, "delta").count() == 100L)
+    val live = MorDelete.read(spark, st, path, Seq("id"))
+    assert(live.count() == 90L)
+    assert(live.filter(col("m") === 3).count() == 0L)
+
+    // re-delete of the same predicate: nothing live matches
+    assert(MorDelete.deleteWhere(spark, st, path, "m = 3", Seq("id")) == 0L)
+    // overlapping second delete counts only LIVE matches (m=3 already gone)
+    val n2 = MorDelete.deleteWhere(spark, st, path,
+      "id <= 20", Seq("id"))
+    assert(n2 == 18L, s"two of id<=20 are m=3 tombstones, got $n2")
+    assert(MorDelete.read(spark, st, path, Seq("id")).count() == 72L)
+
+    // compact: tombstones fold into one physical rewrite and clear
+    val removed = MorDelete.compact(spark, st, path, Seq("id"))
+    assert(removed == 28L)
+    assert(!Fs.exists(spark, MorDelete.tombstonePath(path)))
+    assert(st.read(path, "delta").count() == 72L)
+    assert(MorDelete.read(spark, st, path, Seq("id")).count() == 72L)
+    // lifecycle is logged
+    val ops = GraftLog.history(spark, path).collect().map(_.getString(0))
+    assert(ops.contains("DELETE_MOR") && ops.contains("DELETE_COMPACT"))
+  }
 }
