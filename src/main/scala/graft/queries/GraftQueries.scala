@@ -3141,6 +3141,71 @@ object GraftQueries {
       |                        AND epoch_us(c.ts)
       |ORDER BY click_id, view_id""".stripMargin
 
+  /** Corrupt-record rescue (`from_json` PERMISSIVE +
+    * columnNameOfCorruptRecord): every 7th doc is deterministically
+    * truncated mid-object; malformed rows land in the rescue column
+    * with parsed fields null — NOT dropped (the quarantine-don't-lose
+    * ingest contract). Oracle mirrors with json_valid. */
+  val jsonRescue: Q = (spark, dir) => {
+    val doc = when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props) - 1)"))
+      .otherwise(col("props"))
+    t(spark, dir, "events")
+      .select(col("event_id"), doc.as("doc"))
+      .withColumn("p", from_json(col("doc"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("_corrupt",
+            org.apache.spark.sql.types.StringType))),
+        Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .select(col("event_id"), col("p.k").as("k"),
+        col("p._corrupt").isNotNull.as("is_corrupt"),
+        coalesce(col("p._corrupt"), lit("")).as("rescued"))
+      .orderBy("event_id")
+  }
+
+  val jsonRescueSql: String =
+    """WITH j AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0
+      |         THEN substring(props, 1, length(props) - 1)
+      |         ELSE props END AS doc
+      |  FROM events)
+      |SELECT event_id,
+      |  CASE WHEN json_valid(doc)
+      |       THEN CAST(json_extract(doc, '$.k') AS INT) END AS k,
+      |  NOT json_valid(doc) AS is_corrupt,
+      |  CASE WHEN json_valid(doc) THEN '' ELSE doc END AS rescued
+      |FROM j ORDER BY event_id""".stripMargin
+
+  /** Write-Audit-Publish ([[graft.storage.WriteAuditPublish]]): stage →
+    * value-audit the written files → publish. The published table's
+    * aggregate must equal the source's (audit passed, nothing mutated);
+    * the abort path (bad data never readable at the live path) is
+    * pinned in WapSpec. */
+  val wapQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_wap_q").toString + "/t"
+    val ev = t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val report = graft.storage.WriteAuditPublish.run(spark, st, ev, out,
+      Seq(
+        graft.core.Expectations.NotNull("event_id"),
+        graft.core.Expectations.InRange("value", 0.0, 1000.0),
+        graft.core.Expectations.OneOf("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))))
+    val nRules = report.count() // driver-side: rules-count rows
+    st.read(out, "parquet")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .withColumn("rules_passed", lit(nRules))
+  }
+
+  val wapSql: String =
+    s"""SELECT count(*) AS n, ${sqlDsum("value")} AS total_value,
+       |  CAST(3 AS BIGINT) AS rules_passed FROM events""".stripMargin
+
   /** Null-handling battery: null-introducing casts, `na.fill` (typed
     * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
     * surface — all map-only. */
@@ -5716,6 +5781,8 @@ object GraftQueries {
       streamCategoryCountsSql),
     entry("q_bloom_skipping", bloomSkipping, bloomSkippingSql),
     entry("q_delete_mor", deleteMorQ, deleteMorSql),
-    entry("q_metadata_agg", metadataAggQ, metadataAggSql)
+    entry("q_metadata_agg", metadataAggQ, metadataAggSql),
+    entry("q_json_rescue", jsonRescue, jsonRescueSql),
+    entry("q_wap", wapQ, wapSql)
   )
 }

@@ -1,0 +1,64 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Expectations
+
+/** Audit failure: the staged data violated a rule; the live table was
+  * left untouched and the stage was cleaned. */
+class AuditFailedException(val violations: Seq[(String, Long)])
+  extends RuntimeException(
+    "write-audit-publish aborted: " + violations
+      .map { case (r, n) => s"$r=$n" }.mkString(", "))
+
+/** Write-Audit-Publish — the Iceberg-pattern staging workflow on the
+  * managed-parquet engine: write the candidate data to a STAGE
+  * directory, run value expectations against what was actually
+  * written (the files a reader would see, not the in-memory frame),
+  * and only then publish atomically-as-possible into the live path.
+  * A failed audit leaves the live table byte-untouched and cleans the
+  * stage — bad data is never readable at the production path, which
+  * is the entire point of the pattern at 100 TB where "publish then
+  * notice" means a fleet of consumers already read garbage.
+  *
+  * Builds from parts the engine already has: [[Expectations]] (one
+  * aggregation pass over the staged files), the checked swap
+  * ([[GraftLog.carryLogAndSwap]] — op log and change feed survive),
+  * and the `_graft_log` audit trail (`WAP_PUBLISH` entry per
+  * publish).
+  */
+object WriteAuditPublish {
+
+  /** Stage `df` beside `path`, audit with `rules`, publish on pass.
+    * Returns the audit report (rule, violations — all zeros by
+    * construction when it returns). Throws [[AuditFailedException]]
+    * on any violation. */
+  def run(spark: SparkSession, storage: BasicStorage, df: DataFrame,
+          path: String, rules: Seq[Expectations.Rule]): DataFrame = {
+    require(rules.nonEmpty, "write-audit-publish needs audit rules — " +
+      "an empty audit is a plain write")
+    val base = path.stripSuffix("/")
+    val stage = base + "__graft_stage"
+    Fs.deleteChecked(spark, stage)
+    df.write.format("parquet").mode("overwrite").save(stage)
+    // audit what was WRITTEN: the staged files are the publish artifact
+    val report = Expectations
+      .check(spark.read.parquet(stage), rules)
+      .localCheckpoint(true) // rules-count rows; read twice (gate + return)
+    val bad = report.filter(col("violations") > 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (bad.nonEmpty) {
+      Fs.deleteChecked(spark, stage)
+      throw new AuditFailedException(bad)
+    }
+    if (GraftLog.isManagedTable(spark, base))
+      GraftLog.carryLogAndSwap(spark, base, stage)
+    else {
+      Fs.deleteChecked(spark, base)
+      Fs.renameChecked(spark, stage, base)
+    }
+    GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
+    report
+  }
+}
