@@ -50,26 +50,34 @@ object Pca {
     * decimal-quantized (products at 1e-8, coordinates at 1e-6) so the
     * matrix is exact and partition-order independent — which is what
     * lets the DuckDB oracle hash-match it (q_embedding_cov). */
-  def covariance(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+  def covariance(df: DataFrame, vecCol: String, dims: Int): DataFrame =
+    moments(df, vecCol, dims)
+      .select(col("i"), col("j"),
+        ((col("__sxy").cast("double") / col("__n")) / lit(1e8) -
+          ((col("__sx").cast("double") / col("__n")) / lit(1e6)) *
+          ((col("__sy").cast("double") / col("__n")) / lit(1e6)))
+          .as("cov"))
+
+  /** Quantized moment sums per upper-triangle pair. The second
+    * generator explodes only the TAIL slice from i (j = i + pos) —
+    * half the generated rows of a full cross-explode + filter. */
+  private def moments(df: DataFrame, vecCol: String, dims: Int)
+    : DataFrame = {
     val d38 = DecimalType(38, 0)
-    val pairs = df
+    df
       .select(slice(col(vecCol).cast("array<double>"), 1, dims).as("__v"))
       .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
-        posexplode(col("__v")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-    pairs
+        posexplode(slice(col("__v"), col("i") + 1, lit(dims) - col("i")))
+          .as(Seq("__p", "xj")))
+      .select(col("i"), (col("i") + col("__p")).as("j"), col("xi"),
+        col("xj"))
       .groupBy(col("i"), col("j"))
       .agg(
         count(lit(1)).as("__n"),
         sum(iscale(col("xi") * col("xj"), 8).cast(d38)).as("__sxy"),
         sum(iscale(col("xi"), 6).cast(d38)).as("__sx"),
         sum(iscale(col("xj"), 6).cast(d38)).as("__sy"))
-      .select(col("i"), col("j"),
-        ((col("__sxy").cast("double") / col("__n")) / lit(1e8) -
-          ((col("__sx").cast("double") / col("__n")) / lit(1e6)) *
-          ((col("__sy").cast("double") / col("__n")) / lit(1e6)))
-          .as("cov"))
   }
 
   /** Fit a k-component model: one covariance pass (dims² rows to the
@@ -77,24 +85,25 @@ object Pca {
     * the symmetric d×d matrix on the driver. */
   def fit(df: DataFrame, vecCol: String, dims: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
-    val d38 = DecimalType(38, 0)
-    // one pass: per-dim quantized sums for means + the full triangle
-    val covRows = covariance(df, vecCol, dims)
+    // ONE pass: the moment sums carry both the covariance AND the
+    // means (the diagonal group (i,i) sums xi) — no second scan
+    val momRows = moments(df, vecCol, dims)
+      .select(col("i"), col("j"), col("__n"),
+        col("__sxy").cast("double").as("sxy"),
+        col("__sx").cast("double").as("sx"),
+        col("__sy").cast("double").as("sy"))
       .collect() // ≤ dims·(dims+1)/2 rows — driver-side metadata
-    val meanRows = df
-      .select(posexplode(slice(col(vecCol).cast("array<double>"), 1, dims))
-        .as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(count(lit(1)).as("__n"), sum(iscale(col("x"), 6).cast(d38)).as("__sx"))
-      .select(col("i"),
-        ((col("__sx").cast("double") / col("__n")) / lit(1e6)).as("mean"))
-      .collect()
     val means = new Array[Double](dims)
-    meanRows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
     val cov = Array.ofDim[Double](dims, dims)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    momRows.foreach { r =>
+      val (i, j, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val (sxy, sx, sy) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // the same double arithmetic as the covariance() column expr —
+      // fit and the declared q_embedding_cov stay value-identical
+      val c = (sxy / n) / 1e8 - ((sx / n) / 1e6) * ((sy / n) / 1e6)
       cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) means(i) = (sx / n) / 1e6
     }
     val (values, vectors) = jacobiEigen(cov)
     val order = values.indices.sortBy(i => -values(i)).take(k)
