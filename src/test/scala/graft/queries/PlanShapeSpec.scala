@@ -477,4 +477,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"attribution must not self-join conversions against touches:\n$p")
   }
+
+  test("q_winsorize broadcasts the percentile bounds onto the fact side") {
+    val p = planOf(GraftQueries.winsorizeQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"group-count-sized bounds must never sort-merge:\n$p")
+  }
+
+  test("q_interval_union shares ONE key exchange across windows and rollups") {
+    val p = planOf(GraftQueries.intervalUnionQ(spark, dir))
+      .split("== Initial Plan ==").head
+    // the window sort, the block groupBy, and the per-user rollup all
+    // key on user_id — one hash exchange total (plus the output sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q_changepoint shares ONE key exchange across its three window passes") {
+    val p = planOf(GraftQueries.changePointQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q_collocations is window-free; covariance shuffles O(dims²) only") {
+    val p = planOf(GraftQueries.collocationsQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"PMI must not use windows:\n$p")
+    val cov = planOf(graft.ops.Pca.covariance(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", 8))
+    // partial aggregation collapses the exploded pairs BEFORE the one
+    // shuffle: a partial_ HashAggregate must precede the exchange
+    assert("Exchange hashpartitioning".r
+      .findAllIn(cov.split("== Initial Plan ==").head).size == 1,
+      s"covariance should shuffle once (O(dims²) rows):\n$cov")
+    assert(cov.contains("partial_"),
+      s"covariance must partial-aggregate map-side:\n$cov")
+  }
+
+  test("q_random_projection and q_json_rescue are map-only to the sort") {
+    for (q <- Seq(GraftQueries.randomProjectionQ, GraftQueries.jsonRescue)) {
+      val p = planOf(q(spark, dir)).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"map-only op grew a hash shuffle:\n$p")
+    }
+  }
 }

@@ -221,4 +221,24 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("no stats row"))
   }
+
+  test("metadataProfile opens ZERO data files — proof by corrupting them") {
+    val dir = tempDir("metazero")
+    Fs.delete(spark, dir)
+    (1L to 300L).toDF("id").repartition(3).write.parquet(dir)
+    DataSkipping.collectStats(spark, dir, Seq("id"))
+    // overwrite every data file with garbage bytes IN PLACE (same
+    // names — the coverage check still matches): any attempt to read
+    // data would now throw, so a correct answer proves sidecar-only
+    val conf = spark.sessionState.newHadoopConf()
+    Fs.dataFiles(spark, dir).foreach { case (f, _) =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      out.write("not parquet".getBytes); out.close()
+    }
+    val row = DataSkipping.metadataProfile(spark, dir, "id").head()
+    assert(row.getLong(2) == 300L && row.getString(4) == "1" &&
+      row.getString(5) == "300")
+  }
 }
