@@ -60,5 +60,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Literal(graft.ops.Sampling.HashA)), Literal(4294967296L))
       Pmod(mixed, Cast(args(1), LongType))
     })
+    // unicode normalization: graft_unicode_normalize(text, 'NFKC')
+    // (form must be a literal — it compiles into the generated code)
+    register(e, "graft_unicode_normalize", args => {
+      val form = args(1) match {
+        case Literal(s, _) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_unicode_normalize form must be a string literal, got $other")
+      }
+      graft.functions.UnicodeNormalizeExpr(args.head, form)
+    })
+    // deflate compression ratio of a string — the low-entropy /
+    // boilerplate quality signal, directly usable in SQL WHERE
+    register(e, "graft_deflate_ratio", args =>
+      graft.functions.DeflateRatioExpr(args.head))
+    // JPEG dimensions from a binary column's SOF scan (struct result)
+    register(e, "graft_jpeg_dims", args =>
+      graft.functions.JpegDimsExpr(args.head))
   }
 }

@@ -574,6 +574,25 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
           graft.ops.Sampling.hashBucket(col("k"), 100).as("b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sqlBuckets == colBuckets)
+      // round-8 registrations: unicode normalize, deflate ratio, jpeg dims
+      val u = s2.sql(
+        """SELECT graft_unicode_normalize('ﬁn ①', 'NFKC') AS n,
+          |       graft_deflate_ratio(repeat('ab', 200)) AS r""".stripMargin)
+        .head()
+      assert(u.getString(0) == "fin 1")
+      assert(u.getDouble(1) < 0.2, "repetitive text must compress hard")
+      // non-literal form is rejected, not silently mis-planned
+      val err = intercept[Exception] {
+        s2.sql("SELECT graft_unicode_normalize('x', lower('NFC'))").head()
+      }
+      assert(err.getMessage.contains("literal"))
+      // packed width<<32|height long; unparseable bytes yield NULL
+      val jd = s2.sql(
+        """SELECT graft_jpeg_dims(CAST('nope' AS BINARY)) AS bad,
+          |  graft_jpeg_dims(CAST(concat(char(255), char(216), char(255),
+          |    char(224)) AS BINARY)) AS trunc""".stripMargin).head()
+      assert(jd.isNullAt(0), "non-JPEG bytes must yield null")
+      assert(jd.isNullAt(1), "truncated JPEG header must yield null")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
