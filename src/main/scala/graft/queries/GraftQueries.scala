@@ -3206,6 +3206,34 @@ object GraftQueries {
     s"""SELECT count(*) AS n, ${sqlDsum("value")} AS total_value,
        |  CAST(3 AS BIGINT) AS rules_passed FROM events""".stripMargin
 
+  /** Chained stateful operators, batch twin
+    * ([[graft.streaming.StreamingOps.attributedWindowCounts]]):
+    * stream-stream interval join → tumbling window count in one
+    * query — two state stores back to back on streams
+    * (StreamingOpsSpec pins stream == this twin). Oracle: the same
+    * join + day-truncated grouping in SQL. */
+  val attrWindowBatch: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    graft.streaming.StreamingOps.attributedWindowCounts(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", lookbackSeconds = 1800, windowLen = "1 day")
+      .select(date_format(col("window_start"), "yyyy-MM-dd")
+        .as("window_day"), col("n_pairs"))
+      .orderBy("window_day")
+  }
+
+  val attrWindowBatchSql: String =
+    """SELECT strftime(date_trunc('day', c.ts), '%Y-%m-%d') AS window_day,
+      |  count(*) AS n_pairs
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 1800000000
+      |                        AND epoch_us(c.ts)
+      |GROUP BY 1 ORDER BY window_day""".stripMargin
+
   /** Null-handling battery: null-introducing casts, `na.fill` (typed
     * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
     * surface — all map-only. */
@@ -5783,6 +5811,7 @@ object GraftQueries {
     entry("q_delete_mor", deleteMorQ, deleteMorSql),
     entry("q_metadata_agg", metadataAggQ, metadataAggSql),
     entry("q_json_rescue", jsonRescue, jsonRescueSql),
-    entry("q_wap", wapQ, wapSql)
+    entry("q_wap", wapQ, wapSql),
+    entry("q_attr_window_batch", attrWindowBatch, attrWindowBatchSql)
   )
 }

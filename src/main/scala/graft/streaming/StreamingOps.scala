@@ -209,6 +209,31 @@ object StreamingOps {
       joinType)
   }
 
+  /** CHAINED stateful operators: a stream-stream interval join feeding
+    * an event-time tumbling aggregation in ONE streaming query — two
+    * state stores back to back (join buffers + window partials), the
+    * shape Spark only unblocked in 3.5 and the reason real-time
+    * attribution dashboards don't need an intermediate sink anymore.
+    * The join's watermark survives into the aggregation (Spark tracks
+    * the delayed event-time column through the join), so window
+    * emission and BOTH state stores stay watermark-bounded.
+    *
+    * Counts attributed (left, right-within-lookback) pairs per
+    * tumbling window of the left event time. Dual-mode: on batch
+    * frames the identical code path runs join + groupBy — the
+    * oracle-checkable twin; StreamingOpsSpec pins stream == batch. */
+  def attributedWindowCounts(left: DataFrame, right: DataFrame,
+                             keyCol: String, tsCol: String,
+                             lookbackSeconds: Long, windowLen: String,
+                             watermarkDelay: String = "10 minutes")
+    : DataFrame = {
+    intervalJoin(left, right, keyCol, tsCol, lookbackSeconds,
+        watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("w.start").as("window_start"), col("n_pairs"))
+  }
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state API for semantics no built-in aggregation
     * expresses (a session's extent isn't known until the inactivity

@@ -346,6 +346,61 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("chained stateful: join→window stream equals the batch twin") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+    val views = ev.filter(col("event_type") === "view")
+    val out = tempDir("graft_chain")
+    clicks.coalesce(1).write.parquet(s"$out/clicks")
+    views.coalesce(1).write.parquet(s"$out/views")
+    // sentinels on both sides push the watermark past every real
+    // window so join state drains AND windows close
+    Seq("clicks", "views").foreach { side =>
+      val p = new org.apache.hadoop.fs.Path(s"$out/$side")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def files = fs.listStatus(p)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val before = files.map(_.getPath.getName).toSet
+      val prev = files.map(_.getModificationTime).max
+      ev.orderBy("event_id").limit(1)
+        .withColumn("user_id", lit(999999L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+        .coalesce(1).write.mode("append").parquet(s"$out/$side")
+      files.filterNot(f => before(f.getPath.getName))
+        .foreach(f => fs.setTimes(f.getPath, prev + 60000, -1))
+    }
+    def stream(p: String) = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+    val counts = StreamingOps.attributedWindowCounts(
+      stream(s"$out/clicks"), stream(s"$out/views"),
+      "user_id", "ts", lookbackSeconds = 1800, windowLen = "1 day")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = counts.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop()
+    }
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val batch = StreamingOps.attributedWindowCounts(
+        clicks, views, "user_id", "ts",
+        lookbackSeconds = 1800, windowLen = "1 day")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty)
+    // stream result = batch result plus the sentinel-pair window
+    // the far-future sentinel pair adds exactly one extra window
+    val extra = streamed.keySet -- batch.keySet
+    assert(extra.size <= 1, s"unexpected extra windows: $extra")
+    assert(streamed.filter(kv => batch.contains(kv._1)) == batch)
+  }
+
   test("windowTopK: stream equals batch; state is k entries per window") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("ts", "event_id", "value")
