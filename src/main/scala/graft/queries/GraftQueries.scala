@@ -435,6 +435,41 @@ object GraftQueries {
       |  _change_type
       |FROM changes ORDER BY o_orderkey, _change_type""".stripMargin
 
+  /** Time travel via inverse CDF replay ([[graft.storage.Merge
+    * .readAsOf]]): after TWO captured merges (updates, inserts, and a
+    * delete), stepping back through both batches must reproduce the
+    * ORIGINAL table exactly — which is the (trivially SQL-expressible)
+    * oracle. MergeSpec pins the single-step hop == the between-merges
+    * snapshot. */
+  val timeTravelQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tt_q").toString + "/t"
+    st.write(base, path, "delta", "overwrite")
+    // merge 1: price bump on %3 keys (updates + inserts)
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    // merge 2: status flip on %7 keys + delete %11 customers
+    st.merge(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("T")),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      deleteCondition = Some("incremental.o_custkey % 11 = 0"),
+      captureChanges = true)
+    graft.storage.Merge.readAsOf(spark, st, path,
+        Seq("o_orderkey"), Long.MinValue)
+      .orderBy("o_orderkey")
+  }
+
+  val timeTravelSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey % 5 != 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Replica maintenance from the change feed (Merge.replayChanges):
     * capture a merge's CDF, replay it onto the PRE-merge snapshot, and
     * the replica equals the post-merge table — pinned by sharing
@@ -5812,6 +5847,7 @@ object GraftQueries {
     entry("q_metadata_agg", metadataAggQ, metadataAggSql),
     entry("q_json_rescue", jsonRescue, jsonRescueSql),
     entry("q_wap", wapQ, wapSql),
-    entry("q_attr_window_batch", attrWindowBatch, attrWindowBatchSql)
+    entry("q_attr_window_batch", attrWindowBatch, attrWindowBatchSql),
+    entry("q_time_travel", timeTravelQ, timeTravelSql)
   )
 }

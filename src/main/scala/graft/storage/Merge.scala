@@ -69,6 +69,50 @@ object Merge {
     base.join(removed, keyCols, "left_anti").unionByName(added)
   }
 
+  /** The exact inverse of [[replayChanges]]: reconstruct the
+    * PRE-batch snapshot from the POST-batch state — rows the batch
+    * added (insert / update_postimage) leave BY KEY, rows it removed
+    * or overwrote (delete / update_preimage) come back. Same scale
+    * shape as the forward replay (batch-sized anti join + union). */
+  def inverseReplay(current: DataFrame, changes: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "inverse replay needs the table's merge keys")
+    val dataCols = current.schema.fieldNames.toSeq
+    val removed = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(keyCols.map(col): _*).distinct()
+    val restored = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(dataCols.map(col): _*)
+    current.join(removed, keyCols, "left_anti").unionByName(restored)
+  }
+
+  /** TIME TRAVEL through the change feed: the table as it stood just
+    * AFTER change batch `asOfBatch` (Long.MinValue ⇒ before the first
+    * captured batch), reconstructed by inverse-replaying every newer
+    * batch onto the current state, newest first. The Delta
+    * `versionAsOf` read re-expressed on the engine's own CDF: no file
+    * versions are retained — history IS the feed, which is why
+    * merges must capture changes for the span you want to travel.
+    *
+    * Scale shape: one metadata-sized stamp listing (distinct batch
+    * dirs), then one anti-join + union per stepped-back batch —
+    * cost scales with the changes stepped over, never with table
+    * size × versions. Chained plans deepen per batch: for long
+    * hops, checkpoint intermediate states or replay FORWARD from a
+    * stored snapshot instead. */
+  def readAsOf(spark: SparkSession, storage: BasicStorage, path: String,
+               keyCols: Seq[String], asOfBatch: Long): DataFrame = {
+    val current = storage.read(path, "delta")
+    if (!hasChanges(spark, path)) return current
+    val feed = changeFeed(spark, path)
+    val newer = feed.select(col("batch")).distinct()
+      .filter(col("batch") > asOfBatch)
+      .collect().map(_.getLong(0)).sorted.reverse // metadata-sized
+    newer.foldLeft(current)((df, b) =>
+      inverseReplay(df, feed.filter(col("batch") === b), keyCols))
+  }
+
   /** Runs the merge. Returns true if the table was auto-created (in which
     * case [[BasicStorage.write]] has already notified observers).
     * Note: an auto-creating merge captures NO change batch even with

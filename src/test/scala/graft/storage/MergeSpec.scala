@@ -440,4 +440,34 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("value"))
     assert(e.getMessage.contains("string") && e.getMessage.contains("int"))
   }
+
+  test("time travel: one-batch hop equals the between-merges snapshot") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("tt_hop") + "/t"
+    st.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    st.merge(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().sorted.toSeq
+    val between = snap(st.read(path, "delta"))
+    assert(between == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    st.merge(Seq((1L, "x"), (4L, "D3"), (5L, "e")).toDF("id", "v"), path,
+      "full.id = incremental.id",
+      deleteCondition = Some("incremental.v = 'x'"),
+      captureChanges = true)
+    val stamps = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    assert(stamps.length == 2)
+    // as-of the FIRST batch ⇒ the state after merge 1 / before merge 2
+    assert(snap(Merge.readAsOf(spark, st, path, Seq("id"), stamps.head))
+      == between)
+    // as-of before everything ⇒ the original write
+    assert(snap(Merge.readAsOf(spark, st, path, Seq("id"), Long.MinValue))
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // as-of the newest batch ⇒ the current table, untouched
+    assert(snap(Merge.readAsOf(spark, st, path, Seq("id"), stamps.last))
+      == snap(st.read(path, "delta")))
+  }
 }
