@@ -470,6 +470,43 @@ object GraftQueries {
       |FROM orders WHERE o_orderkey % 5 != 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Persistent CHECK constraints ([[graft.storage.Constraints]]):
+    * register two constraints on a managed table, append a clean
+    * batch (passes the gate), then prove a violating append is
+    * REFUSED with nothing written — final content equals base +
+    * clean batch only, which is the oracle. */
+  val constraintsQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_constraints_q").toString + "/t"
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    st.write(orders.filter(col("o_orderkey") % 2 === 0),
+      out, "delta", "overwrite")
+    graft.storage.Constraints.add(spark, st, out,
+      "price_pos", "o_totalprice > 0")
+    graft.storage.Constraints.add(spark, st, out,
+      "status_known", "o_orderstatus IN ('O', 'F', 'P')")
+    st.write(orders.filter(col("o_orderkey") % 2 =!= 0),
+      out, "delta", "append")
+    val rejected =
+      try {
+        st.write(orders.limit(5).withColumn("o_totalprice", lit(-1.0)),
+          out, "delta", "append")
+        -1L // unreachable: the gate must throw
+      } catch {
+        case e: graft.storage.ConstraintViolationException =>
+          e.violations.map(_._2).sum
+      }
+    st.read(out, "delta")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .withColumn("rejected_rows", lit(rejected))
+  }
+
+  val constraintsSql: String =
+    s"""SELECT count(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(5 AS BIGINT) AS rejected_rows FROM orders""".stripMargin
+
   /** Replica maintenance from the change feed (Merge.replayChanges):
     * capture a merge's CDF, replay it onto the PRE-merge snapshot, and
     * the replica equals the post-merge table — pinned by sharing
@@ -5848,6 +5885,7 @@ object GraftQueries {
     entry("q_json_rescue", jsonRescue, jsonRescueSql),
     entry("q_wap", wapQ, wapSql),
     entry("q_attr_window_batch", attrWindowBatch, attrWindowBatchSql),
-    entry("q_time_travel", timeTravelQ, timeTravelSql)
+    entry("q_time_travel", timeTravelQ, timeTravelSql),
+    entry("q_constraints", constraintsQ, constraintsSql)
   )
 }

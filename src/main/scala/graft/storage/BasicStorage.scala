@@ -59,6 +59,11 @@ class BasicStorage(spark: SparkSession) extends Storage {
       if (format == "csv")
         Map("header" -> "true", "delimiter" -> ",") ++ options
       else options
+    // table CHECK constraints gate the incoming frame BEFORE any file
+    // lands (Delta semantics; one aggregation pass, only when the
+    // managed table has registered constraints)
+    if (format == "delta" && GraftLog.isManagedTable(spark, path))
+      Constraints.validateIncoming(spark, df, path)
     var writer = df.write.format(physical(format))
     if (mode == "overwrite") writer = writer.option("overwriteSchema", "true")
     if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
@@ -92,6 +97,11 @@ class BasicStorage(spark: SparkSession) extends Storage {
                      errorOnMultiMatch: Boolean = false,
                      deleteCondition: Option[String] = None,
                      captureChanges: Boolean = false): Unit = {
+    // constraints gate the INCOMING side: kept rows already satisfied
+    // them, and every inserted/updated value originates here (the
+    // merge's update action replaces whole rows from the incremental)
+    if (GraftLog.isManagedTable(spark, path))
+      Constraints.validateIncoming(spark, df, path)
     val created = Merge.run(spark, this, df, path, mergeCondition,
       partitionFields, mergeSchemas, updateCondition, insertCondition,
       errorOnMultiMatch, deleteCondition, captureChanges)

@@ -91,6 +91,12 @@ object GraftLog {
     if (Fs.exists(spark, changes))
       Fs.copyDirChecked(spark, changes,
         tmp.stripSuffix("/") + "/" + Merge.ChangesDirName)
+    // CHECK constraints are table metadata — a COW rewrite must not
+    // silently drop the contract
+    val constraints = base.stripSuffix("/") + "/" + Constraints.DirName
+    if (Fs.exists(spark, constraints))
+      Fs.copyDirChecked(spark, constraints,
+        tmp.stripSuffix("/") + "/" + Constraints.DirName)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     Fs.deleteChecked(spark, old)
