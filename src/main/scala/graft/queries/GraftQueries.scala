@@ -3306,6 +3306,66 @@ object GraftQueries {
       |                        AND epoch_us(c.ts)
       |GROUP BY 1 ORDER BY window_day""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): the aggregated-semi-join
+    * pattern — a HAVING subquery reduces lineitem to qualifying order
+    * keys (partial-agg shuffle), orders are SEMI-joined against that
+    * compact set before any wide join, and the top-100 leaves as
+    * TakeOrderedAndProject. */
+  val tpchQ18: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("__q"))
+      .filter(col("__q") > 300).select("l_orderkey")
+    val o = t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+    o.join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       |  ${sqlDsum("l_quantity")} AS total_qty
+       |FROM customer, orders, lineitem
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** DataFrame `observe` metrics ([[org.apache.spark.sql.Observation]]):
+    * the production write-metrics API — aggregates computed ON THE
+    * WRITE PASS itself (no second scan of the written data) and
+    * delivered to the driver through the listener bus. The output row
+    * is built from the observed values, so the oracle checks the
+    * metrics path end to end. */
+  val observeQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_obs_q").toString + "/t"
+    val obs = org.apache.spark.sql.Observation("write_metrics")
+    val ev = t(spark, dir, "events")
+      .select("event_id", "user_id", "value")
+      .observe(obs, count(lit(1)).as("n"),
+        sum(iscale(col("value"), 2)).as("cents"))
+    st.write(ev, out, "parquet", "overwrite")
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n").asInstanceOf[Long], m("cents").asInstanceOf[Long]))
+      .toDF("n", "cents")
+  }
+
+  val observeSql: String =
+    s"""SELECT count(*) AS n,
+       |  CAST(sum(${sqlIscale("value", 2)}) AS BIGINT) AS cents
+       |FROM events""".stripMargin
+
   /** Null-handling battery: null-introducing casts, `na.fill` (typed
     * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
     * surface — all map-only. */
@@ -5886,6 +5946,8 @@ object GraftQueries {
     entry("q_wap", wapQ, wapSql),
     entry("q_attr_window_batch", attrWindowBatch, attrWindowBatchSql),
     entry("q_time_travel", timeTravelQ, timeTravelSql),
-    entry("q_constraints", constraintsQ, constraintsSql)
+    entry("q_constraints", constraintsQ, constraintsSql),
+    entry("q_tpch_q18", tpchQ18, tpchQ18Sql),
+    entry("q_observe", observeQ, observeSql)
   )
 }
