@@ -254,6 +254,32 @@ object Analytics {
         graft.queries.Tables.dsum(col("__v")).as("revenue"))
   }
 
+  /** User-path mining: each key's first `depth` ordered events join
+    * into a path string ("view>click>purchase"), then paths count —
+    * the product-analytics "common journeys" view. One key-partitioned
+    * window (rank + bounded collect share the shuffle) and one
+    * path-keyed count; path strings are depth-bounded, so row width
+    * stays fixed no matter how long a user's history is.
+    *
+    * Determinism: the order columns must totally order each key's
+    * rows (pass a unique tiebreaker); ties would otherwise make the
+    * path engine-dependent. */
+  def userPaths(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                stepCol: String, depth: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    df
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= depth)
+      .groupBy(col(keyCol))
+      .agg(concat_ws(">",
+        array_sort(collect_list(struct(col("__rk").as("r"),
+          col(stepCol).cast("string").as("s")))).getField("s"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Winsorized clipping: cap `valCol` to its per-group exact
     * [pLo, pHi] percentile band — the outlier treatment that keeps
     * every row (unlike a filter) while bounding tail influence, the

@@ -3366,6 +3366,28 @@ object GraftQueries {
        |  CAST(sum(${sqlIscale("value", 2)}) AS BIGINT) AS cents
        |FROM events""".stripMargin
 
+  /** User-path mining ([[graft.ops.Analytics.userPaths]]): each
+    * user's first-5 event-type journey, counted across users — ties
+    * broken by event_id so the path is engine-deterministic. */
+  val userPathsQ: Q = (spark, dir) =>
+    graft.ops.Analytics.userPaths(
+        t(spark, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type", depth = 5)
+      .orderBy(col("n_users").desc, col("path"))
+
+  val userPathsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rk
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY rk) AS path
+      |  FROM r WHERE rk <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p GROUP BY path
+      |ORDER BY n_users DESC, path""".stripMargin
+
   /** Null-handling battery: null-introducing casts, `na.fill` (typed
     * map form) and `na.drop` (column subset) — the DataFrameNaFunctions
     * surface — all map-only. */
@@ -4067,6 +4089,41 @@ object GraftQueries {
         hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_users"))
       .orderBy("event_type")
   }
+
+  /** Theta-sketch audience set algebra
+    * ([[graft.functions.ThetaSketch]]): per-event-type user sketches
+    * built independently, then INTERSECTED and DIFFERENCED — the
+    * overlap question HLL cannot answer. Theta is exact below its
+    * nominal entries (4096), so at this scale the estimates
+    * hash-match the exact SQL oracle; at corpus scale the same plan
+    * degrades to ±2% instead of failing. */
+  val thetaSetsQ: Q = (spark, dir) => {
+    import graft.functions.ThetaSketch._
+    val sk = t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(thetaAgg(col("user_id")).as("sk"))
+    val a = sk.filter(col("event_type") === "click")
+      .select(col("sk").as("a"))
+    val b = sk.filter(col("event_type") === "purchase")
+      .select(col("sk").as("b"))
+    a.crossJoin(b).select(
+      thetaEstimate(col("a")).as("n_click"),
+      thetaEstimate(col("b")).as("n_purchase"),
+      thetaEstimate(thetaIntersect(col("a"), col("b"))).as("n_both"),
+      thetaEstimate(thetaDiff(col("a"), col("b"))).as("n_click_only"))
+  }
+
+  val thetaSetsSql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT CAST((SELECT count(*) FROM c) AS DOUBLE) AS n_click,
+      |  CAST((SELECT count(*) FROM p) AS DOUBLE) AS n_purchase,
+      |  CAST((SELECT count(*) FROM c JOIN p USING (user_id)) AS DOUBLE)
+      |    AS n_both,
+      |  CAST((SELECT count(*) FROM c WHERE user_id NOT IN
+      |    (SELECT user_id FROM p)) AS DOUBLE) AS n_click_only""".stripMargin
 
   /** BM25 ranked retrieval for a fixed query over the document corpus
     * — sparse-retrieval complement of the dense cosine/ANN family. */
@@ -5948,6 +6005,8 @@ object GraftQueries {
     entry("q_time_travel", timeTravelQ, timeTravelSql),
     entry("q_constraints", constraintsQ, constraintsSql),
     entry("q_tpch_q18", tpchQ18, tpchQ18Sql),
-    entry("q_observe", observeQ, observeSql)
+    entry("q_observe", observeQ, observeSql),
+    entry("q_user_paths", userPathsQ, userPathsSql),
+    entry("q_theta_sets", thetaSetsQ, thetaSetsSql)
   )
 }

@@ -350,6 +350,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
           .bpeEncode(col("text"), Seq(("a", "b"), ("c", "d"))).as("t"))
         .filter(size(col("t")) > 0).count()
       assert(bp > 0)
+      // Theta estimate + set ops over nullable sketch bytes
+      import graft.functions.ThetaSketch._
+      val ev = Tables.events(spark, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(thetaAgg(col("user_id")).as("s"))
+      val th = sk.crossJoin(sk.select(col("s").as("s2")))
+        .select(thetaEstimate(thetaIntersect(col("s"), col("s2"))).as("e"))
+        .filter(col("e") >= 0).count()
+      assert(th > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
