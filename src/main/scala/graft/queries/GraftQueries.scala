@@ -5738,6 +5738,64 @@ object GraftQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, category""".stripMargin
 
+  /** Event-time timer expiry ([[graft.streaming.StreamingOps
+    * .inactivityExpiry]]): a real stream where a far-future sentinel
+    * pushes the watermark past every key's inactivity deadline, so
+    * the TIMER path emits each user's final profile — which must
+    * equal the full-history per-user aggregate, the oracle. The
+    * watermark delay exceeds the data span so cross-batch staging
+    * drops nothing. */
+  val streamInactivity: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_inact_q").toString
+    val events = t(spark, dir, "events").select("user_id", "ts", "event_id")
+    st.write(events.filter(col("event_id") % 2 === 0).coalesce(1),
+      s"$out/in", "parquet", "overwrite")
+    events.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    // far-future sentinel (fresh user): watermark = its ts − delay,
+    // landing past every real deadline but before its own
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles = fs.listStatus(inPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles.map(_.getPath.getName).toSet
+    val prev = parquetFiles.map(_.getModificationTime).max
+    events.orderBy("event_id").limit(1)
+      .withColumn("user_id", lit(999999L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 4000 DAYS"))
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    parquetFiles.filterNot(f => before(f.getPath.getName))
+      .foreach(f => fs.setTimes(f.getPath, prev + 60000, -1))
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val expired = graft.streaming.StreamingOps.inactivityExpiry(
+      stream.drop("event_id"), "user_id", "ts", gapSeconds = 1800,
+      watermarkDelay = "3700 days")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try graft.streaming.StreamingOps.withRocksDbProvider(spark) {
+      q = expired.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/cp")
+        .format("parquet").start(s"$out/data")
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (q != null) q.stop() // also on failure — don't leak the query
+    }
+    st.read(s"$out/data", "parquet")
+      .filter(col("user_id") =!= 999999L)
+      .select("user_id", "last_seen", "n_events")
+      .orderBy("user_id")
+  }
+
+  val streamInactivitySql: String =
+    """SELECT user_id, CAST(max(floor(epoch(ts))) AS BIGINT) AS last_seen,
+      |  count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DESCRIBE DETAIL analogue (GraftLog.tableDetail): physical + log
     * facts of a managed table built with a controlled layout, so every
     * fact is a known constant — the oracle is that constant row
@@ -6007,6 +6065,7 @@ object GraftQueries {
     entry("q_tpch_q18", tpchQ18, tpchQ18Sql),
     entry("q_observe", observeQ, observeSql),
     entry("q_user_paths", userPathsQ, userPathsSql),
-    entry("q_theta_sets", thetaSetsQ, thetaSetsSql)
+    entry("q_theta_sets", thetaSetsQ, thetaSetsSql),
+    entry("q_stream_inactivity", streamInactivity, streamInactivitySql)
   )
 }

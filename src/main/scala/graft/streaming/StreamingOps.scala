@@ -559,6 +559,37 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  /** Idle-key expiry via transformWithState EVENT-TIME TIMERS — the
+    * state primitive the Value/List/Map trio doesn't cover: the
+    * engine calls YOU when a key has been quiet past `gapSeconds` of
+    * event time (watermark-driven, so a stalled source never
+    * false-expires anyone). Each batch re-arms the key's single
+    * timer at (last event + gap); expiry emits the key's final
+    * profile and clears its state — bounded state AND bounded timer
+    * count (one per live key). The abandoned-cart / dead-session /
+    * lost-device detector shape.
+    *
+    * Streaming-only by nature (timers never fire on a batch frame);
+    * the declared query drives a REAL stream whose watermark is
+    * pushed past every key, so the emission set equals the
+    * full-history per-key profile — the oracle. */
+  def inactivityExpiry(events: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long,
+                       watermarkDelay: String = "10 minutes")
+    : Dataset[ExpiredKey] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.streams // register the StateStoreCoordinator (see runningTotals)
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    src.select(col(keyCol).cast("long"), col(tsCol).cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** transformWithState only runs on the RocksDB state store; scope
     * the provider conf to `body` and restore the previous value so
     * co-resident HDFS-backed streaming queries are unaffected. */
@@ -633,6 +664,62 @@ class CategoryCountsProcessor
     // emit the key's full current histogram, deterministically ordered
     counts.iterator().toArray.sortBy(_._1).iterator
       .map { case (cat, c) => CategoryCount(key, cat, c) }
+  }
+}
+
+/** Final profile of a key whose event-time inactivity gap elapsed,
+  * emitted by [[StreamingOps.inactivityExpiry]]'s timer path. */
+case class ExpiredKey(user_id: Long, last_seen: Long, n_events: Long)
+
+/** The [[StreamingOps.inactivityExpiry]] state machine: per-key
+  * (last epoch-second, event count) ValueState plus ONE re-armed
+  * event-time timer. */
+class InactivityProcessor(gapSeconds: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), ExpiredKey] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TimeMode => TM, TimerValues,
+    TTLConfig, ValueState, ExpiredTimerInfo}
+
+  @transient private var last: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TM): Unit =
+    last = getHandle.getValueState("last",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timers: TimerValues): Iterator[ExpiredKey] = {
+    val (prevLast, n0) =
+      if (last.exists()) last.get() else (Long.MinValue, 0L)
+    var newest = prevLast
+    var n = n0
+    rows.foreach { r =>
+      n += 1
+      val ep = r._2.getTime / 1000
+      if (ep > newest) newest = ep
+    }
+    last.update((newest, n))
+    // one live timer per key: disarm the stale one, re-arm at the
+    // new inactivity deadline
+    if (prevLast != Long.MinValue && newest != prevLast)
+      getHandle.deleteTimer((prevLast + gapSeconds) * 1000)
+    if (newest != prevLast)
+      getHandle.registerTimer((newest + gapSeconds) * 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[ExpiredKey] = {
+    val (seen, n) = if (last.exists()) last.get() else (Long.MinValue, 0L)
+    // only the CURRENT deadline expires a key — a stale timer that
+    // raced a same-batch re-arm must not clear live state
+    if (seen != Long.MinValue &&
+        expired.getExpiryTimeInMs == (seen + gapSeconds) * 1000) {
+      last.clear()
+      Iterator.single(ExpiredKey(key, seen, n))
+    } else Iterator.empty
   }
 }
 
