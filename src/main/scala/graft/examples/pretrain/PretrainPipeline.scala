@@ -125,6 +125,34 @@ object PretrainPipeline {
     (packed, counts.result())
   }
 
+  /** Semantic (embedding-space) near-dup removal, the vector-side
+    * companion to [[curate]]'s textual dedups: PCA-reduce the
+    * embeddings (one covariance pass + driver eigensolve — the only
+    * cluster-shaped PCA), then run cluster-blocked SemDeDup in the
+    * compact space, and return the doc ids to DROP (larger id of each
+    * near-dup pair — the same smallest-survivor policy as the text
+    * path). Reducing first makes the k-means blocking and the
+    * pairwise cosines k-dimensional instead of d-dimensional with
+    * measured-equal pair decisions at sane k (the variance the
+    * dropped components carry is noise for near-IDENTICAL pairs —
+    * exactly SemDeDup's premise).
+    *
+    * Compose: `docs.join(semanticDropIds(...), Seq(idCol), "left_anti")`
+    * between [[curate]]'s fuzzy and span stages, or standalone. */
+  def semanticDropIds(embeddings: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", dims: Int = 64,
+                      k: Int = 16, nClusters: Int = 16,
+                      cosineFloor: Double = 0.995): DataFrame = {
+    val reduced = graft.ops.Pca.project(
+      embeddings, vecCol,
+      graft.ops.Pca.fit(embeddings, vecCol, dims, k), outCol = "__pc")
+    graft.ops.Similarity.semanticNearDupPairs(
+        reduced.select(col(idCol), col("__pc").as(vecCol)),
+        idCol, vecCol, k = nClusters, iterations = 2,
+        threshold = cosineFloor)
+      .select(col("id_b").as(idCol)).distinct()
+  }
+
   /** Deterministic reviewer sample of the curated output: k packed
     * chunks per (shard, bin) — the eyeball pass every corpus release
     * ships with, reproducible across runs because membership is

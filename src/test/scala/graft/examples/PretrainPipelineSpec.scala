@@ -116,4 +116,23 @@ class PretrainPipelineSpec extends AnyFunSuite with SparkSpec {
       .select("chunk_id").as[Int].collect().sorted.toSeq
     assert(ids == Seq(0, 1))
   }
+
+  test("semanticDropIds: PCA-reduced SemDeDup drops planted near-copies only") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant exact copies under shifted ids: each pair (v, v+100000)
+    // is cosine-1.0 in ANY linear projection, so the PCA-space pass
+    // must find them; distinct original vectors at cosine < floor
+    // must survive
+    val planted = emb.unionByName(emb.limit(20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val drops = PretrainPipeline.semanticDropIds(planted,
+        dims = 64, k = 12, nClusters = 4, cosineFloor = 0.9999)
+      .as[Long].collect().toSet
+    // every planted copy's LARGER id is dropped; no original is
+    assert(drops.nonEmpty && drops.forall(_ >= 100000L),
+      s"unexpected drops: ${drops.filter(_ < 100000L)}")
+    assert(drops.size == 20, s"expected all 20 copies flagged, got ${drops.size}")
+  }
 }
