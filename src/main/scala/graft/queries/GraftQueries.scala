@@ -4090,6 +4090,53 @@ object GraftQueries {
       .orderBy("event_type")
   }
 
+  /** Market-basket lift over per-user event-type sets: for every type
+    * pair, observed co-occurrence vs independence —
+    * lift = P(a,b) / (P(a)·P(b)) with user-level probabilities. The
+    * cross-sell / journey-affinity signal. One distinct pass, one
+    * self-join keyed on user (each user carries ≤ |types| rows), and
+    * broadcast totals; exact integer counts through one double ratio,
+    * so the oracle hash-matches. */
+  val itemLiftQ: Q = (spark, dir) => {
+    val u = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = u.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val typeCounts = u.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = u.select(col("user_id"), col("event_type").as("a"))
+      .join(u.select(col("user_id"), col("event_type").as("b")),
+        Seq("user_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(typeCounts.select(col("event_type").as("a"),
+        col("cnt").as("c_a")), Seq("a"))
+      .join(typeCounts.select(col("event_type").as("b"),
+        col("cnt").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        round((col("c_ab").cast("double") * col("n_users")) /
+          (col("c_a").cast("double") * col("c_b")), 6).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  val itemLiftSql: String =
+    """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, count(*) AS cnt FROM u GROUP BY 1),
+      |n AS (SELECT count(DISTINCT user_id) AS n_users FROM u),
+      |p AS (
+      |  SELECT ua.event_type AS a, ub.event_type AS b, count(*) AS c_ab
+      |  FROM u ua JOIN u ub ON ua.user_id = ub.user_id
+      |   AND ua.event_type < ub.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.a, p.b, p.c_ab,
+      |  round((CAST(p.c_ab AS DOUBLE) * n.n_users) /
+      |    (CAST(ta.cnt AS DOUBLE) * tb.cnt), 6) AS lift
+      |FROM p JOIN t ta ON p.a = ta.event_type
+      |       JOIN t tb ON p.b = tb.event_type
+      |CROSS JOIN n ORDER BY a, b""".stripMargin
+
   /** Theta-sketch audience set algebra
     * ([[graft.functions.ThetaSketch]]): per-event-type user sketches
     * built independently, then INTERSECTED and DIFFERENCED — the
@@ -6066,6 +6113,7 @@ object GraftQueries {
     entry("q_observe", observeQ, observeSql),
     entry("q_user_paths", userPathsQ, userPathsSql),
     entry("q_theta_sets", thetaSetsQ, thetaSetsSql),
-    entry("q_stream_inactivity", streamInactivity, streamInactivitySql)
+    entry("q_stream_inactivity", streamInactivity, streamInactivitySql),
+    entry("q_item_lift", itemLiftQ, itemLiftSql)
   )
 }

@@ -527,6 +527,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"covariance must partial-aggregate map-side:\n$cov")
   }
 
+  test("q_user_paths rank filter plans as WindowGroupLimit (partial top-k)") {
+    // Spark 3.5+'s WindowGroupLimitExec: a row_number() <= k filter
+    // becomes a per-partition group limit BEFORE the full window sort
+    // materializes each key's history — rows past depth never
+    // accumulate. Losing this (e.g. a non-rank filter shape) would
+    // re-buffer every key's full event list at 100 TB.
+    val p = planOf(GraftQueries.userPathsQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=depth should plan as WindowGroupLimit:\n$p")
+  }
+
   test("q_random_projection and q_json_rescue are map-only to the sort") {
     for (q <- Seq(GraftQueries.randomProjectionQ, GraftQueries.jsonRescue)) {
       val p = planOf(q(spark, dir)).split("== Initial Plan ==").head
