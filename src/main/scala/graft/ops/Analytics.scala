@@ -299,8 +299,12 @@ object Analytics {
       expr(s"percentile($valCol, $pLo)").as("__lo"),
       expr(s"percentile($valCol, $pHi)").as("__hi"))
     df.join(broadcast(bounds), Seq(groupCol))
+      // null guard: greatest/least SKIP nulls, so an unguarded clip
+      // would turn a missing measurement into the p-lo bound — a
+      // fabricated value. Null in, null out.
       .withColumn(s"${valCol}_w",
-        least(greatest(col(valCol), col("__lo")), col("__hi")))
+        when(col(valCol).isNotNull,
+          least(greatest(col(valCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

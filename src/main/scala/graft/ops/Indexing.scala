@@ -50,6 +50,22 @@ import org.apache.spark.sql.functions._
   */
 object Indexing {
 
+  /** The nondeterminism barrier shared by every range-partition-then-
+    * number operator ([[globalIndex]], `Sampling.systematicSample`):
+    * pins the sampled range boundaries so the two consumers of the
+    * partitioned frame can never see different layouts. Mode
+    * semantics documented on the object. */
+  private[ops] def materialize(df: DataFrame,
+                               checkpointMode: String): DataFrame =
+    checkpointMode match {
+      case "local"    => df.localCheckpoint()
+      case "reliable" => df.checkpoint()
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case other => throw new IllegalArgumentException(
+        s"checkpointMode must be local | reliable | persist, got '$other'")
+    }
+
   /** Add `indexName` = dense rank 0..n-1 of `orderCol` (must be
     * unique — ties would make the numbering nondeterministic). */
   def globalIndex(df: DataFrame, orderCol: String,
@@ -60,16 +76,8 @@ object Indexing {
       val p = if (numPartitions > 0)
         df.repartitionByRange(numPartitions, col(orderCol))
       else df.repartitionByRange(col(orderCol))
-      val sorted = p.sortWithinPartitions(orderCol)
-        .withColumn("__pid", spark_partition_id())
-      checkpointMode match {
-        case "local"    => sorted.localCheckpoint()
-        case "reliable" => sorted.checkpoint()
-        case "persist" =>
-          sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        case other => throw new IllegalArgumentException(
-          s"checkpointMode must be local | reliable | persist, got '$other'")
-      }
+      materialize(p.sortWithinPartitions(orderCol)
+        .withColumn("__pid", spark_partition_id()), checkpointMode)
     }
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))

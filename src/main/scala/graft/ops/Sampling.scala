@@ -251,19 +251,10 @@ object Sampling {
       .withColumn("__wq",
         floor(col(weightCol) * lit(scale) + lit(0.5)).cast("long"))
       .filter(col("__wq") > 0)
-    val parts = {
-      val sorted = base.repartitionByRange(col(keyCol))
+    val parts = Indexing.materialize(
+      base.repartitionByRange(col(keyCol))
         .sortWithinPartitions(keyCol)
-        .withColumn("__pid", spark_partition_id())
-      checkpointMode match {
-        case "local"    => sorted.localCheckpoint()
-        case "reliable" => sorted.checkpoint()
-        case "persist" =>
-          sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        case other => throw new IllegalArgumentException(
-          s"checkpointMode must be local | reliable | persist, got '$other'")
-      }
-    }
+        .withColumn("__pid", spark_partition_id()), checkpointMode)
     val perPart = parts.groupBy(col("__pid"))
       .agg(sum(col("__wq")).as("__wn"))
     val offsets = perPart

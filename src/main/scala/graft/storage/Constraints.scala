@@ -68,17 +68,29 @@ object Constraints {
     GraftLog.append(spark, tablePath, "ADD_CONSTRAINT")
   }
 
-  /** Remove a constraint by name (no-op if absent). */
+  /** Remove a constraint by name (no-op if absent). The survivors are
+    * written as ONE frame to a staging dir and swapped in — a crash
+    * can leave the old or the new sidecar, never a half-rewritten one
+    * that silently sheds constraints it was not asked to drop. */
   def drop(spark: SparkSession, tablePath: String, name: String): Unit = {
-    val remaining = list(spark, tablePath).filterNot(_._1 == name)
-    if (remaining.size == list(spark, tablePath).size) return
-    Fs.deleteChecked(spark, sidecarPath(tablePath))
-    remaining.foreach { case (n, c) =>
-      val row = Row(n, c, new Timestamp(System.currentTimeMillis()))
+    require(GraftLog.isManagedTable(spark, tablePath),
+      "The given path is not a Delta Table.")
+    val current = list(spark, tablePath)
+    val remaining = current.filterNot(_._1 == name)
+    if (remaining.size == current.size) return
+    if (remaining.isEmpty) {
+      Fs.deleteChecked(spark, sidecarPath(tablePath))
+    } else {
+      val rows = remaining.map { case (n, c) =>
+        Row(n, c, new Timestamp(System.currentTimeMillis())) }
+      val tmp = sidecarPath(tablePath) + "__tmp"
+      Fs.deleteChecked(spark, tmp)
       spark.createDataFrame(
-          java.util.Collections.singletonList(row), schema)
+          java.util.Arrays.asList(rows: _*), schema)
         .coalesce(1)
-        .write.mode("append").parquet(sidecarPath(tablePath))
+        .write.mode("overwrite").parquet(tmp)
+      Fs.deleteChecked(spark, sidecarPath(tablePath))
+      Fs.renameChecked(spark, tmp, sidecarPath(tablePath))
     }
     GraftLog.append(spark, tablePath, "DROP_CONSTRAINT")
   }

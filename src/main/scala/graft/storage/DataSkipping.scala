@@ -471,22 +471,21 @@ object DataSkipping {
     val hashes = spark.range(1)
       .select(values.map(v => xxhash64(lit(v))): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
-    val probed = spark.read.parquet(bloomPath(tablePath))
+    // ONE pass over the sidecar returns (file, survives) — probing and
+    // the indexed-file set come from the same job (the hot lookup path
+    // shouldn't pay two reads of the same parquet)
+    val verdicts = spark.read.parquet(bloomPath(tablePath))
       .filter(col("column") === column)
       .select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
-      .filter { case (_, bytes) =>
+      .map { case (file, bytes) =>
         val bf = org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
-        hashes.exists(bf.mightContainLong)
+        (file, hashes.exists(bf.mightContainLong))
       }
-      .select("file").as[String].collect()
-      .map(normPath).toSet
-    val indexed = spark.read.parquet(bloomPath(tablePath))
-      .filter(col("column") === column)
-      .select("file").as[String].collect().map(normPath).toSet
-    all.filter(f => !indexed.contains(normPath(f)) ||
-      probed.contains(normPath(f)))
+      .collect()
+      .map { case (f, keep) => normPath(f) -> keep }.toMap
+    all.filter(f => verdicts.getOrElse(normPath(f), true))
   }
 
   /** Read the table pruned to files that may hold `values` in

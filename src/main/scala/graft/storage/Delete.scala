@@ -170,9 +170,11 @@ object MorDelete {
       val tmp = base + "__graft_tmp"
       Fs.deleteChecked(spark, tmp)
       kept.write.format("parquet").mode("overwrite").save(tmp)
-      // the swap replaces the table dir wholesale, sidecar included —
-      // tombstones are consumed by construction, not by a second delete
       GraftLog.carryLogAndSwap(spark, base, tmp)
+      // the swap carries sidecars (so OTHER rewrites can't resurrect
+      // deleted rows); this rewrite CONSUMED the tombstones — clear
+      // them explicitly
+      Fs.deleteChecked(spark, tombstonePath(base))
       GraftLog.append(spark, base, "DELETE_COMPACT", Nil)
       before - after
     } finally kept.unpersist()

@@ -97,6 +97,13 @@ object GraftLog {
     if (Fs.exists(spark, constraints))
       Fs.copyDirChecked(spark, constraints,
         tmp.stripSuffix("/") + "/" + Constraints.DirName)
+    // MoR tombstones too: a COW swap that dropped them would RESURRECT
+    // logically deleted rows (MorDelete.compact, whose rewrite consumes
+    // the tombstones, deletes the sidecar explicitly after its swap)
+    val tombstones = base.stripSuffix("/") + "/" + MorDelete.TombstoneDirName
+    if (Fs.exists(spark, tombstones))
+      Fs.copyDirChecked(spark, tombstones,
+        tmp.stripSuffix("/") + "/" + MorDelete.TombstoneDirName)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     Fs.deleteChecked(spark, old)

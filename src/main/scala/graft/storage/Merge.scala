@@ -60,9 +60,12 @@ object Merge {
                     keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "replay needs the table's merge keys")
     val dataCols = base.schema.fieldNames.toSeq
-    val removed = changes
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(keyCols.map(col): _*).distinct()
+    // EVERY key the batch touched leaves the base — including insert
+    // keys, which a first application never matches (no-op) but a
+    // crash-replayed application does: without this, re-replaying a
+    // batch would duplicate its inserts. Makes replay IDEMPOTENT,
+    // which replicateStream's at-least-once recovery depends on.
+    val removed = changes.select(keyCols.map(col): _*).distinct()
     val added = changes
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col): _*)

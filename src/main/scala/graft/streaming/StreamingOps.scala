@@ -432,8 +432,10 @@ object StreamingOps {
     * re-replayed, so delivery is effectively-once as long as the
     * replica's log survives with its data. The txn record lands after
     * the replica write; a crash exactly between the two replays one
-    * batch — replay is idempotent anyway for key-stable feeds
-    * (re-removing then re-adding the same rows). */
+    * batch — harmless because [[graft.storage.Merge.replayChanges]]
+    * is idempotent BY CONSTRUCTION: every touched key (inserts
+    * included) leaves the base before the batch's rows re-enter, so
+    * re-applying a batch reproduces the same table. */
   def replicateStream(spark: SparkSession, storage: Storage,
                       sourcePath: String, replicaPath: String,
                       keyCols: Seq[String],

@@ -1584,4 +1584,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // constant series: every T_i = 0, earliest position wins the tie
     assert(out("flat") == (1L, 0L, 5L))
   }
+
+  test("winsorize: null values stay null, never the fabricated p-lo bound") {
+    val df = Seq(
+      ("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Some(100.0)), ("g", None)
+    ).toDF("k", "v")
+    val out = Analytics.winsorize(df, "k", "v", 0.25, 0.75)
+      .select("v", "v_w").collect()
+    val nulls = out.filter(_.isNullAt(0))
+    assert(nulls.length == 1 && nulls.forall(_.isNullAt(1)),
+      "null input must winsorize to null")
+    // non-null rows clip into the band
+    assert(out.filter(!_.isNullAt(1)).forall { r =>
+      r.getDouble(1) >= 1.0 && r.getDouble(1) <= 100.0 })
+  }
 }

@@ -119,4 +119,26 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     val ops = GraftLog.history(spark, path).collect().map(_.getString(0))
     assert(ops.contains("DELETE_MOR") && ops.contains("DELETE_COMPACT"))
   }
+
+  test("tombstones survive an unrelated COW swap; compact still clears") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_swap") + "/t"
+    st.write((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    assert(MorDelete.deleteWhere(spark, st, path, "id <= 3", Seq("id")) == 3L)
+    // an unpartitioned MERGE runs the checked COW swap — the
+    // tombstone sidecar must ride across it, or deleted rows resurrect
+    st.merge(Seq((10L, "V10")).toDF("id", "v"), path,
+      "full.id = incremental.id")
+    assert(Fs.exists(spark, MorDelete.tombstonePath(path)),
+      "COW swap dropped the tombstone sidecar")
+    val live = MorDelete.read(spark, st, path, Seq("id"))
+    assert(live.count() == 7L &&
+      live.filter(col("id") <= 3).count() == 0L,
+      "logically deleted rows resurrected by the swap")
+    // compact (its OWN swap) consumes and clears them
+    assert(MorDelete.compact(spark, st, path, Seq("id")) == 3L)
+    assert(!Fs.exists(spark, MorDelete.tombstonePath(path)))
+    assert(st.read(path, "delta").count() == 7L)
+  }
 }

@@ -470,4 +470,25 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(snap(Merge.readAsOf(spark, st, path, Seq("id"), stamps.last))
       == snap(st.read(path, "delta")))
   }
+
+  test("replayChanges is idempotent — re-applying a batch changes nothing") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("replay_idem") + "/t"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    st.write(base, path, "delta", "overwrite")
+    // batch with ALL three change kinds: update 2, delete 3, insert 4
+    st.merge(Seq((2L, "B"), (3L, "x"), (4L, "d")).toDF("id", "v"), path,
+      "full.id = incremental.id",
+      deleteCondition = Some("incremental.v = 'x'"),
+      captureChanges = true)
+    val batch = Merge.changeFeed(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    val once = Merge.replayChanges(base, batch, Seq("id"))
+    assert(rows(once) == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // crash-recovery re-replay: the INSERT key must not duplicate
+    val twice = Merge.replayChanges(once, batch, Seq("id"))
+    assert(rows(twice) == rows(once))
+  }
 }
