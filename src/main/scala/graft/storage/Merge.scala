@@ -109,11 +109,55 @@ object Merge {
     val current = storage.read(path, "delta")
     if (!hasChanges(spark, path)) return current
     val feed = changeFeed(spark, path)
+    // travel reaches at most back to the oldest RETAINED batch's
+    // pre-state; a pruned feed must fail loudly, not reconstruct a
+    // silently wrong snapshot from a gapped history
+    val pruned = GraftLog.lastTxnBatch(spark, path, ChangesPruneApp)
+    pruned.filter(asOfBatch < _).foreach { horizon =>
+      throw new IllegalArgumentException(
+        s"time travel to batch $asOfBatch is beyond the pruned change " +
+          s"horizon ($horizon) — older feed batches were removed by " +
+          "pruneChangeFeed")
+    }
     val newer = feed.select(col("batch")).distinct()
       .filter(col("batch") > asOfBatch)
       .collect().map(_.getLong(0)).sorted.reverse // metadata-sized
     newer.foldLeft(current)((df, b) =>
       inverseReplay(df, feed.filter(col("batch") === b), keyCols))
+  }
+
+  private val ChangesPruneApp = "graft_changes_prune"
+
+  /** Change-feed retention: drop captured batches with stamp <=
+    * `upToBatch` — the log-retention lifecycle every CDC feed needs
+    * (the feed otherwise grows with every captured merge, forever).
+    * The pruned horizon is recorded in the op log so [[readAsOf]]
+    * refuses to travel past it instead of reconstructing from a
+    * gapped history; downstream replicas must have applied the
+    * pruned batches already (the [[graft.streaming.StreamingOps
+    * .replicateStream]] high-watermark discipline tells you theirs).
+    * Driver-side dir removals, one per pruned batch — metadata
+    * cost. Returns the number of batches removed. */
+  def pruneChangeFeed(spark: SparkSession, path: String,
+                      upToBatch: Long): Long = {
+    if (!hasChanges(spark, path)) return 0L
+    val base = path.stripSuffix("/")
+    val allStamps = changeFeed(spark, base).select(col("batch"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val stamps = allStamps.filter(_ <= upToBatch)
+    stamps.foreach { b =>
+      Fs.delete(spark, s"$base/$ChangesDirName/batch=$b")
+    }
+    if (stamps.nonEmpty) {
+      // an emptied feed dir would break the next changeFeed read (no
+      // parquet to infer a schema from) — remove it wholesale;
+      // hasChanges then reports "no feed", which is the truth
+      if (stamps.length == allStamps.length)
+        Fs.delete(spark, s"$base/$ChangesDirName")
+      GraftLog.append(spark, base, "CHANGES_PRUNE", Nil,
+        Some(ChangesPruneApp -> stamps.max))
+    }
+    stamps.length.toLong
   }
 
   /** Runs the merge. Returns true if the table was auto-created (in which

@@ -491,4 +491,37 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     val twice = Merge.replayChanges(once, batch, Seq("id"))
     assert(rows(twice) == rows(once))
   }
+
+  test("pruneChangeFeed drops old batches; readAsOf refuses the gap") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("feed_prune") + "/t"
+    st.write(Seq((1L, "a")).toDF("id", "v"), path, "delta", "overwrite")
+    st.merge(Seq((2L, "b")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    st.merge(Seq((3L, "c")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamps = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    assert(stamps.length == 2)
+    assert(Merge.pruneChangeFeed(spark, path, stamps.head) == 1L)
+    // the newer batch still replays: one-hop travel works
+    val hop = Merge.readAsOf(spark, st, path, Seq("id"), stamps.head)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(hop == Seq((1L, "a"), (2L, "b")))
+    // travel past the pruned horizon fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), Long.MinValue).collect()
+    }
+    assert(e.getMessage.contains("pruned change horizon"))
+    // pruning everything removes the feed dir — the table reports
+    // "no feed" instead of an unreadable empty dir
+    assert(Merge.pruneChangeFeed(spark, path, Long.MaxValue) == 1L)
+    assert(!Merge.hasChanges(spark, path))
+    // and a later captured merge starts a fresh feed cleanly
+    st.merge(Seq((4L, "d")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    assert(Merge.changeFeed(spark, path)
+      .select("batch").distinct().count() == 1L)
+  }
 }
