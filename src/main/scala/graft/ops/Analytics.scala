@@ -280,6 +280,50 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Two-sample A/B comparison per experiment arm pair: for each
+    * metric group, Welch's z statistic on the arm means — the
+    * experiment-readout query every product warehouse runs. Moments
+    * come from EXACT decimal-quantized sums ([[graft.queries.Tables
+    * .iscale]] semantics at `scale` decimals), so the statistic is
+    * partition-order independent and cross-engine hash-matchable;
+    * one aggregation pass over (group, arm), driver-free.
+    * Output: one row per group — n/mean per arm, diff, z (null when
+    * either arm lacks 2 rows or variance degenerates to 0/0). */
+  def abTest(df: DataFrame, groupCol: String, armCol: String,
+             valCol: String, armA: String, armB: String,
+             scale: Int = 4): DataFrame = {
+    val q = graft.queries.Tables.iscale(col(valCol), scale)
+    val s = math.pow(10, scale)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def armAgg(arm: String, tag: String) = Seq(
+      sum(when(col(armCol) === arm, lit(1L)).otherwise(lit(0L)))
+        .as(s"n_$tag"),
+      sum(when(col(armCol) === arm, q).otherwise(lit(0L)).cast(d38))
+        .as(s"__sx_$tag"),
+      sum(when(col(armCol) === arm, q * q).otherwise(lit(0L)).cast(d38))
+        .as(s"__sxx_$tag"))
+    def mean(tag: String) =
+      (col(s"__sx_$tag").cast("double") / col(s"n_$tag")) / lit(s)
+    def variance(tag: String) =
+      ((col(s"n_$tag") * col(s"__sxx_$tag") -
+        col(s"__sx_$tag") * col(s"__sx_$tag")).cast("double") /
+        (col(s"n_$tag").cast("double") *
+          (col(s"n_$tag") - lit(1)).cast("double"))) / lit(s * s)
+    val aggs = armAgg(armA, "a") ++ armAgg(armB, "b")
+    df.filter(col(armCol).isin(armA, armB) && col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a", mean("a"))
+      .withColumn("mean_b", mean("b"))
+      .withColumn("diff", col("mean_b") - col("mean_a"))
+      .withColumn("z",
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          col("diff") / sqrt(variance("a") / col("n_a") +
+            variance("b") / col("n_b"))))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("diff"), col("z"))
+  }
+
   /** Winsorized clipping: cap `valCol` to its per-group exact
     * [pLo, pHi] percentile band — the outlier treatment that keeps
     * every row (unlike a filter) while bounding tail influence, the

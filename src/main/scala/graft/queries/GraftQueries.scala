@@ -4090,6 +4090,59 @@ object GraftQueries {
       .orderBy("event_type")
   }
 
+  /** A/B readout ([[graft.ops.Analytics.abTest]]): users split into
+    * deterministic arms by id parity, per-event-type Welch z on the
+    * value metric — exact decimal moments, one aggregation pass, the
+    * identical arithmetic mirrored in DuckDB. */
+  val abTestQ: Q = (spark, dir) =>
+    graft.ops.Analytics.abTest(
+        t(spark, dir, "events")
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "control")
+              .otherwise("treatment")),
+        "event_type", "arm", "value", "control", "treatment")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("diff"), 6).as("diff"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_type")
+
+  val abTestSql: String = {
+    def sx(arm: String) =
+      s"sum(CASE WHEN user_id % 2 = ${if (arm == "a") 0 else 1} " +
+        s"THEN CAST(${sqlIscale("value", 4)} AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END)"
+    def sxx(arm: String) =
+      s"sum(CASE WHEN user_id % 2 = ${if (arm == "a") 0 else 1} " +
+        s"THEN CAST(${sqlIscale("value", 4)} * ${sqlIscale("value", 4)} " +
+        "AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)"
+    def n(arm: String) =
+      s"sum(CASE WHEN user_id % 2 = ${if (arm == "a") 0 else 1} " +
+        "THEN 1 ELSE 0 END)"
+    s"""WITH agg AS (
+       |  SELECT event_type,
+       |    CAST(${n("a")} AS BIGINT) AS n_a,
+       |    CAST(${n("b")} AS BIGINT) AS n_b,
+       |    ${sx("a")} AS sx_a, ${sxx("a")} AS sxx_a,
+       |    ${sx("b")} AS sx_b, ${sxx("b")} AS sxx_b
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+       |m AS (
+       |  SELECT event_type, n_a, n_b,
+       |    (CAST(sx_a AS DOUBLE) / n_a) / 10000.0 AS mean_a,
+       |    (CAST(sx_b AS DOUBLE) / n_b) / 10000.0 AS mean_b,
+       |    (CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) /
+       |      (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))) / 1e8 AS v_a,
+       |    (CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) /
+       |      (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))) / 1e8 AS v_b
+       |  FROM agg)
+       |SELECT event_type, n_a, n_b,
+       |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       |  round(mean_b - mean_a, 6) AS diff,
+       |  round((mean_b - mean_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS z
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** Market-basket lift over per-user event-type sets: for every type
     * pair, observed co-occurrence vs independence —
     * lift = P(a,b) / (P(a)·P(b)) with user-level probabilities. The
@@ -6114,6 +6167,7 @@ object GraftQueries {
     entry("q_user_paths", userPathsQ, userPathsSql),
     entry("q_theta_sets", thetaSetsQ, thetaSetsSql),
     entry("q_stream_inactivity", streamInactivity, streamInactivitySql),
-    entry("q_item_lift", itemLiftQ, itemLiftSql)
+    entry("q_item_lift", itemLiftQ, itemLiftSql),
+    entry("q_ab_test", abTestQ, abTestSql)
   )
 }
