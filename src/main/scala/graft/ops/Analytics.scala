@@ -324,6 +324,24 @@ object Analytics {
         col("mean_a"), col("mean_b"), col("diff"), col("z"))
   }
 
+  /** Group-mean imputation: fill `valCol` nulls with the group's
+    * exact mean of the NON-null values — the standard feature
+    * cleanup before models that can't take missing values. One
+    * partial-agg pass for the means (decimal-exact, deterministic),
+    * broadcast back, map-only fill; appends `<valCol>_f` and
+    * `<valCol>_was_null`. Groups that are ALL null stay null (no
+    * mean exists — inventing 0 would be a silent lie). */
+  def imputeGroupMean(df: DataFrame, groupCol: String,
+                      valCol: String): DataFrame = {
+    val means = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.queries.Tables.davg(col(valCol)).as("__gm"))
+    df.join(broadcast(means), Seq(groupCol), "left")
+      .withColumn(s"${valCol}_f", coalesce(col(valCol), col("__gm")))
+      .withColumn(s"${valCol}_was_null", col(valCol).isNull)
+      .drop("__gm")
+  }
+
   /** Winsorized clipping: cap `valCol` to its per-group exact
     * [pLo, pHi] percentile band — the outlier treatment that keeps
     * every row (unlike a filter) while bounding tail influence, the

@@ -4090,6 +4090,35 @@ object GraftQueries {
       .orderBy("event_type")
   }
 
+  /** Group-mean imputation ([[graft.ops.Analytics.imputeGroupMean]]):
+    * values deterministically nulled (every 9th event), refilled with
+    * the per-type exact mean of the survivors — broadcast means,
+    * map-only fill, mirrored arithmetic in DuckDB. */
+  val imputeQ: Q = (spark, dir) =>
+    graft.ops.Analytics.imputeGroupMean(
+        t(spark, dir, "events")
+          .withColumn("value",
+            when(col("event_id") % 9 === 0, lit(null).cast("double"))
+              .otherwise(col("value"))),
+        "event_type", "value")
+      .select(col("event_id"), col("event_type"),
+        round(col("value_f"), 6).as("value_f"), col("value_was_null"))
+      .orderBy("event_id")
+
+  val imputeSql: String =
+    s"""WITH v AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE value END AS value
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, ${sqlDavg("value")} AS gm
+       |  FROM v WHERE value IS NOT NULL GROUP BY event_type)
+       |SELECT event_id, v.event_type,
+       |  round(coalesce(v.value, m.gm), 6) AS value_f,
+       |  v.value IS NULL AS value_was_null
+       |FROM v LEFT JOIN m ON v.event_type = m.event_type
+       |ORDER BY event_id""".stripMargin
+
   /** A/B readout ([[graft.ops.Analytics.abTest]]): users split into
     * deterministic arms by id parity, per-event-type Welch z on the
     * value metric — exact decimal moments, one aggregation pass, the
@@ -6168,6 +6197,7 @@ object GraftQueries {
     entry("q_theta_sets", thetaSetsQ, thetaSetsSql),
     entry("q_stream_inactivity", streamInactivity, streamInactivitySql),
     entry("q_item_lift", itemLiftQ, itemLiftSql),
-    entry("q_ab_test", abTestQ, abTestSql)
+    entry("q_ab_test", abTestQ, abTestSql),
+    entry("q_impute", imputeQ, imputeSql)
   )
 }
