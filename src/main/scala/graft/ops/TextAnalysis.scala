@@ -831,6 +831,31 @@ object TextAnalysis {
           .as("postings"))
   }
 
+  /** HTML → text for web-corpus ingest: drop script/style blocks
+    * (their CONTENT is code, not prose — tag-stripping alone would
+    * leak it into the corpus), drop comments, strip remaining tags,
+    * decode the six common entities, collapse whitespace. Pure
+    * regexp-chain column expression — map-only, codegen'd, and
+    * deliberately RE2-compatible (no backreferences/lookbehind:
+    * `[\s\S]` instead of dotall, per-tag patterns instead of `\1`) so
+    * the DuckDB oracle runs the IDENTICAL chain. Not a full HTML5
+    * parser by design: boilerplate-stripping at corpus scale wants a
+    * cheap total function, not a DOM. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?i)<script[^>]*>[\\s\\S]*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?i)<style[^>]*>[\\s\\S]*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "<!--[\\s\\S]*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** PMI-scored collocations: adjacent-bigram pointwise mutual
     * information, PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with
     * bigram probability over total bigrams and unigram probabilities

@@ -31,4 +31,29 @@ object Urls {
     val d = regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
     when(d =!= "", d)
   }
+
+  /** Canonical URL form for dedup keys and blocklist joins: lowercase
+    * scheme+host, fragment stripped, tracking parameters (utm_*,
+    * fbclid, gclid) dropped, a left-over bare '?' removed, and the
+    * trailing slash of a non-root path trimmed — so the same page
+    * reached via campaign links, fragments, and case-variant hosts
+    * collapses to ONE key. Pure regexp chain (map-only, codegen'd);
+    * deliberately textual rather than parse-and-rebuild so malformed
+    * URLs degrade to best-effort cleanup instead of null. */
+  def canonicalize(url: Column): Column = {
+    // 1. lowercase scheme://host prefix (path/query keep their case)
+    val lowered = concat(
+      lower(regexp_extract(url, "^([^/]*//[^/?#]*)", 1)),
+      regexp_replace(url, "^[^/]*//[^/?#]*", ""))
+    // 2. drop the fragment
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    // 3. drop tracking params (either side of the '&'s)
+    val noTrack = regexp_replace(noFrag,
+      "(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", "?")
+    // collapse the '?'-runs the removal can leave ("??", "?&")
+    val fixedQ = regexp_replace(regexp_replace(noTrack,
+      "\\?[?&]+", "?"), "\\?$", "")
+    // 4. trim a trailing slash on a non-root path
+    regexp_replace(fixedQ, "(?<=[^/])/$", "")
+  }
 }

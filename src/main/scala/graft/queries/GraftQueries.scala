@@ -4119,6 +4119,54 @@ object GraftQueries {
        |FROM v LEFT JOIN m ON v.event_type = m.event_type
        |ORDER BY event_id""".stripMargin
 
+  /** HTML boilerplate strip ([[TextAnalysis.stripHtml]]): documents
+    * wrapped in a deterministic HTML shell (script with embedded
+    * angle brackets, style, comment, entities) must come back as
+    * exactly their whitespace-normalized text — DuckDB runs the
+    * identical RE2-safe regexp chain. */
+  val htmlStripQ: Q = (spark, dir) => {
+    val shell = concat(
+      lit("<html><HEAD><style>p{color:red}</style></HEAD>" +
+        "<body><p class=\"x\">"),
+      col("text"),
+      lit("</p><script type=\"t\">var x=\"<tag>\";</script>" +
+        "<!-- note --><br/>&amp;done</body></html>"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.stripHtml(shell).as("stripped"))
+      .select(col("doc_id"), length(col("stripped")).as("len"),
+        substring(col("stripped"), 1, 60).as("head60"))
+      .orderBy("doc_id")
+  }
+
+  val htmlStripSql: String =
+    """WITH shell AS (
+      |  SELECT doc_id,
+      |    '<html><HEAD><style>p{color:red}</style></HEAD><body><p class="x">'
+      |    || text ||
+      |    '</p><script type="t">var x="<tag>";</script><!-- note --><br/>&amp;done</body></html>'
+      |      AS h
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(h,
+      |  '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g') AS t FROM shell),
+      |s2 AS (SELECT doc_id, regexp_replace(t,
+      |  '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t,
+      |  '<!--[\s\S]*?-->', ' ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t,
+      |  '<[^>]+>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(
+      |  regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |  '&quot;', '"', 'g') AS t FROM s4),
+      |s6 AS (SELECT doc_id, regexp_replace(regexp_replace(
+      |  regexp_replace(t, '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'),
+      |  '&amp;', '&', 'g') AS t FROM s5),
+      |s AS (SELECT doc_id,
+      |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS stripped FROM s6)
+      |SELECT doc_id, CAST(length(stripped) AS INT) AS len,
+      |  substring(stripped, 1, 60) AS head60
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** A/B readout ([[graft.ops.Analytics.abTest]]): users split into
     * deterministic arms by id parity, per-event-type Welch z on the
     * value metric — exact decimal moments, one aggregation pass, the
@@ -6198,6 +6246,7 @@ object GraftQueries {
     entry("q_stream_inactivity", streamInactivity, streamInactivitySql),
     entry("q_item_lift", itemLiftQ, itemLiftSql),
     entry("q_ab_test", abTestQ, abTestSql),
-    entry("q_impute", imputeQ, imputeSql)
+    entry("q_impute", imputeQ, imputeSql),
+    entry("q_html_strip", htmlStripQ, htmlStripSql)
   )
 }

@@ -1585,6 +1585,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out("flat") == (1L, 0L, 5L))
   }
 
+  test("Urls.canonicalize collapses campaign/fragment/case variants to one key") {
+    val urls = Seq(
+      "https://WWW.Example.COM/Page/?utm_source=x&utm_campaign=y#frag",
+      "https://www.example.com/Page?id=3&utm_medium=z",
+      "https://www.example.com/Page/",
+      "http://example.com",
+      "HTTPS://Host.io/a/b?fbclid=abc&keep=1"
+    ).toDF("u")
+    val got = urls.select(Urls.canonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "https://www.example.com/Page",
+      "https://www.example.com/Page?id=3",
+      "https://www.example.com/Page",
+      "http://example.com",
+      "https://host.io/a/b?keep=1"))
+  }
+
+  test("stripHtml: script/style content gone, entities decoded, text kept") {
+    val html = Seq(
+      ("""<html><body><p>Hello <b>world</b></p>""" +
+        """<script>var s="<evil>leak</evil>";</script>""" +
+        """<style>p { x: "y" }</style><!-- note -->""" +
+        """A &amp; B &lt;tag&gt; &#39;q&#39;&nbsp;end</body></html>""")
+    ).toDF("h")
+    val out = html.select(TextAnalysis.stripHtml(col("h")).as("t"))
+      .head().getString(0)
+    assert(out == """Hello world A & B <tag> 'q' end""", s"got: $out")
+    assert(!out.contains("leak") && !out.contains("color"))
+  }
+
   test("winsorize: null values stay null, never the fabricated p-lo bound") {
     val df = Seq(
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
