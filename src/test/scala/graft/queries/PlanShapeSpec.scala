@@ -546,4 +546,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
         s"map-only op grew a hash shuffle:\n$p")
     }
   }
+
+  test("q_ab_test is one aggregation pass — no join between the arms") {
+    val p = planOf(GraftQueries.abTestQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"),
+      s"arm comparison must not self-join the events:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one group-keyed exchange:\n$p")
+    assert(p.contains("partial_"),
+      s"arm moments must partial-aggregate map-side:\n$p")
+  }
+
+  test("q_impute broadcasts the group means onto the fact side") {
+    val p = planOf(GraftQueries.imputeQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-count-sized means must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"means joined by SMJ:\n$p")
+  }
+
+  test("q_theta_sets sketches partial-aggregate; q_html_strip is map-only") {
+    val t = planOf(GraftQueries.thetaSetsQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(t.contains("partial_theta_sketch"),
+      s"theta sketch must build map-side partials:\n$t")
+    val h = planOf(GraftQueries.htmlStripQ(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!h.contains("Exchange hashpartitioning"),
+      s"html strip grew a shuffle:\n$h")
+  }
 }
