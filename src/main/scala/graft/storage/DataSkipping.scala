@@ -48,6 +48,30 @@ class DataSkippingObserver(columns: Seq[String]) extends StorageOutputObserver {
   }
 }
 
+/** Output observer that auto-compacts a managed table when its
+  * small-file count crosses a threshold — the background OPTIMIZE
+  * loop every streaming/micro-batch ingest needs (each batch appends
+  * a file; unchecked, a month of 1-minute batches is 43k files and
+  * the table's scans die of task-scheduling overhead, not data).
+  * Fires AFTER the observed write (observer contract), so the write
+  * itself never pays the rewrite; the threshold bounds amortized
+  * compaction cost to O(1/threshold) rewrites per write. Only counts
+  * files for MANAGED tables (Optimize requires the op log); streaming
+  * observers fire pre-start with no files yet — the count guard makes
+  * that a no-op. */
+class AutoCompactObserver(maxFiles: Int,
+                          targetFileBytes: Long = 128L * 1024 * 1024)
+    extends StorageOutputObserver {
+  require(maxFiles > 1, s"maxFiles must be > 1, got $maxFiles")
+  override def update(df: DataFrame, outputPath: String): Unit = {
+    val spark = df.sparkSession
+    if (spark != null && GraftLog.isManagedTable(spark, outputPath) &&
+        Fs.dataFiles(spark, outputPath).size > maxFiles)
+      Optimize.run(spark, new BasicStorage(spark), outputPath,
+        targetFileBytes = targetFileBytes)
+  }
+}
+
 object DataSkipping {
   val StatsDirName = "_graft_stats"
 

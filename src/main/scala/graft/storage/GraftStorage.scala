@@ -19,6 +19,11 @@ import graft.lineage.DataLineageLogger
   *     set, every observed write/merge refreshes the [[DataSkipping]]
   *     footer-stats sidecar for those columns (runtime conf, so it can
   *     be toggled per session).
+  *   - io.graft.storage.autocompact_max_files — when set (> 1), every
+  *     observed write/merge that leaves a managed table above this
+  *     many data files triggers an [[Optimize]] compaction
+  *     ([[AutoCompactObserver]]) — the background-OPTIMIZE loop for
+  *     micro-batch ingest.
   */
 object GraftStorage {
 
@@ -41,6 +46,11 @@ object GraftStorage {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (skippingCols.nonEmpty)
       st.registerOutputObserver(new DataSkippingObserver(skippingCols))
+
+    val autoCompact = spark.conf
+      .get("io.graft.storage.autocompact_max_files", "").trim
+    if (autoCompact.nonEmpty)
+      st.registerOutputObserver(new AutoCompactObserver(autoCompact.toInt))
 
     val provider = isolationProvider
       .getOrElse(IsolationProviders.getIsolationProvider(spark))

@@ -222,6 +222,26 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no stats row"))
   }
 
+  test("AutoCompactObserver compacts past the threshold, result-invisible") {
+    val st = new BasicStorage(spark)
+    st.registerOutputObserver(new AutoCompactObserver(maxFiles = 6))
+    val path = tempDir("autocompact") + "/t"
+    // base write under threshold: no compaction
+    st.write((1L to 100L).toDF("id").repartition(4), path, "delta",
+      "overwrite")
+    assert(Fs.dataFiles(spark, path).size == 4)
+    // appends push past the threshold → the NEXT observed write compacts
+    st.write((101L to 200L).toDF("id").repartition(4), path, "delta",
+      "append")
+    val after = Fs.dataFiles(spark, path).size
+    assert(after < 8, s"expected compaction under 8 files, got $after")
+    // rows byte-identical through the compaction
+    assert(spark.read.parquet(path).as[Long].collect().sorted.toSeq ==
+      (1L to 200L))
+    val ops = GraftLog.history(spark, path).collect().map(_.getString(0))
+    assert(ops.contains("OPTIMIZE"))
+  }
+
   test("metadataProfile opens ZERO data files — proof by corrupting them") {
     val dir = tempDir("metazero")
     Fs.delete(spark, dir)
