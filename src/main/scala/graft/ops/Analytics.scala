@@ -294,16 +294,25 @@ object Analytics {
              scale: Int = 4): DataFrame = {
     val q = graft.queries.Tables.iscale(col(valCol), scale)
     val s = math.pow(10, scale)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // square in DECIMAL, not Long: q² wraps a Long silently past
+    // |value| ≈ 3·10^(14-scale)·10^-4 — decimal(18)×decimal(18) is
+    // exact to 10^37 (the dsum no-overflow discipline)
+    val q2 = q.cast(d18) * q.cast(d18)
     def armAgg(arm: String, tag: String) = Seq(
       sum(when(col(armCol) === arm, lit(1L)).otherwise(lit(0L)))
         .as(s"n_$tag"),
       sum(when(col(armCol) === arm, q).otherwise(lit(0L)).cast(d38))
         .as(s"__sx_$tag"),
-      sum(when(col(armCol) === arm, q * q).otherwise(lit(0L)).cast(d38))
+      sum(when(col(armCol) === arm, q2)
+        .otherwise(lit(0L).cast(d18) * lit(0L).cast(d18)))
         .as(s"__sxx_$tag"))
     def mean(tag: String) =
-      (col(s"__sx_$tag").cast("double") / col(s"n_$tag")) / lit(s)
+      // guarded: an empty arm has NO mean — null, not an engine-
+      // dependent 0/0 artifact
+      when(col(s"n_$tag") >= 1,
+        (col(s"__sx_$tag").cast("double") / col(s"n_$tag")) / lit(s))
     def variance(tag: String) =
       ((col(s"n_$tag") * col(s"__sxx_$tag") -
         col(s"__sx_$tag") * col(s"__sx_$tag")).cast("double") /

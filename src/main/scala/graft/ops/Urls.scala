@@ -47,13 +47,17 @@ object Urls {
       regexp_replace(url, "^[^/]*//[^/?#]*", ""))
     // 2. drop the fragment
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    // 3. drop tracking params (either side of the '&'s)
+    // 3. drop tracking params KEEPING their delimiter ($1) so a param
+    // sandwiched between kept ones never fuses them ("?a=1&utm=x&b=2"
+    // must become "?a=1&b=2", not "?a=1?b=2"); then normalize the
+    // runs/strays the removal leaves ("&&"→"&", "?&"→"?", trailing)
     val noTrack = regexp_replace(noFrag,
-      "(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", "?")
-    // collapse the '?'-runs the removal can leave ("??", "?&")
-    val fixedQ = regexp_replace(regexp_replace(noTrack,
-      "\\?[?&]+", "?"), "\\?$", "")
-    // 4. trim a trailing slash on a non-root path
-    regexp_replace(fixedQ, "(?<=[^/])/$", "")
+      "(?i)([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    val fixedQ = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    // 4. trim the trailing slash (capture-group form — RE2-safe, no
+    // lookbehind; a bare-root "https://x.com/" also canonicalizes to
+    // the host form, matching URLs written without the slash)
+    regexp_replace(fixedQ, "([^/])/$", "$1")
   }
 }

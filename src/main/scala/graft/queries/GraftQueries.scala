@@ -4174,6 +4174,10 @@ object GraftQueries {
   val abTestQ: Q = (spark, dir) =>
     graft.ops.Analytics.abTest(
         t(spark, dir, "events")
+          // null user_ids have no arm — excluded on BOTH engines (a
+          // null otherwise()-arm here vs CASE-no-match there would
+          // diverge the moment a data refresh introduces nulls)
+          .filter(col("user_id").isNotNull)
           .withColumn("arm",
             when(col("user_id") % 2 === 0, "control")
               .otherwise("treatment")),
@@ -4192,8 +4196,9 @@ object GraftQueries {
         "ELSE CAST(0 AS DECIMAL(38,0)) END)"
     def sxx(arm: String) =
       s"sum(CASE WHEN user_id % 2 = ${if (arm == "a") 0 else 1} " +
-        s"THEN CAST(${sqlIscale("value", 4)} * ${sqlIscale("value", 4)} " +
-        "AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)"
+        s"THEN CAST(${sqlIscale("value", 4)} AS DECIMAL(18,0)) * " +
+        s"CAST(${sqlIscale("value", 4)} AS DECIMAL(18,0)) " +
+        "ELSE CAST(0 AS DECIMAL(36,0)) END)"
     def n(arm: String) =
       s"sum(CASE WHEN user_id % 2 = ${if (arm == "a") 0 else 1} " +
         "THEN 1 ELSE 0 END)"
@@ -4203,11 +4208,15 @@ object GraftQueries {
        |    CAST(${n("b")} AS BIGINT) AS n_b,
        |    ${sx("a")} AS sx_a, ${sxx("a")} AS sxx_a,
        |    ${sx("b")} AS sx_b, ${sxx("b")} AS sxx_b
-       |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+       |  FROM events
+       |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY event_type),
        |m AS (
        |  SELECT event_type, n_a, n_b,
-       |    (CAST(sx_a AS DOUBLE) / n_a) / 10000.0 AS mean_a,
-       |    (CAST(sx_b AS DOUBLE) / n_b) / 10000.0 AS mean_b,
+       |    CASE WHEN n_a >= 1
+       |      THEN (CAST(sx_a AS DOUBLE) / n_a) / 10000.0 END AS mean_a,
+       |    CASE WHEN n_b >= 1
+       |      THEN (CAST(sx_b AS DOUBLE) / n_b) / 10000.0 END AS mean_b,
        |    (CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) /
        |      (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))) / 1e8 AS v_a,
        |    (CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) /
@@ -4216,7 +4225,9 @@ object GraftQueries {
        |SELECT event_type, n_a, n_b,
        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
        |  round(mean_b - mean_a, 6) AS diff,
-       |  round((mean_b - mean_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS z
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+       |    round((mean_b - mean_a) / sqrt(v_a / n_a + v_b / n_b), 6)
+       |  END AS z
        |FROM m ORDER BY event_type""".stripMargin
   }
 

@@ -65,8 +65,17 @@ class AutoCompactObserver(maxFiles: Int,
   require(maxFiles > 1, s"maxFiles must be > 1, got $maxFiles")
   override def update(df: DataFrame, outputPath: String): Unit = {
     val spark = df.sparkSession
-    if (spark != null && GraftLog.isManagedTable(spark, outputPath) &&
-        Fs.dataFiles(spark, outputPath).size > maxFiles)
+    if (spark == null || !GraftLog.isManagedTable(spark, outputPath))
+      return
+    val files = Fs.dataFiles(spark, outputPath)
+    // what a compaction COULD get the table down to at this target:
+    // once a table is simply big (achievable ≈ current), "over the
+    // threshold" would re-trigger a full O(table) rewrite on EVERY
+    // write — only compact when it at least halves the file count,
+    // which keeps amortized rewrite cost bounded
+    val achievable = math.max(1L,
+      (files.map(_._2).sum + targetFileBytes - 1) / targetFileBytes)
+    if (files.size > maxFiles && files.size >= 2 * achievable)
       Optimize.run(spark, new BasicStorage(spark), outputPath,
         targetFileBytes = targetFileBytes)
   }

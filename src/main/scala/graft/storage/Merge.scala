@@ -107,11 +107,11 @@ object Merge {
   def readAsOf(spark: SparkSession, storage: BasicStorage, path: String,
                keyCols: Seq[String], asOfBatch: Long): DataFrame = {
     val current = storage.read(path, "delta")
-    if (!hasChanges(spark, path)) return current
-    val feed = changeFeed(spark, path)
     // travel reaches at most back to the oldest RETAINED batch's
     // pre-state; a pruned feed must fail loudly, not reconstruct a
-    // silently wrong snapshot from a gapped history
+    // silently wrong snapshot from a gapped history. Checked BEFORE
+    // the no-feed early return — a fully-pruned feed (dir removed)
+    // must refuse old as-of requests, not hand back `current`.
     val pruned = GraftLog.lastTxnBatch(spark, path, ChangesPruneApp)
     pruned.filter(asOfBatch < _).foreach { horizon =>
       throw new IllegalArgumentException(
@@ -119,6 +119,8 @@ object Merge {
           s"horizon ($horizon) — older feed batches were removed by " +
           "pruneChangeFeed")
     }
+    if (!hasChanges(spark, path)) return current
+    val feed = changeFeed(spark, path)
     val newer = feed.select(col("batch")).distinct()
       .filter(col("batch") > asOfBatch)
       .collect().map(_.getLong(0)).sorted.reverse // metadata-sized
@@ -146,7 +148,9 @@ object Merge {
       .distinct().collect().map(_.getLong(0)).sorted
     val stamps = allStamps.filter(_ <= upToBatch)
     stamps.foreach { b =>
-      Fs.delete(spark, s"$base/$ChangesDirName/batch=$b")
+      // checked: a silently failed delete must not advance the horizon
+      // (readAsOf would then refuse batches that are still present)
+      Fs.deleteChecked(spark, s"$base/$ChangesDirName/batch=$b")
     }
     if (stamps.nonEmpty) {
       // an emptied feed dir would break the next changeFeed read (no

@@ -1591,7 +1591,11 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "https://www.example.com/Page?id=3&utm_medium=z",
       "https://www.example.com/Page/",
       "http://example.com",
-      "HTTPS://Host.io/a/b?fbclid=abc&keep=1"
+      "HTTPS://Host.io/a/b?fbclid=abc&keep=1",
+      // tracking param SANDWICHED between kept ones must not fuse them
+      "https://x.com/p?a=1&utm_source=t&b=2",
+      // bare root slash collapses to the host form
+      "https://x.com/"
     ).toDF("u")
     val got = urls.select(Urls.canonicalize(col("u")).as("c"))
       .collect().map(_.getString(0)).toSeq
@@ -1600,7 +1604,9 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "https://www.example.com/Page?id=3",
       "https://www.example.com/Page",
       "http://example.com",
-      "https://host.io/a/b?keep=1"))
+      "https://host.io/a/b?keep=1",
+      "https://x.com/p?a=1&b=2",
+      "https://x.com"))
   }
 
   test("stripHtml: script/style content gone, entities decoded, text kept") {

@@ -518,6 +518,13 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     // "no feed" instead of an unreadable empty dir
     assert(Merge.pruneChangeFeed(spark, path, Long.MaxValue) == 1L)
     assert(!Merge.hasChanges(spark, path))
+    // the horizon guard must fire even with NO feed left — the
+    // missing-feed early return cannot hand back `current` for an
+    // as-of request behind the recorded horizon
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamps.head).collect()
+    }
+    assert(e2.getMessage.contains("pruned change horizon"))
     // and a later captured merge starts a fresh feed cleanly
     st.merge(Seq((4L, "d")).toDF("id", "v"), path,
       "full.id = incremental.id", captureChanges = true)
