@@ -1523,7 +1523,8 @@ object GraftQueries {
   val cohortRetentionSql: String =
     """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
       |coh AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
-      |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+      |SELECT cohort_day,
+      |  CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
       |       count(DISTINCT d.user_id) AS n_users
       |FROM d JOIN coh USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -4239,7 +4240,12 @@ object GraftQueries {
     * broadcast totals; exact integer counts through one double ratio,
     * so the oracle hash-matches. */
   val itemLiftQ: Q = (spark, dir) => {
+    // null user_ids carry no basket — excluded on BOTH engines (Spark
+    // would count a (null, type) distinct row in c_a/n_users while
+    // DuckDB's count(DISTINCT)/equi-join drop nulls; same guard as
+    // abTestQ so a data refresh with nulls cannot diverge the oracle)
     val u = t(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_type")).distinct()
     val totals = u.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_users"))
@@ -4263,7 +4269,8 @@ object GraftQueries {
   }
 
   val itemLiftSql: String =
-    """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    """WITH u AS (SELECT DISTINCT user_id, event_type FROM events
+      |       WHERE user_id IS NOT NULL),
       |t AS (SELECT event_type, count(*) AS cnt FROM u GROUP BY 1),
       |n AS (SELECT count(DISTINCT user_id) AS n_users FROM u),
       |p AS (
@@ -4287,7 +4294,10 @@ object GraftQueries {
     * degrades to ±2% instead of failing. */
   val thetaSetsQ: Q = (spark, dir) => {
     import graft.functions.ThetaSketch._
+    // thetaAgg skips nulls; the oracle's count(*)-over-DISTINCT would
+    // count a NULL row — guard both engines (mirrors abTestQ/itemLiftQ)
     val sk = t(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"))
       .agg(thetaAgg(col("user_id")).as("sk"))
     val a = sk.filter(col("event_type") === "click")
@@ -4303,9 +4313,9 @@ object GraftQueries {
 
   val thetaSetsSql: String =
     """WITH c AS (SELECT DISTINCT user_id FROM events
-      |           WHERE event_type = 'click'),
+      |           WHERE event_type = 'click' AND user_id IS NOT NULL),
       |p AS (SELECT DISTINCT user_id FROM events
-      |      WHERE event_type = 'purchase')
+      |      WHERE event_type = 'purchase' AND user_id IS NOT NULL)
       |SELECT CAST((SELECT count(*) FROM c) AS DOUBLE) AS n_click,
       |  CAST((SELECT count(*) FROM p) AS DOUBLE) AS n_purchase,
       |  CAST((SELECT count(*) FROM c JOIN p USING (user_id)) AS DOUBLE)
@@ -5554,13 +5564,16 @@ object GraftQueries {
     * BY DESIGN (no eigensolve in SQL); PcaSpec pins component
     * orthonormality, eigenvalue ordering + trace preservation,
     * projected variance == eigenvalue, reconstruction-error monotone
-    * in k, and bit-identical refit under repartitioning. */
+    * in k, and bit-identical refit under repartitioning. Output is
+    * flattened to scalar pc_0..pc_3 columns (not array<double>) so
+    * generic result harnesses can sort/hash the frame. */
   val pcaProjectQ: Q = (spark, dir) => {
     val emb = t(spark, dir, "embeddings")
     val model = Pca.fit(emb, "embedding", dims = 64, k = 4)
+    val flat = (0 until 4).map(i =>
+      round(col("pc").getItem(i), 6).as(s"pc_$i"))
     Pca.project(emb, "embedding", model)
-      .select(col("vec_id"),
-        transform(col("pc"), x => round(x, 6)).as("pc"))
+      .select(col("vec_id") +: flat: _*)
       .orderBy("vec_id")
   }
 
@@ -5663,8 +5676,8 @@ object GraftQueries {
       |merged AS (
       |  SELECT user_id, b, min(s) AS bs, max(e) AS be, count(*) AS n
       |  FROM blocks GROUP BY user_id, b)
-      |SELECT user_id, sum(be - bs) AS covered_sec,
-      |  count(*) AS n_blocks, sum(n) AS n_intervals
+      |SELECT user_id, CAST(sum(be - bs) AS BIGINT) AS covered_sec,
+      |  count(*) AS n_blocks, CAST(sum(n) AS BIGINT) AS n_intervals
       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** transformWithState running totals ([[graft.streaming.StreamingOps

@@ -62,12 +62,35 @@ class BasicStorage(spark: SparkSession) extends Storage {
     // table CHECK constraints gate the incoming frame BEFORE any file
     // lands (Delta semantics; one aggregation pass, only when the
     // managed table has registered constraints)
-    if (format == "delta" && GraftLog.isManagedTable(spark, path))
-      Constraints.validateIncoming(spark, df, path)
-    var writer = df.write.format(physical(format))
-    if (mode == "overwrite") writer = writer.option("overwriteSchema", "true")
-    if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
-    writer.options(opts).mode(mode).save(path)
+    val managed = format == "delta" && GraftLog.isManagedTable(spark, path)
+    if (managed) Constraints.validateIncoming(spark, df, path)
+    def save(target: String): Unit = {
+      var writer = df.write.format(physical(format))
+      if (mode == "overwrite") writer = writer.option("overwriteSchema", "true")
+      if (partitionFields.nonEmpty)
+        writer = writer.partitionBy(partitionFields: _*)
+      writer.options(opts).mode(mode).save(target)
+    }
+    if (managed && mode == "overwrite") {
+      // An in-place parquet overwrite deletes the WHOLE table dir —
+      // op log, constraints, change feed, tombstones. Stage the new
+      // data beside the table and let the swap carry each sidecar per
+      // its semantics (GraftLog.overwriteSwap). Bonus: read-then-
+      // overwrite of the same table works, since the old files
+      // survive until the staged data is complete.
+      val base = path.stripSuffix("/")
+      val tmp = base + "__graft_tmp"
+      Fs.deleteChecked(spark, tmp)
+      save(tmp)
+      GraftLog.overwriteSwap(spark, base, tmp)
+    } else if (managed && mode == "append") {
+      // appended rows re-introducing MoR-tombstoned keys clear those
+      // tombstones (see MorDelete.planReconcile) — data first, then
+      // the sidecar, so a crash between the two is healed by retry
+      val tombPlan = MorDelete.planReconcile(spark, path, df)
+      save(path)
+      tombPlan.foreach(MorDelete.commitReconcile(spark, path, _))
+    } else save(path)
     if (format == "delta") GraftLog.append(spark, path, "WRITE", partitionFields)
     notifyOutputObservers(df, path)
   }

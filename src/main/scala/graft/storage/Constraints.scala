@@ -40,12 +40,16 @@ object Constraints {
   def sidecarPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "/" + DirName
 
-  /** Active constraints of the table (empty when none). */
-  def list(spark: SparkSession, tablePath: String): Seq[(String, String)] =
+  /** Active constraints of the table (empty when none). Heals a
+    * crashed [[drop]] swap first: a leftover `__old` aside dir rolls
+    * back, so a crash can never silently shed constraints. */
+  def list(spark: SparkSession, tablePath: String): Seq[(String, String)] = {
+    Fs.recoverAside(spark, sidecarPath(tablePath))
     if (!Fs.exists(spark, sidecarPath(tablePath))) Nil
     else spark.read.parquet(sidecarPath(tablePath))
       .select("name", "condition")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+  }
 
   /** Register a CHECK constraint. Validates the CURRENT table content
     * first and refuses (throwing [[ConstraintViolationException]])
@@ -69,9 +73,12 @@ object Constraints {
   }
 
   /** Remove a constraint by name (no-op if absent). The survivors are
-    * written as ONE frame to a staging dir and swapped in — a crash
-    * can leave the old or the new sidecar, never a half-rewritten one
-    * that silently sheds constraints it was not asked to drop. */
+    * written as ONE frame to a staging dir and swapped in via the
+    * rename-aside protocol ([[Fs.swapInStaged]]): some complete
+    * sidecar exists at every instant — a crash leaves the old or the
+    * new version, never a missing one that silently sheds every
+    * remaining constraint (the half-state [[list]]'s recovery then
+    * heals). */
   def drop(spark: SparkSession, tablePath: String, name: String): Unit = {
     require(GraftLog.isManagedTable(spark, tablePath),
       "The given path is not a Delta Table.")
@@ -89,8 +96,7 @@ object Constraints {
           java.util.Arrays.asList(rows: _*), schema)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
-      Fs.deleteChecked(spark, sidecarPath(tablePath))
-      Fs.renameChecked(spark, tmp, sidecarPath(tablePath))
+      Fs.swapInStaged(spark, sidecarPath(tablePath), tmp)
     }
     GraftLog.append(spark, tablePath, "DROP_CONSTRAINT")
   }

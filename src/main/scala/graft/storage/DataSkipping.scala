@@ -501,8 +501,20 @@ object DataSkipping {
     val all = dataFiles(spark, tablePath)
     if (values.isEmpty || !Fs.exists(spark, bloomPath(tablePath)))
       return all
+    // probe hashes must match the BUILD side's xxhash64(col) in the
+    // column's own type: xxhash64 of int 42 differs from long 42L, so
+    // an untyped literal (e.g. Seq(42) probing a bigint column) would
+    // miss and prune files that DO contain the value — a wrong-rows
+    // violation of the superset contract. Cast every probe literal to
+    // the table column's DataType first (one footer-read for the
+    // schema; an uncastable literal becomes a null probe, which at
+    // worst KEEPS extra files — the conservative direction).
+    val colType = spark.read.parquet(tablePath).schema.fields
+      .find(_.name == column).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pruneFilesBloom: column '$column' not in table at $tablePath"))
     val hashes = spark.range(1)
-      .select(values.map(v => xxhash64(lit(v))): _*)
+      .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
     // ONE pass over the sidecar returns (file, survives) — probing and
     // the indexed-file set come from the same job (the hot lookup path

@@ -104,6 +104,14 @@ object Delete {
   * compaction — the documented trade for keeping files externally
   * readable; Delta hides this only because its readers all speak the
   * log.
+  *
+  * Delete-then-reinsert lifecycle: tombstones are logical keys, so the
+  * managed write paths (merge, append) reconcile them — a write that
+  * re-introduces a tombstoned key CLEARS that key's tombstone
+  * ([[planReconcile]]/[[commitReconcile]]), and a managed overwrite
+  * drops the sidecar wholesale (the table it referred to is gone).
+  * Without this, the fresh row would be hidden by [[read]] and then
+  * permanently destroyed by [[compact]].
   */
 object MorDelete {
 
@@ -149,10 +157,60 @@ object MorDelete {
            keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val base = path.stripSuffix("/")
     val df = storage.read(base, "delta")
+    Fs.recoverAside(spark, tombstonePath(base))
     if (!Fs.exists(spark, tombstonePath(base))) df
     else df.join(
       spark.read.parquet(tombstonePath(base)).distinct(),
       keyCols, "left_anti")
+  }
+
+  /** Phase 1 of delete-then-reinsert reconciliation: tombstones are
+    * LOGICAL keys, so a later merge/append that re-introduces key K
+    * must clear K's tombstone — otherwise [[read]] hides the fresh row
+    * and [[compact]] (which rewrites from the tombstone-subtracting
+    * view) destroys it permanently. Returns the surviving-tombstone
+    * frame, MATERIALIZED (persisted + counted) so the caller can
+    * rewrite the table's data files before [[commitReconcile]] writes
+    * it — the anti-join reads pre-rewrite files, and data-then-sidecar
+    * ordering means a crash between the two leaves the fresh row
+    * transiently hidden (healed by retry), never resurrects a deleted
+    * one. None ⇒ no tombstone sidecar, nothing to do (the common
+    * case — one exists() call). Throws when the sidecar's key columns
+    * are absent from `written`: an unreconcilable write against live
+    * tombstones must fail loudly, not silently destroy data later. */
+  def planReconcile(spark: SparkSession, base0: String,
+                    written: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val tp = tombstonePath(base0.stripSuffix("/"))
+    Fs.recoverAside(spark, tp)
+    if (!Fs.exists(spark, tp)) return None
+    val tombs = spark.read.parquet(tp)
+    val tCols = tombs.schema.fieldNames.toSeq
+    val missing = tCols.filterNot(written.schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot reconcile MoR tombstones at $tp: incoming rows lack " +
+          s"key column(s) ${missing.mkString(", ")} — compact() the " +
+          "table first or include the key columns")
+    val remaining = tombs.distinct()
+      .join(written.select(tCols.map(col): _*).distinct(),
+        tCols, "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    remaining.count() // materialize off the pre-rewrite files
+    Some(remaining)
+  }
+
+  /** Phase 2: crash-safe staged swap of the tombstone sidecar to the
+    * frame [[planReconcile]] materialized. */
+  def commitReconcile(spark: SparkSession, base0: String,
+                      remaining: org.apache.spark.sql.DataFrame): Unit = {
+    val tp = tombstonePath(base0.stripSuffix("/"))
+    try {
+      val tmp = tp + "__tmp"
+      Fs.deleteChecked(spark, tmp)
+      remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+      Fs.swapInStaged(spark, tp, tmp)
+    } finally remaining.unpersist()
   }
 
   /** Apply accumulated tombstones physically (one COW rewrite through
@@ -161,6 +219,7 @@ object MorDelete {
   def compact(spark: SparkSession, storage: BasicStorage, path: String,
               keyCols: Seq[String]): Long = {
     val base = path.stripSuffix("/")
+    Fs.recoverAside(spark, tombstonePath(base))
     if (!Fs.exists(spark, tombstonePath(base))) return 0L
     val before = storage.read(base, "delta").count()
     val kept = read(spark, storage, base, keyCols)

@@ -109,6 +109,45 @@ object GraftLog {
     Fs.deleteChecked(spark, old)
   }
 
+  /** Swap a freshly-written replacement in over a managed OVERWRITE.
+    * A plain `mode("overwrite").save(table)` deletes the whole table
+    * directory — op log, CHECK constraints, change feed, tombstones
+    * and all — so a rebuild-by-overwrite pipeline would silently shed
+    * its constraints and history. Instead the caller stages the new
+    * data in `tmp` and this swap decides each sidecar's fate by what
+    * it MEANS:
+    *   - op log + constraints are table metadata — they survive (the
+    *     incoming frame was already validated against the constraints
+    *     by the managed write path);
+    *   - the change feed cannot represent an overwrite: its horizon is
+    *     recorded first (so [[Merge.readAsOf]] refuses pre-overwrite
+    *     travel instead of reconstructing garbage) and the feed goes
+    *     with the old data;
+    *   - MoR tombstones refer to rows of the REPLACED table — kept,
+    *     they would hide fresh rows with old keys; they go too.
+    * Same crash contract as [[carryLogAndSwap]]: at every instant at
+    * least one complete managed table exists on disk. */
+  def overwriteSwap(spark: SparkSession, base0: String, tmp: String): Unit = {
+    val base = base0.stripSuffix("/")
+    if (Merge.hasChanges(spark, base)) {
+      import org.apache.spark.sql.functions.{col, max}
+      val horizon = Merge.changeFeed(spark, base)
+        .agg(max(col("batch"))).head().getLong(0)
+      append(spark, base, "CHANGES_PRUNE", Nil,
+        Some(Merge.ChangesPruneApp -> horizon))
+    }
+    val old = base + "__graft_old"
+    Fs.deleteChecked(spark, old)
+    Fs.copyDirChecked(spark, logPath(base), logPath(tmp))
+    val constraints = base + "/" + Constraints.DirName
+    if (Fs.exists(spark, constraints))
+      Fs.copyDirChecked(spark, constraints,
+        tmp.stripSuffix("/") + "/" + Constraints.DirName)
+    Fs.renameChecked(spark, base, old)
+    Fs.renameChecked(spark, tmp, base)
+    Fs.deleteChecked(spark, old)
+  }
+
   /** DESCRIBE DETAIL analogue for a managed table — one row of
     * physical + log facts: format, data file count, total data bytes,
     * recorded partition columns, operation count, and the newest
@@ -194,6 +233,33 @@ object Fs {
   def renameChecked(spark: SparkSession, from: String, to: String): Unit =
     if (!rename(spark, from, to))
       throw new java.io.IOException(s"Failed to rename $from -> $to")
+
+  /** Crash-safe replacement of a sidecar dir that `tmp` has already
+    * been staged for: the live dir renames ASIDE (`__old`), the staged
+    * dir renames in, the aside copy deletes. SOME complete sidecar
+    * exists at every instant — a crash can leave the old or the new
+    * version (plus debris a later [[recoverAside]]/retry cleans up),
+    * never a missing or half-written one. */
+  def swapInStaged(spark: SparkSession, live: String, tmp: String): Unit = {
+    val aside = live + "__old"
+    deleteChecked(spark, aside)
+    renameChecked(spark, live, aside)
+    renameChecked(spark, tmp, live)
+    deleteChecked(spark, aside)
+  }
+
+  /** Heal a [[swapInStaged]] crash window: a leftover `__old` with no
+    * live dir rolls BACK (the replacement never completed — the old
+    * sidecar is the truth); with the live dir present the aside copy
+    * is debris from after the second rename — delete it. Call before
+    * reading a swap-managed sidecar. */
+  def recoverAside(spark: SparkSession, live: String): Unit = {
+    val aside = live + "__old"
+    if (exists(spark, aside)) {
+      if (!exists(spark, live)) renameChecked(spark, aside, live)
+      else deleteChecked(spark, aside)
+    }
+  }
 
   /** Recursive directory copy (driver-side; op-log sized). Unlike
     * rename, the source stays intact — used where a swap needs the

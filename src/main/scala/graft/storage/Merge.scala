@@ -128,7 +128,7 @@ object Merge {
       inverseReplay(df, feed.filter(col("batch") === b), keyCols))
   }
 
-  private val ChangesPruneApp = "graft_changes_prune"
+  private[storage] val ChangesPruneApp = "graft_changes_prune"
 
   /** Change-feed retention: drop captured batches with stamp <=
     * `upToBatch` — the log-retention lifecycle every CDC feed needs
@@ -492,6 +492,15 @@ object Merge {
           .save(s"$base/${ChangesDirName}/batch=${System.nanoTime()}")
       }
 
+      // MoR tombstone reconciliation (no-op unless a _graft_tombstones
+      // sidecar exists): keys this merge UPDATES or INSERTS are
+      // re-introduced by user intent — their tombstones must clear, or
+      // MorDelete.read would hide the fresh rows and compact would
+      // destroy them. Planned (materialized) here, off the pre-rewrite
+      // files; committed after the data rewrite below.
+      val tombPlan = MorDelete.planReconcile(
+        spark, base, touched.unionByName(inserts))
+
       if (effectiveParts.nonEmpty && !evolving) {
         // Partitioned table: rewrite ONLY the affected partitions via
         // dynamic partition overwrite — unaffected partition directories
@@ -534,6 +543,8 @@ object Merge {
         writer.save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)
       }
+
+      tombPlan.foreach(MorDelete.commitReconcile(spark, base, _))
 
     } finally if (cowRewrite) scannedFull.unpersist()
     GraftLog.append(spark, base, "MERGE", effectiveParts)

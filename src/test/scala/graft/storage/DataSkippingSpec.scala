@@ -193,6 +193,23 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
       .filter(col("id") === 9000001L)
     assert(afterAppend.count() == 1,
       "unindexed new file must survive pruning")
+    // probe literals are cast to the COLUMN's type before hashing:
+    // xxhash64(int 42) != xxhash64(long 42L), so an Int probe against
+    // this bigint column would otherwise hash-miss and prune the file
+    // that DOES hold the value — wrong rows, not just a missed prune
+    val intProbe = DataSkipping
+      .prunedReadBloom(spark, dir, "id", Seq(42))
+      .filter(col("id") === 42L)
+    assert(intProbe.count() == 1,
+      "Int probe of a bigint column pruned the true file")
+    val strProbe = DataSkipping
+      .prunedReadBloom(spark, dir, "id", Seq("3999"))
+      .filter(col("id") === 3999L)
+    assert(strProbe.count() == 1,
+      "castable string probe pruned the true file")
+    intercept[IllegalArgumentException] {
+      DataSkipping.pruneFilesBloom(spark, dir, "nope", Seq(1L))
+    }
   }
 
   test("metadataProfile: exact sidecar answers; partial coverage throws") {

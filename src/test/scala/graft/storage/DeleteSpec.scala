@@ -141,4 +141,77 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(!Fs.exists(spark, MorDelete.tombstonePath(path)))
     assert(st.read(path, "delta").count() == 7L)
   }
+
+  test("delete-then-reinsert: a merge re-introducing a tombstoned key clears it") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_reinsert") + "/t"
+    st.write((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    assert(MorDelete.deleteWhere(spark, st, path, "id <= 3", Seq("id")) == 3L)
+    // key 2 comes back as a FRESH insert (the physical row is still on
+    // disk, so the merge sees it as a match — user intent is revival
+    // either way); key 1 is actively UPDATED; key 3 stays deleted
+    st.merge(Seq((1L, "fresh1"), (2L, "fresh2")).toDF("id", "v"), path,
+      "full.id = incremental.id")
+    val live = MorDelete.read(spark, st, path, Seq("id"))
+    assert(live.filter(col("id").isin(1L, 2L)).count() == 2L,
+      "re-introduced keys hidden by stale tombstones")
+    assert(live.filter(col("id") === 3L).count() == 0L,
+      "untouched tombstone must stay deleted")
+    assert(live.count() == 9L)
+    // compact must PRESERVE the revived rows and drop only key 3
+    assert(MorDelete.compact(spark, st, path, Seq("id")) == 1L)
+    val after = st.read(path, "delta")
+    assert(after.filter(col("id") === 1L).head().getString(1) == "fresh1")
+    assert(after.filter(col("id") === 2L).head().getString(1) == "fresh2")
+    assert(after.count() == 9L,
+      "compact destroyed rows re-introduced after a MoR delete")
+  }
+
+  test("delete-then-reinsert: managed append clears matching tombstones") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_append") + "/t"
+    st.write((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    MorDelete.compact(spark, st, path, Seq("id")) // no-op, no sidecar
+    assert(MorDelete.deleteWhere(spark, st, path, "id = 4", Seq("id")) == 1L)
+    st.write(Seq((4L, "reborn")).toDF("id", "v"), path, "delta", "append")
+    val live = MorDelete.read(spark, st, path, Seq("id"))
+    // the OLD physical row for key 4 is still on disk alongside the
+    // appended one — both are visible once the tombstone clears (MoR
+    // appends don't upsert; that's what merge is for). The point: the
+    // fresh row is NOT hidden, and compact does NOT destroy it.
+    assert(live.filter(col("id") === 4L).count() == 2L)
+    assert(MorDelete.compact(spark, st, path, Seq("id")) == 0L)
+    assert(st.read(path, "delta")
+      .filter(col("v") === "reborn").count() == 1L)
+  }
+
+  test("append lacking the tombstone key columns fails loudly") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_badappend") + "/t"
+    st.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    MorDelete.deleteWhere(spark, st, path, "id = 1", Seq("id"))
+    val e = intercept[IllegalStateException] {
+      st.write(Seq("only_v").toDF("v"), path, "delta", "append")
+    }
+    assert(e.getMessage.contains("tombstones") &&
+      e.getMessage.contains("id"))
+    // nothing landed: the guard fired before the write
+    assert(st.read(path, "delta").count() == 2L)
+  }
+
+  test("managed overwrite drops tombstones with the table they referred to") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_overwrite") + "/t"
+    st.write((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    MorDelete.deleteWhere(spark, st, path, "id <= 2", Seq("id"))
+    st.write(Seq((1L, "new1"), (9L, "new9")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    assert(!Fs.exists(spark, MorDelete.tombstonePath(path)),
+      "stale tombstones would hide fresh rows with old keys")
+    assert(MorDelete.read(spark, st, path, Seq("id")).count() == 2L)
+  }
 }

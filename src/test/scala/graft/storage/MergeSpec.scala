@@ -531,4 +531,30 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(Merge.changeFeed(spark, path)
       .select("batch").distinct().count() == 1L)
   }
+
+  test("managed overwrite: feed dropped with recorded horizon, log survives") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("over_feed") + "/t"
+    st.write(Seq((1L, "a")).toDF("id", "v"), path, "delta", "overwrite")
+    st.merge(Seq((2L, "b")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    val opsBefore = GraftLog.history(spark, path).count()
+    // rebuild-by-overwrite: the feed cannot represent this rewrite
+    st.write(Seq((9L, "z")).toDF("id", "v"), path, "delta", "overwrite")
+    assert(!Merge.hasChanges(spark, path),
+      "an overwritten table's change feed describes a table that is gone")
+    assert(GraftLog.history(spark, path).count() > opsBefore)
+    // time travel BEHIND the overwrite refuses loudly (recorded
+    // horizon) instead of reconstructing garbage from a gapped history
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp - 1).collect()
+    }
+    assert(e.getMessage.contains("pruned change horizon"))
+    // at-or-after the horizon ⇒ the current (post-overwrite) table
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), stamp)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
 }

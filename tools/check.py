@@ -7,19 +7,45 @@ Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over views named after the tables
 in <sfDir>, sorts columns by name, and compares values. Builder-side tool
 only; the real gate is driver-run.
+
+Driver-strictness hardening (round 8):
+- dtype equality is CHECKED (check_dtype=True) after the same minimal
+  canonicalization the driver applies (datetime64 unit only). A DuckDB
+  HUGEINT (uncast integer sum) vs Spark BIGINT now fails locally the way
+  the driver's hash canonicalization fails it — r07's q_interval_union
+  class.
+- the Spark output frame is sort_values'd over all columns exactly like
+  the driver's harness; a column holding ndarray/list values makes that
+  crash driver-side, so it is reported as a loud defect here instead of
+  silently passing — r07's q_pca_project class.
 """
 import sys, os, json, glob
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
+def unhashable_cols(df: pd.DataFrame):
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].iloc[0]
+            if isinstance(v, (np.ndarray, list, dict)):
+                bad.append(c)
+    return bad
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].reset_index(drop=True)
+    df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-    return df
+    # The driver sorts the frame over its columns before hashing; mimic
+    # that (the caller screens array columns first so this cannot throw).
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -35,7 +61,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        got = norm(pd.concat([pd.read_parquet(f) for f in files]))
+        raw = pd.concat([pd.read_parquet(f) for f in files])
+        arrs = unhashable_cols(raw)
+        if arrs:
+            print(f"  ✗ {name}: array/struct output column(s) {arrs} — "
+                  "the driver harness crashes sorting these; emit scalars")
+            n_bad += 1
+            continue
+        got = norm(raw)
         if name not in oracles:
             print(f"  ~ {name}: no oracle (rows={len(got)})")
             continue
@@ -53,9 +86,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  ✗ {name}: rows {len(got)} != {len(exp)}")
             n_bad += 1
             continue
+        if list(got.dtypes) != list(exp.dtypes):
+            diffs = [f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+                     for c in got.columns if got[c].dtype != exp[c].dtype]
+            print(f"  ✗ {name}: DTYPES differ (hash-mismatch class): {diffs}")
+            n_bad += 1
+            continue
         try:
             pd.testing.assert_frame_equal(
-                got, exp, check_dtype=False, check_exact=True)
+                got, exp, check_dtype=True, check_exact=True)
             print(f"  ✓ {name} ({len(got)} rows)")
         except AssertionError as e:
             n_bad += 1
