@@ -1,6 +1,6 @@
 package graft.examples.pretrain
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Expectations
@@ -36,6 +36,16 @@ object PretrainPipeline {
     * @param chunkTokens / overlapTokens  context-window chunking
     * @param packBudget tokens per training bin
     * @param shards     packing parallelism (bins fill within a shard)
+    * @param fuzzyMode  near-dup pair detector: "minhash"
+    *                   ([[Dedup.minHashLshPairs]] — Spark-hash MinHash
+    *                   signatures, the default) or "ngram-lsh"
+    *                   ([[Dedup.jaccardNgramPairsLsh]] — LSH-bucketed
+    *                   candidates verified by EXACT char-trigram
+    *                   Jaccard, so surfaced pairs are engine-portable;
+    *                   the mode the oracle-checked e2e query runs)
+    * @param shardExpr  packing shard override (default: xxhash64 of
+    *                   chunk_uid mod `shards` — swap in a plain
+    *                   modulus for cross-engine determinism)
     * @return (packed chunk frame, per-stage survivor counts) — the
     *         frame carries (idCol, chunk_id, chunk_uid, n_tokens,
     *         chunk_text, shard, bin) */
@@ -47,11 +57,25 @@ object PretrainPipeline {
              maxDupFrac: Double = 0.5, spanGram: Int = 13,
              decontamGram: Int = 8,
              chunkTokens: Int = 256, overlapTokens: Int = 32,
-             packBudget: Int = 1024, shards: Int = 8)
+             packBudget: Int = 1024, shards: Int = 8,
+             fuzzyMode: String = "minhash",
+             shardExpr: Option[Column] = None)
     : (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
+    // Each stage is a MATERIALIZATION BARRIER (eager localCheckpoint),
+    // not just a count: the survivor count is an action, and five more
+    // actions follow (later stage counts + the caller's own), so a lazy
+    // chain would recompute stage k's whole lineage once per downstream
+    // action — the fuzzy-dedup LSH pipeline alone would run ~6×, which
+    // measured as a 10-minute query at sf0.1 vs seconds checkpointed.
+    // Each stage then computes exactly once and its count is a cheap
+    // scan of the checkpoint. Cost: one corpus-sized executor-block
+    // write per stage — what a production job persisting per-stage
+    // outputs pays anyway; swap for reliable checkpoints on
+    // preemptible clusters.
     def stage(name: String, df: DataFrame): DataFrame = {
-      counts += StageCount(name, df.count()); df
+      val barrier = df.localCheckpoint(true)
+      counts += StageCount(name, barrier.count()); barrier
     }
 
     // input contract, checked up front in ONE aggregation job: a null
@@ -87,8 +111,15 @@ object PretrainPipeline {
 
     // fuzzy dedup: of every near-dup pair (id_a < id_b) drop the
     // larger id — the canonical smallest-survivor policy
-    val dupIds = Dedup.minHashLshPairs(exact, idCol, textCol,
+    val nearDupPairs = fuzzyMode match {
+      case "minhash" => Dedup.minHashLshPairs(exact, idCol, textCol,
         jaccardThreshold = jaccardThreshold)
+      case "ngram-lsh" => Dedup.jaccardNgramPairsLsh(exact, idCol,
+        textCol, n = 3, threshold = jaccardThreshold)
+      case other => throw new IllegalArgumentException(
+        s"fuzzyMode must be minhash | ngram-lsh, got '$other'")
+    }
+    val dupIds = nearDupPairs
       .select(col("id_b").as(idCol)).distinct()
     val fuzzy = stage("fuzzy_dedup",
       exact.join(dupIds, Seq(idCol), "left_anti"))
@@ -117,7 +148,8 @@ object PretrainPipeline {
 
     val packed = stage("pack", chunks.join(
       Packing.packByTokenBudget(chunks, "chunk_uid", "chunk_text",
-        shard = pmod(xxhash64(col("chunk_uid")), lit(shards.toLong)),
+        shard = shardExpr.getOrElse(
+          pmod(xxhash64(col("chunk_uid")), lit(shards.toLong))),
         budget = packBudget)
         .select(col("chunk_uid"), col("shard"), col("bin")),
       Seq("chunk_uid")))

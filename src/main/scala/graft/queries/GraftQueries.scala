@@ -6020,6 +6020,143 @@ object GraftQueries {
       |  '' AS partition_columns, CAST(2 AS BIGINT) AS num_operations,
       |  'WRITE' AS last_operation""".stripMargin
 
+  /** End-to-end pretraining curation
+    * ([[graft.examples.pretrain.PretrainPipeline.curate]]) declared as
+    * ONE oracle-checked query: NFC normalize → quality filter → exact
+    * dedup → near-dup dedup → duplicated-span drop → benchmark
+    * decontamination → 64/16 context-window chunking → 512-token
+    * packing, reported as the per-(shard, bin) packed summary. Any
+    * stage diverging moves chunk_uids and repacks downstream bins, so
+    * this one output pins the WHOLE chain against the identical chain
+    * in DuckDB. The fuzzy stage is the PRODUCTION default —
+    * word-3-shingle MinHash-LSH — which is oracle-mirrorable because
+    * its verify stage computes EXACT shingle-set Jaccard on every
+    * candidate: surfaced pairs equal the all-pairs SQL, subject only
+    * to LSH candidate recall (≥ 1−10⁻³ per true pair at s = 0.8 with
+    * 64/16 banding — the `q_jaccard_ngram` acceptance; char n-grams
+    * would NOT work here: the synthetic corpus's tiny vocabulary makes
+    * trigram sets near-identical corpus-wide, degenerating the LSH
+    * buckets — the measured `q_setsim_join` low-entropy pathology,
+    * word shingles restore discrimination). Two remaining portability
+    * swaps, each demonstrated by its own declared query: the deflate
+    * band is wide open (zlib output is JVM-only; pinned by
+    * `UnicodeDeflateSpec` + `q_compress_ratio` instead), and packing
+    * shards by `chunk_uid % 8` rather than xxhash64
+    * (`q_sequence_pack`'s portability move). Eval slice =
+    * doc_id % 10 == 0, as `q_decontaminate`. */
+  val pretrainE2eQ: Q = (spark, dir) => {
+    import graft.examples.pretrain.PretrainPipeline
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val (packed, _) = PretrainPipeline.curate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      minQuality = 0.5, deflateBounds = (0.0, 1e9),
+      jaccardThreshold = 0.8, maxDupFrac = 0.5, spanGram = 13,
+      decontamGram = 8, chunkTokens = 64, overlapTokens = 16,
+      packBudget = 512, shards = 8,
+      shardExpr = Some(pmod(col("chunk_uid"), lit(8L))))
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  val pretrainE2eSql: String =
+    """WITH train AS (
+      |  SELECT doc_id, nfc_normalize(text) AS text
+      |  FROM documents WHERE doc_id % 10 != 0),
+      |q AS (
+      |  SELECT doc_id, text FROM train
+      |  WHERE round(
+      |    least(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 20.0, 1.0) * 0.4
+      |    + (CASE WHEN (CAST(length(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) AS DOUBLE)
+      |                  / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE))
+      |                 BETWEEN 3.0 AND 10.0
+      |            THEN 1.0 ELSE 0.5 END) * 0.3
+      |    + (1.0 - least(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+      |                   / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.3
+      |  , 6) >= 0.5),
+      |ex AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, row_number() OVER (
+      |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |      ORDER BY doc_id) AS rn
+      |    FROM q) WHERE rn = 1),
+      |gr AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ts) >= 3
+      |      THEN list_transform(generate_series(1, len(ts) - 2),
+      |        i -> array_to_string(ts[i:i+2], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS ts
+      |        FROM ex)),
+      |fdrop AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        >= 0.8),
+      |fz AS (SELECT doc_id, text FROM ex
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM fdrop)),
+      |sp_g AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+12], ' ') AS gram
+      |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i
+      |        FROM (SELECT doc_id,
+      |                string_split_regex(trim(lower(text)), '\s+') AS ts
+      |              FROM fz)
+      |        WHERE len(ts) >= 13)),
+      |sp_c AS (SELECT doc_id,
+      |           count(*) OVER (PARTITION BY gram) AS total FROM sp_g),
+      |sp_drop AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, count(*) AS n_spans,
+      |      count(*) FILTER (WHERE total >= 2) AS n_dup
+      |    FROM sp_c GROUP BY doc_id)
+      |  WHERE round(CAST(n_dup AS DOUBLE) / n_spans, 6) > 0.5),
+      |ds AS (SELECT doc_id, text FROM fz
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM sp_drop)),
+      |tr_g AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(ts) >= 8
+      |      THEN list_transform(generate_series(1, len(ts) - 7),
+      |        i -> array_to_string(ts[i:i+7], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS gram
+      |    FROM (SELECT doc_id,
+      |            string_split_regex(trim(lower(text)), '\s+') AS ts
+      |          FROM ds))),
+      |ev_g AS (
+      |  SELECT DISTINCT gram FROM (
+      |    SELECT unnest(CASE WHEN len(ts) >= 8
+      |      THEN list_transform(generate_series(1, len(ts) - 7),
+      |        i -> array_to_string(ts[i:i+7], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS gram
+      |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+      |          FROM documents WHERE doc_id % 10 = 0))),
+      |contam AS (SELECT DISTINCT doc_id FROM tr_g JOIN ev_g USING (gram)),
+      |cl AS (SELECT doc_id, text FROM ds
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |ck AS (
+      |  SELECT doc_id, CAST((start_pos - 1) // 48 AS INT) AS chunk_id,
+      |    CAST(len(toks[start_pos : start_pos + 63]) AS BIGINT) AS n_tokens
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS start_pos
+      |        FROM (SELECT doc_id, string_split(
+      |                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |              FROM cl))),
+      |pk AS (
+      |  SELECT doc_id * 1048576 + chunk_id AS chunk_uid, n_tokens,
+      |    (doc_id * 1048576 + chunk_id) % 8 AS shard
+      |  FROM ck),
+      |pc AS (
+      |  SELECT shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY chunk_uid
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM pk)
+      |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+      |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM pc GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -6271,6 +6408,7 @@ object GraftQueries {
     entry("q_item_lift", itemLiftQ, itemLiftSql),
     entry("q_ab_test", abTestQ, abTestSql),
     entry("q_impute", imputeQ, imputeSql),
-    entry("q_html_strip", htmlStripQ, htmlStripSql)
+    entry("q_html_strip", htmlStripQ, htmlStripSql),
+    entry("q_pretrain_e2e", pretrainE2eQ, pretrainE2eSql)
   )
 }

@@ -101,11 +101,18 @@ object Merge {
     * Scale shape: one metadata-sized stamp listing (distinct batch
     * dirs), then one anti-join + union per stepped-back batch —
     * cost scales with the changes stepped over, never with table
-    * size × versions. Chained plans deepen per batch: for long
-    * hops, checkpoint intermediate states or replay FORWARD from a
-    * stored snapshot instead. */
+    * size × versions. Chained plans deepen one anti-join per batch,
+    * so a LONG hop (tens of batches) would hand Catalyst an
+    * ever-deeper tree: `checkpointEvery = N` truncates lineage with
+    * an eager localCheckpoint every N stepped batches, bounding plan
+    * depth at N replay layers over a materialized snapshot
+    * (executor-block durability — right for interactive travel; a
+    * long-lived job on a preemptible cluster should instead replay
+    * FORWARD from a stored snapshot it controls). 0 = never
+    * (short-hop default; no materialization cost). */
   def readAsOf(spark: SparkSession, storage: BasicStorage, path: String,
-               keyCols: Seq[String], asOfBatch: Long): DataFrame = {
+               keyCols: Seq[String], asOfBatch: Long,
+               checkpointEvery: Int = 0): DataFrame = {
     val current = storage.read(path, "delta")
     // travel reaches at most back to the oldest RETAINED batch's
     // pre-state; a pruned feed must fail loudly, not reconstruct a
@@ -124,8 +131,16 @@ object Merge {
     val newer = feed.select(col("batch")).distinct()
       .filter(col("batch") > asOfBatch)
       .collect().map(_.getLong(0)).sorted.reverse // metadata-sized
-    newer.foldLeft(current)((df, b) =>
-      inverseReplay(df, feed.filter(col("batch") === b), keyCols))
+    newer.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
+      val stepped =
+        inverseReplay(df, feed.filter(col("batch") === b), keyCols)
+      // truncate lineage mid-hop only — the LAST step returns the
+      // caller a lazy frame as before
+      if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0 &&
+          i + 1 < newer.length)
+        stepped.localCheckpoint()
+      else stepped
+    }
   }
 
   private[storage] val ChangesPruneApp = "graft_changes_prune"

@@ -532,6 +532,39 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       .select("batch").distinct().count() == 1L)
   }
 
+  test("readAsOf long hop: checkpointEvery bounds plan depth over 24 batches") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("tt_long") + "/t"
+    st.write(Seq((0L, 0L)).toDF("id", "v"), path, "delta", "overwrite")
+    // 24 captured merges: each flips one key's value and inserts one
+    (1L to 24L).foreach { k =>
+      st.merge(Seq((0L, k), (k, k)).toDF("id", "v"), path,
+        "full.id = incremental.id", captureChanges = true)
+    }
+    val stamps = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    assert(stamps.length == 24)
+    def depth(df: org.apache.spark.sql.DataFrame): Int = {
+      def go(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+        1 + (if (p.children.isEmpty) 0 else p.children.map(go).max)
+      go(df.queryExecution.optimizedPlan)
+    }
+    // full 24-batch hop back to just-after-batch-1
+    val plain = Merge.readAsOf(spark, st, path, Seq("id"), stamps.head)
+    val boundedDf = Merge.readAsOf(spark, st, path, Seq("id"), stamps.head,
+      checkpointEvery = 5)
+    // identical result either way: the state after merge 1
+    val expect = Seq((0L, 1L), (1L, 1L))
+    assert(plain.as[(Long, Long)].collect().sorted.toSeq == expect)
+    assert(boundedDf.as[(Long, Long)].collect().sorted.toSeq == expect)
+    // the checkpointed hop's plan is a bounded number of replay layers
+    // over a materialized snapshot, NOT 23 chained anti-joins
+    assert(depth(boundedDf) < depth(plain) / 2,
+      s"checkpointEvery did not truncate lineage: " +
+        s"bounded=${depth(boundedDf)} plain=${depth(plain)}")
+  }
+
   test("managed overwrite: feed dropped with recorded horizon, log survives") {
     import spark.implicits._
     val st = new BasicStorage(spark)
