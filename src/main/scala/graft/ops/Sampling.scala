@@ -171,6 +171,39 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents are
+    * one ATOMIC unit — a plain per-id split ([[datasetSplit]]) puts
+    * two near-identical docs on opposite sides of the train/eval
+    * fence, and the eval set silently contains training material (the
+    * contamination every dedup stage upstream exists to prevent,
+    * reintroduced by the split itself). Pairs (from any detector:
+    * [[Dedup.minHashLshPairs]], simhash, semantic) collapse to
+    * connected components ([[Dedup.duplicateGroups]]); each doc's
+    * split is decided by the engine-portable [[hashBucket]] of its
+    * GROUP label (singletons: their own key), so every member of a
+    * duplicate cluster lands on the same side — across runs, engines,
+    * and re-layouts. Adds `split` and the deciding `split_unit`.
+    *
+    * Scale shape: the groups frame is bounded by docs-that-have-dups
+    * (pair-derived, typically ≪ corpus) — the one corpus-sized join
+    * broadcasts it while small, AQE-shuffles when not; the bucket
+    * assignment is map-only. */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+                       pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"pcts must be >= 0 with train+val <= 100, got $pctTrain/$pctVal")
+    val groups = Dedup.duplicateGroups(pairs)
+      .select(col("id").as(keyCol), col("label").as("__grp"))
+    val b = hashBucket(col("split_unit"), 100)
+    df.join(groups, Seq(keyCol), "left")
+      .withColumn("split_unit", coalesce(col("__grp"), col(keyCol)))
+      .withColumn("split",
+        when(b < pctTrain, "train")
+          .when(b < pctTrain + pctVal, "val")
+          .otherwise("test"))
+      .drop("__grp")
+  }
+
   /** Temperature-scaled mixture sampling — the multilingual/multi-
     * domain data-recipe step (the mBERT/XLM-R exponent-smoothing
     * scheme): target proportions p_d ∝ c_d^(1/τ), so τ > 1 upweights

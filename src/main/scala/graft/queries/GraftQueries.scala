@@ -6157,6 +6157,60 @@ object GraftQueries {
       |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
       |FROM pc GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
+  /** Leakage-safe dataset split ([[graft.ops.Sampling
+    * .leakageSafeSplit]]): duplicate clusters are atomic split units —
+    * membership hashes on the GROUP label, so a near-dup pair can
+    * never straddle the train/eval fence. Planted exact duplicates
+    * (the doubled corpus of `q_dedup_exact`) make the pair graph
+    * deterministic: pairs connect every same-normalized-text id pair,
+    * so the min-label components the oracle can express as
+    * `min(doc_id) OVER (PARTITION BY normalized_text)` equal the
+    * propagation result exactly. Output pins per-split doc counts,
+    * unit counts, and the id checksum — a single member on the wrong
+    * side moves two aggregates. */
+  val leakageSplitQ: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val hashed = doubled.select(col("doc_id"),
+      graft.ops.Dedup.normalizedHash(col("text")).as("__h"))
+    val pairs = hashed.alias("a").join(hashed.alias("b"),
+        col("a.__h") === col("b.__h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    graft.ops.Sampling
+      .leakageSafeSplit(doubled, "doc_id", pairs, 80, 10)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split_unit")).as("n_units"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("split")
+  }
+
+  val leakageSplitSql: String =
+    """WITH doubled AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+      |lab AS (
+      |  SELECT doc_id,
+      |    min(doc_id) OVER (
+      |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      AS unit
+      |  FROM doubled),
+      |s AS (
+      |  SELECT doc_id, unit,
+      |    CASE WHEN b < 80 THEN 'train'
+      |         WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, unit,
+      |          ((unit % 2147483648) * 2654435761 % 4294967296) % 100 AS b
+      |        FROM lab))
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -6409,6 +6463,7 @@ object GraftQueries {
     entry("q_ab_test", abTestQ, abTestSql),
     entry("q_impute", imputeQ, imputeSql),
     entry("q_html_strip", htmlStripQ, htmlStripSql),
-    entry("q_pretrain_e2e", pretrainE2eQ, pretrainE2eSql)
+    entry("q_pretrain_e2e", pretrainE2eQ, pretrainE2eSql),
+    entry("q_leakage_split", leakageSplitQ, leakageSplitSql)
   )
 }

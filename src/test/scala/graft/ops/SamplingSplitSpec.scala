@@ -106,4 +106,31 @@ class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Double)].collect().map(_._1).toSet
     assert(s3 == s)
   }
+
+  test("leakageSafeSplit: duplicate clusters never straddle the split fence") {
+    val df = spark.range(0, 5000).toDF("id")
+    // chained pairs: (1,2),(2,3) puts 1,2,3 in ONE unit even though
+    // (1,3) never paired — transitive closure, the property a pairwise
+    // guard would miss; plus an isolated pair deep in the id space
+    val pairs = Seq((1L, 2L), (2L, 3L), (4000L, 4777L))
+      .toDF("id_a", "id_b")
+    val s = Sampling.leakageSafeSplit(df, "id", pairs, 80, 10)
+    val bySplit = s.select("id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(Set(bySplit(1L), bySplit(2L), bySplit(3L)).size == 1,
+      "chained near-dups split across the fence (eval leakage)")
+    assert(bySplit(4000L) == bySplit(4777L))
+    // the cluster's side is the GROUP label's side — members follow
+    // the min id, not their own hash
+    assert(bySplit(2L) == bySplit(1L) && bySplit(3L) == bySplit(1L))
+    // everything else splits as datasetSplit would (units = own id)
+    val plain = Sampling.datasetSplit(df, "id", 80, 10)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val grouped = Set(1L, 2L, 3L, 4000L, 4777L)
+    assert(df.select("id").as[Long].collect()
+      .filterNot(grouped).forall(i => bySplit(i) == plain(i)))
+    // partition: no rows lost or duplicated; split_unit rides along
+    assert(s.count() == 5000L)
+    assert(s.filter(col("split_unit") === 1L).count() == 3L)
+  }
 }
