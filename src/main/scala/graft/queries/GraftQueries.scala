@@ -6211,6 +6211,83 @@ object GraftQueries {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  /** Crawl-curation URL pass ([[graft.ops.Urls.canonicalize]] +
+    * [[graft.ops.Sampling.reservoirPerGroup]]): per doc, three messy
+    * variants of the same page URL (campaign-tagged, tracker-prefixed,
+    * fragment-suffixed, mixed-case host) must collapse to ONE
+    * canonical dedup key; the deduped page list is then capped at 3
+    * representative pages per registrable domain by the deterministic
+    * hash-rank reservoir — the FineWeb-style per-site cap that stops a
+    * single domain from dominating a crawl slice. The canonicalize
+    * regexp chain is RE2-portable by design, so the oracle runs the
+    * SAME expressions in DuckDB (`\\1` backreference spelling is the
+    * only dialect difference). */
+  val urlDedupQ: Q = (spark, dir) => {
+    import graft.ops.{Sampling, Urls}
+    val base = concat(lit("https://"), col("source"), lit("-"),
+      col("lang"), lit(".COM/docs/"), col("doc_id").cast("string"))
+    val variants = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(array(
+        concat(base, lit("?lang="), col("lang"),
+          lit("&utm_campaign=news#sec")),
+        concat(base, lit("?utm_source=feed&lang="), col("lang")),
+        concat(base, lit("?lang="), col("lang"), lit("#top"))))
+        .as("url"))
+    val deduped = variants
+      .select(col("doc_id"), Urls.canonicalize(col("url")).as("curl"))
+      .groupBy(col("curl"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_variants"))
+      .withColumn("domain", Urls.registeredDomain(col("curl")))
+    Sampling.reservoirPerGroup(deduped, "domain", "doc_id", 3)
+      .join(deduped, Seq("domain", "doc_id"))
+      .select("domain", "curl", "doc_id", "n_variants")
+      .orderBy("domain", "curl")
+  }
+
+  val urlDedupSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, unnest([
+      |      base || '?lang=' || lang || '&utm_campaign=news#sec',
+      |      base || '?utm_source=feed&lang=' || lang,
+      |      base || '?lang=' || lang || '#top']) AS url
+      |  FROM (SELECT doc_id, lang,
+      |          'https://' || source || '-' || lang || '.COM/docs/' ||
+      |            CAST(doc_id AS VARCHAR) AS base
+      |        FROM documents)),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            lower(regexp_extract(url, '^([^/]*//[^/?#]*)', 1)) ||
+      |              regexp_replace(url, '^[^/]*//[^/?#]*', '', 'g'),
+      |            '#.*$', '', 'g'),
+      |          '(?i)([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |        '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+      |      '([^/])/$', '\1', 'g') AS curl
+      |  FROM v),
+      |d AS (
+      |  SELECT curl, min(doc_id) AS doc_id, count(*) AS n_variants
+      |  FROM c GROUP BY curl),
+      |dom AS (
+      |  SELECT curl, doc_id, n_variants,
+      |    regexp_extract(
+      |      regexp_extract(curl, '^[^/]*//([^/?#]*)', 1),
+      |      '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM d),
+      |kept AS (
+      |  SELECT domain, doc_id FROM (
+      |    SELECT domain, doc_id,
+      |      row_number() OVER (PARTITION BY domain
+      |        ORDER BY ((doc_id % 2147483648) * 2654435761
+      |                   % 4294967296) % 1000000, doc_id) AS rn
+      |    FROM dom) WHERE rn <= 3)
+      |SELECT domain, curl, doc_id, n_variants
+      |FROM dom JOIN kept USING (domain, doc_id)
+      |ORDER BY domain, curl""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -6464,6 +6541,7 @@ object GraftQueries {
     entry("q_impute", imputeQ, imputeSql),
     entry("q_html_strip", htmlStripQ, htmlStripSql),
     entry("q_pretrain_e2e", pretrainE2eQ, pretrainE2eSql),
-    entry("q_leakage_split", leakageSplitQ, leakageSplitSql)
+    entry("q_leakage_split", leakageSplitQ, leakageSplitSql),
+    entry("q_url_dedup", urlDedupQ, urlDedupSql)
   )
 }

@@ -202,6 +202,32 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(st.read(path, "delta").count() == 2L)
   }
 
+  test("delete-then-reinsert reconciles on the PARTITIONED merge path too") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_part") + "/t"
+    val df = (1L to 40L).map(i => (i, s"p${i % 4}", s"v$i"))
+      .toDF("id", "part", "v")
+    st.write(df, path, "delta", "overwrite", partitionFields = Seq("part"))
+    assert(MorDelete.deleteWhere(spark, st, path,
+      "id <= 8", Seq("id")) == 8L)
+    // dynamic-overwrite branch (partitioned, not evolving): revive 3 and
+    // 7 via the partition-pruned rewrite; 2 new rows land elsewhere
+    st.merge(Seq((3L, "p3", "fresh3"), (7L, "p3", "fresh7"),
+        (100L, "p0", "new")).toDF("id", "part", "v"),
+      path, "full.id = incremental.id", partitionFields = Seq("part"))
+    val live = MorDelete.read(spark, st, path, Seq("id"))
+    assert(live.filter(col("id").isin(3L, 7L)).count() == 2L,
+      "partitioned merge left stale tombstones hiding revived keys")
+    assert(live.filter(col("id") === 2L).count() == 0L,
+      "untouched tombstone must stay deleted")
+    // compact preserves the revived rows, drops the remaining 6
+    assert(MorDelete.compact(spark, st, path, Seq("id")) == 6L)
+    val after = st.read(path, "delta")
+    assert(after.filter(col("id") === 3L).select("v").head()
+      .getString(0) == "fresh3")
+    assert(after.count() == 35L) // 40 - 8 deleted + 2 revived + 1 new
+  }
+
   test("managed overwrite drops tombstones with the table they referred to") {
     val st = new BasicStorage(spark)
     val path = tempDir("mor_overwrite") + "/t"
