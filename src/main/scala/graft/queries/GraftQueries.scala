@@ -6288,6 +6288,64 @@ object GraftQueries {
       |FROM dom JOIN kept USING (domain, doc_id)
       |ORDER BY domain, curl""".stripMargin
 
+  /** Continuous-ingest dedup STREAM ([[graft.streaming.StreamingOps
+    * .ingestDedupStream]]): a real two-micro-batch file stream feeds a
+    * managed corpus; every batch carries planted CLONES of corpus
+    * texts under new ids, which the per-batch index anti-join must
+    * drop while fresh texts append. Determinism by construction: the
+    * input is first reduced to one representative per normalized text
+    * (so no same-text pair exists WITHIN the stream — cross-batch
+    * arrival order cannot change survivors), and every clone's text is
+    * already in the base corpus (dropped regardless of batch order).
+    * The final corpus is then exactly the unique-text representative
+    * set — which is the oracle — and per-source id checksums pin
+    * survivor identity, not just counts. */
+  val streamIngestDedup: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ingestdedup_q").toString
+    val docs = t(spark, dir, "documents").select("doc_id", "text", "source")
+    val uniq = graft.ops.Dedup.exactDeterministic(
+        docs.withColumn("__t",
+          graft.ops.Dedup.normalizedHash(col("text"))),
+        Seq("__t"), "doc_id")
+      .drop("__t")
+    val base = uniq.filter(col("doc_id") % 3 === 0)
+    st.write(base, s"$out/corpus", "delta", "overwrite")
+    def clones(of: org.apache.spark.sql.DataFrame, offset: Long) =
+      of.select((col("doc_id") + offset).as("doc_id"),
+        col("text"), col("source"))
+    uniq.filter(col("doc_id") % 3 === 1)
+      .unionByName(clones(base.filter(col("doc_id") % 2 === 0), 1000000L))
+      .coalesce(1).write.parquet(s"$out/in")
+    uniq.filter(col("doc_id") % 3 === 2)
+      .unionByName(clones(base.filter(col("doc_id") % 2 =!= 0), 2000000L))
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(base.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = graft.streaming.StreamingOps.ingestDedupStream(
+      st, stream, s"$out/corpus", "doc_id", "text", s"$out/cp")
+    try q.processAllAvailable()
+    finally q.stop()
+    st.read(s"$out/corpus", "delta")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
+  val streamIngestDedupSql: String =
+    """WITH uniq AS (
+      |  SELECT doc_id, source FROM (
+      |    SELECT doc_id, source, row_number() OVER (
+      |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |      ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM uniq GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
@@ -6542,6 +6600,7 @@ object GraftQueries {
     entry("q_html_strip", htmlStripQ, htmlStripSql),
     entry("q_pretrain_e2e", pretrainE2eQ, pretrainE2eSql),
     entry("q_leakage_split", leakageSplitQ, leakageSplitSql),
-    entry("q_url_dedup", urlDedupQ, urlDedupSql)
+    entry("q_url_dedup", urlDedupQ, urlDedupSql),
+    entry("q_stream_ingest_dedup", streamIngestDedup, streamIngestDedupSql)
   )
 }

@@ -409,6 +409,45 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous corpus ingest with cross-batch exact dedup — the
+    * production loop that keeps a growing document corpus text-unique
+    * without ever re-deduping (or re-shuffling) the corpus itself.
+    * Each micro-batch: (1) intra-batch dedup (smallest `idCol` per
+    * normalized text survives — deterministic), (2) anti-join against
+    * the CURRENT corpus's distinct normalized-hash index
+    * ([[graft.ops.Dedup.dedupAgainst]] — one 64-byte column per corpus
+    * doc crosses the join, never the text), (3) append only
+    * fresh-text documents. The index updates implicitly: the next
+    * batch reads the just-appended corpus.
+    *
+    * Replay safety for free: re-running a batch after a crash finds
+    * its own texts already in the corpus and appends nothing — the
+    * dedup IS the idempotence, no txn bookkeeping needed (appends and
+    * the sidecar-free read are the only table operations).
+    *
+    * Scale: per-batch cost is batch × index-hash work; corpus text
+    * never reshuffles; at 100 TB persist the distinct-hash frame
+    * between ingests ([[graft.ops.Dedup.dedupAgainst]]'s documented
+    * index shape) instead of re-deriving it per batch. */
+  def ingestDedupStream(storage: Storage, stream: DataFrame,
+                        corpusPath: String, idCol: String,
+                        textCol: String,
+                        checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val intra = graft.ops.Dedup.exactDeterministic(
+            batch.withColumn("__graft_t",
+              graft.ops.Dedup.normalizedHash(col(textCol))),
+            Seq("__graft_t"), idCol)
+          .drop("__graft_t")
+        val fresh = graft.ops.Dedup.dedupAgainst(
+          storage.read(corpusPath, "delta"), intra, textCol)
+        storage.write(fresh, corpusPath, "delta", "append")
+      }
+      .start()
+
   /** Continuous replica maintenance from a source table's Change Data
     * Feed: stream the `_graft_changes` batch files
     * ([[graft.storage.Merge]] `captureChanges`) and replay each onto

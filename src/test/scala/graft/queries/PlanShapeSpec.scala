@@ -576,4 +576,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!h.contains("Exchange hashpartitioning"),
       s"html strip grew a shuffle:\n$h")
   }
+
+  test("q_leakage_split: group labels broadcast onto the corpus, no cartesian") {
+    val p = planOf(GraftQueries.leakageSplitQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the pair-derived groups frame (docs-with-dups sized) must reach
+    // the corpus by broadcast, not by shuffling the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"groups frame not broadcast onto the corpus:\n$p")
+  }
+
+  test("q_url_dedup: bounded reservoir aggregate, no window sort, no cartesian") {
+    val p = planOf(GraftQueries.urlDedupQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // per-domain cap must be the bounded top-k AGGREGATE (≤k rows per
+    // group cross the shuffle), not a row_number window that sorts
+    // every group's rows
+    assert(p.contains("partial_bounded_top_k_min"),
+      s"per-domain cap not the bounded top-k aggregate:\n$p")
+    assert(!p.contains("Window"), s"cap fell back to a window sort:\n$p")
+  }
+
+  test("q_pretrain_e2e final pack stage reads checkpointed stages, not lineage") {
+    // the packed result must scan the chunk stage's materialized
+    // checkpoint (LogicalRDD → "Scan ExistingRDD"), NOT re-derive the
+    // whole curation chain — the recompute-per-action pathology this
+    // pins cost 25× at sf0.1
+    val df = GraftQueries.pretrainE2eQ(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("Scan ExistingRDD"),
+      s"pack stage not reading a checkpoint barrier:\n$p")
+    assert(!p.contains("minhash") && !p.contains("posexplode"),
+      s"final plan re-derives upstream curation stages:\n$p")
+  }
 }
