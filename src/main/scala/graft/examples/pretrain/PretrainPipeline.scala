@@ -37,12 +37,15 @@ object PretrainPipeline {
     * @param packBudget tokens per training bin
     * @param shards     packing parallelism (bins fill within a shard)
     * @param fuzzyMode  near-dup pair detector: "minhash"
-    *                   ([[Dedup.minHashLshPairs]] — Spark-hash MinHash
-    *                   signatures, the default) or "ngram-lsh"
-    *                   ([[Dedup.jaccardNgramPairsLsh]] — LSH-bucketed
-    *                   candidates verified by EXACT char-trigram
-    *                   Jaccard, so surfaced pairs are engine-portable;
-    *                   the mode the oracle-checked e2e query runs)
+    *                   ([[Dedup.minHashLshPairs]] — word-shingle
+    *                   MinHash, the default AND what the
+    *                   oracle-checked e2e query runs: its verify stage
+    *                   is exact shingle-set Jaccard, so surfaced pairs
+    *                   match the all-pairs SQL) or "ngram-lsh"
+    *                   ([[Dedup.jaccardNgramPairsLsh]] — char-trigram
+    *                   variant; beware low-vocabulary corpora, where
+    *                   trigram sets converge and the buckets
+    *                   degenerate — see SCALE.md)
     * @param shardExpr  packing shard override (default: xxhash64 of
     *                   chunk_uid mod `shards` — swap in a plain
     *                   modulus for cross-engine determinism)

@@ -499,17 +499,18 @@ object DataSkipping {
                       column: String, values: Seq[Any]): Seq[String] = {
     import spark.implicits._
     val all = dataFiles(spark, tablePath)
-    if (values.isEmpty || !Fs.exists(spark, bloomPath(tablePath)))
+    if (values.isEmpty || all.isEmpty ||
+        !Fs.exists(spark, bloomPath(tablePath)))
       return all
     // probe hashes must match the BUILD side's xxhash64(col) in the
     // column's own type: xxhash64 of int 42 differs from long 42L, so
     // an untyped literal (e.g. Seq(42) probing a bigint column) would
     // miss and prune files that DO contain the value — a wrong-rows
     // violation of the superset contract. Cast every probe literal to
-    // the table column's DataType first (one footer-read for the
-    // schema; an uncastable literal becomes a null probe, which at
-    // worst KEEPS extra files — the conservative direction).
-    val colType = spark.read.parquet(tablePath).schema.fields
+    // the table column's DataType, read from ONE data file's footer
+    // (`all` is already listed above) — a whole-table spark.read here
+    // would re-list every file on the hot lookup path.
+    val colType = spark.read.parquet(all.head).schema.fields
       .find(_.name == column).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"pruneFilesBloom: column '$column' not in table at $tablePath"))

@@ -169,15 +169,18 @@ object MorDelete {
     * must clear K's tombstone — otherwise [[read]] hides the fresh row
     * and [[compact]] (which rewrites from the tombstone-subtracting
     * view) destroys it permanently. Returns the surviving-tombstone
-    * frame, MATERIALIZED (persisted + counted) so the caller can
-    * rewrite the table's data files before [[commitReconcile]] writes
-    * it — the anti-join reads pre-rewrite files, and data-then-sidecar
-    * ordering means a crash between the two leaves the fresh row
-    * transiently hidden (healed by retry), never resurrects a deleted
-    * one. None ⇒ no tombstone sidecar, nothing to do (the common
-    * case — one exists() call). Throws when the sidecar's key columns
-    * are absent from `written`: an unreconcilable write against live
-    * tombstones must fail loudly, not silently destroy data later. */
+    * frame, MATERIALIZED (eager localCheckpoint — a TRUE lineage
+    * barrier, not persist: the anti-join reads the caller's
+    * pre-rewrite data files, and a persist-only frame would recompute
+    * from paths a COW swap has already deleted if blocks are lost) so
+    * the caller can rewrite the table's data files before
+    * [[commitReconcile]] writes it — data-then-sidecar ordering means
+    * a crash between the two leaves the fresh row transiently hidden
+    * (healed by retry), never resurrects a deleted one. None ⇒ no
+    * tombstone sidecar, nothing to do (the common case — one exists()
+    * call). Throws when the sidecar's key columns are absent from
+    * `written`: an unreconcilable write against live tombstones must
+    * fail loudly, not silently destroy data later. */
   def planReconcile(spark: SparkSession, base0: String,
                     written: org.apache.spark.sql.DataFrame)
       : Option[org.apache.spark.sql.DataFrame] = {
@@ -192,25 +195,30 @@ object MorDelete {
         s"cannot reconcile MoR tombstones at $tp: incoming rows lack " +
           s"key column(s) ${missing.mkString(", ")} — compact() the " +
           "table first or include the key columns")
-    val remaining = tombs.distinct()
+    Some(tombs.distinct()
       .join(written.select(tCols.map(col): _*).distinct(),
         tCols, "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    remaining.count() // materialize off the pre-rewrite files
-    Some(remaining)
+      .localCheckpoint(true))
   }
 
   /** Phase 2: crash-safe staged swap of the tombstone sidecar to the
-    * frame [[planReconcile]] materialized. */
+    * frame [[planReconcile]] materialized. An EMPTY survivor set
+    * deletes the sidecar instead of writing a zero-row one — the
+    * no-sidecar fast path (plain reads, early-return compact) must
+    * come back once every tombstone is cleared, or the table pays the
+    * MoR anti-join forever and the next compact() does a pointless
+    * full rewrite. */
   def commitReconcile(spark: SparkSession, base0: String,
                       remaining: org.apache.spark.sql.DataFrame): Unit = {
     val tp = tombstonePath(base0.stripSuffix("/"))
-    try {
+    if (remaining.isEmpty) {
+      Fs.deleteChecked(spark, tp)
+    } else {
       val tmp = tp + "__tmp"
       Fs.deleteChecked(spark, tmp)
       remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
       Fs.swapInStaged(spark, tp, tmp)
-    } finally remaining.unpersist()
+    }
   }
 
   /** Apply accumulated tombstones physically (one COW rewrite through

@@ -122,7 +122,15 @@ object GraftLog {
     *   - the change feed cannot represent an overwrite: its horizon is
     *     recorded first (so [[Merge.readAsOf]] refuses pre-overwrite
     *     travel instead of reconstructing garbage) and the feed goes
-    *     with the old data;
+    *     with the old data. The horizon is maxBatch + 1 — unlike
+    *     [[Merge.pruneChangeFeed]] (where as-of == the pruned stamp is
+    *     still reconstructible from the REMAINING newer batches), an
+    *     overwrite destroys even the state just after the newest
+    *     batch, so travel to maxBatch itself must refuse. Recorded
+    *     BEFORE the swap (conservative: a crash mid-swap leaves the
+    *     old table intact with an advanced horizon — readAsOf detects
+    *     that debris, because the surviving feed still holds stamps at
+    *     or below it, and ignores the record);
     *   - MoR tombstones refer to rows of the REPLACED table — kept,
     *     they would hide fresh rows with old keys; they go too.
     * Same crash contract as [[carryLogAndSwap]]: at every instant at
@@ -132,7 +140,7 @@ object GraftLog {
     if (Merge.hasChanges(spark, base)) {
       import org.apache.spark.sql.functions.{col, max}
       val horizon = Merge.changeFeed(spark, base)
-        .agg(max(col("batch"))).head().getLong(0)
+        .agg(max(col("batch"))).head().getLong(0) + 1L
       append(spark, base, "CHANGES_PRUNE", Nil,
         Some(Merge.ChangesPruneApp -> horizon))
     }

@@ -114,23 +114,32 @@ object Merge {
                keyCols: Seq[String], asOfBatch: Long,
                checkpointEvery: Int = 0): DataFrame = {
     val current = storage.read(path, "delta")
+    val feedStamps: Seq[Long] =
+      if (!hasChanges(spark, path)) Nil
+      else changeFeed(spark, path).select(col("batch")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq // metadata-sized
     // travel reaches at most back to the oldest RETAINED batch's
     // pre-state; a pruned feed must fail loudly, not reconstruct a
     // silently wrong snapshot from a gapped history. Checked BEFORE
     // the no-feed early return — a fully-pruned feed (dir removed)
     // must refuse old as-of requests, not hand back `current`.
+    // Debris detection: a feed that still CONTAINS stamps at or below
+    // the recorded horizon means the record came from a CRASHED
+    // overwrite (both pruneChangeFeed and a completed overwriteSwap
+    // remove those batches before/with the record becoming relevant) —
+    // the history is intact, so the stale record must not refuse
+    // travel the present batches can serve.
     val pruned = GraftLog.lastTxnBatch(spark, path, ChangesPruneApp)
+      .filterNot(h => feedStamps.headOption.exists(_ <= h))
     pruned.filter(asOfBatch < _).foreach { horizon =>
       throw new IllegalArgumentException(
         s"time travel to batch $asOfBatch is beyond the pruned change " +
           s"horizon ($horizon) — older feed batches were removed by " +
-          "pruneChangeFeed")
+          "pruneChangeFeed or a table overwrite")
     }
-    if (!hasChanges(spark, path)) return current
+    if (feedStamps.isEmpty) return current
     val feed = changeFeed(spark, path)
-    val newer = feed.select(col("batch")).distinct()
-      .filter(col("batch") > asOfBatch)
-      .collect().map(_.getLong(0)).sorted.reverse // metadata-sized
+    val newer = feedStamps.filter(_ > asOfBatch).sorted.reverse
     newer.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
       val stepped =
         inverseReplay(df, feed.filter(col("batch") === b), keyCols)
@@ -511,10 +520,19 @@ object Merge {
       // sidecar exists): keys this merge UPDATES or INSERTS are
       // re-introduced by user intent — their tombstones must clear, or
       // MorDelete.read would hide the fresh rows and compact would
-      // destroy them. Planned (materialized) here, off the pre-rewrite
-      // files; committed after the data rewrite below.
-      val tombPlan = MorDelete.planReconcile(
-        spark, base, touched.unionByName(inserts))
+      // destroy them. ONLY genuine re-introductions count: a matched
+      // row whose update condition is FALSE keeps its old values (the
+      // when/otherwise branch in `touched`) — clearing its tombstone
+      // would resurrect a row this merge never wrote. Same filter as
+      // the change feed's update_postimage. Planned (materialized)
+      // here, off the pre-rewrite files; committed after the data
+      // rewrite below.
+      val rewritten = matched
+        .filter(!coalesce(delCond, lit(false)) &&
+          coalesce(updCond, lit(false)))
+        .select(outNames.map(n => col(s"incremental.$n").as(n)): _*)
+        .unionByName(inserts)
+      val tombPlan = MorDelete.planReconcile(spark, base, rewritten)
 
       if (effectiveParts.nonEmpty && !evolving) {
         // Partitioned table: rewrite ONLY the affected partitions via

@@ -176,6 +176,10 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     MorDelete.compact(spark, st, path, Seq("id")) // no-op, no sidecar
     assert(MorDelete.deleteWhere(spark, st, path, "id = 4", Seq("id")) == 1L)
     st.write(Seq((4L, "reborn")).toDF("id", "v"), path, "delta", "append")
+    // the ONLY tombstone cleared — the sidecar itself must go, so the
+    // no-sidecar fast path (plain reads, early-return compact) is back
+    assert(!Fs.exists(spark, MorDelete.tombstonePath(path)),
+      "empty tombstone sidecar left behind — MoR anti-join paid forever")
     val live = MorDelete.read(spark, st, path, Seq("id"))
     // the OLD physical row for key 4 is still on disk alongside the
     // appended one — both are visible once the tombstone clears (MoR
@@ -185,6 +189,31 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(MorDelete.compact(spark, st, path, Seq("id")) == 0L)
     assert(st.read(path, "delta")
       .filter(col("v") === "reborn").count() == 1L)
+  }
+
+  test("a matched-but-not-updated key does NOT clear its tombstone") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_updcond") + "/t"
+    st.write((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    assert(MorDelete.deleteWhere(spark, st, path, "id = 2", Seq("id")) == 1L)
+    // the merge MATCHES the (still physically present) tombstoned row
+    // but its update condition is false — nothing is written for key 2,
+    // so the logical delete must stand (clearing here would resurrect
+    // the old row this merge never touched)
+    st.merge(Seq((2L, "ghost"), (9L, "new9")).toDF("id", "v"), path,
+      "full.id = incremental.id",
+      updateCondition = Some("full.v = 'never'"))
+    val live = MorDelete.read(spark, st, path, Seq("id"))
+    assert(live.filter(col("id") === 2L).count() == 0L,
+      "no-op matched merge resurrected a MoR-deleted row")
+    assert(live.filter(col("id") === 9L).count() == 1L)
+    // ...but a genuine update (condition true) DOES revive the key
+    st.merge(Seq((2L, "back")).toDF("id", "v"), path,
+      "full.id = incremental.id")
+    assert(MorDelete.read(spark, st, path, Seq("id"))
+      .filter(col("id") === 2L).count() == 1L)
+    assert(!Fs.exists(spark, MorDelete.tombstonePath(path)))
   }
 
   test("append lacking the tombstone key columns fails loudly") {

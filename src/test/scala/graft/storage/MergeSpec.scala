@@ -580,14 +580,36 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(!Merge.hasChanges(spark, path),
       "an overwritten table's change feed describes a table that is gone")
     assert(GraftLog.history(spark, path).count() > opsBefore)
-    // time travel BEHIND the overwrite refuses loudly (recorded
-    // horizon) instead of reconstructing garbage from a gapped history
+    // time travel to ANY pre-overwrite state refuses loudly —
+    // including as-of the newest captured batch: unlike a prune
+    // (where newer retained batches can still replay), the overwrite
+    // destroyed even the state just after batch `stamp`
     val e = intercept[IllegalArgumentException] {
-      Merge.readAsOf(spark, st, path, Seq("id"), stamp - 1).collect()
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
     }
     assert(e.getMessage.contains("pruned change horizon"))
-    // at-or-after the horizon ⇒ the current (post-overwrite) table
-    assert(Merge.readAsOf(spark, st, path, Seq("id"), stamp)
+    // after the horizon ⇒ the current (post-overwrite) table
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), stamp + 1)
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
+  test("a crashed overwrite's stale horizon record does not refuse intact history") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("over_crash") + "/t"
+    st.write(Seq((1L, "a")).toDF("id", "v"), path, "delta", "overwrite")
+    st.merge(Seq((2L, "b")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    // simulate overwriteSwap's crash window: the horizon record landed
+    // in the op log, but the swap never happened — the table AND its
+    // full feed are intact
+    GraftLog.append(spark, path, "CHANGES_PRUNE", Nil,
+      Some(Merge.ChangesPruneApp -> (stamp + 1)))
+    // the surviving feed still holds stamps <= horizon ⇒ the record is
+    // debris; travel the present batches can serve must succeed
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), Long.MinValue)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 }

@@ -27,11 +27,14 @@ import pandas as pd
 
 
 def unhashable_cols(df: pd.DataFrame):
+    # scan EVERY value, not just the first row: a column whose first
+    # value is NULL but holds arrays later would slip a first-row
+    # screen and crash sort_values mid-run
     bad = []
     for c in df.columns:
         if df[c].dtype == object and len(df):
-            v = df[c].iloc[0]
-            if isinstance(v, (np.ndarray, list, dict)):
+            if df[c].map(
+                    lambda v: isinstance(v, (np.ndarray, list, dict))).any():
                 bad.append(c)
     return bad
 
