@@ -619,8 +619,8 @@ object Similarity {
     * broadcast; the corpus streams map-side through m broadcast-hash
     * lookups; the only shuffle is the bounded per-query top-k
     * aggregate (≤ topK rows per query per partition). Pair with the
-    * IVF cell prune ([[annIvf]]) when even one streaming pass is too
-    * much. */
+    * IVF cell prune ([[ivfPqSearch]]) when even one streaming pass is
+    * too much. */
   def pqSearch(corpus: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, queryIdCol: String,
                m: Int, k: Int, iterations: Int, topK: Int): DataFrame = {
@@ -663,6 +663,13 @@ object Similarity {
         (0 until m).map(s => col(s"__qd2_$s")).reduce(_ + _))
       .select(col("query_id"), col("__cid").as("neighbor_id"),
         col("adc_d2"))
+    adcTopK(total, topK)
+  }
+
+  /** Bounded per-query ADC top-k tail shared by [[pqSearch]] and
+    * [[ivfPqSearch]]: ≤ topK rows per query per partition cross the
+    * shuffle. */
+  private def adcTopK(total: DataFrame, topK: Int): DataFrame =
     total
       .groupBy(col("query_id"))
       .agg(graft.functions.BoundedTopKAgg.minK(
@@ -673,5 +680,94 @@ object Similarity {
       .select(col("query_id"), col("__s.id").as("neighbor_id"),
         (col("__pos") + 1).cast("int").as("rank"),
         col("__s.d").as("adc_d2"))
+
+  /** IVF-PQ ANN search — the two sublinear pieces composed, the
+    * standard billion-scale index shape (an IVFADC): IVF cells prune
+    * WHICH corpus rows are scored (candidate work follows the
+    * `nProbe` probed cells, not the corpus), PQ ADC prunes WHAT each
+    * score costs (m broadcast-table lookups on integer codes instead
+    * of a dim-length float dot against a raw vector the executor
+    * would have to hold).
+    *
+    * Scale shape: candidate generation is the [[ivfTopK]] cell join
+    * (query side broadcast — queries ≪ corpus); the PQ stage joins
+    * candidates to the corpus CODES (m small ints per row — raw
+    * vectors never reach the scoring join) and to broadcast per-query
+    * distance tables; the only unbounded-side shuffle is candidates,
+    * already cell-pruned; the tail is the bounded top-k aggregate. At
+    * 100 TB the coded corpus is ~dim×4/m× smaller than the raw one —
+    * the memory-resident-index property that makes IVFADC the
+    * billion-vector default.
+    *
+    * Quality pin (`OpsSpec`): a query that IS a corpus vector finds
+    * its copy at ADC distance == the copy's reconstruction distance —
+    * the copy ranks in the top-k for ≥ 90% of planted queries at the
+    * declared parameters (ties with same-cell coarse codes are the
+    * only miss mode). */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
+                  queryIdCol: String, corpusIdCol: String, vecCol: String,
+                  topK: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                  ivfIterations: Int = 2, trainSampleMod: Int = 1,
+                  corpusSpill: Int = 1, m: Int = 4, pqK: Int = 16,
+                  pqIterations: Int = 2): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val dim = corpus.select(size(col(vecCol)).cast("int").as("d"))
+      .head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val centroids = ivfTrain(corpus, vecCol, nCentroids, ivfIterations,
+      trainSampleMod)
+    val c = corpus
+      .select(col(corpusIdCol).as("__cid"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .withColumn("cell",
+        if (corpusSpill <= 1)
+          nearestCell(unit(col("__cv"), col("__cn")), centroids)
+        else
+          explode(nearestCells(unit(col("__cv"), col("__cn")), centroids,
+            corpusSpill)))
+      .select(col("__cid"), col("cell"))
+    val q = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      .select(col("query_id"),
+        explode(nearestCells(unit(col("__qv"), col("__qn")), centroids,
+          nProbe)).as("cell"))
+    // checkpointed: the seed frame feeds the m-subspace join chain and
+    // would otherwise re-run the cell join per downstream action
+    val candidates = c.join(broadcast(q), Seq("cell"))
+      .filter(col("__cid") =!= col("query_id"))
+      .select(col("query_id"), col("__cid")).distinct()
+      .localCheckpoint(true)
+    var scored: DataFrame = candidates
+    for (s <- 0 until m) {
+      val slc = slice(col(vecCol), s * sub + 1, sub)
+      val cb = kmeansFit(
+        corpus.select(col(corpusIdCol), slc.as("__sv")),
+        corpusIdCol, "__sv", pqK, pqIterations)
+      val enc = assignQuantized(
+          quantized(corpus.select(col(corpusIdCol), slc.as("__sv")),
+            corpusIdCol, "__sv"), cb)
+        .select(col("__id").as("__cid"), col("cluster").as(s"__code_$s"))
+      val dtAll = quantized(
+          queries.select(col(queryIdCol), slc.as("__sv")),
+          queryIdCol, "__sv")
+        .crossJoin(broadcast(cb))
+        .withColumn(s"__qd2_$s", aggregate(
+          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("__id").as("query_id"),
+          col("cluster").as(s"__code_$s"), col(s"__qd2_$s"))
+      scored = scored.join(enc, Seq("__cid"))
+        .join(broadcast(dtAll), Seq("query_id", s"__code_$s"))
+    }
+    val total = scored
+      .withColumn("adc_d2",
+        (0 until m).map(s => col(s"__qd2_$s")).reduce(_ + _))
+      .select(col("query_id"), col("__cid").as("neighbor_id"),
+        col("adc_d2"))
+    adcTopK(total, topK)
   }
 }

@@ -2137,6 +2137,23 @@ object GraftQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ (IVFADC) composed ANN ([[Similarity.ivfPqSearch]]): cell
+    * pruning bounds WHICH rows score, PQ codes bound what each score
+    * COSTS — the billion-scale index shape. Queries are planted
+    * corpus copies (new ids), so the self-retrieval contract is
+    * checkable; no oracle BY DESIGN (Spark-hash cell seeding + float
+    * centroid averages), copy-retrieval floor pinned in `OpsSpec`. */
+  val annIvfPq: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Similarity.ivfPqSearch(queries, emb, "vec_id", "vec_id", "embedding",
+      topK = 10, nCentroids = 16, nProbe = 6, ivfIterations = 2,
+      trainSampleMod = 4, corpusSpill = 2, m = 4, pqK = 16,
+      pqIterations = 2)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------- §2.11 text analysis
 
   val textStats: Q = (spark, dir) =>
@@ -6462,6 +6479,7 @@ object GraftQueries {
     entry("q_embedding_neardup", embeddingNearDup, embeddingNearDupSql),
     entry("q_ann_lsh", annLsh),
     entry("q_ann_ivf", annIvf),
+    entry("q_ann_ivfpq", annIvfPq),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_explode_pos", explodePos, explodePosSql),

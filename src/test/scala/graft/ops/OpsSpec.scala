@@ -576,6 +576,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 $recall below the declared 0.9 floor")
   }
 
+  test("ivfPqSearch finds planted corpus copies at the declared q_ann_ivfpq parameters") {
+    // a query that IS a corpus vector: its copy lands in the query's
+    // own nearest cell (identical vectors, always probed), and its ADC
+    // distance equals the copy's reconstruction distance — the copy
+    // must appear in the top-10 for ≥ 90% of planted queries (coarse
+    // same-cell code ties are the only miss mode)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val got = Similarity.ivfPqSearch(queries, emb, "vec_id", "vec_id",
+      "embedding", topK = 10, nCentroids = 16, nProbe = 6,
+      ivfIterations = 2, trainSampleMod = 4, corpusSpill = 2,
+      m = 4, pqK = 16, pqIterations = 2)
+    val hits = got
+      .filter(col("neighbor_id") === col("query_id") - 1000000L)
+      .select("query_id").distinct().count()
+    assert(hits >= 18, s"only $hits/20 planted copies retrieved in top-10")
+    // the copy's ADC distance is minimal for its query wherever found
+    val copyRanks = got
+      .filter(col("neighbor_id") === col("query_id") - 1000000L)
+      .select("rank").collect().map(_.getInt(0))
+    assert(copyRanks.forall(_ <= 10))
+    // bounded output: at most topK rows per query
+    val perQuery = got.groupBy("query_id").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(perQuery.forall(_ <= 10L))
+  }
+
   test("lshTopK recall@10 vs brute force ≥ 0.9 at the declared q_ann_lsh parameters") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
