@@ -142,7 +142,7 @@ object GraftLog {
       val horizon = Merge.changeFeed(spark, base)
         .agg(max(col("batch"))).head().getLong(0) + 1L
       append(spark, base, "CHANGES_PRUNE", Nil,
-        Some(Merge.ChangesPruneApp -> horizon))
+        Some(Merge.ChangesOverwriteApp -> horizon))
     }
     val old = base + "__graft_old"
     Fs.deleteChecked(spark, old)

@@ -123,14 +123,22 @@ object Merge {
     // silently wrong snapshot from a gapped history. Checked BEFORE
     // the no-feed early return — a fully-pruned feed (dir removed)
     // must refuse old as-of requests, not hand back `current`.
-    // Debris detection: a feed that still CONTAINS stamps at or below
-    // the recorded horizon means the record came from a CRASHED
-    // overwrite (both pruneChangeFeed and a completed overwriteSwap
-    // remove those batches before/with the record becoming relevant) —
-    // the history is intact, so the stale record must not refuse
-    // travel the present batches can serve.
-    val pruned = GraftLog.lastTxnBatch(spark, path, ChangesPruneApp)
-      .filterNot(h => feedStamps.headOption.exists(_ <= h))
+    // Two horizon records with DIFFERENT crash semantics:
+    //  - the PRUNE app is honored unconditionally: pruneChangeFeed
+    //    records it before deleting, so a crashed prune refuses the
+    //    half-deleted range conservatively instead of silently
+    //    reconstructing across an unrecorded gap;
+    //  - the OVERWRITE app gets the stale-debris heal: an overwrite's
+    //    swap removes the feed atomically-with-the-table, never
+    //    partially, so a feed still holding stamps at or below that
+    //    horizon can only mean the swap never happened — the history
+    //    is intact and the stale record must not refuse travel the
+    //    present batches can serve.
+    val pruned = (
+      GraftLog.lastTxnBatch(spark, path, ChangesPruneApp).toSeq ++
+      GraftLog.lastTxnBatch(spark, path, ChangesOverwriteApp)
+        .filterNot(h => feedStamps.headOption.exists(_ <= h)).toSeq
+    ).reduceOption(_ max _)
     pruned.filter(asOfBatch < _).foreach { horizon =>
       throw new IllegalArgumentException(
         s"time travel to batch $asOfBatch is beyond the pruned change " +
@@ -153,6 +161,7 @@ object Merge {
   }
 
   private[storage] val ChangesPruneApp = "graft_changes_prune"
+  private[storage] val ChangesOverwriteApp = "graft_changes_overwrite"
 
   /** Change-feed retention: drop captured batches with stamp <=
     * `upToBatch` — the log-retention lifecycle every CDC feed needs
@@ -171,19 +180,27 @@ object Merge {
     val allStamps = changeFeed(spark, base).select(col("batch"))
       .distinct().collect().map(_.getLong(0)).sorted
     val stamps = allStamps.filter(_ <= upToBatch)
-    stamps.foreach { b =>
-      // checked: a silently failed delete must not advance the horizon
-      // (readAsOf would then refuse batches that are still present)
-      Fs.deleteChecked(spark, s"$base/$ChangesDirName/batch=$b")
-    }
     if (stamps.nonEmpty) {
+      // the horizon is recorded BEFORE any batch dir is removed: a
+      // crash mid-prune then REFUSES as-of requests the half-deleted
+      // range can no longer serve (conservative — some still-present
+      // batches are refused until a re-run finishes the prune), where
+      // record-after-delete would let readAsOf silently reconstruct
+      // from a gapped history with no record of the gap. The prune
+      // app id is honored unconditionally by readAsOf — only the
+      // OVERWRITE app (whose swap never half-deletes the feed) gets
+      // the stale-debris heal.
+      GraftLog.append(spark, base, "CHANGES_PRUNE", Nil,
+        Some(ChangesPruneApp -> stamps.max))
+      stamps.foreach { b =>
+        // checked: a silently failed delete must not report success
+        Fs.deleteChecked(spark, s"$base/$ChangesDirName/batch=$b")
+      }
       // an emptied feed dir would break the next changeFeed read (no
       // parquet to infer a schema from) — remove it wholesale;
       // hasChanges then reports "no feed", which is the truth
       if (stamps.length == allStamps.length)
         Fs.delete(spark, s"$base/$ChangesDirName")
-      GraftLog.append(spark, base, "CHANGES_PRUNE", Nil,
-        Some(ChangesPruneApp -> stamps.max))
     }
     stamps.length.toLong
   }

@@ -606,10 +606,20 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     // in the op log, but the swap never happened — the table AND its
     // full feed are intact
     GraftLog.append(spark, path, "CHANGES_PRUNE", Nil,
-      Some(Merge.ChangesPruneApp -> (stamp + 1)))
+      Some(Merge.ChangesOverwriteApp -> (stamp + 1)))
     // the surviving feed still holds stamps <= horizon ⇒ the record is
     // debris; travel the present batches can serve must succeed
     assert(Merge.readAsOf(spark, st, path, Seq("id"), Long.MinValue)
       .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // a crashed PRUNE is the opposite contract: its record lands
+    // BEFORE the deletes, and whether any batch is already gone is
+    // unknowable — readAsOf must refuse CONSERVATIVELY even though
+    // this feed happens to be intact
+    GraftLog.append(spark, path, "CHANGES_PRUNE", Nil,
+      Some(Merge.ChangesPruneApp -> stamp))
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), Long.MinValue).collect()
+    }
+    assert(e.getMessage.contains("pruned change horizon"))
   }
 }
