@@ -625,11 +625,28 @@ object Similarity {
                queries: DataFrame, queryIdCol: String,
                m: Int, k: Int, iterations: Int, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    adcTopK(adcScored(corpus, idCol, vecCol, queries, queryIdCol,
+      m, k, iterations, seed = None), topK)
+  }
+
+  /** The per-subspace PQ core shared by [[pqSearch]] and
+    * [[ivfPqSearch]]: m codebook fits + corpus encodes + broadcast
+    * per-query full distance tables, chained into (query_id,
+    * neighbor_id, adc_d2) rows. `seed = Some(pairs)` restricts scoring
+    * to the given (query_id, __cid) candidate pairs (the IVF prune);
+    * None scores every corpus row per query code-match (the streaming
+    * full-scan form). */
+  private def adcScored(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, queryIdCol: String,
+                        m: Int, k: Int, iterations: Int,
+                        seed: Option[DataFrame]): DataFrame = {
     val dim = corpus.select(size(col(vecCol)).cast("int").as("d"))
-      .head().getInt(0)
+      .take(1).headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "PQ search requires a non-empty corpus"))
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val sub = dim / m
-    var scored: DataFrame = null
+    var scored: DataFrame = seed.orNull
     for (s <- 0 until m) {
       val slc = slice(col(vecCol), s * sub + 1, sub)
       val cb = kmeansFit(
@@ -658,12 +675,11 @@ object Similarity {
               Seq("__cid"))
             .join(broadcast(dtAll), Seq("query_id", s"__code_$s"))
     }
-    val total = scored
+    scored
       .withColumn("adc_d2",
         (0 until m).map(s => col(s"__qd2_$s")).reduce(_ + _))
       .select(col("query_id"), col("__cid").as("neighbor_id"),
         col("adc_d2"))
-    adcTopK(total, topK)
   }
 
   /** Bounded per-query ADC top-k tail shared by [[pqSearch]] and
@@ -711,63 +727,34 @@ object Similarity {
                   corpusSpill: Int = 1, m: Int = 4, pqK: Int = 16,
                   pqIterations: Int = 2): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val dim = corpus.select(size(col(vecCol)).cast("int").as("d"))
-      .head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
-    val sub = dim / m
     val centroids = ivfTrain(corpus, vecCol, nCentroids, ivfIterations,
       trainSampleMod)
-    val c = corpus
-      .select(col(corpusIdCol).as("__cid"),
-        col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
-      .withColumn("cell",
-        if (corpusSpill <= 1)
-          nearestCell(unit(col("__cv"), col("__cn")), centroids)
-        else
-          explode(nearestCells(unit(col("__cv"), col("__cn")), centroids,
-            corpusSpill)))
-      .select(col("__cid"), col("cell"))
-    val q = queries
-      .select(col(queryIdCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
-      .select(col("query_id"),
-        explode(nearestCells(unit(col("__qv"), col("__qn")), centroids,
-          nProbe)).as("cell"))
+    val c = cellExplode(corpus, corpusIdCol, "__cid", vecCol, centroids,
+      corpusSpill)
+    val q = cellExplode(queries, queryIdCol, "query_id", vecCol,
+      centroids, nProbe)
     // checkpointed: the seed frame feeds the m-subspace join chain and
     // would otherwise re-run the cell join per downstream action
     val candidates = c.join(broadcast(q), Seq("cell"))
       .filter(col("__cid") =!= col("query_id"))
       .select(col("query_id"), col("__cid")).distinct()
       .localCheckpoint(true)
-    var scored: DataFrame = candidates
-    for (s <- 0 until m) {
-      val slc = slice(col(vecCol), s * sub + 1, sub)
-      val cb = kmeansFit(
-        corpus.select(col(corpusIdCol), slc.as("__sv")),
-        corpusIdCol, "__sv", pqK, pqIterations)
-      val enc = assignQuantized(
-          quantized(corpus.select(col(corpusIdCol), slc.as("__sv")),
-            corpusIdCol, "__sv"), cb)
-        .select(col("__id").as("__cid"), col("cluster").as(s"__code_$s"))
-      val dtAll = quantized(
-          queries.select(col(queryIdCol), slc.as("__sv")),
-          queryIdCol, "__sv")
-        .crossJoin(broadcast(cb))
-        .withColumn(s"__qd2_$s", aggregate(
-          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .select(col("__id").as("query_id"),
-          col("cluster").as(s"__code_$s"), col(s"__qd2_$s"))
-      scored = scored.join(enc, Seq("__cid"))
-        .join(broadcast(dtAll), Seq("query_id", s"__code_$s"))
-    }
-    val total = scored
-      .withColumn("adc_d2",
-        (0 until m).map(s => col(s"__qd2_$s")).reduce(_ + _))
-      .select(col("query_id"), col("__cid").as("neighbor_id"),
-        col("adc_d2"))
-    adcTopK(total, topK)
+    adcTopK(adcScored(corpus, corpusIdCol, vecCol, queries, queryIdCol,
+      m, pqK, pqIterations, seed = Some(candidates)), topK)
+  }
+
+  /** (outId, cell) rows: each vector exploded to its `n` nearest IVF
+    * cells (n = 1 collapses to the single nearest). Shared by
+    * [[ivfPqSearch]]'s corpus (spill) and query (probe) sides. */
+  private def cellExplode(df: DataFrame, idCol: String, outId: String,
+                          vecCol: String, centroids: Seq[Seq[Double]],
+                          n: Int): DataFrame = {
+    val raw = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as(outId), raw.as("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .select(col(outId),
+        (if (n <= 1) nearestCell(unit(col("__v"), col("__n")), centroids)
+         else explode(nearestCells(unit(col("__v"), col("__n")),
+           centroids, n))).as("cell"))
   }
 }

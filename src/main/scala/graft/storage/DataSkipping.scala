@@ -509,8 +509,11 @@ object DataSkipping {
     // violation of the superset contract. Cast every probe literal to
     // the table column's DataType, read from ONE data file's footer
     // (`all` is already listed above) — a whole-table spark.read here
-    // would re-list every file on the hot lookup path.
-    val colType = spark.read.parquet(all.head).schema.fields
+    // would re-list every file on the hot lookup path. basePath keeps
+    // directory-PARTITION columns resolvable (a partition column never
+    // appears in the leaf footer; its type comes from the path).
+    val colType = spark.read.option("basePath", tablePath)
+      .parquet(all.head).schema.fields
       .find(_.name == column).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"pruneFilesBloom: column '$column' not in table at $tablePath"))

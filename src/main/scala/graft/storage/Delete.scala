@@ -168,14 +168,17 @@ object MorDelete {
     * LOGICAL keys, so a later merge/append that re-introduces key K
     * must clear K's tombstone — otherwise [[read]] hides the fresh row
     * and [[compact]] (which rewrites from the tombstone-subtracting
-    * view) destroys it permanently. Returns the surviving-tombstone
-    * frame, MATERIALIZED (eager localCheckpoint — a TRUE lineage
-    * barrier, not persist: the anti-join reads the caller's
-    * pre-rewrite data files, and a persist-only frame would recompute
-    * from paths a COW swap has already deleted if blocks are lost) so
-    * the caller can rewrite the table's data files before
-    * [[commitReconcile]] writes it — data-then-sidecar ordering means
-    * a crash between the two leaves the fresh row transiently hidden
+    * view) destroys it permanently. Returns the surviving tombstones
+    * COLLECTED to the driver: the anti-join reads the caller's
+    * pre-rewrite data files, so the result must be fully materialized
+    * off them before the caller's COW swap deletes those files — a
+    * persist would recompute from dead paths on block loss, and an
+    * executor-side checkpoint pins blocks with no deterministic
+    * release; the tombstone set is metadata-sized BY CONTRACT (a
+    * large one is the documented signal to [[compact]]), so driver
+    * residence is the honest barrier. Data-then-sidecar ordering
+    * means a crash between the caller's rewrite and
+    * [[commitReconcile]] leaves the fresh row transiently hidden
     * (healed by retry), never resurrects a deleted one. None ⇒ no
     * tombstone sidecar, nothing to do (the common case — one exists()
     * call). Throws when the sidecar's key columns are absent from
@@ -183,7 +186,7 @@ object MorDelete {
     * fail loudly, not silently destroy data later. */
   def planReconcile(spark: SparkSession, base0: String,
                     written: org.apache.spark.sql.DataFrame)
-      : Option[org.apache.spark.sql.DataFrame] = {
+      : Option[ReconcilePlan] = {
     val tp = tombstonePath(base0.stripSuffix("/"))
     Fs.recoverAside(spark, tp)
     if (!Fs.exists(spark, tp)) return None
@@ -195,28 +198,36 @@ object MorDelete {
         s"cannot reconcile MoR tombstones at $tp: incoming rows lack " +
           s"key column(s) ${missing.mkString(", ")} — compact() the " +
           "table first or include the key columns")
-    Some(tombs.distinct()
+    val survivors = tombs.distinct()
       .join(written.select(tCols.map(col): _*).distinct(),
         tCols, "left_anti")
-      .localCheckpoint(true))
+      .collect().toSeq
+    Some(ReconcilePlan(survivors, tombs.schema))
   }
 
+  /** The driver-materialized survivor set of a [[planReconcile]]. */
+  final case class ReconcilePlan(
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+
   /** Phase 2: crash-safe staged swap of the tombstone sidecar to the
-    * frame [[planReconcile]] materialized. An EMPTY survivor set
+    * survivors [[planReconcile]] collected. An EMPTY survivor set
     * deletes the sidecar instead of writing a zero-row one — the
     * no-sidecar fast path (plain reads, early-return compact) must
     * come back once every tombstone is cleared, or the table pays the
     * MoR anti-join forever and the next compact() does a pointless
     * full rewrite. */
   def commitReconcile(spark: SparkSession, base0: String,
-                      remaining: org.apache.spark.sql.DataFrame): Unit = {
+                      plan: ReconcilePlan): Unit = {
     val tp = tombstonePath(base0.stripSuffix("/"))
-    if (remaining.isEmpty) {
+    if (plan.rows.isEmpty) {
       Fs.deleteChecked(spark, tp)
     } else {
       val tmp = tp + "__tmp"
       Fs.deleteChecked(spark, tmp)
-      remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+      spark.createDataFrame(
+          java.util.Arrays.asList(plan.rows: _*), plan.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
       Fs.swapInStaged(spark, tp, tmp)
     }
   }

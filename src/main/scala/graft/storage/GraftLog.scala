@@ -60,15 +60,23 @@ object GraftLog {
     * restart asks this before applying — batches at or below the
     * answer were already committed to the table. */
   def lastTxnBatch(spark: SparkSession, tablePath: String,
-                   appId: String): Option[Long] = {
+                   appId: String): Option[Long] =
+    txnBatches(spark, tablePath, appId).maxOption
+
+  /** EVERY transaction batch recorded for `appId` (op-log sized).
+    * Callers that judge records individually — e.g. [[Merge.readAsOf]]
+    * discarding a crashed overwrite's debris horizon without losing an
+    * EARLIER genuine one that a max-collapse would shadow — need the
+    * full list, not just the newest. */
+  def txnBatches(spark: SparkSession, tablePath: String,
+                 appId: String): Seq[Long] = {
     val h = history(spark, tablePath)
-    if (!h.schema.fieldNames.contains("txn_app")) None
+    if (!h.schema.fieldNames.contains("txn_app")) Nil
     else {
-      import org.apache.spark.sql.functions.{col, max}
-      h.filter(col("txn_app") === appId)
-        .agg(max(col("txn_batch")))
-        .head().toSeq.headOption
-        .flatMap(v => Option(v).map(_.asInstanceOf[Long]))
+      import org.apache.spark.sql.functions.col
+      h.filter(col("txn_app") === appId && col("txn_batch").isNotNull)
+        .select("txn_batch")
+        .collect().map(_.getLong(0)).toSeq
     }
   }
 

@@ -133,12 +133,19 @@ object Merge {
     //    partially, so a feed still holding stamps at or below that
     //    horizon can only mean the swap never happened — the history
     //    is intact and the stale record must not refuse travel the
-    //    present batches can serve.
+    //    present batches can serve. The heal judges EVERY overwrite
+    //    record individually (txnBatches, not the max-collapsed
+    //    lastTxnBatch): a later crashed overwrite's debris must not
+    //    shadow an earlier completed overwrite's genuine horizon.
+    //    Residual conservatism, documented: if a later prune removes
+    //    the feed stamps that identified a debris record, that record
+    //    is honored again — travel refuses loudly where prune
+    //    semantics alone would have allowed it; never silent.
     val pruned = (
-      GraftLog.lastTxnBatch(spark, path, ChangesPruneApp).toSeq ++
-      GraftLog.lastTxnBatch(spark, path, ChangesOverwriteApp)
-        .filterNot(h => feedStamps.headOption.exists(_ <= h)).toSeq
-    ).reduceOption(_ max _)
+      GraftLog.txnBatches(spark, path, ChangesPruneApp) ++
+      GraftLog.txnBatches(spark, path, ChangesOverwriteApp)
+        .filterNot(h => feedStamps.headOption.exists(_ <= h))
+    ).maxOption
     pruned.filter(asOfBatch < _).foreach { horizon =>
       throw new IllegalArgumentException(
         s"time travel to batch $asOfBatch is beyond the pruned change " +
@@ -162,6 +169,20 @@ object Merge {
 
   private[storage] val ChangesPruneApp = "graft_changes_prune"
   private[storage] val ChangesOverwriteApp = "graft_changes_overwrite"
+
+  /** Change-batch stamps: wall-clock-anchored (micros-of-epoch scale)
+    * and strictly increasing within the writer. nanoTime would order
+    * correctly inside one JVM but its origin resets at boot — a
+    * post-restart batch could stamp BELOW a pre-restart horizon and
+    * make readAsOf's crashed-overwrite debris heal misread a genuine
+    * horizon as debris. Wall-clock anchoring keeps stamps monotone
+    * across restarts (modulo clock regression, the same assumption
+    * the op-log ordering already makes); the atomic max(+1) guards
+    * same-millisecond merges within a writer. */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[storage] def nextBatchStamp(): Long =
+    lastStamp.updateAndGet(p =>
+      math.max(p + 1L, System.currentTimeMillis() * 1000000L))
 
   /** Change-feed retention: drop captured batches with stamp <=
     * `upToBatch` — the log-retention lifecycle every CDC feed needs
@@ -530,7 +551,7 @@ object Merge {
           .unionByName(side("incremental", "update_postimage", notDel && updTrue))
           .unionByName(inserts.withColumn("_change_type", lit("insert")))
         changes.write.mode("overwrite").format("parquet")
-          .save(s"$base/${ChangesDirName}/batch=${System.nanoTime()}")
+          .save(s"$base/${ChangesDirName}/batch=${nextBatchStamp()}")
       }
 
       // MoR tombstone reconciliation (no-op unless a _graft_tombstones
