@@ -640,18 +640,40 @@ object Similarity {
                         queries: DataFrame, queryIdCol: String,
                         m: Int, k: Int, iterations: Int,
                         seed: Option[DataFrame]): DataFrame = {
-    val dim = corpus.select(size(col(vecCol)).cast("int").as("d"))
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codebooks = (0 until m).map { s =>
+      kmeansFit(
+        corpus.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        idCol, "__sv", k, iterations)
+    }
+    adcScoredWith(corpus, idCol, vecCol, queries, queryIdCol,
+      codebooks, dim, seed)
+  }
+
+  private def vecDim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol)).cast("int").as("d"))
       .take(1).headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         "PQ search requires a non-empty corpus"))
+
+  /** [[adcScored]] with PRE-TRAINED codebooks — the serving path of a
+    * persisted index ([[IvfPqIndex]]): encode + distance tables only,
+    * no fits. */
+  private def adcScoredWith(corpus: DataFrame, idCol: String,
+                            vecCol: String, queries: DataFrame,
+                            queryIdCol: String,
+                            codebooks: Seq[DataFrame], dim: Int,
+                            seed: Option[DataFrame]): DataFrame = {
+    val m = codebooks.size
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val sub = dim / m
     var scored: DataFrame = seed.orNull
     for (s <- 0 until m) {
       val slc = slice(col(vecCol), s * sub + 1, sub)
-      val cb = kmeansFit(
-        corpus.select(col(idCol), slc.as("__sv")), idCol, "__sv",
-        k, iterations)
+      val cb = codebooks(s)
       val enc = assignQuantized(
           quantized(corpus.select(col(idCol), slc.as("__sv")),
             idCol, "__sv"), cb)
@@ -720,28 +742,74 @@ object Similarity {
     * the copy ranks in the top-k for ≥ 90% of planted queries at the
     * declared parameters (ties with same-cell coarse codes are the
     * only miss mode). */
-  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
-                  queryIdCol: String, corpusIdCol: String, vecCol: String,
-                  topK: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                  ivfIterations: Int = 2, trainSampleMod: Int = 1,
-                  corpusSpill: Int = 1, m: Int = 4, pqK: Int = 16,
-                  pqIterations: Int = 2): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1, got $topK")
+  /** A trained IVF-PQ index: the driver-resident IVF centroids (raw
+    * doubles, k×dim) plus the m per-subspace PQ codebooks (each a
+    * (cluster, __cv) frame of quantized integer vectors — exactly
+    * [[kmeansFit]]'s output, bit-deterministic). Train ONCE
+    * ([[ivfPqFit]]), persist ([[AnnIndex.save]]), serve many query
+    * batches ([[ivfPqSearchWith]]) — production ANN never retrains
+    * per query; the index is the asset. */
+  final case class IvfPqIndex(centroids: Seq[Seq[Double]],
+                              codebooks: Seq[DataFrame], dim: Int)
+
+  /** Train the IVF-PQ index (no search): one spherical-IVF train pass
+    * plus m per-subspace codebook fits. Both trainers accept a
+    * hash-sample modulus — at 100 TB codebooks fit on a sample and
+    * serving encodes the full corpus unchanged. */
+  def ivfPqFit(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+               nCentroids: Int = 16, ivfIterations: Int = 2,
+               trainSampleMod: Int = 1, m: Int = 4, pqK: Int = 16,
+               pqIterations: Int = 2): IvfPqIndex = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
     val centroids = ivfTrain(corpus, vecCol, nCentroids, ivfIterations,
       trainSampleMod)
-    val c = cellExplode(corpus, corpusIdCol, "__cid", vecCol, centroids,
-      corpusSpill)
+    val codebooks = (0 until m).map { s =>
+      kmeansFit(
+        corpus.select(col(corpusIdCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        corpusIdCol, "__sv", pqK, pqIterations)
+    }
+    IvfPqIndex(centroids, codebooks, dim)
+  }
+
+  /** Serve one query batch against a trained/loaded [[IvfPqIndex]]:
+    * cell-candidate generation + code encode + ADC — NO training
+    * work. Bit-identical to the search [[ivfPqSearch]] runs right
+    * after its own fit (spec-pinned through an [[AnnIndex]]
+    * save/load round-trip). */
+  def ivfPqSearchWith(index: IvfPqIndex, queries: DataFrame,
+                      corpus: DataFrame, queryIdCol: String,
+                      corpusIdCol: String, vecCol: String, topK: Int,
+                      nProbe: Int = 4, corpusSpill: Int = 1): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val c = cellExplode(corpus, corpusIdCol, "__cid", vecCol,
+      index.centroids, corpusSpill)
     val q = cellExplode(queries, queryIdCol, "query_id", vecCol,
-      centroids, nProbe)
+      index.centroids, nProbe)
     // checkpointed: the seed frame feeds the m-subspace join chain and
     // would otherwise re-run the cell join per downstream action
     val candidates = c.join(broadcast(q), Seq("cell"))
       .filter(col("__cid") =!= col("query_id"))
       .select(col("query_id"), col("__cid")).distinct()
       .localCheckpoint(true)
-    adcTopK(adcScored(corpus, corpusIdCol, vecCol, queries, queryIdCol,
-      m, pqK, pqIterations, seed = Some(candidates)), topK)
+    adcTopK(adcScoredWith(corpus, corpusIdCol, vecCol, queries,
+      queryIdCol, index.codebooks, index.dim, seed = Some(candidates)),
+      topK)
   }
+
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
+                  queryIdCol: String, corpusIdCol: String, vecCol: String,
+                  topK: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                  ivfIterations: Int = 2, trainSampleMod: Int = 1,
+                  corpusSpill: Int = 1, m: Int = 4, pqK: Int = 16,
+                  pqIterations: Int = 2): DataFrame =
+    ivfPqSearchWith(
+      ivfPqFit(corpus, corpusIdCol, vecCol, nCentroids, ivfIterations,
+        trainSampleMod, m, pqK, pqIterations),
+      queries, corpus, queryIdCol, corpusIdCol, vecCol, topK, nProbe,
+      corpusSpill)
 
   /** (outId, cell) rows: each vector exploded to its `n` nearest IVF
     * cells (n = 1 collapses to the single nearest). Shared by

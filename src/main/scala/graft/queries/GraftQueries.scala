@@ -6228,6 +6228,31 @@ object GraftQueries {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  /** ANN index persistence ([[graft.ops.AnnIndex]] +
+    * [[Similarity.ivfPqFit]]/[[Similarity.ivfPqSearchWith]]): the
+    * production vector-serving loop — fit ONCE, save the index (two
+    * metadata-sized parquet dirs), load it back, serve a query batch
+    * with encode + ADC work only. The declared query runs the whole
+    * cycle; `OpsSpec` pins that the loaded index serves BIT-IDENTICAL
+    * results to the in-memory one. No oracle (Spark-hash IVF seeding,
+    * float centroid averages), rows-only. */
+  val annIndexRoundtrip: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_q").toString + "/idx"
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    graft.ops.AnnIndex.save(spark, idxDir, idx)
+    Similarity.ivfPqSearchWith(
+        graft.ops.AnnIndex.load(spark, idxDir),
+        queries, emb, "vec_id", "vec_id", "embedding",
+        topK = 10, nProbe = 4, corpusSpill = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Crawl-curation URL pass ([[graft.ops.Urls.canonicalize]] +
     * [[graft.ops.Sampling.reservoirPerGroup]]): per doc, three messy
     * variants of the same page URL (campaign-tagged, tracker-prefixed,
@@ -6480,6 +6505,7 @@ object GraftQueries {
     entry("q_ann_lsh", annLsh),
     entry("q_ann_ivf", annIvf),
     entry("q_ann_ivfpq", annIvfPq),
+    entry("q_ann_index_roundtrip", annIndexRoundtrip),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_explode_pos", explodePos, explodePosSql),

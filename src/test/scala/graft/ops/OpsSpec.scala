@@ -603,6 +603,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(perQuery.forall(_ <= 10L))
   }
 
+  test("IVF-PQ index save/load round-trip serves bit-identical results") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    def serve(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqSearchWith(i, queries, emb, "vec_id", "vec_id",
+        "embedding", topK = 5, nProbe = 4, corpusSpill = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val direct = serve(idx)
+    assert(direct.nonEmpty)
+    val dir = tempDir("annidx") + "/idx"
+    AnnIndex.save(spark, dir, idx)
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.dim == idx.dim)
+    assert(loaded.centroids == idx.centroids,
+      "centroids changed across the parquet round-trip")
+    assert(serve(loaded) == direct,
+      "a loaded index must serve bit-identical results")
+    // overwrite-save exercises the staged-swap path; reload still equal
+    AnnIndex.save(spark, dir, idx)
+    assert(serve(AnnIndex.load(spark, dir)) == direct)
+  }
+
   test("lshTopK recall@10 vs brute force ≥ 0.9 at the declared q_ann_lsh parameters") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
