@@ -18,8 +18,12 @@ import graft.storage.Fs
   *
   * Layout (both metadata-sized — k×dim doubles and m×k quantized
   * vectors): `<path>/ivf_centroids` (cell, vec) and
-  * `<path>/pq_codebooks` (subspace, cluster, cv). Save is a staged
-  * crash-safe swap per dir when overwriting ([[Fs.swapInStaged]]).
+  * `<path>/pq_codebooks` (subspace, cluster, cv). Each dir writes
+  * through the staged crash-safe swap ([[Fs.writeSwapped]]); the two
+  * dirs cannot swap ATOMICALLY together, so a crash between them can
+  * leave new centroids beside old codebooks — [[load]] cross-checks
+  * the pair (subvector length × m must equal the centroid dim) and
+  * refuses a torn index loudly instead of serving garbage distances.
   */
 object AnnIndex {
 
@@ -43,17 +47,8 @@ object AnnIndex {
       cb.select(lit(s).as("subspace"), col("cluster"),
         col("__cv").as("cv"))
     }.reduce(_ unionByName _)
-    def write(target: String, df: org.apache.spark.sql.DataFrame): Unit =
-      if (!Fs.exists(spark, target)) {
-        df.coalesce(1).write.mode("overwrite").parquet(target)
-      } else {
-        val tmp = target + "__tmp"
-        Fs.deleteChecked(spark, tmp)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        Fs.swapInStaged(spark, target, tmp)
-      }
-    write(centroidsPath(path), cents)
-    write(codebooksPath(path), books)
+    Fs.writeSwapped(spark, centroidsPath(path), cents)
+    Fs.writeSwapped(spark, codebooksPath(path), books)
   }
 
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {
@@ -64,11 +59,21 @@ object AnnIndex {
       .map(_.getSeq[Double](1).toSeq).toSeq
     require(centroids.nonEmpty, s"no IVF centroids at $path")
     val booksAll = spark.read.parquet(codebooksPath(path))
-    val m = booksAll.select(max(col("subspace"))).head().getInt(0) + 1
     // each codebook frame is collected and re-created as a LOCAL
     // relation: serving joins broadcast these (m×k rows), and a local
     // relation keeps the plan free of m extra parquet scans per batch
     val bookRows = booksAll.select("subspace", "cluster", "cv").collect()
+    require(bookRows.nonEmpty, s"no PQ codebooks at $path")
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val dim = centroids.head.size
+    // torn-index guard: the two dirs swap independently, so a crash
+    // between saves can pair new centroids with old codebooks — the
+    // geometry must agree or ADC would score truncated/null-padded
+    // subvectors silently
+    val sub = bookRows.head.getSeq[Long](2).size
+    require(sub * m == dim,
+      s"torn ANN index at $path: $m codebooks of $sub-dim subvectors " +
+        s"do not cover the $dim-dim centroids — re-save the index")
     val cbSchema = StructType(Seq(
       StructField("cluster", IntegerType, nullable = false),
       StructField("__cv", ArrayType(LongType, containsNull = false))))
@@ -78,7 +83,6 @@ object AnnIndex {
       spark.createDataFrame(
         java.util.Arrays.asList(rows.toIndexedSeq: _*), cbSchema)
     }
-    val dim = centroids.head.size
     Similarity.IvfPqIndex(centroids, codebooks, dim)
   }
 }

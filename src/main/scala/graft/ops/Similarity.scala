@@ -719,13 +719,106 @@ object Similarity {
         (col("__pos") + 1).cast("int").as("rank"),
         col("__s.d").as("adc_d2"))
 
+  /** A trained IVF-PQ index: the driver-resident IVF centroids (raw
+    * doubles, k×dim) plus the m per-subspace PQ codebooks (each a
+    * LOCAL (cluster, __cv) relation of quantized integer vectors —
+    * driver-materialized, so the index survives executor loss and
+    * pins no executor storage across its lifetime). Train ONCE
+    * ([[ivfPqFit]]), persist ([[AnnIndex.save]]), serve many query
+    * batches ([[ivfPqSearchWith]]) — production ANN never retrains
+    * per query; the index is the asset. */
+  final case class IvfPqIndex(centroids: Seq[Seq[Double]],
+                              codebooks: Seq[DataFrame], dim: Int)
+
+  /** Train the IVF-PQ index (no search): one spherical-IVF train pass
+    * plus m per-subspace codebook fits. `trainSampleMod > 1` trains
+    * BOTH on the same deterministic hash-slice of the corpus — at
+    * 100 TB codebooks fit on a sample (standard PQ practice; the
+    * codebook only has to quantize the space, not see every vector)
+    * and serving encodes the full corpus unchanged. Falls back to the
+    * full corpus when the slice is smaller than pqK. The codebook
+    * frames are collected to the driver (m×pqK rows) and re-created
+    * as local relations — the fit-once/serve-many contract must not
+    * hinge on executor-resident checkpoint blocks. */
+  def ivfPqFit(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+               nCentroids: Int = 16, ivfIterations: Int = 2,
+               trainSampleMod: Int = 1, m: Int = 4, pqK: Int = 16,
+               pqIterations: Int = 2): IvfPqIndex = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val centroids = ivfTrain(corpus, vecCol, nCentroids, ivfIterations,
+      trainSampleMod)
+    val train = {
+      if (trainSampleMod <= 1) corpus
+      else {
+        val sampled = corpus.filter(pmod(
+          xxhash64(col(vecCol).cast("array<double>")),
+          lit(trainSampleMod.toLong)) === 0)
+        if (sampled.limit(pqK).count() < pqK) corpus else sampled
+      }
+    }
+    val spark = corpus.sparkSession
+    val codebooks = (0 until m).map { s =>
+      val fitted = kmeansFit(
+        train.select(col(corpusIdCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        corpusIdCol, "__sv", pqK, pqIterations)
+        .collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(fitted.toIndexedSeq: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("__cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType,
+              containsNull = false)))))
+    }
+    IvfPqIndex(centroids, codebooks, dim)
+  }
+
+  /** Serve one query batch against a trained/loaded [[IvfPqIndex]]:
+    * cell-candidate generation + code encode + ADC — NO training
+    * work. Bit-identical to the search [[ivfPqSearch]] runs right
+    * after its own fit (spec-pinned through an [[AnnIndex]]
+    * save/load round-trip). */
+  def ivfPqSearchWith(index: IvfPqIndex, queries: DataFrame,
+                      corpus: DataFrame, queryIdCol: String,
+                      corpusIdCol: String, vecCol: String, topK: Int,
+                      nProbe: Int = 4, corpusSpill: Int = 1): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // an index trained on a different embedding width would score
+    // truncated/null-padded subvectors SILENTLY — refuse loudly (the
+    // embedding-model-changed-between-fit-and-serve mistake)
+    val serveDim = vecDim(corpus, vecCol)
+    require(serveDim == index.dim,
+      s"index dim ${index.dim} != serving corpus dim $serveDim — " +
+        "refit or load the matching index")
+    val c = cellExplode(corpus, corpusIdCol, "__cid", vecCol,
+      index.centroids, corpusSpill)
+    val q = cellExplode(queries, queryIdCol, "query_id", vecCol,
+      index.centroids, nProbe)
+    // checkpointed: the seed frame feeds the m-subspace join chain and
+    // would otherwise re-run the cell join per downstream action
+    val candidates = c.join(broadcast(q), Seq("cell"))
+      .filter(col("__cid") =!= col("query_id"))
+      .select(col("query_id"), col("__cid")).distinct()
+      .localCheckpoint(true)
+    adcTopK(adcScoredWith(corpus, corpusIdCol, vecCol, queries,
+      queryIdCol, index.codebooks, index.dim, seed = Some(candidates)),
+      topK)
+  }
+
   /** IVF-PQ ANN search — the two sublinear pieces composed, the
     * standard billion-scale index shape (an IVFADC): IVF cells prune
     * WHICH corpus rows are scored (candidate work follows the
     * `nProbe` probed cells, not the corpus), PQ ADC prunes WHAT each
     * score costs (m broadcast-table lookups on integer codes instead
     * of a dim-length float dot against a raw vector the executor
-    * would have to hold).
+    * would have to hold). Fit + serve in one call — a repeated-serving
+    * caller should [[ivfPqFit]] once and [[ivfPqSearchWith]] per
+    * batch (persisting via [[AnnIndex]]).
     *
     * Scale shape: candidate generation is the [[ivfTopK]] cell join
     * (query side broadcast — queries ≪ corpus); the PQ stage joins
@@ -742,63 +835,6 @@ object Similarity {
     * the copy ranks in the top-k for ≥ 90% of planted queries at the
     * declared parameters (ties with same-cell coarse codes are the
     * only miss mode). */
-  /** A trained IVF-PQ index: the driver-resident IVF centroids (raw
-    * doubles, k×dim) plus the m per-subspace PQ codebooks (each a
-    * (cluster, __cv) frame of quantized integer vectors — exactly
-    * [[kmeansFit]]'s output, bit-deterministic). Train ONCE
-    * ([[ivfPqFit]]), persist ([[AnnIndex.save]]), serve many query
-    * batches ([[ivfPqSearchWith]]) — production ANN never retrains
-    * per query; the index is the asset. */
-  final case class IvfPqIndex(centroids: Seq[Seq[Double]],
-                              codebooks: Seq[DataFrame], dim: Int)
-
-  /** Train the IVF-PQ index (no search): one spherical-IVF train pass
-    * plus m per-subspace codebook fits. Both trainers accept a
-    * hash-sample modulus — at 100 TB codebooks fit on a sample and
-    * serving encodes the full corpus unchanged. */
-  def ivfPqFit(corpus: DataFrame, corpusIdCol: String, vecCol: String,
-               nCentroids: Int = 16, ivfIterations: Int = 2,
-               trainSampleMod: Int = 1, m: Int = 4, pqK: Int = 16,
-               pqIterations: Int = 2): IvfPqIndex = {
-    val dim = vecDim(corpus, vecCol)
-    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val centroids = ivfTrain(corpus, vecCol, nCentroids, ivfIterations,
-      trainSampleMod)
-    val codebooks = (0 until m).map { s =>
-      kmeansFit(
-        corpus.select(col(corpusIdCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-        corpusIdCol, "__sv", pqK, pqIterations)
-    }
-    IvfPqIndex(centroids, codebooks, dim)
-  }
-
-  /** Serve one query batch against a trained/loaded [[IvfPqIndex]]:
-    * cell-candidate generation + code encode + ADC — NO training
-    * work. Bit-identical to the search [[ivfPqSearch]] runs right
-    * after its own fit (spec-pinned through an [[AnnIndex]]
-    * save/load round-trip). */
-  def ivfPqSearchWith(index: IvfPqIndex, queries: DataFrame,
-                      corpus: DataFrame, queryIdCol: String,
-                      corpusIdCol: String, vecCol: String, topK: Int,
-                      nProbe: Int = 4, corpusSpill: Int = 1): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1, got $topK")
-    val c = cellExplode(corpus, corpusIdCol, "__cid", vecCol,
-      index.centroids, corpusSpill)
-    val q = cellExplode(queries, queryIdCol, "query_id", vecCol,
-      index.centroids, nProbe)
-    // checkpointed: the seed frame feeds the m-subspace join chain and
-    // would otherwise re-run the cell join per downstream action
-    val candidates = c.join(broadcast(q), Seq("cell"))
-      .filter(col("__cid") =!= col("query_id"))
-      .select(col("query_id"), col("__cid")).distinct()
-      .localCheckpoint(true)
-    adcTopK(adcScoredWith(corpus, corpusIdCol, vecCol, queries,
-      queryIdCol, index.codebooks, index.dim, seed = Some(candidates)),
-      topK)
-  }
-
   def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
                   queryIdCol: String, corpusIdCol: String, vecCol: String,
                   topK: Int, nCentroids: Int = 16, nProbe: Int = 4,

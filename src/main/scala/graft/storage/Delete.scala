@@ -223,12 +223,8 @@ object MorDelete {
     if (plan.rows.isEmpty) {
       Fs.deleteChecked(spark, tp)
     } else {
-      val tmp = tp + "__tmp"
-      Fs.deleteChecked(spark, tmp)
-      spark.createDataFrame(
-          java.util.Arrays.asList(plan.rows: _*), plan.schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      Fs.swapInStaged(spark, tp, tmp)
+      Fs.writeSwapped(spark, tp, spark.createDataFrame(
+        java.util.Arrays.asList(plan.rows: _*), plan.schema))
     }
   }
 

@@ -264,6 +264,22 @@ object Fs {
     deleteChecked(spark, aside)
   }
 
+  /** Replace (or create) a metadata-sized parquet dir crash-safely:
+    * the frame always lands in a staging dir first, then renames into
+    * place — directly when the target is absent (a crash mid-write
+    * leaves only staging debris, never a corrupt live dir the next
+    * reader trips over), via [[swapInStaged]] when replacing. The one
+    * audited implementation of the sidecar-replacement idiom
+    * (tombstones, ANN indexes, ...). */
+  def writeSwapped(spark: SparkSession, target: String,
+                   df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = target + "__tmp"
+    deleteChecked(spark, tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (!exists(spark, target)) renameChecked(spark, tmp, target)
+    else swapInStaged(spark, target, tmp)
+  }
+
   /** Heal a [[swapInStaged]] crash window: a leftover `__old` with no
     * live dir rolls BACK (the replacement never completed — the old
     * sidecar is the truth); with the live dir present the aside copy
