@@ -107,6 +107,53 @@ class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
     assert(s3 == s)
   }
 
+  test("leakageSafeSplit property: random pair graphs, components never straddle") {
+    // model components with union-find; the engine must (a) keep every
+    // component on one side, (b) side = hash of the component's MIN id,
+    // (c) leave non-component ids exactly where datasetSplit puts them
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 400L
+      val pairs = Vector.fill(60)(
+        (rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val df = spark.range(0, n).toDF("id")
+      val got = Sampling.leakageSafeSplit(df, "id",
+          pairs.toDF("id_a", "id_b"), 70, 15)
+        .select("id", "split", "split_unit")
+        .as[(Long, String, Long)].collect()
+      assert(got.length == n)
+      val bySplit = got.map(r => r._1 -> r._2).toMap
+      val byUnit = got.map(r => r._1 -> r._3).toMap
+      val plain = Sampling.datasetSplit(df, "id", 70, 15)
+        .select("id", "split").as[(Long, String)].collect().toMap
+      val inComponent = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      (0L until n).foreach { i =>
+        if (inComponent.contains(i)) {
+          val root = find(i)
+          assert(byUnit(i) == root,
+            s"trial=$trial id=$i unit ${byUnit(i)} != component min $root")
+          assert(bySplit(i) == bySplit(root),
+            s"trial=$trial id=$i split differs from its component root")
+        } else {
+          assert(byUnit(i) == i && bySplit(i) == plain(i),
+            s"trial=$trial singleton $i moved")
+        }
+      }
+    }
+  }
+
   test("leakageSafeSplit: duplicate clusters never straddle the split fence") {
     val df = spark.range(0, 5000).toDF("id")
     // chained pairs: (1,2),(2,3) puts 1,2,3 in ONE unit even though
