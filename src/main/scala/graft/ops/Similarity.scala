@@ -593,12 +593,16 @@ object Similarity {
     val dim = df.select(size(col(vecCol)).cast("int").as("d")).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val sub = dim / m
+    // codebooks batched into one Lloyd loop (bit-identical to
+    // per-subspace kmeansFit — OpsSpec-pinned); assignment stays per
+    // subspace, each a broadcast join of its tiny codebook
+    val codebooks = pqFitCodebooks(df, idCol, vecCol, m, k, iterations)
     val parts = (0 until m).map { s =>
-      kmeansAssign(
-          df.select(col(idCol),
+      assignQuantized(
+          quantized(df.select(col(idCol),
             slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-          idCol, "__sv", k, iterations)
-        .select(col(idCol), col("cluster").as(s"code_$s"),
+            idCol, "__sv"), codebooks(s))
+        .select(col("__id").as(idCol), col("cluster").as(s"code_$s"),
           col("d2").as(s"__d2_$s"))
     }
     parts.reduce((a, b) => a.join(b, Seq(idCol)))
@@ -642,15 +646,8 @@ object Similarity {
                         seed: Option[DataFrame]): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val codebooks = (0 until m).map { s =>
-      kmeansFit(
-        corpus.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-        idCol, "__sv", k, iterations)
-    }
     adcScoredWith(corpus, idCol, vecCol, queries, queryIdCol,
-      codebooks, dim, seed)
+      pqFitCodebooks(corpus, idCol, vecCol, m, k, iterations), dim, seed)
   }
 
   private def vecDim(corpus: DataFrame, vecCol: String): Int =
@@ -731,22 +728,24 @@ object Similarity {
                               codebooks: Seq[DataFrame], dim: Int)
 
   /** Train the IVF-PQ index (no search): one spherical-IVF train pass
-    * plus m per-subspace codebook fits. `trainSampleMod > 1` trains
-    * BOTH on the same deterministic hash-slice of the corpus — at
-    * 100 TB codebooks fit on a sample (standard PQ practice; the
-    * codebook only has to quantize the space, not see every vector)
-    * and serving encodes the full corpus unchanged. Falls back to the
-    * full corpus when the slice is smaller than pqK. The codebook
-    * frames are collected to the driver (m×pqK rows) and re-created
-    * as local relations — the fit-once/serve-many contract must not
-    * hinge on executor-resident checkpoint blocks. */
+    * plus the m per-subspace codebook fits BATCHED into a single Lloyd
+    * loop ([[pqFitCodebooks]] — 2 jobs per iteration instead of 2m; at
+    * 1000 executors driver round-trips are the serial cost, and the m
+    * fits are data-parallel over the same rows anyway).
+    * `trainSampleMod > 1` trains BOTH on the same deterministic
+    * hash-slice of the corpus — at 100 TB codebooks fit on a sample
+    * (standard PQ practice; the codebook only has to quantize the
+    * space, not see every vector) and serving encodes the full corpus
+    * unchanged. Falls back to the full corpus when the slice is
+    * smaller than pqK. The codebook frames are driver-resident local
+    * relations — the fit-once/serve-many contract must not hinge on
+    * executor-resident checkpoint blocks. */
   def ivfPqFit(corpus: DataFrame, corpusIdCol: String, vecCol: String,
                nCentroids: Int = 16, ivfIterations: Int = 2,
                trainSampleMod: Int = 1, m: Int = 4, pqK: Int = 16,
                pqIterations: Int = 2): IvfPqIndex = {
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
-    val sub = dim / m
     val centroids = ivfTrain(corpus, vecCol, nCentroids, ivfIterations,
       trainSampleMod)
     val train = {
@@ -758,24 +757,80 @@ object Similarity {
         if (sampled.limit(pqK).count() < pqK) corpus else sampled
       }
     }
-    val spark = corpus.sparkSession
-    val codebooks = (0 until m).map { s =>
-      val fitted = kmeansFit(
-        train.select(col(corpusIdCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-        corpusIdCol, "__sv", pqK, pqIterations)
-        .collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(fitted.toIndexedSeq: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cluster",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("__cv",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType,
-              containsNull = false)))))
+    IvfPqIndex(centroids,
+      pqFitCodebooks(train, corpusIdCol, vecCol, m, pqK, pqIterations),
+      dim)
+  }
+
+  /** All m subspace codebooks in ONE Lloyd loop — bit-identical to m
+    * independent [[kmeansFit]] calls over the vector's m slices
+    * (same first-k-by-id seeds per subspace, same exact-integer
+    * distances and floor-division means, same vanishing-empty-cluster
+    * behavior; equality pinned in OpsSpec) but each iteration is 2
+    * Spark jobs instead of 2m: the subspace id rides as a grouping
+    * column through the same assignment join and update aggregate.
+    * Returns one driver-resident local relation per subspace,
+    * (cluster, __cv) — [[kmeansFit]]'s output contract. */
+  private[ops] def pqFitCodebooks(train: DataFrame, idCol: String,
+                                  vecCol: String, m: Int, k: Int,
+                                  iterations: Int): Seq[DataFrame] = {
+    val dim = vecDim(train, vecCol)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val spark = train.sparkSession
+    // quantize the FULL vector once, slice per subspace (elementwise
+    // quantization commutes with slicing)
+    val vq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val base = train
+      .select(col(idCol).as("__id"), vq.as("__vqf"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("__vqf"), s * lit(sub) + lit(1), lit(sub))))
+        .as(Seq("subspace", "__vq")))
+      .localCheckpoint(true) // seeds + every Lloyd pass re-scan it
+    val seedW = Window.partitionBy(col("subspace")).orderBy(col("__id"))
+    var centroids = base
+      .withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= k)
+      .select(col("subspace"),
+        (col("__rn") - 1).cast("int").as("cluster"),
+        col("__vq").as("__cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val assigned = base.join(broadcast(centroids), Seq("subspace"))
+        .withColumn("__d2", aggregate(
+          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy(col("subspace"), col("__id"), col("__vq"))
+        .agg(min(struct(col("__d2"), col("cluster"))).as("__best"))
+        .select(col("subspace"), col("__vq"),
+          col("__best.cluster").as("cluster"))
+      centroids = assigned
+        .select(col("subspace"), col("cluster"),
+          posexplode(col("__vq")).as(Seq("__pos", "__v")))
+        .groupBy(col("subspace"), col("cluster"), col("__pos"))
+        .agg(floor(sum(col("__v")).cast("double") / count(lit(1)))
+          .cast("long").as("__c"))
+        .groupBy(col("subspace"), col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__c")))),
+          s => s.getField("__c")).as("__cv"))
+        .localCheckpoint()
     }
-    IvfPqIndex(centroids, codebooks, dim)
+    val rows = centroids.collect() // m×k rows
+    val cbSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
+    (0 until m).map { s =>
+      val rs = rows.filter(_.getInt(0) == s).map(r =>
+        org.apache.spark.sql.Row(r.getInt(1), r.getSeq[Long](2)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(rs.toIndexedSeq: _*), cbSchema)
+    }
   }
 
   /** Serve one query batch against a trained/loaded [[IvfPqIndex]]:

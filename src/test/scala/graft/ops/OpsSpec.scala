@@ -603,6 +603,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(perQuery.forall(_ <= 10L))
   }
 
+  test("batched PQ codebook fit == m independent kmeansFit calls, bit for bit") {
+    val m = 4; val k = 8; val iters = 2; val sub = 64 / m
+    val batched = Similarity.pqFitCodebooks(
+      emb, "vec_id", "embedding", m, k, iters)
+    (0 until m).foreach { s =>
+      val single = Similarity.kmeansFit(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), s * sub + 1, sub).as("__sv")),
+          "vec_id", "__sv", k, iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq))
+        .sortBy(_._1).toSeq
+      val b = batched(s)
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq))
+        .sortBy(_._1).toSeq
+      assert(b == single,
+        s"subspace $s: batched codebook diverged from kmeansFit")
+    }
+  }
+
   test("IVF-PQ index save/load round-trip serves bit-identical results") {
     val queries = emb.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
