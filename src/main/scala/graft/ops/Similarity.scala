@@ -583,10 +583,12 @@ object Similarity {
     *
     * Determinism makes the WHOLE training+encode pipeline
     * SQL-oracle-checkable — the same property `q_kmeans` pins, per
-    * subspace. Scale shape: m independent fits (each all-broadcast
-    * assignment — the corpus never shuffles for assignment) joined
-    * id-keyed; at 100 TB you fit codebooks on a hash-sample
-    * ([[Sampling.sampleByHash]]) and this encode pass is unchanged. */
+    * subspace. Scale shape: ONE batched Lloyd loop fits all m
+    * codebooks ([[pqFitCodebooks]] — 2 jobs per iteration, not 2m),
+    * then m all-broadcast assignments (the corpus never shuffles for
+    * assignment) joined id-keyed; at 100 TB you fit codebooks on a
+    * hash-sample ([[Sampling.sampleByHash]]) and this encode pass is
+    * unchanged. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                m: Int, k: Int, iterations: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
