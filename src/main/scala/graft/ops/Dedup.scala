@@ -345,11 +345,27 @@ object Dedup {
     val bSh = explodeShingles(
       shingleHashArrays(base, idCol, textCol, shingleSize)
         .localCheckpoint(true), idCol)
+    val bBand = bandedBuckets(
+      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands, rows)
+    incoming.join(
+      nearDupDropIds(incoming, idCol, textCol, bSh, bBand,
+        numHashes, bands, shingleSize, jaccardThreshold),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The bipartite candidate-join + exact-verify core shared by
+    * [[nearDedupAgainst]] (base frames built inline) and
+    * [[nearDedupAgainstIndex]] (base frames loaded from a persisted
+    * index). Returns the incoming ids to DROP. */
+  private def nearDupDropIds(incoming: DataFrame, idCol: String,
+                             textCol: String, bSh: DataFrame,
+                             bBand: DataFrame, numHashes: Int,
+                             bands: Int, shingleSize: Int,
+                             jaccardThreshold: Double): DataFrame = {
+    val rows = numHashes / bands
     val iSh = explodeShingles(
       shingleHashArrays(incoming, idCol, textCol, shingleSize)
         .localCheckpoint(true), idCol)
-    val bBand = bandedBuckets(
-      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands, rows)
     val iBand = bandedBuckets(
       signaturesFromShingles(iSh, idCol, numHashes), idCol, bands, rows)
     val candidates = iBand.alias("a").join(bBand.alias("b"),
@@ -357,10 +373,86 @@ object Dedup {
         col("a.bucket") === col("b.bucket"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val dropIds = jaccardBipartite(candidates, iSh, bSh, idCol)
+    jaccardBipartite(candidates, iSh, bSh, idCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").as(idCol)).distinct()
-    incoming.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Persist the fuzzy-dedup INDEX of a base corpus — the frame the
+    * scale notes have always called "the persistable fuzzy dedup
+    * index", now with an API: a continuous ingest builds it ONCE over
+    * the corpus, every later increment dedups against the stored
+    * index without re-shingling (or even reading) the base text.
+    * Layout under `path`, each dir written through the staged
+    * crash-safe swap ([[graft.storage.Fs.writeSwapped]]):
+    *   - `params` (num_hashes, bands, shingle_size — one row; search
+    *     derives the increment's signature scheme FROM the index, so
+    *     mismatched hashing is impossible by construction),
+    *   - `bands` (id, band, bucket — the LSH candidate side),
+    *   - `shingles` (id, shingle_hash — the exact-verify side; 64-bit
+    *     hashes, never text; both data-sized dirs keep their parallel
+    *     file layout). */
+  def saveNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, base: DataFrame, idCol: String,
+                       textCol: String, numHashes: Int = 64,
+                       bands: Int = 16, shingleSize: Int = 3): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.storage.Fs
+    val rows = numHashes / bands
+    val base0 = path.stripSuffix("/")
+    val bSh = explodeShingles(
+      shingleHashArrays(base, idCol, textCol, shingleSize)
+        .localCheckpoint(true), idCol)
+    val bBand = bandedBuckets(
+      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands, rows)
+    val params = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(numHashes, bands, shingleSize)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("num_hashes",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bands",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("shingle_size",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    Fs.writeSwapped(spark, s"$base0/params", params)
+    Fs.writeSwapped(spark, s"$base0/bands",
+      bBand.select(col(idCol).as("id"), col("band"), col("bucket")),
+      coalesce1 = false)
+    Fs.writeSwapped(spark, s"$base0/shingles",
+      bSh.select(col(idCol).as("id"), col("shingle_hash")),
+      coalesce1 = false)
+  }
+
+  /** [[nearDedupAgainst]] served from a persisted index: drop incoming
+    * docs whose shingle-set Jaccard with ANY indexed base doc reaches
+    * `jaccardThreshold`. Bit-identical to the inline form over the
+    * same base (integer hashes round-trip parquet losslessly —
+    * spec-pinned). The base corpus itself is never touched. */
+  def nearDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, incoming: DataFrame,
+                            idCol: String, textCol: String,
+                            jaccardThreshold: Double = 0.5): DataFrame = {
+    import graft.storage.Fs
+    val base0 = indexPath.stripSuffix("/")
+    Seq("params", "bands", "shingles").foreach { d =>
+      Fs.recoverAside(spark, s"$base0/$d")
+      require(Fs.exists(spark, s"$base0/$d"),
+        s"torn/missing near-dup index at $indexPath: no $d dir — " +
+          "re-run saveNearDupIndex")
+    }
+    val p = spark.read.parquet(s"$base0/params")
+      .select("num_hashes", "bands", "shingle_size").head()
+    val (numHashes, bands, shingleSize) =
+      (p.getInt(0), p.getInt(1), p.getInt(2))
+    val bSh = spark.read.parquet(s"$base0/shingles")
+      .select(col("id").as(idCol), col("shingle_hash"))
+    val bBand = spark.read.parquet(s"$base0/bands")
+      .select(col("id").as(idCol), col("band"), col("bucket"))
+    incoming.join(
+      nearDupDropIds(incoming, idCol, textCol, bSh, bBand,
+        numHashes, bands, shingleSize, jaccardThreshold),
+      Seq(idCol), "left_anti")
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verify stage of

@@ -2968,6 +2968,70 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** PERSISTED-index incremental near-dup dedup
+    * ([[graft.ops.Dedup.saveNearDupIndex]] /
+    * [[graft.ops.Dedup.nearDedupAgainstIndex]]): the index is built
+    * once over the base corpus and the increment dedups against the
+    * STORED bands + shingle hashes — the base text is never re-read.
+    * Oracle-checked (unlike `q_neardedup_incremental`'s Spark-hash
+    * MinHash acceptance): the verify stage is exact word-shingle
+    * Jaccard, so surfaced drops equal the all-pairs bipartite SQL,
+    * subject only to LSH candidate recall (the `q_jaccard_ngram`
+    * acceptance — planted suffix-clones sit at jac ≈ 0.97 where
+    * recall is ≈ 1). Spec pins indexed == inline bit-identical. */
+  val nearDedupIndexed: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text", "n_chars")
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"),
+          col("n_chars")))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_dedupidx_q").toString + "/idx"
+    graft.ops.Dedup.saveNearDupIndex(spark, idx, base, "doc_id", "text")
+    graft.ops.Dedup.nearDedupAgainstIndex(spark, idx, inc,
+        "doc_id", "text", jaccardThreshold = 0.8)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val nearDedupIndexedSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |inc AS (
+      |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text, n_chars
+      |  FROM documents WHERE doc_id < 30),
+      |bg AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ts) >= 3
+      |      THEN list_transform(generate_series(1, len(ts) - 2),
+      |        i -> array_to_string(ts[i:i+2], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS ts
+      |        FROM base)),
+      |ig AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ts) >= 3
+      |      THEN list_transform(generate_series(1, len(ts) - 2),
+      |        i -> array_to_string(ts[i:i+2], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS ts
+      |        FROM inc)),
+      |dropped AS (
+      |  SELECT DISTINCT i.doc_id
+      |  FROM ig i JOIN bg b ON
+      |    CAST(len(list_intersect(i.g, b.g)) AS DOUBLE) /
+      |    CAST(len(i.g) + len(b.g) - len(list_intersect(i.g, b.g)) AS DOUBLE)
+      |    >= 0.8)
+      |SELECT doc_id, n_chars FROM inc
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
+
   /** Boilerplate scrub: 2-token chunks occurring in ≥25 distinct docs
     * are removed from EVERY document (C4's cookie-banner rule); docs
     * reassemble from what remains. The frequent-chunk set is small by
@@ -6522,6 +6586,7 @@ object GraftQueries {
     entry("q_line_dedup", lineDedup, lineDedupSql),
     entry("q_dedup_incremental", dedupIncremental, dedupIncrementalSql),
     entry("q_neardedup_incremental", nearDedupIncremental),
+    entry("q_neardedup_indexed", nearDedupIndexed, nearDedupIndexedSql),
     entry("q_boilerplate_filter", boilerplateFilter, boilerplateFilterSql),
     entry("q_vocab_build", vocabBuild, vocabBuildSql),
     entry("q_tfidf", tfidfQ, tfidfSql),

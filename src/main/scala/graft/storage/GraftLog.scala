@@ -264,18 +264,22 @@ object Fs {
     deleteChecked(spark, aside)
   }
 
-  /** Replace (or create) a metadata-sized parquet dir crash-safely:
-    * the frame always lands in a staging dir first, then renames into
-    * place — directly when the target is absent (a crash mid-write
-    * leaves only staging debris, never a corrupt live dir the next
-    * reader trips over), via [[swapInStaged]] when replacing. The one
-    * audited implementation of the sidecar-replacement idiom
-    * (tombstones, ANN indexes, ...). */
+  /** Replace (or create) a parquet dir crash-safely: the frame always
+    * lands in a staging dir first, then renames into place — directly
+    * when the target is absent (a crash mid-write leaves only staging
+    * debris, never a corrupt live dir the next reader trips over),
+    * via [[swapInStaged]] when replacing. The one audited
+    * implementation of the sidecar-replacement idiom (tombstones, ANN
+    * indexes, dedup indexes, ...). `coalesce1` (default) packs
+    * metadata-sized frames into one file; pass false for data-sized
+    * index frames that should keep their parallel layout. */
   def writeSwapped(spark: SparkSession, target: String,
-                   df: org.apache.spark.sql.DataFrame): Unit = {
+                   df: org.apache.spark.sql.DataFrame,
+                   coalesce1: Boolean = true): Unit = {
     val tmp = target + "__tmp"
     deleteChecked(spark, tmp)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (if (coalesce1) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(tmp)
     if (!exists(spark, target)) renameChecked(spark, tmp, target)
     else swapInStaged(spark, target, tmp)
   }

@@ -622,6 +622,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("persisted near-dup index dedups bit-identically to the inline form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 60)
+    val inc = docs.filter(col("doc_id") >= 60)
+      .unionByName(base.limit(10).select(
+        (col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val inline = rows(Dedup.nearDedupAgainst(base, inc, "doc_id", "text",
+      jaccardThreshold = 0.8))
+    val idx = tempDir("dedupidx") + "/idx"
+    Dedup.saveNearDupIndex(spark, idx, base, "doc_id", "text")
+    val indexed = rows(Dedup.nearDedupAgainstIndex(spark, idx, inc,
+      "doc_id", "text", jaccardThreshold = 0.8))
+    assert(indexed == inline,
+      "index round-trip changed the dedup decisions")
+    // the planted suffix-clones were actually dropped (the index works)
+    assert(!indexed.exists(_ >= 5000L))
+    // overwrite-save (staged swap) and redo: still identical
+    Dedup.saveNearDupIndex(spark, idx, base, "doc_id", "text")
+    assert(rows(Dedup.nearDedupAgainstIndex(spark, idx, inc,
+      "doc_id", "text", jaccardThreshold = 0.8)) == inline)
+    // a torn index (missing dir) refuses loudly
+    graft.storage.Fs.deleteChecked(spark, s"$idx/shingles")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDedupAgainstIndex(spark, idx, inc, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("near-dup index"))
+  }
+
   test("IVF-PQ index save/load round-trip serves bit-identical results") {
     val queries = emb.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
