@@ -340,17 +340,30 @@ object Dedup {
                        numHashes: Int = 64, bands: Int = 16,
                        shingleSize: Int = 3,
                        jaccardThreshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val bSh = explodeShingles(
-      shingleHashArrays(base, idCol, textCol, shingleSize)
-        .localCheckpoint(true), idCol)
-    val bBand = bandedBuckets(
-      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands, rows)
+    val (bSh, bBand) = baseIndexFrames(base, idCol, textCol,
+      numHashes, bands, shingleSize)
     incoming.join(
       nearDupDropIds(incoming, idCol, textCol, bSh, bBand,
         numHashes, bands, shingleSize, jaccardThreshold),
       Seq(idCol), "left_anti")
+  }
+
+  /** The base side of the bipartite near-dup join — shingle hashes +
+    * banded signatures. ONE definition, shared by the inline form and
+    * the index writer, so the spec-pinned "indexed == inline"
+    * guarantee cannot drift. */
+  private def baseIndexFrames(base: DataFrame, idCol: String,
+                              textCol: String, numHashes: Int,
+                              bands: Int, shingleSize: Int)
+      : (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bSh = explodeShingles(
+      shingleHashArrays(base, idCol, textCol, shingleSize)
+        .localCheckpoint(true), idCol)
+    val bBand = bandedBuckets(
+      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands,
+      numHashes / bands)
+    (bSh, bBand)
   }
 
   /** The bipartite candidate-join + exact-verify core shared by
@@ -383,45 +396,43 @@ object Dedup {
     * index", now with an API: a continuous ingest builds it ONCE over
     * the corpus, every later increment dedups against the stored
     * index without re-shingling (or even reading) the base text.
-    * Layout under `path`, each dir written through the staged
-    * crash-safe swap ([[graft.storage.Fs.writeSwapped]]):
-    *   - `params` (num_hashes, bands, shingle_size — one row; search
-    *     derives the increment's signature scheme FROM the index, so
-    *     mismatched hashing is impossible by construction),
-    *   - `bands` (id, band, bucket — the LSH candidate side),
-    *   - `shingles` (id, shingle_hash — the exact-verify side; 64-bit
-    *     hashes, never text; both data-sized dirs keep their parallel
-    *     file layout). */
+    * Layout under `path`: `params` (num_hashes, bands, shingle_size —
+    * one row; search derives the increment's signature scheme FROM the
+    * index, so mismatched hashing is impossible by construction),
+    * `bands` (id, band, bucket — the LSH candidate side), `shingles`
+    * (id, shingle_hash — the exact-verify side; 64-bit hashes, never
+    * text). The WHOLE index stages into one temp dir and swaps in as a
+    * unit — the three dirs are one generation always; a crash mid-save
+    * leaves the previous complete index (or staging debris on first
+    * save), never a mixed-generation one whose stale bands would
+    * silently under-dedup. */
   def saveNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, base: DataFrame, idCol: String,
                        textCol: String, numHashes: Int = 64,
                        bands: Int = 16, shingleSize: Int = 3): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     import graft.storage.Fs
-    val rows = numHashes / bands
-    val base0 = path.stripSuffix("/")
-    val bSh = explodeShingles(
-      shingleHashArrays(base, idCol, textCol, shingleSize)
-        .localCheckpoint(true), idCol)
-    val bBand = bandedBuckets(
-      signaturesFromShingles(bSh, idCol, numHashes), idCol, bands, rows)
-    val params = spark.createDataFrame(
-      java.util.Collections.singletonList(
-        org.apache.spark.sql.Row(numHashes, bands, shingleSize)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("num_hashes",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("bands",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("shingle_size",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
-    Fs.writeSwapped(spark, s"$base0/params", params)
-    Fs.writeSwapped(spark, s"$base0/bands",
-      bBand.select(col(idCol).as("id"), col("band"), col("bucket")),
-      coalesce1 = false)
-    Fs.writeSwapped(spark, s"$base0/shingles",
-      bSh.select(col(idCol).as("id"), col("shingle_hash")),
-      coalesce1 = false)
+    val root = path.stripSuffix("/")
+    val tmp = root + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    val (bSh, bBand) = baseIndexFrames(base, idCol, textCol,
+      numHashes, bands, shingleSize)
+    spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(numHashes, bands, shingleSize)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("num_hashes",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("bands",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("shingle_size",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      .coalesce(1).write.parquet(s"$tmp/params")
+    bBand.select(col(idCol).as("id"), col("band"), col("bucket"))
+      .write.parquet(s"$tmp/bands")
+    bSh.select(col(idCol).as("id"), col("shingle_hash"))
+      .write.parquet(s"$tmp/shingles")
+    if (!Fs.exists(spark, root)) Fs.renameChecked(spark, tmp, root)
+    else Fs.swapInStaged(spark, root, tmp)
   }
 
   /** [[nearDedupAgainst]] served from a persisted index: drop incoming
@@ -435,11 +446,12 @@ object Dedup {
                             jaccardThreshold: Double = 0.5): DataFrame = {
     import graft.storage.Fs
     val base0 = indexPath.stripSuffix("/")
+    // the index swaps as ONE unit — recovery/validation at the root
+    Fs.recoverAside(spark, base0)
     Seq("params", "bands", "shingles").foreach { d =>
-      Fs.recoverAside(spark, s"$base0/$d")
       require(Fs.exists(spark, s"$base0/$d"),
-        s"torn/missing near-dup index at $indexPath: no $d dir — " +
-          "re-run saveNearDupIndex")
+        s"missing near-dup index at $indexPath: no $d dir — " +
+          "run saveNearDupIndex")
     }
     val p = spark.read.parquet(s"$base0/params")
       .select("num_hashes", "bands", "shingle_size").head()

@@ -627,7 +627,7 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "text")
     val base = docs.filter(col("doc_id") < 60)
     val inc = docs.filter(col("doc_id") >= 60)
-      .unionByName(base.limit(10).select(
+      .unionByName(base.filter(col("doc_id") < 10).select(
         (col("doc_id") + 5000).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text")))
     def rows(df: org.apache.spark.sql.DataFrame) =
