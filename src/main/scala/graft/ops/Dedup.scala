@@ -374,18 +374,25 @@ object Dedup {
                              textCol: String, bSh: DataFrame,
                              bBand: DataFrame, numHashes: Int,
                              bands: Int, shingleSize: Int,
-                             jaccardThreshold: Double): DataFrame = {
+                             jaccardThreshold: Double,
+                             excludeSameId: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     val iSh = explodeShingles(
       shingleHashArrays(incoming, idCol, textCol, shingleSize)
         .localCheckpoint(true), idCol)
     val iBand = bandedBuckets(
       signaturesFromShingles(iSh, idCol, numHashes), idCol, bands, rows)
-    val candidates = iBand.alias("a").join(bBand.alias("b"),
+    val candidates0 = iBand.alias("a").join(bBand.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    // excludeSameId: a doc does not near-dup ITSELF — the replayed-
+    // micro-batch case, where the doc's own index entry (appended
+    // before the crash) must not block its corpus append on retry
+    val candidates =
+      if (excludeSameId) candidates0.filter(col("id_a") =!= col("id_b"))
+      else candidates0
     jaccardBipartite(candidates, iSh, bSh, idCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").as(idCol)).distinct()
@@ -439,14 +446,48 @@ object Dedup {
     * docs whose shingle-set Jaccard with ANY indexed base doc reaches
     * `jaccardThreshold`. Bit-identical to the inline form over the
     * same base (integer hashes round-trip parquet losslessly —
-    * spec-pinned). The base corpus itself is never touched. */
+    * spec-pinned). The base corpus itself is never touched.
+    * `excludeSameId = true` skips candidate pairs whose ids are EQUAL
+    * — the micro-batch replay case ([[graft.streaming.StreamingOps]]
+    * continuous ingest): a doc whose own entry already landed in the
+    * index before a crash must not near-dup itself on retry. */
   def nearDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, incoming: DataFrame,
                             idCol: String, textCol: String,
-                            jaccardThreshold: Double = 0.5): DataFrame = {
+                            jaccardThreshold: Double = 0.5,
+                            excludeSameId: Boolean = false): DataFrame = {
+    val (numHashes, bands, shingleSize, bSh, bBand) =
+      loadNearDupIndex(spark, indexPath, idCol)
+    incoming.join(
+      nearDupDropIds(incoming, idCol, textCol, bSh, bBand,
+        numHashes, bands, shingleSize, jaccardThreshold, excludeSameId),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Whether a complete persisted near-dup index exists at `path`
+    * (post aside-recovery) — the continuous-ingest bootstrap check. */
+  def nearDupIndexExists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Boolean = {
+    import graft.storage.Fs
+    val base0 = path.stripSuffix("/")
+    Fs.recoverAside(spark, base0)
+    Seq("params", "bands", "shingles")
+      .forall(d => Fs.exists(spark, s"$base0/$d"))
+  }
+
+  /** The persisted index's parameters and frames — base generation
+    * plus every appended `inc-N` generation unioned. Shared by the
+    * serving join and [[appendToNearDupIndex]] (which must stamp
+    * increments with the index's OWN hash scheme). */
+  private def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, idCol: String)
+      : (Int, Int, Int, DataFrame, DataFrame) = {
     import graft.storage.Fs
     val base0 = indexPath.stripSuffix("/")
-    // the index swaps as ONE unit — recovery/validation at the root
+    // the base index swaps as ONE unit — recovery/validation at the
+    // root; appended generations are single-rename dirs (inc-N), so a
+    // crashed append leaves only `inc-N__tmp` debris the generation
+    // filter below never reads
     Fs.recoverAside(spark, base0)
     Seq("params", "bands", "shingles").foreach { d =>
       require(Fs.exists(spark, s"$base0/$d"),
@@ -455,16 +496,53 @@ object Dedup {
     }
     val p = spark.read.parquet(s"$base0/params")
       .select("num_hashes", "bands", "shingle_size").head()
-    val (numHashes, bands, shingleSize) =
-      (p.getInt(0), p.getInt(1), p.getInt(2))
-    val bSh = spark.read.parquet(s"$base0/shingles")
-      .select(col("id").as(idCol), col("shingle_hash"))
-    val bBand = spark.read.parquet(s"$base0/bands")
-      .select(col("id").as(idCol), col("band"), col("bucket"))
-    incoming.join(
-      nearDupDropIds(incoming, idCol, textCol, bSh, bBand,
-        numHashes, bands, shingleSize, jaccardThreshold),
-      Seq(idCol), "left_anti")
+    val incDirs = Fs.listSubdirs(spark, base0)
+      .filter(_.matches("inc-\\d+")).sorted
+    def gen(sub: String): DataFrame = {
+      val dirs = s"$base0/$sub" +: incDirs.map(d => s"$base0/$d/$sub")
+      dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    }
+    (p.getInt(0), p.getInt(1), p.getInt(2),
+      gen("shingles").select(col("id").as(idCol), col("shingle_hash")),
+      gen("bands").select(col("id").as(idCol), col("band"), col("bucket")))
+  }
+
+  /** Append an increment to a persisted near-dup index WITHOUT
+    * rebuilding it — the continuous-ingest maintenance path: cost is
+    * O(increment) (shingle + signature work on the new docs only; the
+    * base generations are never read, let alone rewritten). The
+    * increment's bands + shingles are computed with the index's OWN
+    * recorded parameters (mismatched hashing impossible by
+    * construction) and land as one `inc-N` generation dir: both
+    * subdirs stage under `inc-N__tmp` and a SINGLE rename publishes
+    * them — a crash leaves ignorable `__tmp` debris, never a
+    * half-generation whose bands would under-verify. A full
+    * [[saveNearDupIndex]] re-save swaps the whole root and clears all
+    * increments (the periodic-rebuild lifecycle). Serving from an
+    * appended index is bit-identical to serving from a full rebuild
+    * over the same docs (spec-pinned): generations only change file
+    * layout, and the verify stage is set-semantics over (id,
+    * shingle_hash). */
+  def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, increment: DataFrame,
+                           idCol: String, textCol: String): Unit = {
+    import graft.storage.Fs
+    val base0 = indexPath.stripSuffix("/")
+    val (numHashes, bands, shingleSize, _, _) =
+      loadNearDupIndex(spark, base0, idCol)
+    val (iSh, iBand) = baseIndexFrames(increment, idCol, textCol,
+      numHashes, bands, shingleSize)
+    val n = (0L +: Fs.listSubdirs(spark, base0)
+        .filter(_.matches("inc-\\d+"))
+        .map(_.stripPrefix("inc-").toLong)).max + 1L
+    val gen = s"$base0/inc-$n"
+    val tmp = gen + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    iBand.select(col(idCol).as("id"), col("band"), col("bucket"))
+      .write.parquet(s"$tmp/bands")
+    iSh.select(col(idCol).as("id"), col("shingle_hash"))
+      .write.parquet(s"$tmp/shingles")
+    Fs.renameChecked(spark, tmp, gen)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verify stage of

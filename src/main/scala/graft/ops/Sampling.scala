@@ -33,12 +33,34 @@ object Sampling {
     pmod(pmod(pmod(key.cast("long"), lit(M31)) * lit(HashA), lit(M32)),
       lit(buckets.toLong))
 
+  /** The [[hashBucket]] input for a user key column: numeric keys
+    * feed the affine hash directly (the engine-portable path). STRING
+    * keys — URLs, content hashes, the crawl-curation id shape — would
+    * `cast("long")` to null and silently collapse every row into one
+    * bucket (a split that degenerates to all-"test" without error),
+    * so they hash through xxhash64 first: deterministic across runs,
+    * partitionings and re-layouts within Spark; the cross-ENGINE
+    * membership guarantee needs numeric keys (documented trade). Any
+    * other key type refuses loudly instead of cast-to-null
+    * degenerating. */
+  private def keyForBucket(df: DataFrame, keyCol: String): Column = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    df.select(col(keyCol)).schema.head.dataType match {
+      case _: NumericType => col(keyCol)
+      case StringType => xxhash64(col(keyCol))
+      case dt => throw new IllegalArgumentException(
+        s"split/sample key '$keyCol' has type ${dt.simpleString}: use " +
+          "a numeric key (engine-portable membership) or a string key " +
+          "(xxhash64 path, Spark-deterministic)")
+    }
+  }
+
   /** Keep a deterministic pct% sample by key — the train/holdout split.
     * Complementary selections (pct and 100-pct via >=) partition the
     * data exactly. */
   def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
-    df.filter(hashBucket(col(keyCol), 100) < pct)
+    df.filter(hashBucket(keyForBucket(df, keyCol), 100) < pct)
   }
 
   /** Domain-mixture sampling: per-domain keep percentages — the data
@@ -59,7 +81,7 @@ object Sampling {
       case (acc, (dom, pct)) =>
         when(col(domainCol) === lit(dom), lit(pct)).otherwise(acc)
     }
-    df.filter(hashBucket(col(keyCol), 100) < rate)
+    df.filter(hashBucket(keyForBucket(df, keyCol), 100) < rate)
   }
 
   /** Weighted mixture with UPSAMPLING: each domain's rows are emitted
@@ -89,7 +111,7 @@ object Sampling {
         when(col(domainCol) === lit(dom), lit(f)).otherwise(acc)
       }
     val copies = (perMille / lit(1000)).cast("int") +
-      when(hashBucket(col(keyCol), 1000) < perMille % lit(1000), lit(1))
+      when(hashBucket(keyForBucket(df, keyCol), 1000) < perMille % lit(1000), lit(1))
         .otherwise(lit(0))
     // sequence(1, 0) counts DOWN ([1, 0]) rather than yielding an empty
     // array — guard the zero-copy case explicitly
@@ -114,7 +136,7 @@ object Sampling {
         clash.mkString(", "))
     val w = Window.partitionBy(col(stratumCol))
     val rank = row_number().over(
-      w.orderBy(hashBucket(col(keyCol), 1000000), col(keyCol)))
+      w.orderBy(hashBucket(keyForBucket(df, keyCol), 1000000), col(keyCol)))
     df.withColumn("__graft_rank", rank)
       .withColumn("__graft_n", count(lit(1)).over(w))
       .filter(col("__graft_rank") <=
@@ -149,7 +171,7 @@ object Sampling {
       .distinct()
       .groupBy(col(groupCol))
       .agg(graft.functions.BoundedTopKAgg.minK(
-        struct(hashBucket(col(keyCol), 1000000).as("h"),
+        struct(hashBucket(keyForBucket(df, keyCol), 1000000).as("h"),
           col(keyCol).as("k")), k).as("__kept"))
       .select(col(groupCol), explode(col("__kept.k")).as(keyCol))
   }
@@ -164,7 +186,7 @@ object Sampling {
                    pctTrain: Int, pctVal: Int): DataFrame = {
     require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
       s"pcts must be >= 0 with train+val <= 100, got $pctTrain/$pctVal")
-    val b = hashBucket(col(keyCol), 100)
+    val b = hashBucket(keyForBucket(df, keyCol), 100)
     df.withColumn("split",
       when(b < pctTrain, "train")
         .when(b < pctTrain + pctVal, "val")
@@ -194,9 +216,13 @@ object Sampling {
       s"pcts must be >= 0 with train+val <= 100, got $pctTrain/$pctVal")
     val groups = Dedup.duplicateGroups(pairs)
       .select(col("id").as(keyCol), col("label").as("__grp"))
-    val b = hashBucket(col("split_unit"), 100)
-    df.join(groups, Seq(keyCol), "left")
+    val withUnit = df.join(groups, Seq(keyCol), "left")
       .withColumn("split_unit", coalesce(col("__grp"), col(keyCol)))
+    // type-checked on the RESOLVED unit column (string doc ids — URLs,
+    // the crawl-curation case — take the xxhash64 path instead of
+    // cast-to-null silently landing every row in "test")
+    val b = hashBucket(keyForBucket(withUnit, "split_unit"), 100)
+    withUnit
       .withColumn("split",
         when(b < pctTrain, "train")
           .when(b < pctTrain + pctVal, "val")
@@ -244,7 +270,7 @@ object Sampling {
           (col("__sq").cast("double") * col("__c").cast("double")))))
       .select(col(domainCol), col("__rate"))
     df.join(broadcast(rates), domainCol)
-      .filter(hashBucket(col(keyCol), 1000) < col("__rate"))
+      .filter(hashBucket(keyForBucket(df, keyCol), 1000) < col("__rate"))
       .drop("__rate")
   }
 

@@ -37,10 +37,7 @@ object Delete {
       val affected = df.filter(cond).select(partCols: _*)
         .distinct().collect().map(_.toSeq).toSeq
       if (affected.isEmpty) return 0L
-      val prunePred = affected.map(vs =>
-        parts.zip(vs).map { case (f, v) => col(f) <=> lit(v) }
-          .reduce(_ && _)).reduce(_ || _)
-      val pruned = df.filter(prunePred)
+      val pruned = prunedToAffected(spark, df, parts, affected)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val deleted = pruned.filter(cond).count()
@@ -83,6 +80,34 @@ object Delete {
       } finally scanned.unpersist()
     }
   }
+
+  /** Restrict `df` to the affected partitions — Merge's wide-write
+    * discipline (Merge.scala prunedFull): a bounded affected set
+    * prunes via a literal OR-of-ANDs (reaches the scan as
+    * PartitionFilters); a retention delete touching 10⁴–10⁵
+    * partitions — routine at 100× — would crush the optimizer with a
+    * 10⁴-arm predicate, so wide deletes prune via a null-safe
+    * broadcast semi-join instead. */
+  private[storage] def prunedToAffected(
+      spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      parts: Seq[String], affected: Seq[Seq[Any]])
+      : org.apache.spark.sql.DataFrame =
+    if (affected.size <= 1000) {
+      val prunePred = affected.map(vs =>
+        parts.zip(vs).map { case (f, v) => col(f) <=> lit(v) }
+          .reduce(_ && _)).reduce(_ || _)
+      df.filter(prunePred)
+    } else {
+      val affectedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          affected.map(vs => org.apache.spark.sql.Row(vs: _*))),
+        org.apache.spark.sql.types.StructType(
+          parts.map(f => df.schema(f))))
+        .toDF(parts.map(f => s"__aff_$f"): _*)
+      val joinCond = parts.map(f =>
+        col(f) <=> col(s"__aff_$f")).reduce(_ && _)
+      df.join(broadcast(affectedDf), joinCond, "left_semi")
+    }
 }
 
 /** Merge-on-read DELETE — the deletion-vector idea re-expressed on
@@ -183,7 +208,17 @@ object MorDelete {
     * tombstone sidecar, nothing to do (the common case — one exists()
     * call). Throws when the sidecar's key columns are absent from
     * `written`: an unreconcilable write against live tombstones must
-    * fail loudly, not silently destroy data later. */
+    * fail loudly, not silently destroy data later.
+    *
+    * The metadata-sized contract is ENFORCED, not just documented: the
+    * sidecar's row count is checked against
+    * `spark.graft.morReconcileMaxRows` (default 1e6) BEFORE anything
+    * collects — a mass-delete-then-merge above the bound refuses with
+    * the compact()-first message instead of silently OOMing the
+    * driver. */
+  val ReconcileMaxRowsKey = "spark.graft.morReconcileMaxRows"
+  val ReconcileMaxRowsDefault = 1000000L
+
   def planReconcile(spark: SparkSession, base0: String,
                     written: org.apache.spark.sql.DataFrame)
       : Option[ReconcilePlan] = {
@@ -191,6 +226,15 @@ object MorDelete {
     Fs.recoverAside(spark, tp)
     if (!Fs.exists(spark, tp)) return None
     val tombs = spark.read.parquet(tp)
+    val bound = spark.conf.getOption(ReconcileMaxRowsKey)
+      .map(_.toLong).getOrElse(ReconcileMaxRowsDefault)
+    val nTombs = tombs.count()
+    if (nTombs > bound)
+      throw new IllegalStateException(
+        s"refusing to reconcile $nTombs tombstone rows at $tp " +
+          s"(driver-residence bound $ReconcileMaxRowsKey=$bound): " +
+          "compact() the table first to apply the tombstones " +
+          "physically, or raise the bound if the driver can hold them")
     val tCols = tombs.schema.fieldNames.toSeq
     val missing = tCols.filterNot(written.schema.fieldNames.contains)
     if (missing.nonEmpty)

@@ -297,6 +297,17 @@ object Fs {
     }
   }
 
+  /** Names of the immediate child DIRECTORIES of `path` (empty for a
+    * missing path). Metadata-sized driver listing — used for
+    * generation-dir discovery (near-dup index increments) and debris
+    * scans, never data enumeration. */
+  def listSubdirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
   /** Recursive directory copy (driver-side; op-log sized). Unlike
     * rename, the source stays intact — used where a swap needs the
     * original to remain a complete table until its own rename. */

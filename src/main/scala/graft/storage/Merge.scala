@@ -130,10 +130,16 @@ object Merge {
     //    reconstructing across an unrecorded gap;
     //  - the OVERWRITE app gets the stale-debris heal: an overwrite's
     //    swap removes the feed atomically-with-the-table, never
-    //    partially, so a feed still holding stamps at or below that
-    //    horizon can only mean the swap never happened — the history
-    //    is intact and the stale record must not refuse travel the
-    //    present batches can serve. The heal judges EVERY overwrite
+    //    partially, so a feed still holding stamps STRICTLY below
+    //    that horizon can only mean the swap never happened — the
+    //    history is intact and the stale record must not refuse
+    //    travel the present batches can serve. Strictly below,
+    //    because debris stamps are at most h-1 (h = max stamp + 1)
+    //    while a post-overwrite merge in the same JVM/millisecond can
+    //    legitimately stamp EXACTLY h via nextBatchStamp's p+1 bump —
+    //    `<=` would misread that genuine horizon as debris and
+    //    reconstruct a wrong pre-overwrite snapshot.
+    //    The heal judges EVERY overwrite
     //    record individually (txnBatches, not the max-collapsed
     //    lastTxnBatch): a later crashed overwrite's debris must not
     //    shadow an earlier completed overwrite's genuine horizon.
@@ -144,7 +150,7 @@ object Merge {
     val pruned = (
       GraftLog.txnBatches(spark, path, ChangesPruneApp) ++
       GraftLog.txnBatches(spark, path, ChangesOverwriteApp)
-        .filterNot(h => feedStamps.headOption.exists(_ <= h))
+        .filterNot(h => feedStamps.headOption.exists(_ < h))
     ).maxOption
     pruned.filter(asOfBatch < _).foreach { horizon =>
       throw new IllegalArgumentException(

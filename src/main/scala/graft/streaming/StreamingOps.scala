@@ -428,7 +428,11 @@ object StreamingOps {
     * Scale: per-batch cost is batch × index-hash work; corpus text
     * never reshuffles; at 100 TB persist the distinct-hash frame
     * between ingests ([[graft.ops.Dedup.dedupAgainst]]'s documented
-    * index shape) instead of re-deriving it per batch. */
+    * index shape) instead of re-deriving it per batch.
+    *
+    * A FRESH corpus path bootstraps: the first micro-batch finds no
+    * managed table and writes its intra-deduped rows directly (the
+    * append creates the table) — no pre-seeding required. */
   def ingestDedupStream(storage: Storage, stream: DataFrame,
                         corpusPath: String, idCol: String,
                         textCol: String,
@@ -442,9 +446,92 @@ object StreamingOps {
               graft.ops.Dedup.normalizedHash(col(textCol))),
             Seq("__graft_t"), idCol)
           .drop("__graft_t")
-        val fresh = graft.ops.Dedup.dedupAgainst(
-          storage.read(corpusPath, "delta"), intra, textCol)
+        val fresh =
+          if (!graft.storage.GraftLog.isManagedTable(
+              batch.sparkSession, corpusPath)) intra
+          else graft.ops.Dedup.dedupAgainst(
+            storage.read(corpusPath, "delta"), intra, textCol)
         storage.write(fresh, corpusPath, "delta", "append")
+      }
+      .start()
+
+  /** [[ingestDedupStream]] upgraded with NEAR-dup filtering served
+    * from (and maintained in) a persisted MinHash-LSH index
+    * ([[graft.ops.Dedup.saveNearDupIndex]]): each micro-batch is
+    * (1) intra-batch exact-deduped, (2) exact-deduped against the
+    * corpus hash index, (3) near-deduped against the fuzzy index
+    * (band/bucket candidates + exact verify — the base corpus text is
+    * never re-read), and the survivors are (4) appended to the fuzzy
+    * index as ONE `inc-N` generation
+    * ([[graft.ops.Dedup.appendToNearDupIndex]] — O(batch), never a
+    * rebuild) and (5) appended to the corpus. A fresh corpus/index
+    * pair bootstraps from the first batch.
+    *
+    * Replay safety: index-before-corpus ordering + `excludeSameId`
+    * near-dup serving. A crash between (4) and (5) replays the batch
+    * with its own entries already indexed — same-id candidate pairs
+    * are excluded, so the docs pass the fuzzy stage, pass the exact
+    * stage (their texts never reached the corpus) and complete their
+    * corpus append; the duplicate index generation is harmless (the
+    * verify stage is set-semantics per (id, shingle)). The reverse
+    * ordering would be a silent PERMANENT index gap: corpus-first +
+    * crash ⇒ replay's exact stage drops the docs before they are
+    * ever indexed, and every future near-dup of them sails through. */
+  def ingestNearDedupStream(storage: Storage, stream: DataFrame,
+                            corpusPath: String, indexPath: String,
+                            idCol: String, textCol: String,
+                            checkpoint: String,
+                            jaccardThreshold: Double = 0.5,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleSize: Int = 3): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val intra = graft.ops.Dedup.exactDeterministic(
+            batch.withColumn("__graft_t",
+              graft.ops.Dedup.normalizedHash(col(textCol))),
+            Seq("__graft_t"), idCol)
+          .drop("__graft_t")
+        val corpusExists =
+          graft.storage.GraftLog.isManagedTable(spark, corpusPath)
+        val indexExists =
+          graft.ops.Dedup.nearDupIndexExists(spark, indexPath)
+        val fresh =
+          if (!corpusExists) intra // fresh start — nothing to dedup against
+          else {
+            val exactFresh = graft.ops.Dedup.dedupAgainst(
+              storage.read(corpusPath, "delta"), intra, textCol)
+            if (indexExists)
+              graft.ops.Dedup.nearDedupAgainstIndex(spark, indexPath,
+                exactFresh, idCol, textCol, jaccardThreshold,
+                excludeSameId = true)
+            else // index lost/not yet built: one inline pass, rebuilt below
+              graft.ops.Dedup.nearDedupAgainst(
+                storage.read(corpusPath, "delta"), exactFresh, idCol,
+                textCol, numHashes, bands, shingleSize, jaccardThreshold)
+          }
+        // the downstream appends each read `fresh` once — materialize
+        // the dedup chain once instead of re-running the candidate
+        // join per consumer
+        val freshM = fresh.localCheckpoint(true)
+        if (indexExists && corpusExists)
+          graft.ops.Dedup.appendToNearDupIndex(spark, indexPath, freshM,
+            idCol, textCol)
+        else {
+          // bootstrap (or heal a lost index): ONE build over
+          // corpus-so-far + this batch — a one-time O(corpus) cost,
+          // every later batch appends O(batch)
+          val all =
+            if (!corpusExists) freshM
+            else storage.read(corpusPath, "delta")
+              .select(col(idCol), col(textCol)).unionByName(
+                freshM.select(col(idCol), col(textCol)))
+          graft.ops.Dedup.saveNearDupIndex(spark, indexPath, all,
+            idCol, textCol, numHashes, bands, shingleSize)
+        }
+        storage.write(freshM, corpusPath, "delta", "append")
       }
       .start()
 

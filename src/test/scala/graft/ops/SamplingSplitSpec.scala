@@ -107,6 +107,41 @@ class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
     assert(s3 == s)
   }
 
+  test("string keys split via the xxhash64 path instead of degenerating to all-test") {
+    // the cast("long") a string id silently nulls used to land EVERY
+    // row in "test" — the crawl-curation URL-id case
+    val df = (0 until 2000).map(i => s"https://example.com/doc/$i")
+      .toDF("url")
+    val s = Sampling.datasetSplit(df, "url", 80, 10)
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts.getOrElse("train", 0L) > 1200L,
+      s"string keys must spread across buckets, got $counts")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // membership is layout-stable (xxhash64 is a pure value function)
+    val v1 = s.filter(col("split") === "val").select("url")
+      .as[String].collect().sorted.toSeq
+    val v2 = Sampling.datasetSplit(df.repartition(7), "url", 80, 10)
+      .filter(col("split") === "val").select("url")
+      .as[String].collect().sorted.toSeq
+    assert(v1 == v2)
+    // leakageSafeSplit with string ids: clusters stay atomic
+    val pairs = Seq(("https://example.com/doc/1", "https://example.com/doc/2"))
+      .toDF("id_a", "id_b")
+    val ls = Sampling.leakageSafeSplit(df, "url", pairs, 80, 10)
+    val dupSplits = ls.filter(col("url").isin(
+        "https://example.com/doc/1", "https://example.com/doc/2"))
+      .select("split").distinct().count()
+    assert(dupSplits == 1L, "paired string docs must co-assign")
+    assert(ls.groupBy("split").count().count() == 3L)
+    // an unsplittable key type refuses loudly (no silent null-cast)
+    val bad = Seq((Seq(1, 2), 1)).toDF("arr", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.datasetSplit(bad, "arr", 80, 10)
+    }
+    assert(e.getMessage.contains("numeric key"))
+  }
+
   test("leakageSafeSplit property: random pair graphs, components never straddle") {
     // model components with union-find; the engine must (a) keep every
     // component on one side, (b) side = hash of the component's MIN id,

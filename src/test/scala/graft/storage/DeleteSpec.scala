@@ -66,6 +66,37 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(back.filter(col("part") === "p2").count() == 30)
   }
 
+  test("wide deletes (>1000 affected partitions) prune via semi-join, not a giant OR") {
+    // plan shape first: the pruning helper must choose the broadcast
+    // semi-join above the 1000-partition threshold (a 10⁴-arm literal
+    // OR would crush the optimizer on a routine retention delete) and
+    // the literal predicate below it
+    val df = Seq((1L, 1, 0)).toDF("id", "part", "flag")
+    val narrow = Delete.prunedToAffected(spark, df, Seq("part"),
+      (1 to 3).map(i => Seq[Any](i)))
+    assert(!narrow.queryExecution.logical.toString.contains("Join"),
+      "a narrow delete must keep the literal partition predicate")
+    val wide = Delete.prunedToAffected(spark, df, Seq("part"),
+      (1 to 1001).map(i => Seq[Any](i)))
+    assert(wide.queryExecution.logical.toString.contains("LeftSemi"),
+      "a wide delete must prune via the broadcast semi-join")
+    assert(!wide.queryExecution.logical.toString.contains("1001"),
+      "no 1001-arm literal predicate in the wide plan")
+
+    // end to end: 1050 partitions all affected, one surviving row each
+    val path = tempDir("del_wide") + "/t"
+    val rows = (1 to 1050).flatMap(k =>
+      Seq((k.toLong, k, 0), (k + 10000L, k, 1)))
+    st.write(rows.toDF("id", "part", "flag"), path, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    val n = Delete.where(spark, st, path, "flag = 1")
+    assert(n == 1050L)
+    val back = st.read(path, "delta")
+    assert(back.count() == 1050L)
+    assert(back.filter(col("flag") === 1).count() == 0L)
+    assert(back.select(countDistinct(col("part"))).head().getLong(0) == 1050L)
+  }
+
   test("zero matches is a no-op returning 0") {
     val path = tempDir("del_none") + "/t"
     st.write(Seq((1L, 1)).toDF("id", "v"), path, "delta", "overwrite")
@@ -229,6 +260,40 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
       e.getMessage.contains("id"))
     // nothing landed: the guard fired before the write
     assert(st.read(path, "delta").count() == 2L)
+  }
+
+  test("reconcile refuses loudly above the driver-residence tombstone bound") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("mor_bound") + "/t"
+    st.write((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    assert(MorDelete.deleteWhere(spark, st, path, "id <= 4", Seq("id")) == 4L)
+    spark.conf.set(MorDelete.ReconcileMaxRowsKey, "3")
+    try {
+      // 4 tombstone rows > bound 3: any reconciling write must refuse
+      // with the compact()-first message BEFORE anything lands
+      val e = intercept[IllegalStateException] {
+        st.write(Seq((1L, "fresh")).toDF("id", "v"), path, "delta",
+          "append")
+      }
+      assert(e.getMessage.contains("compact()") &&
+        e.getMessage.contains(MorDelete.ReconcileMaxRowsKey))
+      assert(st.read(path, "delta").count() == 10L,
+        "the refused write must not have landed")
+      // compact applies the tombstones physically; the same write then
+      // proceeds (no sidecar left to reconcile)
+      assert(MorDelete.compact(spark, st, path, Seq("id")) == 4L)
+      st.write(Seq((1L, "fresh")).toDF("id", "v"), path, "delta",
+        "append")
+      assert(MorDelete.read(spark, st, path, Seq("id")).count() == 7L)
+    } finally spark.conf.unset(MorDelete.ReconcileMaxRowsKey)
+    // under the (default) bound the lifecycle is unchanged: the
+    // append clears key 5's tombstone (which, for append, resurrects
+    // the prior row too — key-level tombstone semantics)
+    assert(MorDelete.deleteWhere(spark, st, path, "id = 5", Seq("id")) == 1L)
+    st.write(Seq((5L, "back")).toDF("id", "v"), path, "delta", "append")
+    assert(MorDelete.read(spark, st, path, Seq("id"))
+      .filter(col("id") === 5L).count() == 2L)
   }
 
   test("delete-then-reinsert reconciles on the PARTITIONED merge path too") {

@@ -593,6 +593,36 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
   }
 
+  test("a post-overwrite merge stamping exactly the horizon does not heal it away") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("over_exact") + "/t"
+    st.write(Seq((1L, "a")).toDF("id", "v"), path, "delta", "overwrite")
+    st.merge(Seq((2L, "b")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    st.write(Seq((9L, "z")).toDF("id", "v"), path, "delta", "overwrite")
+    val h = stamp + 1 // the recorded horizon (max stamp + 1)
+    // a merge in the same JVM/millisecond as the overwrite can stamp
+    // EXACTLY h (nextBatchStamp's p+1 bump) — simulate it by writing
+    // its change batch directly; the feed's min stamp is then == h,
+    // which real overwrite debris (stamps <= h-1) can never produce
+    Seq((10L, "w", "insert")).toDF("id", "v", "_change_type")
+      .write.parquet(s"$path/${Merge.ChangesDirName}/batch=$h")
+    // the horizon is GENUINE: pre-overwrite travel must still refuse
+    // (a <= heal would misread it as debris and reconstruct a wrong
+    // pre-overwrite snapshot from the post-overwrite table)
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+    }
+    assert(e.getMessage.contains("pruned change horizon"))
+    // as-of the horizon itself (just before the h-stamped merge):
+    // serves the post-overwrite pre-merge table
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), h)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
   test("a crashed overwrite's stale horizon record does not refuse intact history") {
     import spark.implicits._
     val st = new BasicStorage(spark)

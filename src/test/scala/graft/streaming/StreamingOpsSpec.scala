@@ -234,6 +234,103 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       (2L, base + 880, 3L, 120L))) // chain bridged into the open session
   }
 
+  test("ingestDedupStream bootstraps a fresh corpus path") {
+    import spark.implicits._
+    import graft.storage.BasicStorage
+    val out = tempDir("ingest_boot")
+    // two micro-batches; batch 2 repeats a batch-1 text under a new id
+    Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$out/in")
+    Seq((4L, "beta text"), (5L, "gamma text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val st = new BasicStorage(spark)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq((1L, "t")).toDF("doc_id", "text").schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    // corpus path does NOT exist — the first batch must create it
+    // instead of throwing inside foreachBatch
+    val q = StreamingOps.ingestDedupStream(st, stream,
+      s"$out/corpus", "doc_id", "text", s"$out/cp")
+    try q.processAllAvailable() finally q.stop()
+    val corpus = st.read(s"$out/corpus", "delta")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // one survivor per distinct text (file processing order is
+    // mtime-dependent, so assert the set invariants, not which of the
+    // clone ids won)
+    assert(corpus.map(_._2) == Set("alpha text", "beta text", "gamma text"))
+    assert(corpus.size == 3, s"one row per distinct text: $corpus")
+    assert(!(corpus.map(_._1).contains(1L) && corpus.map(_._1).contains(3L)),
+      s"intra-batch clones must not both land: $corpus")
+  }
+
+  test("ingestNearDedupStream maintains the fuzzy index across micro-batches") {
+    import spark.implicits._
+    import graft.storage.{BasicStorage, Fs}
+    val out = tempDir("ingest_near")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // work on exact+near-unique docs so every planted clone is the
+    // ONLY near-dup relationship in play
+    val uniq = graft.ops.Dedup.exactDeterministic(
+        docs.withColumn("__t", graft.ops.Dedup.normalizedHash(col("text"))),
+        Seq("__t"), "doc_id").drop("__t")
+      .join(graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text",
+          jaccardThreshold = 0.5)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    def nearClones(of: org.apache.spark.sql.DataFrame, offset: Long) =
+      of.limit(3).select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val b1 = uniq.filter(col("doc_id") < 40)
+    val b2f = uniq.filter(col("doc_id") >= 40 && col("doc_id") < 70)
+    val b2 = b2f.unionByName(nearClones(b1, 1000000L)) // near-dups of batch 1
+    val b3f = uniq.filter(col("doc_id") >= 70 && col("doc_id") < 100)
+    val b3 = b3f.unionByName(nearClones(b2f, 2000000L)) // near-dups of batch 2
+    // one file per batch, mtime-ordered so the stream replays 1→2→3
+    val hconf = spark.sessionState.newHadoopConf()
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(hconf)
+    var stamped = Set.empty[String]
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(s"$out/in")
+      val t = 1000000000000L + i * 60000L
+      fs.listStatus(inPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !stamped(p.getName))
+        .foreach { p => fs.setTimes(p, t, -1); stamped += p.getName }
+    }
+    val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(b1.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val st = new BasicStorage(spark)
+    val q = StreamingOps.ingestNearDedupStream(st, stream,
+      s"$out/corpus", s"$out/idx", "doc_id", "text", s"$out/cp",
+      jaccardThreshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    val corpusIds = st.read(s"$out/corpus", "delta")
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (b1.unionByName(b2f).unionByName(b3f))
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds == expected,
+      s"cross-batch near-clones must be dropped; diff=${
+        corpusIds.diff(expected) ++ expected.diff(corpusIds)}")
+    // the index gained one appended generation per post-bootstrap batch
+    val incs = Fs.listSubdirs(spark, s"$out/idx")
+      .filter(_.matches("inc-\\d+"))
+    assert(incs.size == 2, s"expected 2 appended generations, got $incs")
+    // and a fresh probe against the final index sees batch-3 docs too
+    val probe = nearClones(b3f, 3000000L)
+    assert(graft.ops.Dedup.nearDedupAgainstIndex(spark, s"$out/idx",
+      probe, "doc_id", "text", 0.8).count() == 0L,
+      "near-clones of the last batch must be caught by the final index")
+  }
+
   test("dedupWithinWatermark rejects batch frames; stream equals distinct") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.events(spark, dir)
