@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,12 +18,17 @@ import graft.storage.Fs
   *
   * Layout (both metadata-sized — k×dim doubles and m×k quantized
   * vectors): `<path>/ivf_centroids` (cell, vec) and
-  * `<path>/pq_codebooks` (subspace, cluster, cv). Each dir writes
-  * through the staged crash-safe swap ([[Fs.writeSwapped]]); the two
-  * dirs cannot swap ATOMICALLY together, so a crash between them can
-  * leave new centroids beside old codebooks — [[load]] cross-checks
-  * the pair (subvector length × m must equal the centroid dim) and
-  * refuses a torn index loudly instead of serving garbage distances.
+  * `<path>/pq_codebooks` (subspace, cluster, cv). BOTH dirs stage
+  * into ONE temp root and the root swaps in as a single rename
+  * ([[Fs.swapInStaged]] — the [[Dedup.saveNearDupIndex]] protocol):
+  * centroids and codebooks are one generation ALWAYS. The
+  * independent-per-dir swap this replaced had a window no guard could
+  * see — a crash between the two writes during a re-save with
+  * unchanged m/dim (the normal refresh) paired new centroids with old
+  * codebooks at identical geometry, and ADC served silently wrong
+  * distances. [[load]] still cross-checks the pair (subvector length
+  * × m must equal the centroid dim) as defense against a hand-built
+  * or foreign-format index.
   */
 object AnnIndex {
 
@@ -47,11 +52,24 @@ object AnnIndex {
       cb.select(lit(s).as("subspace"), col("cluster"),
         col("__cv").as("cv"))
     }.reduce(_ unionByName _)
-    Fs.writeSwapped(spark, centroidsPath(path), cents)
-    Fs.writeSwapped(spark, codebooksPath(path), books)
+    // single-generation discipline: both dirs land under one staged
+    // root, then ONE rename — a crash mid-save leaves the previous
+    // complete index (or staging debris on first save), never a
+    // mixed-generation pair
+    val root = path.stripSuffix("/")
+    val tmp = root + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    cents.coalesce(1).write.parquet(centroidsPath(tmp))
+    books.coalesce(1).write.parquet(codebooksPath(tmp))
+    if (!Fs.exists(spark, root)) Fs.renameChecked(spark, tmp, root)
+    else Fs.swapInStaged(spark, root, tmp)
   }
 
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {
+    // the index swaps as ONE unit — recovery at the root; the
+    // per-subdir recoveries heal debris from the pre-migration
+    // two-swap layout (harmless no-ops otherwise)
+    Fs.recoverAside(spark, path.stripSuffix("/"))
     Fs.recoverAside(spark, centroidsPath(path))
     Fs.recoverAside(spark, codebooksPath(path))
     val centroids = spark.read.parquet(centroidsPath(path))
@@ -66,9 +84,10 @@ object AnnIndex {
     require(bookRows.nonEmpty, s"no PQ codebooks at $path")
     val m = bookRows.map(_.getInt(0)).max + 1
     val dim = centroids.head.size
-    // torn-index guard: the two dirs swap independently, so a crash
-    // between saves can pair new centroids with old codebooks — the
-    // geometry must agree or ADC would score truncated/null-padded
+    // geometry guard: [[save]]'s single-root swap makes a
+    // mixed-generation pair impossible from THIS writer, but a
+    // hand-assembled or foreign index can still pair mismatched dirs —
+    // the geometry must agree or ADC would score truncated/null-padded
     // subvectors silently
     val sub = bookRows.head.getSeq[Long](2).size
     require(sub * m == dim,
@@ -84,5 +103,70 @@ object AnnIndex {
         java.util.Arrays.asList(rows.toIndexedSeq: _*), cbSchema)
     }
     Similarity.IvfPqIndex(centroids, codebooks, dim)
+  }
+
+  // ---- plain-IVF index: the k×dim centroid matrix is the WHOLE
+  // index ([[Similarity.ivfTopKWith]] assigns corpus cells at serve
+  // time), so one swap-managed dir is already a single generation ----
+
+  def saveIvf(spark: SparkSession, path: String,
+              centroids: Seq[Seq[Double]]): Unit = {
+    require(centroids.nonEmpty, "no centroids to save")
+    val rows = centroids.zipWithIndex.map { case (v, i) => Row(i, v) }
+    Fs.writeSwapped(spark, path.stripSuffix("/"),
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), centroidsSchema))
+  }
+
+  def loadIvf(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    val p = path.stripSuffix("/")
+    Fs.recoverAside(spark, p)
+    val centroids = spark.read.parquet(p)
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    require(centroids.nonEmpty, s"no IVF centroids at $path")
+    centroids
+  }
+
+  // ---- LSH index: `params` (dim, n_planes, n_tables — one row; the
+  // seed-42+t hyperplanes derive from these, so serving cannot hash
+  // with a mismatched scheme) + `buckets` (id, table, bucket — the
+  // data-sized corpus projection, kept parallel). Both stage under
+  // ONE tmp root and swap as a unit — the same single-generation
+  // protocol as [[save]]. ----
+
+  private val lshParamsSchema = StructType(Seq(
+    StructField("dim", IntegerType, nullable = false),
+    StructField("n_planes", IntegerType, nullable = false),
+    StructField("n_tables", IntegerType, nullable = false)))
+
+  def saveLsh(spark: SparkSession, path: String, corpus: DataFrame,
+              corpusIdCol: String, vecCol: String, dim: Int,
+              nPlanes: Int, nTables: Int): Unit = {
+    val root = path.stripSuffix("/")
+    val tmp = root + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    spark.createDataFrame(
+        java.util.Collections.singletonList(Row(dim, nPlanes, nTables)),
+        lshParamsSchema)
+      .coalesce(1).write.parquet(s"$tmp/params")
+    Similarity.lshCorpusBuckets(corpus, corpusIdCol, vecCol, dim,
+        nPlanes, nTables)
+      .write.parquet(s"$tmp/buckets")
+    if (!Fs.exists(spark, root)) Fs.renameChecked(spark, tmp, root)
+    else Fs.swapInStaged(spark, root, tmp)
+  }
+
+  def loadLsh(spark: SparkSession, path: String): Similarity.LshIndex = {
+    val root = path.stripSuffix("/")
+    Fs.recoverAside(spark, root)
+    Seq("params", "buckets").foreach { d =>
+      require(Fs.exists(spark, s"$root/$d"),
+        s"missing LSH index at $path: no $d dir — run saveLsh")
+    }
+    val p = spark.read.parquet(s"$root/params")
+      .select("dim", "n_planes", "n_tables").head()
+    Similarity.LshIndex(p.getInt(0), p.getInt(1), p.getInt(2),
+      spark.read.parquet(s"$root/buckets"))
   }
 }

@@ -382,9 +382,25 @@ object Similarity {
               corpusIdCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               iterations: Int = 3, trainSampleMod: Int = 1,
-              corpusSpill: Int = 1): DataFrame = {
-    val centroids = ivfTrain(corpus, vecCol, nCentroids, iterations,
-      trainSampleMod)
+              corpusSpill: Int = 1): DataFrame =
+    ivfTopKWith(
+      ivfTrain(corpus, vecCol, nCentroids, iterations, trainSampleMod),
+      queries, corpus, queryIdCol, corpusIdCol, vecCol, k, nProbe,
+      corpusSpill)
+
+  /** [[ivfTopK]] served from PRE-TRAINED centroids — the fit-once/
+    * serve-many path of a persisted plain-IVF index
+    * ([[AnnIndex.saveIvf]]/[[AnnIndex.loadIvf]]): assignment + cell
+    * join + cosine scoring only, no Lloyd work. The index is JUST the
+    * k×dim centroid matrix — corpus cell assignment is a map-side
+    * argmin at serve time, so the index stays metadata-sized and
+    * never goes stale against a growing corpus. [[ivfTopK]] delegates
+    * here, so trained-then-served and fit+serve are equal by
+    * construction. */
+  def ivfTopKWith(centroids: Seq[Seq[Double]], queries: DataFrame,
+                  corpus: DataFrame, queryIdCol: String,
+                  corpusIdCol: String, vecCol: String, k: Int,
+                  nProbe: Int = 4, corpusSpill: Int = 1): DataFrame = {
     val c = corpus
       .select(col(corpusIdCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv"))
@@ -431,17 +447,8 @@ object Similarity {
               corpusIdCol: String, vecCol: String, k: Int, dim: Int,
               nPlanes: Int = 12, nTables: Int = 4,
               probeHamming: Int = 1): DataFrame = {
-    val q0 = lshBucketed(queries, queryIdCol, vecCol, "query_id", "__qv",
-      "__qn", dim, nPlanes, nTables)
-    val q =
-      if (probeHamming <= 0) q0
-      else {
-        val masks = array((lit(0L) +:
-          (0 until nPlanes).map(i => lit(1L << i))): _*)
-        q0.select(col("query_id"), col("__qv"), col("__qn"), col("table"),
-          explode(transform(masks, m => col("bucket").bitwiseXOR(m)))
-            .as("bucket"))
-      }
+    val q = probedQueryBuckets(queries, queryIdCol, vecCol, dim,
+      nPlanes, nTables, probeHamming)
     val c = lshBucketed(corpus, corpusIdCol, vecCol, "neighbor_id", "__cv",
       "__cn", dim, nPlanes, nTables)
     val scored = c.join(q, Seq("table", "bucket"))
@@ -451,6 +458,74 @@ object Similarity {
       .distinct()
     topKPerQuery(scored, k)
   }
+
+  /** Query-side LSH bucketing with the Hamming-1 multi-probe fanout —
+    * ONE definition shared by [[lshTopK]] (corpus bucketed inline) and
+    * [[lshTopKWith]] (corpus buckets loaded from a persisted index),
+    * so the spec-pinned "indexed == inline" guarantee cannot drift. */
+  private def probedQueryBuckets(queries: DataFrame, queryIdCol: String,
+                                 vecCol: String, dim: Int, nPlanes: Int,
+                                 nTables: Int,
+                                 probeHamming: Int): DataFrame = {
+    val q0 = lshBucketed(queries, queryIdCol, vecCol, "query_id", "__qv",
+      "__qn", dim, nPlanes, nTables)
+    if (probeHamming <= 0) q0
+    else {
+      val masks = array((lit(0L) +:
+        (0 until nPlanes).map(i => lit(1L << i))): _*)
+      q0.select(col("query_id"), col("__qv"), col("__qn"), col("table"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    }
+  }
+
+  /** A persisted-LSH serving handle: the hyper-parameters that
+    * determine the (deterministic, seed-42+t) hyperplanes plus the
+    * corpus bucket table — (id, table, bucket) rows, the only
+    * data-sized piece. Vectors are NOT duplicated into the index;
+    * serving joins neighbor ids back to the corpus store. */
+  final case class LshIndex(dim: Int, nPlanes: Int, nTables: Int,
+                            buckets: DataFrame)
+
+  /** [[lshTopK]] served from a persisted corpus bucket table
+    * ([[AnnIndex.saveLsh]]/[[AnnIndex.loadLsh]]): the corpus-side
+    * projection pass — nPlanes × nTables dot products per corpus
+    * vector, the dominant cost at 100 TB — is paid ONCE at index
+    * build; each serve does query-side bucketing (queries ≪ corpus),
+    * a bucket join against the stored table, one id-join to fetch
+    * candidate vectors, and the bounded top-k tail. Bit-identical to
+    * the inline [[lshTopK]] at the same parameters (integer buckets
+    * round-trip parquet losslessly; the verify cosine reads the same
+    * corpus vectors — spec-pinned). */
+  def lshTopKWith(index: LshIndex, queries: DataFrame, corpus: DataFrame,
+                  queryIdCol: String, corpusIdCol: String, vecCol: String,
+                  k: Int, probeHamming: Int = 1): DataFrame = {
+    val q = probedQueryBuckets(queries, queryIdCol, vecCol, index.dim,
+      index.nPlanes, index.nTables, probeHamming)
+    val cv = corpus
+      .select(col(corpusIdCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    val c = index.buckets
+      .select(col("id").as("neighbor_id"), col("table"), col("bucket"))
+      .join(cv, "neighbor_id")
+    val scored = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
+      .distinct()
+    topKPerQuery(scored, k)
+  }
+
+  /** The corpus bucket table a [[LshIndex]] persists — (id, table,
+    * bucket); shared with [[AnnIndex.saveLsh]]. */
+  private[ops] def lshCorpusBuckets(corpus: DataFrame,
+                                    corpusIdCol: String, vecCol: String,
+                                    dim: Int, nPlanes: Int,
+                                    nTables: Int): DataFrame =
+    lshBucketed(corpus, corpusIdCol, vecCol, "id", "__cv", "__cn",
+      dim, nPlanes, nTables)
+      .select(col("id"), col("table"), col("bucket"))
 
   /** Lloyd's k-means in EXACT scaled-integer arithmetic — deterministic
     * to the bit on any engine, so (unusually for clustering) the full

@@ -654,6 +654,67 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("near-dup index"))
   }
 
+  test("appended near-dup index serves bit-identically to a full rebuild") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 40)
+    val inc1 = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val inc2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 80)
+    // probes: fresh docs + planted near-clones of BASE, INC1 and INC2
+    // members — the inc-clones prove appended generations are served
+    def clones(of: org.apache.spark.sql.DataFrame, offset: Long) =
+      of.limit(5).select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val probe = docs.filter(col("doc_id") >= 80 && col("doc_id") < 120)
+      .unionByName(clones(base, 1000000L))
+      .unionByName(clones(inc1, 2000000L))
+      .unionByName(clones(inc2, 3000000L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val appended = tempDir("ndx_app") + "/idx"
+    Dedup.saveNearDupIndex(spark, appended, base, "doc_id", "text")
+    Dedup.appendToNearDupIndex(spark, appended, inc1, "doc_id", "text")
+    Dedup.appendToNearDupIndex(spark, appended, inc2, "doc_id", "text")
+    val rebuilt = tempDir("ndx_reb") + "/idx"
+    Dedup.saveNearDupIndex(spark, rebuilt,
+      base.unionByName(inc1).unionByName(inc2), "doc_id", "text")
+    val servedApp = rows(Dedup.nearDedupAgainstIndex(spark, appended,
+      probe, "doc_id", "text", jaccardThreshold = 0.8))
+    val servedReb = rows(Dedup.nearDedupAgainstIndex(spark, rebuilt,
+      probe, "doc_id", "text", jaccardThreshold = 0.8))
+    assert(servedApp == servedReb,
+      "append-maintained index diverged from the full rebuild")
+    // the appended generations actually filter: inc1/inc2 clones dropped
+    assert(!servedApp.exists(id => id >= 2000000L),
+      s"clones of appended docs must be dropped: $servedApp")
+    // crashed-append debris (a staged tmp that never renamed) is
+    // invisible to serving
+    import graft.storage.Fs
+    Fs.renameChecked(spark, s"$appended/inc-2", s"$appended/inc-9__tmp")
+    val servedNoInc2 = rows(Dedup.nearDedupAgainstIndex(spark, appended,
+      probe, "doc_id", "text", jaccardThreshold = 0.8))
+    assert(servedNoInc2.count(_ >= 3000000L) == 5,
+      "a __tmp generation must not be served")
+    // excludeSameId: a batch that IS already indexed (replay after a
+    // crash between index append and corpus append) passes through
+    // instead of near-duping itself; without the flag it is dropped.
+    // Hand-built texts with no cross-doc similarity isolate the flag.
+    import spark.implicits._
+    val uniqDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "distributed query engines shuffle partitions across many executor nodes"),
+      (3L, "winter mountains hide frozen lakes beneath deep silent snow fields"))
+      .toDF("doc_id", "text")
+    val mini = tempDir("ndx_self") + "/idx"
+    Dedup.saveNearDupIndex(spark, mini, uniqDocs, "doc_id", "text")
+    assert(rows(Dedup.nearDedupAgainstIndex(spark, mini, uniqDocs,
+      "doc_id", "text", 0.8, excludeSameId = true)) == Seq(1L, 2L, 3L),
+      "an already-indexed batch must replay through with excludeSameId")
+    assert(rows(Dedup.nearDedupAgainstIndex(spark, mini, uniqDocs,
+      "doc_id", "text", 0.8)).isEmpty,
+      "without the flag every doc near-dups its own index entry")
+  }
+
   test("IVF-PQ index save/load round-trip serves bit-identical results") {
     val queries = emb.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
@@ -677,6 +738,102 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // overwrite-save exercises the staged-swap path; reload still equal
     AnnIndex.save(spark, dir, idx)
     assert(serve(AnnIndex.load(spark, dir)) == direct)
+  }
+
+  test("a crash mid-re-save leaves the ANN index serving the intact previous generation") {
+    import graft.storage.Fs
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    def serve(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqSearchWith(i, queries, emb, "vec_id", "vec_id",
+        "embedding", topK = 5, nProbe = 4, corpusSpill = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val dir = tempDir("anncrash") + "/idx"
+    AnnIndex.save(spark, dir, idx)
+    val gen1 = serve(AnnIndex.load(spark, dir))
+    // crash window A: a re-save that staged its tmp root but died
+    // BEFORE the swap — with a would-be-different second generation
+    // (perturbed centroids, same geometry: the case the old
+    // sub*m==dim guard could never see)
+    val idx2 = idx.copy(centroids = idx.centroids.map(_.map(_ + 0.25)))
+    AnnIndex.save(spark, dir + "__tmp_src", idx2)
+    Fs.renameChecked(spark, dir + "__tmp_src", dir + "__tmp")
+    assert(serve(AnnIndex.load(spark, dir)) == gen1,
+      "staging debris must not leak into a load")
+    Fs.deleteChecked(spark, dir + "__tmp")
+    // crash window B: died BETWEEN the two swap renames — live root
+    // gone, previous generation parked aside; recovery rolls back
+    Fs.renameChecked(spark, dir, dir + "__old")
+    assert(serve(AnnIndex.load(spark, dir)) == gen1,
+      "aside recovery must restore the previous complete generation")
+    assert(Fs.exists(spark, dir) && !Fs.exists(spark, dir + "__old"))
+    // crash window C: died AFTER the swap, aside debris left behind —
+    // the NEW generation serves and the debris is cleared
+    AnnIndex.save(spark, dir, idx2)
+    val gen2 = serve(AnnIndex.load(spark, dir))
+    Fs.deleteChecked(spark, dir + "__old")
+    AnnIndex.save(spark, dir + "__aside_src", idx)
+    Fs.renameChecked(spark, dir + "__aside_src", dir + "__old")
+    assert(serve(AnnIndex.load(spark, dir)) == gen2,
+      "a live root must win over aside debris")
+    assert(!Fs.exists(spark, dir + "__old"))
+  }
+
+  test("plain-IVF and LSH index save/load round-trips serve bit-identical results") {
+    import graft.storage.Fs
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    // plain IVF: the centroid matrix IS the index
+    val cents = Similarity.ivfTrain(emb, "embedding", nCentroids = 8,
+      iterations = 1, trainSampleMod = 4)
+    def serveIvf(c: Seq[Seq[Double]]) =
+      Similarity.ivfTopKWith(c, queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5, nProbe = 4, corpusSpill = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val directIvf = serveIvf(cents)
+    assert(directIvf.nonEmpty)
+    val ivfDir = tempDir("ivfidx") + "/idx"
+    AnnIndex.saveIvf(spark, ivfDir, cents)
+    assert(AnnIndex.loadIvf(spark, ivfDir) == cents,
+      "centroids changed across the parquet round-trip")
+    assert(serveIvf(AnnIndex.loadIvf(spark, ivfDir)) == directIvf)
+    AnnIndex.saveIvf(spark, ivfDir, cents) // exercises the staged swap
+    assert(serveIvf(AnnIndex.loadIvf(spark, ivfDir)) == directIvf)
+
+    // LSH: params + corpus bucket table; serving == the inline form
+    val inline = Similarity.lshTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5, dim = 64, nPlanes = 4, nTables = 8,
+        probeHamming = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inline.nonEmpty)
+    val lshDir = tempDir("lshidx") + "/idx"
+    AnnIndex.saveLsh(spark, lshDir, emb, "vec_id", "embedding",
+      dim = 64, nPlanes = 4, nTables = 8)
+    def serveLsh() =
+      Similarity.lshTopKWith(AnnIndex.loadLsh(spark, lshDir), queries,
+        emb, "vec_id", "vec_id", "embedding", k = 5, probeHamming = 1)
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveLsh() == inline,
+      "a loaded LSH index must serve the inline results")
+    AnnIndex.saveLsh(spark, lshDir, emb, "vec_id", "embedding",
+      dim = 64, nPlanes = 4, nTables = 8) // staged-swap path
+    assert(serveLsh() == inline)
+    // crash mid-re-save: staged tmp root must not leak into a load
+    Fs.renameChecked(spark, lshDir, lshDir + "_keep")
+    AnnIndex.saveLsh(spark, lshDir + "__tmp_src", emb, "vec_id",
+      "embedding", dim = 64, nPlanes = 2, nTables = 1)
+    Fs.renameChecked(spark, lshDir + "__tmp_src", lshDir + "__tmp")
+    Fs.renameChecked(spark, lshDir + "_keep", lshDir)
+    assert(serveLsh() == inline, "tmp debris must not be served")
+    // a torn index refuses loudly
+    Fs.deleteChecked(spark, s"$lshDir/buckets")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.loadLsh(spark, lshDir)
+    }
+    assert(e.getMessage.contains("LSH index"))
   }
 
   test("lshTopK recall@10 vs brute force ≥ 0.9 at the declared q_ann_lsh parameters") {
