@@ -6452,10 +6452,199 @@ object GraftQueries {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM uniq GROUP BY source ORDER BY source""".stripMargin
 
+  /** Continuous-ingest NEAR-dup dedup STREAM
+    * ([[graft.streaming.StreamingOps.ingestNearDedupStream]]): a real
+    * three-micro-batch file stream bootstraps a corpus + persisted
+    * MinHash-LSH index from batch 1, then appends one `inc-N` index
+    * generation per batch — batch 3's planted near-clones of batch-2
+    * docs are caught ONLY if the appended generation actually serves.
+    * Order is forced (one file per batch, ascending mtimes).
+    * Oracle-checked on the q_neardedup_indexed acceptance: the verify
+    * stage is exact word-trigram Jaccard, so the survivor set equals
+    * the two-level all-pairs SQL (batch-2 survivors vs batch 1;
+    * batch-3 survivors vs batch 1 ∪ batch-2 survivors), subject only
+    * to LSH candidate recall (clones sit at jac ≈ 0.97). Exact-dup
+    * structure is clone-free by construction (every text is a unique
+    * representative or a suffixed clone), so the SQL needs no exact
+    * stage. */
+  val streamIngestNearDedup: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ingestnear_q").toString
+    val docs = t(spark, dir, "documents").select("doc_id", "text", "source")
+    val uniq = graft.ops.Dedup.exactDeterministic(
+        docs.withColumn("__t",
+          graft.ops.Dedup.normalizedHash(col("text"))),
+        Seq("__t"), "doc_id")
+      .drop("__t")
+    def clones(of: org.apache.spark.sql.DataFrame, offset: Long) =
+      of.select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"), col("source"))
+    val b1 = uniq.filter(col("doc_id") < 300)
+    val b2 = uniq.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .unionByName(clones(uniq.filter(col("doc_id") < 30), 1000000L))
+    val b3 = uniq.filter(col("doc_id") >= 400)
+      .unionByName(clones(
+        uniq.filter(col("doc_id") >= 300 && col("doc_id") < 330),
+        2000000L))
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
+    var stamped = Set.empty[String]
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(s"$out/in")
+      fs.listStatus(inPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !stamped(p.getName))
+        .foreach { p =>
+          fs.setTimes(p, 1000000000000L + i * 60000L, -1)
+          stamped += p.getName
+        }
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(b1.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = graft.streaming.StreamingOps.ingestNearDedupStream(
+      st, stream, s"$out/corpus", s"$out/idx", "doc_id", "text",
+      s"$out/cp", jaccardThreshold = 0.8)
+    try q.processAllAvailable()
+    finally q.stop()
+    st.read(s"$out/corpus", "delta")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
+  private val ingestGramSql: String =
+    """list_distinct(CASE WHEN len(ts) >= 3
+      |      THEN list_transform(generate_series(1, len(ts) - 2),
+      |        i -> array_to_string(ts[i:i+2], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END)""".stripMargin
+
+  val streamIngestNearDedupSql: String =
+    s"""WITH uniq AS (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source, row_number() OVER (
+      |      PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      |      ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |b1 AS (SELECT doc_id, text, source FROM uniq WHERE doc_id < 300),
+      |b2 AS (
+      |  SELECT doc_id, text, source FROM uniq
+      |  WHERE doc_id >= 300 AND doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' extra', source FROM uniq
+      |  WHERE doc_id < 30),
+      |b3 AS (
+      |  SELECT doc_id, text, source FROM uniq WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' extra', source FROM uniq
+      |  WHERE doc_id >= 300 AND doc_id < 330),
+      |g1 AS (
+      |  SELECT doc_id, $ingestGramSql AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |        FROM b1)),
+      |g2 AS (
+      |  SELECT doc_id, $ingestGramSql AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |        FROM b2)),
+      |drop2 AS (
+      |  SELECT DISTINCT i.doc_id
+      |  FROM g2 i JOIN g1 b ON
+      |    CAST(len(list_intersect(i.g, b.g)) AS DOUBLE) /
+      |    CAST(len(i.g) + len(b.g) - len(list_intersect(i.g, b.g)) AS DOUBLE)
+      |    >= 0.8),
+      |s2 AS (SELECT * FROM b2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+      |c2 AS (SELECT * FROM b1 UNION ALL SELECT * FROM s2),
+      |gc2 AS (
+      |  SELECT doc_id, $ingestGramSql AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |        FROM c2)),
+      |g3 AS (
+      |  SELECT doc_id, $ingestGramSql AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |        FROM b3)),
+      |drop3 AS (
+      |  SELECT DISTINCT i.doc_id
+      |  FROM g3 i JOIN gc2 b ON
+      |    CAST(len(list_intersect(i.g, b.g)) AS DOUBLE) /
+      |    CAST(len(i.g) + len(b.g) - len(list_intersect(i.g, b.g)) AS DOUBLE)
+      |    >= 0.8),
+      |s3 AS (SELECT * FROM b3
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |final AS (SELECT * FROM c2 UNION ALL SELECT * FROM s3)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM final GROUP BY source ORDER BY source""".stripMargin
+
+  /** Debris vacuum ([[graft.storage.Maintenance.vacuum]]): a managed
+    * table is planted with one instance of every debris class a
+    * crashed swap can leave (COW staging + aside beside the root,
+    * sidecar staging + stale aside, an orphaned index generation, and
+    * an aside whose live dir is GONE — the heal case), dry-run
+    * listed, vacuumed, and re-vacuumed. The oracle pins the planned
+    * action counts, that the heal restored rather than deleted, the
+    * post-vacuum residual (zero), and that live data is untouched. */
+  val vacuumQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_q").toString
+    val path = s"$out/t"
+    st.write(t(spark, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select("c_custkey", "c_name", "c_acctbal"),
+      path, "delta", "overwrite")
+    graft.storage.MorDelete.deleteWhere(spark, st, path,
+      "c_custkey = 1", Seq("c_custkey"))
+    def plant(p: String): Unit = {
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "junk.parquet"), Array[Byte](1))
+    }
+    plant(s"${path}__graft_tmp")         // crashed COW staging
+    plant(s"${path}__graft_old")         // post-swap aside debris
+    plant(s"$path/_graft_tombstones__tmp") // sidecar staging
+    plant(s"$path/_graft_tombstones__old") // stale sidecar aside
+    plant(s"$path/_myindex/inc-1__tmp/bands") // crashed index append
+    plant(s"$path/_aux__old")            // orphaned aside → heal
+    val plan = graft.storage.Maintenance.vacuum(spark, path,
+      dryRun = true)
+    val dryIntact = // the dry run must not have touched anything
+      new java.io.File(s"${path}__graft_tmp").exists() &&
+      new java.io.File(s"$path/_graft_tombstones__old").exists()
+    graft.storage.Maintenance.vacuum(spark, path)
+    val healed = new java.io.File(s"$path/_aux").exists() &&
+      !new java.io.File(s"$path/_aux__old").exists()
+    val residual = graft.storage.Maintenance.vacuum(spark, path).size
+    st.read(path, "delta")
+      .agg(count(lit(1)).as("rows_after"),
+        sum(col("c_custkey")).as("key_sum"))
+      .withColumn("n_planned", lit(plan.size.toLong))
+      .withColumn("n_heals", lit(plan.count(_.kind == "heal").toLong))
+      .withColumn("dry_run_intact", lit(dryIntact))
+      .withColumn("healed_restored", lit(healed))
+      .withColumn("n_residual", lit(residual.toLong))
+  }
+
+  val vacuumSql: String =
+    """SELECT count(*) AS rows_after,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(6 AS BIGINT) AS n_planned, CAST(1 AS BIGINT) AS n_heals,
+      |  TRUE AS dry_run_intact, TRUE AS healed_restored,
+      |  CAST(0 AS BIGINT) AS n_residual
+      |FROM customer WHERE c_custkey <= 100""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   /** name → (spark query, optional oracle SQL) */
   def all: Map[String, (Q, Option[String])] = Map(
+    entry("q_stream_ingest_neardedup", streamIngestNearDedup,
+      streamIngestNearDedupSql),
+    entry("q_vacuum", vacuumQ, vacuumSql),
     entry("customer_summary", customerSummary, customerSummarySql),
     entry("q_select_project", selectProject,
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -1,0 +1,136 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Debris vacuum for swap-managed directories — tables AND index
+  * roots. Every crash-safe write in the engine stages into a `__tmp`
+  * (or `__graft_tmp`) dir and parks the previous generation in an
+  * `__old` (or `__graft_old`) aside during the swap
+  * ([[Fs.writeSwapped]]/[[Fs.swapInStaged]]/[[GraftLog]] swaps, the
+  * near-dup index `inc-N` generations, COW rewrites). Readers recover
+  * the crash windows they know about ([[Fs.recoverAside]],
+  * [[Optimize.vacuum]] for the table-level pair), but orphaned
+  * STAGING debris is by design invisible to them — it accumulates
+  * until something removes it. This is that something.
+  *
+  * Action semantics, per debris class:
+  *  - `X__tmp` / `X__graft_tmp`: staging that never renamed — pure
+  *    debris, deleted. (A first-save crash leaves ONLY the tmp; the
+  *    live dir never existed, so the tmp is still debris — the writer
+  *    re-stages from scratch.) Exception: a table-level
+  *    `<root>__graft_tmp` with the ROOT missing and a `__graft_old`
+  *    aside present completes the interrupted COW swap instead
+  *    ([[Optimize.vacuum]]'s recovery) — the rewrite was fully
+  *    written before the swap began, and deleting it would discard
+  *    the newest complete copy.
+  *  - `X__old` / `X__graft_old` with X present: the swap completed;
+  *    the aside is a stale pre-swap copy — deleted.
+  *  - `X__old` / `X__graft_old` with X MISSING: a crash mid-swap; the
+  *    aside is the ONLY complete generation — HEALED (renamed back to
+  *    X), never deleted.
+  *
+  * Partition directories (`col=value`) are never touched even when a
+  * partition VALUE happens to end in a debris suffix — any path
+  * segment containing `=` is skipped, and the sweep does not descend
+  * into partition dirs at all. Live data is never read, rewritten, or
+  * moved; the sweep is a driver-side directory listing (metadata
+  * cost).
+  *
+  * `dryRun = true` returns the full action plan without touching the
+  * filesystem — run it first on anything you care about. Execution
+  * replays the plan in order; a heal whose destination unexpectedly
+  * exists fails loudly (checked rename) rather than overwriting.
+  */
+object Maintenance {
+
+  /** One planned (or executed) vacuum step. `kind` is `delete` |
+    * `heal`; heals rename `target` back to `dest`. */
+  final case class VacuumAction(kind: String, target: String,
+                                dest: String, detail: String)
+
+  private def delete(target: String, detail: String) =
+    VacuumAction("delete", target, "", detail)
+  private def heal(target: String, dest: String, detail: String) =
+    VacuumAction("heal", target, dest, detail)
+
+  private val TmpSuffixes = Seq("__graft_tmp", "__tmp")
+  private val OldSuffixes = Seq("__graft_old", "__old")
+
+  def vacuum(spark: SparkSession, path: String,
+             dryRun: Boolean = false): Seq[VacuumAction] = {
+    val base = path.stripSuffix("/")
+    val actions = scala.collection.mutable.Buffer[VacuumAction]()
+
+    // --- root-level siblings (`<base>__graft_tmp`, `<base>__old`, …)
+    if (!Fs.exists(spark, base)) {
+      val graftTmp = base + "__graft_tmp"
+      val graftOld = base + "__graft_old"
+      // the one case where a tmp is NOT debris: a fully-staged COW
+      // rewrite whose swap crashed between the two renames
+      val completable =
+        Fs.exists(spark, graftOld) && Fs.exists(spark, graftTmp)
+      if (completable) {
+        actions += heal(graftTmp, base,
+          "completing interrupted COW swap (rewrite fully staged)")
+        actions += delete(graftOld, "superseded by the completed swap")
+      }
+      var healed = completable
+      OldSuffixes.foreach { suf =>
+        val aside = base + suf
+        if (Fs.exists(spark, aside) &&
+            !(completable && suf == "__graft_old")) {
+          if (!healed) {
+            actions += heal(aside, base,
+              "crash mid-swap left no live root — restoring the aside")
+            healed = true
+          } else
+            actions += delete(aside, "root already restored")
+        }
+      }
+      TmpSuffixes.foreach { suf =>
+        val tmp = base + suf
+        if (Fs.exists(spark, tmp) && !(completable && suf == "__graft_tmp"))
+          actions += delete(tmp, "staging that never renamed")
+      }
+    } else {
+      OldSuffixes.map(base + _).filter(Fs.exists(spark, _)).foreach(p =>
+        actions += delete(p, "stale pre-swap copy (live root present)"))
+      TmpSuffixes.map(base + _).filter(Fs.exists(spark, _)).foreach(p =>
+        actions += delete(p, "staging that never renamed"))
+
+      // --- interior sweep: sidecar/generation debris inside the root
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new Path(base).getFileSystem(conf)
+      def sweep(dir: Path): Unit = {
+        val children = fs.listStatus(dir).filter(_.isDirectory)
+        val names = children.map(_.getPath.getName).toSet
+        children.foreach { st =>
+          val name = st.getPath.getName
+          if (!name.contains("=")) { // never touch partition dirs
+            if (TmpSuffixes.exists(name.endsWith))
+              actions += delete(st.getPath.toString,
+                "staging that never renamed")
+            else if (OldSuffixes.exists(name.endsWith)) {
+              val live = OldSuffixes.foldLeft(name)(_ stripSuffix _)
+              if (names.contains(live))
+                actions += delete(st.getPath.toString,
+                  "stale pre-swap copy (live sidecar present)")
+              else
+                actions += heal(st.getPath.toString,
+                  new Path(dir, live).toString,
+                  s"crash mid-swap left no live $live — restoring")
+            } else sweep(st.getPath) // live dir: descend
+          }
+        }
+      }
+      sweep(new Path(base))
+    }
+
+    if (!dryRun) actions.foreach { a =>
+      if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
+      else Fs.renameChecked(spark, a.target, a.dest)
+    }
+    actions.toSeq
+  }
+}
