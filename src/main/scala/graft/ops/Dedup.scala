@@ -475,37 +475,94 @@ object Dedup {
       .forall(d => Fs.exists(spark, s"$base0/$d"))
   }
 
-  /** The persisted index's parameters and frames — base generation
-    * plus every appended `inc-N` generation unioned. Shared by the
-    * serving join and [[appendToNearDupIndex]] (which must stamp
-    * increments with the index's OWN hash scheme). */
-  private def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-                               indexPath: String, idCol: String)
-      : (Int, Int, Int, DataFrame, DataFrame) = {
+  /** Recover the index root and read its recorded hash scheme —
+    * the params-only prefix of a load, shared by serving, append
+    * (which must stamp increments with the index's OWN scheme, but
+    * has no use for the frames) and compaction. */
+  private def nearDupIndexParams(
+      spark: org.apache.spark.sql.SparkSession, base0: String)
+      : (Int, Int, Int) = {
     import graft.storage.Fs
-    val base0 = indexPath.stripSuffix("/")
     // the base index swaps as ONE unit — recovery/validation at the
     // root; appended generations are single-rename dirs (inc-N), so a
     // crashed append leaves only `inc-N__tmp` debris the generation
-    // filter below never reads
+    // filter never reads
     Fs.recoverAside(spark, base0)
     Seq("params", "bands", "shingles").foreach { d =>
       require(Fs.exists(spark, s"$base0/$d"),
-        s"missing near-dup index at $indexPath: no $d dir — " +
+        s"missing near-dup index at $base0: no $d dir — " +
           "run saveNearDupIndex")
     }
     val p = spark.read.parquet(s"$base0/params")
       .select("num_hashes", "bands", "shingle_size").head()
-    val incDirs = Fs.listSubdirs(spark, base0)
-      .filter(_.matches("inc-\\d+")).sorted
-    def gen(sub: String): DataFrame = {
-      val dirs = s"$base0/$sub" +: incDirs.map(d => s"$base0/$d/$sub")
-      dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    }
-    (p.getInt(0), p.getInt(1), p.getInt(2),
-      gen("shingles").select(col("id").as(idCol), col("shingle_hash")),
-      gen("bands").select(col("id").as(idCol), col("band"), col("bucket")))
+    (p.getInt(0), p.getInt(1), p.getInt(2))
   }
+
+  /** The `inc-N` generation dir names under an index root, oldest
+    * first (staging debris excluded by the exact-name match). */
+  private def incGenerations(spark: org.apache.spark.sql.SparkSession,
+                             base0: String): Seq[String] =
+    graft.storage.Fs.listSubdirs(spark, base0)
+      .filter(_.matches("inc-\\d+"))
+      .sortBy(_.stripPrefix("inc-").toLong)
+
+  /** One stored sub-frame (`bands` or `shingles`) unioned across the
+    * base generation and every `inc-N`. */
+  private def genFrame(spark: org.apache.spark.sql.SparkSession,
+                       base0: String, sub: String): DataFrame = {
+    val dirs = s"$base0/$sub" +:
+      incGenerations(spark, base0).map(d => s"$base0/$d/$sub")
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** The persisted index's parameters and frames — base generation
+    * plus every appended `inc-N` generation unioned. */
+  private def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, idCol: String)
+      : (Int, Int, Int, DataFrame, DataFrame) = {
+    val base0 = indexPath.stripSuffix("/")
+    val (numHashes, bands, shingleSize) = nearDupIndexParams(spark, base0)
+    (numHashes, bands, shingleSize,
+      genFrame(spark, base0, "shingles")
+        .select(col("id").as(idCol), col("shingle_hash")),
+      genFrame(spark, base0, "bands")
+        .select(col("id").as(idCol), col("band"), col("bucket")))
+  }
+
+  /** Fold every appended `inc-N` generation into the base — pure
+    * stored-row I/O, NO re-shingling or re-hashing: the unioned
+    * bands/shingles rewrite as one new base under the same staged
+    * single-swap root, and the generation dirs leave with the old
+    * root. A continuous ingest appends one generation per micro-batch
+    * and the serving plan carries one parquet scan per generation —
+    * unbounded generations would eventually dominate planning, so
+    * compaction is the other half of the append lifecycle
+    * ([[graft.streaming.StreamingOps.ingestNearDedupStream]] can run
+    * it automatically every N generations). Serving is bit-identical
+    * before and after (same rows, different file layout —
+    * spec-pinned). Returns the number of generations folded. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Int = {
+    import graft.storage.Fs
+    val base0 = indexPath.stripSuffix("/")
+    nearDupIndexParams(spark, base0) // recover + validate
+    val incDirs = incGenerations(spark, base0)
+    if (incDirs.isEmpty) return 0
+    val tmp = base0 + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    spark.read.parquet(s"$base0/params")
+      .coalesce(1).write.parquet(s"$tmp/params")
+    genFrame(spark, base0, "bands").write.parquet(s"$tmp/bands")
+    genFrame(spark, base0, "shingles").write.parquet(s"$tmp/shingles")
+    Fs.swapInStaged(spark, base0, tmp)
+    incDirs.size
+  }
+
+  /** Number of appended generations currently live under the index —
+    * the auto-compaction trigger. */
+  def nearDupIndexGenerations(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Int =
+    incGenerations(spark, indexPath.stripSuffix("/")).size
 
   /** Append an increment to a persisted near-dup index WITHOUT
     * rebuilding it — the continuous-ingest maintenance path: cost is
@@ -528,12 +585,10 @@ object Dedup {
                            idCol: String, textCol: String): Unit = {
     import graft.storage.Fs
     val base0 = indexPath.stripSuffix("/")
-    val (numHashes, bands, shingleSize, _, _) =
-      loadNearDupIndex(spark, base0, idCol)
+    val (numHashes, bands, shingleSize) = nearDupIndexParams(spark, base0)
     val (iSh, iBand) = baseIndexFrames(increment, idCol, textCol,
       numHashes, bands, shingleSize)
-    val n = (0L +: Fs.listSubdirs(spark, base0)
-        .filter(_.matches("inc-\\d+"))
+    val n = (0L +: incGenerations(spark, base0)
         .map(_.stripPrefix("inc-").toLong)).max + 1L
     val gen = s"$base0/inc-$n"
     val tmp = gen + "__tmp"

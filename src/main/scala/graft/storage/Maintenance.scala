@@ -127,9 +127,16 @@ object Maintenance {
       sweep(new Path(base))
     }
 
-    if (!dryRun) actions.foreach { a =>
-      if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
-      else Fs.renameChecked(spark, a.target, a.dest)
+    if (!dryRun) {
+      actions.foreach { a =>
+        if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
+        else Fs.renameChecked(spark, a.target, a.dest)
+      }
+      // a healed root was unsweepable when the plan was computed —
+      // one more pass picks up its interior debris (terminates: the
+      // root now exists, so the recursive call takes the sweep branch)
+      if (actions.exists(a => a.kind == "heal" && a.dest == base))
+        return actions.toSeq ++ vacuum(spark, path, dryRun = false)
     }
     actions.toSeq
   }

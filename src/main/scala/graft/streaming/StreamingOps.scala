@@ -476,14 +476,22 @@ object StreamingOps {
     * verify stage is set-semantics per (id, shingle)). The reverse
     * ordering would be a silent PERMANENT index gap: corpus-first +
     * crash ⇒ replay's exact stage drops the docs before they are
-    * ever indexed, and every future near-dup of them sails through. */
+    * ever indexed, and every future near-dup of them sails through.
+    *
+    * `compactEveryGenerations > 0` folds the appended `inc-N`
+    * generations back into the base whenever their count reaches the
+    * threshold ([[graft.ops.Dedup.compactNearDupIndex]] — stored-row
+    * I/O only): a long-lived ingest otherwise accumulates one
+    * generation dir per micro-batch and the serving plan one parquet
+    * scan per generation. */
   def ingestNearDedupStream(storage: Storage, stream: DataFrame,
                             corpusPath: String, indexPath: String,
                             idCol: String, textCol: String,
                             checkpoint: String,
                             jaccardThreshold: Double = 0.5,
                             numHashes: Int = 64, bands: Int = 16,
-                            shingleSize: Int = 3): StreamingQuery =
+                            shingleSize: Int = 3,
+                            compactEveryGenerations: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -516,10 +524,18 @@ object StreamingOps {
         // the dedup chain once instead of re-running the candidate
         // join per consumer
         val freshM = fresh.localCheckpoint(true)
-        if (indexExists && corpusExists)
+        if (indexExists && corpusExists) {
           graft.ops.Dedup.appendToNearDupIndex(spark, indexPath, freshM,
             idCol, textCol)
-        else {
+          // the serving plan carries one parquet scan per generation —
+          // fold them back into the base every N appends (stored-row
+          // I/O only, no re-shingling) so a long-lived ingest never
+          // accumulates unbounded generation dirs
+          if (compactEveryGenerations > 0 &&
+              graft.ops.Dedup.nearDupIndexGenerations(spark, indexPath)
+                >= compactEveryGenerations)
+            graft.ops.Dedup.compactNearDupIndex(spark, indexPath)
+        } else {
           // bootstrap (or heal a lost index): ONE build over
           // corpus-so-far + this batch — a one-time O(corpus) cost,
           // every later batch appends O(batch)

@@ -695,6 +695,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       probe, "doc_id", "text", jaccardThreshold = 0.8))
     assert(servedNoInc2.count(_ >= 3000000L) == 5,
       "a __tmp generation must not be served")
+    // compaction folds the generations into the base with stored-row
+    // I/O only: serving identical, generation dirs gone, appends
+    // continue from a clean base
+    Fs.renameChecked(spark, s"$appended/inc-9__tmp", s"$appended/inc-2")
+    assert(Dedup.nearDupIndexGenerations(spark, appended) == 2)
+    assert(Dedup.compactNearDupIndex(spark, appended) == 2)
+    assert(Dedup.nearDupIndexGenerations(spark, appended) == 0)
+    assert(rows(Dedup.nearDedupAgainstIndex(spark, appended,
+      probe, "doc_id", "text", jaccardThreshold = 0.8)) == servedReb,
+      "compaction must not change serving")
+    assert(Dedup.compactNearDupIndex(spark, appended) == 0) // idempotent
+    Dedup.appendToNearDupIndex(spark, appended, inc1, "doc_id", "text")
+    assert(Dedup.nearDupIndexGenerations(spark, appended) == 1)
+
     // excludeSameId: a batch that IS already indexed (replay after a
     // crash between index append and corpus append) passes through
     // instead of near-duping itself; without the flag it is dropped.

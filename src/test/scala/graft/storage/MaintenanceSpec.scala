@@ -113,13 +113,21 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     val root = tempDir("vac_restore")
     val idx = s"$root/idx"
     Seq((1, 2)).toDF("a", "b").write.parquet(idx)
+    // interior debris that was INSIDE the root when it was parked
+    // aside — the same vacuum call must heal the root AND then sweep
+    // its interior
+    assert(new File(s"$idx/stale__tmp").mkdirs())
     // generic-index crash window: live root parked aside, no tmp
     Fs.renameChecked(spark, idx, idx + "__old")
     val plan = Maintenance.vacuum(spark, idx, dryRun = true)
     assert(plan.map(_.kind) == Seq("heal"))
-    Maintenance.vacuum(spark, idx)
+    val done = Maintenance.vacuum(spark, idx)
     assert(spark.read.parquet(idx).count() == 1)
     assert(!new File(idx + "__old").exists())
+    assert(!new File(s"$idx/stale__tmp").exists(),
+      "the healed root's interior must be swept in the same call")
+    assert(done.exists(a => a.kind == "delete" &&
+      a.target.endsWith("stale__tmp")))
   }
 
   test("partition values ending in a debris suffix are never touched") {

@@ -329,6 +329,19 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(graft.ops.Dedup.nearDedupAgainstIndex(spark, s"$out/idx",
       probe, "doc_id", "text", 0.8).count() == 0L,
       "near-clones of the last batch must be caught by the final index")
+    // auto-compaction: the same input with compactEveryGenerations=1
+    // folds each appended generation immediately — same corpus, same
+    // serving, zero generation dirs at the end
+    val q2 = StreamingOps.ingestNearDedupStream(st, stream,
+      s"$out/corpus2", s"$out/idx2", "doc_id", "text", s"$out/cp2",
+      jaccardThreshold = 0.8, compactEveryGenerations = 1)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(st.read(s"$out/corpus2", "delta")
+      .select("doc_id").as[Long].collect().toSet == corpusIds,
+      "auto-compaction must not change ingest decisions")
+    assert(graft.ops.Dedup.nearDupIndexGenerations(spark, s"$out/idx2") == 0)
+    assert(graft.ops.Dedup.nearDedupAgainstIndex(spark, s"$out/idx2",
+      probe, "doc_id", "text", 0.8).count() == 0L)
   }
 
   test("dedupWithinWatermark rejects batch frames; stream equals distinct") {
