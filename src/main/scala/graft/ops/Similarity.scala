@@ -451,7 +451,10 @@ object Similarity {
       nPlanes, nTables, probeHamming)
     val c = lshBucketed(corpus, corpusIdCol, vecCol, "neighbor_id", "__cv",
       "__cn", dim, nPlanes, nTables)
-    val scored = c.join(q, Seq("table", "bucket"))
+    // queries ≪ corpus: broadcasting the probed query buckets keeps
+    // the corpus side map-local — its nTables bucket copies (vectors
+    // included) never cross an exchange
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
@@ -502,18 +505,28 @@ object Similarity {
                   k: Int, probeHamming: Int = 1): DataFrame = {
     val q = probedQueryBuckets(queries, queryIdCol, vecCol, index.dim,
       index.nPlanes, index.nTables, probeHamming)
+    // join ORDER is the scale decision: the broadcast bucket join runs
+    // FIRST, over the stored (id, table, bucket) rows only — 3 small
+    // ints per corpus row per table, map-local under the broadcast.
+    // The surviving candidate pairs (bucket-pruned, ≪ corpus) then
+    // fetch their vectors by id — AQE broadcasts the candidate side,
+    // so corpus VECTORS never cross an exchange in either stage.
+    // Joining vectors onto the bucket table first would shuffle the
+    // whole embedding corpus to serve any query batch.
+    val candidates = index.buckets
+      .select(col("id").as("neighbor_id"), col("table"), col("bucket"))
+      .join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"),
+        col("__qn"))
+      .distinct()
     val cv = corpus
       .select(col(corpusIdCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
-    val c = index.buckets
-      .select(col("id").as("neighbor_id"), col("table"), col("bucket"))
-      .join(cv, "neighbor_id")
-    val scored = c.join(q, Seq("table", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = candidates.join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (safeDiv(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))).as("cos"))
-      .distinct()
     topKPerQuery(scored, k)
   }
 

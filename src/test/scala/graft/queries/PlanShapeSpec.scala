@@ -597,6 +597,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"cap fell back to a window sort:\n$p")
   }
 
+  test("lshTopKWith: bucket join broadcasts queries; corpus vectors never shuffle to it") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id")
+        .plus(1000000).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val idxDir = tempDir("lsh_plan") + "/idx"
+    graft.ops.AnnIndex.saveLsh(spark, idxDir, emb, "vec_id", "embedding",
+      dim = 64, nPlanes = 4, nTables = 4)
+    val p = planOf(graft.ops.Similarity.lshTopKWith(
+      graft.ops.AnnIndex.loadLsh(spark, idxDir), queries, emb,
+      "vec_id", "vec_id", "embedding", k = 5))
+    // the probed query buckets broadcast into the stored bucket table
+    // (explicit hint), so the table-side rows stay map-local; the
+    // candidate->vector fetch must not be a sort-merge join of the
+    // corpus (candidates broadcast under AQE at any realistic ratio)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket join must broadcast the query side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus vectors must not sort-merge-shuffle to serve a query batch:\n$p")
+  }
+
   test("q_pretrain_e2e final pack stage reads checkpointed stages, not lineage") {
     // the packed result must scan the chunk stage's materialized
     // checkpoint (LogicalRDD → "Scan ExistingRDD"), NOT re-derive the
