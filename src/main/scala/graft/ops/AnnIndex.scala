@@ -36,13 +36,24 @@ object AnnIndex {
     path.stripSuffix("/") + "/ivf_centroids"
   private def codebooksPath(path: String) =
     path.stripSuffix("/") + "/pq_codebooks"
+  private def codesPath(path: String) =
+    path.stripSuffix("/") + "/corpus_codes"
 
   private val centroidsSchema = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("vec", ArrayType(DoubleType, containsNull = false))))
 
+  /** `corpusCodes` (from [[Similarity.ivfPqEncodeCorpus]]) rides the
+    * SAME staged root as the centroids + codebooks, so codes and the
+    * codebooks they quantize under are one generation always — codes
+    * scored against another generation's codebooks would be silently
+    * wrong ADC distances, the exact torn-pair class the single swap
+    * exists to kill. The codes dir is data-sized (m small ints per
+    * corpus vector) and keeps its parallel layout. */
   def save(spark: SparkSession, path: String,
-           index: Similarity.IvfPqIndex): Unit = {
+           index: Similarity.IvfPqIndex,
+           corpusCodes: Option[org.apache.spark.sql.DataFrame] = None)
+      : Unit = {
     val centRows = index.centroids.zipWithIndex.map { case (v, i) =>
       Row(i, v)
     }
@@ -52,17 +63,30 @@ object AnnIndex {
       cb.select(lit(s).as("subspace"), col("cluster"),
         col("__cv").as("cv"))
     }.reduce(_ unionByName _)
-    // single-generation discipline: both dirs land under one staged
+    // single-generation discipline: every dir lands under one staged
     // root, then ONE rename — a crash mid-save leaves the previous
     // complete index (or staging debris on first save), never a
-    // mixed-generation pair
+    // mixed-generation set
     val root = path.stripSuffix("/")
     val tmp = root + "__tmp"
     Fs.deleteChecked(spark, tmp)
     cents.coalesce(1).write.parquet(centroidsPath(tmp))
     books.coalesce(1).write.parquet(codebooksPath(tmp))
+    corpusCodes.foreach(_.write.parquet(codesPath(tmp)))
     if (!Fs.exists(spark, root)) Fs.renameChecked(spark, tmp, root)
     else Fs.swapInStaged(spark, root, tmp)
+  }
+
+  /** The stored corpus codes of [[save]]'s `corpusCodes`, when this
+    * index was saved with them — the [[Similarity.ivfPqSearchCoded]]
+    * input. None for an index saved without codes (serve via
+    * [[Similarity.ivfPqSearchWith]] re-encoding instead). */
+  def loadCorpusCodes(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val root = path.stripSuffix("/")
+    Fs.recoverAside(spark, root)
+    if (!Fs.exists(spark, codesPath(root))) None
+    else Some(spark.read.parquet(codesPath(root)))
   }
 
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {

@@ -44,14 +44,18 @@ object Sampling {
     * other key type refuses loudly instead of cast-to-null
     * degenerating. */
   private def keyForBucket(df: DataFrame, keyCol: String): Column = {
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.types.{NumericType, StringType,
+      TimestampType}
     df.select(col(keyCol)).schema.head.dataType match {
       case _: NumericType => col(keyCol)
+      // epoch seconds — the same value every engine derives, so the
+      // cross-engine guarantee holds for timestamp keys too
+      case TimestampType => col(keyCol).cast("long")
       case StringType => xxhash64(col(keyCol))
       case dt => throw new IllegalArgumentException(
         s"split/sample key '$keyCol' has type ${dt.simpleString}: use " +
-          "a numeric key (engine-portable membership) or a string key " +
-          "(xxhash64 path, Spark-deterministic)")
+          "a numeric or timestamp key (engine-portable membership) or " +
+          "a string key (xxhash64 path, Spark-deterministic)")
     }
   }
 

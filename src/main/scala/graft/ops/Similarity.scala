@@ -746,6 +746,25 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException(
         "PQ search requires a non-empty corpus"))
 
+  /** Subspace `s`'s FULL per-centroid query distance table (not a
+    * nearest-only assignment): every centroid's d2 via the broadcast
+    * cross. ONE definition shared by [[adcScoredWith]] (re-encoding
+    * serve) and [[ivfPqSearchCoded]] (stored-codes serve) so the two
+    * paths cannot drift. */
+  private def queryDistanceTable(queries: DataFrame, queryIdCol: String,
+                                 cb: DataFrame, s: Int,
+                                 vecCol: String, sub: Int): DataFrame =
+    quantized(
+        queries.select(col(queryIdCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        queryIdCol, "__sv")
+      .crossJoin(broadcast(cb))
+      .withColumn(s"__qd2_$s", aggregate(
+        zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("__id").as("query_id"),
+        col("cluster").as(s"__code_$s"), col(s"__qd2_$s"))
+
   /** [[adcScored]] with PRE-TRAINED codebooks — the serving path of a
     * persisted index ([[IvfPqIndex]]): encode + distance tables only,
     * no fits. */
@@ -765,17 +784,8 @@ object Similarity {
           quantized(corpus.select(col(idCol), slc.as("__sv")),
             idCol, "__sv"), cb)
         .select(col("__id").as("__cid"), col("cluster").as(s"__code_$s"))
-      // the FULL per-centroid distance table (not a nearest-only
-      // assignment): every centroid's d2 via the same broadcast cross
-      val dtAll = quantized(
-          queries.select(col(queryIdCol), slc.as("__sv")),
-          queryIdCol, "__sv")
-        .crossJoin(broadcast(cb))
-        .withColumn(s"__qd2_$s", aggregate(
-          zip_with(col("__vq"), col("__cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .select(col("__id").as("query_id"),
-          col("cluster").as(s"__code_$s"), col(s"__qd2_$s"))
+      val dtAll = queryDistanceTable(queries, queryIdCol, cb, s,
+        vecCol, sub)
       scored =
         if (scored == null)
           enc.join(broadcast(dtAll), Seq(s"__code_$s"))
@@ -952,6 +962,80 @@ object Similarity {
       .localCheckpoint(true)
     adcTopK(adcScoredWith(corpus, corpusIdCol, vecCol, queries,
       queryIdCol, index.codebooks, index.dim, seed = Some(candidates)),
+      topK)
+  }
+
+  /** Encode the corpus ONCE under a trained [[IvfPqIndex]]: one row
+    * per (vector, spilled IVF cell) carrying the m PQ codes —
+    * (`__cid`, `cell`, `__code_0..m-1`). This frame IS the serving
+    * half of a real IVFADC deployment: [[ivfPqSearchWith]] re-derives
+    * it from raw vectors on EVERY call (m broadcast-assign passes over
+    * the whole corpus per query batch — fine for one-shot search,
+    * wrong for serve-many), while [[ivfPqSearchCoded]] reads it as
+    * stored small ints and never touches a raw corpus vector at all.
+    * Persist alongside the index ([[AnnIndex.save]]'s `corpusCodes`)
+    * so codes and codebooks are one generation by construction —
+    * codes scored against a different generation's codebooks would be
+    * silently wrong distances. */
+  def ivfPqEncodeCorpus(index: IvfPqIndex, corpus: DataFrame,
+                        corpusIdCol: String, vecCol: String,
+                        corpusSpill: Int = 1): DataFrame = {
+    val serveDim = vecDim(corpus, vecCol)
+    require(serveDim == index.dim,
+      s"index dim ${index.dim} != corpus dim $serveDim — refit or " +
+        "load the matching index")
+    val m = index.codebooks.size
+    val sub = index.dim / m
+    val cells = cellExplode(corpus, corpusIdCol, "__cid", vecCol,
+      index.centroids, corpusSpill)
+    val codes = (0 until m).map { s =>
+      assignQuantized(
+          quantized(corpus.select(col(corpusIdCol),
+            slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+            corpusIdCol, "__sv"), index.codebooks(s))
+        .select(col("__id").as("__cid"), col("cluster").as(s"__code_$s"))
+    }.reduce((a, b) => a.join(b, Seq("__cid")))
+    cells.join(codes, Seq("__cid"))
+  }
+
+  /** Serve a query batch from STORED corpus codes — no raw corpus
+    * vectors anywhere in the plan: candidates come from the coded
+    * frame's cell column joined against the broadcast probed query
+    * cells, scoring is m broadcast distance-table lookups on the
+    * stored codes, the tail is the bounded top-k aggregate.
+    * Bit-identical to [[ivfPqSearchWith]] over the same index +
+    * corpus (the codes are the same deterministic integer
+    * assignments — spec-pinned). At 100 TB this is the difference
+    * between reading m·|corpus| small ints and re-encoding
+    * dim·|corpus| floats per query batch. */
+  def ivfPqSearchCoded(index: IvfPqIndex, codes: DataFrame,
+                       queries: DataFrame, queryIdCol: String,
+                       vecCol: String, topK: Int,
+                       nProbe: Int = 4): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val qDim = vecDim(queries, vecCol)
+    require(qDim == index.dim,
+      s"index dim ${index.dim} != query dim $qDim — refit or load " +
+        "the matching index")
+    val m = index.codebooks.size
+    val sub = index.dim / m
+    val q = cellExplode(queries, queryIdCol, "query_id", vecCol,
+      index.centroids, nProbe)
+    var scored = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("__cid") =!= col("query_id"))
+      .select(col("query_id") +: col("__cid") +:
+        (0 until m).map(s => col(s"__code_$s")): _*)
+      .distinct()
+    for (s <- 0 until m)
+      scored = scored.join(
+        broadcast(queryDistanceTable(queries, queryIdCol,
+          index.codebooks(s), s, vecCol, sub)),
+        Seq("query_id", s"__code_$s"))
+    adcTopK(
+      scored.withColumn("adc_d2",
+          (0 until m).map(s => col(s"__qd2_$s")).reduce(_ + _))
+        .select(col("query_id"), col("__cid").as("neighbor_id"),
+          col("adc_d2")),
       topK)
   }
 

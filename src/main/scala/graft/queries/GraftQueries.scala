@@ -6317,6 +6317,42 @@ object GraftQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming ANN serving ([[graft.streaming.StreamingOps
+    * .annSearchStream]] over a CODED index): the corpus is encoded
+    * once ([[Similarity.ivfPqEncodeCorpus]]) and saved WITH the index
+    * as one staged generation; a two-micro-batch query stream then
+    * serves entirely from the stored small-int codes — no raw corpus
+    * vector in any serving plan. No oracle (ANN family); stream ==
+    * batch and coded == re-encoding are both spec-pinned
+    * (StreamingOpsSpec / OpsSpec). */
+  val streamAnn: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_annstream_q").toString
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    graft.ops.AnnIndex.save(spark, s"$out/idx", idx,
+      Some(Similarity.ivfPqEncodeCorpus(idx, emb, "vec_id", "embedding",
+        corpusSpill = 2)))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    queries.filter(col("vec_id") < 1000005)
+      .coalesce(1).write.parquet(s"$out/in")
+    queries.filter(col("vec_id") >= 1000005)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(queries.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = graft.streaming.StreamingOps.annSearchStream(stream,
+      s"$out/idx", "vec_id", "embedding", s"$out/results", s"$out/cp",
+      topK = 10, nProbe = 4)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(s"$out/results").orderBy("query_id", "rank")
+  }
+
   /** Crawl-curation URL pass ([[graft.ops.Urls.canonicalize]] +
     * [[graft.ops.Sampling.reservoirPerGroup]]): per doc, three messy
     * variants of the same page URL (campaign-tagged, tracker-prefixed,
@@ -6759,6 +6795,7 @@ object GraftQueries {
     entry("q_ann_ivf", annIvf),
     entry("q_ann_ivfpq", annIvfPq),
     entry("q_ann_index_roundtrip", annIndexRoundtrip),
+    entry("q_stream_ann", streamAnn),
     entry("q_text_stats", textStats, textStatsSql),
     entry("q_top_terms", topTerms, topTermsSql),
     entry("q_explode_pos", explodePos, explodePosSql),

@@ -551,6 +551,44 @@ object StreamingOps {
       }
       .start()
 
+  /** Serve ANN query batches from a PERSISTED coded IVF-PQ index as a
+    * stream — the other half of the fit-once/serve-many contract: the
+    * index (centroids + codebooks, driver-resident) and the coded
+    * corpus (m small ints per vector) load ONCE at stream start; each
+    * micro-batch of query vectors runs
+    * [[graft.ops.Similarity.ivfPqSearchCoded]] — cell-candidate join +
+    * broadcast distance tables + bounded top-k, NO raw corpus vectors
+    * anywhere in the plan — and appends its top-k rows to `outPath`.
+    *
+    * The coded corpus is eagerly localCheckpoint'ed at stream start:
+    * serving then reads executor-resident blocks (the memory-resident
+    * IVFADC property) and is pinned to ONE index generation for the
+    * stream's lifetime — a concurrent index re-save cannot tear a
+    * running stream. Delivery is at-least-once (a replayed batch
+    * appends its results again); key downstream consumption by
+    * (query_id, rank) or dedup on read. */
+  def annSearchStream(queryStream: DataFrame, indexPath: String,
+                      queryIdCol: String, vecCol: String,
+                      outPath: String, checkpoint: String,
+                      topK: Int, nProbe: Int = 4): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val index = graft.ops.AnnIndex.load(spark, indexPath)
+    val codes = graft.ops.AnnIndex.loadCorpusCodes(spark, indexPath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"index at $indexPath has no stored corpus codes — " +
+          "AnnIndex.save(..., corpusCodes = Some(ivfPqEncodeCorpus(...)))"))
+      .localCheckpoint(true)
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) // vecDim probe needs >= 1 query row
+          graft.ops.Similarity.ivfPqSearchCoded(index, codes, batch,
+              queryIdCol, vecCol, topK, nProbe)
+            .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Continuous replica maintenance from a source table's Change Data
     * Feed: stream the `_graft_changes` batch files
     * ([[graft.storage.Merge]] `captureChanges`) and replay each onto

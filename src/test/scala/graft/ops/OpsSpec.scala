@@ -754,6 +754,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(serve(AnnIndex.load(spark, dir)) == direct)
   }
 
+  test("stored-code serving equals re-encoding serving; codes persist with the index") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val direct = norm(Similarity.ivfPqSearchWith(idx, queries, emb,
+      "vec_id", "vec_id", "embedding", topK = 5, nProbe = 4,
+      corpusSpill = 2))
+    assert(direct.nonEmpty)
+    val codes = Similarity.ivfPqEncodeCorpus(idx, emb, "vec_id",
+      "embedding", corpusSpill = 2)
+    assert(norm(Similarity.ivfPqSearchCoded(idx, codes, queries,
+      "vec_id", "embedding", topK = 5, nProbe = 4)) == direct,
+      "stored codes must reproduce the re-encoding serve exactly")
+    // codes ride the same staged generation as the codebooks
+    val dir = tempDir("codedidx") + "/idx"
+    AnnIndex.save(spark, dir, idx, Some(codes))
+    val loaded = AnnIndex.load(spark, dir)
+    val loadedCodes = AnnIndex.loadCorpusCodes(spark, dir)
+    assert(loadedCodes.isDefined)
+    assert(norm(Similarity.ivfPqSearchCoded(loaded, loadedCodes.get,
+      queries, "vec_id", "embedding", topK = 5, nProbe = 4)) == direct,
+      "a loaded coded index must serve bit-identical results")
+    // a code-less index reports no codes (serve via re-encoding)
+    val dir2 = tempDir("nocodes") + "/idx"
+    AnnIndex.save(spark, dir2, idx)
+    assert(AnnIndex.loadCorpusCodes(spark, dir2).isEmpty)
+  }
+
   test("a crash mid-re-save leaves the ANN index serving the intact previous generation") {
     import graft.storage.Fs
     val queries = emb.filter(col("vec_id") < 10)

@@ -267,6 +267,47 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       s"intra-batch clones must not both land: $corpus")
   }
 
+  test("annSearchStream serves micro-batches identical to batch search") {
+    import graft.ops.{AnnIndex, Similarity}
+    val out = tempDir("ann_stream")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    AnnIndex.save(spark, s"$out/idx", idx,
+      Some(Similarity.ivfPqEncodeCorpus(idx, emb, "vec_id", "embedding",
+        corpusSpill = 2)))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    queries.filter(col("vec_id") < 1000005)
+      .coalesce(1).write.parquet(s"$out/in")
+    queries.filter(col("vec_id") >= 1000005)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(queries.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = StreamingOps.annSearchStream(stream, s"$out/idx",
+      "vec_id", "embedding", s"$out/results", s"$out/cp", topK = 5,
+      nProbe = 4)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$out/results")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Similarity.ivfPqSearchCoded(idx,
+        AnnIndex.loadCorpusCodes(spark, s"$out/idx").get, queries,
+        "vec_id", "embedding", topK = 5, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      "streamed top-k must equal the batch search over all queries")
+    // an index saved without codes refuses at stream START, loudly
+    AnnIndex.save(spark, s"$out/idx2", idx)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStream(stream, s"$out/idx2", "vec_id",
+        "embedding", s"$out/r2", s"$out/cp2", topK = 5)
+    }
+    assert(e.getMessage.contains("corpus codes"))
+  }
+
   test("ingestNearDedupStream maintains the fuzzy index across micro-batches") {
     import spark.implicits._
     import graft.storage.{BasicStorage, Fs}
