@@ -77,16 +77,82 @@ object AnnIndex {
     else Fs.swapInStaged(spark, root, tmp)
   }
 
-  /** The stored corpus codes of [[save]]'s `corpusCodes`, when this
-    * index was saved with them — the [[Similarity.ivfPqSearchCoded]]
-    * input. None for an index saved without codes (serve via
-    * [[Similarity.ivfPqSearchWith]] re-encoding instead). */
+  /** The stored corpus codes of [[save]]'s `corpusCodes` — base
+    * generation plus every [[appendCorpusCodes]] increment unioned —
+    * when this index was saved with them; the
+    * [[Similarity.ivfPqSearchCoded]] input. None for an index saved
+    * without codes (serve via [[Similarity.ivfPqSearchWith]]
+    * re-encoding instead). */
   def loadCorpusCodes(spark: SparkSession, path: String)
       : Option[org.apache.spark.sql.DataFrame] = {
     val root = path.stripSuffix("/")
     Fs.recoverAside(spark, root)
     if (!Fs.exists(spark, codesPath(root))) None
-    else Some(spark.read.parquet(codesPath(root)))
+    else {
+      val dirs = codesPath(root) +:
+        codeIncDirs(spark, root).map(d => s"$root/$d")
+      Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+    }
+  }
+
+  private def codeIncDirs(spark: SparkSession, root: String): Seq[String] =
+    Fs.listSubdirs(spark, root)
+      .filter(_.matches("corpus_codes_inc-\\d+"))
+      .sortBy(_.stripPrefix("corpus_codes_inc-").toLong)
+
+  /** Append codes for NEW corpus vectors (encoded with THIS index's
+    * codebooks via [[Similarity.ivfPqEncodeCorpus]]) without
+    * rewriting the stored base — the growing-corpus maintenance path
+    * of a served ANN index, the same single-rename generation
+    * protocol as the near-dup index's `inc-N` dirs: the increment
+    * stages under `corpus_codes_inc-N__tmp` and ONE rename publishes
+    * it; a crash leaves ignorable `__tmp` debris
+    * ([[graft.storage.Maintenance.vacuum]] sweeps it). A full
+    * [[save]] re-swap clears all increments with the root. Codes must
+    * come from the SAME index generation — encode with a loaded copy
+    * of this index, never a refit (refits are float-layout-sensitive
+    * and the codebooks would no longer match the stored base). */
+  def appendCorpusCodes(spark: SparkSession, path: String,
+                        newCodes: org.apache.spark.sql.DataFrame): Unit = {
+    val root = path.stripSuffix("/")
+    Fs.recoverAside(spark, root)
+    require(Fs.exists(spark, codesPath(root)),
+      s"index at $path has no stored corpus codes to append to — " +
+        "save(..., corpusCodes = Some(...)) first")
+    val base = spark.read.parquet(codesPath(root))
+    require(newCodes.columns.sorted.toSeq == base.columns.sorted.toSeq,
+      s"appended codes columns ${newCodes.columns.sorted.mkString(",")} " +
+        s"do not match the stored base ${base.columns.sorted.mkString(",")}" +
+        " — encode with the loaded index, not a refit with different m")
+    val n = (0L +: codeIncDirs(spark, root)
+        .map(_.stripPrefix("corpus_codes_inc-").toLong)).max + 1L
+    val gen = s"$root/corpus_codes_inc-$n"
+    val tmp = gen + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    newCodes.select(base.columns.map(col): _*).write.parquet(tmp)
+    Fs.renameChecked(spark, tmp, gen)
+  }
+
+  /** Fold appended code generations back into the base — stored-row
+    * I/O only. Crash-safe in every window: the base swaps through the
+    * staged-dir protocol, and a crash BETWEEN the swap and the
+    * generation deletes leaves duplicated code rows, which serving
+    * dedups (the candidate stage is distinct over identical rows) —
+    * never wrong results. Returns the generations folded. */
+  def compactCorpusCodes(spark: SparkSession, path: String): Int = {
+    val root = path.stripSuffix("/")
+    Fs.recoverAside(spark, root)
+    val incs = codeIncDirs(spark, root)
+    if (incs.isEmpty) return 0
+    require(Fs.exists(spark, codesPath(root)),
+      s"no stored corpus codes at $path")
+    // distinct: rows are unique per (vector, cell) by construction, so
+    // this only heals the crash-between-swap-and-deletes duplicates a
+    // prior compact may have left
+    Fs.writeSwapped(spark, codesPath(root),
+      loadCorpusCodes(spark, root).get.distinct(), coalesce1 = false)
+    incs.foreach(d => Fs.deleteChecked(spark, s"$root/$d"))
+    incs.size
   }
 
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {

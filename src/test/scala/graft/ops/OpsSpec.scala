@@ -786,6 +786,53 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(AnnIndex.loadCorpusCodes(spark, dir2).isEmpty)
   }
 
+  test("appended corpus codes serve identically to a full re-encode; compaction folds them") {
+    import graft.storage.Fs
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def enc(part: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqEncodeCorpus(idx, part, "vec_id", "embedding",
+        corpusSpill = 2)
+    val expected = norm(Similarity.ivfPqSearchCoded(idx, enc(emb),
+      queries, "vec_id", "embedding", topK = 5, nProbe = 4))
+    // grow the corpus in three slices: base save + two appends
+    val dir = tempDir("codesinc") + "/idx"
+    AnnIndex.save(spark, dir, idx,
+      Some(enc(emb.filter(col("vec_id") < 200))))
+    AnnIndex.appendCorpusCodes(spark, dir,
+      enc(emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)))
+    AnnIndex.appendCorpusCodes(spark, dir,
+      enc(emb.filter(col("vec_id") >= 400)))
+    def serve() = norm(Similarity.ivfPqSearchCoded(idx,
+      AnnIndex.loadCorpusCodes(spark, dir).get, queries, "vec_id",
+      "embedding", topK = 5, nProbe = 4))
+    assert(serve() == expected,
+      "append-maintained codes diverged from a full re-encode")
+    // crashed-append debris is invisible
+    new java.io.File(s"$dir/corpus_codes_inc-9__tmp").mkdirs()
+    assert(serve() == expected)
+    // compaction folds both generations, serving unchanged, idempotent
+    assert(AnnIndex.compactCorpusCodes(spark, dir) == 2)
+    assert(!Fs.listSubdirs(spark, dir)
+      .exists(_.matches("corpus_codes_inc-\\d+")))
+    assert(serve() == expected, "compaction must not change serving")
+    assert(AnnIndex.compactCorpusCodes(spark, dir) == 0)
+    // a refit with different geometry cannot append its codes
+    val idx2 = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 2, pqK = 8, pqIterations = 1)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendCorpusCodes(spark, dir,
+        Similarity.ivfPqEncodeCorpus(idx2, emb, "vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("do not match"))
+  }
+
   test("a crash mid-re-save leaves the ANN index serving the intact previous generation") {
     import graft.storage.Fs
     val queries = emb.filter(col("vec_id") < 10)
