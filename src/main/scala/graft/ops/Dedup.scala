@@ -84,6 +84,113 @@ object Dedup {
       .drop("__graft_h")
   }
 
+  // ------------------------------------- persisted exact-dedup index
+
+  /** Persist the exact-dedup HASH INDEX of a base corpus — the
+    * "distinct-hash frame you'd persist between ingests" that
+    * [[dedupAgainst]]'s scale note has always promised, now with an
+    * API: one 32-byte normalized-text digest per distinct base text,
+    * NEVER the text. Layout: `<path>/hashes` plus [[appendToHashIndex]]
+    * `inc-N` generations (the near-dup index's single-rename
+    * protocol); the base stages under one tmp root and swaps as a
+    * unit. Incremental BATCH pipelines dedup against the stored
+    * digests without reading (or re-hashing) the corpus text at all —
+    * at 100 TB the difference between a 32-byte-column scan and a
+    * full text scan per increment. The continuous-ingest STREAMS
+    * deliberately do NOT serve from this index: their replay safety
+    * IS the corpus-as-index anti-join (a crashed batch re-checks the
+    * corpus and self-drops); an index-served stream would need
+    * batch-stamped idempotent corpus writes to close the same window
+    * — a different table contract, documented here rather than
+    * silently traded away. */
+  def saveHashIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, base: DataFrame,
+                    textCol: String): Unit = {
+    import graft.storage.Fs
+    val root = path.stripSuffix("/")
+    val tmp = root + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    base.select(normalizedHash(col(textCol)).as("h")).distinct()
+      .write.parquet(s"$tmp/hashes")
+    if (!Fs.exists(spark, root)) Fs.renameChecked(spark, tmp, root)
+    else Fs.swapInStaged(spark, root, tmp)
+  }
+
+  /** Whether a complete hash index exists at `path` (post
+    * aside-recovery). */
+  def hashIndexExists(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean = {
+    import graft.storage.Fs
+    val root = path.stripSuffix("/")
+    Fs.recoverAside(spark, root)
+    Fs.exists(spark, s"$root/hashes")
+  }
+
+  /** Append an increment's distinct text digests as one single-rename
+    * `inc-N` generation — O(increment), the base digests never
+    * re-read. Duplicate digests across generations are harmless (the
+    * anti-join is membership, not counting). */
+  def appendToHashIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, increment: DataFrame,
+                        textCol: String): Unit = {
+    import graft.storage.Fs
+    val root = path.stripSuffix("/")
+    require(hashIndexExists(spark, root),
+      s"no hash index at $path — run saveHashIndex")
+    val n = (0L +: hashIncDirs(spark, root)
+        .map(_.stripPrefix("inc-").toLong)).max + 1L
+    val tmp = s"$root/inc-${n}__tmp"
+    Fs.deleteChecked(spark, tmp)
+    increment.select(normalizedHash(col(textCol)).as("h")).distinct()
+      .write.parquet(tmp)
+    Fs.renameChecked(spark, tmp, s"$root/inc-$n")
+  }
+
+  private def hashIncDirs(spark: org.apache.spark.sql.SparkSession,
+                          root: String): Seq[String] =
+    graft.storage.Fs.listSubdirs(spark, root)
+      .filter(_.matches("inc-\\d+"))
+      .sortBy(_.stripPrefix("inc-").toLong)
+
+  /** [[dedupAgainst]] served from the stored digests: drop incoming
+    * rows whose normalized text is already indexed. The corpus itself
+    * is never touched. */
+  def dedupAgainstHashIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, incoming: DataFrame,
+                            textCol: String): DataFrame = {
+    val root = path.stripSuffix("/")
+    require(hashIndexExists(spark, root),
+      s"no hash index at $path — run saveHashIndex")
+    val dirs = s"$root/hashes" +: hashIncDirs(spark, root)
+      .map(d => s"$root/$d")
+    val indexed = dirs.map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+      .select(col("h").as("__graft_h"))
+    incoming.withColumn("__graft_h", normalizedHash(col(textCol)))
+      .join(indexed, Seq("__graft_h"), "left_anti")
+      .drop("__graft_h")
+  }
+
+  /** Fold appended generations into the base — stored-digest I/O
+    * only; the whole root re-stages and swaps once, so the fold is
+    * crash-atomic. Returns generations folded. */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    import graft.storage.Fs
+    val root = path.stripSuffix("/")
+    require(hashIndexExists(spark, root),
+      s"no hash index at $path — run saveHashIndex")
+    val incs = hashIncDirs(spark, root)
+    if (incs.isEmpty) return 0
+    val dirs = s"$root/hashes" +: incs.map(d => s"$root/$d")
+    val tmp = root + "__tmp"
+    Fs.deleteChecked(spark, tmp)
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .distinct().write.parquet(s"$tmp/hashes")
+    Fs.swapInStaged(spark, root, tmp)
+    incs.size
+  }
+
   // ------------------------------------------- corpus line/chunk dedup
 
   /** C4-style corpus-level unit dedup: every distinct unit (line,

@@ -2951,6 +2951,73 @@ object GraftQueries {
       |      = sha256(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
       |ORDER BY doc_id""".stripMargin
 
+  /** PERSISTED-index incremental EXACT dedup
+    * ([[graft.ops.Dedup.saveHashIndex]] /
+    * [[graft.ops.Dedup.dedupAgainstHashIndex]] /
+    * [[graft.ops.Dedup.appendToHashIndex]]): two ingest increments
+    * dedup against the stored normalized-text digests — the corpus
+    * text is never re-read — and the first increment's survivors are
+    * APPENDED to the index as an `inc-N` generation, which must then
+    * catch the second increment's clones of first-increment docs.
+    * Oracle: the same two-level NOT EXISTS over normalized text
+    * (exact equality — digest vs text predicate are the same
+    * equivalence classes). */
+  val dedupIndexed: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    def copies(pred: org.apache.spark.sql.Column, offset: Long) =
+      docs.filter(pred).select((col("doc_id") + offset).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val base = docs.filter(col("doc_id") < 400)
+    val incA = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      .unionByName(copies(col("doc_id") < 25, 100000L))
+    val incB = docs.filter(col("doc_id") >= 450)
+      .unionByName(copies(
+        col("doc_id") >= 400 && col("doc_id") < 425, 200000L))
+      .unionByName(copies(
+        col("doc_id") >= 25 && col("doc_id") < 50, 300000L))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_hashidx_q").toString + "/idx"
+    graft.ops.Dedup.saveHashIndex(spark, idx, base, "text")
+    val survA = graft.ops.Dedup.dedupAgainstHashIndex(spark, idx,
+      incA, "text").localCheckpoint(true)
+    graft.ops.Dedup.appendToHashIndex(spark, idx, survA, "text")
+    val survB = graft.ops.Dedup.dedupAgainstHashIndex(spark, idx,
+      incB, "text")
+    survA.unionByName(survB)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupIndexedSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |    AS nt, source, n_chars
+      |  FROM documents),
+      |base AS (SELECT * FROM norm WHERE doc_id < 400),
+      |incA AS (
+      |  SELECT doc_id, nt, source, n_chars FROM norm
+      |  WHERE doc_id >= 400 AND doc_id < 450
+      |  UNION ALL
+      |  SELECT doc_id + 100000, nt, source, n_chars FROM norm
+      |  WHERE doc_id < 25),
+      |sA AS (SELECT * FROM incA i WHERE NOT EXISTS (
+      |  SELECT 1 FROM base b WHERE b.nt = i.nt)),
+      |incB AS (
+      |  SELECT doc_id, nt, source, n_chars FROM norm WHERE doc_id >= 450
+      |  UNION ALL
+      |  SELECT doc_id + 200000, nt, source, n_chars FROM norm
+      |  WHERE doc_id >= 400 AND doc_id < 425
+      |  UNION ALL
+      |  SELECT doc_id + 300000, nt, source, n_chars FROM norm
+      |  WHERE doc_id >= 25 AND doc_id < 50),
+      |idxB AS (SELECT nt FROM base UNION ALL SELECT nt FROM sA),
+      |sB AS (SELECT * FROM incB i WHERE NOT EXISTS (
+      |  SELECT 1 FROM idxB x WHERE x.nt = i.nt))
+      |SELECT doc_id, source, n_chars FROM sA
+      |UNION ALL
+      |SELECT doc_id, source, n_chars FROM sB
+      |ORDER BY doc_id""".stripMargin
+
   /** Incremental NEAR-dup dedup (no oracle — MinHash family): the
     * increment (new docs ∪ 30 planted copies of base docs) deduped
     * against the base by bipartite LSH + exact Jaccard verification;
@@ -6811,6 +6878,7 @@ object GraftQueries {
     entry("q_length_band", lengthBand, lengthBandSql),
     entry("q_line_dedup", lineDedup, lineDedupSql),
     entry("q_dedup_incremental", dedupIncremental, dedupIncrementalSql),
+    entry("q_dedup_indexed", dedupIndexed, dedupIndexedSql),
     entry("q_neardedup_incremental", nearDedupIncremental),
     entry("q_neardedup_indexed", nearDedupIndexed, nearDedupIndexedSql),
     entry("q_boilerplate_filter", boilerplateFilter, boilerplateFilterSql),

@@ -654,6 +654,59 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("near-dup index"))
   }
 
+  test("persisted hash index: append == rebuild, debris invisible, compaction invariant") {
+    import graft.storage.Fs
+    val base = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val inc1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .select("doc_id", "text")
+    val inc2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select("doc_id", "text")
+    // probe: fresh docs + exact copies of base, inc1 and inc2 members
+    def copies(of: org.apache.spark.sql.DataFrame, offset: Long) =
+      of.limit(5).select((col("doc_id") + offset).as("doc_id"),
+        col("text"))
+    val probe = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(copies(base, 1000000L))
+      .unionByName(copies(inc1, 2000000L))
+      .unionByName(copies(inc2, 3000000L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val appended = tempDir("hidx_app") + "/idx"
+    Dedup.saveHashIndex(spark, appended, base, "text")
+    Dedup.appendToHashIndex(spark, appended, inc1, "text")
+    Dedup.appendToHashIndex(spark, appended, inc2, "text")
+    val rebuilt = tempDir("hidx_reb") + "/idx"
+    Dedup.saveHashIndex(spark, rebuilt,
+      base.unionByName(inc1).unionByName(inc2), "text")
+    val servedApp = rows(Dedup.dedupAgainstHashIndex(spark, appended,
+      probe, "text"))
+    assert(servedApp == rows(Dedup.dedupAgainstHashIndex(spark, rebuilt,
+      probe, "text")), "append-maintained index diverged from rebuild")
+    assert(!servedApp.exists(_ >= 1000000L),
+      s"copies of indexed docs must be dropped: $servedApp")
+    // crashed-append staging is invisible
+    new java.io.File(s"$appended/inc-7__tmp").mkdirs()
+    assert(rows(Dedup.dedupAgainstHashIndex(spark, appended, probe,
+      "text")) == servedApp)
+    // compaction: generations fold, serving unchanged, idempotent
+    assert(Dedup.compactHashIndex(spark, appended) == 2)
+    assert(!Fs.listSubdirs(spark, appended).exists(_.matches("inc-\\d+")))
+    assert(rows(Dedup.dedupAgainstHashIndex(spark, appended, probe,
+      "text")) == servedApp)
+    assert(Dedup.compactHashIndex(spark, appended) == 0)
+    // a re-save over the compacted root exercises the staged swap
+    Dedup.saveHashIndex(spark, appended,
+      base.unionByName(inc1).unionByName(inc2), "text")
+    assert(rows(Dedup.dedupAgainstHashIndex(spark, appended, probe,
+      "text")) == servedApp)
+    // missing index refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstHashIndex(spark, tempDir("hidx_none") + "/x",
+        probe, "text")
+    }
+    assert(e.getMessage.contains("hash index"))
+  }
+
   test("appended near-dup index serves bit-identically to a full rebuild") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
