@@ -49,7 +49,11 @@ object AnnIndex {
     * scored against another generation's codebooks would be silently
     * wrong ADC distances, the exact torn-pair class the single swap
     * exists to kill. The codes dir is data-sized (m small ints per
-    * corpus vector) and keeps its parallel layout. */
+    * corpus vector) and keeps its parallel layout. A re-save WITHOUT
+    * codes over a coded index drops the stored codes with the old
+    * root — correct, not a leak: a retrained index's codebooks no
+    * longer match them, and stale codes would serve wrong distances;
+    * re-encode under the new index and save the pair together. */
   def save(spark: SparkSession, path: String,
            index: Similarity.IvfPqIndex,
            corpusCodes: Option[org.apache.spark.sql.DataFrame] = None)
