@@ -4075,6 +4075,46 @@ object GraftQueries {
       |  OR (o_orderpriority = '2-HIGH' AND o_totalprice > 300000))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Captured DELETE + time travel ([[graft.storage.Delete.where]]
+    * with `captureChanges` — the Delta-CDF contract for DELETE): the
+    * deleted rows land in the change feed as a `delete` batch, so
+    * pre-delete snapshots stay reconstructible and replicas can
+    * replay the delete downstream. The query returns the PRE-delete
+    * snapshot rebuilt by [[graft.storage.Merge.readAsOf]] AFTER the
+    * delete ran; the oracle is the post-merge state, which only
+    * hash-matches if the feed's delete batch restored every deleted
+    * row exactly (an uncaptured delete would refuse here — see the
+    * barrier fence pinned in DeleteSpec). */
+  val deleteCdfQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_delcdf_q").toString + "/t"
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    st.write(orders.filter(col("o_orderkey") % 7 === 0),
+      path, "delta", "overwrite")
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    val stamp = graft.storage.Merge.changeFeed(spark, path)
+      .agg(max(col("batch"))).head().getLong(0)
+    graft.storage.Delete.where(spark, st, path,
+      "o_totalprice > 200000", captureChanges = true)
+    graft.storage.Merge.readAsOf(spark, st, path,
+        Seq("o_orderkey"), stamp)
+      .orderBy("o_orderkey")
+  }
+
+  val deleteCdfSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 500.0
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey % 7 = 0 OR o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Bucketed co-located join: both sides written as bucketed parquet
     * tables on the join key (8 buckets, bucket-sorted), then joined —
     * the scan's bucket partitioning satisfies the join's distribution
@@ -6986,6 +7026,7 @@ object GraftQueries {
       streamCategoryCountsSql),
     entry("q_bloom_skipping", bloomSkipping, bloomSkippingSql),
     entry("q_delete_mor", deleteMorQ, deleteMorSql),
+    entry("q_delete_cdf", deleteCdfQ, deleteCdfSql),
     entry("q_metadata_agg", metadataAggQ, metadataAggSql),
     entry("q_json_rescue", jsonRescue, jsonRescueSql),
     entry("q_wap", wapQ, wapSql),

@@ -84,6 +84,14 @@ class BasicStorage(spark: SparkSession) extends Storage {
       save(tmp)
       GraftLog.overwriteSwap(spark, base, tmp)
     } else if (managed && mode == "append") {
+      // An append is an uncaptured mutation: on a table with a live
+      // change feed it fences time travel (recordChangeBarrier) —
+      // appended rows carry no key contract (duplicates allowed), so
+      // capturing them as keyed insert changes would make inverse
+      // replay remove MORE than the append added; route keyed inserts
+      // through merge(captureChanges = true) to keep history servable.
+      Merge.recordChangeBarrier(spark, path, "CHANGES_BARRIER",
+        partitionFields)
       // appended rows re-introducing MoR-tombstoned keys clear those
       // tombstones (see MorDelete.planReconcile) — data first, then
       // the sidecar, so a crash between the two is healed by retry

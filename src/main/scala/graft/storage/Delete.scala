@@ -20,9 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Delete {
 
-  /** Delete rows matching `condition`; returns the number deleted. */
+  /** Delete rows matching `condition`; returns the number deleted.
+    *
+    * Change-feed discipline (the Delta CDF contract for DELETE):
+    * `captureChanges = true` writes the deleted rows as a `delete`
+    * change batch, so [[Merge.readAsOf]] still reconstructs
+    * pre-delete snapshots and [[Merge.replayChanges]] propagates the
+    * delete to replicas. WITHOUT capture, a delete on a table that
+    * HAS a feed records a barrier horizon instead
+    * ([[Merge.recordChangeBarrier]]) — travel below the delete then
+    * refuses loudly rather than silently serving snapshots missing
+    * the deleted rows. Leaving capture off is the right call for
+    * GDPR erasure: captured delete batches RETAIN the erased rows in
+    * the feed sidecar until [[Merge.pruneChangeFeed]] removes them. */
   def where(spark: SparkSession, storage: BasicStorage, path: String,
-            condition: String): Long = {
+            condition: String, captureChanges: Boolean = false): Long = {
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException(
         "The given path is not a Delta Table.")
@@ -30,6 +42,25 @@ object Delete {
     val parts = GraftLog.lastPartitioning(spark, base)
     val df = storage.read(base, "delta")
     val cond = coalesce(expr(condition), lit(false))
+
+    // computed FROM the pre-delete files, written BEFORE the rewrite
+    // (Merge's log-before-data discipline — a lazy plan evaluated
+    // after the rewrite would read corpses on the COW path, and a
+    // lost persisted block would recompute from deleted files on the
+    // dynamic-overwrite path). Returns the batch dir so the commit
+    // marker can land AFTER the rewrite (Merge's marker protocol).
+    def captureOrFence(deletedRows: org.apache.spark.sql.DataFrame)
+        : Option[String] =
+      if (captureChanges) {
+        val dir =
+          s"$base/${Merge.ChangesDirName}/batch=${Merge.nextBatchStamp()}"
+        deletedRows.withColumn("_change_type", lit("delete"))
+          .write.mode("overwrite").format("parquet").save(dir)
+        Some(dir)
+      } else {
+        Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
+        None
+      }
 
     if (parts.nonEmpty) {
       val partCols = parts.map(col)
@@ -41,6 +72,7 @@ object Delete {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val deleted = pruned.filter(cond).count()
+        val batchDir = captureOrFence(pruned.filter(cond))
         val kept = pruned.filter(!cond)
         val present = kept.select(partCols: _*).distinct()
           .collect().map(_.toSeq).toSet
@@ -61,6 +93,8 @@ object Delete {
           }.mkString("/")
           Fs.delete(spark, s"$base/$dir")
         }
+        batchDir.foreach(d =>
+          Fs.touch(spark, s"$d/${Merge.ChangesCommitMarker}"))
         GraftLog.append(spark, base, "DELETE", parts)
         deleted
       } finally pruned.unpersist()
@@ -70,11 +104,14 @@ object Delete {
       try {
         val deleted = scanned.filter(cond).count()
         if (deleted == 0L) return 0L
+        val batchDir = captureOrFence(scanned.filter(cond))
         val tmp = base + "__graft_tmp"
         Fs.deleteChecked(spark, tmp)
         scanned.filter(!cond)
           .write.format("parquet").mode("overwrite").save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)
+        batchDir.foreach(d =>
+          Fs.touch(spark, s"$d/${Merge.ChangesCommitMarker}"))
         GraftLog.append(spark, base, "DELETE", Nil)
         deleted
       } finally scanned.unpersist()
@@ -280,6 +317,13 @@ object MorDelete {
     val base = path.stripSuffix("/")
     Fs.recoverAside(spark, tombstonePath(base))
     if (!Fs.exists(spark, tombstonePath(base))) return 0L
+    // Time travel reads the RAW file timeline (tombstones are an
+    // explicit read-path overlay), so the rows leave that timeline
+    // HERE, not at deleteWhere. On a table with a live change feed
+    // the compact fences travel (barrier) rather than capturing the
+    // removed rows as delete changes — MoR delete is the GDPR path,
+    // and a captured batch would retain the erased rows in the feed.
+    Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER")
     val before = storage.read(base, "delta").count()
     val kept = read(spark, storage, base, keyCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

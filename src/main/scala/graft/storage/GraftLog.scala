@@ -130,11 +130,13 @@ object GraftLog {
     *   - the change feed cannot represent an overwrite: its horizon is
     *     recorded first (so [[Merge.readAsOf]] refuses pre-overwrite
     *     travel instead of reconstructing garbage) and the feed goes
-    *     with the old data. The horizon is maxBatch + 1 — unlike
-    *     [[Merge.pruneChangeFeed]] (where as-of == the pruned stamp is
-    *     still reconstructible from the REMAINING newer batches), an
-    *     overwrite destroys even the state just after the newest
-    *     batch, so travel to maxBatch itself must refuse. Recorded
+    *     with the old data. The horizon is a FRESH stamp (dominating
+    *     every stamp ever issued, feed or barrier — see the inline
+    *     note) — unlike [[Merge.pruneChangeFeed]] (where as-of == the
+    *     pruned stamp is still reconstructible from the REMAINING
+    *     newer batches), an overwrite destroys even the state just
+    *     after the newest batch, so travel to maxBatch itself must
+    *     refuse. Recorded
     *     BEFORE the swap (conservative: a crash mid-swap leaves the
     *     old table intact with an advanced horizon — readAsOf detects
     *     that debris, because the surviving feed still holds stamps at
@@ -146,11 +148,36 @@ object GraftLog {
   def overwriteSwap(spark: SparkSession, base0: String, tmp: String): Unit = {
     val base = base0.stripSuffix("/")
     if (Merge.hasChanges(spark, base)) {
-      import org.apache.spark.sql.functions.{col, max}
-      val horizon = Merge.changeFeed(spark, base)
-        .agg(max(col("batch"))).head().getLong(0) + 1L
+      // The horizon must dominate EVERY stamp ever issued for this
+      // table, not just feed batches: barrier stamps (uncaptured
+      // append/delete/compact fences) can be NEWER than the newest
+      // feed batch, and a horizon of maxBatch + 1 would leave such a
+      // stamp above the horizon — readAsOf would then serve the
+      // POST-overwrite base for a PRE-overwrite barrier stamp,
+      // silently. nextBatchStamp() is ≥ maxBatch + 1 within a writer
+      // (atomic max) and above past-run stamps by wall-clock
+      // anchoring, and keeps both properties the heal relies on: all
+      // PRE-overwrite feed stamps sit strictly below it (so crashed-
+      // swap debris is still recognized) and all POST-overwrite
+      // batches stamp strictly above it (so a genuine horizon is
+      // never misread as debris). Travel to maxBatch itself still
+      // refuses — unlike a prune, an overwrite destroys even the
+      // state just after the newest batch.
       append(spark, base, "CHANGES_PRUNE", Nil,
-        Some(Merge.ChangesOverwriteApp -> horizon))
+        Some(Merge.ChangesOverwriteApp -> Merge.nextBatchStamp()))
+    } else {
+      // A FEED-LESS overwrite on a table that once HAD a feed era
+      // (fully-pruned feed, prior barriers) still holds outstanding
+      // stamps — e.g. the prune horizon itself, which readAsOf serves
+      // at `== horizon` — and without a new record those stamps would
+      // silently reconstruct the POST-overwrite base as a
+      // PRE-overwrite snapshot. recordChangeBarrier applies exactly
+      // that condition (and stays a no-op for never-fed tables, where
+      // Long.MinValue ⇒ "before the first captured batch" must keep
+      // working for build-by-overwrite pipelines). The barrier app is
+      // the right record: no feed stamps exist for the overwrite
+      // app's crashed-swap debris heal to reason from.
+      Merge.recordChangeBarrier(spark, base, "CHANGES_PRUNE")
     }
     val old = base + "__graft_old"
     Fs.deleteChecked(spark, old)
@@ -230,6 +257,17 @@ object Fs {
   def delete(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  /** Create an empty marker file (commit markers on change batches).
+    * Underscore-named markers are invisible to Spark's parquet reads
+    * of the enclosing directory. create() is atomic-enough for a
+    * single-writer marker: the file either exists complete (it is
+    * empty) or not at all. */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(p, true).close()
   }
 
   def rename(spark: SparkSession, from: String, to: String): Boolean = {

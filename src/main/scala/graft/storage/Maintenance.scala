@@ -45,7 +45,9 @@ import org.apache.spark.sql.SparkSession
 object Maintenance {
 
   /** One planned (or executed) vacuum step. `kind` is `delete` |
-    * `heal`; heals rename `target` back to `dest`. */
+    * `heal` | `fence`; heals rename `target` back to `dest`; fences
+    * record a change-barrier horizon on table `target` at the stamp
+    * in `dest` (orphaned change batches get fenced before removal). */
   final case class VacuumAction(kind: String, target: String,
                                 dest: String, detail: String)
 
@@ -125,11 +127,46 @@ object Maintenance {
         }
       }
       sweep(new Path(base))
+
+      // --- orphaned change batches: a batch dir with NO commit
+      // marker is a crashed capture (its data rewrite may or may not
+      // have landed — unknowable). Deleting it alone would let
+      // readAsOf silently reconstruct across the gap, so the sweep
+      // records a barrier at the orphan's stamp FIRST (travel below
+      // refuses; at-and-after serves from retained history — correct
+      // for both crash sides), then removes the dir. Single-writer
+      // contract, documented: no capture may be in flight while
+      // vacuum runs — an in-flight batch is marker-less by
+      // construction and would be swept as an orphan.
+      val changes = new Path(base, Merge.ChangesDirName)
+      if (fs.exists(changes)) {
+        val batchDirs = fs.listStatus(changes).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("batch="))
+        val orphans = batchDirs.filter(p =>
+          !fs.exists(new Path(p, Merge.ChangesCommitMarker)))
+        orphans.foreach { p =>
+          val stamp = p.getName.stripPrefix("batch=").toLong
+          actions += VacuumAction("fence", base, stamp.toString,
+            s"orphaned change batch $stamp (no commit marker) — " +
+              "fencing travel at its stamp before removal")
+          actions += delete(p.toString,
+            s"orphaned change batch $stamp (no commit marker)")
+        }
+        // an emptied feed dir would break the next changeFeed read
+        // (no parquet to infer a schema from) — same cleanup as
+        // pruneChangeFeed's full-prune branch
+        if (orphans.nonEmpty && orphans.length == batchDirs.length)
+          actions += delete(changes.toString,
+            "change feed emptied by the orphan sweep")
+      }
     }
 
     if (!dryRun) {
       actions.foreach { a =>
         if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
+        else if (a.kind == "fence")
+          GraftLog.append(spark, a.target, "CHANGES_BARRIER", Nil,
+            Some(Merge.ChangesBarrierApp -> a.dest.toLong))
         else Fs.renameChecked(spark, a.target, a.dest)
       }
       // a healed root was unsweepable when the plan was computed —

@@ -31,6 +31,23 @@ object Merge {
 
   val ChangesDirName = "_graft_changes"
 
+  /** Commit marker inside a change-batch dir — written AFTER the
+    * batch's data rewrite reached the table (log-before-data leaves
+    * the batch files first). A batch dir WITHOUT it is a crashed
+    * capture: whether its changes reached the table is unknowable, so
+    * [[readAsOf]] refuses to step across it, [[graft.streaming
+    * .StreamingOps.replicateStream]] skips it, and [[Maintenance
+    * .vacuum]] sweeps it behind a barrier. Underscore-named — Spark's
+    * parquet reads of the batch dir never see it. */
+  val ChangesCommitMarker = "_commit"
+
+  /** Is this change batch committed (its data rewrite completed)?
+    * One driver FS check. */
+  def isBatchCommitted(spark: SparkSession, path: String,
+                       batch: Long): Boolean =
+    Fs.exists(spark, path.stripSuffix("/") +
+      s"/$ChangesDirName/batch=$batch/$ChangesCommitMarker")
+
   /** Read a managed table's Change Data Feed: every change batch ever
     * captured by a `captureChanges = true` merge, with `_change_type`
     * and the stamping `batch` dir-partition column (monotone per
@@ -147,8 +164,15 @@ object Merge {
     //    the feed stamps that identified a debris record, that record
     //    is honored again — travel refuses loudly where prune
     //    semantics alone would have allowed it; never silent.
+    // The BARRIER app joins the prune app in the unconditional set:
+    // it records an uncaptured mutation (Delete.where without
+    // captureChanges, a managed append, a MoR compact) on a table
+    // with a live feed — the feed has a gap there, and reconstructing
+    // across it would silently hand back snapshots missing (or
+    // containing) the uncaptured rows.
     val pruned = (
       GraftLog.txnBatches(spark, path, ChangesPruneApp) ++
+      GraftLog.txnBatches(spark, path, ChangesBarrierApp) ++
       GraftLog.txnBatches(spark, path, ChangesOverwriteApp)
         .filterNot(h => feedStamps.headOption.exists(_ < h))
     ).maxOption
@@ -156,11 +180,26 @@ object Merge {
       throw new IllegalArgumentException(
         s"time travel to batch $asOfBatch is beyond the pruned change " +
           s"horizon ($horizon) — older feed batches were removed by " +
-          "pruneChangeFeed or a table overwrite")
+          "pruneChangeFeed or a table overwrite, or an uncaptured " +
+          "mutation (delete/append/compact without change capture) " +
+          "broke the feed's history there")
     }
     if (feedStamps.isEmpty) return current
     val feed = changeFeed(spark, path)
     val newer = feedStamps.filter(_ > asOfBatch).sorted.reverse
+    // a batch with no commit marker is a crashed capture — whether
+    // its changes reached the table is unknowable, so stepping across
+    // it could double-restore (an unapplied delete batch) or
+    // half-miss (an applied-but-unmarked one). Refuse loudly; batches
+    // at or below asOfBatch are never stepped and don't matter.
+    val uncommitted = newer.filterNot(isBatchCommitted(spark, path, _))
+    if (uncommitted.nonEmpty)
+      throw new IllegalStateException(
+        s"time travel to batch $asOfBatch must step across change " +
+          s"batch(es) ${uncommitted.mkString(", ")} that have no " +
+          "commit marker — a captured mutation crashed mid-flight; " +
+          "re-run it (a retry captures a fresh committed batch) or " +
+          "Maintenance.vacuum the orphan, which fences travel at it")
     newer.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
       val stepped =
         inverseReplay(df, feed.filter(col("batch") === b), keyCols)
@@ -175,6 +214,47 @@ object Merge {
 
   private[storage] val ChangesPruneApp = "graft_changes_prune"
   private[storage] val ChangesOverwriteApp = "graft_changes_overwrite"
+  private[storage] val ChangesBarrierApp = "graft_changes_barrier"
+
+  /** Fence the change feed at "now": record a barrier horizon so
+    * [[readAsOf]] refuses stamps below it. Called by every mutation
+    * path that changes the table WITHOUT capturing its changes into
+    * the feed (uncaptured [[Delete.where]], managed append,
+    * [[MorDelete.compact]]) — the alternative is a feed that looks
+    * continuous but has a silent gap, and time travel across a gap
+    * reconstructs snapshots that never existed. No-op on tables
+    * without a feed: with no captured history there is nothing to
+    * corrupt. Recorded BEFORE the caller's data mutation (the prune
+    * discipline): a crash between the record and the mutation refuses
+    * conservatively, never reconstructs wrongly. One metadata-sized
+    * log row per uncaptured mutation on a CDC table. */
+  private[storage] def recordChangeBarrier(spark: SparkSession,
+      path: String, operation: String,
+      partitionFields: Seq[String] = Nil): Unit =
+    if (feedEraExists(spark, path))
+      GraftLog.append(spark, path.stripSuffix("/"), operation,
+        partitionFields, Some(ChangesBarrierApp -> nextBatchStamp()))
+
+  /** Has this table EVER had a change-feed era — a live feed now, or
+    * horizon records from a past one? The fence condition for
+    * uncaptured mutations: stamps only come from captured batches, so
+    * a table with no feed era has no outstanding stamps to protect,
+    * and fencing it would break the documented `Long.MinValue` ⇒
+    * "before the first captured batch" semantic for tables built by
+    * pre-history writes. A FULLY-PRUNED feed (dir gone, prune horizon
+    * in the log) still counts: a caller can hold the horizon stamp
+    * itself — readAsOf serves `== horizon` — and an unfenced mutation
+    * would silently change what that stamp reconstructs. One op-log
+    * read (driver, metadata-sized). */
+  private[storage] def feedEraExists(spark: SparkSession,
+                                     path: String): Boolean =
+    hasChanges(spark, path) || {
+      val h = GraftLog.history(spark, path)
+      h.schema.fieldNames.contains("txn_app") &&
+        !h.filter(col("txn_app").isin(
+          ChangesPruneApp, ChangesBarrierApp, ChangesOverwriteApp))
+          .isEmpty
+    }
 
   /** Change-batch stamps: wall-clock-anchored (micros-of-epoch scale)
     * and strictly increasing within the writer. nanoTime would order
@@ -546,7 +626,7 @@ object Merge {
       // partition stamps each merge's changes (readers get the column
       // for free); a failed merge can leave an orphan change batch —
       // the documented at-least-once trade of log-before-data.
-      if (captureChanges) {
+      val capturedBatchDir: Option[String] = if (captureChanges) {
         val notDel = !coalesce(delCond, lit(false))
         val updTrue = coalesce(updCond, lit(false))
         def side(prefix: String, tag: String, cond: org.apache.spark.sql.Column) =
@@ -556,9 +636,10 @@ object Merge {
           .unionByName(side("full", "update_preimage", notDel && updTrue))
           .unionByName(side("incremental", "update_postimage", notDel && updTrue))
           .unionByName(inserts.withColumn("_change_type", lit("insert")))
-        changes.write.mode("overwrite").format("parquet")
-          .save(s"$base/${ChangesDirName}/batch=${nextBatchStamp()}")
-      }
+        val dir = s"$base/${ChangesDirName}/batch=${nextBatchStamp()}"
+        changes.write.mode("overwrite").format("parquet").save(dir)
+        Some(dir)
+      } else None
 
       // MoR tombstone reconciliation (no-op unless a _graft_tombstones
       // sidecar exists): keys this merge UPDATES or INSERTS are
@@ -621,6 +702,14 @@ object Merge {
         GraftLog.carryLogAndSwap(spark, base, tmp)
       }
 
+      // the batch's commit marker lands only now, AFTER the data
+      // rewrite: a batch dir without `_commit` is a crashed capture
+      // whose changes may or may not have reached the table —
+      // readAsOf refuses to step across it, replication skips it,
+      // vacuum sweeps it behind a barrier. Either crash side is
+      // loud, never a silently-wrong reconstruction.
+      capturedBatchDir.foreach(d =>
+        Fs.touch(spark, s"$d/$ChangesCommitMarker"))
       tombPlan.foreach(MorDelete.commitReconcile(spark, base, _))
 
     } finally if (cowRewrite) scannedFull.unpersist()

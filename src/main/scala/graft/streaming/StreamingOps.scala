@@ -629,16 +629,34 @@ object StreamingOps {
       .parquet(changesDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        // The micro-batch is a TRIGGER only; the rows replayed come
+        // from the source feed DIRECTORY, listed forward from the
+        // replica's applied watermark. Two reasons over replaying the
+        // micro-batch rows themselves: (a) a batch without its commit
+        // marker is a crashed capture the source never committed —
+        // replaying it would diverge the replica from a state the
+        // source never reached — so it is filtered out here; (b) the
+        // file stream consumes a batch's files exactly once, so a
+        // capture whose marker lands AFTER its files were consumed
+        // (merge still in flight at trigger time) would be lost
+        // forever under row-replay — directory-replay picks it up on
+        // the next trigger instead. Feed batches stay listable until
+        // pruneChangeFeed, whose contract already requires replicas
+        // to be caught up.
         val applied = graft.storage.GraftLog
           .lastTxnBatch(spark, replicaPath, txnApp).getOrElse(Long.MinValue)
-        val stamps = batch.select(col("batch")).distinct()
-          .collect().map(_.getLong(0)).filter(_ > applied).sorted
+        val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
+        val stamps = feed.select(col("batch")).distinct()
+          .collect().map(_.getLong(0)).filter(_ > applied)
+          .filter(b => graft.storage.Merge
+            .isBatchCommitted(spark, sourcePath, b))
+          .sorted
         if (stamps.nonEmpty) {
           var replica = storage.read(replicaPath, "delta")
           for (b <- stamps)
             replica = graft.storage.Merge.replayChanges(
-              replica, batch.filter(col("batch") === b), keyCols)
+              replica, feed.filter(col("batch") === b), keyCols)
           val materialized = replica.localCheckpoint()
           storage.write(materialized, replicaPath, "delta", "overwrite")
           graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,

@@ -139,7 +139,7 @@ class SamplingSplitSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Sampling.datasetSplit(bad, "arr", 80, 10)
     }
-    assert(e.getMessage.contains("numeric key"))
+    assert(e.getMessage.contains("numeric or timestamp key"))
   }
 
   test("leakageSafeSplit property: random pair graphs, components never straddle") {

@@ -322,6 +322,93 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(after.count() == 35L) // 40 - 8 deleted + 2 revived + 1 new
   }
 
+  test("captured delete writes a delete change batch; time travel " +
+      "restores the deleted rows") {
+    val path = tempDir("del_cdf") + "/t"
+    st.write((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      path, "delta", "overwrite")
+    st.merge(Seq((11L, 1)).toDF("id", "g"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    val n = Delete.where(spark, st, path, "g = 0", captureChanges = true)
+    assert(n == 3)
+    // the feed gained a batch of pure `delete` rows
+    val batches = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    assert(batches.length == 2)
+    assert(Merge.changeFeed(spark, path)
+      .filter(col("batch") === batches.last)
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    // pre-delete travel reconstructs the deleted rows exactly
+    val back = Merge.readAsOf(spark, st, path, Seq("id"), stamp)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(back == ((1 to 10).map(i => (i.toLong, i % 3)) :+ (11L, 1))
+      .sorted)
+    // and replayChanges of the delete batch onto it returns current
+    val replayed = Merge.replayChanges(
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp),
+      Merge.changeFeed(spark, path)
+        .filter(col("batch") === batches.last), Seq("id"))
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(replayed == st.read(path, "delta")
+      .as[(Long, Int)].collect().sorted.toSeq)
+  }
+
+  test("uncaptured delete on a feed-captured table fences time travel") {
+    val path = tempDir("del_fence") + "/t"
+    st.write((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      path, "delta", "overwrite")
+    st.merge(Seq((11L, 1)).toDF("id", "g"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    assert(Delete.where(spark, st, path, "g = 0") == 3)
+    // the feed has a gap here: travel below the delete refuses loudly
+    // instead of serving snapshots missing the deleted rows
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+    }
+    assert(e.getMessage.contains("horizon"))
+    // the current state stays servable at the barrier stamp
+    val h = GraftLog.lastTxnBatch(spark, path,
+      Merge.ChangesBarrierApp).get
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), h).count()
+      == st.read(path, "delta").count())
+    // a table with NO feed is untouched by the fence path: the
+    // barrier is only recorded where there is history to corrupt
+    val plain = tempDir("del_nofence") + "/t"
+    st.write((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      plain, "delta", "overwrite")
+    assert(Delete.where(spark, st, plain, "g = 0") == 3)
+    assert(GraftLog.lastTxnBatch(spark, plain,
+      Merge.ChangesBarrierApp).isEmpty)
+  }
+
+  test("MoR compact on a feed-captured table fences time travel " +
+      "(rows leave the raw timeline at compact, uncaptured)") {
+    val path = tempDir("mor_fence") + "/t"
+    st.write((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      path, "delta", "overwrite")
+    st.merge(Seq((11L, 1)).toDF("id", "g"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    MorDelete.deleteWhere(spark, st, path, "g = 0", Seq("id"))
+    // tombstones alone do not change the raw file timeline: travel
+    // still serves the pre-merge state
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), Long.MinValue)
+      .count() == 10)
+    assert(MorDelete.compact(spark, st, path, Seq("id")) == 3)
+    // compact removed rows from the raw timeline without capturing
+    // them — pre-compact stamps must refuse
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+    }
+    assert(e.getMessage.contains("horizon"))
+  }
+
   test("managed overwrite drops tombstones with the table they referred to") {
     val st = new BasicStorage(spark)
     val path = tempDir("mor_overwrite") + "/t"

@@ -588,8 +588,13 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
     }
     assert(e.getMessage.contains("pruned change horizon"))
-    // after the horizon ⇒ the current (post-overwrite) table
-    assert(Merge.readAsOf(spark, st, path, Seq("id"), stamp + 1)
+    // the recorded horizon is a FRESH stamp dominating every stamp
+    // ever issued (not maxBatch + 1 — a barrier stamp could sit above
+    // that); at and after it ⇒ the current (post-overwrite) table
+    val h = GraftLog.lastTxnBatch(spark, path,
+      Merge.ChangesOverwriteApp).get
+    assert(h > stamp)
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), h)
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
   }
 
@@ -603,11 +608,14 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     val stamp = Merge.changeFeed(spark, path)
       .select("batch").distinct().head().getLong(0)
     st.write(Seq((9L, "z")).toDF("id", "v"), path, "delta", "overwrite")
-    val h = stamp + 1 // the recorded horizon (max stamp + 1)
-    // a merge in the same JVM/millisecond as the overwrite can stamp
-    // EXACTLY h (nextBatchStamp's p+1 bump) — simulate it by writing
-    // its change batch directly; the feed's min stamp is then == h,
-    // which real overwrite debris (stamps <= h-1) can never produce
+    // the recorded horizon: a fresh stamp the overwrite consumed from
+    // nextBatchStamp — no same-JVM batch can collide with it anymore,
+    // but the strict-inequality heal must STILL not misread a feed
+    // whose min stamp lands exactly on h (clock anomalies, a foreign
+    // writer) as crashed-overwrite debris; simulate that batch
+    // directly: real debris (pre-overwrite stamps) is strictly below h
+    val h = GraftLog.lastTxnBatch(spark, path,
+      Merge.ChangesOverwriteApp).get
     Seq((10L, "w", "insert")).toDF("id", "v", "_change_type")
       .write.parquet(s"$path/${Merge.ChangesDirName}/batch=$h")
     // the horizon is GENUINE: pre-overwrite travel must still refuse
@@ -621,6 +629,61 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     // serves the post-overwrite pre-merge table
     assert(Merge.readAsOf(spark, st, path, Seq("id"), h)
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
+  test("an orphan change batch (crashed capture, no commit marker) " +
+      "is refused by travel and fenced+swept by vacuum") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("orphan_batch") + "/t"
+    st.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    st.merge(Seq((3L, "c")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamps = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    assert(stamps.length == 1)
+    // a completed capture carries its marker
+    assert(Merge.isBatchCommitted(spark, path, stamps.head))
+    // simulate the crash window: batch files landed (log-before-data),
+    // data rewrite never happened, marker never written — the classic
+    // orphan. Its delete row would DOUBLE-RESTORE id 1 if inverse
+    // replay stepped across it blindly.
+    val orphan = Merge.nextBatchStamp()
+    Seq((1L, "a", "delete")).toDF("id", "v", "_change_type")
+      .write.parquet(s"$path/${Merge.ChangesDirName}/batch=$orphan")
+    assert(!Merge.isBatchCommitted(spark, path, orphan))
+    // travel that must step across the orphan refuses loudly
+    val e = intercept[IllegalStateException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamps.head).collect()
+    }
+    assert(e.getMessage.contains("no") &&
+      e.getMessage.contains("commit marker"))
+    // travel at/above the orphan never steps it — still served
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), orphan).count()
+      == 3)
+    // vacuum fences travel at the orphan's stamp, then removes it
+    val plan = Maintenance.vacuum(spark, path, dryRun = true)
+    assert(plan.exists(a => a.kind == "fence" &&
+      a.dest == orphan.toString))
+    assert(plan.exists(a => a.kind == "delete" &&
+      a.target.contains(s"batch=$orphan")))
+    Maintenance.vacuum(spark, path)
+    assert(!Fs.exists(spark,
+      s"$path/${Merge.ChangesDirName}/batch=$orphan"))
+    // below the fence: loud horizon refusal (never a silent
+    // reconstruction across the swept gap)
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamps.head).collect()
+    }
+    assert(e2.getMessage.contains("horizon"))
+    // at the fence: the current state serves; the committed batch
+    // keeps its marker and its feed rows
+    assert(Merge.readAsOf(spark, st, path, Seq("id"), orphan).count()
+      == 3)
+    assert(Merge.isBatchCommitted(spark, path, stamps.head))
+    assert(Merge.changeFeed(spark, path).select("batch").distinct()
+      .count() == 1)
   }
 
   test("a crashed overwrite's stale horizon record does not refuse intact history") {
