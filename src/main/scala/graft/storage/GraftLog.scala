@@ -80,6 +80,24 @@ object GraftLog {
     }
   }
 
+  /** All (appId → batches) for the given app ids in ONE op-log read —
+    * [[Merge.readAsOf]] consults three horizon apps per call, and
+    * three separate [[txnBatches]] calls would triple the driver
+    * metadata read on the time-travel serving path. */
+  def txnBatchesByApp(spark: SparkSession, tablePath: String,
+                      appIds: Seq[String]): Map[String, Seq[Long]] = {
+    val h = history(spark, tablePath)
+    if (!h.schema.fieldNames.contains("txn_app")) Map.empty
+    else {
+      import org.apache.spark.sql.functions.col
+      h.filter(col("txn_app").isin(appIds: _*) &&
+          col("txn_batch").isNotNull)
+        .select("txn_app", "txn_batch").collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    }
+  }
+
   /** Carry the op log into a freshly-written replacement dir and swap
     * it into place. Hadoop rename/delete signal failure by RETURNING
     * FALSE, so every step is checked. The log is COPIED (not moved)

@@ -53,9 +53,17 @@ object Merge {
     * and the stamping `batch` dir-partition column (monotone per
     * writer — order by it to replay). Empty-schema-safe: a table with
     * no captured batches yields an empty frame with just the batch
-    * column absent, so callers should guard with [[hasChanges]]. */
+    * column absent, so callers should guard with [[hasChanges]].
+    * mergeSchema, because batches straddle SCHEMA EVOLUTION: without
+    * it the inferred schema comes from one arbitrary footer, and an
+    * old batch's footer would silently DROP the evolved column from
+    * every newer batch's changes. Pre-evolution batches read the new
+    * column as null — the honest value for rows captured before the
+    * column existed. Footer-read cost, proportional to batch count
+    * (bounded by [[pruneChangeFeed]] retention). */
   def changeFeed(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path.stripSuffix("/") + "/" + ChangesDirName)
+    spark.read.option("mergeSchema", "true")
+      .parquet(path.stripSuffix("/") + "/" + ChangesDirName)
 
   def hasChanges(spark: SparkSession, path: String): Boolean =
     Fs.exists(spark, path.stripSuffix("/") + "/" + ChangesDirName)
@@ -76,7 +84,17 @@ object Merge {
   def replayChanges(base: DataFrame, changes: DataFrame,
                     keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "replay needs the table's merge keys")
-    val dataCols = base.schema.fieldNames.toSeq
+    // the replayed schema is base ∪ the batch's data columns: an
+    // EVOLVING captured merge ships a column the replica does not
+    // have yet, and projecting onto the replica's schema would
+    // silently drop the new column's values from every applied row —
+    // the replica would diverge from the source with no error. The
+    // allowMissingColumns union evolves the replica instead (its
+    // pre-evolution rows read null, matching the source table after
+    // the same evolving merge).
+    val meta = Set("_change_type", "batch")
+    val dataCols = (base.schema.fieldNames ++
+      changes.schema.fieldNames.filterNot(meta)).distinct.toSeq
     // EVERY key the batch touched leaves the base — including insert
     // keys, which a first application never matches (no-op) but a
     // crash-replayed application does: without this, re-replaying a
@@ -85,8 +103,10 @@ object Merge {
     val removed = changes.select(keyCols.map(col): _*).distinct()
     val added = changes
       .filter(col("_change_type").isin("insert", "update_postimage"))
-      .select(dataCols.map(col): _*)
-    base.join(removed, keyCols, "left_anti").unionByName(added)
+      .select(dataCols.filter(changes.schema.fieldNames.contains)
+        .map(col): _*)
+    base.join(removed, keyCols, "left_anti")
+      .unionByName(added, allowMissingColumns = true)
   }
 
   /** The exact inverse of [[replayChanges]]: reconstruct the
@@ -170,10 +190,12 @@ object Merge {
     // with a live feed — the feed has a gap there, and reconstructing
     // across it would silently hand back snapshots missing (or
     // containing) the uncaptured rows.
+    val horizons = GraftLog.txnBatchesByApp(spark, path,
+      Seq(ChangesPruneApp, ChangesBarrierApp, ChangesOverwriteApp))
     val pruned = (
-      GraftLog.txnBatches(spark, path, ChangesPruneApp) ++
-      GraftLog.txnBatches(spark, path, ChangesBarrierApp) ++
-      GraftLog.txnBatches(spark, path, ChangesOverwriteApp)
+      horizons.getOrElse(ChangesPruneApp, Nil) ++
+      horizons.getOrElse(ChangesBarrierApp, Nil) ++
+      horizons.getOrElse(ChangesOverwriteApp, Nil)
         .filterNot(h => feedStamps.headOption.exists(_ < h))
     ).maxOption
     pruned.filter(asOfBatch < _).foreach { horizon =>

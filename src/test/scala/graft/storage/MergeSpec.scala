@@ -631,6 +631,56 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
   }
 
+  test("captured merges across schema evolution: merged-schema feed, " +
+      "travel, and replica replay that evolves with the batch") {
+    import spark.implicits._
+    val st = new BasicStorage(spark)
+    val path = tempDir("evo_cdf") + "/t"
+    st.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    st.merge(Seq((3L, "c")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val s1 = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    // the replica bootstraps from the post-batch-1 snapshot (old
+    // schema) — the replication contract
+    val replica = tempDir("evo_cdf_r") + "/t"
+    st.write(st.read(path, "delta"), replica, "delta", "overwrite")
+    // evolving captured merge: adds column w
+    st.merge(Seq((2L, "B", 7L), (4L, "d", 9L)).toDF("id", "v", "w"),
+      path, "full.id = incremental.id", mergeSchemas = true,
+      captureChanges = true)
+    val s2 = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).max
+    // the feed serves BOTH batches under the MERGED schema — without
+    // mergeSchema an old batch's footer could silently drop w from
+    // the evolving batch's changes
+    val feed = Merge.changeFeed(spark, path)
+    assert(feed.schema.fieldNames.contains("w"))
+    assert(feed.filter(col("batch") === s1).count() > 0)
+    // travel back across the evolution boundary: the post-batch-1
+    // snapshot under the CURRENT schema, w null everywhere (the
+    // honest value for rows that predate the column)
+    val back = Merge.readAsOf(spark, st, path, Seq("id"), s1)
+      .select("id", "v", "w").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", None)))
+    // the un-evolved replica replays the evolving batch and EVOLVES
+    // with it — projecting onto the replica's old schema would have
+    // silently dropped every w value
+    val applied = Merge.replayChanges(st.read(replica, "delta"),
+        feed.filter(col("batch") === s2), Seq("id"))
+      .select("id", "v", "w").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    val source = st.read(path, "delta")
+      .select("id", "v", "w").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(applied == source)
+    assert(source == Seq((1L, "a", None), (2L, "B", Some(7L)),
+      (3L, "c", None), (4L, "d", Some(9L))))
+  }
+
   test("an orphan change batch (crashed capture, no commit marker) " +
       "is refused by travel and fenced+swept by vacuum") {
     import spark.implicits._
