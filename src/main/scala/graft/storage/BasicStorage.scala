@@ -37,7 +37,25 @@ class BasicStorage(spark: SparkSession) extends Storage {
       if (format == "csv")
         Map("header" -> "true", "inferSchema" -> "true") ++ options
       else options
-    spark.read.format(physical(format)).options(opts).load(path)
+    try spark.read.format(physical(format)).options(opts).load(path)
+    catch {
+      // A managed table EMPTIED by delete-all / compact-all has no
+      // data files for schema inference (Spark writes zero parquet
+      // files for an all-empty frame) — the delete recorded the
+      // surviving schema in a sidecar, so the empty table stays
+      // readable (and writable: the next write makes files exist
+      // again and the stale sidecar is never consulted). Exception
+      // path only: zero cost on every normal read.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
+            format == "delta" &&
+            Fs.exists(spark, GraftLog.schemaSidecar(path)) =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(Fs.readText(spark, GraftLog.schemaSidecar(path)))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).format(physical(format))
+          .options(opts).load(path)
+    }
   }
 
   override def readStream(path: String, format: String,

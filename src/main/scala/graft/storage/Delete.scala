@@ -93,6 +93,13 @@ object Delete {
           }.mkString("/")
           Fs.delete(spark, s"$base/$dir")
         }
+        // a delete-all cleared every affected partition AND no other
+        // partitions exist — record the schema so the emptied table
+        // stays readable (no files left to infer from)
+        if (present.isEmpty &&
+            Fs.dataFiles(spark, base).isEmpty)
+          Fs.writeText(spark, GraftLog.schemaSidecar(base),
+            df.schema.json)
         batchDir.foreach(d =>
           Fs.touch(spark, s"$d/${Merge.ChangesCommitMarker}"))
         GraftLog.append(spark, base, "DELETE", parts)
@@ -110,6 +117,11 @@ object Delete {
         scanned.filter(!cond)
           .write.format("parquet").mode("overwrite").save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)
+        // delete-all leaves no parquet file to infer a schema from —
+        // record it so the emptied table stays readable
+        if (deleted == scanned.count())
+          Fs.writeText(spark, GraftLog.schemaSidecar(base),
+            scanned.schema.json)
         batchDir.foreach(d =>
           Fs.touch(spark, s"$d/${Merge.ChangesCommitMarker}"))
         GraftLog.append(spark, base, "DELETE", Nil)
@@ -333,6 +345,12 @@ object MorDelete {
       Fs.deleteChecked(spark, tmp)
       kept.write.format("parquet").mode("overwrite").save(tmp)
       GraftLog.carryLogAndSwap(spark, base, tmp)
+      // a compact that tombstoned EVERY row leaves no parquet file to
+      // infer a schema from — record it (Delete.where's delete-all
+      // discipline) so the emptied table stays readable
+      if (after == 0L)
+        Fs.writeText(spark, GraftLog.schemaSidecar(base),
+          kept.schema.json)
       // the swap carries sidecars (so OTHER rewrites can't resurrect
       // deleted rows); this rewrite CONSUMED the tombstones — clear
       // them explicitly

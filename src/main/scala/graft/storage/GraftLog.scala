@@ -28,6 +28,16 @@ object GraftLog {
     StructField("txn_app", StringType),
     StructField("txn_batch", LongType)))
 
+  /** Schema sidecar for EMPTIED managed tables: a delete/compact that
+    * removes every row leaves no parquet file to infer a schema from
+    * (Spark writes zero files for an all-empty frame), so the
+    * emptying operation records the surviving schema here and
+    * [[BasicStorage.read]] falls back to it when — and only when —
+    * inference fails. Stale once data exists again; never consulted
+    * then. */
+  def schemaSidecar(tablePath: String): String =
+    tablePath.stripSuffix("/") + "/_graft_schema.json"
+
   def logPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "/" + LogDirName
 
@@ -286,6 +296,24 @@ object Fs {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf())
       .create(p, true).close()
+  }
+
+  /** Write a small UTF-8 text file (schema sidecars). Driver-side,
+    * overwrite semantics. */
+  def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readText(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   def rename(spark: SparkSession, from: String, to: String): Boolean = {

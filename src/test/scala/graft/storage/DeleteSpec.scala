@@ -97,6 +97,36 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(back.select(countDistinct(col("part"))).head().getLong(0) == 1050L)
   }
 
+  test("deleting EVERY row leaves a readable empty table (both paths)") {
+    // unpartitioned: the COW rewrite writes a zero-row parquet —
+    // the table must stay readable (schema intact) and writable
+    val path = tempDir("del_all") + "/t"
+    st.write((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      path, "delta", "overwrite")
+    assert(Delete.where(spark, st, path, "id >= 0") == 10)
+    val back = st.read(path, "delta")
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "g"))
+    // the emptied table accepts new rows
+    st.write(Seq((99L, 1)).toDF("id", "g"), path, "delta", "append")
+    assert(st.read(path, "delta").count() == 1)
+    // partitioned: every partition dir cleared, table readable
+    val pPath = tempDir("del_all_p") + "/t"
+    st.write((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      pPath, "delta", "overwrite", partitionFields = Seq("g"))
+    assert(Delete.where(spark, st, pPath, "id >= 0") == 10)
+    assert(st.read(pPath, "delta").count() == 0)
+    // MoR: tombstone every row, compact — same emptied-table contract
+    val mPath = tempDir("del_all_m") + "/t"
+    st.write((1 to 6).map(i => (i.toLong, i % 3)).toDF("id", "g"),
+      mPath, "delta", "overwrite")
+    MorDelete.deleteWhere(spark, st, mPath, "id >= 0", Seq("id"))
+    assert(MorDelete.compact(spark, st, mPath, Seq("id")) == 6)
+    val mBack = st.read(mPath, "delta")
+    assert(mBack.count() == 0)
+    assert(mBack.schema.fieldNames.toSeq == Seq("id", "g"))
+  }
+
   test("zero matches is a no-op returning 0") {
     val path = tempDir("del_none") + "/t"
     st.write(Seq((1L, 1)).toDF("id", "v"), path, "delta", "overwrite")
