@@ -329,18 +329,24 @@ object MorDelete {
     val base = path.stripSuffix("/")
     Fs.recoverAside(spark, tombstonePath(base))
     if (!Fs.exists(spark, tombstonePath(base))) return 0L
-    // Time travel reads the RAW file timeline (tombstones are an
-    // explicit read-path overlay), so the rows leave that timeline
-    // HERE, not at deleteWhere. On a table with a live change feed
-    // the compact fences travel (barrier) rather than capturing the
-    // removed rows as delete changes — MoR delete is the GDPR path,
-    // and a captured batch would retain the erased rows in the feed.
-    Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER")
     val before = storage.read(base, "delta").count()
     val kept = read(spark, storage, base, keyCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val after = kept.count()
+      // Time travel reads the RAW file timeline (tombstones are an
+      // explicit read-path overlay), so the rows leave that timeline
+      // HERE, not at deleteWhere. On a table with a live change feed
+      // the compact fences travel (barrier) rather than capturing the
+      // removed rows as delete changes — MoR delete is the GDPR path,
+      // and a captured batch would retain the erased rows in the
+      // feed. Fenced only when rows actually leave (a compact whose
+      // tombstones all point at already-deleted keys is
+      // content-identical — destroying servable history for it would
+      // be gratuitous), and BEFORE the rewrite (log-before-data: a
+      // crash between fence and swap refuses conservatively).
+      if (after != before)
+        Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER")
       val tmp = base + "__graft_tmp"
       Fs.deleteChecked(spark, tmp)
       kept.write.format("parquet").mode("overwrite").save(tmp)

@@ -68,6 +68,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
         (Long.MinValue, model))
       val refused = ArrayBuffer[Long]()
       var feedEra = false // mirrors the fence condition, from the model side
+      var tombs = Set[Long]() // modeled MoR tombstone keys
 
       def fenceTo(newStamp: => Long): Unit =
         if (feedEra) {
@@ -75,7 +76,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           valid = ArrayBuffer((newStamp, model))
         } else valid = ArrayBuffer((Long.MinValue, model))
 
-      for (_ <- 0 until 8) rng.nextInt(10) match {
+      for (_ <- 0 until 8) rng.nextInt(12) match {
         case 0 | 1 | 2 | 3 =>
           // captured merge: upsert + delete clause on v = -1
           val inc = rng.shuffle((0 until 18).toList)
@@ -87,6 +88,11 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           st.merge(df(inc), path, "full.id = incremental.id",
             deleteCondition = Some("incremental.v = -1"),
             captureChanges = true)
+          // tombstone reconciliation: keys the merge UPDATES (matched,
+          // not taken by the delete clause) or INSERTS (unmatched) are
+          // re-introduced — their tombstones clear
+          tombs --= inc.keys.filterNot(k =>
+            model.contains(k) && inc(k) == -1L)
           model = inc.foldLeft(model) { case (m, (i, v)) =>
             if (m.contains(i)) { if (v == -1L) m - i else m.updated(i, v) }
             else m.updated(i, v) // delete clause never gates inserts
@@ -115,10 +121,11 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           assert(n == model.size - newModel.size, s"seed=$seed del count")
           if (n > 0) { model = newModel; fenceTo(maxHorizon(path)) }
         case 6 =>
-          // managed overwrite
+          // managed overwrite (drops MoR tombstones with the table)
           model = randRows(rng.nextInt(6) + 3)
           trace += "overwrite"
           st.write(df(model), path, "delta", "overwrite")
+          tombs = Set.empty
           fenceTo(maxHorizon(path))
         case 7 =>
           // managed append with fresh keys (keeps the table key-unique)
@@ -143,6 +150,32 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
             refused ++= dead.map(_._1)
             valid = keep
           }
+        case 10 =>
+          // MoR tombstone delete: the RAW file timeline — what
+          // readAsOf serves — is untouched, so `model` is too; only
+          // the modeled tombstone set grows (matched against the MoR
+          // view: already-tombstoned rows can't re-delete)
+          val cut = rng.nextInt(10)
+          trace += s"mordel($cut)"
+          val n = MorDelete.deleteWhere(spark, st, path, s"v >= $cut",
+            Seq("id"))
+          val newly = (model -- tombs).filter(_._2 >= cut).keySet
+          assert(n == newly.size, s"seed=$seed mordel count")
+          tombs ++= newly
+        case 11 =>
+          // MoR compact: tombstoned LIVE rows leave the raw timeline
+          // here, uncaptured — fences like a raw delete, but ONLY
+          // when rows actually leave (a compact whose tombstones all
+          // point at since-deleted keys is content-identical)
+          trace += "compact"
+          val removed = MorDelete.compact(spark, st, path, Seq("id"))
+          val expected = model.keySet.intersect(tombs)
+          assert(removed == expected.size, s"seed=$seed compact count")
+          if (removed > 0) {
+            model = model -- expected
+            fenceTo(maxHorizon(path))
+          }
+          tombs = Set.empty // compact consumed the sidecar
       }
 
       for ((stamp, snap) <- valid; ck <- Seq(0, 2)) {
