@@ -129,6 +129,15 @@ class BasicStorage(spark: SparkSession) extends Storage {
     // Observers fire before start for streams (basic.py:126 — asymmetric
     // with batch write by design: the query never "completes").
     notifyOutputObservers(df, path)
+    // A file-sink stream appends rows the change feed never sees —
+    // uncaptured mutations, one per micro-batch. Fence ONCE at stream
+    // start: pre-stream stamps refuse (their snapshots are about to
+    // stop being reconstructible), and no stamps are issued while the
+    // stream runs, so one fence covers its whole lifetime under the
+    // engine's single-writer contract. No-op for never-fed tables.
+    if (format == "delta" && GraftLog.isManagedTable(spark, path))
+      Merge.recordChangeBarrier(spark, path, "CHANGES_BARRIER",
+        partitionFields)
     var writer = df.writeStream.format(physical(format))
     if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
     writer = writer.options(options)

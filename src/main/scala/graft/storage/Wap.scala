@@ -23,10 +23,15 @@ class AuditFailedException(val violations: Seq[(String, Long)])
   * notice" means a fleet of consumers already read garbage.
   *
   * Builds from parts the engine already has: [[Expectations]] (one
-  * aggregation pass over the staged files), the checked swap
-  * ([[GraftLog.carryLogAndSwap]] — op log and change feed survive),
-  * and the `_graft_log` audit trail (`WAP_PUBLISH` entry per
-  * publish).
+  * aggregation pass over the staged files), the OVERWRITE swap
+  * ([[GraftLog.overwriteSwap]] — a publish replaces the table's
+  * content wholesale, so the op log and constraints survive but the
+  * change feed drops behind a recorded horizon and MoR tombstones go
+  * with the rows they referred to; carrying the feed would let
+  * readAsOf inverse-replay batches of the REPLACED table over the
+  * published content, and carried tombstones would hide fresh rows
+  * with old keys), and the `_graft_log` audit trail (`WAP_PUBLISH`
+  * entry per publish).
   */
 object WriteAuditPublish {
 
@@ -53,7 +58,7 @@ object WriteAuditPublish {
       throw new AuditFailedException(bad)
     }
     if (GraftLog.isManagedTable(spark, base))
-      GraftLog.carryLogAndSwap(spark, base, stage)
+      GraftLog.overwriteSwap(spark, base, stage)
     else {
       Fs.deleteChecked(spark, base)
       Fs.renameChecked(spark, stage, base)

@@ -32,6 +32,36 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     assert(!Fs.exists(spark, path + "__graft_stage"))
   }
 
+  test("publish is an overwrite: feed drops behind a horizon, " +
+      "tombstones go with the replaced rows") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("wap_feed") + "/t"
+    st.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"),
+      path, "delta", "overwrite")
+    st.merge(Seq((3L, 30.0)).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    MorDelete.deleteWhere(spark, st, path, "id = 2", Seq("id"))
+    WriteAuditPublish.run(spark, st,
+      Seq((2L, 50.0), (9L, 90.0)).toDF("id", "v"), path,
+      Seq(NotNull("id")))
+    // the published content replaced the table wholesale: the feed
+    // describes dead rows and is gone; a carried tombstone for id 2
+    // would have hidden the fresh (2, 50.0) row
+    assert(!Merge.hasChanges(spark, path))
+    assert(!Fs.exists(spark, MorDelete.tombstonePath(path)))
+    assert(MorDelete.read(spark, st, path, Seq("id"))
+      .as[(Long, Double)].collect().sorted.toSeq
+      == Seq((2L, 50.0), (9L, 90.0)))
+    // pre-publish stamps refuse instead of replaying the dead feed
+    // over the published content
+    val e = intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+    }
+    assert(e.getMessage.contains("horizon"))
+  }
+
   test("passing audit publishes over a managed table, log carried") {
     val st = new BasicStorage(spark)
     val path = tempDir("wap_pub") + "/t"
