@@ -10,30 +10,36 @@ import graft.SparkSpec
 case class TtPropRow(id: Long, v: Long)
 
 /** Model-based property test for time-travel TIMELINE INTEGRITY over
-  * random interleavings of EVERY mutation path the storage engine has:
-  * captured merges (with delete clauses), captured predicate deletes,
-  * uncaptured deletes, managed overwrites, managed appends, and feed
-  * prunes. After each sequence, [[Merge.readAsOf]] at every stamp the
-  * model says is servable must reproduce the model's snapshot exactly
-  * (with and without `checkpointEvery` lineage bounding), and every
-  * stamp a fence invalidated must REFUSE loudly — the invariant under
-  * test is "the engine may forget history loudly, never serve a
-  * snapshot that never existed".
+  * random interleavings of EVERY mutation path the storage engine
+  * has — captured merges (with delete clauses), captured predicate
+  * deletes, uncaptured deletes, managed overwrites, managed appends,
+  * feed prunes, MoR tombstone deletes and compacts — plus two crash
+  * events: an ORPHAN change batch (a capture that died between its
+  * log-before-data batch write and the data rewrite, so no `_commit`
+  * marker exists) and the `Maintenance.vacuum` that sweeps it.
   *
-  * The model mirrors the fence contract, not the implementation:
-  *  - captured ops extend servable history (new stamp = the batch);
-  *  - uncaptured mutations BEFORE any feed era fold into the
-  *    documented `Long.MinValue` = "before the first captured batch"
-  *    state;
-  *  - uncaptured mutations AFTER a feed era exists (live feed or
-  *    prior horizons — outstanding stamps possible) fence: every
-  *    older stamp refuses, the current state is servable at the new
-  *    horizon;
-  *  - prune refuses strictly below the pruned stamp, keeps the stamp
-  *    itself servable. */
+  * After each sequence, every snapshot the model recorded is checked
+  * against [[Merge.readAsOf]] under a three-way rule that mirrors the
+  * engine's documented contract (checked in this order, the order
+  * readAsOf applies):
+  *  1. stamp below the newest horizon (prune / barrier fence /
+  *     overwrite) → IllegalArgumentException, loudly;
+  *  2. an unmarked (crashed) batch would have to be stepped across →
+  *     IllegalStateException, loudly;
+  *  3. otherwise the reconstruction must equal the model snapshot
+  *     exactly (with and without checkpointEvery lineage bounding).
+  * The invariant under test: the engine may forget history loudly,
+  * never serve a snapshot that never existed.
+  *
+  * Model-side fence mirror: captured ops extend servable history;
+  * uncaptured mutations BEFORE any feed era fold into the documented
+  * `Long.MinValue` = "before the first captured batch" state (and the
+  * recorded history resets with them); once a feed era exists (any
+  * batch dir or horizon record — orphan injection counts, it creates
+  * the feed dir) every uncaptured mutation advances the horizon. */
 class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
-  import org.apache.spark.sql.functions.{col, max}
+  import org.apache.spark.sql.functions.{col, lit, max}
 
   private def df(rows: Map[Long, Long]) =
     rows.toSeq.sortBy(_._1).map { case (i, v) => TtPropRow(i, v) }.toDF()
@@ -44,14 +50,14 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
   /** Newest recorded horizon of any kind — the stamp the state right
     * after a fencing op is servable at. Reading it from the log is
     * observation, not oracle reuse: WHAT must hold at that stamp
-    * (snapshot equality / refusal below) comes from the model. */
+    * comes from the model. */
   private def maxHorizon(path: String): Long =
     (GraftLog.txnBatches(spark, path, Merge.ChangesPruneApp) ++
       GraftLog.txnBatches(spark, path, Merge.ChangesBarrierApp) ++
       GraftLog.txnBatches(spark, path, Merge.ChangesOverwriteApp)).max
 
-  test("random mutation interleavings: every recorded stamp replays " +
-      "its model snapshot or refuses") {
+  test("random mutation+crash interleavings: every recorded stamp " +
+      "serves its model snapshot or refuses loudly") {
     val st = new BasicStorage(spark)
     for (seed <- 0 until 6) {
       val rng = new scala.util.Random(40 + seed)
@@ -64,19 +70,23 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
       var nextFreshId = 100L
 
       val trace = ArrayBuffer[String]()
-      var valid = ArrayBuffer[(Long, Map[Long, Long])](
+      var snapshots = ArrayBuffer[(Long, Map[Long, Long])](
         (Long.MinValue, model))
-      val refused = ArrayBuffer[Long]()
-      var feedEra = false // mirrors the fence condition, from the model side
-      var tombs = Set[Long]() // modeled MoR tombstone keys
+      var horizon = Long.MinValue
+      var orphans = Set[Long]() // unmarked batch stamps in the feed
+      var tombs = Set[Long]()   // modeled MoR tombstone keys
+      var feedEra = false       // model mirror of Merge.feedEraExists
 
-      def fenceTo(newStamp: => Long): Unit =
+      // model side of an uncaptured mutation: pre-feed-era mutations
+      // fold into "before everything" (history resets); post-feed-era
+      // ones advance the horizon (old stamps refuse)
+      def fenced(): Unit =
         if (feedEra) {
-          refused ++= valid.map(_._1)
-          valid = ArrayBuffer((newStamp, model))
-        } else valid = ArrayBuffer((Long.MinValue, model))
+          horizon = maxHorizon(path)
+          snapshots += ((horizon, model))
+        } else snapshots = ArrayBuffer((Long.MinValue, model))
 
-      for (_ <- 0 until 8) rng.nextInt(12) match {
+      for (_ <- 0 until 9) rng.nextInt(14) match {
         case 0 | 1 | 2 | 3 =>
           // captured merge: upsert + delete clause on v = -1
           val inc = rng.shuffle((0 until 18).toList)
@@ -98,7 +108,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
             else m.updated(i, v) // delete clause never gates inserts
           }
           feedEra = true
-          valid += ((maxFeedStamp(path), model))
+          snapshots += ((maxFeedStamp(path), model))
         case 4 =>
           // captured predicate delete → a `delete` change batch
           val cut = rng.nextInt(10)
@@ -110,7 +120,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           if (n > 0) {
             model = newModel
             feedEra = true
-            valid += ((maxFeedStamp(path), model))
+            snapshots += ((maxFeedStamp(path), model))
           }
         case 5 =>
           // UNCAPTURED delete: fences iff a feed era exists
@@ -119,14 +129,16 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           val n = Delete.where(spark, st, path, s"v >= $cut")
           val newModel = model.filterNot(_._2 >= cut)
           assert(n == model.size - newModel.size, s"seed=$seed del count")
-          if (n > 0) { model = newModel; fenceTo(maxHorizon(path)) }
+          if (n > 0) { model = newModel; fenced() }
         case 6 =>
-          // managed overwrite (drops MoR tombstones with the table)
+          // managed overwrite: drops the feed (orphans included) and
+          // the MoR tombstones with the table they described
           model = randRows(rng.nextInt(6) + 3)
           trace += "overwrite"
           st.write(df(model), path, "delta", "overwrite")
           tombs = Set.empty
-          fenceTo(maxHorizon(path))
+          orphans = Set.empty
+          fenced()
         case 7 =>
           // managed append with fresh keys (keeps the table key-unique)
           val extra = (0 until rng.nextInt(3) + 1).map { _ =>
@@ -136,7 +148,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           trace += s"append($extra)"
           st.write(df(extra), path, "delta", "append")
           model = model ++ extra
-          fenceTo(maxHorizon(path))
+          fenced()
         case 8 | 9 =>
           // prune up to a random retained stamp (no-op without a feed)
           if (Merge.hasChanges(spark, path)) {
@@ -146,9 +158,8 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
             val upTo = stamps(rng.nextInt(stamps.length))
             trace += s"prune($upTo)"
             Merge.pruneChangeFeed(spark, path, upTo)
-            val (keep, dead) = valid.partition(_._1 >= upTo)
-            refused ++= dead.map(_._1)
-            valid = keep
+            horizon = math.max(horizon, upTo)
+            orphans = orphans.filter(_ > upTo)
           }
         case 10 =>
           // MoR tombstone delete: the RAW file timeline — what
@@ -173,25 +184,59 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           assert(removed == expected.size, s"seed=$seed compact count")
           if (removed > 0) {
             model = model -- expected
-            fenceTo(maxHorizon(path))
+            fenced()
           }
           tombs = Set.empty // compact consumed the sidecar
+        case 12 =>
+          // CRASH EVENT — a capture died between its batch write and
+          // the data rewrite: batch files present, no _commit marker,
+          // table unchanged. Every older stamp must now refuse
+          // (stepping across the orphan is unknowable); the orphan's
+          // own stamp still serves (never stepped). Writing the batch
+          // dir creates the feed dir, so a feed era now exists.
+          val stamp = Merge.nextBatchStamp()
+          trace += s"orphan($stamp)"
+          val victim = model.headOption.getOrElse((999L, 9L))
+          Seq(TtPropRow(victim._1, victim._2)).toDF()
+            .withColumn("_change_type", lit("delete"))
+            .write.parquet(s"$path/${Merge.ChangesDirName}/batch=$stamp")
+          orphans += stamp
+          feedEra = true
+          snapshots += ((stamp, model))
+        case 13 =>
+          // vacuum: sweeps every orphan behind a barrier at its stamp
+          // (loud horizon refusal replaces the loud marker refusal —
+          // never a silent reconstruction across the swept gap)
+          trace += "vacuum"
+          if (orphans.nonEmpty)
+            horizon = math.max(horizon, orphans.max)
+          Maintenance.vacuum(spark, path)
+          orphans = Set.empty
       }
 
-      for ((stamp, snap) <- valid; ck <- Seq(0, 2)) {
-        val got = Merge.readAsOf(spark, st, path, Seq("id"), stamp,
-            checkpointEvery = ck)
-          .as[TtPropRow].collect().map(r => r.id -> r.v).toMap
-        assert(got == snap,
-          s"seed=$seed ck=$ck stamp=$stamp\n got=$got\n exp=$snap\n  trace=${trace.mkString(" | ")}")
-      }
-      for (stamp <- refused) {
-        val msg = try {
-          Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
-          None
-        } catch { case e: IllegalArgumentException => Some(e.getMessage) }
-        assert(msg.exists(_.contains("horizon")),
-          s"seed=$seed stamp=$stamp did not refuse ($msg)\n  trace=${trace.mkString(" | ")}")
+      for (((stamp, snap), i) <- snapshots.zipWithIndex) {
+        val ctx = s"seed=$seed i=$i stamp=$stamp\n  " +
+          s"trace=${trace.mkString(" | ")}"
+        if (stamp < horizon) {
+          val msg = try {
+            Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+            None
+          } catch { case e: IllegalArgumentException => Some(e.getMessage) }
+          assert(msg.exists(_.contains("horizon")),
+            s"expected horizon refusal, got $msg — $ctx")
+        } else if (orphans.exists(_ > stamp)) {
+          val msg = try {
+            Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+            None
+          } catch { case e: IllegalStateException => Some(e.getMessage) }
+          assert(msg.exists(_.contains("commit marker")),
+            s"expected orphan refusal, got $msg — $ctx")
+        } else for (ck <- Seq(0, 2)) {
+          val got = Merge.readAsOf(spark, st, path, Seq("id"), stamp,
+              checkpointEvery = ck)
+            .as[TtPropRow].collect().map(r => r.id -> r.v).toMap
+          assert(got == snap, s"ck=$ck\n got=$got\n exp=$snap\n $ctx")
+        }
       }
     }
   }
