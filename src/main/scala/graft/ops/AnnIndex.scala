@@ -133,7 +133,7 @@ object AnnIndex {
     val gen = s"$root/corpus_codes_inc-$n"
     val tmp = gen + "__tmp"
     Fs.deleteChecked(spark, tmp)
-    newCodes.select(base.columns.map(col): _*).write.parquet(tmp)
+    newCodes.select(base.columns.toIndexedSeq.map(col): _*).write.parquet(tmp)
     Fs.renameChecked(spark, tmp, gen)
   }
 

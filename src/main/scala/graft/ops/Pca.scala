@@ -128,7 +128,7 @@ object Pca {
       (x, m) => x - m)
     val projected = model.components.map(c =>
       dot_product(centered, typedLit(c.toSeq)))
-    df.withColumn(outCol, array(projected: _*))
+    df.withColumn(outCol, array(projected.toIndexedSeq: _*))
   }
 
   /** Deterministic Johnson–Lindenstrauss random projection: a seeded
@@ -145,7 +145,7 @@ object Pca {
     val m = rpMatrix(k, dims, seed)
     val v = slice(col(vecCol).cast("array<double>"), 1, dims)
     df.withColumn(outCol,
-      array(m.map(row => dot_product(v, typedLit(row.toSeq))): _*))
+      array(m.toIndexedSeq.map(row => dot_product(v, typedLit(row.toSeq))): _*))
   }
 
   /** The seeded ±1/√k Rademacher matrix (k rows × dims cols). */

@@ -95,7 +95,7 @@ object Optimize {
         val filesPerDir = math.max(1, math.ceil(
           totalBytes.toDouble / targetFileBytes / dirCount).toInt)
         val salt = pmod(
-          xxhash64(struct(df.columns.map(col): _*)), lit(filesPerDir.toLong))
+          xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(filesPerDir.toLong))
         val numTasks = math.min(math.max(nFiles, dirCount * filesPerDir), 10000)
         df.repartition(numTasks, parts.map(col) :+ salt: _*)
       } else df.coalesce(nFiles)

@@ -916,7 +916,7 @@ class InactivityProcessor(gapSeconds: Long)
     // only the CURRENT deadline expires a key — a stale timer that
     // raced a same-batch re-arm must not clear live state
     if (seen != Long.MinValue &&
-        expired.getExpiryTimeInMs == (seen + gapSeconds) * 1000) {
+        expired.getExpiryTimeInMs() == (seen + gapSeconds) * 1000) {
       last.clear()
       Iterator.single(ExpiredKey(key, seen, n))
     } else Iterator.empty

@@ -1381,7 +1381,7 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes, Array.empty[Byte])
     val rows = (1L to 60L).map { i =>
       val magic = magics(rng.nextInt(magics.size))
-      val tail = Array.fill[Byte](rng.nextInt(40))(rng.nextInt.toByte)
+      val tail = Array.fill[Byte](rng.nextInt(40))(rng.nextInt().toByte)
       (i, magic ++ tail)
     }
     val out = Multimodal.withMediaMeta(rows.toDF("id", "media"), "media")

@@ -114,7 +114,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     val batch = StreamingOps.sessionizeStream(events,
         "user_id", "ts", "event_id", "value", gapSeconds = 1800)
       .collect().map(r =>
-        Seq(r.user_id, r.session_start, r.n_events, r.duration_sec,
+        Seq[Any](r.user_id, r.session_start, r.n_events, r.duration_sec,
           r.total_value)).toSet
     assert(batch.nonEmpty)
     assert(streamed == batch)
