@@ -159,6 +159,26 @@ object AnnIndex {
     incs.size
   }
 
+  /** Opaque token naming the CURRENT stored generation of the index
+    * root — the cheap "did anything change?" probe a long-lived
+    * serving stream polls between micro-batches
+    * ([[graft.streaming.StreamingOps.annSearchStream]]'s
+    * `refreshEveryBatches`). Changes on every [[save]] re-swap (the
+    * staged root's subdirs are freshly written, so their modification
+    * times move) and on every [[appendCorpusCodes]] /
+    * [[compactCorpusCodes]] (the generation dir set changes). One
+    * driver directory listing — metadata cost, safe to poll
+    * per-batch. Tokens are only comparable for equality; a changed
+    * token means "reload", nothing more. */
+  def generationToken(spark: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) "absent"
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(s => s.getPath.getName + "=" + s.getModificationTime)
+      .sorted.mkString(",")
+  }
+
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {
     // the index swaps as ONE unit — recovery at the root; the
     // per-subdir recoveries heal debris from the pre-migration

@@ -482,7 +482,9 @@ object Dedup {
                              bBand: DataFrame, numHashes: Int,
                              bands: Int, shingleSize: Int,
                              jaccardThreshold: Double,
-                             excludeSameId: Boolean = false): DataFrame = {
+                             excludeSameId: Boolean = false,
+                             excludeIds: Option[DataFrame] = None)
+      : DataFrame = {
     val rows = numHashes / bands
     val iSh = explodeShingles(
       shingleHashArrays(incoming, idCol, textCol, shingleSize)
@@ -497,9 +499,25 @@ object Dedup {
     // excludeSameId: a doc does not near-dup ITSELF — the replayed-
     // micro-batch case, where the doc's own index entry (appended
     // before the crash) must not block its corpus append on retry
-    val candidates =
+    val cand1 =
       if (excludeSameId) candidates0.filter(col("id_a") =!= col("id_b"))
       else candidates0
+    // excludeIds: drop candidates whose INDEX side is any of these ids
+    // — the full replayed-micro-batch fix: after a crash between the
+    // index append and the corpus append, the WHOLE batch sits in the
+    // index, so two distinct batch docs that near-dup each other would
+    // otherwise each match the other's entry and BOTH be dropped
+    // (permanently indexed-but-absent), where the non-crash run keeps
+    // both (the ingest performs no intra-batch near-dedup). Excluding
+    // every batch id from the index side restores exactly the
+    // non-crash candidate set. The exclude frame is batch-sized —
+    // AQE broadcasts the anti-join.
+    val candidates = excludeIds match {
+      case Some(ex) => cand1.join(
+        ex.select(col(idCol).as("id_b")).distinct(), Seq("id_b"),
+        "left_anti")
+      case None => cand1
+    }
     jaccardBipartite(candidates, iSh, bSh, idCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").as(idCol)).distinct()
@@ -557,17 +575,25 @@ object Dedup {
     * `excludeSameId = true` skips candidate pairs whose ids are EQUAL
     * — the micro-batch replay case ([[graft.streaming.StreamingOps]]
     * continuous ingest): a doc whose own entry already landed in the
-    * index before a crash must not near-dup itself on retry. */
+    * index before a crash must not near-dup itself on retry.
+    * `excludeIds` generalizes that to a SET of ids ignored on the
+    * index side — the ingest stream passes its whole micro-batch, so
+    * a replayed batch whose entries all pre-landed in the index
+    * cannot drop two batch docs against EACH OTHER's entries either
+    * (the crash window excludeSameId alone leaves open). */
   def nearDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, incoming: DataFrame,
                             idCol: String, textCol: String,
                             jaccardThreshold: Double = 0.5,
-                            excludeSameId: Boolean = false): DataFrame = {
+                            excludeSameId: Boolean = false,
+                            excludeIds: Option[DataFrame] = None)
+      : DataFrame = {
     val (numHashes, bands, shingleSize, bSh, bBand) =
       loadNearDupIndex(spark, indexPath, idCol)
     incoming.join(
       nearDupDropIds(incoming, idCol, textCol, bSh, bBand,
-        numHashes, bands, shingleSize, jaccardThreshold, excludeSameId),
+        numHashes, bands, shingleSize, jaccardThreshold, excludeSameId,
+        excludeIds),
       Seq(idCol), "left_anti")
   }
 

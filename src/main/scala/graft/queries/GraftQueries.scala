@@ -6727,11 +6727,17 @@ object GraftQueries {
   /** Debris vacuum ([[graft.storage.Maintenance.vacuum]]): a managed
     * table is planted with one instance of every debris class a
     * crashed swap can leave (COW staging + aside beside the root,
-    * sidecar staging + stale aside, an orphaned index generation, and
-    * an aside whose live dir is GONE — the heal case), dry-run
-    * listed, vacuumed, and re-vacuumed. The oracle pins the planned
-    * action counts, that the heal restored rather than deleted, the
-    * post-vacuum residual (zero), and that live data is untouched. */
+    * sidecar staging + stale aside, an orphaned index generation, an
+    * aside whose live dir is GONE — the heal case — plus two
+    * marker-less change batches: one stamped past the orphan age
+    * horizon (genuinely dead — fenced then swept) and one fresh
+    * (indistinguishable from a live in-flight capture — skip-reported
+    * and left alone, the guard that keeps a vacuum cron from silently
+    * diverging a replica)), dry-run listed, vacuumed, force-vacuumed
+    * (age 0), and re-vacuumed. The oracle pins the planned action
+    * counts per kind, that the heal restored rather than deleted,
+    * that the young batch survived the default sweep, the post-vacuum
+    * residual (zero), and that live data is untouched. */
   val vacuumQ: Q = (spark, dir) => {
     val st = new BasicStorage(spark)
     val out = java.nio.file.Files
@@ -6754,6 +6760,16 @@ object GraftQueries {
     plant(s"$path/_graft_tombstones__old") // stale sidecar aside
     plant(s"$path/_myindex/inc-1__tmp/bands") // crashed index append
     plant(s"$path/_aux__old")            // orphaned aside → heal
+    val changes = s"$path/${graft.storage.Merge.ChangesDirName}"
+    // dead capture: marker-less, stamped 25 h ago — past the 24 h
+    // default horizon, so it is crash debris (fence + sweep)
+    val oldStamp =
+      (System.currentTimeMillis() - 25L * 3600 * 1000) * 1000000L
+    plant(s"$changes/batch=$oldStamp")
+    // live capture mid-flight: fresh stamp, marker lands last by
+    // design — a racing vacuum must NOT sweep it
+    val young = System.currentTimeMillis() * 1000000L // fresh stamp
+    plant(s"$changes/batch=$young")
     val plan = graft.storage.Maintenance.vacuum(spark, path,
       dryRun = true)
     val dryIntact = // the dry run must not have touched anything
@@ -6762,22 +6778,36 @@ object GraftQueries {
     graft.storage.Maintenance.vacuum(spark, path)
     val healed = new java.io.File(s"$path/_aux").exists() &&
       !new java.io.File(s"$path/_aux__old").exists()
+    val youngSurvived = // the in-flight capture outlives the sweep...
+      new java.io.File(s"$changes/batch=$young").exists() &&
+      !new java.io.File(s"$changes/batch=$oldStamp").exists()
+    // ...until an operator who KNOWS no capture is in flight forces
+    // the sweep (age 0) — then it too is fenced and removed
+    graft.storage.Maintenance.vacuum(spark, path,
+      orphanMinAgeMs = Some(0L))
+    val forcedSwept = !new java.io.File(s"$changes/batch=$young").exists()
     val residual = graft.storage.Maintenance.vacuum(spark, path).size
     st.read(path, "delta")
       .agg(count(lit(1)).as("rows_after"),
         sum(col("c_custkey")).as("key_sum"))
       .withColumn("n_planned", lit(plan.size.toLong))
       .withColumn("n_heals", lit(plan.count(_.kind == "heal").toLong))
+      .withColumn("n_skips", lit(plan.count(_.kind == "skip").toLong))
+      .withColumn("n_fences", lit(plan.count(_.kind == "fence").toLong))
       .withColumn("dry_run_intact", lit(dryIntact))
       .withColumn("healed_restored", lit(healed))
+      .withColumn("young_survived", lit(youngSurvived))
+      .withColumn("forced_swept", lit(forcedSwept))
       .withColumn("n_residual", lit(residual.toLong))
   }
 
   val vacuumSql: String =
     """SELECT count(*) AS rows_after,
       |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
-      |  CAST(6 AS BIGINT) AS n_planned, CAST(1 AS BIGINT) AS n_heals,
+      |  CAST(9 AS BIGINT) AS n_planned, CAST(1 AS BIGINT) AS n_heals,
+      |  CAST(1 AS BIGINT) AS n_skips, CAST(1 AS BIGINT) AS n_fences,
       |  TRUE AS dry_run_intact, TRUE AS healed_restored,
+      |  TRUE AS young_survived, TRUE AS forced_swept,
       |  CAST(0 AS BIGINT) AS n_residual
       |FROM customer WHERE c_custkey <= 100""".stripMargin
 

@@ -111,6 +111,12 @@ object Delete {
       try {
         val deleted = scanned.filter(cond).count()
         if (deleted == 0L) return 0L
+        // total BEFORE the swap: a persisted block evicted after the
+        // swap would recompute from the post-swap (kept-only) files,
+        // the count would no longer equal `deleted`, and a fully-
+        // emptied table would skip its schema sidecar and become
+        // unreadable (UNABLE_TO_INFER_SCHEMA with no fallback)
+        val total = scanned.count()
         val batchDir = captureOrFence(scanned.filter(cond))
         val tmp = base + "__graft_tmp"
         Fs.deleteChecked(spark, tmp)
@@ -119,7 +125,7 @@ object Delete {
         GraftLog.carryLogAndSwap(spark, base, tmp)
         // delete-all leaves no parquet file to infer a schema from —
         // record it so the emptied table stays readable
-        if (deleted == scanned.count())
+        if (deleted == total)
           Fs.writeText(spark, GraftLog.schemaSidecar(base),
             scanned.schema.json)
         batchDir.foreach(d =>

@@ -45,9 +45,11 @@ import org.apache.spark.sql.SparkSession
 object Maintenance {
 
   /** One planned (or executed) vacuum step. `kind` is `delete` |
-    * `heal` | `fence`; heals rename `target` back to `dest`; fences
-    * record a change-barrier horizon on table `target` at the stamp
-    * in `dest` (orphaned change batches get fenced before removal). */
+    * `heal` | `fence` | `skip`; heals rename `target` back to `dest`;
+    * fences record a change-barrier horizon on table `target` at the
+    * stamp in `dest` (orphaned change batches get fenced before
+    * removal); skips are report-only (a marker-less change batch too
+    * young to distinguish from a live in-flight capture). */
   final case class VacuumAction(kind: String, target: String,
                                 dest: String, detail: String)
 
@@ -59,8 +61,31 @@ object Maintenance {
   private val TmpSuffixes = Seq("__graft_tmp", "__tmp")
   private val OldSuffixes = Seq("__graft_old", "__old")
 
+  /** Minimum AGE (wall-clock ms, derived from the batch stamp) a
+    * marker-less change batch must reach before the orphan sweep may
+    * fence and delete it. A marker-less batch is EITHER a crashed
+    * capture OR a live one mid-flight (the `_commit` marker lands
+    * only after the data rewrite — [[Merge.ChangesCommitMarker]]);
+    * the two are indistinguishable by inspection, so the sweep
+    * separates them by age: an in-flight capture is at most one
+    * merge-duration old, while real crash debris persists. Sweeping a
+    * LIVE capture is the one silent-divergence path in the engine —
+    * the merge would commit its rewrite and touch a marker into a
+    * now-gone dir, and `replicateStream` would permanently skip that
+    * merge's changes with no error anywhere. The default (24 h)
+    * comfortably exceeds any plausible merge duration at 100 TB;
+    * override per-call or via `spark.graft.vacuumOrphanMinAgeMs`
+    * (0 = sweep regardless of age — only safe when no capture can be
+    * in flight). */
+  val OrphanMinAgeKey = "spark.graft.vacuumOrphanMinAgeMs"
+  val OrphanMinAgeDefaultMs = 24L * 60 * 60 * 1000
+
   def vacuum(spark: SparkSession, path: String,
-             dryRun: Boolean = false): Seq[VacuumAction] = {
+             dryRun: Boolean = false,
+             orphanMinAgeMs: Option[Long] = None): Seq[VacuumAction] = {
+    val minAgeMs = orphanMinAgeMs.orElse(
+      spark.conf.getOption(OrphanMinAgeKey).map(_.toLong))
+      .getOrElse(OrphanMinAgeDefaultMs)
     val base = path.stripSuffix("/")
     val actions = scala.collection.mutable.Buffer[VacuumAction]()
 
@@ -134,16 +159,36 @@ object Maintenance {
       // readAsOf silently reconstruct across the gap, so the sweep
       // records a barrier at the orphan's stamp FIRST (travel below
       // refuses; at-and-after serves from retained history — correct
-      // for both crash sides), then removes the dir. Single-writer
-      // contract, documented: no capture may be in flight while
-      // vacuum runs — an in-flight batch is marker-less by
-      // construction and would be swept as an orphan.
+      // for both crash sides), then removes the dir. GUARDED against
+      // live captures: a marker-less batch is also what an IN-FLIGHT
+      // merge/delete looks like mid-rewrite (marker lands last by
+      // design), and sweeping one would make the committed merge's
+      // changes invisible to replicateStream forever — silent replica
+      // divergence, the failure class the rest of the engine turns
+      // into loud refusals. The batch stamp is wall-clock-anchored
+      // ([[Merge.nextBatchStamp]], nanos-of-epoch scale), so age is
+      // readable from the name: only batches older than the
+      // [[OrphanMinAgeKey]] horizon are treated as crash debris;
+      // younger ones are reported (kind `skip`) and left for a later
+      // vacuum. The skip entries keep the report honest — a vacuum
+      // that silently ignored young orphans would read as "clean".
       val changes = new Path(base, Merge.ChangesDirName)
       if (fs.exists(changes)) {
         val batchDirs = fs.listStatus(changes).filter(_.isDirectory)
           .map(_.getPath).filter(_.getName.startsWith("batch="))
-        val orphans = batchDirs.filter(p =>
+        val markerless = batchDirs.filter(p =>
           !fs.exists(new Path(p, Merge.ChangesCommitMarker)))
+        val cutoffNanos =
+          (System.currentTimeMillis() - minAgeMs) * 1000000L
+        val (orphans, inFlight) = markerless.partition(
+          _.getName.stripPrefix("batch=").toLong < cutoffNanos)
+        inFlight.foreach { p =>
+          val stamp = p.getName.stripPrefix("batch=").toLong
+          actions += VacuumAction("skip", p.toString, stamp.toString,
+            s"marker-less change batch $stamp younger than the " +
+              s"$minAgeMs ms orphan horizon — possibly a live " +
+              "capture; left for a later vacuum")
+        }
         orphans.foreach { p =>
           val stamp = p.getName.stripPrefix("batch=").toLong
           actions += VacuumAction("fence", base, stamp.toString,
@@ -167,13 +212,16 @@ object Maintenance {
         else if (a.kind == "fence")
           GraftLog.append(spark, a.target, "CHANGES_BARRIER", Nil,
             Some(Merge.ChangesBarrierApp -> a.dest.toLong))
-        else Fs.renameChecked(spark, a.target, a.dest)
+        else if (a.kind == "heal")
+          Fs.renameChecked(spark, a.target, a.dest)
+        // "skip" entries are report-only by design
       }
       // a healed root was unsweepable when the plan was computed —
       // one more pass picks up its interior debris (terminates: the
       // root now exists, so the recursive call takes the sweep branch)
       if (actions.exists(a => a.kind == "heal" && a.dest == base))
-        return actions.toSeq ++ vacuum(spark, path, dryRun = false)
+        return actions.toSeq ++
+          vacuum(spark, path, dryRun = false, orphanMinAgeMs)
     }
     actions.toSeq
   }

@@ -661,7 +661,21 @@ object Merge {
         val dir = s"$base/${ChangesDirName}/batch=${nextBatchStamp()}"
         changes.write.mode("overwrite").format("parquet").save(dir)
         Some(dir)
-      } else None
+      } else {
+        // an UNCAPTURED merge on a table with a feed era is a feed gap
+        // like any other uncaptured mutation (delete/append/compact):
+        // without a barrier, readAsOf would inverse-replay captured
+        // batches over a current state that includes this merge and
+        // silently serve pre-merge snapshots that never existed. Same
+        // Delete.where discipline: fence BEFORE the data rewrite (a
+        // crash in between refuses conservatively, never reconstructs
+        // wrongly). Fenced even when the merge happens to change
+        // nothing (an equal-values update) — the captured path likewise
+        // writes a batch unconditionally, and detecting a true no-op
+        // would cost an extra aggregation per merge.
+        recordChangeBarrier(spark, base, "CHANGES_BARRIER", effectiveParts)
+        None
+      }
 
       // MoR tombstone reconciliation (no-op unless a _graft_tombstones
       // sidecar exists): keys this merge UPDATES or INSERTS are

@@ -113,44 +113,31 @@ object Optimize {
     fileCount(spark, base)
   }
 
-  /** Clean up (and when necessary, recover from) the intermediate
-    * directories a crashed COW rewrite or swap leaves behind:
-    *
-    *  - `<base>__graft_tmp`: rewrite output, crash before the swap —
-    *    the table is intact; drop the tmp.
-    *  - `<base>__graft_old` with `<base>` present: crash after the swap
-    *    completed but before the old copy was deleted; drop it.
-    *  - `<base>__graft_old` with `<base>` MISSING: crash mid-swap. The
-    *    new data (tmp) was fully written before the swap began, so
-    *    complete the swap if tmp exists; otherwise restore the old
-    *    copy. Either way the table reappears — no data was lost, which
-    *    is the invariant the checked swap maintains.
-    *
-    * Returns a human-readable action log (empty = nothing to do). */
+  /** Clean up (and when necessary, recover from) the debris a crashed
+    * COW rewrite or swap leaves behind. Thin convenience front over
+    * [[Maintenance.vacuum]] — ONE sweep implementation owns the
+    * crash-window semantics (complete a fully-staged interrupted swap,
+    * heal an aside whose live root is gone, drop stale tmp/old pairs,
+    * sweep interior sidecar/generation debris, fence + remove
+    * genuinely old orphaned change batches) so the two entry points
+    * can never disagree on what is debris. Returns a human-readable
+    * action log (empty = nothing to do); callers that want the typed
+    * plan or `dryRun` use [[Maintenance.vacuum]] directly. */
   def vacuum(spark: SparkSession, path: String): Seq[String] = {
     val base = path.stripSuffix("/")
-    val tmp = base + "__graft_tmp"
-    val old = base + "__graft_old"
-    val actions = scala.collection.mutable.Buffer[String]()
-    if (!Fs.exists(spark, base) && Fs.exists(spark, old)) {
-      if (Fs.exists(spark, tmp)) {
-        Fs.renameChecked(spark, tmp, base)
-        Fs.deleteChecked(spark, old)
-        actions += s"completed interrupted swap: $tmp -> $base"
-      } else {
-        Fs.renameChecked(spark, old, base)
-        actions += s"restored table from $old"
+    Maintenance.vacuum(spark, path).map { a =>
+      a.kind match {
+        case "heal" if a.dest == base && a.target == base + "__graft_tmp" =>
+          s"completed interrupted swap: ${a.target} -> ${a.dest}"
+        case "heal" if a.dest == base =>
+          s"restored table from ${a.target}"
+        case "heal" => s"healed ${a.dest} from ${a.target}"
+        case "fence" =>
+          s"fenced change feed of ${a.target} at batch ${a.dest}"
+        case "skip" => s"left ${a.target} alone (${a.detail})"
+        case _ => s"removed ${a.target} (${a.detail})"
       }
     }
-    if (Fs.exists(spark, base) && Fs.exists(spark, tmp)) {
-      Fs.deleteChecked(spark, tmp)
-      actions += s"removed stale rewrite output $tmp"
-    }
-    if (Fs.exists(spark, base) && Fs.exists(spark, old)) {
-      Fs.deleteChecked(spark, old)
-      actions += s"removed stale pre-swap copy $old"
-    }
-    actions.toSeq
   }
 
   /** Bits of Z-resolution per clustering column: up to 2^16 buckets is

@@ -467,23 +467,32 @@ object StreamingOps {
     * rebuild) and (5) appended to the corpus. A fresh corpus/index
     * pair bootstraps from the first batch.
     *
-    * Replay safety: index-before-corpus ordering + `excludeSameId`
+    * Replay safety: index-before-corpus ordering + batch-id-excluded
     * near-dup serving. A crash between (4) and (5) replays the batch
-    * with its own entries already indexed — same-id candidate pairs
-    * are excluded, so the docs pass the fuzzy stage, pass the exact
-    * stage (their texts never reached the corpus) and complete their
-    * corpus append; the duplicate index generation is harmless (the
-    * verify stage is set-semantics per (id, shingle)). The reverse
-    * ordering would be a silent PERMANENT index gap: corpus-first +
-    * crash ⇒ replay's exact stage drops the docs before they are
-    * ever indexed, and every future near-dup of them sails through.
+    * with its own entries already indexed — every id of the CURRENT
+    * micro-batch is excluded from the candidate set's index side
+    * ([[graft.ops.Dedup.nearDedupAgainstIndex]] `excludeIds`), so the
+    * docs pass the fuzzy stage (neither against their OWN entries nor
+    * against each other's — two batch docs that near-dup each other
+    * must both survive, exactly as the non-crash run keeps both,
+    * since the ingest performs no intra-batch near-dedup), pass the
+    * exact stage (their texts never reached the corpus) and complete
+    * their corpus append; the duplicate index generation is harmless
+    * (the verify stage is set-semantics per (id, shingle)). The
+    * reverse ordering would be a silent PERMANENT index gap:
+    * corpus-first + crash ⇒ replay's exact stage drops the docs
+    * before they are ever indexed, and every future near-dup of them
+    * sails through.
     *
-    * `compactEveryGenerations > 0` folds the appended `inc-N`
-    * generations back into the base whenever their count reaches the
-    * threshold ([[graft.ops.Dedup.compactNearDupIndex]] — stored-row
-    * I/O only): a long-lived ingest otherwise accumulates one
-    * generation dir per micro-batch and the serving plan one parquet
-    * scan per generation. */
+    * `compactEveryGenerations` folds the appended `inc-N` generations
+    * back into the base whenever their count reaches the threshold
+    * ([[graft.ops.Dedup.compactNearDupIndex]] — stored-row I/O only):
+    * a long-lived ingest otherwise accumulates one generation dir per
+    * micro-batch and the serving plan one parquet scan per
+    * generation. Bounded BY DEFAULT (16): an unbounded default made
+    * the cost an opt-out footgun — a week-long ingest at one batch
+    * per minute would carry ~10⁴ scans per serving plan. 0 = never
+    * (only for short-lived streams that compact out-of-band). */
   def ingestNearDedupStream(storage: Storage, stream: DataFrame,
                             corpusPath: String, indexPath: String,
                             idCol: String, textCol: String,
@@ -491,7 +500,7 @@ object StreamingOps {
                             jaccardThreshold: Double = 0.5,
                             numHashes: Int = 64, bands: Int = 16,
                             shingleSize: Int = 3,
-                            compactEveryGenerations: Int = 0): StreamingQuery =
+                            compactEveryGenerations: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -512,9 +521,15 @@ object StreamingOps {
             val exactFresh = graft.ops.Dedup.dedupAgainst(
               storage.read(corpusPath, "delta"), intra, textCol)
             if (indexExists)
+              // exclude the WHOLE batch's ids from the index side, not
+              // just self-pairs: after an index-append/corpus-append
+              // crash the full batch is already indexed, and two batch
+              // docs that near-dup each other would otherwise drop
+              // AGAINST EACH OTHER on replay — permanently indexed but
+              // absent from the corpus
               graft.ops.Dedup.nearDedupAgainstIndex(spark, indexPath,
                 exactFresh, idCol, textCol, jaccardThreshold,
-                excludeSameId = true)
+                excludeIds = Some(intra.select(col(idCol))))
             else // index lost/not yet built: one inline pass, rebuilt below
               graft.ops.Dedup.nearDedupAgainst(
                 storage.read(corpusPath, "delta"), exactFresh, idCol,
@@ -558,33 +573,56 @@ object StreamingOps {
     * micro-batch of query vectors runs
     * [[graft.ops.Similarity.ivfPqSearchCoded]] — cell-candidate join +
     * broadcast distance tables + bounded top-k, NO raw corpus vectors
-    * anywhere in the plan — and appends its top-k rows to `outPath`.
+    * anywhere in the plan — and writes its top-k rows under `outPath`.
     *
-    * The coded corpus is eagerly localCheckpoint'ed at stream start:
-    * serving then reads executor-resident blocks (the memory-resident
-    * IVFADC property) and is pinned to ONE index generation for the
-    * stream's lifetime — a concurrent index re-save cannot tear a
-    * running stream. Delivery is at-least-once (a replayed batch
-    * appends its results again); key downstream consumption by
-    * (query_id, rank) or dedup on read. */
+    * The coded corpus is eagerly localCheckpoint'ed at load: serving
+    * reads executor-resident blocks (the memory-resident IVFADC
+    * property) pinned to ONE index generation — a concurrent index
+    * re-save cannot tear a mid-flight batch. `refreshEveryBatches > 0`
+    * lifts the pin for LONG-LIVED serving: every N batches one
+    * metadata-sized listing ([[graft.ops.AnnIndex.generationToken]])
+    * checks whether the root changed (a re-save OR an
+    * [[graft.ops.AnnIndex.appendCorpusCodes]] increment) and, when it
+    * did, atomically reloads index + codes BETWEEN batches — each
+    * batch is still scored against exactly one coherent generation,
+    * never a mix. 0 (default) keeps the pinned-for-life behavior.
+    *
+    * Delivery is EXACTLY-ONCE at the sink: each micro-batch lands as
+    * its own `batch=<id>` partition dir in overwrite mode, so a
+    * replayed batch (restart from checkpoint) rewrites its own dir
+    * byte-for-byte instead of appending duplicates. Readers
+    * `spark.read.parquet(outPath)` get the stamping `batch` partition
+    * column for free; no (query_id, rank) dedup-on-read needed. */
   def annSearchStream(queryStream: DataFrame, indexPath: String,
                       queryIdCol: String, vecCol: String,
                       outPath: String, checkpoint: String,
-                      topK: Int, nProbe: Int = 4): StreamingQuery = {
+                      topK: Int, nProbe: Int = 4,
+                      refreshEveryBatches: Int = 0): StreamingQuery = {
     val spark = queryStream.sparkSession
-    val index = graft.ops.AnnIndex.load(spark, indexPath)
-    val codes = graft.ops.AnnIndex.loadCorpusCodes(spark, indexPath)
-      .getOrElse(throw new IllegalArgumentException(
-        s"index at $indexPath has no stored corpus codes — " +
-          "AnnIndex.save(..., corpusCodes = Some(ivfPqEncodeCorpus(...)))"))
-      .localCheckpoint(true)
+    def loadGeneration() = (
+      graft.ops.AnnIndex.load(spark, indexPath),
+      graft.ops.AnnIndex.loadCorpusCodes(spark, indexPath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index at $indexPath has no stored corpus codes — " +
+            "AnnIndex.save(..., corpusCodes = Some(ivfPqEncodeCorpus(...)))"))
+        .localCheckpoint(true))
+    var token = graft.ops.AnnIndex.generationToken(spark, indexPath)
+    var (index, codes) = loadGeneration()
+    val base = outPath.stripSuffix("/")
     queryStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (refreshEveryBatches > 0 && batchId % refreshEveryBatches == 0) {
+          val now = graft.ops.AnnIndex.generationToken(spark, indexPath)
+          if (now != token) {
+            val fresh = loadGeneration()
+            index = fresh._1; codes = fresh._2; token = now
+          }
+        }
         if (!batch.isEmpty) // vecDim probe needs >= 1 query row
           graft.ops.Similarity.ivfPqSearchCoded(index, codes, batch,
               queryIdCol, vecCol, topK, nProbe)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$base/batch=$batchId")
       }
       .start()
   }
@@ -615,20 +653,49 @@ object StreamingOps {
     * batch — harmless because [[graft.storage.Merge.replayChanges]]
     * is idempotent BY CONSTRUCTION: every touched key (inserts
     * included) leaves the base before the batch's rows re-enter, so
-    * re-applying a batch reproduces the same table. */
+    * re-applying a batch reproduces the same table.
+    *
+    * Trigger modes and the ONE-BATCH LAG: by default the stream is
+    * file-triggered — a micro-batch fires when NEW feed files appear.
+    * `_commit` markers are underscore-named and invisible to the
+    * parquet file source, so a capture whose marker lands after its
+    * data files were consumed (merge still in flight at trigger time)
+    * is only replayed when a LATER capture's files fire the next
+    * trigger. If the source then goes quiet, the last merge's changes
+    * sit unreplicated until the next capture — `processAllAvailable`
+    * returns with the replica one committed batch behind. That lag is
+    * inherent to file triggering; callers that need bounded staleness
+    * pass `pollInterval` (e.g. `"30 seconds"`), which drives the SAME
+    * listing replay off a rate-source ProcessingTime clock instead:
+    * every tick lists the feed directory (metadata cost) and applies
+    * whatever committed batches the watermark hasn't seen — no-op
+    * when there is nothing new, and a quiet source converges within
+    * one interval. */
   def replicateStream(spark: SparkSession, storage: Storage,
                       sourcePath: String, replicaPath: String,
                       keyCols: Seq[String],
-                      checkpoint: String): StreamingQuery = {
+                      checkpoint: String,
+                      pollInterval: Option[String] = None): StreamingQuery = {
     val changesDir = sourcePath.stripSuffix("/") + "/" +
       graft.storage.Merge.ChangesDirName
-    val schema = spark.read.parquet(changesDir).schema
     val txnApp = s"graft_replicate:$sourcePath"
-    spark.readStream.schema(schema)
-      .option("basePath", changesDir)
-      .parquet(changesDir)
-      .writeStream
+    val trigger = pollInterval match {
+      case Some(_) =>
+        // pure clock: one tiny rate row per tick fires the listing
+        // replay even when no new feed file ever arrives
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", "1").load()
+      case None =>
+        val schema = spark.read.parquet(changesDir).schema
+        spark.readStream.schema(schema)
+          .option("basePath", changesDir)
+          .parquet(changesDir)
+    }
+    val writer = trigger.writeStream
       .option("checkpointLocation", checkpoint)
+    pollInterval.foreach(i => writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(i)))
+    writer
       .foreachBatch { (_: DataFrame, _: Long) =>
         // The micro-batch is a TRIGGER only; the rows replayed come
         // from the source feed DIRECTORY, listed forward from the

@@ -780,6 +780,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(Dedup.nearDedupAgainstIndex(spark, mini, uniqDocs,
       "doc_id", "text", 0.8)).isEmpty,
       "without the flag every doc near-dups its own index entry")
+
+    // excludeIds closes the residual replay hole excludeSameId leaves
+    // open: two docs of the SAME replayed batch that near-dup EACH
+    // OTHER are both already indexed after the crash — each matches
+    // the other's entry and both drop (permanently indexed but absent
+    // from the corpus), whereas the non-crash run keeps both (the
+    // ingest does no intra-batch near-dedup). Excluding every batch
+    // id from the index side restores the non-crash survivor set.
+    val mutual = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val mini2 = tempDir("ndx_mutual") + "/idx"
+    Dedup.saveNearDupIndex(spark, mini2, uniqDocs.unionByName(mutual),
+      "doc_id", "text")
+    assert(rows(Dedup.nearDedupAgainstIndex(spark, mini2, mutual,
+      "doc_id", "text", 0.8, excludeSameId = true)).isEmpty,
+      "the hole: mutual near-dups drop against each other's entries")
+    assert(rows(Dedup.nearDedupAgainstIndex(spark, mini2, mutual,
+      "doc_id", "text", 0.8,
+      excludeIds = Some(mutual.select(col("doc_id"))))) == Seq(10L, 11L),
+      "excluding the batch's ids restores the non-crash survivor set")
   }
 
   test("IVF-PQ index save/load round-trip serves bit-identical results") {

@@ -130,6 +130,81 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       a.target.endsWith("stale__tmp")))
   }
 
+  test("orphan sweep: a young marker-less batch survives vacuum, its " +
+      "merge completes and replicates; an old orphan is fenced+swept") {
+    val root = tempDir("vac_orphan_age")
+    val src = s"$root/src"
+    val rep = s"$root/rep"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    st.write(base, src, "delta", "overwrite")
+    st.write(base, rep, "delta", "overwrite") // replica at the snapshot
+    // one real committed capture establishes the feed era
+    st.merge(Seq((2L, "B")).toDF("id", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    // crash debris: a marker-less batch stamped 25 h ago (past the
+    // 24 h default horizon) — a genuinely dead capture
+    val oldStamp =
+      (System.currentTimeMillis() - 25L * 3600 * 1000) * 1000000L
+    Seq((9L, "z")).toDF("id", "v")
+      .withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$src/${Merge.ChangesDirName}/batch=$oldStamp")
+    // live capture mid-flight: fresh stamp, data rewrite not yet done,
+    // marker lands last by design — exactly what a racing vacuum sees
+    val young = Merge.nextBatchStamp()
+    Seq((3L, "c")).toDF("id", "v")
+      .withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$src/${Merge.ChangesDirName}/batch=$young")
+
+    val plan = Maintenance.vacuum(spark, src, dryRun = true)
+    assert(plan.exists(a => a.kind == "skip" && a.dest == young.toString),
+      s"young batch must be skip-reported, plan was $plan")
+    assert(plan.exists(a => a.kind == "fence" && a.dest == oldStamp.toString))
+    assert(plan.exists(a => a.kind == "delete" &&
+      a.target.endsWith(s"batch=$oldStamp")))
+    assert(!plan.exists(a => a.kind == "delete" &&
+      a.target.endsWith(s"batch=$young")),
+      s"a vacuum racing a live capture must not sweep it: $plan")
+
+    Maintenance.vacuum(spark, src)
+    assert(new File(s"$src/${Merge.ChangesDirName}/batch=$young").exists(),
+      "the in-flight capture must survive the sweep")
+    assert(!new File(s"$src/${Merge.ChangesDirName}/batch=$oldStamp").exists())
+    assert(GraftLog.txnBatches(spark, src, Merge.ChangesBarrierApp)
+      .contains(oldStamp), "the dead orphan must be fenced before removal")
+
+    // the live capture now COMPLETES: data rewrite lands, marker last
+    st.write(Seq((3L, "c")).toDF("id", "v"), src, "delta", "append")
+    Fs.touch(spark,
+      s"$src/${Merge.ChangesDirName}/batch=$young/${Merge.ChangesCommitMarker}")
+
+    // replication sees the completed batch — no silent divergence. The
+    // poll-triggered mode replays off a clock, so no new feed FILE is
+    // needed to fire it (the committed batch's files predate the run).
+    val q = graft.streaming.StreamingOps.replicateStream(spark, st, src,
+      rep, Seq("id"), s"$root/cp", pollInterval = Some("1 second"))
+    try {
+      def table(p: String) = st.read(p, "delta")
+        .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        table(rep) != table(src)) Thread.sleep(250)
+      assert(table(rep) == table(src),
+        "replica must apply the survived capture's changes")
+      assert(table(rep).contains((3L, "c")))
+      assert(!table(rep).exists(_._1 == 9L),
+        "the swept dead orphan's changes never committed anywhere")
+    } finally q.stop()
+
+    // a forced sweep (age 0) still removes any marker-less batch
+    val forcedStamp = Merge.nextBatchStamp()
+    Seq((8L, "y")).toDF("id", "v")
+      .withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$src/${Merge.ChangesDirName}/batch=$forcedStamp")
+    Maintenance.vacuum(spark, src, orphanMinAgeMs = Some(0L))
+    assert(!new File(
+      s"$src/${Merge.ChangesDirName}/batch=$forcedStamp").exists())
+  }
+
   test("partition values ending in a debris suffix are never touched") {
     val root = tempDir("vac_part")
     val path = s"$root/t"

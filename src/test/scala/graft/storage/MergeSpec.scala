@@ -712,13 +712,24 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     // travel at/above the orphan never steps it — still served
     assert(Merge.readAsOf(spark, st, path, Seq("id"), orphan).count()
       == 3)
-    // vacuum fences travel at the orphan's stamp, then removes it
-    val plan = Maintenance.vacuum(spark, path, dryRun = true)
+    // a DEFAULT vacuum leaves the fresh marker-less batch alone — it
+    // is indistinguishable from a live in-flight capture (skip entry,
+    // nothing touched)
+    val guarded = Maintenance.vacuum(spark, path)
+    assert(guarded.exists(a => a.kind == "skip" &&
+      a.dest == orphan.toString), s"plan was $guarded")
+    assert(!guarded.exists(_.kind == "delete"))
+    assert(Fs.exists(spark,
+      s"$path/${Merge.ChangesDirName}/batch=$orphan"))
+    // past the age horizon (forced here with 0) vacuum fences travel
+    // at the orphan's stamp, then removes it
+    val plan = Maintenance.vacuum(spark, path, dryRun = true,
+      orphanMinAgeMs = Some(0L))
     assert(plan.exists(a => a.kind == "fence" &&
       a.dest == orphan.toString))
     assert(plan.exists(a => a.kind == "delete" &&
       a.target.contains(s"batch=$orphan")))
-    Maintenance.vacuum(spark, path)
+    Maintenance.vacuum(spark, path, orphanMinAgeMs = Some(0L))
     assert(!Fs.exists(spark,
       s"$path/${Merge.ChangesDirName}/batch=$orphan"))
     // below the fence: loud horizon refusal (never a silent

@@ -86,7 +86,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           snapshots += ((horizon, model))
         } else snapshots = ArrayBuffer((Long.MinValue, model))
 
-      for (_ <- 0 until 9) rng.nextInt(14) match {
+      for (_ <- 0 until 9) rng.nextInt(15) match {
         case 0 | 1 | 2 | 3 =>
           // captured merge: upsert + delete clause on v = -1
           val inc = rng.shuffle((0 until 18).toList)
@@ -204,14 +204,39 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           feedEra = true
           snapshots += ((stamp, model))
         case 13 =>
-          // vacuum: sweeps every orphan behind a barrier at its stamp
-          // (loud horizon refusal replaces the loud marker refusal —
-          // never a silent reconstruction across the swept gap)
-          trace += "vacuum"
-          if (orphans.nonEmpty)
-            horizon = math.max(horizon, orphans.max)
-          Maintenance.vacuum(spark, path)
-          orphans = Set.empty
+          // vacuum. GUARDED (default): every injected orphan is
+          // seconds old — indistinguishable from a live in-flight
+          // capture, so the sweep must leave them ALL (model: nothing
+          // changes; later stamps still hit the marker refusal).
+          // FORCED (age 0): sweeps every orphan behind a barrier at
+          // its stamp — loud horizon refusal replaces the loud marker
+          // refusal, never a silent reconstruction across the gap.
+          if (rng.nextBoolean()) {
+            trace += "vacuum(forced)"
+            if (orphans.nonEmpty)
+              horizon = math.max(horizon, orphans.max)
+            Maintenance.vacuum(spark, path, orphanMinAgeMs = Some(0L))
+            orphans = Set.empty
+          } else {
+            trace += "vacuum(guarded)"
+            Maintenance.vacuum(spark, path)
+          }
+        case 14 =>
+          // UNCAPTURED merge (updates + inserts, no captured batch):
+          // with a live feed era the feed now has a gap here, so the
+          // engine must fence exactly like an uncaptured delete —
+          // pre-era it folds into "before everything" like any other
+          // pre-history write
+          val inc = rng.shuffle((0 until 18).toList)
+            .take(rng.nextInt(4) + 1)
+            .map(i => i.toLong -> rng.nextInt(10).toLong).toMap
+          trace += s"rawmerge($inc)"
+          st.merge(df(inc), path, "full.id = incremental.id")
+          // every merged key is an update or insert — re-introduced,
+          // so its MoR tombstone clears
+          tombs --= inc.keys
+          model = model ++ inc
+          fenced()
       }
 
       for (((stamp, snap), i) <- snapshots.zipWithIndex) {

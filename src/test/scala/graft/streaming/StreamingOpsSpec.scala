@@ -291,7 +291,9 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       "vec_id", "embedding", s"$out/results", s"$out/cp", topK = 5,
       nProbe = 4)
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.read.parquet(s"$out/results")
+    // drop the exactly-once `batch` stamp dir-partition column — the
+    // data columns must equal the batch search exactly
+    val streamed = spark.read.parquet(s"$out/results").drop("batch")
       .collect().map(_.toString).sorted.toSeq
     val batch = Similarity.ivfPqSearchCoded(idx,
         AnnIndex.loadCorpusCodes(spark, s"$out/idx").get, queries,
@@ -382,6 +384,212 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       "auto-compaction must not change ingest decisions")
     assert(graft.ops.Dedup.nearDupIndexGenerations(spark, s"$out/idx2") == 0)
     assert(graft.ops.Dedup.nearDedupAgainstIndex(spark, s"$out/idx2",
+      probe, "doc_id", "text", 0.8).count() == 0L)
+  }
+
+  test("annSearchStream exactly-once: replaying every batch rewrites " +
+      "the same batch dirs, zero duplicate rows") {
+    import graft.ops.{AnnIndex, Similarity}
+    val out = tempDir("ann_once")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    AnnIndex.save(spark, s"$out/idx", idx,
+      Some(Similarity.ivfPqEncodeCorpus(idx, emb, "vec_id", "embedding",
+        corpusSpill = 2)))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    // two files with forced mtime order — batch ids are deterministic
+    // across runs, which is what makes the dir-per-batch sink testable
+    val hconf = spark.sessionState.newHadoopConf()
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(hconf)
+    var stamped = Set.empty[String]
+    Seq(queries.filter(col("vec_id") < 1000002),
+        queries.filter(col("vec_id") >= 1000002)).zipWithIndex.foreach {
+      case (b, i) =>
+        b.coalesce(1).write.mode("append").parquet(s"$out/in")
+        fs.listStatus(inPath).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !stamped(p.getName))
+          .foreach { p => fs.setTimes(p, 1000000000000L + i * 60000L, -1)
+            stamped += p.getName }
+    }
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(queries.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    def run(cp: String): Unit = {
+      val q = StreamingOps.annSearchStream(stream, s"$out/idx",
+        "vec_id", "embedding", s"$out/results", cp, topK = 5, nProbe = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(s"$out/cp1")
+    val first = spark.read.parquet(s"$out/results")
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty)
+    // full replay (fresh checkpoint, same sink): every batch re-runs
+    // — the worst-case at-least-once schedule. The batch=<id> dirs
+    // are rewritten in place, so the sink is byte-stable instead of
+    // doubling.
+    run(s"$out/cp2")
+    val second = spark.read.parquet(s"$out/results")
+    assert(second.collect().map(_.toString).sorted.toSeq == first,
+      "replayed batches must rewrite their own dirs, not append")
+    assert(second.count() ==
+      second.select("batch", "query_id", "rank").distinct().count(),
+      "zero duplicate (batch, query_id, rank) rows after full replay")
+  }
+
+  test("annSearchStream refreshEveryBatches serves corpus codes " +
+      "appended mid-stream") {
+    import graft.ops.{AnnIndex, Similarity}
+    val out = tempDir("ann_refresh")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpusA = emb.filter(col("vec_id") < 50)
+    val corpusB = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val idx = Similarity.ivfPqFit(corpusA, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    AnnIndex.save(spark, s"$out/idx", idx,
+      Some(Similarity.ivfPqEncodeCorpus(idx, corpusA, "vec_id",
+        "embedding", corpusSpill = 2)))
+    // query 1: a planted copy of corpus-A vector 3; query 2 (arrives
+    // later): a planted copy of corpus-B vector 105, which is NOT in
+    // the stored codes yet when the stream starts
+    val q1 = emb.filter(col("vec_id") === 3)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val q2 = emb.filter(col("vec_id") === 105)
+      .select(lit(900002L).as("vec_id"), col("embedding"))
+    q1.coalesce(1).write.parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(q1.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = StreamingOps.annSearchStream(stream, s"$out/idx",
+      "vec_id", "embedding", s"$out/results", s"$out/cp", topK = 10,
+      nProbe = 8, refreshEveryBatches = 1)
+    try {
+      q.processAllAvailable() // batch 0 served against corpus A only
+      // the corpus GROWS while the stream runs: encode B under the
+      // SAME index generation and append its codes
+      AnnIndex.appendCorpusCodes(spark, s"$out/idx",
+        Similarity.ivfPqEncodeCorpus(idx, corpusB, "vec_id",
+          "embedding", corpusSpill = 2))
+      q2.coalesce(1).write.mode("append").parquet(s"$out/in")
+      q.processAllAvailable() // batch 1: generation token changed → reload
+    } finally q.stop()
+    val res = spark.read.parquet(s"$out/results")
+    val batch0 = res.filter(col("batch") === 0)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val batch1 = res.filter(col("batch") === 1)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(batch0.nonEmpty && batch0.forall(_ < 50),
+      s"pre-append batches see only corpus A: $batch0")
+    assert(batch1.exists(id => id >= 100 && id < 110),
+      s"post-append batch must retrieve appended-B vectors: $batch1")
+    assert(batch1.contains(105L),
+      s"the planted copy of appended vector 105 must be retrieved: $batch1")
+  }
+
+  test("ingestNearDedupStream: a replayed batch whose docs near-dup " +
+      "EACH OTHER still reaches the corpus") {
+    import spark.implicits._
+    import graft.storage.BasicStorage
+    val out = tempDir("ingest_replay")
+    val st = new BasicStorage(spark)
+    val base = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet colors"),
+      (3L, "north south east west compass points navigation travel"))
+      .toDF("doc_id", "text")
+    // two mutual near-dups (word-trigram jaccard 6/7 ≈ 0.86), neither
+    // similar to the base docs
+    val ab = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val hconf = spark.sessionState.newHadoopConf()
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(hconf)
+    var stamped = Set.empty[String]
+    def addFile(b: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      b.coalesce(1).write.mode("append").parquet(s"$out/in")
+      fs.listStatus(inPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !stamped(p.getName))
+        .foreach { p => fs.setTimes(p, 1000000000000L + i * 60000L, -1)
+          stamped += p.getName }
+    }
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(base.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    def runIngest(): Unit = {
+      val q = StreamingOps.ingestNearDedupStream(st, stream,
+        s"$out/corpus", s"$out/idx", "doc_id", "text", s"$out/cp",
+        jaccardThreshold = 0.8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(base, 0)
+    runIngest() // bootstrap: corpus + index over the base docs
+    // the crash window: batch 2's INDEX append landed (index-before-
+    // corpus ordering), the corpus append did not — on replay both ab
+    // docs are already indexed, including each other's entries
+    graft.ops.Dedup.appendToNearDupIndex(spark, s"$out/idx", ab,
+      "doc_id", "text")
+    addFile(ab, 1)
+    runIngest() // same checkpoint: batch 2 processes in replay state
+    val ids = st.read(s"$out/corpus", "delta")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 100L, 101L),
+      s"both mutual near-dups must survive the replay, got $ids")
+  }
+
+  test("ingestNearDedupStream keeps index generations bounded across " +
+      "3x-bound batches") {
+    import spark.implicits._
+    import graft.storage.BasicStorage
+    val out = tempDir("ingest_bound")
+    val st = new BasicStorage(spark)
+    val sentences = Seq(
+      "whales sing across deep oceans tonight",
+      "compilers lower loops into branch free code",
+      "granite cliffs shade the silver estuary",
+      "markets open on quiet tuesday mornings",
+      "satellites trace polar orbits every hour",
+      "bakers fold butter into morning pastry",
+      "glaciers carve valleys over patient millennia")
+    val hconf = spark.sessionState.newHadoopConf()
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(hconf)
+    var stamped = Set.empty[String]
+    sentences.zipWithIndex.foreach { case (s, i) =>
+      Seq((i.toLong, s)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$out/in")
+      fs.listStatus(inPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !stamped(p.getName))
+        .foreach { p => fs.setTimes(p, 1000000000000L + i * 60000L, -1)
+          stamped += p.getName }
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq((1L, "t")).toDF("doc_id", "text").schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    // bound 2 across 7 batches (6 post-bootstrap appends = 3× bound):
+    // generations go 1, 2→compact→0, 1, 2→compact→0, … — never past
+    // the bound, and the final state is fully folded
+    val q = StreamingOps.ingestNearDedupStream(st, stream,
+      s"$out/corpus", s"$out/idx", "doc_id", "text", s"$out/cp",
+      jaccardThreshold = 0.8, compactEveryGenerations = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(st.read(s"$out/corpus", "delta").count() == 7)
+    val gens = graft.ops.Dedup.nearDupIndexGenerations(spark, s"$out/idx")
+    assert(gens == 0, s"6 appends at bound 2 must end fully compacted, got $gens")
+    // the folded index still serves: a near-clone of the LAST doc is
+    // caught
+    val probe = Seq((999L, sentences.last + " anew")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.nearDedupAgainstIndex(spark, s"$out/idx",
       probe, "doc_id", "text", 0.8).count() == 0L)
   }
 
