@@ -470,6 +470,87 @@ object GraftQueries {
       |FROM orders WHERE o_orderkey % 5 != 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** RESTORE ([[graft.storage.Restore.toStamp]] — Delta's RESTORE
+    * analogue): after two captured merges, restore the table to the
+    * between-merges stamp. The restore is itself a CAPTURED mutation:
+    * its change batch (the row diff undoing merge 2) lands with the
+    * merge crash ordering and replicas replay it; time travel to the
+    * UNDONE post-merge-2 state still serves (history is extended,
+    * never rewritten — checked in-query and emitted as `undone_ok`).
+    * The oracle recomputes the restored table (base + merge 1) and
+    * the restore batch's per-kind change counts from raw `orders`. */
+  val restoreQ: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_restore_q").toString + "/t"
+    st.write(orders.filter(col("o_orderkey") % 5 =!= 0),
+      path, "delta", "overwrite")
+    // merge 1: price bump on %3 keys (updates + inserts)
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    // merge 2: status flip on %7 keys + delete %11 customers
+    st.merge(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("T")),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      deleteCondition = Some("incremental.o_custkey % 11 = 0"),
+      captureChanges = true)
+    val stamps = graft.storage.Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    def census(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), dsum(col("o_totalprice"))).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val afterMerge2 = census(st.read(path, "delta"))
+    val rs = graft.storage.Restore.toStamp(spark, st, path,
+      Seq("o_orderkey"), stamps.head).get
+    val kinds = graft.storage.Merge.changeFeed(spark, path)
+      .filter(col("batch") === rs)
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the pre/post image sides of an update must pair up exactly
+    val nUpd =
+      if (kinds.getOrElse("update_preimage", 0L) ==
+          kinds.getOrElse("update_postimage", 0L))
+        kinds.getOrElse("update_postimage", 0L)
+      else -1L
+    // the state the restore UNDID is still served at its own stamp
+    val undoneOk = census(graft.storage.Merge.readAsOf(spark, st, path,
+      Seq("o_orderkey"), stamps.last)) == afterMerge2
+    st.read(path, "delta")
+      .withColumn("n_restore_del", lit(kinds.getOrElse("delete", 0L)))
+      .withColumn("n_restore_ins", lit(kinds.getOrElse("insert", 0L)))
+      .withColumn("n_restore_upd", lit(nUpd))
+      .withColumn("undone_ok", lit(undoneOk))
+      .orderBy("o_orderkey")
+  }
+
+  /** state1 = keys with (%5 != 0 OR %3 = 0), price +1000 where %3 = 0.
+    * The restore batch undoes merge 2 against state1: its deletes are
+    * merge 2's inserts (%7 keys absent from state1), its inserts are
+    * merge 2's deletes (%7 keys in state1 with %11 custkeys), its
+    * update pairs are merge 2's surviving updates. */
+  val restoreSql: String =
+    """WITH state1 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 5 <> 0 OR o_orderkey % 3 = 0)
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0
+      |     AND o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0)
+      |    AS n_restore_del,
+      |  (SELECT count(*) FROM state1 WHERE o_orderkey % 7 = 0
+      |     AND o_custkey % 11 = 0) AS n_restore_ins,
+      |  (SELECT count(*) FROM state1 WHERE o_orderkey % 7 = 0
+      |     AND o_custkey % 11 <> 0) AS n_restore_upd,
+      |  TRUE AS undone_ok
+      |FROM state1 ORDER BY o_orderkey""".stripMargin
+
   /** Persistent CHECK constraints ([[graft.storage.Constraints]]):
     * register two constraints on a managed table, append a clean
     * batch (passes the gate), then prove a violating append is
@@ -7062,6 +7143,7 @@ object GraftQueries {
     entry("q_wap", wapQ, wapSql),
     entry("q_attr_window_batch", attrWindowBatch, attrWindowBatchSql),
     entry("q_time_travel", timeTravelQ, timeTravelSql),
+    entry("q_restore", restoreQ, restoreSql),
     entry("q_constraints", constraintsQ, constraintsSql),
     entry("q_tpch_q18", tpchQ18, tpchQ18Sql),
     entry("q_observe", observeQ, observeSql),

@@ -12,9 +12,9 @@ case class TtPropRow(id: Long, v: Long)
 /** Model-based property test for time-travel TIMELINE INTEGRITY over
   * random interleavings of EVERY mutation path the storage engine
   * has — captured merges (with delete clauses), captured predicate
-  * deletes, uncaptured deletes, managed overwrites, managed appends,
-  * feed prunes, MoR tombstone deletes and compacts — plus two crash
-  * events: an ORPHAN change batch (a capture that died between its
+  * deletes, uncaptured deletes and merges, managed overwrites, managed
+  * appends, feed prunes, MoR tombstone deletes and compacts, captured
+  * restores to any servable snapshot — plus two crash events: an ORPHAN change batch (a capture that died between its
   * log-before-data batch write and the data rewrite, so no `_commit`
   * marker exists) and the `Maintenance.vacuum` that sweeps it.
   *
@@ -86,7 +86,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           snapshots += ((horizon, model))
         } else snapshots = ArrayBuffer((Long.MinValue, model))
 
-      for (_ <- 0 until 9) rng.nextInt(15) match {
+      for (_ <- 0 until 9) rng.nextInt(16) match {
         case 0 | 1 | 2 | 3 =>
           // captured merge: upsert + delete clause on v = -1
           val inc = rng.shuffle((0 until 18).toList)
@@ -237,6 +237,36 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           tombs --= inc.keys
           model = model ++ inc
           fenced()
+        case 15 =>
+          // captured RESTORE to a random SERVABLE recorded snapshot:
+          // the timeline is never rewritten, only extended — the
+          // restore's own batch lands with the merge crash ordering,
+          // every older stamp (including the undone ones) keeps
+          // serving its model snapshot, and the restored state is the
+          // new current. With a live tombstone sidecar restore must
+          // refuse loudly instead (the overlay would apply to
+          // different files) — pin that too. A target below the
+          // horizon or behind an orphan is unservable by contract, so
+          // only servable snapshots are candidates; none ⇒ no-op.
+          if (Fs.exists(spark, MorDelete.tombstonePath(path))) {
+            trace += "restore(refused:tombstones)"
+            intercept[IllegalStateException] {
+              Restore.toStamp(spark, st, path, Seq("id"),
+                snapshots.last._1)
+            }
+          } else {
+            val servable = snapshots.filter { case (s, _) =>
+              s >= horizon && !orphans.exists(_ > s) }
+            if (servable.nonEmpty) {
+              val (tStamp, tSnap) = servable(rng.nextInt(servable.length))
+              trace += s"restore($tStamp)"
+              val rs = Restore.toStamp(spark, st, path, Seq("id"), tStamp)
+              assert(rs.nonEmpty, "captured restore must return its stamp")
+              model = tSnap
+              feedEra = true
+              snapshots += ((rs.get, model))
+            } else trace += "restore(no-servable-target)"
+          }
       }
 
       for (((stamp, snap), i) <- snapshots.zipWithIndex) {
