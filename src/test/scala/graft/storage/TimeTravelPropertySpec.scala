@@ -14,7 +14,8 @@ case class TtPropRow(id: Long, v: Long)
   * has — captured merges (with delete clauses), captured predicate
   * deletes, uncaptured deletes and merges, managed overwrites, managed
   * appends, feed prunes, MoR tombstone deletes and compacts, captured
-  * restores to any servable snapshot — plus two crash events: an ORPHAN change batch (a capture that died between its
+  * restores to any servable snapshot — plus two crash events: an
+  * ORPHAN change batch (a capture that died between its
   * log-before-data batch write and the data rewrite, so no `_commit`
   * marker exists) and the `Maintenance.vacuum` that sweeps it.
   *
