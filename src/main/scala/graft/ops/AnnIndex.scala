@@ -77,9 +77,20 @@ object AnnIndex {
     cents.coalesce(1).write.parquet(centroidsPath(tmp))
     books.coalesce(1).write.parquet(codebooksPath(tmp))
     corpusCodes.foreach(_.write.parquet(codesPath(tmp)))
+    stampGeneration(spark, tmp) // rides the swap with its generation
     if (!Fs.exists(spark, root)) Fs.renameChecked(spark, tmp, root)
     else Fs.swapInStaged(spark, root, tmp)
   }
+
+  /** Fresh nonce naming this stored generation. Every mutation of the
+    * root ([[save]] re-swap, [[appendCorpusCodes]],
+    * [[compactCorpusCodes]]) rewrites it, so [[generationToken]] never
+    * depends on filesystem modification times — object-store Hadoop
+    * filesystems report synthetic/constant mtimes for directories, on
+    * which an mtime-based probe would silently never fire. */
+  private def stampGeneration(spark: SparkSession, root: String): Unit =
+    Fs.writeText(spark, s"${root.stripSuffix("/")}/_generation",
+      java.util.UUID.randomUUID().toString)
 
   /** The stored corpus codes of [[save]]'s `corpusCodes` — base
     * generation plus every [[appendCorpusCodes]] increment unioned —
@@ -135,6 +146,7 @@ object AnnIndex {
     Fs.deleteChecked(spark, tmp)
     newCodes.select(base.columns.toIndexedSeq.map(col): _*).write.parquet(tmp)
     Fs.renameChecked(spark, tmp, gen)
+    stampGeneration(spark, root)
   }
 
   /** Fold appended code generations back into the base — stored-row
@@ -156,6 +168,7 @@ object AnnIndex {
     Fs.writeSwapped(spark, codesPath(root),
       loadCorpusCodes(spark, root).get.distinct(), coalesce1 = false)
     incs.foreach(d => Fs.deleteChecked(spark, s"$root/$d"))
+    stampGeneration(spark, root)
     incs.size
   }
 
@@ -163,20 +176,29 @@ object AnnIndex {
     * root — the cheap "did anything change?" probe a long-lived
     * serving stream polls between micro-batches
     * ([[graft.streaming.StreamingOps.annSearchStream]]'s
-    * `refreshEveryBatches`). Changes on every [[save]] re-swap (the
-    * staged root's subdirs are freshly written, so their modification
-    * times move) and on every [[appendCorpusCodes]] /
-    * [[compactCorpusCodes]] (the generation dir set changes). One
-    * driver directory listing — metadata cost, safe to poll
+    * `refreshEveryBatches`). Changes on every [[save]] re-swap,
+    * [[appendCorpusCodes]], and [[compactCorpusCodes]]: each rewrites
+    * the `_generation` nonce, so the probe never depends on directory
+    * modification times (synthetic/constant on object-store Hadoop
+    * filesystems, where an mtime probe would silently never fire
+    * after an in-place re-save). The generation dir name set rides
+    * along for legacy roots saved before the nonce existed. One
+    * driver listing + one tiny read — metadata cost, safe to poll
     * per-batch. Tokens are only comparable for equality; a changed
     * token means "reload", nothing more. */
   def generationToken(spark: SparkSession, path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val rootStr = path.stripSuffix("/")
+    val root = new org.apache.hadoop.fs.Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) "absent"
-    else fs.listStatus(root).filter(_.isDirectory)
-      .map(s => s.getPath.getName + "=" + s.getModificationTime)
-      .sorted.mkString(",")
+    else {
+      val nonce =
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, "_generation")))
+          Fs.readText(spark, s"$rootStr/_generation")
+        else "legacy" // pre-nonce root: dir-set changes still probe
+      nonce + "|" + fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted.mkString(",")
+    }
   }
 
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {

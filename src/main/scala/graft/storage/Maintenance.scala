@@ -180,8 +180,15 @@ object Maintenance {
           !fs.exists(new Path(p, Merge.ChangesCommitMarker)))
         val cutoffNanos =
           (System.currentTimeMillis() - minAgeMs) * 1000000L
-        val (orphans, inFlight) = markerless.partition(
-          _.getName.stripPrefix("batch=").toLong < cutoffNanos)
+        // minAge 0 means "sweep regardless of age" LITERALLY: the
+        // strict-< against a same-millisecond cutoff would still skip
+        // a batch stamped in the current millisecond (nextBatchStamp's
+        // monotonic bump can sit at-or-above wall clock), turning the
+        // documented forced sweep into a timing flake
+        val (orphans, inFlight) =
+          if (minAgeMs <= 0) (markerless, Array.empty[Path])
+          else markerless.partition(
+            _.getName.stripPrefix("batch=").toLong < cutoffNanos)
         inFlight.foreach { p =>
           val stamp = p.getName.stripPrefix("batch=").toLong
           actions += VacuumAction("skip", p.toString, stamp.toString,

@@ -144,12 +144,19 @@ object Restore {
       if (valueCols.isEmpty) lit(false)
       else valueCols.map(n => !(canon("__c", n) <=> canon("__t", n)))
         .reduce(_ || _)
+    // key matching must be NULL-SAFE end to end: a plain-equality
+    // anti-join never matches a NULL key, so a null-keyed row present
+    // unchanged on both sides would be emitted as delete+insert (and
+    // paired as an update candidate by the <=> join besides), and
+    // replaying that batch would duplicate the row on replicas
     val deletes = tag(
-      current.join(target.select(keyCols.map(col): _*), keyCols,
-        "left_anti"), "delete", curCols)
+      current.alias("__c").join(target.alias("__t"), keyEq, "left_anti")
+        .select(curCols.map(n => col(s"__c.$n").as(n)): _*),
+      "delete", curCols)
     val inserts = tag(
-      target.join(current.select(keyCols.map(col): _*), keyCols,
-        "left_anti"), "insert", curCols)
+      target.alias("__t").join(current.alias("__c"), keyEq, "left_anti")
+        .select(curCols.map(n => col(s"__t.$n").as(n)): _*),
+      "insert", curCols)
     val updatedPairs = c.join(t, keyEq, "inner").filter(changed)
     val pre = updatedPairs.select(
       curCols.map(n => col(s"__c.$n").as(n)) :+

@@ -518,18 +518,25 @@ object StreamingOps {
         val fresh =
           if (!corpusExists) intra // fresh start — nothing to dedup against
           else {
+            val corpus = storage.read(corpusPath, "delta")
             val exactFresh = graft.ops.Dedup.dedupAgainst(
-              storage.read(corpusPath, "delta"), intra, textCol)
+              corpus, intra, textCol)
             if (indexExists)
-              // exclude the WHOLE batch's ids from the index side, not
-              // just self-pairs: after an index-append/corpus-append
-              // crash the full batch is already indexed, and two batch
-              // docs that near-dup each other would otherwise drop
-              // AGAINST EACH OTHER on replay — permanently indexed but
-              // absent from the corpus
+              // exclude the batch ids that are ABSENT from the corpus
+              // from the index side, not just self-pairs: after an
+              // index-append/corpus-append crash the full batch is
+              // already indexed-but-corpusless, and two batch docs
+              // that near-dup each other would otherwise drop AGAINST
+              // EACH OTHER on replay — permanently indexed but absent
+              // from the corpus. Corpus-PRESENT ids are NOT excluded:
+              // their index entries are legitimate corpus docs, and a
+              // batch that happens to re-send id X alongside a new
+              // near-dup of X's text must still drop the near-dup
+              // (excluding the whole batch blindly would admit it).
               graft.ops.Dedup.nearDedupAgainstIndex(spark, indexPath,
                 exactFresh, idCol, textCol, jaccardThreshold,
-                excludeIds = Some(intra.select(col(idCol))))
+                excludeIds = Some(intra.select(col(idCol)).join(
+                  corpus.select(col(idCol)), Seq(idCol), "left_anti")))
             else // index lost/not yet built: one inline pass, rebuilt below
               graft.ops.Dedup.nearDedupAgainst(
                 storage.read(corpusPath, "delta"), exactFresh, idCol,
@@ -592,7 +599,11 @@ object StreamingOps {
     * replayed batch (restart from checkpoint) rewrites its own dir
     * byte-for-byte instead of appending duplicates. Readers
     * `spark.read.parquet(outPath)` get the stamping `batch` partition
-    * column for free; no (query_id, rank) dedup-on-read needed. */
+    * column for free; no (query_id, rank) dedup-on-read needed.
+    * MIGRATION: an `outPath` written by the pre-partitioned (flat
+    * append) layout cannot be resumed in place — mixing root-level
+    * part files with `batch=` dirs breaks partition discovery; point
+    * resumed streams at a fresh `outPath`. */
   def annSearchStream(queryStream: DataFrame, indexPath: String,
                       queryIdCol: String, vecCol: String,
                       outPath: String, checkpoint: String,
@@ -711,23 +722,32 @@ object StreamingOps {
         // the next trigger instead. Feed batches stay listable until
         // pruneChangeFeed, whose contract already requires replicas
         // to be caught up.
-        val applied = graft.storage.GraftLog
-          .lastTxnBatch(spark, replicaPath, txnApp).getOrElse(Long.MinValue)
-        val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
-        val stamps = feed.select(col("batch")).distinct()
-          .collect().map(_.getLong(0)).filter(_ > applied)
-          .filter(b => graft.storage.Merge
-            .isBatchCommitted(spark, sourcePath, b))
-          .sorted
-        if (stamps.nonEmpty) {
-          var replica = storage.read(replicaPath, "delta")
-          for (b <- stamps)
-            replica = graft.storage.Merge.replayChanges(
-              replica, feed.filter(col("batch") === b), keyCols)
-          val materialized = replica.localCheckpoint()
-          storage.write(materialized, replicaPath, "delta", "overwrite")
-          graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,
-            Some(txnApp -> stamps.max))
+        // poll mode ticks on a CLOCK, so a tick can fire before the
+        // source's first capture exists (or after a full prune removed
+        // the feed dir) — changeFeed would throw on the missing dir
+        // and kill the long-lived stream; an empty tick is the correct
+        // no-op (the file-trigger mode can never hit this: its batches
+        // only fire when feed files exist)
+        if (graft.storage.Merge.hasChanges(spark, sourcePath)) {
+          val applied = graft.storage.GraftLog
+            .lastTxnBatch(spark, replicaPath, txnApp)
+            .getOrElse(Long.MinValue)
+          val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
+          val stamps = feed.select(col("batch")).distinct()
+            .collect().map(_.getLong(0)).filter(_ > applied)
+            .filter(b => graft.storage.Merge
+              .isBatchCommitted(spark, sourcePath, b))
+            .sorted
+          if (stamps.nonEmpty) {
+            var replica = storage.read(replicaPath, "delta")
+            for (b <- stamps)
+              replica = graft.storage.Merge.replayChanges(
+                replica, feed.filter(col("batch") === b), keyCols)
+            val materialized = replica.localCheckpoint()
+            storage.write(materialized, replicaPath, "delta", "overwrite")
+            graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,
+              Some(txnApp -> stamps.max))
+          }
         }
       }
       .start()

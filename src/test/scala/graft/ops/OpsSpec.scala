@@ -804,6 +804,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "excluding the batch's ids restores the non-crash survivor set")
   }
 
+  test("generationToken changes on every index mutation — including a " +
+      "content-identical re-save (nonce, not mtimes)") {
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    val codes = Similarity.ivfPqEncodeCorpus(idx,
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+      corpusSpill = 2)
+    val dir = tempDir("anngen") + "/idx"
+    assert(AnnIndex.generationToken(spark, dir) == "absent")
+    AnnIndex.save(spark, dir, idx, Some(codes))
+    val t1 = AnnIndex.generationToken(spark, dir)
+    // the stale-serving trap: an in-place re-save keeps the same
+    // subdir names, so a probe keyed on names+mtimes could read equal
+    // (object-store filesystems report constant dir mtimes) and a
+    // refreshing serving stream would never reload
+    AnnIndex.save(spark, dir, idx, Some(codes))
+    val t2 = AnnIndex.generationToken(spark, dir)
+    assert(t2 != t1, "content-identical re-save must change the token")
+    AnnIndex.appendCorpusCodes(spark, dir,
+      Similarity.ivfPqEncodeCorpus(idx,
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 60),
+        "vec_id", "embedding", corpusSpill = 2))
+    val t3 = AnnIndex.generationToken(spark, dir)
+    assert(t3 != t2, "a code append must change the token")
+    AnnIndex.compactCorpusCodes(spark, dir)
+    val t4 = AnnIndex.generationToken(spark, dir)
+    assert(t4 != t3, "a compaction must change the token")
+    assert(AnnIndex.generationToken(spark, dir) == t4,
+      "a pure read must NOT change the token")
+  }
+
   test("IVF-PQ index save/load round-trip serves bit-identical results") {
     val queries = emb.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))

@@ -185,9 +185,15 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     try {
       def table(p: String) = st.read(p, "delta")
         .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+      // the replica is OVERWRITTEN in place per applied batch; a poll
+      // read racing that overwrite sees FILE_NOT_EXIST transiently —
+      // retry until a complete read lands (equality implies a
+      // successful full read, after which no further batch rewrites)
+      def tableRetry(p: String): Option[Seq[(Long, String)]] =
+        try Some(table(p)) catch { case _: Exception => None }
       val deadline = System.currentTimeMillis() + 60000
       while (System.currentTimeMillis() < deadline &&
-        table(rep) != table(src)) Thread.sleep(250)
+        !tableRetry(rep).contains(table(src))) Thread.sleep(250)
       assert(table(rep) == table(src),
         "replica must apply the survived capture's changes")
       assert(table(rep).contains((3L, "c")))

@@ -135,6 +135,36 @@ class RestoreSpec extends AnyFunSuite with SparkSpec {
     assert(kinds == Set("delete"), kinds.toString)
   }
 
+  test("a null-keyed row unchanged on both sides emits NO change rows " +
+      "— replaying the restore batch cannot duplicate it") {
+    val path = tempDir("restore_nullkey") + "/t"
+    val base = Seq((Option(1L), "a"), (Option(2L), "b"),
+      (Option.empty[Long], "n")).toDF("id", "v")
+    st.write(base, path, "delta", "overwrite")
+    // merge joins on equality, so the null-keyed row is untouched by
+    // both captured merges — it must ride through the restore silently
+    st.merge(Seq((3L, "c")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    st.merge(Seq((2L, "B")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamps = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).sorted
+    val rs = Restore.toStamp(spark, st, path, Seq("id"), stamps.head).get
+    val batch = Merge.changeFeed(spark, path).filter(col("batch") === rs)
+    assert(batch.filter(col("id").isNull).count() == 0L,
+      "unchanged null-keyed row must not appear in the restore batch " +
+        "(equality anti-joins would tag it delete+insert and replay " +
+        "would duplicate it)")
+    // only row 2's undo is in the batch
+    assert(batch.count() == 2L &&
+      batch.filter(col("id") === 2L).count() == 2L)
+    val rows = st.read(path, "delta").select("id", "v")
+      .as[(Option[Long], String)].collect().sortBy(_._1.getOrElse(-1L)).toSeq
+    assert(rows == Seq((None, "n"), (Some(1L), "a"), (Some(2L), "b"),
+      (Some(3L), "c")))
+    assert(rows.count(_._1.isEmpty) == 1, "exactly one null-keyed row")
+  }
+
   test("restore preserves the table's recorded partitioning") {
     val path = tempDir("restore_part") + "/t"
     val base = Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1"))

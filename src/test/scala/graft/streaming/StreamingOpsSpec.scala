@@ -545,6 +545,93 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       s"both mutual near-dups must survive the replay, got $ids")
   }
 
+  test("poll-mode replicateStream survives a feedless source and " +
+      "converges once the first capture lands") {
+    import spark.implicits._
+    val st = new graft.storage.BasicStorage(spark)
+    val root = tempDir("cdf_poll_feedless")
+    val src = root + "/src"
+    val rep = root + "/rep"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    st.write(base, src, "delta", "overwrite")
+    st.write(base, rep, "delta", "overwrite")
+    // NO capture has happened yet: the feed dir does not exist, and
+    // poll mode ticks on a clock regardless — the tick must be a
+    // no-op, not a changeFeed crash that kills the stream
+    val q = StreamingOps.replicateStream(spark, st, src, rep,
+      Seq("id"), s"$root/cp", pollInterval = Some("1 second"))
+    try {
+      Thread.sleep(3000) // let at least one feedless tick fire
+      assert(q.isActive,
+        s"a tick on a feedless source must no-op, stream died: " +
+          s"${Option(q.exception).map(_.toString)}")
+      st.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), src,
+        "full.id = incremental.id", captureChanges = true)
+      def table(p: String) = st.read(p, "delta")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      // retry-tolerant poll: a read racing the stream's in-place
+      // replica overwrite sees FILE_NOT_EXIST transiently
+      def tableRetry(p: String): Option[Seq[(Long, String)]] =
+        try Some(table(p)) catch { case _: Exception => None }
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        !tableRetry(rep).contains(table(src))) Thread.sleep(250)
+      assert(table(rep) == table(src))
+      assert(table(rep) == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("ingestNearDedupStream drops a near-dup of an EXISTING corpus " +
+      "doc even when that doc's id is re-sent in the same batch") {
+    import spark.implicits._
+    import graft.storage.BasicStorage
+    val out = tempDir("ingest_resent")
+    val st = new BasicStorage(spark)
+    val doc1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val base = Seq(
+      (1L, doc1),
+      (2L, "red orange yellow green blue indigo violet colors"),
+      (3L, "north south east west compass points navigation travel"))
+      .toDF("doc_id", "text")
+    // batch 2 re-sends doc 1 verbatim (an at-least-once delivery) AND
+    // a fresh doc 99 that near-dups doc 1's text. Excluding the whole
+    // batch's ids from the index side would hide doc 1's LEGITIMATE
+    // corpus entry and admit 99; only corpus-ABSENT batch ids (the
+    // crash-replay leftovers) may be excluded.
+    val resent = Seq((1L, doc1), (99L, doc1 + " iota"))
+      .toDF("doc_id", "text")
+    val hconf = spark.sessionState.newHadoopConf()
+    val inPath = new org.apache.hadoop.fs.Path(s"$out/in")
+    val fs = inPath.getFileSystem(hconf)
+    var stamped = Set.empty[String]
+    def addFile(b: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      b.coalesce(1).write.mode("append").parquet(s"$out/in")
+      fs.listStatus(inPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !stamped(p.getName))
+        .foreach { p => fs.setTimes(p, 1000000000000L + i * 60000L, -1)
+          stamped += p.getName }
+    }
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(base.schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    def runIngest(): Unit = {
+      val q = StreamingOps.ingestNearDedupStream(st, stream,
+        s"$out/corpus", s"$out/idx", "doc_id", "text", s"$out/cp",
+        jaccardThreshold = 0.8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(base, 0)
+    runIngest() // bootstrap
+    addFile(resent, 1)
+    runIngest()
+    val ids = st.read(s"$out/corpus", "delta")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L),
+      s"99 near-dups corpus doc 1 and must be dropped; re-sent doc 1 " +
+        s"is an exact dup — got $ids")
+  }
+
   test("ingestNearDedupStream keeps index generations bounded across " +
       "3x-bound batches") {
     import spark.implicits._
