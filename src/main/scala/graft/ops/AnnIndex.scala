@@ -185,21 +185,52 @@ object AnnIndex {
     * along for legacy roots saved before the nonce existed. One
     * driver listing + one tiny read — metadata cost, safe to poll
     * per-batch. Tokens are only comparable for equality; a changed
-    * token means "reload", nothing more. */
-  def generationToken(spark: SparkSession, path: String): String = {
-    val rootStr = path.stripSuffix("/")
-    val root = new org.apache.hadoop.fs.Path(rootStr)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) "absent"
-    else {
-      val nonce =
-        if (fs.exists(new org.apache.hadoop.fs.Path(root, "_generation")))
-          Fs.readText(spark, s"$rootStr/_generation")
-        else "legacy" // pre-nonce root: dir-set changes still probe
-      nonce + "|" + fs.listStatus(root).filter(_.isDirectory)
-        .map(_.getPath.getName).sorted.mkString(",")
+    * token means "reload", nothing more.
+    *
+    * The probe NEVER throws and NEVER heals: a concurrent
+    * [[Fs.swapInStaged]] can remove the root or the nonce file
+    * between any exists() and the read, so a vanished root reports
+    * [[AbsentToken]] and any other mid-mutation read failure reports
+    * a fresh one-off sentinel — both read as "changed, but not yet
+    * stable", which is exactly what the caller's stability check
+    * wants. Healing (recoverAside) stays OFF this path: a probe that
+    * healed could rename a live writer's aside back into place
+    * mid-swap and fail the writer's rename. */
+  def generationToken(spark: SparkSession, path: String): String =
+    try {
+      val rootStr = path.stripSuffix("/")
+      val root = new org.apache.hadoop.fs.Path(rootStr)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(root)) AbsentToken
+      else {
+        val nonce =
+          try Fs.readText(spark, s"$rootStr/_generation")
+          catch {
+            // persistently missing = pre-nonce root ("legacy", a
+            // STABLE token so legacy indexes still probe by dir set);
+            // vanished mid-swap resolves as AbsentToken or a sentinel
+            // on the enclosing retry instead
+            case _: java.io.FileNotFoundException => "legacy"
+          }
+        nonce + "|" + fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName).sorted.mkString(",")
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // mid-mutation transient (root or listing vanished between
+        // probes): report an unrepeatable token — differs from any
+        // pinned one, and from the NEXT probe, so a stability check
+        // never reloads on it
+        s"$TransientTokenPrefix${java.util.UUID.randomUUID()}"
     }
-  }
+
+  /** [[generationToken]] of a missing index root. Not a loadable
+    * generation — refresh probes must not trigger a reload on it. */
+  val AbsentToken = "absent"
+
+  /** Prefix of the one-off tokens [[generationToken]] reports when a
+    * concurrent mutation made the probe fail mid-read. */
+  val TransientTokenPrefix = "transient|"
 
   def load(spark: SparkSession, path: String): Similarity.IvfPqIndex = {
     // the index swaps as ONE unit — recovery at the root; the

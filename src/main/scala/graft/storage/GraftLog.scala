@@ -392,6 +392,16 @@ object Fs {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
   }
 
+  /** Names of the immediate child FILES of `path` (empty for a
+    * missing path). Same metadata-sized listing as [[listSubdirs]] —
+    * used for sink-layout sanity checks, never data enumeration. */
+  def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+  }
+
   /** Recursive directory copy (driver-side; op-log sized). Unlike
     * rename, the source stays intact — used where a swap needs the
     * original to remain a complete table until its own rename. */

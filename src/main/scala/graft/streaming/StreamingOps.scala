@@ -594,6 +594,18 @@ object StreamingOps {
     * batch is still scored against exactly one coherent generation,
     * never a mix. 0 (default) keeps the pinned-for-life behavior.
     *
+    * The refresh is DEFENSIVE against a writer mid-swap: a probe that
+    * reads an absent root or a one-off transient token does NOT
+    * reload (the root is briefly gone between [[graft.storage
+    * .Fs.swapInStaged]]'s two renames); a changed token must repeat
+    * on an immediate second probe before the reload runs, so the
+    * stream never calls [[graft.ops.AnnIndex.load]] — whose
+    * recoverAside heal could yank a LIVE writer's aside back into
+    * place and fail its swap — while the swap is in flight. Any
+    * exception in the probe or the reload keeps serving the
+    * currently pinned generation and retries at the next refresh
+    * tick; a refresh can be LATE, never a crash or a torn read.
+    *
     * Delivery is EXACTLY-ONCE at the sink: each micro-batch lands as
     * its own `batch=<id>` partition dir in overwrite mode, so a
     * replayed batch (restart from checkpoint) rewrites its own dir
@@ -602,14 +614,32 @@ object StreamingOps {
     * column for free; no (query_id, rank) dedup-on-read needed.
     * MIGRATION: an `outPath` written by the pre-partitioned (flat
     * append) layout cannot be resumed in place — mixing root-level
-    * part files with `batch=` dirs breaks partition discovery; point
-    * resumed streams at a fresh `outPath`. */
+    * part files with `batch=` dirs breaks partition discovery; this
+    * method FAILS FAST at start() when it sees that layout (root-level
+    * parquet part files, no `batch=` dirs) instead of letting readers
+    * hit an opaque partition-discovery error later; point resumed
+    * streams at a fresh `outPath`. */
   def annSearchStream(queryStream: DataFrame, indexPath: String,
                       queryIdCol: String, vecCol: String,
                       outPath: String, checkpoint: String,
                       topK: Int, nProbe: Int = 4,
                       refreshEveryBatches: Int = 0): StreamingQuery = {
     val spark = queryStream.sparkSession
+    val base = outPath.stripSuffix("/")
+    // fail fast on a pre-batch=<id> sink: root-level part files with
+    // no batch= dirs is the old flat-append layout, and writing
+    // batch= dirs next to them breaks partition discovery for every
+    // later reader with an error that names neither cause nor fix
+    if (graft.storage.Fs.listFiles(spark, base)
+          .exists(_.endsWith(".parquet")) &&
+        !graft.storage.Fs.listSubdirs(spark, base)
+          .exists(_.startsWith("batch="))) {
+      throw new IllegalArgumentException(
+        s"outPath $base holds the pre-partitioned flat-append sink " +
+          "layout (root-level parquet part files, no batch= dirs); " +
+          "it cannot be resumed in place — point the resumed stream " +
+          "at a fresh outPath and migrate readers to the new path")
+    }
     def loadGeneration() = (
       graft.ops.AnnIndex.load(spark, indexPath),
       graft.ops.AnnIndex.loadCorpusCodes(spark, indexPath)
@@ -619,17 +649,27 @@ object StreamingOps {
         .localCheckpoint(true))
     var token = graft.ops.AnnIndex.generationToken(spark, indexPath)
     var (index, codes) = loadGeneration()
-    val base = outPath.stripSuffix("/")
     queryStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (refreshEveryBatches > 0 && batchId % refreshEveryBatches == 0) {
-          val now = graft.ops.AnnIndex.generationToken(spark, indexPath)
-          if (now != token) {
-            val fresh = loadGeneration()
-            index = fresh._1; codes = fresh._2; token = now
+        if (refreshEveryBatches > 0 && batchId % refreshEveryBatches == 0)
+          try {
+            val now = graft.ops.AnnIndex.generationToken(spark, indexPath)
+            // reload only on a STABLE non-absent change: absent /
+            // transient tokens are a writer mid-swap (recoverAside
+            // from load() here could fail the writer's rename), and
+            // an immediate re-probe must agree before load runs
+            if (now != token && now != graft.ops.AnnIndex.AbsentToken &&
+                !now.startsWith(graft.ops.AnnIndex.TransientTokenPrefix) &&
+                graft.ops.AnnIndex.generationToken(spark, indexPath) == now) {
+              val fresh = loadGeneration()
+              index = fresh._1; codes = fresh._2; token = now
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              // keep serving the pinned generation; retry next tick —
+              // a late refresh beats a dead serving stream
           }
-        }
         if (!batch.isEmpty) // vecDim probe needs >= 1 query row
           graft.ops.Similarity.ivfPqSearchCoded(index, codes, batch,
               queryIdCol, vecCol, topK, nProbe)

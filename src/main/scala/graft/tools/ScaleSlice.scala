@@ -89,8 +89,13 @@ object ScaleSlice {
       })
 
     frames.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scale-slice] $name: ${df.count()} rows")
+      val target = s"$out/$name.parquet"
+      df.write.mode("overwrite").parquet(target)
+      // count the WRITTEN files: counting `df` would recompute the
+      // whole shifted union (and the per-token regexp rewrite) a
+      // second time just for this log line
+      println(s"[scale-slice] $name: " +
+        s"${spark.read.parquet(target).count()} rows")
     }
   }
 }

@@ -836,6 +836,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "a pure read must NOT change the token")
   }
 
+  test("generationToken is a safe probe: a mid-swap absent root reports " +
+      "AbsentToken without healing; a lost nonce probes as stable legacy") {
+    import graft.storage.Fs
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    val codes = Similarity.ivfPqEncodeCorpus(idx,
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+      corpusSpill = 2)
+    val dir = tempDir("anngen_safe") + "/idx"
+    AnnIndex.save(spark, dir, idx, Some(codes))
+    val t1 = AnnIndex.generationToken(spark, dir)
+    // a writer mid-swap: live root renamed aside, staged replacement
+    // not yet in place — exactly swapInStaged's absent window
+    Fs.renameChecked(spark, dir, dir + "__old")
+    assert(AnnIndex.generationToken(spark, dir) == AnnIndex.AbsentToken,
+      "the absent window must read as the non-loadable AbsentToken")
+    // the probe must NOT have healed the aside back into place: that
+    // recoverAside would make the live writer's rename-in fail
+    assert(Fs.exists(spark, dir + "__old") && !Fs.exists(spark, dir),
+      "a read-probe must never move the writer's aside")
+    Fs.renameChecked(spark, dir + "__old", dir) // writer completes
+    assert(AnnIndex.generationToken(spark, dir) == t1)
+    // a root without the nonce file (pre-nonce layout) probes as a
+    // STABLE legacy token — never throws, never forces reload churn
+    Fs.deleteChecked(spark, s"$dir/_generation")
+    val legacy = AnnIndex.generationToken(spark, dir)
+    assert(legacy.startsWith("legacy|"))
+    assert(AnnIndex.generationToken(spark, dir) == legacy,
+      "the legacy token must repeat across probes")
+  }
+
   test("IVF-PQ index save/load round-trip serves bit-identical results") {
     val queries = emb.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))

@@ -492,6 +492,91 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       s"the planted copy of appended vector 105 must be retrieved: $batch1")
   }
 
+  test("annSearchStream refresh keeps serving the pinned generation " +
+      "through a writer's mid-swap absent window, without healing") {
+    import graft.ops.{AnnIndex, Similarity}
+    import graft.storage.Fs
+    val out = tempDir("ann_midswap")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    AnnIndex.save(spark, s"$out/idx", idx,
+      Some(Similarity.ivfPqEncodeCorpus(idx, emb, "vec_id", "embedding",
+        corpusSpill = 2)))
+    def query(qid: Long, src: Long) = emb.filter(col("vec_id") === src)
+      .select(lit(qid).as("vec_id"), col("embedding"))
+    query(900001L, 3L).coalesce(1).write.parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        query(900001L, 3L).schema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val q = StreamingOps.annSearchStream(stream, s"$out/idx",
+      "vec_id", "embedding", s"$out/results", s"$out/cp", topK = 5,
+      nProbe = 8, refreshEveryBatches = 1)
+    try {
+      q.processAllAvailable() // batch 0: normal serving
+      // a concurrent re-save is mid-swap while the next refresh tick
+      // probes: the live root is aside, its replacement not yet in
+      Fs.renameChecked(spark, s"$out/idx", s"$out/idx__old")
+      query(900002L, 5L).coalesce(1).write.mode("append")
+        .parquet(s"$out/in")
+      q.processAllAvailable() // refresh must skip, serving must go on
+      assert(q.isActive, "the stream must survive the absent window")
+      assert(Fs.exists(spark, s"$out/idx__old") &&
+          !Fs.exists(spark, s"$out/idx"),
+        "the refresh probe must not move the writer's aside")
+      Fs.renameChecked(spark, s"$out/idx__old", s"$out/idx") // completes
+      query(900003L, 7L).coalesce(1).write.mode("append")
+        .parquet(s"$out/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val res = spark.read.parquet(s"$out/results")
+    val served = res.select("query_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(served == Set(900001L, 900002L, 900003L),
+      s"every batch must be served, including the mid-swap one: $served")
+    // the mid-swap batch was scored against the PINNED generation —
+    // its planted query must still retrieve its source vector
+    assert(res.filter(col("query_id") === 900002L && col("rank") === 1)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSeq == Seq(5L),
+      "the pinned generation must serve the mid-swap batch correctly")
+  }
+
+  test("annSearchStream fails fast when outPath holds the " +
+      "pre-partitioned flat-append sink layout") {
+    import graft.ops.{AnnIndex, Similarity}
+    val out = tempDir("ann_legacy_sink")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    AnnIndex.save(spark, s"$out/idx", idx,
+      Some(Similarity.ivfPqEncodeCorpus(idx, emb, "vec_id", "embedding",
+        corpusSpill = 2)))
+    val queries = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    queries.coalesce(1).write.parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(queries.schema.fields))
+      .parquet(s"$out/in")
+    // the OLD layout: root-level part files, no batch= dirs — resuming
+    // against it must refuse at start(), not at some later read
+    queries.coalesce(1).write.parquet(s"$out/results")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStream(stream, s"$out/idx", "vec_id",
+        "embedding", s"$out/results", s"$out/cp", topK = 5)
+    }
+    assert(e.getMessage.contains("flat-append"),
+      s"the refusal must name the layout and the fix: ${e.getMessage}")
+    // a batch= sink (the current layout) starts fine on the same code
+    val q = StreamingOps.annSearchStream(stream, s"$out/idx", "vec_id",
+      "embedding", s"$out/results2", s"$out/cp2", topK = 5)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$out/results2").count() > 0)
+  }
+
   test("ingestNearDedupStream: a replayed batch whose docs near-dup " +
       "EACH OTHER still reaches the corpus") {
     import spark.implicits._
