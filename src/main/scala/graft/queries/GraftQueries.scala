@@ -377,6 +377,74 @@ object GraftQueries {
       |           AND i.o_custkey % 7 = 0)
       |ORDER BY 1""".stripMargin
 
+  /** Concurrent-writer safety ([[graft.storage.Txn]]): writer A's
+    * merge lands; writer B then attempts against a table whose commit
+    * lock another writer holds and is REFUSED loudly (the engine's
+    * answer to the silent lost update — without the lock, B's rewrite
+    * would discard A's committed rows with no error anywhere); the
+    * operator breaks the crashed holder's lock ([[graft.storage
+    * .Txn.breakLock]]) and B's retry lands. Two marker rows pin the
+    * refusal and the untouched-under-refusal guarantee into the
+    * oracle hash: the oracle expects 1.0 for both, so a merge that
+    * slipped past the lock (or a refusal that mutated anything)
+    * hash-mismatches. Final content = the SERIAL result of A then B,
+    * re-derived relationally by the oracle. */
+  val concurrentMerge: Q = (spark, dir) => {
+    import graft.storage.{ConcurrentWriteException, Fs, Txn}
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    // exact-double deltas (+1.0 / +2.0 on 2-decimal prices) keep the
+    // hash engine-portable; both writers derive from ORIGINAL orders
+    val writerA = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val writerB = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(2.0))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_conc_merge_q").toString + "/t"
+    st.write(base, path, "delta", "overwrite")
+    st.merge(writerA, path, "full.o_orderkey = incremental.o_orderkey")
+    // a second writer "crashed" holding the commit lock
+    Fs.writeText(spark, Txn.lockPath(path), "dead-holder-token\nMERGE")
+    val countAfterA = st.read(path, "delta").count()
+    val refused =
+      try { st.merge(writerB, path,
+        "full.o_orderkey = incremental.o_orderkey"); false }
+      catch { case _: ConcurrentWriteException => true }
+    val untouched = st.read(path, "delta").count() == countAfterA
+    Txn.breakLock(spark, path) // operator override for a dead holder
+    st.merge(writerB, path, "full.o_orderkey = incremental.o_orderkey")
+    val markers = Seq(
+      (999999001L, if (refused) 1.0 else 0.0),
+      (999999002L, if (untouched) 1.0 else 0.0))
+    st.merge(spark.createDataFrame(markers)
+        .toDF("o_orderkey", "o_totalprice"),
+      path, "full.o_orderkey = incremental.o_orderkey")
+    st.read(path, "delta").select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val concurrentMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 != 0),
+      |a AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 3 = 0),
+      |b AS (SELECT o_orderkey, o_totalprice + 2.0 AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 7 = 0),
+      |m1 AS (
+      |  SELECT coalesce(a.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |         coalesce(a.o_totalprice, base.o_totalprice) AS o_totalprice
+      |  FROM base FULL OUTER JOIN a ON base.o_orderkey = a.o_orderkey),
+      |m2 AS (
+      |  SELECT coalesce(b.o_orderkey, m1.o_orderkey) AS o_orderkey,
+      |         coalesce(b.o_totalprice, m1.o_totalprice) AS o_totalprice
+      |  FROM m1 FULL OUTER JOIN b ON m1.o_orderkey = b.o_orderkey)
+      |SELECT o_orderkey, o_totalprice FROM m2
+      |UNION ALL SELECT 999999001, 1.0
+      |UNION ALL SELECT 999999002, 1.0
+      |ORDER BY 1""".stripMargin
+
   /** Change Data Feed from a three-clause merge (captureChanges):
     * row-level insert / update_preimage / update_postimage / delete
     * records the downstream-incremental-consumer pattern needs —
@@ -6944,6 +7012,7 @@ object GraftQueries {
     entry("q_merge_upsert", mergeUpsert, mergeUpsertSql),
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_merge_delete", mergeDelete, mergeDeleteSql),
+    entry("q_concurrent_merge", concurrentMerge, concurrentMergeSql),
     entry("q_merge_cdf", mergeCdf, mergeCdfSql),
     entry("q_cdf_replay", cdfReplay, mergeDeleteSql),
     entry("q_stream_cdf_replicate", streamCdfReplicate, mergeDeleteSql),

@@ -95,12 +95,17 @@ class BasicStorage(spark: SparkSession) extends Storage {
       // data beside the table and let the swap carry each sidecar per
       // its semantics (GraftLog.overwriteSwap). Bonus: read-then-
       // overwrite of the same table works, since the old files
-      // survive until the staged data is complete.
-      val base = path.stripSuffix("/")
-      val tmp = base + "__graft_tmp"
-      Fs.deleteChecked(spark, tmp)
-      save(tmp)
-      GraftLog.overwriteSwap(spark, base, tmp)
+      // survive until the staged data is complete. The commit lock
+      // (Txn) serializes against every other mutation — the staging
+      // write may READ this table, so it runs under the lock too.
+      Txn.withTableLock(spark, path, "WRITE") {
+        val base = path.stripSuffix("/")
+        val tmp = base + "__graft_tmp"
+        Fs.deleteChecked(spark, tmp)
+        save(tmp)
+        GraftLog.overwriteSwap(spark, base, tmp)
+        GraftLog.append(spark, path, "WRITE", partitionFields)
+      }
     } else if (managed && mode == "append") {
       // An append is an uncaptured mutation: on a table with a live
       // change feed it fences time travel (recordChangeBarrier) —
@@ -108,16 +113,26 @@ class BasicStorage(spark: SparkSession) extends Storage {
       // capturing them as keyed insert changes would make inverse
       // replay remove MORE than the append added; route keyed inserts
       // through merge(captureChanges = true) to keep history servable.
-      Merge.recordChangeBarrier(spark, path, "CHANGES_BARRIER",
-        partitionFields)
-      // appended rows re-introducing MoR-tombstoned keys clear those
-      // tombstones (see MorDelete.planReconcile) — data first, then
-      // the sidecar, so a crash between the two is healed by retry
-      val tombPlan = MorDelete.planReconcile(spark, path, df)
+      // The commit lock serializes against rewrites: an append landing
+      // mid-merge would vanish with the merge's swap (lost update).
+      Txn.withTableLock(spark, path, "WRITE") {
+        Merge.recordChangeBarrier(spark, path, "CHANGES_BARRIER",
+          partitionFields)
+        // appended rows re-introducing MoR-tombstoned keys clear those
+        // tombstones (see MorDelete.planReconcile) — data first, then
+        // the sidecar, so a crash between the two is healed by retry
+        val tombPlan = MorDelete.planReconcile(spark, path, df)
+        save(path)
+        tombPlan.foreach(MorDelete.commitReconcile(spark, path, _))
+        GraftLog.append(spark, path, "WRITE", partitionFields)
+      }
+    } else {
       save(path)
-      tombPlan.foreach(MorDelete.commitReconcile(spark, path, _))
-    } else save(path)
-    if (format == "delta") GraftLog.append(spark, path, "WRITE", partitionFields)
+      // a first "delta" write creates the op log (the table becomes
+      // managed from here on); plain formats record nothing
+      if (format == "delta")
+        GraftLog.append(spark, path, "WRITE", partitionFields)
+    }
     notifyOutputObservers(df, path)
   }
 

@@ -38,6 +38,16 @@ object Delete {
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException(
         "The given path is not a Delta Table.")
+    // commit lock: a delete racing another mutation would rewrite
+    // from files the other writer is replacing (Txn's lost-update
+    // class) — refused loudly instead
+    Txn.withTableLock(spark, path, "DELETE")(
+      whereLocked(spark, storage, path, condition, captureChanges))
+  }
+
+  private def whereLocked(spark: SparkSession, storage: BasicStorage,
+                          path: String, condition: String,
+                          captureChanges: Boolean): Long = {
     val base = path.stripSuffix("/")
     val parts = GraftLog.lastPartitioning(spark, base)
     val df = storage.read(base, "delta")
@@ -211,6 +221,16 @@ object MorDelete {
       throw new IllegalArgumentException(
         "The given path is not a Delta Table.")
     require(keyCols.nonEmpty, "deleteWhere needs key columns")
+    // commit lock: the tombstone append races any rewrite that carries
+    // (or clears) the sidecar — serialized like every other mutation
+    Txn.withTableLock(spark, path, "DELETE_MOR")(
+      deleteWhereLocked(spark, storage, path, condition, keyCols))
+  }
+
+  private def deleteWhereLocked(spark: SparkSession,
+                                storage: BasicStorage, path: String,
+                                condition: String,
+                                keyCols: Seq[String]): Long = {
     val base = path.stripSuffix("/")
     val cond = coalesce(expr(condition), lit(false))
     // match against the MoR view: already-tombstoned rows can't be
@@ -332,7 +352,16 @@ object MorDelete {
     * removed. */
   def compact(spark: SparkSession, storage: BasicStorage, path: String,
               keyCols: Seq[String]): Long = {
-    val base = path.stripSuffix("/")
+    // commit lock covers the whole consume-tombstones-and-rewrite
+    // cycle; the no-sidecar fast path re-checks INSIDE it, so a
+    // racing deleteWhere's fresh tombstones are either compacted here
+    // or left whole — never half-consumed
+    Txn.withTableLock(spark, path, "DELETE_COMPACT")(
+      compactLocked(spark, storage, path.stripSuffix("/"), keyCols))
+  }
+
+  private def compactLocked(spark: SparkSession, storage: BasicStorage,
+                            base: String, keyCols: Seq[String]): Long = {
     Fs.recoverAside(spark, tombstonePath(base))
     if (!Fs.exists(spark, tombstonePath(base))) return 0L
     val before = storage.read(base, "delta").count()

@@ -140,9 +140,24 @@ object GraftLog {
     if (Fs.exists(spark, tombstones))
       Fs.copyDirChecked(spark, tombstones,
         tmp.stripSuffix("/") + "/" + MorDelete.TombstoneDirName)
+    carryLock(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     Fs.deleteChecked(spark, old)
+  }
+
+  /** The commit lock (when held — [[Txn.withTableLock]]) rides into
+    * the staged root: the table must stay locked through the swap AND
+    * the mutation's post-swap tail (commit markers, op-log append) —
+    * a swap that shed the lock would open a window where a second
+    * writer starts mutating while this one is still committing. */
+  private def carryLock(spark: SparkSession, base: String,
+                        tmp: String): Unit = {
+    val lock = base.stripSuffix("/") + "/" + Txn.LockFileName
+    if (Fs.exists(spark, lock))
+      Fs.writeText(spark,
+        tmp.stripSuffix("/") + "/" + Txn.LockFileName,
+        Fs.readText(spark, lock))
   }
 
   /** Swap a freshly-written replacement in over a managed OVERWRITE.
@@ -214,6 +229,7 @@ object GraftLog {
     if (Fs.exists(spark, constraints))
       Fs.copyDirChecked(spark, constraints,
         tmp.stripSuffix("/") + "/" + Constraints.DirName)
+    carryLock(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     Fs.deleteChecked(spark, old)

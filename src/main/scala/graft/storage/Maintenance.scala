@@ -129,6 +129,29 @@ object Maintenance {
       // --- interior sweep: sidecar/generation debris inside the root
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(base).getFileSystem(conf)
+
+      // --- stale commit lock: a writer that died mid-mutation leaves
+      // `_graft_txn_lock` behind, blocking every later mutation until
+      // Txn's own age-based break fires. Vacuum sweeps it on the SAME
+      // staleness contract the next acquirer applies
+      // ([[Txn.LockTimeoutKey]]) — a younger lock is possibly a LIVE
+      // mutation and is skip-reported, never removed (the vacuum-vs-
+      // live-writer discipline of the orphan sweep below).
+      val lock = new Path(Txn.lockPath(base))
+      try {
+        val st = fs.getFileStatus(lock)
+        val ageMs = System.currentTimeMillis() - st.getModificationTime
+        val lockTimeoutMs = spark.conf.getOption(Txn.LockTimeoutKey)
+          .map(_.toLong).getOrElse(Txn.LockTimeoutDefaultMs)
+        if (ageMs > lockTimeoutMs)
+          actions += delete(lock.toString,
+            s"stale commit lock (age $ageMs ms > $lockTimeoutMs ms " +
+              "timeout — holder presumed crashed)")
+        else
+          actions += VacuumAction("skip", lock.toString, "",
+            s"commit lock age $ageMs ms within the $lockTimeoutMs ms " +
+              "timeout — possibly a live mutation; left alone")
+      } catch { case _: java.io.FileNotFoundException => () } // unlocked
       def sweep(dir: Path): Unit = {
         val children = fs.listStatus(dir).filter(_.isDirectory)
         val names = children.map(_.getPath.getName).toSet

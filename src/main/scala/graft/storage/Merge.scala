@@ -305,7 +305,14 @@ object Merge {
   def pruneChangeFeed(spark: SparkSession, path: String,
                       upToBatch: Long): Long = {
     if (!hasChanges(spark, path)) return 0L
-    val base = path.stripSuffix("/")
+    // commit lock: a prune racing a capture could list then delete
+    // around an in-flight batch; serialized like every mutation
+    Txn.withTableLock(spark, path, "CHANGES_PRUNE")(
+      pruneLocked(spark, path.stripSuffix("/"), upToBatch))
+  }
+
+  private def pruneLocked(spark: SparkSession, base: String,
+                          upToBatch: Long): Long = {
     val allStamps = changeFeed(spark, base).select(col("batch"))
       .distinct().collect().map(_.getLong(0)).sorted
     val stamps = allStamps.filter(_ <= upToBatch)
@@ -365,6 +372,27 @@ object Merge {
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException("The given path is not a Delta Table.")
 
+    // a merge reads the base and rewrites it — without the commit
+    // lock two concurrent merges both plan from the same files and
+    // the second rewrite silently discards the first one's rows
+    // (Txn's lost-update class); the lock also covers the post-swap
+    // tail (commit marker, tombstone reconcile, op-log append)
+    Txn.withTableLock(spark, path, "MERGE")(runLocked(spark, storage,
+      df, path, mergeCondition, partitionFields, mergeSchemas,
+      updateCondition, insertCondition, errorOnMultiMatch,
+      deleteCondition, captureChanges))
+  }
+
+  private def runLocked(spark: SparkSession, storage: BasicStorage,
+                        df: DataFrame, path: String,
+                        mergeCondition: String,
+                        partitionFields: Seq[String],
+                        mergeSchemas: Boolean,
+                        updateCondition: Option[String],
+                        insertCondition: Option[String],
+                        errorOnMultiMatch: Boolean,
+                        deleteCondition: Option[String],
+                        captureChanges: Boolean): Boolean = {
     // Self-describing layout: when the caller does not re-state the
     // partitioning, recover it from the table's op log.
     val statedParts =

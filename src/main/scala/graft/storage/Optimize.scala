@@ -43,7 +43,17 @@ object Optimize {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException("The given path is not a Delta Table.")
-    val base = path.stripSuffix("/")
+    // commit lock: a compaction rewrites every row from the files a
+    // concurrent mutation would be replacing — its swap would then
+    // resurrect the pre-mutation content wholesale (Txn's lost-update
+    // class, at its bluntest)
+    Txn.withTableLock(spark, path, "OPTIMIZE")(runLocked(spark, storage,
+      path.stripSuffix("/"), clusterBy, targetFileBytes, zOrder))
+  }
+
+  private def runLocked(spark: SparkSession, storage: BasicStorage,
+                        base: String, clusterBy: Seq[String],
+                        targetFileBytes: Long, zOrder: Boolean): Long = {
     val parts = GraftLog.lastPartitioning(spark, base)
 
     // Remember which columns carry skipping stats — the swap replaces

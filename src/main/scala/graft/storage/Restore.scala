@@ -59,7 +59,18 @@ object Restore {
         s"table $base has a merge-on-read tombstone sidecar; a restore " +
           "would change what the tombstones apply to — run " +
           "MorDelete.compact(...) first, then restore")
+    // commit lock: the restore reconstructs from the files another
+    // mutation would be replacing mid-flight — serialized like every
+    // other mutation (Txn's lost-update class)
+    Txn.withTableLock(spark, base, "RESTORE")(
+      toStampLocked(spark, storage, base, keyCols, asOfBatch,
+        captureChanges))
+  }
 
+  private def toStampLocked(spark: SparkSession, storage: BasicStorage,
+                            base: String, keyCols: Seq[String],
+                            asOfBatch: Long,
+                            captureChanges: Boolean): Option[Long] = {
     // the target snapshot reads CURRENT files + inverse replay, and the
     // COW swap deletes those files — every consumer below (the change
     // batch, the rewrite) must evaluate off one pinned copy

@@ -1,0 +1,265 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** A table mutation raced another writer's in-flight commit, or was
+  * planned against a table state another writer has since replaced.
+  * ALWAYS safe to retry from the top (re-read, re-plan, re-commit):
+  * the refused mutation touched nothing. */
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+/** Fingerprint of a managed table's op log at one instant — the
+  * cheap "has anyone committed since I read?" check for caller-level
+  * read-modify-write flows (see [[Txn.snapshot]]). The op log is
+  * append-only and every mutation appends at least one row, so a
+  * changed (entries, maxSeq) pair ⟺ a committed mutation. */
+case class OpLogSnapshot(entries: Long, maxSeq: Long)
+
+/** Per-table mutual exclusion for managed-table mutations — the
+  * engine's answer to the SILENT LOST UPDATE: without it, two
+  * concurrent mutations both read the same base, both rewrite, and
+  * the second swap replaces the first writer's committed table with
+  * a result computed as if that commit never happened — no error
+  * anywhere, one merge's rows simply gone. Every mutating entry point
+  * (merge, delete, MoR delete/compact, restore, optimize, WAP
+  * publish, managed overwrite/append, feed prune) now runs inside
+  * [[withTableLock]], so a concurrent attempt is refused LOUDLY with
+  * [[ConcurrentWriteException]] (or waits, with
+  * `spark.graft.txnLockWaitMs`) instead of corrupting history.
+  *
+  * Mechanics: one `_graft_txn_lock` file inside the table root,
+  * taken with an atomic create-if-absent (`createNonRecursive`, so a
+  * root that is mid-commit-swap — briefly absent — can never be
+  * re-created as an empty shell under the live writer's rename).
+  * Underscore-named ⇒ invisible to parquet scans; READS never lock.
+  * The swap helpers ([[GraftLog.carryLogAndSwap]] /
+  * [[GraftLog.overwriteSwap]]) carry the lock file into the staged
+  * root, so the table stays locked through the swap and the final
+  * marker/op-log writes — released only by [[release]] (token-checked:
+  * a holder never deletes a lock a breaker has since re-taken).
+  *
+  * Crash contract: a writer that dies mid-mutation leaves the lock
+  * behind. Lock age is judged by the FILE's modification time
+  * (filesystem-authoritative — no cross-writer clock trust; files get
+  * real upload times even on object stores whose directory mtimes are
+  * synthetic): past `spark.graft.txnLockTimeoutMs` (default 24 h, the
+  * [[Maintenance]] debris-age philosophy — correctness over
+  * availability, far above any plausible mutation duration) the next
+  * acquirer breaks it and proceeds, racing breakers arbitrated by the
+  * atomic create. `Maintenance.vacuum` sweeps stale locks on the same
+  * horizon; [[breakLock]] is the explicit operator override.
+  *
+  * What this does NOT give: cross-table transactions, or MVCC-style
+  * concurrent readers of in-flight state (readers always see the last
+  * complete table — the swap discipline's existing guarantee). */
+object Txn {
+
+  val LockFileName = "_graft_txn_lock"
+
+  /** Age past which a lock is presumed crashed debris and may be
+    * broken by the next acquirer (and swept by vacuum). */
+  val LockTimeoutKey = "spark.graft.txnLockTimeoutMs"
+  val LockTimeoutDefaultMs: Long = 24L * 60 * 60 * 1000
+
+  /** How long an acquirer waits for a LIVE lock before refusing.
+    * Default 0: fail fast — the caller decides whether to retry
+    * (mutations refused by the lock touched nothing). */
+  val LockWaitKey = "spark.graft.txnLockWaitMs"
+  val LockWaitDefaultMs: Long = 0L
+
+  private val PollMs = 100L
+
+  def lockPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "/" + LockFileName
+
+  /** Run `body` holding the table's commit lock. No-op passthrough
+    * for paths that are not (yet) managed tables — a first write has
+    * no committed state to lose, and the lock file needs a root to
+    * live in. NOT reentrant: a mutation must never call another
+    * locking mutation on the same table (none does — verified at each
+    * wiring site). */
+  def withTableLock[T](spark: SparkSession, path: String, op: String)
+      (body: => T): T = {
+    val base = path.stripSuffix("/")
+    if (!GraftLog.isManagedTable(spark, base)) body
+    else {
+      val token = acquire(spark, base, op)
+      try body
+      finally release(spark, base, token)
+    }
+  }
+
+  /** Take the lock or throw [[ConcurrentWriteException]]. Returns the
+    * holder token [[release]] needs. */
+  private[storage] def acquire(spark: SparkSession, base: String,
+                               op: String): String = {
+    val timeoutMs = confMs(spark, LockTimeoutKey, LockTimeoutDefaultMs)
+    val waitMs = confMs(spark, LockWaitKey, LockWaitDefaultMs)
+    val token = java.util.UUID.randomUUID().toString
+    val lp = new Path(lockPath(base))
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.currentTimeMillis() + waitMs
+    var statMisses = 0
+    while (true) {
+      if (tryCreate(fs, lp, s"$token\n$op")) return token
+      // the lock exists (or the create transiently failed): age it by
+      // file mtime — stat can race the holder's release, so a vanished
+      // lock just retries the create
+      val ageMs =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lp).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
+      if (ageMs < 0) {
+        statMisses += 1
+        if (statMisses > 100)
+          throw new java.io.IOException(
+            s"cannot create or stat $lp after $statMisses attempts")
+      } else if (ageMs > timeoutMs) {
+        // crashed holder: break and retry — the atomic create
+        // arbitrates racing breakers, exactly one wins
+        try Fs.deleteChecked(spark, lockPath(base))
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else if (System.currentTimeMillis() < deadline) {
+        Thread.sleep(PollMs)
+      } else {
+        val holderOp =
+          try Fs.readText(spark, lockPath(base)).linesIterator
+            .drop(1).nextOption().getOrElse("?")
+          catch { case scala.util.control.NonFatal(_) => "?" }
+        throw new ConcurrentWriteException(
+          s"cannot $op $base: another writer's $holderOp holds the " +
+            s"commit lock (age ${ageMs} ms). Retry when it completes, " +
+            s"set $LockWaitKey to wait, or — if the holder crashed — " +
+            s"break via Txn.breakLock / a lower $LockTimeoutKey / " +
+            "Maintenance.vacuum")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Atomic create-if-absent of the lock file. False ⟺ it exists
+    * (or the FS transiently refused — the caller re-stats either
+    * way). A mid-swap ABSENT table root refuses loudly rather than
+    * auto-creating a shell root under the live writer's rename.
+    *
+    * The LOCAL filesystem gets NIO `Files.createFile`
+    * (O_CREAT|O_EXCL — a true atomic test-and-set): Hadoop's
+    * `RawLocalFileSystem.create(overwrite = false)` is an
+    * exists-check THEN a plain open, so two same-host writers racing
+    * it can BOTH "win" the lock — observed under load, exactly the
+    * double-acquire this lock exists to prevent. HDFS and object
+    * stores keep `createNonRecursive`, whose create IS atomic
+    * server-side. */
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, lp: Path,
+                        content: String): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        val p = java.nio.file.Paths.get(lp.toUri.getPath)
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.write(p,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentWriteException(
+            s"cannot lock ${lp.getParent}: the table root is absent — " +
+              "another writer's commit swap is in flight (or the table " +
+              "was dropped); retry")
+      }
+    else try {
+      val out =
+        try fs.createNonRecursive(lp, false, 4096, 1.toShort,
+          fs.getDefaultBlockSize(lp), null)
+        catch {
+          case _: UnsupportedOperationException =>
+            // FS without createNonRecursive: guard the parent by hand
+            // (non-atomic, but only reached on exotic filesystems)
+            if (!fs.exists(lp.getParent))
+              throw new java.io.FileNotFoundException(lp.getParent.toString)
+            fs.create(lp, false)
+        }
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        throw new ConcurrentWriteException(
+          s"cannot lock ${lp.getParent}: the table root is absent — " +
+            "another writer's commit swap is in flight (or the table " +
+            "was dropped); retry")
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
+
+  /** Drop the lock IF this holder still owns it. A breaker may have
+    * re-taken a stale lock; deleting THEIR token would unlock their
+    * in-flight mutation — so the token must match. Failures are
+    * swallowed: lock debris ages out, a failed release must never
+    * mask the mutation's own result. */
+  private[storage] def release(spark: SparkSession, base: String,
+                               token: String): Unit =
+    try {
+      val lp = lockPath(base)
+      if (Fs.exists(spark, lp) &&
+          Fs.readText(spark, lp).linesIterator.nextOption().contains(token))
+        Fs.deleteChecked(spark, lp)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Operator override: unconditionally remove the lock (crashed
+    * holder confirmed out-of-band). True when a lock was removed. */
+  def breakLock(spark: SparkSession, path: String): Boolean = {
+    val lp = lockPath(path.stripSuffix("/"))
+    if (!Fs.exists(spark, lp)) false
+    else { Fs.deleteChecked(spark, lp); true }
+  }
+
+  /** (holder op, age ms) of the current lock, for diagnostics and the
+    * vacuum sweep. None when unlocked. */
+  def heldBy(spark: SparkSession, path: String): Option[(String, Long)] = {
+    val lp = new Path(lockPath(path.stripSuffix("/")))
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val st = fs.getFileStatus(lp)
+      val op =
+        try Fs.readText(spark, lp.toString).linesIterator
+          .drop(1).nextOption().getOrElse("?")
+        catch { case scala.util.control.NonFatal(_) => "?" }
+      Some((op, System.currentTimeMillis() - st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Fingerprint the table's op log for a caller-level
+    * read-modify-write: snapshot, read, compute OUTSIDE any lock,
+    * then [[assertUnchanged]] inside the mutation (or before it) to
+    * refuse committing a plan built on a state someone else has since
+    * replaced. The in-engine mutations don't need it — they re-read
+    * the base under their own lock — but a pipeline that collects
+    * table state to the driver, decides, and writes back does. */
+  def snapshot(spark: SparkSession, path: String): OpLogSnapshot = {
+    val base = path.stripSuffix("/")
+    if (!GraftLog.isManagedTable(spark, base)) OpLogSnapshot(0L, 0L)
+    else {
+      import org.apache.spark.sql.functions.{count, max}
+      val r = GraftLog.history(spark, base)
+        .agg(count("*"), max("seq")).head()
+      OpLogSnapshot(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+  }
+
+  /** Throw [[ConcurrentWriteException]] iff the op log moved since
+    * `snap` — i.e. someone committed a mutation in between. */
+  def assertUnchanged(spark: SparkSession, path: String,
+                      snap: OpLogSnapshot, action: String): Unit = {
+    val now = snapshot(spark, path)
+    if (now != snap)
+      throw new ConcurrentWriteException(
+        s"$action planned against a stale state of $path: the op log " +
+          s"moved from $snap to $now — another writer committed in " +
+          "between; re-read and re-plan")
+  }
+
+  private def confMs(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+}

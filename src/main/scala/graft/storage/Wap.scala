@@ -58,12 +58,19 @@ object WriteAuditPublish {
       throw new AuditFailedException(bad)
     }
     if (GraftLog.isManagedTable(spark, base))
-      GraftLog.overwriteSwap(spark, base, stage)
+      // the publish phase (swap + op-log append) runs under the
+      // table's commit lock — the audit above stays lock-free by
+      // design (it reads only the stage), so a slow audit never
+      // blocks other writers; only the instant of replacement does
+      Txn.withTableLock(spark, base, "WAP_PUBLISH") {
+        GraftLog.overwriteSwap(spark, base, stage)
+        GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
+      }
     else {
       Fs.deleteChecked(spark, base)
       Fs.renameChecked(spark, stage, base)
+      GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
     }
-    GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
     report
   }
 }

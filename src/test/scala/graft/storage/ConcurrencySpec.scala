@@ -1,0 +1,199 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The commit-lock contract ([[Txn]]): concurrent mutations on one
+  * managed table serialize or refuse LOUDLY — never the silent lost
+  * update where the second writer's rewrite discards the first
+  * writer's committed rows. */
+class ConcurrencySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def st = new BasicStorage(spark)
+
+  private def mkTable(prefix: String, rows: Seq[(Long, String)])
+      : String = {
+    val path = tempDir(prefix) + "/t"
+    st.write(rows.toDF("id", "v"), path, "delta", "overwrite")
+    path
+  }
+
+  private def setLockAge(path: String, ageMs: Long): Unit = {
+    val lp = new org.apache.hadoop.fs.Path(Txn.lockPath(path))
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(lp, System.currentTimeMillis() - ageMs, -1)
+  }
+
+  test("a mutation against a locked table refuses loudly and names " +
+      "the holder; after release it proceeds") {
+    val path = mkTable("txn_contend", Seq(1L -> "a", 2L -> "b"))
+    val token = Txn.acquire(spark, path, "MERGE")
+    val e = intercept[ConcurrentWriteException] {
+      Delete.where(spark, st, path, "id = 1")
+    }
+    assert(e.getMessage.contains("MERGE"),
+      s"the refusal must name the holder's op: ${e.getMessage}")
+    assert(st.read(path, "delta").count() == 2,
+      "a refused mutation must touch nothing")
+    Txn.release(spark, path, token)
+    assert(Delete.where(spark, st, path, "id = 1") == 1L)
+    assert(!Fs.exists(spark, Txn.lockPath(path)),
+      "the lock must not survive a completed mutation")
+  }
+
+  test("a stale lock (crashed holder) is broken by the next acquirer") {
+    val path = mkTable("txn_stale", Seq(1L -> "a", 2L -> "b"))
+    Txn.acquire(spark, path, "OPTIMIZE") // the holder then "crashes"
+    setLockAge(path, Txn.LockTimeoutDefaultMs + 60000L)
+    // past the timeout the next mutation breaks the lock and proceeds
+    assert(Delete.where(spark, st, path, "id = 2") == 1L)
+    assert(st.read(path, "delta").count() == 1)
+    assert(!Fs.exists(spark, Txn.lockPath(path)))
+  }
+
+  test("the lock releases when the mutation body throws") {
+    val path = mkTable("txn_throw", Seq(1L -> "a"))
+    intercept[Exception] {
+      Delete.where(spark, st, path, "no_such_column = 1")
+    }
+    assert(!Fs.exists(spark, Txn.lockPath(path)),
+      "a failed mutation must not leave the table locked")
+    assert(Delete.where(spark, st, path, "id = 1") == 1L)
+  }
+
+  test("the lock rides a COW swap into the new root and only release " +
+      "drops it — no unlock gap between swap and the mutation's tail") {
+    val path = mkTable("txn_ride", Seq(1L -> "a", 2L -> "b"))
+    val token = Txn.acquire(spark, path, "MERGE")
+    val tmp = path + "__graft_tmp"
+    Seq(1L -> "a2").toDF("id", "v")
+      .write.format("parquet").mode("overwrite").save(tmp)
+    GraftLog.carryLogAndSwap(spark, path, tmp)
+    assert(Fs.exists(spark, Txn.lockPath(path)),
+      "the post-swap root must still hold the lock")
+    assert(Txn.heldBy(spark, path).map(_._1).contains("MERGE"))
+    // a second writer is still refused between the swap and release
+    intercept[ConcurrentWriteException] {
+      Delete.where(spark, st, path, "id = 1")
+    }
+    Txn.release(spark, path, token)
+    assert(!Fs.exists(spark, Txn.lockPath(path)))
+  }
+
+  test("release is token-checked: a holder never drops a lock a " +
+      "breaker has re-taken") {
+    val path = mkTable("txn_token", Seq(1L -> "a"))
+    val t1 = Txn.acquire(spark, path, "MERGE")
+    setLockAge(path, Txn.LockTimeoutDefaultMs + 60000L)
+    // holder 1 stalled past the timeout; a second writer breaks the
+    // stale lock and takes its own
+    val t2 = Txn.acquire(spark, path, "DELETE")
+    Txn.release(spark, path, t1) // the zombie's release must be a no-op
+    assert(Fs.exists(spark, Txn.lockPath(path)),
+      "holder 2's lock must survive the zombie holder's release")
+    Txn.release(spark, path, t2)
+    assert(!Fs.exists(spark, Txn.lockPath(path)))
+  }
+
+  test("acquire on an absent table root (a writer mid-commit-swap) " +
+      "refuses instead of re-creating a shell root") {
+    val path = mkTable("txn_absent", Seq(1L -> "a"))
+    Fs.renameChecked(spark, path, path + "__graft_old") // mid-swap state
+    intercept[ConcurrentWriteException] {
+      Txn.acquire(spark, path, "DELETE")
+    }
+    assert(!Fs.exists(spark, path),
+      "a refused acquire must not have created a shell root")
+    Fs.renameChecked(spark, path + "__graft_old", path)
+  }
+
+  test("vacuum sweeps a stale commit lock, skip-reports a young one") {
+    val path = mkTable("txn_vacuum", Seq(1L -> "a"))
+    Txn.acquire(spark, path, "MERGE")
+    val young = Maintenance.vacuum(spark, path)
+    assert(young.exists(a => a.kind == "skip" &&
+        a.target.endsWith(Txn.LockFileName)),
+      s"a young lock must be skip-reported, got: $young")
+    assert(Fs.exists(spark, Txn.lockPath(path)),
+      "a young lock is possibly a live mutation — never swept")
+    setLockAge(path, Txn.LockTimeoutDefaultMs + 60000L)
+    val old = Maintenance.vacuum(spark, path)
+    assert(old.exists(a => a.kind == "delete" &&
+        a.target.endsWith(Txn.LockFileName)),
+      s"a stale lock must be swept, got: $old")
+    assert(!Fs.exists(spark, Txn.lockPath(path)))
+  }
+
+  test("snapshot/assertUnchanged: a committed mutation in between " +
+      "turns a stale plan into a loud refusal") {
+    val path = mkTable("txn_snap", Seq(1L -> "a", 2L -> "b"))
+    val snap = Txn.snapshot(spark, path)
+    Txn.assertUnchanged(spark, path, snap, "noop-replan") // unchanged: fine
+    Delete.where(spark, st, path, "id = 2")
+    val e = intercept[ConcurrentWriteException] {
+      Txn.assertUnchanged(spark, path, snap, "stale-plan commit")
+    }
+    assert(e.getMessage.contains("stale-plan commit"))
+  }
+
+  test("an acquirer with txnLockWaitMs waits out a live holder " +
+      "instead of refusing") {
+    val path = mkTable("txn_wait", Seq(1L -> "a", 2L -> "b"))
+    val token = Txn.acquire(spark, path, "MERGE")
+    val releaser = new Thread(() => {
+      Thread.sleep(500)
+      Txn.release(spark, path, token)
+    })
+    spark.conf.set(Txn.LockWaitKey, "15000")
+    try {
+      releaser.start()
+      assert(Delete.where(spark, st, path, "id = 1") == 1L,
+        "the waiting mutation must proceed once the holder releases")
+    } finally {
+      spark.conf.unset(Txn.LockWaitKey)
+      releaser.join()
+    }
+  }
+
+  test("two concurrent merges on one table serialize: neither " +
+      "writer's rows are lost") {
+    val path = mkTable("txn_race",
+      (1L to 20L).map(i => i -> s"v$i"))
+    def mergeIn(rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("id", "v")
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          Merge.run(spark, st, df, path, "full.id = incremental.id",
+            Nil, mergeSchemas = false, None, None)
+          done = true
+        } catch {
+          case _: ConcurrentWriteException =>
+            attempts += 1
+            assert(attempts < 100, "livelock in the merge race test")
+            Thread.sleep(50)
+        }
+      }
+    }
+    // disjoint key ranges: writer A updates+inserts the low keys,
+    // writer B the high — a lost update is unambiguous in the result
+    val a = (1L to 10L).map(i => i -> s"A$i") ++
+      Seq(101L -> "A101", 102L -> "A102")
+    val b = (11L to 20L).map(i => i -> s"B$i") ++
+      Seq(201L -> "B201", 202L -> "B202")
+    val tA = new Thread(() => mergeIn(a))
+    val tB = new Thread(() => mergeIn(b))
+    tA.start(); tB.start(); tA.join(); tB.join()
+    val out = st.read(path, "delta").as[(Long, String)].collect().toMap
+    assert(out.size == 24, s"expected 24 rows, got ${out.size}: $out")
+    a.foreach { case (k, v) => assert(out.get(k).contains(v),
+      s"writer A's row $k lost — the lost-update class the lock kills") }
+    b.foreach { case (k, v) => assert(out.get(k).contains(v),
+      s"writer B's row $k lost — the lost-update class the lock kills") }
+    assert(!Fs.exists(spark, Txn.lockPath(path)))
+  }
+}
