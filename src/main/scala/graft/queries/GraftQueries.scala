@@ -445,6 +445,43 @@ object GraftQueries {
       |UNION ALL SELECT 999999002, 1.0
       |ORDER BY 1""".stripMargin
 
+  /** CLONE ([[graft.storage.Clone]]): an independent managed table
+    * from a source snapshot — Delta's CREATE TABLE CLONE analogue.
+    * The query clones the post-merge source, then DELETES half the
+    * SOURCE's rows; the output is the CLONE, which must still equal
+    * the pre-delete (post-merge) state the oracle re-derives — clone
+    * independence pinned straight into the hash (a clone that shared
+    * files or history with the source would lose rows here). */
+  val cloneTable: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val inc = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_clone_q").toString
+    val src = root + "/src"
+    val dst = root + "/dst"
+    st.write(base, src, "delta", "overwrite")
+    st.merge(inc, src, "full.o_orderkey = incremental.o_orderkey")
+    graft.storage.Clone.table(spark, st, src, dst)
+    // the source keeps evolving AFTER the clone; the clone must not move
+    graft.storage.Delete.where(spark, st, src, "o_orderkey % 2 = 0")
+    st.read(dst, "delta").select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val cloneTableSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 != 0),
+      |a AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT coalesce(a.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |       coalesce(a.o_totalprice, base.o_totalprice) AS o_totalprice
+      |FROM base FULL OUTER JOIN a ON base.o_orderkey = a.o_orderkey
+      |ORDER BY 1""".stripMargin
+
   /** Change Data Feed from a three-clause merge (captureChanges):
     * row-level insert / update_preimage / update_postimage / delete
     * records the downstream-incremental-consumer pattern needs —
@@ -7013,6 +7050,7 @@ object GraftQueries {
     entry("q_merge_partitioned", mergeUpsertPartitioned, mergeUpsertSql),
     entry("q_merge_delete", mergeDelete, mergeDeleteSql),
     entry("q_concurrent_merge", concurrentMerge, concurrentMergeSql),
+    entry("q_clone", cloneTable, cloneTableSql),
     entry("q_merge_cdf", mergeCdf, mergeCdfSql),
     entry("q_cdf_replay", cdfReplay, mergeDeleteSql),
     entry("q_stream_cdf_replicate", streamCdfReplicate, mergeDeleteSql),
