@@ -4233,6 +4233,38 @@ object GraftQueries {
        |FROM events WHERE user_id BETWEEN 10 AND 20
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** OPTIMIZE WHERE (Delta's partition-scoped compaction): a
+    * fragmented priority-partitioned table has only its two hot
+    * partitions compacted — the daily-maintenance shape at 100 TB,
+    * where a full-table rewrite is never on the table. Scoping and
+    * byte-untouched cold partitions are pinned in OptimizeSpec; the
+    * oracle pins content-invisibility (the aggregate over the
+    * optimized table must equal the raw-table aggregate). */
+  val optimizeWhere: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_optw_q").toString + "/t"
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    st.write(orders.repartition(8), out, "delta", "overwrite",
+      partitionFields = Seq("o_orderpriority"))
+    graft.storage.Optimize.run(spark, st, out,
+      where = Some(
+        "o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'"),
+      targetFileBytes = 64L * 1024 * 1024)
+    st.read(out, "delta")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val optimizeWhereSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Predicate DELETE (GDPR / retention expiry) on a partitioned
     * managed table: one partition (1-URGENT) deleted entirely — its
     * directory is cleared, dynamic overwrite would have skipped it —
@@ -7159,6 +7191,7 @@ object GraftQueries {
     entry("q_embedding_quantize", embeddingQuantize, embeddingQuantizeSql),
     entry("q_data_skipping", dataSkipping, dataSkippingSql),
     entry("q_optimize", optimizeTable, optimizeTableSql),
+    entry("q_optimize_where", optimizeWhere, optimizeWhereSql),
     entry("q_bucketed_join", bucketedJoin, bucketedJoinSql),
     entry("q_delete_where", deleteWhere, deleteWhereSql),
     entry("q_zorder", zorderTable, zorderTableSql),

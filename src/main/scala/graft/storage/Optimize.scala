@@ -36,10 +36,24 @@ object Optimize {
     * columns cluster as well as uniform ones (see [[withZValue]]).
     *
     * Returns the number of data files after the rewrite. */
+  /** `where` — Delta's `OPTIMIZE ... WHERE <partition predicate>`:
+    * compact/cluster ONLY the matching partitions, leaving every
+    * other partition's files byte-untouched. At 100 TB this is how
+    * compaction actually runs — a daily pass over yesterday's hot
+    * partitions, never a full-table rewrite. The predicate may
+    * reference ONLY partition columns (validated; a data-column
+    * predicate would silently DROP the non-matching rows of every
+    * rewritten partition — compaction must be content-invisible).
+    * Scoped rewrites go through dynamic partition overwrite (the
+    * merge/delete partitioned-path machinery): only matched
+    * directories are replaced, and since compaction preserves
+    * content, a crash mid-commit leaves some partitions compacted
+    * and the rest as they were — never data loss. */
   def run(spark: SparkSession, storage: BasicStorage, path: String,
           clusterBy: Seq[String] = Nil,
           targetFileBytes: Long = 128L * 1024 * 1024,
-          zOrder: Boolean = false): Long = {
+          zOrder: Boolean = false,
+          where: Option[String] = None): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (!GraftLog.isManagedTable(spark, path))
       throw new IllegalArgumentException("The given path is not a Delta Table.")
@@ -48,12 +62,13 @@ object Optimize {
     // resurrect the pre-mutation content wholesale (Txn's lost-update
     // class, at its bluntest)
     Txn.withTableLock(spark, path, "OPTIMIZE")(runLocked(spark, storage,
-      path.stripSuffix("/"), clusterBy, targetFileBytes, zOrder))
+      path.stripSuffix("/"), clusterBy, targetFileBytes, zOrder, where))
   }
 
   private def runLocked(spark: SparkSession, storage: BasicStorage,
                         base: String, clusterBy: Seq[String],
-                        targetFileBytes: Long, zOrder: Boolean): Long = {
+                        targetFileBytes: Long, zOrder: Boolean,
+                        where: Option[String]): Long = {
     val parts = GraftLog.lastPartitioning(spark, base)
 
     // Remember which columns carry skipping stats — the swap replaces
@@ -65,7 +80,51 @@ object Optimize {
       else Nil
 
     val df = storage.read(base, "delta")
-    val totalBytes = dataBytes(spark, base)
+
+    // OPTIMIZE WHERE: resolve the partition predicate to the affected
+    // partition VALUE set (driver-collected metadata, bounded by
+    // matched partitions — the merge/delete bookkeeping)
+    val scope: Option[Seq[Seq[Any]]] = where.map { pred =>
+      require(parts.nonEmpty,
+        "OPTIMIZE WHERE needs a partitioned table — the predicate " +
+          "scopes whole partition directories")
+      val refs = spark.sessionState.sqlParser.parseExpression(pred)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.distinct
+      val nonPart = refs.filterNot(r => parts.exists(_.equalsIgnoreCase(r)))
+      require(nonPart.isEmpty,
+        s"OPTIMIZE WHERE may reference only partition columns " +
+          s"(${parts.mkString(", ")}); got ${nonPart.mkString(", ")} — " +
+          "a data-column predicate would drop the non-matching rows " +
+          "of every rewritten partition")
+      df.filter(expr(pred)).select(parts.map(col): _*)
+        .distinct().collect().map(_.toSeq).toSeq
+    }
+    if (scope.exists(_.isEmpty))
+      return fileCount(spark, base) // predicate matches nothing: no-op
+
+    // the frame to rewrite and the bytes that size the rewrite — the
+    // whole table, or just the affected partitions
+    val work = scope match {
+      case Some(aff) => Delete.prunedToAffected(spark, df, parts, aff)
+      case None => df
+    }
+    val totalBytes = scope match {
+      case Some(aff) =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        aff.map { values =>
+          val dir = parts.zip(values).map { case (k, v) =>
+            val vPath =
+              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+            ExternalCatalogUtils.escapePathName(k) + "=" + vPath
+          }.mkString("/")
+          dataBytes(spark, s"$base/$dir")
+        }.sum
+      case None => dataBytes(spark, base)
+    }
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
     // Hive-partitioned tables: the writer emits one file per partition
@@ -82,40 +141,52 @@ object Optimize {
     // zOrder input validation runs for ANY zOrder call — a single
     // surviving column degrades to range clustering (z-order of one
     // column IS its range order), but never silently skips type checks.
-    if (zOrder && zCols.nonEmpty) requireNumeric(df, zCols)
+    if (zOrder && zCols.nonEmpty) requireNumeric(work, zCols)
     val shaped =
       if (clusterBy.nonEmpty && zOrder && zCols.size >= 2) {
         val keys = parts.map(col) :+ col("__graft_z")
-        withZValue(spark, df, zCols)
+        withZValue(spark, work, zCols)
           .repartitionByRange(nFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop("__graft_z")
       } else if (clusterBy.nonEmpty)
         // range partitioning gives each output file a disjoint key
         // range; the within-partition sort tightens row-group stats too
-        df.repartitionByRange(nFiles, shapeKeys: _*)
+        work.repartitionByRange(nFiles, shapeKeys: _*)
           .sortWithinPartitions(shapeKeys: _*)
       else if (parts.nonEmpty) {
         // hash on (partition cols, salt): each dir's rows spread over
         // ~filesPerDir tasks, so a large or skewed partition still
         // lands in ~targetFileBytes files instead of one arbitrarily
         // large single-task file; the salt is a deterministic row hash
-        val dirCount = math.max(1, Fs.dataFiles(spark, base)
-          .map(f => new Path(f._1).getParent.toString).distinct.size)
+        val dirCount = scope.map(_.size).getOrElse(
+          math.max(1, Fs.dataFiles(spark, base)
+            .map(f => new Path(f._1).getParent.toString).distinct.size))
         val filesPerDir = math.max(1, math.ceil(
           totalBytes.toDouble / targetFileBytes / dirCount).toInt)
         val salt = pmod(
-          xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(filesPerDir.toLong))
-        val numTasks = math.min(math.max(nFiles, dirCount * filesPerDir), 10000)
-        df.repartition(numTasks, parts.map(col) :+ salt: _*)
-      } else df.coalesce(nFiles)
+          xxhash64(struct(work.columns.toIndexedSeq.map(col): _*)), lit(filesPerDir.toLong))
+        val numTasks = math.min(math.max(nFiles.toLong, dirCount.toLong * filesPerDir), 10000L).toInt
+        work.repartition(numTasks, parts.map(col) :+ salt: _*)
+      } else work.coalesce(nFiles)
 
-    val tmp = base + "__graft_tmp"
-    Fs.deleteChecked(spark, tmp)
-    var writer = shaped.write.format("parquet").mode("overwrite")
-    if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
-    writer.save(tmp)
-    GraftLog.carryLogAndSwap(spark, base, tmp)
+    scope match {
+      case Some(_) =>
+        // scoped rewrite: dynamic partition overwrite replaces exactly
+        // the matched directories; every other partition's files stay
+        // byte-identical (the whole point of OPTIMIZE WHERE at 100 TB)
+        shaped.write.format("parquet")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*)
+          .mode("overwrite").save(base)
+      case None =>
+        val tmp = base + "__graft_tmp"
+        Fs.deleteChecked(spark, tmp)
+        var writer = shaped.write.format("parquet").mode("overwrite")
+        if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
+        writer.save(tmp)
+        GraftLog.carryLogAndSwap(spark, base, tmp)
+    }
     GraftLog.append(spark, base, "OPTIMIZE", parts)
 
     if (trackedCols.nonEmpty)

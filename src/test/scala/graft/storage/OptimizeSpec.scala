@@ -166,6 +166,57 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
     assertDfEqual(storage.read(dir, "delta").select("id", "part"), df)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions; every " +
+      "other partition's files stay byte-identical") {
+    val dir = tempDir("opt_where") + "/t"
+    val df = (1L to 600L).map(i => (i, s"P${i % 3}", i * 1.5))
+      .toDF("id", "part", "v")
+    storage.write(df.repartition(8), dir, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    def files(sub: String) = Fs.dataFiles(spark, dir)
+      .filter(_._1.contains(s"part=$sub")).sortBy(_._1)
+    val beforeP1 = files("P1")
+    val beforeP2 = files("P2")
+    assert(files("P0").size > 1, "the fixture must start fragmented")
+    Optimize.run(spark, storage, dir, where = Some("part = 'P0'"))
+    assert(files("P0").size < 8, "the matched partition must compact")
+    assert(files("P1") == beforeP1 && files("P2") == beforeP2,
+      "unmatched partitions' files must stay byte-identical")
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "v"), df)
+    // scoped clusterBy: still content-invisible, still scoped
+    Optimize.run(spark, storage, dir, clusterBy = Seq("id"),
+      where = Some("part = 'P1'"))
+    assert(files("P2") == beforeP2,
+      "a scoped clustered rewrite must not touch unmatched partitions")
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "v"), df)
+  }
+
+  test("OPTIMIZE WHERE refuses data-column predicates and " +
+      "unpartitioned tables; an unmatched predicate is a no-op") {
+    val dir = tempDir("opt_where_ref") + "/t"
+    val df = (1L to 100L).map(i => (i, s"P${i % 2}", i * 1.0))
+      .toDF("id", "part", "v")
+    storage.write(df, dir, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      Optimize.run(spark, storage, dir, where = Some("id > 5"))
+    }
+    assert(e.getMessage.contains("partition columns"),
+      s"the refusal must say WHY: ${e.getMessage}")
+    val flat = tempDir("opt_where_flat") + "/t"
+    storage.write(df, flat, "delta", "overwrite")
+    intercept[IllegalArgumentException] {
+      Optimize.run(spark, storage, flat, where = Some("part = 'P0'"))
+    }
+    // unmatched predicate: nothing rewritten, no OPTIMIZE op recorded
+    val opsBefore = GraftLog.history(spark, dir).count()
+    val beforeFiles = Fs.dataFiles(spark, dir).sortBy(_._1)
+    Optimize.run(spark, storage, dir, where = Some("part = 'NOPE'"))
+    assert(Fs.dataFiles(spark, dir).sortBy(_._1) == beforeFiles)
+    assert(GraftLog.history(spark, dir).count() == opsBefore,
+      "a no-op scoped optimize must not record an OPTIMIZE entry")
+  }
+
   test("vacuum: drops stale tmp/old dirs; completes or restores a crashed swap") {
     val dir = tempDir("opt_vac") + "/t"
     Fs.delete(spark, dir)
