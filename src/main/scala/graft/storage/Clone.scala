@@ -77,6 +77,12 @@ object Clone {
     // dst is not managed yet, so no constraints gate this first write
     // (the content already satisfied the source's constraints)
     storage.write(content, d, "delta", "overwrite", parts)
+    // an EMPTY snapshot (e.g. the source was fully emptied by a
+    // delete-all and reads via its schema sidecar) writes zero parquet
+    // files — record the schema at the clone too, or the clone is a
+    // managed table no reader can infer
+    if (Fs.dataFiles(spark, d).isEmpty)
+      Fs.writeText(spark, GraftLog.schemaSidecar(d), content.schema.json)
     val srcConstraints = s + "/" + Constraints.DirName
     if (Fs.exists(spark, srcConstraints))
       Fs.copyDirChecked(spark, srcConstraints,

@@ -59,17 +59,23 @@ object Constraints {
           name: String, condition: String): Unit = {
     require(GraftLog.isManagedTable(spark, tablePath),
       "The given path is not a Delta Table.")
-    require(!list(spark, tablePath).exists(_._1 == name),
-      s"constraint '$name' already exists")
-    enforce(storage.read(tablePath, "delta"), Seq(name -> condition),
-      tablePath)
-    val row = Row(name, condition,
-      new Timestamp(System.currentTimeMillis()))
-    spark.createDataFrame(
-        java.util.Collections.singletonList(row), schema)
-      .coalesce(1)
-      .write.mode("append").parquet(sidecarPath(tablePath))
-    GraftLog.append(spark, tablePath, "ADD_CONSTRAINT")
+    // commit lock: an unlocked add racing a COW mutation would vanish
+    // with the mutation's swap — carryLogAndSwap copies the sidecar
+    // BEFORE its renames, so a constraint added in between is on
+    // neither side. The table contract is a mutation like any other.
+    Txn.withTableLock(spark, tablePath, "ADD_CONSTRAINT") {
+      require(!list(spark, tablePath).exists(_._1 == name),
+        s"constraint '$name' already exists")
+      enforce(storage.read(tablePath, "delta"), Seq(name -> condition),
+        tablePath)
+      val row = Row(name, condition,
+        new Timestamp(System.currentTimeMillis()))
+      spark.createDataFrame(
+          java.util.Collections.singletonList(row), schema)
+        .coalesce(1)
+        .write.mode("append").parquet(sidecarPath(tablePath))
+      GraftLog.append(spark, tablePath, "ADD_CONSTRAINT")
+    }
   }
 
   /** Remove a constraint by name (no-op if absent). The survivors are
@@ -82,23 +88,27 @@ object Constraints {
   def drop(spark: SparkSession, tablePath: String, name: String): Unit = {
     require(GraftLog.isManagedTable(spark, tablePath),
       "The given path is not a Delta Table.")
-    val current = list(spark, tablePath)
-    val remaining = current.filterNot(_._1 == name)
-    if (remaining.size == current.size) return
-    if (remaining.isEmpty) {
-      Fs.deleteChecked(spark, sidecarPath(tablePath))
-    } else {
-      val rows = remaining.map { case (n, c) =>
-        Row(n, c, new Timestamp(System.currentTimeMillis())) }
-      val tmp = sidecarPath(tablePath) + "__tmp"
-      Fs.deleteChecked(spark, tmp)
-      spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), schema)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      Fs.swapInStaged(spark, sidecarPath(tablePath), tmp)
+    // commit lock: same lost-sidecar race as [[add]]
+    Txn.withTableLock(spark, tablePath, "DROP_CONSTRAINT") {
+      val current = list(spark, tablePath)
+      val remaining = current.filterNot(_._1 == name)
+      if (remaining.size != current.size) {
+        if (remaining.isEmpty) {
+          Fs.deleteChecked(spark, sidecarPath(tablePath))
+        } else {
+          val rows = remaining.map { case (n, c) =>
+            Row(n, c, new Timestamp(System.currentTimeMillis())) }
+          val tmp = sidecarPath(tablePath) + "__tmp"
+          Fs.deleteChecked(spark, tmp)
+          spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), schema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          Fs.swapInStaged(spark, sidecarPath(tablePath), tmp)
+        }
+        GraftLog.append(spark, tablePath, "DROP_CONSTRAINT")
+      }
     }
-    GraftLog.append(spark, tablePath, "DROP_CONSTRAINT")
   }
 
   /** Gate an incoming frame against the table's constraints — called

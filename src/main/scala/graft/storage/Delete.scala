@@ -93,15 +93,9 @@ object Delete {
         // dynamic overwrite skips partitions with no surviving rows —
         // clear fully-deleted directories explicitly (same bookkeeping
         // as Merge's emptied-partition branch)
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         affected.filterNot(present.contains).foreach { values =>
-          val dir = parts.zip(values).map { case (k, v) =>
-            val vPath =
-              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-              else ExternalCatalogUtils.escapePathName(String.valueOf(v))
-            ExternalCatalogUtils.escapePathName(k) + "=" + vPath
-          }.mkString("/")
-          Fs.delete(spark, s"$base/$dir")
+          Fs.delete(spark,
+            s"$base/${Fs.partitionDirName(parts, values)}")
         }
         // a delete-all cleared every affected partition AND no other
         // partitions exist — record the schema so the emptied table

@@ -408,6 +408,22 @@ object Fs {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
   }
 
+  /** Hive-layout partition directory fragment for one partition value
+    * tuple — `k1=v1/k2=v2` with Spark's path escaping and the
+    * `__HIVE_DEFAULT_PARTITION__` null convention. The ONE
+    * implementation of the encoding rules: the merge, delete, and
+    * scoped-optimize partition bookkeeping all resolve directories
+    * through here, so the null/escaping conventions cannot fork. */
+  def partitionDirName(parts: Seq[String], values: Seq[Any]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    parts.zip(values).map { case (k, v) =>
+      val vPath =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      ExternalCatalogUtils.escapePathName(k) + "=" + vPath
+    }.mkString("/")
+  }
+
   /** Names of the immediate child FILES of `path` (empty for a
     * missing path). Same metadata-sized listing as [[listSubdirs]] —
     * used for sink-layout sanity checks, never data enumeration. */

@@ -48,8 +48,11 @@ object Maintenance {
     * `heal` | `fence` | `skip`; heals rename `target` back to `dest`;
     * fences record a change-barrier horizon on table `target` at the
     * stamp in `dest` (orphaned change batches get fenced before
-    * removal); skips are report-only (a marker-less change batch too
-    * young to distinguish from a live in-flight capture). */
+    * removal); skips are report-only (a marker-less change batch or a
+    * commit lock too young to distinguish from a live in-flight
+    * mutation). A stale-commit-lock delete carries the planned lock
+    * mtime in `dest` — execution re-verifies that incarnation before
+    * removing. */
   final case class VacuumAction(kind: String, target: String,
                                 dest: String, detail: String)
 
@@ -88,6 +91,43 @@ object Maintenance {
       .getOrElse(OrphanMinAgeDefaultMs)
     val base = path.stripSuffix("/")
     val actions = scala.collection.mutable.Buffer[VacuumAction]()
+
+    // --- commit-lock triage FIRST ([[Txn]]): a YOUNG lock — at the
+    // live root, or inside an aside while the root is absent (a
+    // writer mid-commit-swap) — is possibly a LIVE mutation whose
+    // staging dirs this sweep would otherwise destroy mid-flight
+    // (deleting a live writer's __graft_tmp between its two renames
+    // takes the table offline until a second vacuum heals it). The
+    // WHOLE vacuum defers with one skip record. A STALE lock is
+    // crashed-holder debris: planned for removal (re-verified at
+    // execute time — a writer may break and re-take it in between)
+    // and the sweep proceeds.
+    val lockTimeoutMs = spark.conf.getOption(Txn.LockTimeoutKey)
+      .map(_.toLong).getOrElse(Txn.LockTimeoutDefaultMs)
+    val lockCandidates =
+      Txn.lockPath(base) +: OldSuffixes.map(suf =>
+        Txn.lockPath(base + suf))
+    val liveLock = lockCandidates.flatMap { p =>
+      val lp = new Path(p)
+      val lfs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+      try {
+        val st = lfs.getFileStatus(lp)
+        val ageMs = System.currentTimeMillis() - st.getModificationTime
+        Some((p, ageMs, st.getModificationTime))
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    liveLock.find(_._2 <= lockTimeoutMs).foreach { case (p, age, _) =>
+      return Seq(VacuumAction("skip", p, "",
+        s"commit lock age $age ms within the $lockTimeoutMs ms " +
+          "timeout — possibly a live mutation whose staging this " +
+          "sweep would destroy; the whole vacuum is deferred"))
+    }
+    liveLock.filter(_._1 == Txn.lockPath(base)).foreach {
+      case (p, age, mtime) =>
+        actions += VacuumAction("delete", p, mtime.toString,
+          s"stale commit lock (age $age ms > $lockTimeoutMs ms " +
+            "timeout — holder presumed crashed)")
+    }
 
     // --- root-level siblings (`<base>__graft_tmp`, `<base>__old`, …)
     if (!Fs.exists(spark, base)) {
@@ -129,29 +169,6 @@ object Maintenance {
       // --- interior sweep: sidecar/generation debris inside the root
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(base).getFileSystem(conf)
-
-      // --- stale commit lock: a writer that died mid-mutation leaves
-      // `_graft_txn_lock` behind, blocking every later mutation until
-      // Txn's own age-based break fires. Vacuum sweeps it on the SAME
-      // staleness contract the next acquirer applies
-      // ([[Txn.LockTimeoutKey]]) — a younger lock is possibly a LIVE
-      // mutation and is skip-reported, never removed (the vacuum-vs-
-      // live-writer discipline of the orphan sweep below).
-      val lock = new Path(Txn.lockPath(base))
-      try {
-        val st = fs.getFileStatus(lock)
-        val ageMs = System.currentTimeMillis() - st.getModificationTime
-        val lockTimeoutMs = spark.conf.getOption(Txn.LockTimeoutKey)
-          .map(_.toLong).getOrElse(Txn.LockTimeoutDefaultMs)
-        if (ageMs > lockTimeoutMs)
-          actions += delete(lock.toString,
-            s"stale commit lock (age $ageMs ms > $lockTimeoutMs ms " +
-              "timeout — holder presumed crashed)")
-        else
-          actions += VacuumAction("skip", lock.toString, "",
-            s"commit lock age $ageMs ms within the $lockTimeoutMs ms " +
-              "timeout — possibly a live mutation; left alone")
-      } catch { case _: java.io.FileNotFoundException => () } // unlocked
       def sweep(dir: Path): Unit = {
         val children = fs.listStatus(dir).filter(_.isDirectory)
         val names = children.map(_.getPath.getName).toSet
@@ -238,7 +255,21 @@ object Maintenance {
 
     if (!dryRun) {
       actions.foreach { a =>
-        if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
+        if (a.kind == "delete" &&
+            a.target.endsWith("/" + Txn.LockFileName) && a.dest.nonEmpty) {
+          // stale-lock removal re-verifies the INCARNATION at execute
+          // time (planned mtime in `dest`): between planning and here
+          // a writer's acquire may have broken the stale lock and
+          // taken a fresh one — deleting that live lock would re-open
+          // the double-holder window this sweep exists to close
+          val lp = new Path(a.target)
+          val lfs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+          val unchanged =
+            try lfs.getFileStatus(lp).getModificationTime.toString == a.dest
+            catch { case _: java.io.FileNotFoundException => false }
+          if (unchanged) Fs.deleteChecked(spark, a.target)
+        }
+        else if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
         else if (a.kind == "fence")
           GraftLog.append(spark, a.target, "CHANGES_BARRIER", Nil,
             Some(Merge.ChangesBarrierApp -> a.dest.toLong))

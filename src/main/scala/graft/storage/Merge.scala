@@ -363,14 +363,49 @@ object Merge {
       throw new IllegalArgumentException(
         "Both inserts and updates are ignored this operation will not have an effect.")
 
-    // Auto-create on first merge (basic.py:170-172).
-    if (!storage.exists(path)) {
-      storage.write(df, path, "delta", "overwrite", partitionFields)
-      return true
+    // Auto-create on first merge (basic.py:170-172) — CLAIMED, not
+    // raced: two concurrent auto-creating merges both writing the
+    // absent path would each "succeed" and the last overwrite would
+    // silently discard the other merge's rows (overwrite is correct
+    // last-wins semantics for WRITE, but merge means COMBINE). The
+    // loser of the claim merges onto the winner's table instead.
+    // top-level listings only: a recursive data-file listing here
+    // races a concurrent bootstrapper's in-flight `_temporary` task
+    // churn (vanishing attempt files throw from the walker), while
+    // root-level entries are stable — and `_temporary` itself showing
+    // up as a subdir correctly reads as "not empty, someone writing"
+    val emptyUnmanagedDir = storage.exists(path) &&
+      !GraftLog.isManagedTable(spark, path) &&
+      Fs.listSubdirs(spark, path).isEmpty &&
+      Fs.listFiles(spark, path).forall(_.startsWith("_"))
+    if (!storage.exists(path) || emptyUnmanagedDir) {
+      // emptyUnmanagedDir: a bootstrap that crashed between its mkdir
+      // and its data write (root + stale claim, nothing else) — claim
+      // it again rather than throwing "not a Delta Table" forever; a
+      // dir with any files or subdirs stays a loud refusal below
+      // (genuinely ambiguous debris)
+      if (bootstrapCreate(spark, storage, df, path, partitionFields))
+        return true
+      // another writer holds (or held) the creation claim: merge
+      // normally once its table is complete
+      awaitManaged(spark, path)
     }
 
-    if (!GraftLog.isManagedTable(spark, path))
-      throw new IllegalArgumentException("The given path is not a Delta Table.")
+    if (!GraftLog.isManagedTable(spark, path)) {
+      // files but no op log: EITHER genuinely foreign/corrupt (the
+      // loud refusal below) OR another writer's bootstrap mid-write —
+      // its live CREATE claim distinguishes the two; wait, don't
+      // condemn a table that is seconds from existing
+      val timeoutMs = spark.conf.getOption(Txn.LockTimeoutKey)
+        .map(_.toLong).getOrElse(Txn.LockTimeoutDefaultMs)
+      val creating = Txn.heldBy(spark, path).exists {
+        case (op, age) => op == "CREATE" && age <= timeoutMs
+      }
+      if (!creating)
+        throw new IllegalArgumentException(
+          "The given path is not a Delta Table.")
+      awaitManaged(spark, path)
+    }
 
     // a merge reads the base and rewrites it — without the commit
     // lock two concurrent merges both plan from the same files and
@@ -381,6 +416,49 @@ object Merge {
       df, path, mergeCondition, partitionFields, mergeSchemas,
       updateCondition, insertCondition, errorOnMultiMatch,
       deleteCondition, captureChanges))
+  }
+
+  /** Exclusive first-merge table creation. The table root is mkdir'd
+    * (non-exclusive — harmless) and the COMMIT LOCK inside it is the
+    * actual claim: exactly one bootstrapper's atomic lock create
+    * wins, writes the initial content in APPEND mode (an overwrite
+    * save would delete the root — claim included — out from under
+    * itself), and releases. Losers return false and merge onto the
+    * winner's table. A bootstrapper that crashes mid-write leaves a
+    * root with files and no op log — the same loud "not a Delta
+    * Table" state a crashed pre-claim auto-create left. */
+  private def bootstrapCreate(spark: SparkSession, storage: BasicStorage,
+                              df: DataFrame, path: String,
+                              partitionFields: Seq[String]): Boolean = {
+    val base = path.stripSuffix("/")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    val token =
+      try Txn.acquire(spark, base, "CREATE")
+      catch { case _: ConcurrentWriteException => return false }
+    try {
+      if (GraftLog.isManagedTable(spark, base)) false // winner finished
+      else {
+        storage.write(df, base, "delta", "append", partitionFields)
+        true
+      }
+    } finally Txn.release(spark, base, token)
+  }
+
+  /** Wait (bounded by `spark.graft.txnLockWaitMs`, default 0 = one
+    * check) for a concurrently-created table to become complete, then
+    * return; throw [[ConcurrentWriteException]] if it doesn't. */
+  private def awaitManaged(spark: SparkSession, path: String): Unit = {
+    val waitMs = spark.conf.getOption(Txn.LockWaitKey)
+      .map(_.toLong).getOrElse(Txn.LockWaitDefaultMs)
+    val deadline = System.currentTimeMillis() + waitMs
+    while (!GraftLog.isManagedTable(spark, path)) {
+      if (System.currentTimeMillis() >= deadline)
+        throw new ConcurrentWriteException(
+          s"another writer is creating $path (bootstrap claim held); " +
+            s"retry when it completes, or set ${Txn.LockWaitKey} to wait")
+      Thread.sleep(100)
+    }
   }
 
   private def runLocked(spark: SparkSession, storage: BasicStorage,
@@ -731,7 +809,6 @@ object Merge {
         // out of its old partition) are cleared explicitly; the affected
         // set is driver-collected metadata, bounded by touched partitions
         // (the same driver-side bookkeeping a Delta merge keeps per file).
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         val partCols = effectiveParts.map(col)
         result.persist()
         try {
@@ -742,15 +819,8 @@ object Merge {
             .partitionBy(effectiveParts: _*)
             .mode("overwrite").save(base)
           affectedParts.filterNot(present.contains).foreach { values =>
-            val dir = effectiveParts.zip(values).map { case (k, v) =>
-              // null partition values live in __HIVE_DEFAULT_PARTITION__,
-              // not "col=null"
-              val vPath =
-                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-                else ExternalCatalogUtils.escapePathName(String.valueOf(v))
-              ExternalCatalogUtils.escapePathName(k) + "=" + vPath
-            }.mkString("/")
-            Fs.delete(spark, s"$base/$dir")
+            Fs.delete(spark,
+              s"$base/${Fs.partitionDirName(effectiveParts, values)}")
           }
         } finally result.unpersist()
       } else {

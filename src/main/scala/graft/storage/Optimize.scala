@@ -113,16 +113,9 @@ object Optimize {
     }
     val totalBytes = scope match {
       case Some(aff) =>
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        aff.map { values =>
-          val dir = parts.zip(values).map { case (k, v) =>
-            val vPath =
-              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-              else ExternalCatalogUtils.escapePathName(String.valueOf(v))
-            ExternalCatalogUtils.escapePathName(k) + "=" + vPath
-          }.mkString("/")
-          dataBytes(spark, s"$base/$dir")
-        }.sum
+        aff.map(values =>
+          dataBytes(spark,
+            s"$base/${Fs.partitionDirName(parts, values)}")).sum
       case None => dataBytes(spark, base)
     }
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -54,11 +54,6 @@ object Restore {
               captureChanges: Boolean = true): Option[Long] = {
     require(keyCols.nonEmpty, "restore needs the table's merge keys")
     val base = path.stripSuffix("/")
-    if (Fs.exists(spark, MorDelete.tombstonePath(base)))
-      throw new IllegalStateException(
-        s"table $base has a merge-on-read tombstone sidecar; a restore " +
-          "would change what the tombstones apply to — run " +
-          "MorDelete.compact(...) first, then restore")
     // commit lock: the restore reconstructs from the files another
     // mutation would be replacing mid-flight — serialized like every
     // other mutation (Txn's lost-update class)
@@ -71,6 +66,15 @@ object Restore {
                             base: String, keyCols: Seq[String],
                             asOfBatch: Long,
                             captureChanges: Boolean): Option[Long] = {
+    // checked UNDER the lock: a racing MorDelete.deleteWhere landing
+    // its sidecar between an outside check and the lock would let the
+    // restore rewrite content the tombstones were never written
+    // against — they would then hide or resurrect the wrong rows
+    if (Fs.exists(spark, MorDelete.tombstonePath(base)))
+      throw new IllegalStateException(
+        s"table $base has a merge-on-read tombstone sidecar; a restore " +
+          "would change what the tombstones apply to — run " +
+          "MorDelete.compact(...) first, then restore")
     // the target snapshot reads CURRENT files + inverse replay, and the
     // COW swap deletes those files — every consumer below (the change
     // batch, the rewrite) must evaluate off one pinned copy

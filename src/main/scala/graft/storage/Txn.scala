@@ -91,7 +91,20 @@ object Txn {
   }
 
   /** Take the lock or throw [[ConcurrentWriteException]]. Returns the
-    * holder token [[release]] needs. */
+    * holder token [[release]] needs.
+    *
+    * Stale-lock breaking is CONDITIONED on the observed incarnation:
+    * the delete runs only after an immediate re-stat confirms the
+    * same (stale) mtime, so a breaker acting on an observation from a
+    * poll-loop iteration ago cannot delete a FRESH lock another
+    * breaker has since taken; and any acquire that broke a lock
+    * verifies its own token is in the file after the create, catching
+    * the symmetric delete-after-our-create interleaving. What remains
+    * is two breakers interleaving stat→delete→create within
+    * microseconds of each other on a lock that was already ≥ a full
+    * timeout stale — down from "any two pollers of a stale lock WILL
+    * collide" to a double-µs-window coincidence on a 24-hour-old
+    * corpse. */
   private[storage] def acquire(spark: SparkSession, base: String,
                                op: String): String = {
     val timeoutMs = confMs(spark, LockTimeoutKey, LockTimeoutDefaultMs)
@@ -101,38 +114,70 @@ object Txn {
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     val deadline = System.currentTimeMillis() + waitMs
     var statMisses = 0
+    var breakAttempts = 0
+    var brokeOne = false
     while (true) {
-      if (tryCreate(fs, lp, s"$token\n$op")) return token
-      // the lock exists (or the create transiently failed): age it by
-      // file mtime — stat can race the holder's release, so a vanished
-      // lock just retries the create
-      val ageMs =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lp).getModificationTime
-        catch { case _: java.io.FileNotFoundException => -1L }
-      if (ageMs < 0) {
-        statMisses += 1
-        if (statMisses > 100)
-          throw new java.io.IOException(
-            s"cannot create or stat $lp after $statMisses attempts")
-      } else if (ageMs > timeoutMs) {
-        // crashed holder: break and retry — the atomic create
-        // arbitrates racing breakers, exactly one wins
-        try Fs.deleteChecked(spark, lockPath(base))
-        catch { case scala.util.control.NonFatal(_) => () }
-      } else if (System.currentTimeMillis() < deadline) {
-        Thread.sleep(PollMs)
-      } else {
-        val holderOp =
+      if (tryCreate(fs, lp, s"$token\n$op")) {
+        if (!brokeOne) return token
+        // we broke a stale lock this acquire: another breaker's
+        // unconditioned window could have deleted OUR fresh create —
+        // confirm ownership once before proceeding
+        val owned =
           try Fs.readText(spark, lockPath(base)).linesIterator
-            .drop(1).nextOption().getOrElse("?")
-          catch { case scala.util.control.NonFatal(_) => "?" }
-        throw new ConcurrentWriteException(
-          s"cannot $op $base: another writer's $holderOp holds the " +
-            s"commit lock (age ${ageMs} ms). Retry when it completes, " +
-            s"set $LockWaitKey to wait, or — if the holder crashed — " +
-            s"break via Txn.breakLock / a lower $LockTimeoutKey / " +
-            "Maintenance.vacuum")
+            .nextOption().contains(token)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (owned) return token
+        // lost the post-break race — contend again from scratch
+      } else {
+        // the lock exists (or the create transiently failed): age it
+        // by file mtime — stat can race the holder's release, so a
+        // vanished lock just retries the create
+        val st0 =
+          try fs.getFileStatus(lp)
+          catch { case _: java.io.FileNotFoundException => null }
+        if (st0 == null) {
+          statMisses += 1
+          if (statMisses > 100)
+            throw new java.io.IOException(
+              s"cannot create or stat $lp after $statMisses attempts")
+        } else {
+          val ageMs = System.currentTimeMillis() - st0.getModificationTime
+          if (ageMs > timeoutMs) {
+            // crashed holder: break and retry. Capped — a lock that
+            // cannot be deleted (foreign owner, ACL) must surface as
+            // an error, not a silent driver hot-spin
+            breakAttempts += 1
+            if (breakAttempts > 50)
+              throw new java.io.IOException(
+                s"cannot break stale commit lock $lp after " +
+                  s"$breakAttempts attempts — likely an ACL/ownership " +
+                  "problem; remove it out-of-band")
+            try {
+              // bind the delete to THIS incarnation (see scaladoc)
+              val st1 = fs.getFileStatus(lp)
+              if (st1.getModificationTime == st0.getModificationTime) {
+                fs.delete(lp, false)
+                brokeOne = true
+              }
+            } catch {
+              case _: java.io.FileNotFoundException => () // already broken
+              case scala.util.control.NonFatal(_) => Thread.sleep(PollMs)
+            }
+          } else if (System.currentTimeMillis() < deadline) {
+            Thread.sleep(PollMs)
+          } else {
+            val holderOp =
+              try Fs.readText(spark, lockPath(base)).linesIterator
+                .drop(1).nextOption().getOrElse("?")
+              catch { case scala.util.control.NonFatal(_) => "?" }
+            throw new ConcurrentWriteException(
+              s"cannot $op $base: another writer's $holderOp holds the " +
+                s"commit lock (age ${ageMs} ms). Retry when it " +
+                s"completes, set $LockWaitKey to wait, or — if the " +
+                s"holder crashed — break via Txn.breakLock / a lower " +
+                s"$LockTimeoutKey / Maintenance.vacuum")
+          }
+        }
       }
     }
     throw new IllegalStateException("unreachable")

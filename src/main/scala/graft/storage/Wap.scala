@@ -38,12 +38,25 @@ object WriteAuditPublish {
   /** Stage `df` beside `path`, audit with `rules`, publish on pass.
     * Returns the audit report (rule, violations — all zeros by
     * construction when it returns). Throws [[AuditFailedException]]
-    * on any violation. */
+    * on any violation.
+    *
+    * `failOnConcurrentWrite = true` snapshots the table's op log at
+    * STAGE time and refuses the publish ([[ConcurrentWriteException]],
+    * stage cleaned, table untouched) when any mutation committed
+    * during the audit — for pipelines whose staged content was
+    * DERIVED from reading this table, where publishing over a
+    * concurrent merge would silently discard that merge. The default
+    * (false) keeps plain overwrite semantics: a publish REPLACES the
+    * table wholesale by contract, concurrent commits included. */
   def run(spark: SparkSession, storage: BasicStorage, df: DataFrame,
-          path: String, rules: Seq[Expectations.Rule]): DataFrame = {
+          path: String, rules: Seq[Expectations.Rule],
+          failOnConcurrentWrite: Boolean = false): DataFrame = {
     require(rules.nonEmpty, "write-audit-publish needs audit rules — " +
       "an empty audit is a plain write")
     val base = path.stripSuffix("/")
+    val stageSnap =
+      if (failOnConcurrentWrite) Some(Txn.snapshot(spark, base))
+      else None
     val stage = base + "__graft_stage"
     Fs.deleteChecked(spark, stage)
     df.write.format("parquet").mode("overwrite").save(stage)
@@ -61,10 +74,20 @@ object WriteAuditPublish {
       // the publish phase (swap + op-log append) runs under the
       // table's commit lock — the audit above stays lock-free by
       // design (it reads only the stage), so a slow audit never
-      // blocks other writers; only the instant of replacement does
-      Txn.withTableLock(spark, base, "WAP_PUBLISH") {
+      // blocks other writers; only the instant of replacement does.
+      // EVERY concurrent-write refusal (lock contention or the
+      // stale-snapshot check) cleans the stage: a refused publish
+      // leaves the live table untouched and no debris, the audit-
+      // failure contract
+      try Txn.withTableLock(spark, base, "WAP_PUBLISH") {
+        stageSnap.foreach(
+          Txn.assertUnchanged(spark, base, _, "WAP publish"))
         GraftLog.overwriteSwap(spark, base, stage)
         GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
+      } catch {
+        case e: ConcurrentWriteException =>
+          Fs.deleteChecked(spark, stage)
+          throw e
       }
     else {
       Fs.deleteChecked(spark, base)

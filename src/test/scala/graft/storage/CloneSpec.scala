@@ -101,6 +101,23 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
       "a violating write on the clone must land nothing")
   }
 
+  test("cloning a fully-emptied source (schema-sidecar-only) yields " +
+      "a READABLE empty clone") {
+    val src = tempDir("clone_empty") + "/src"
+    st.write(Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "k", "v"),
+      src, "delta", "overwrite")
+    Delete.where(spark, st, src, "id >= 0") // empties the table
+    assert(st.read(src, "delta").count() == 0,
+      "the emptied source must stay readable via its schema sidecar")
+    val dst = tempDir("clone_empty_dst") + "/dst"
+    Clone.table(spark, st, src, dst)
+    val out = st.read(dst, "delta")
+    assert(out.count() == 0,
+      "the clone of an emptied table must be readable and empty")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "k", "v"),
+      "the clone must carry the emptied source's schema")
+  }
+
   test("refusals: existing destination, MoR tombstones, as-of without " +
       "keys, non-managed source") {
     val src = mkSource("clone_refuse")

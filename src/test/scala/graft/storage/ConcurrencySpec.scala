@@ -158,6 +158,84 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("constraint add/drop are mutations too: refused under a held " +
+      "lock, landed after release") {
+    val path = mkTable("txn_cons", Seq(1L -> "a"))
+    val token = Txn.acquire(spark, path, "MERGE")
+    intercept[ConcurrentWriteException] {
+      Constraints.add(spark, st, path, "v_nonnull", "v IS NOT NULL")
+    }
+    assert(Constraints.list(spark, path).isEmpty,
+      "a refused constraint add must land nothing")
+    Txn.release(spark, path, token)
+    Constraints.add(spark, st, path, "v_nonnull", "v IS NOT NULL")
+    assert(Constraints.list(spark, path).map(_._1) == Seq("v_nonnull"))
+    val token2 = Txn.acquire(spark, path, "MERGE")
+    intercept[ConcurrentWriteException] {
+      Constraints.drop(spark, path, "v_nonnull")
+    }
+    Txn.release(spark, path, token2)
+  }
+
+  test("vacuum defers the WHOLE sweep while a young commit lock is " +
+      "present — a live mutation's staging survives") {
+    val path = mkTable("txn_vac_defer", Seq(1L -> "a"))
+    val token = Txn.acquire(spark, path, "OPTIMIZE")
+    // the live mutation has staged its rewrite but not yet swapped
+    Seq(1L -> "a2").toDF("id", "v")
+      .write.parquet(path + "__graft_tmp")
+    val deferred = Maintenance.vacuum(spark, path)
+    assert(deferred.size == 1 && deferred.head.kind == "skip" &&
+        deferred.head.detail.contains("deferred"),
+      s"a young lock must defer the whole sweep: $deferred")
+    assert(Fs.exists(spark, path + "__graft_tmp"),
+      "the live mutation's staging must survive a deferred vacuum")
+    Txn.release(spark, path, token)
+    val swept = Maintenance.vacuum(spark, path)
+    assert(swept.exists(a => a.kind == "delete" &&
+        a.target.endsWith("__graft_tmp")),
+      s"after release the orphaned staging is debris again: $swept")
+    assert(!Fs.exists(spark, path + "__graft_tmp"))
+  }
+
+  test("bootstrap is claimed, not raced: two concurrent auto-creating " +
+      "merges on an ABSENT path both land") {
+    val path = tempDir("txn_boot") + "/t" // never written — absent
+    def mergeIn(rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("id", "v")
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          Merge.run(spark, st, df, path, "full.id = incremental.id",
+            Nil, mergeSchemas = false, None, None)
+          done = true
+        } catch {
+          case _: ConcurrentWriteException =>
+            attempts += 1
+            assert(attempts < 100, "livelock in the bootstrap race test")
+            Thread.sleep(50)
+        }
+      }
+    }
+    val a = (1L to 10L).map(i => i -> s"A$i")
+    val b = (11L to 20L).map(i => i -> s"B$i")
+    val died = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def thread(rows: Seq[(Long, String)]) = new Thread(() =>
+      try mergeIn(rows)
+      catch { case t: Throwable => died.compareAndSet(null, t) })
+    val tA = thread(a)
+    val tB = thread(b)
+    tA.start(); tB.start(); tA.join(); tB.join()
+    assert(died.get() == null,
+      s"a bootstrapping merge died on a non-retryable error: ${died.get()}")
+    val out = st.read(path, "delta").as[(Long, String)].collect().toMap
+    assert(out.size == 20,
+      s"both bootstrapping merges' rows must land, got ${out.size}: $out")
+    (a ++ b).foreach { case (k, v) => assert(out.get(k).contains(v),
+      s"row $k lost in the bootstrap race") }
+  }
+
   test("two concurrent merges on one table serialize: neither " +
       "writer's rows are lost") {
     val path = mkTable("txn_race",

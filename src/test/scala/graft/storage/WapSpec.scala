@@ -32,6 +32,43 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     assert(!Fs.exists(spark, path + "__graft_stage"))
   }
 
+  test("failOnConcurrentWrite: a mutation committing during the " +
+      "audit refuses the publish, stage cleaned, merge preserved") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("wap_conc") + "/t"
+    st.write((1L to 50L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      path, "delta", "overwrite")
+    // the concurrent writer: waits for the stage dir (proof the WAP
+    // run is past its snapshot) then commits a delete
+    val racer = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!Fs.exists(spark, path + "__graft_stage") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(5)
+      Delete.where(spark, st, path, "id <= 10")
+    })
+    racer.start()
+    try {
+      intercept[ConcurrentWriteException] {
+        WriteAuditPublish.run(spark, st,
+          (100L to 140L).map(i => (i, 1.0)).toDF("id", "v"), path,
+          Seq(NotNull("id")), failOnConcurrentWrite = true)
+      }
+    } finally racer.join()
+    assert(!Fs.exists(spark, path + "__graft_stage"),
+      "a refused publish must clean its stage")
+    val ids = st.read(path, "delta").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (11L to 50L).toSet,
+      s"the concurrent delete must be preserved, the staged frame " +
+        s"must NOT have published: $ids")
+    // no false positive: with nothing racing, the guarded publish lands
+    WriteAuditPublish.run(spark, st,
+      Seq((200L, 1.0)).toDF("id", "v"), path,
+      Seq(NotNull("id")), failOnConcurrentWrite = true)
+    assert(st.read(path, "delta").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(200L))
+  }
+
   test("publish is an overwrite: feed drops behind a horizon, " +
       "tombstones go with the replaced rows") {
     val st = new BasicStorage(spark)
