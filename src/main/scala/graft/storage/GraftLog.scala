@@ -140,6 +140,15 @@ object GraftLog {
     if (Fs.exists(spark, tombstones))
       Fs.copyDirChecked(spark, tombstones,
         tmp.stripSuffix("/") + "/" + MorDelete.TombstoneDirName)
+    // the emptied-table schema sidecar travels too: a COW rewrite of
+    // an EMPTY table (optimize, restore) writes zero parquet files,
+    // and dropping the sidecar with the old root would leave the
+    // table unreadable (UNABLE_TO_INFER_SCHEMA with no fallback);
+    // once data exists again the sidecar is stale-but-unconsulted
+    val schemaSc = schemaSidecar(base)
+    if (Fs.exists(spark, schemaSc))
+      Fs.writeText(spark, schemaSidecar(tmp),
+        Fs.readText(spark, schemaSc))
     carryLock(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)

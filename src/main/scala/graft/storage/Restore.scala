@@ -107,6 +107,12 @@ object Restore {
       if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
       writer.save(tmp)
       GraftLog.carryLogAndSwap(spark, base, tmp)
+      // a restore to an EMPTY snapshot writes zero parquet files —
+      // record the schema (Delete.where's delete-all discipline) so
+      // the emptied table stays readable
+      if (Fs.dataFiles(spark, base).isEmpty)
+        Fs.writeText(spark, GraftLog.schemaSidecar(base),
+          target.schema.json)
 
       // marker lands only AFTER the rewrite — merge's crash ordering
       stamp.foreach(s => Fs.touch(spark,

@@ -165,6 +165,31 @@ class RestoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows.count(_._1.isEmpty) == 1, "exactly one null-keyed row")
   }
 
+  test("restore to an EMPTY snapshot leaves a readable empty table") {
+    val path = tempDir("restore_empty") + "/t"
+    st.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      path, "delta", "overwrite")
+    // captured delete-all: the post-delete (empty) state is servable
+    Delete.where(spark, st, path, "id >= 0", captureChanges = true)
+    val emptyStamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).max
+    // the table moves on
+    st.merge(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    assert(st.read(path, "delta").count() == 2)
+    // restore to the empty stamp: zero parquet files get written —
+    // the schema sidecar must keep the table readable
+    Restore.toStamp(spark, st, path, Seq("id"), emptyStamp)
+    val out = st.read(path, "delta")
+    assert(out.count() == 0, "the restored table must be empty")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v"),
+      "the emptied table must keep its schema")
+    // and it keeps working as a table: a later merge re-populates
+    st.merge(Seq((9L, "z")).toDF("id", "v"), path,
+      "full.id = incremental.id")
+    assert(snap(st.read(path, "delta")) == Seq((9L, "z")))
+  }
+
   test("restore preserves the table's recorded partitioning") {
     val path = tempDir("restore_part") + "/t"
     val base = Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1"))

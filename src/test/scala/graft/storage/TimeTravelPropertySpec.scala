@@ -14,7 +14,8 @@ case class TtPropRow(id: Long, v: Long)
   * has — captured merges (with delete clauses), captured predicate
   * deletes, uncaptured deletes and merges, managed overwrites, managed
   * appends, feed prunes, MoR tombstone deletes and compacts, captured
-  * restores to any servable snapshot — plus two crash events: an
+  * restores to any servable snapshot, content-invisible OPTIMIZE
+  * compactions — plus two crash events: an
   * ORPHAN change batch (a capture that died between its
   * log-before-data batch write and the data rewrite, so no `_commit`
   * marker exists) and the `Maintenance.vacuum` that sweeps it.
@@ -87,7 +88,7 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           snapshots += ((horizon, model))
         } else snapshots = ArrayBuffer((Long.MinValue, model))
 
-      for (_ <- 0 until 9) rng.nextInt(16) match {
+      for (_ <- 0 until 9) rng.nextInt(17) match {
         case 0 | 1 | 2 | 3 =>
           // captured merge: upsert + delete clause on v = -1
           val inc = rng.shuffle((0 until 18).toList)
@@ -268,6 +269,16 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
               snapshots += ((rs.get, model))
             } else trace += "restore(no-servable-target)"
           }
+        case 16 =>
+          // OPTIMIZE: a content-invisible COW rewrite through the same
+          // carryLogAndSwap path as every mutation. The timeline must
+          // be untouched — no fence, no feed change, every recorded
+          // stamp keeps serving its snapshot, tombstones ride the
+          // swap. A compaction that corrupted history would be the
+          // quietest data-loss of all: nothing about the CURRENT
+          // content changes, only the past goes wrong.
+          trace += "optimize"
+          Optimize.run(spark, st, path)
       }
 
       for (((stamp, snap), i) <- snapshots.zipWithIndex) {
