@@ -484,6 +484,51 @@ object GraftQueries {
       |FROM base FULL OUTER JOIN a ON base.o_orderkey = a.o_orderkey
       |ORDER BY 1""".stripMargin
 
+  /** ALTER TABLE column surgery ([[graft.storage.Alter]]): RENAME
+    * COLUMN + DROP COLUMN as copy-on-write mutations on a managed
+    * table with a live change feed — the feed fences (captured
+    * batches name the old column), constraints and MoR keys refuse,
+    * and the table keeps merging under the new schema. The oracle
+    * re-derives the post-merge content with the rename as an alias
+    * and the dropped column omitted. */
+  val alterTable: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val inc = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_alter_q").toString + "/t"
+    st.write(base, path, "delta", "overwrite")
+    st.merge(inc, path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true) // a live feed: the alter must fence it
+    graft.storage.Alter.renameColumn(spark, st, path,
+      "o_totalprice", "price")
+    graft.storage.Alter.dropColumn(spark, st, path, "o_orderstatus")
+    // the altered table keeps working: one more merge under the NEW
+    // schema
+    st.merge(
+      spark.createDataFrame(Seq((999999001L, 1L, 1.5)))
+        .toDF("o_orderkey", "o_custkey", "price"),
+      path, "full.o_orderkey = incremental.o_orderkey")
+    st.read(path, "delta").select("o_orderkey", "o_custkey", "price")
+      .orderBy("o_orderkey")
+  }
+
+  val alterTableSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT coalesce(i.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |       coalesce(i.o_custkey, base.o_custkey) AS o_custkey,
+      |       coalesce(i.o_totalprice, base.o_totalprice) AS price
+      |FROM base FULL OUTER JOIN i ON base.o_orderkey = i.o_orderkey
+      |UNION ALL SELECT 999999001, 1, 1.5
+      |ORDER BY 1""".stripMargin
+
   /** Change Data Feed from a three-clause merge (captureChanges):
     * row-level insert / update_preimage / update_postimage / delete
     * records the downstream-incremental-consumer pattern needs —
@@ -7085,6 +7130,7 @@ object GraftQueries {
     entry("q_merge_delete", mergeDelete, mergeDeleteSql),
     entry("q_concurrent_merge", concurrentMerge, concurrentMergeSql),
     entry("q_clone", cloneTable, cloneTableSql),
+    entry("q_alter_table", alterTable, alterTableSql),
     entry("q_merge_cdf", mergeCdf, mergeCdfSql),
     entry("q_cdf_replay", cdfReplay, mergeDeleteSql),
     entry("q_stream_cdf_replicate", streamCdfReplicate, mergeDeleteSql),

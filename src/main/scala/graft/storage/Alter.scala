@@ -1,0 +1,137 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+
+/** ALTER TABLE column surgery for managed tables — the
+  * `RENAME COLUMN` / `DROP COLUMN` half of Delta's ALTER TABLE,
+  * rebuilt as explicit copy-on-write mutations. Delta avoids the
+  * rewrite with column mapping (logical names over physical ids);
+  * plain parquet has no such indirection, so here a rename/drop IS a
+  * full rewrite — honest about the cost, and the rewrite rides the
+  * same checked swap, commit lock, and fence discipline as every
+  * other mutation.
+  *
+  * What a column's NAME is load-bearing for, and what each operation
+  * therefore does about it:
+  *  - CHANGE FEED: captured batches carry the old name. Replaying or
+  *    inverse-replaying them across the surgery would bind a missing
+  *    column — so both operations fence time travel
+  *    ([[Merge.recordChangeBarrier]], the uncaptured-mutation
+  *    discipline): stamps below the alter refuse loudly, the altered
+  *    state serves at the barrier stamp onward.
+  *  - CHECK CONSTRAINTS: conditions are SQL text. A rename/drop of a
+  *    referenced column would break them silently-until-later — both
+  *    operations REFUSE while any constraint references the column
+  *    (drop the constraint first, re-add against the new name).
+  *  - MoR TOMBSTONES: the sidecar holds key COLUMNS by name; surgery
+  *    on a tombstone key would break the anti-join overlay — refused
+  *    (compact first). Surgery on a non-key column leaves the sidecar
+  *    meaningful and carries it.
+  *  - PARTITIONING: renaming a partition column rewrites the layout
+  *    under the new name and re-records the partitioning (an ALTER
+  *    op-log entry, honored by [[GraftLog.lastPartitioning]]).
+  *    DROPPING a partition column is refused — the layout IS the
+  *    column.
+  */
+object Alter {
+
+  /** Rename `from` to `to` (exact-case result, case-insensitive
+    * matching — Spark's resolution rules). One COW rewrite under the
+    * commit lock. */
+  def renameColumn(spark: SparkSession, storage: BasicStorage,
+                   path: String, from: String, to: String): Unit = {
+    val base = path.stripSuffix("/")
+    requireManaged(spark, base)
+    Txn.withTableLock(spark, base, "ALTER") {
+      val df = storage.read(base, "delta")
+      val cols = df.schema.fieldNames.toSeq
+      require(cols.exists(_.equalsIgnoreCase(from)),
+        s"no column '$from' in (${cols.mkString(", ")})")
+      require(!cols.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists")
+      refuseConstraintRefs(spark, base, from, "rename")
+      refuseTombstoneKey(spark, base, from, "rename")
+      val parts = GraftLog.lastPartitioning(spark, base)
+      val newParts = parts.map(p =>
+        if (p.equalsIgnoreCase(from)) to else p)
+      rewrite(spark, base, df.withColumnRenamed(from, to), newParts)
+    }
+  }
+
+  /** Drop `name`. One COW rewrite under the commit lock. */
+  def dropColumn(spark: SparkSession, storage: BasicStorage,
+                 path: String, name: String): Unit = {
+    val base = path.stripSuffix("/")
+    requireManaged(spark, base)
+    Txn.withTableLock(spark, base, "ALTER") {
+      val df = storage.read(base, "delta")
+      val cols = df.schema.fieldNames.toSeq
+      require(cols.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' in (${cols.mkString(", ")})")
+      require(cols.size > 1, "cannot drop a table's only column")
+      val parts = GraftLog.lastPartitioning(spark, base)
+      require(!parts.exists(_.equalsIgnoreCase(name)),
+        s"cannot drop partition column '$name' — the physical layout " +
+          "is keyed on it; rewrite the table unpartitioned (or " +
+          "re-partitioned) via a managed overwrite instead")
+      refuseConstraintRefs(spark, base, name, "drop")
+      refuseTombstoneKey(spark, base, name, "drop")
+      rewrite(spark, base, df.drop(name), parts)
+    }
+  }
+
+  private def requireManaged(spark: SparkSession, base: String): Unit =
+    if (!GraftLog.isManagedTable(spark, base))
+      throw new IllegalArgumentException(
+        "The given path is not a Delta Table.")
+
+  /** The shared mutation tail: fence (captured batches carry the old
+    * schema — the feed gap discipline), COW rewrite through the
+    * checked swap, ALTER op-log entry recording the (possibly new)
+    * partitioning, and the emptied-table schema sidecar refreshed
+    * under the NEW schema (the carried copy names the old columns). */
+  private def rewrite(spark: SparkSession, base: String,
+                      out: org.apache.spark.sql.DataFrame,
+                      parts: Seq[String]): Unit = {
+    Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
+    val tmp = base + "__graft_tmp"
+    Fs.deleteChecked(spark, tmp)
+    var writer = out.write.format("parquet").mode("overwrite")
+    if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
+    writer.save(tmp)
+    GraftLog.carryLogAndSwap(spark, base, tmp)
+    if (Fs.exists(spark, GraftLog.schemaSidecar(base)))
+      Fs.writeText(spark, GraftLog.schemaSidecar(base), out.schema.json)
+    GraftLog.append(spark, base, "ALTER", parts)
+  }
+
+  private def refuseConstraintRefs(spark: SparkSession, base: String,
+                                   column: String, what: String): Unit = {
+    val referencing = Constraints.list(spark, base).filter {
+      case (_, condition) =>
+        spark.sessionState.sqlParser.parseExpression(condition)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }.exists(_.equalsIgnoreCase(column))
+    }
+    if (referencing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot $what column '$column': CHECK constraint(s) " +
+          s"${referencing.map(_._1).mkString(", ")} reference it — " +
+          "their SQL conditions would break; drop them first and " +
+          "re-add against the new schema")
+  }
+
+  private def refuseTombstoneKey(spark: SparkSession, base: String,
+                                 column: String, what: String): Unit = {
+    val tp = MorDelete.tombstonePath(base)
+    Fs.recoverAside(spark, tp)
+    if (Fs.exists(spark, tp) &&
+        spark.read.parquet(tp).schema.fieldNames
+          .exists(_.equalsIgnoreCase(column)))
+      throw new IllegalStateException(
+        s"cannot $what column '$column': the merge-on-read tombstone " +
+          "sidecar keys on it — run MorDelete.compact(...) first")
+  }
+}

@@ -281,14 +281,16 @@ object GraftLog {
     else raw.orderBy(desc("timestamp"))
   }
 
-  /** The table's recorded partitioning: newest WRITE/MERGE entry's
-    * partition_fields (empty for unpartitioned or pre-metadata logs). */
+  /** The table's recorded partitioning: newest WRITE/MERGE/ALTER
+    * entry's partition_fields (empty for unpartitioned or
+    * pre-metadata logs). ALTER counts because renaming a partition
+    * column rewrites the layout under the new name. */
   def lastPartitioning(spark: SparkSession, tablePath: String): Seq[String] = {
     val h = history(spark, tablePath)
     if (!h.schema.fieldNames.contains("partition_fields")) Nil
     else {
       import org.apache.spark.sql.functions.col
-      h.filter(col("operation").isin("WRITE", "MERGE"))
+      h.filter(col("operation").isin("WRITE", "MERGE", "ALTER"))
         .select("partition_fields")
         .head(1).toSeq.headOption
         .map(_.getString(0))
