@@ -502,7 +502,14 @@ object GraftQueries {
       .createTempDirectory("graft_alter_q").toString + "/t"
     st.write(base, path, "delta", "overwrite")
     st.merge(inc, path, "full.o_orderkey = incremental.o_orderkey",
-      captureChanges = true) // a live feed: the alter must fence it
+      captureChanges = true)
+    // surgery refuses while the feed retains old-schema batches
+    // (replicas would silently diverge) — the production sequence is
+    // prune, re-seed replicas, THEN alter; the alter's own barrier
+    // keeps pruned-era stamps refusing
+    val tip = graft.storage.Merge.changeFeed(spark, path)
+      .agg(max(col("batch"))).head().getLong(0)
+    graft.storage.Merge.pruneChangeFeed(spark, path, tip)
     graft.storage.Alter.renameColumn(spark, st, path,
       "o_totalprice", "price")
     graft.storage.Alter.dropColumn(spark, st, path, "o_orderstatus")

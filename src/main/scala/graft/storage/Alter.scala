@@ -13,12 +13,18 @@ import org.apache.spark.sql.SparkSession
   *
   * What a column's NAME is load-bearing for, and what each operation
   * therefore does about it:
-  *  - CHANGE FEED: captured batches carry the old name. Replaying or
-  *    inverse-replaying them across the surgery would bind a missing
-  *    column — so both operations fence time travel
-  *    ([[Merge.recordChangeBarrier]], the uncaptured-mutation
-  *    discipline): stamps below the alter refuse loudly, the altered
-  *    state serves at the barrier stamp onward.
+  *  - CHANGE FEED: captured batches carry the old name. Time-travel
+  *    fencing alone is NOT enough — a replica maintained by
+  *    [[graft.streaming.StreamingOps.replicateStream]] replays feed
+  *    batches without consulting barrier horizons, so post-alter
+  *    batches would union-merge onto a pre-alter replica as a
+  *    silently-diverging schema mix (the old column all-stale, the
+  *    new one all-null for untouched rows). Both operations therefore
+  *    REFUSE while the feed retains any captured batch: prune the
+  *    feed to its tip ([[Merge.pruneChangeFeed]]) and re-seed
+  *    replicas under the new schema first. The alter still records a
+  *    barrier ([[Merge.recordChangeBarrier]]) for the pruned-era
+  *    stamps: travel below the alter refuses loudly.
   *  - CHECK CONSTRAINTS: conditions are SQL text. A rename/drop of a
   *    referenced column would break them silently-until-later — both
   *    operations REFUSE while any constraint references the column
@@ -47,8 +53,12 @@ object Alter {
       val cols = df.schema.fieldNames.toSeq
       require(cols.exists(_.equalsIgnoreCase(from)),
         s"no column '$from' in (${cols.mkString(", ")})")
-      require(!cols.exists(_.equalsIgnoreCase(to)),
+      // the from-column itself is excluded: a CASE-correcting rename
+      // (value -> Value) is legitimate
+      require(!cols.exists(c =>
+          c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(from)),
         s"column '$to' already exists")
+      refuseRetainedFeed(spark, base, "rename")
       refuseConstraintRefs(spark, base, from, "rename")
       refuseTombstoneKey(spark, base, from, "rename")
       val parts = GraftLog.lastPartitioning(spark, base)
@@ -74,6 +84,7 @@ object Alter {
         s"cannot drop partition column '$name' — the physical layout " +
           "is keyed on it; rewrite the table unpartitioned (or " +
           "re-partitioned) via a managed overwrite instead")
+      refuseRetainedFeed(spark, base, "drop a column on")
       refuseConstraintRefs(spark, base, name, "drop")
       refuseTombstoneKey(spark, base, name, "drop")
       rewrite(spark, base, df.drop(name), parts)
@@ -85,25 +96,34 @@ object Alter {
       throw new IllegalArgumentException(
         "The given path is not a Delta Table.")
 
-  /** The shared mutation tail: fence (captured batches carry the old
-    * schema — the feed gap discipline), COW rewrite through the
-    * checked swap, ALTER op-log entry recording the (possibly new)
-    * partitioning, and the emptied-table schema sidecar refreshed
-    * under the NEW schema (the carried copy names the old columns). */
+  /** The shared mutation tail: fence (pruned-era stamps must refuse
+    * below the alter), then one [[GraftLog.stageAndSwap]] — the COW
+    * rewrite, the ALTER op-log row recording the (possibly new)
+    * partitioning, and the emptied-table schema sidecar under the NEW
+    * schema all ride ONE atomic swap. A post-swap append would leave
+    * a crash window where a partition-renamed table's log still named
+    * the old column — every later mutation would resolve a column
+    * that no longer exists, and the alter could not be re-run. */
   private def rewrite(spark: SparkSession, base: String,
                       out: org.apache.spark.sql.DataFrame,
                       parts: Seq[String]): Unit = {
     Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
-    val tmp = base + "__graft_tmp"
-    Fs.deleteChecked(spark, tmp)
-    var writer = out.write.format("parquet").mode("overwrite")
-    if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
-    writer.save(tmp)
-    GraftLog.carryLogAndSwap(spark, base, tmp)
-    if (Fs.exists(spark, GraftLog.schemaSidecar(base)))
-      Fs.writeText(spark, GraftLog.schemaSidecar(base), out.schema.json)
-    GraftLog.append(spark, base, "ALTER", parts)
+    GraftLog.stageAndSwap(spark, base, out, parts,
+      appendOp = Some("ALTER"))
   }
+
+  /** See the class doc: replication replays feed batches without
+    * consulting barriers, so surgery must not leave old-schema
+    * batches behind for a replica to bind wrongly. */
+  private def refuseRetainedFeed(spark: SparkSession, base: String,
+                                 what: String): Unit =
+    if (Merge.hasChanges(spark, base))
+      throw new IllegalStateException(
+        s"cannot $what $base: the change feed retains captured " +
+          "batches that name the old schema — a replica replaying " +
+          "them across the alter would silently diverge. Prune the " +
+          "feed to its tip (Merge.pruneChangeFeed) and re-seed " +
+          "replicas under the new schema, then alter")
 
   private def refuseConstraintRefs(spark: SparkSession, base: String,
                                    column: String, what: String): Unit = {
@@ -111,8 +131,10 @@ object Alter {
       case (_, condition) =>
         spark.sessionState.sqlParser.parseExpression(condition)
           .collect {
+            // nameParts.head, not the joined name: a CHECK on a struct
+            // FIELD (`s.x > 0`) references column `s`
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.name
+              a.nameParts.head
           }.exists(_.equalsIgnoreCase(column))
     }
     if (referencing.nonEmpty)

@@ -117,10 +117,19 @@ object GraftLog {
     * table on disk, and `base` is only ever absent or complete, never
     * present-but-unmanaged. The original log's copy leaves with
     * `__old`. */
-  def carryLogAndSwap(spark: SparkSession, base: String, tmp: String): Unit = {
+  def carryLogAndSwap(spark: SparkSession, base: String, tmp: String,
+                      appendOp: Option[(String, Seq[String])] = None)
+      : Unit = {
     val old = base + "__graft_old"
     Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
     Fs.copyDirChecked(spark, logPath(base), logPath(tmp))
+    // an op row whose CONTENT is load-bearing (ALTER's re-recorded
+    // partitioning) lands in the STAGED log before the renames — the
+    // row and the data it describes become one atomic swap; a
+    // post-swap append would leave a crash window where the table has
+    // the new layout and the log still names the old one
+    appendOp.foreach { case (op, parts) =>
+      append(spark, tmp, op, parts) }
     // every underscore sidecar survives the swap, not just the op log —
     // the change feed (_graft_changes) lives beside the data too
     val changes = base.stripSuffix("/") + "/" + Merge.ChangesDirName
@@ -144,9 +153,12 @@ object GraftLog {
     // an EMPTY table (optimize, restore) writes zero parquet files,
     // and dropping the sidecar with the old root would leave the
     // table unreadable (UNABLE_TO_INFER_SCHEMA with no fallback);
-    // once data exists again the sidecar is stale-but-unconsulted
+    // once data exists again the sidecar is stale-but-unconsulted.
+    // A sidecar the STAGING already holds wins — it names the staged
+    // (possibly altered) schema, the carried copy the old one
     val schemaSc = schemaSidecar(base)
-    if (Fs.exists(spark, schemaSc))
+    if (Fs.exists(spark, schemaSc) &&
+        !Fs.exists(spark, schemaSidecar(tmp)))
       Fs.writeText(spark, schemaSidecar(tmp),
         Fs.readText(spark, schemaSc))
     carryLock(spark, base, tmp)
@@ -167,6 +179,28 @@ object GraftLog {
       Fs.writeText(spark,
         tmp.stripSuffix("/") + "/" + Txn.LockFileName,
         Fs.readText(spark, lock))
+  }
+
+  /** The canonical COW staging tail: stage `df` beside `base`, record
+    * the emptied-table schema sidecar INSIDE the staging when the
+    * rewrite produced zero data files (it rides the atomic swap — a
+    * post-swap sidecar write leaves a crash window where the table
+    * exists but no reader can infer its schema), then
+    * [[carryLogAndSwap]] with every sidecar carried. `appendOp` lands
+    * an op-log row in the staged log before the renames (see
+    * [[carryLogAndSwap]]). */
+  def stageAndSwap(spark: SparkSession, base: String,
+                   df: org.apache.spark.sql.DataFrame,
+                   parts: Seq[String],
+                   appendOp: Option[String] = None): Unit = {
+    val tmp = base.stripSuffix("/") + "__graft_tmp"
+    Fs.deleteChecked(spark, tmp)
+    var writer = df.write.format("parquet").mode("overwrite")
+    if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
+    writer.save(tmp)
+    if (Fs.dataFiles(spark, tmp).isEmpty)
+      Fs.writeText(spark, schemaSidecar(tmp), df.schema.json)
+    carryLogAndSwap(spark, base, tmp, appendOp.map(_ -> parts))
   }
 
   /** Swap a freshly-written replacement in over a managed OVERWRITE.

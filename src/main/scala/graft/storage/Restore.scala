@@ -99,20 +99,10 @@ object Restore {
       }
 
       // ---- data rewrite: COW staging + checked swap (keeps the op
-      // log, the change feed, and constraint sidecars — carryLogAndSwap
-      // copies them into the staged root before the swap) ----
-      val tmp = base + "__graft_tmp"
-      Fs.deleteChecked(spark, tmp)
-      var writer = target.write.format("parquet").mode("overwrite")
-      if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
-      writer.save(tmp)
-      GraftLog.carryLogAndSwap(spark, base, tmp)
-      // a restore to an EMPTY snapshot writes zero parquet files —
-      // record the schema (Delete.where's delete-all discipline) so
-      // the emptied table stays readable
-      if (Fs.dataFiles(spark, base).isEmpty)
-        Fs.writeText(spark, GraftLog.schemaSidecar(base),
-          target.schema.json)
+      // log, the change feed, and constraint sidecars; a restore to
+      // an EMPTY snapshot gets its schema sidecar INSIDE the staging,
+      // riding the same atomic swap — stageAndSwap owns both) ----
+      GraftLog.stageAndSwap(spark, base, target, parts)
 
       // marker lands only AFTER the rewrite — merge's crash ordering
       stamp.foreach(s => Fs.touch(spark,

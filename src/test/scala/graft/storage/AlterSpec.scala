@@ -50,8 +50,9 @@ class AlterSpec extends AnyFunSuite with SparkSpec {
     assert(st.read(path, "delta").count() == 3)
   }
 
-  test("alter fences time travel: captured batches name the OLD " +
-      "column, stamps below the alter refuse loudly") {
+  test("alter refuses while the feed retains batches (replicas would " +
+      "silently diverge); after a full prune it proceeds and " +
+      "pre-alter stamps refuse at the fence") {
     val path = tempDir("alter_fence") + "/t"
     st.write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"),
       path, "delta", "overwrite")
@@ -61,12 +62,43 @@ class AlterSpec extends AnyFunSuite with SparkSpec {
       .select("batch").distinct().collect().map(_.getLong(0)).max
     assert(Merge.readAsOf(spark, st, path, Seq("id"), stamp)
       .count() == 3)
+    // retained batches name the old schema — a replica replaying them
+    // across the rename would bind a schema mix with no error
+    val fe = intercept[IllegalStateException] {
+      Alter.renameColumn(spark, st, path, "v", "value")
+    }
+    assert(fe.getMessage.contains("prune"),
+      s"the refusal must name the fix: ${fe.getMessage}")
+    assert(st.read(path, "delta").schema.fieldNames.contains("v"),
+      "a refused alter must change nothing")
+    Merge.pruneChangeFeed(spark, path, stamp)
     Alter.renameColumn(spark, st, path, "v", "value")
     val e = intercept[IllegalArgumentException] {
-      Merge.readAsOf(spark, st, path, Seq("id"), stamp).collect()
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp - 1).collect()
     }
     assert(e.getMessage.contains("horizon"),
       s"pre-alter stamps must refuse at the fence: ${e.getMessage}")
+  }
+
+  test("case-correcting rename works; a CHECK on a struct FIELD " +
+      "blocks surgery on the struct column") {
+    val path = tempDir("alter_edge") + "/t"
+    st.write(Seq((1L, 1.0)).toDF("id", "value"),
+      path, "delta", "overwrite")
+    Alter.renameColumn(spark, st, path, "value", "Value")
+    assert(st.read(path, "delta").schema.fieldNames.toSeq ==
+      Seq("id", "Value"))
+    val path2 = tempDir("alter_struct") + "/t"
+    st.write(Seq((1L, 2.0)).toDF("id", "x")
+        .select(col("id"), struct(col("x")).as("s")),
+      path2, "delta", "overwrite")
+    Constraints.add(spark, st, path2, "sx_pos", "s.x > 0")
+    val e = intercept[IllegalStateException] {
+      Alter.dropColumn(spark, st, path2, "s")
+    }
+    assert(e.getMessage.contains("sx_pos"),
+      s"a struct-field CHECK must block surgery on its column: " +
+        s"${e.getMessage}")
   }
 
   test("dropColumn removes the column; refusals: partition column, " +
