@@ -373,11 +373,16 @@ object Merge {
     // races a concurrent bootstrapper's in-flight `_temporary` task
     // churn (vanishing attempt files throw from the walker), while
     // root-level entries are stable — and `_temporary` itself showing
-    // up as a subdir correctly reads as "not empty, someone writing"
+    // up as a subdir correctly reads as "not empty, someone writing".
+    // Even the top-level listing can catch the winner's commit phase
+    // (children moving between list and stat) — any listing failure
+    // reads as "not empty", which routes through the live-CREATE wait
+    // below instead of killing the caller
     val emptyUnmanagedDir = storage.exists(path) &&
       !GraftLog.isManagedTable(spark, path) &&
-      Fs.listSubdirs(spark, path).isEmpty &&
-      Fs.listFiles(spark, path).forall(_.startsWith("_"))
+      (try Fs.listSubdirs(spark, path).isEmpty &&
+           Fs.listFiles(spark, path).forall(_.startsWith("_"))
+       catch { case scala.util.control.NonFatal(_) => false })
     if (!storage.exists(path) || emptyUnmanagedDir) {
       // emptyUnmanagedDir: a bootstrap that crashed between its mkdir
       // and its data write (root + stale claim, nothing else) — claim
@@ -398,9 +403,11 @@ object Merge {
       // condemn a table that is seconds from existing
       val timeoutMs = spark.conf.getOption(Txn.LockTimeoutKey)
         .map(_.toLong).getOrElse(Txn.LockTimeoutDefaultMs)
-      val creating = Txn.heldBy(spark, path).exists {
-        case (op, age) => op == "CREATE" && age <= timeoutMs
-      }
+      // any YOUNG lock on an UNMANAGED path can only be a bootstrap
+      // claim (no other mutation locks unmanaged tables) — and the
+      // holder's op string is unreadable in the beat between its
+      // lock create and content write, so age alone decides
+      val creating = Txn.heldBy(spark, path).exists(_._2 <= timeoutMs)
       if (!creating)
         throw new IllegalArgumentException(
           "The given path is not a Delta Table.")
@@ -447,12 +454,21 @@ object Merge {
 
   /** Wait (bounded by `spark.graft.txnLockWaitMs`, default 0 = one
     * check) for a concurrently-created table to become complete, then
-    * return; throw [[ConcurrentWriteException]] if it doesn't. */
+    * return; throw [[ConcurrentWriteException]] if it doesn't.
+    * "Complete" means the op log is READABLE with at least one row,
+    * not merely that its directory exists — the log dir appears when
+    * the winner's log write begins, a beat before its parquet commit,
+    * and a reader entering in that beat would die on an empty-dir
+    * schema inference. */
   private def awaitManaged(spark: SparkSession, path: String): Unit = {
     val waitMs = spark.conf.getOption(Txn.LockWaitKey)
       .map(_.toLong).getOrElse(Txn.LockWaitDefaultMs)
     val deadline = System.currentTimeMillis() + waitMs
-    while (!GraftLog.isManagedTable(spark, path)) {
+    def ready: Boolean =
+      GraftLog.isManagedTable(spark, path) &&
+        (try GraftLog.history(spark, path).limit(1).count() == 1L
+         catch { case scala.util.control.NonFatal(_) => false })
+    while (!ready) {
       if (System.currentTimeMillis() >= deadline)
         throw new ConcurrentWriteException(
           s"another writer is creating $path (bootstrap claim held); " +
