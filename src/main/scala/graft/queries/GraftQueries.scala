@@ -513,13 +513,17 @@ object GraftQueries {
     graft.storage.Alter.renameColumn(spark, st, path,
       "o_totalprice", "price")
     graft.storage.Alter.dropColumn(spark, st, path, "o_orderstatus")
+    // ADD needs no prune (old batches replay as null — the evolution
+    // contract); existing rows read typed null
+    graft.storage.Alter.addColumn(spark, st, path, "note", "string")
     // the altered table keeps working: one more merge under the NEW
-    // schema
+    // schema, populating the added column for its one row
     st.merge(
-      spark.createDataFrame(Seq((999999001L, 1L, 1.5)))
-        .toDF("o_orderkey", "o_custkey", "price"),
+      spark.createDataFrame(Seq((999999001L, 1L, 1.5, "fresh")))
+        .toDF("o_orderkey", "o_custkey", "price", "note"),
       path, "full.o_orderkey = incremental.o_orderkey")
-    st.read(path, "delta").select("o_orderkey", "o_custkey", "price")
+    st.read(path, "delta")
+      .select("o_orderkey", "o_custkey", "price", "note")
       .orderBy("o_orderkey")
   }
 
@@ -531,9 +535,10 @@ object GraftQueries {
       |      FROM orders WHERE o_orderkey % 3 = 0)
       |SELECT coalesce(i.o_orderkey, base.o_orderkey) AS o_orderkey,
       |       coalesce(i.o_custkey, base.o_custkey) AS o_custkey,
-      |       coalesce(i.o_totalprice, base.o_totalprice) AS price
+      |       coalesce(i.o_totalprice, base.o_totalprice) AS price,
+      |       CAST(NULL AS VARCHAR) AS note
       |FROM base FULL OUTER JOIN i ON base.o_orderkey = i.o_orderkey
-      |UNION ALL SELECT 999999001, 1, 1.5
+      |UNION ALL SELECT 999999001, 1, 1.5, 'fresh'
       |ORDER BY 1""".stripMargin
 
   /** Change Data Feed from a three-clause merge (captureChanges):

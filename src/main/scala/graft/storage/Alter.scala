@@ -68,6 +68,38 @@ object Alter {
     }
   }
 
+  /** Add a column of `dataType` (DDL string, e.g. "string",
+    * "decimal(10,2)"), null for every existing row. One COW rewrite
+    * under the commit lock.
+    *
+    * Unlike rename/drop, ADD needs NO feed refusal: captured batches
+    * simply lack the column, and both replay directions already
+    * handle that — [[Merge.replayChanges]] unions with
+    * allowMissingColumns (a replica gets null, exactly matching the
+    * source), and [[Merge.readAsOf]]'s documented schema-evolution
+    * contract reconstructs pre-evolution rows as null under the
+    * CURRENT schema. Constraints and tombstones cannot reference a
+    * column that doesn't exist yet, so the only refusal is a name
+    * collision. */
+  def addColumn(spark: SparkSession, storage: BasicStorage,
+                path: String, name: String, dataType: String): Unit = {
+    val base = path.stripSuffix("/")
+    requireManaged(spark, base)
+    Txn.withTableLock(spark, base, "ALTER") {
+      val df = storage.read(base, "delta")
+      val cols = df.schema.fieldNames.toSeq
+      require(!cols.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists")
+      val parts = GraftLog.lastPartitioning(spark, base)
+      // fence = false: the add is travel-compatible (see scaladoc) —
+      // the same reason evolving merges don't fence
+      rewrite(spark, base,
+        df.withColumn(name,
+          org.apache.spark.sql.functions.lit(null).cast(dataType)),
+        parts, fence = false)
+    }
+  }
+
   /** Drop `name`. One COW rewrite under the commit lock. */
   def dropColumn(spark: SparkSession, storage: BasicStorage,
                  path: String, name: String): Unit = {
@@ -106,8 +138,9 @@ object Alter {
     * that no longer exists, and the alter could not be re-run. */
   private def rewrite(spark: SparkSession, base: String,
                       out: org.apache.spark.sql.DataFrame,
-                      parts: Seq[String]): Unit = {
-    Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
+                      parts: Seq[String], fence: Boolean = true): Unit = {
+    if (fence)
+      Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
     GraftLog.stageAndSwap(spark, base, out, parts,
       appendOp = Some("ALTER"))
   }

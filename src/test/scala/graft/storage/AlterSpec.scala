@@ -135,6 +135,38 @@ class AlterSpec extends AnyFunSuite with SparkSpec {
       "non-key surgery must keep the tombstone overlay meaningful")
   }
 
+  test("addColumn: typed nulls for existing rows, feed-compatible " +
+      "(no prune needed), travel serves pre-add snapshots as null") {
+    val path = tempDir("alter_add") + "/t"
+    st.write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"),
+      path, "delta", "overwrite")
+    st.merge(Seq((3L, 3.0)).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().collect().map(_.getLong(0)).max
+    // no feed refusal: an added column replays as null both ways
+    Alter.addColumn(spark, st, path, "note", "string")
+    val out = st.read(path, "delta")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(out.schema("note").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.filter(col("note").isNotNull).count() == 0,
+      "existing rows read null in the added column")
+    // time travel still serves the pre-add stamp (nulls under the
+    // current schema — the documented evolution contract)
+    val asOf = Merge.readAsOf(spark, st, path, Seq("id"), stamp)
+    assert(asOf.count() == 3 &&
+      asOf.filter(col("note").isNotNull).count() == 0)
+    // the table keeps working under the new schema
+    st.merge(Seq((4L, 4.0, "fresh")).toDF("id", "v", "note"), path,
+      "full.id = incremental.id")
+    assert(st.read(path, "delta")
+      .filter(col("note") === "fresh").count() == 1)
+    intercept[IllegalArgumentException] {
+      Alter.addColumn(spark, st, path, "NOTE", "string") // collision
+    }
+  }
+
   test("alter on an EMPTIED table refreshes the schema sidecar under " +
       "the new schema") {
     val path = tempDir("alter_empty") + "/t"
