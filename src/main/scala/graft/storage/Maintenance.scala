@@ -29,6 +29,11 @@ import org.apache.spark.sql.SparkSession
   *  - `X__old` / `X__graft_old` with X MISSING: a crash mid-swap; the
   *    aside is the ONLY complete generation — HEALED (renamed back to
   *    X), never deleted.
+  *  - `X__graft_stage_<uuid>`: a WAP run's per-run stage that neither
+  *    published (a publish consumes its stage) nor cleaned up (every
+  *    refusal deletes it) — crash debris, deleted once AGED past the
+  *    orphan horizon; younger stages may be a live audit in flight
+  *    (audits hold no lock by design) and are skip-reported.
   *
   * Partition directories (`col=value`) are never touched even when a
   * partition VALUE happens to end in a debris suffix — any path
@@ -127,6 +132,51 @@ object Maintenance {
         actions += VacuumAction("delete", p, mtime.toString,
           s"stale commit lock (age $age ms > $lockTimeoutMs ms " +
             "timeout — holder presumed crashed)")
+    }
+
+    // --- orphaned WAP stages: write-audit-publish stages into a
+    // per-run sibling `<base>__graft_stage_<uuid>`
+    // ([[WriteAuditPublish.StagePrefix]]); a successful publish
+    // CONSUMES the stage and every refusal deletes it, so a surviving
+    // stage is a crashed run — OR a live audit in flight (WAP audits
+    // hold no lock by design). The two are indistinguishable by
+    // inspection, so the sweep separates them by AGE, like
+    // marker-less change batches: aged by the newest FILE inside
+    // (file mtimes are upload-authoritative even where directory
+    // mtimes are synthetic), dir mtime for an empty stage.
+    {
+      val basePath = new Path(base)
+      val pfs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+      val parent = basePath.getParent
+      val stageNamePrefix =
+        basePath.getName + WriteAuditPublish.StagePrefix
+      if (parent != null && pfs.exists(parent)) {
+        pfs.listStatus(parent).filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(stageNamePrefix))
+          .foreach { st =>
+            // newest FILE inside; the dir's own mtime only for an
+            // empty stage (object-store dir mtimes are synthetic and
+            // could read as "now" forever — a never-aging orphan)
+            var newest = -1L
+            val it = pfs.listFiles(st.getPath, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getModificationTime > newest)
+                newest = f.getModificationTime
+            }
+            if (newest < 0) newest = st.getModificationTime
+            val age = System.currentTimeMillis() - newest
+            if (minAgeMs <= 0 || age > minAgeMs)
+              actions += delete(st.getPath.toString,
+                s"orphaned WAP stage (age $age ms — the run that " +
+                  "owned it is gone; publishes consume their stage)")
+            else
+              actions += VacuumAction("skip", st.getPath.toString, "",
+                s"WAP stage age $age ms within the $minAgeMs ms " +
+                  "orphan horizon — possibly a live audit; left for " +
+                  "a later vacuum")
+          }
+      }
     }
 
     // --- root-level siblings (`<base>__graft_tmp`, `<base>__old`, …)

@@ -29,9 +29,12 @@ case class OpLogSnapshot(entries: Long, maxSeq: Long)
   * `spark.graft.txnLockWaitMs`) instead of corrupting history.
   *
   * Mechanics: one `_graft_txn_lock` file inside the table root,
-  * taken with an atomic create-if-absent (`createNonRecursive`, so a
-  * root that is mid-commit-swap — briefly absent — can never be
-  * re-created as an empty shell under the live writer's rename).
+  * taken with an atomic create-if-absent (so a root that is
+  * mid-commit-swap — briefly absent — can never be re-created as an
+  * empty shell under the live writer's rename). The lock is only as
+  * strong as that primitive, so acquisition REFUSES on filesystem
+  * schemes not known to provide it (see [[AtomicSchemesKey]] — S3A's
+  * create(overwrite=false) is a non-atomic HEAD-then-PUT).
   * Underscore-named ⇒ invisible to parquet scans; READS never lock.
   * The swap helpers ([[GraftLog.carryLogAndSwap]] /
   * [[GraftLog.overwriteSwap]]) carry the lock file into the staged
@@ -67,6 +70,25 @@ object Txn {
     * (mutations refused by the lock touched nothing). */
   val LockWaitKey = "spark.graft.txnLockWaitMs"
   val LockWaitDefaultMs: Long = 0L
+
+  /** Extra filesystem schemes the DEPLOYMENT vouches have an atomic
+    * create-if-absent (comma-separated). The lock is only as strong
+    * as that primitive, and most object-store connectors do NOT have
+    * it by default — S3A's `create(overwrite = false)` is a
+    * HEAD-then-PUT, so two writers can both "win" — which is
+    * precisely the silent double-acquire this lock exists to prevent.
+    * Rather than pretend, [[acquire]] REFUSES on schemes not known
+    * atomic unless they are vouched for here (e.g. `s3a` on
+    * Hadoop 3.4.1+ with S3 conditional writes enabled —
+    * `fs.s3a.create.conditional.enabled` — or a store-backed Hadoop
+    * FS whose create is server-side conditional). */
+  val AtomicSchemesKey = "spark.graft.txnLockAtomicSchemes"
+
+  /** Schemes whose create-if-absent is atomic WITHOUT deployment
+    * vouching: the local FS (taken via NIO O_CREAT|O_EXCL — see
+    * [[tryCreate]]) and HDFS (namenode-arbitrated create, atomic
+    * server-side; viewfs is a client-side mount table over it). */
+  private val KnownAtomicSchemes = Set("file", "hdfs", "viewfs")
 
   private val PollMs = 100L
 
@@ -112,6 +134,7 @@ object Txn {
     val token = java.util.UUID.randomUUID().toString
     val lp = new Path(lockPath(base))
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    requireAtomicCreate(spark, fs, base)
     val deadline = System.currentTimeMillis() + waitMs
     var statMisses = 0
     var breakAttempts = 0
@@ -183,6 +206,36 @@ object Txn {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Refuse to even attempt the lock on a filesystem whose
+    * create-if-absent is not known atomic: a lock that can be won by
+    * two writers at once is worse than no lock (it REPORTS mutual
+    * exclusion it does not provide — the silent lost update returns
+    * wearing a safety badge). The builder of this engine observed
+    * exactly that on Hadoop's LOCAL filesystem (exists-then-open) and
+    * took the NIO path; the same skepticism applies to object
+    * stores — S3A's `create(overwrite = false)` is a HEAD-then-PUT,
+    * non-atomic under concurrency. Deployments with a real
+    * conditional create ([[AtomicSchemesKey]]) opt their scheme in. */
+  private def requireAtomicCreate(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  base: String): Unit = {
+    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+    val vouched = spark.conf.getOption(AtomicSchemesKey)
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (!KnownAtomicSchemes.contains(scheme) && !vouched.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"cannot take the commit lock for $base: filesystem scheme " +
+          s"'$scheme' is not known to provide an atomic " +
+          "create-if-absent, so the lock could be double-acquired and " +
+          "would report a mutual exclusion it does not provide (on " +
+          "S3A, create(overwrite=false) is a HEAD-then-PUT — two " +
+          "writers can both win). If this deployment has a true " +
+          "conditional create (e.g. Hadoop 3.4.1+ with " +
+          "fs.s3a.create.conditional.enabled), vouch for the scheme " +
+          s"via $AtomicSchemesKey=$scheme")
+  }
+
   /** Atomic create-if-absent of the lock file. False ⟺ it exists
     * (or the FS transiently refused — the caller re-stats either
     * way). A mid-swap ABSENT table root refuses loudly rather than
@@ -193,17 +246,29 @@ object Txn {
     * `RawLocalFileSystem.create(overwrite = false)` is an
     * exists-check THEN a plain open, so two same-host writers racing
     * it can BOTH "win" the lock — observed under load, exactly the
-    * double-acquire this lock exists to prevent. HDFS and object
-    * stores keep `createNonRecursive`, whose create IS atomic
-    * server-side. */
+    * double-acquire this lock exists to prevent. HDFS keeps
+    * `createNonRecursive` (namenode-arbitrated, atomic server-side);
+    * any OTHER scheme was already gated by [[requireAtomicCreate]] —
+    * reaching this path means the deployment vouched that its
+    * create-if-absent is conditional server-side.
+    *
+    * Either branch deletes its own just-created file when the
+    * CONTENT write fails (disk full, kill between create and write):
+    * an empty lock no one owns would otherwise refuse every mutation
+    * on the table until the 24 h timeout. */
   private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, lp: Path,
                         content: String): Boolean =
     if (fs.getScheme == "file")
       try {
         val p = java.nio.file.Paths.get(lp.toUri.getPath)
         java.nio.file.Files.createFile(p)
-        java.nio.file.Files.write(p,
+        try java.nio.file.Files.write(p,
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Throwable =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () }
+          throw e
+        }
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -220,13 +285,19 @@ object Txn {
         catch {
           case _: UnsupportedOperationException =>
             // FS without createNonRecursive: guard the parent by hand
-            // (non-atomic, but only reached on exotic filesystems)
+            // (non-atomic, but only reached on schemes the deployment
+            // explicitly vouched for)
             if (!fs.exists(lp.getParent))
               throw new java.io.FileNotFoundException(lp.getParent.toString)
             fs.create(lp, false)
         }
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      try {
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case e: Throwable =>
+        try fs.delete(lp, false) catch { case _: Throwable => () }
+        throw e
+      }
       true
     } catch {
       case _: java.io.FileNotFoundException =>

@@ -35,6 +35,19 @@ class AuditFailedException(val violations: Seq[(String, Long)])
   */
 object WriteAuditPublish {
 
+  /** Root-sibling prefix of every WAP stage dir:
+    * `<table>__graft_stage_<uuid>`. The uuid makes the stage
+    * PER-RUN-OWNED — with a fixed shared name, two concurrent WAP
+    * runs on one table raced on the same mutable stage OUTSIDE the
+    * commit lock, and run A's locked publish could rename run B's
+    * never-audited-by-A frame into the live table (published ≠
+    * audited, silently). Each run now writes, audits, and publishes
+    * ONLY the dir it created; a crashed run's orphan stage is swept
+    * by [[Maintenance.vacuum]] once it ages past the orphan horizon
+    * (younger stages may be a live audit in flight — skipped, like
+    * marker-less change batches). */
+  val StagePrefix = "__graft_stage"
+
   /** Stage `df` beside `path`, audit with `rules`, publish on pass.
     * Returns the audit report (rule, violations — all zeros by
     * construction when it returns). Throws [[AuditFailedException]]
@@ -57,43 +70,49 @@ object WriteAuditPublish {
     val stageSnap =
       if (failOnConcurrentWrite) Some(Txn.snapshot(spark, base))
       else None
-    val stage = base + "__graft_stage"
-    Fs.deleteChecked(spark, stage)
-    df.write.format("parquet").mode("overwrite").save(stage)
-    // audit what was WRITTEN: the staged files are the publish artifact
-    val report = Expectations
-      .check(spark.read.parquet(stage), rules)
-      .localCheckpoint(true) // rules-count rows; read twice (gate + return)
-    val bad = report.filter(col("violations") > 0L)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (bad.nonEmpty) {
-      Fs.deleteChecked(spark, stage)
-      throw new AuditFailedException(bad)
-    }
-    if (GraftLog.isManagedTable(spark, base))
-      // the publish phase (swap + op-log append) runs under the
-      // table's commit lock — the audit above stays lock-free by
-      // design (it reads only the stage), so a slow audit never
-      // blocks other writers; only the instant of replacement does.
-      // EVERY concurrent-write refusal (lock contention or the
-      // stale-snapshot check) cleans the stage: a refused publish
-      // leaves the live table untouched and no debris, the audit-
-      // failure contract
-      try Txn.withTableLock(spark, base, "WAP_PUBLISH") {
-        stageSnap.foreach(
-          Txn.assertUnchanged(spark, base, _, "WAP publish"))
-        GraftLog.overwriteSwap(spark, base, stage)
+    // per-run-owned stage (see [[StagePrefix]]): no other run can
+    // replace this dir's content between the audit and the publish
+    val stage = base + StagePrefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      df.write.format("parquet").mode("overwrite").save(stage)
+      // audit what was WRITTEN: the staged files are the publish
+      // artifact
+      val report = Expectations
+        .check(spark.read.parquet(stage), rules)
+        .localCheckpoint(true) // rules-count rows; read twice (gate + return)
+      val bad = report.filter(col("violations") > 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (bad.nonEmpty) throw new AuditFailedException(bad)
+      if (GraftLog.isManagedTable(spark, base))
+        // the publish phase (swap + op-log append) runs under the
+        // table's commit lock — the audit above stays lock-free by
+        // design (it reads only the run-owned stage), so a slow audit
+        // never blocks other writers; only the instant of replacement
+        // does. The swap consumes the stage (renames it into place).
+        Txn.withTableLock(spark, base, "WAP_PUBLISH") {
+          stageSnap.foreach(
+            Txn.assertUnchanged(spark, base, _, "WAP publish"))
+          GraftLog.overwriteSwap(spark, base, stage)
+          GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
+        }
+      else {
+        Fs.deleteChecked(spark, base)
+        Fs.renameChecked(spark, stage, base)
         GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
-      } catch {
-        case e: ConcurrentWriteException =>
-          Fs.deleteChecked(spark, stage)
-          throw e
       }
-    else {
-      Fs.deleteChecked(spark, base)
-      Fs.renameChecked(spark, stage, base)
-      GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
+      report
+    } catch {
+      // EVERY failure — audit violation, lock contention, the
+      // stale-snapshot check, a failed stage write — cleans this
+      // run's stage: a refused publish leaves the live table
+      // untouched and no debris, the audit-failure contract. (If the
+      // swap already consumed the stage, the delete is a no-op; a
+      // hard crash skips this and vacuum sweeps the aged orphan.)
+      case e: Throwable =>
+        try Fs.deleteChecked(spark, stage)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
-    report
   }
 }

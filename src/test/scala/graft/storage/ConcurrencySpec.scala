@@ -274,4 +274,43 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
       s"writer B's row $k lost — the lost-update class the lock kills") }
     assert(!Fs.exists(spark, Txn.lockPath(path)))
   }
+
+  test("the lock refuses filesystems without an atomic " +
+      "create-if-absent unless the deployment vouches for the scheme") {
+    // a scheme whose create(overwrite=false) is exists-then-open —
+    // the S3A shape. The gate must refuse BEFORE any lock attempt:
+    // a double-acquirable lock reports mutual exclusion it cannot
+    // provide, which is worse than refusing.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockstore.impl", classOf[MockStoreFileSystem].getName)
+    val dir = tempDir("txn_mockstore")
+    val e = intercept[UnsupportedOperationException] {
+      Txn.acquire(spark, "mockstore:" + dir, "MERGE")
+    }
+    assert(e.getMessage.contains("mockstore") &&
+      e.getMessage.contains(Txn.AtomicSchemesKey),
+      s"the refusal must name the scheme and the vouch conf: ${e.getMessage}")
+    assert(!Fs.exists(spark, Txn.lockPath(dir)),
+      "a refused acquire must not leave a lock file behind")
+    // a deployment that HAS a conditional create (e.g. S3 conditional
+    // writes) vouches for the scheme and the lock proceeds
+    spark.conf.set(Txn.AtomicSchemesKey, "mockstore")
+    try {
+      val token = Txn.acquire(spark, "mockstore:" + dir, "MERGE")
+      assert(Fs.exists(spark, Txn.lockPath(dir)))
+      Txn.release(spark, "mockstore:" + dir, token)
+      assert(!Fs.exists(spark, Txn.lockPath(dir)))
+    } finally spark.conf.unset(Txn.AtomicSchemesKey)
+  }
+}
+
+/** A Hadoop FS standing in for object stores whose
+  * create(overwrite=false) is an exists-check then a plain open
+  * (S3A's HEAD-then-PUT): local-disk semantics under a non-`file`
+  * scheme, so [[Txn]]'s atomicity gate — keyed on the scheme — is
+  * exercised for real through `Path.getFileSystem`. */
+class MockStoreFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockstore"
+  override def getUri: java.net.URI = java.net.URI.create("mockstore:///")
 }

@@ -9,6 +9,14 @@ import graft.core.Expectations.{InRange, NotNull}
 class WapSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** The table's WAP stage siblings (`<t>__graft_stage_<uuid>`) —
+    * empty ⟺ no stage debris. */
+  private def stageDirs(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    Fs.listSubdirs(spark, p.getParent.toString)
+      .filter(_.startsWith(p.getName + WriteAuditPublish.StagePrefix))
+  }
+
   test("failing audit aborts: live table untouched, stage cleaned") {
     val st = new BasicStorage(spark)
     val path = tempDir("wap_abort") + "/t"
@@ -29,7 +37,7 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     assert(st.read(path, "parquet").as[(Long, Double)].collect().sorted
       .toSeq == Seq((1L, 10.0), (2L, 20.0)))
     // stage removed — no half-published debris
-    assert(!Fs.exists(spark, path + "__graft_stage"))
+    assert(stageDirs(path).isEmpty)
   }
 
   test("failOnConcurrentWrite: a mutation committing during the " +
@@ -42,7 +50,7 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     // run is past its snapshot) then commits a delete
     val racer = new Thread(() => {
       val deadline = System.currentTimeMillis() + 30000
-      while (!Fs.exists(spark, path + "__graft_stage") &&
+      while (stageDirs(path).isEmpty &&
           System.currentTimeMillis() < deadline) Thread.sleep(5)
       Delete.where(spark, st, path, "id <= 10")
     })
@@ -54,7 +62,7 @@ class WapSpec extends AnyFunSuite with SparkSpec {
           Seq(NotNull("id")), failOnConcurrentWrite = true)
       }
     } finally racer.join()
-    assert(!Fs.exists(spark, path + "__graft_stage"),
+    assert(stageDirs(path).isEmpty,
       "a refused publish must clean its stage")
     val ids = st.read(path, "delta").select("id")
       .collect().map(_.getLong(0)).toSet
@@ -111,5 +119,72 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     val ops = GraftLog.history(spark, path).collect().map(_.getString(0))
     assert(ops.contains("WAP_PUBLISH") && ops.contains("WRITE"),
       "prior log entries must survive the publish swap")
+  }
+
+  test("two interleaved WAP runs on one table: each publish is " +
+      "exactly its own audited frame — never a mix, never the other " +
+      "run's content under this run's audit") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("wap_vs_wap") + "/t"
+    st.write(Seq((0L, 50.0)).toDF("id", "v"), path, "delta", "overwrite")
+    // disjoint value ranges, each run auditing ITS OWN range: with a
+    // shared stage dir, run A could publish B's frame — content its
+    // audit never admitted. Per-run stages make that impossible.
+    val frameA = (1L to 40L).map(i => (i, 5.0)) // v ∈ [0,10]
+    val frameB = (101L to 140L).map(i => (i, 105.0)) // v ∈ [100,110]
+    for (_ <- 1 to 3) {
+      @volatile var failure: Throwable = null
+      def runner(rows: Seq[(Long, Double)], lo: Double, hi: Double) =
+        new Thread(() => {
+          try {
+            val report = WriteAuditPublish.run(spark, st,
+              rows.toDF("id", "v"), path,
+              Seq(NotNull("id"), InRange("v", lo, hi)))
+            assert(report.agg(sum("violations")).head().getLong(0) == 0L)
+          } catch {
+            case _: ConcurrentWriteException => () // loud refusal: fine
+            case t: Throwable => failure = t
+          }
+        })
+      val tA = runner(frameA, 0.0, 10.0)
+      val tB = runner(frameB, 100.0, 110.0)
+      tA.start(); tB.start(); tA.join(); tB.join()
+      if (failure != null) throw failure
+      val got = st.read(path, "delta").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(got == frameA.sorted || got == frameB.sorted,
+        s"the table must be EXACTLY one run's audited frame, got " +
+          s"${got.size} rows spanning v=${got.map(_._2).distinct}")
+      assert(stageDirs(path).isEmpty,
+        "completed runs must leave no stage debris")
+    }
+  }
+
+  test("vacuum sweeps an aged orphan WAP stage, skip-reports a young " +
+      "one (possibly a live audit)") {
+    val st = new BasicStorage(spark)
+    val path = tempDir("wap_vacuum") + "/t"
+    st.write(Seq((1L, 1.0)).toDF("id", "v"), path, "delta", "overwrite")
+    // plant two "crashed run" stages: one aged past the horizon, one
+    // fresh
+    val aged = path + WriteAuditPublish.StagePrefix + "_agedrun"
+    val young = path + WriteAuditPublish.StagePrefix + "_youngrun"
+    Seq((9L, 9.0)).toDF("id", "v").write.parquet(aged)
+    Seq((8L, 8.0)).toDF("id", "v").write.parquet(young)
+    val fs = new org.apache.hadoop.fs.Path(aged)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() -
+      Maintenance.OrphanMinAgeDefaultMs - 60000L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(aged), true)
+    while (it.hasNext) fs.setTimes(it.next().getPath, old, -1)
+    val actions = Maintenance.vacuum(spark, path)
+    // action targets are FS-qualified (file:/...) — compare by suffix
+    assert(actions.exists(a => a.kind == "delete" && a.target.endsWith(aged)),
+      s"aged stage must be swept: $actions")
+    assert(actions.exists(a => a.kind == "skip" && a.target.endsWith(young)),
+      s"young stage must be skip-reported, not swept: $actions")
+    assert(!Fs.exists(spark, aged) && Fs.exists(spark, young))
+    // live table untouched by the sweep
+    assert(st.read(path, "delta").count() == 1L)
   }
 }
