@@ -20,7 +20,13 @@ import org.apache.spark.sql.SparkSession
   *    path with the source's recorded layout).
   *  - CHECK CONSTRAINTS: carried — the table CONTRACT belongs to the
   *    data and a clone that silently shed its constraints would admit
-  *    rows the source never could.
+  *    rows the source never could. The carried constraints are
+  *    RE-VALIDATED against the staged clone content before the clone
+  *    becomes visible: the constraints dir is copied AFTER the data
+  *    read, so a constraint added to the source mid-clone (validated
+  *    there against a NEWER snapshot) can reach a clone whose older
+  *    snapshot violates it — the clone then refuses rather than carry
+  *    a CHECK its own content breaks.
   *  - OP LOG / HISTORY: NOT carried. The clone starts a fresh history
   *    (WRITE + a CLONE provenance record naming the source and the
   *    cloned stamp); the source's history describes the source's
@@ -35,11 +41,28 @@ import org.apache.spark.sql.SparkSession
   *    clone that copied raw files without them would RESURRECT
   *    logically deleted rows.
   *
-  * Concurrency: the clone READS the source like any other reader
-  * (always a complete table — the swap discipline's guarantee) and
-  * takes no lock on it; a source mutation committing mid-copy can
-  * fail the read loudly (vanished files), never corrupt it — retry.
-  * The destination is created fresh and refuses to overwrite. */
+  * Concurrency and crash contract: the clone READS the source like
+  * any other reader (always a complete table — the swap discipline's
+  * guarantee) and takes no lock on it; a source mutation committing
+  * mid-copy can fail the read loudly (vanished files), never corrupt
+  * it — retry. The DESTINATION is CLAIMED, then staged, then swapped:
+  *  1. the dst root is created as a shell holding only the commit
+  *     lock, taken with [[Txn]]'s atomic create — exactly one of two
+  *     concurrent clones to the same fresh path wins; the loser
+  *     refuses loudly instead of interleaving files with the winner
+  *     (a young claim on an empty shell = a clone in flight; a stale
+  *     one = a crashed clone, broken and re-claimed);
+  *  2. the ENTIRE clone — data, op log with the CLONE provenance row,
+  *     emptied-table schema sidecar, carried-and-revalidated
+  *     constraints — is staged in `dst__graft_tmp`, invisible at dst;
+  *  3. the shell swaps out and the staged clone swaps in (two checked
+  *     renames). A crash before the swap leaves a shell + staging
+  *     that the next clone attempt (or vacuum) cleans; a crash
+  *     between the renames leaves the fully-staged clone that
+  *     [[Maintenance.vacuum]]'s completable-swap heal finishes. At no
+  *     instant does dst hold a complete-LOOKING table that is missing
+  *     its constraints or provenance — the window the pre-staged
+  *     implementation had. */
 object Clone {
 
   /** Prefix of the op-log provenance record's txn app id:
@@ -56,7 +79,7 @@ object Clone {
     if (!GraftLog.isManagedTable(spark, s))
       throw new IllegalArgumentException(
         "The given path is not a Delta Table.")
-    if (Fs.exists(spark, d))
+    if (Fs.exists(spark, d) && !claimableShell(spark, d))
       throw new IllegalArgumentException(
         s"clone destination $d already exists — clone never " +
           "overwrites; remove it first or pick a fresh path")
@@ -68,26 +91,88 @@ object Clone {
     require(asOfBatch.isEmpty || keyCols.nonEmpty,
       "an as-of clone reconstructs through the change feed and needs " +
         "the table's merge keys")
-    val parts = GraftLog.lastPartitioning(spark, s)
-    val content = asOfBatch match {
-      case Some(b) => Merge.readAsOf(spark, storage, s, keyCols, b)
-      case None => storage.read(s, "delta")
-    }
-    // through the managed write path: dst gets its own fresh op log;
-    // dst is not managed yet, so no constraints gate this first write
-    // (the content already satisfied the source's constraints)
-    storage.write(content, d, "delta", "overwrite", parts)
-    // an EMPTY snapshot (e.g. the source was fully emptied by a
-    // delete-all and reads via its schema sidecar) writes zero parquet
-    // files — record the schema at the clone too, or the clone is a
-    // managed table no reader can infer
-    if (Fs.dataFiles(spark, d).isEmpty)
-      Fs.writeText(spark, GraftLog.schemaSidecar(d), content.schema.json)
-    val srcConstraints = s + "/" + Constraints.DirName
-    if (Fs.exists(spark, srcConstraints))
-      Fs.copyDirChecked(spark, srcConstraints,
-        d + "/" + Constraints.DirName)
-    GraftLog.append(spark, d, "CLONE", parts,
-      Some(ProvenanceApp + s -> asOfBatch.getOrElse(-1L)))
+
+    // CLAIM dst (step 1 of the scaladoc contract): the shell + lock
+    // make this clone the path's only creator
+    val dp = new org.apache.hadoop.fs.Path(d)
+    dp.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dp)
+    val token =
+      try Txn.acquire(spark, d, "CLONE")
+      catch {
+        case _: ConcurrentWriteException =>
+          throw new ConcurrentWriteException(
+            s"another writer is creating $d (clone claim held) — two " +
+              "clones to one destination would interleave; retry " +
+              "against the completed table or pick a fresh path")
+      }
+    val tmp = d + "__graft_tmp"
+    try {
+      Fs.deleteChecked(spark, tmp) // a crashed prior attempt's staging
+      val parts = GraftLog.lastPartitioning(spark, s)
+      val content = asOfBatch match {
+        case Some(b) => Merge.readAsOf(spark, storage, s, keyCols, b)
+        case None => storage.read(s, "delta")
+      }
+      // stage through the managed write path: tmp gets its own fresh
+      // op log; tmp is not managed until this write completes, so no
+      // constraints gate it (the carried ones are validated below)
+      storage.write(content, tmp, "delta", "overwrite", parts)
+      // an EMPTY snapshot (e.g. the source was fully emptied by a
+      // delete-all and reads via its schema sidecar) writes zero
+      // parquet files — record the schema at the clone too, or the
+      // clone is a managed table no reader can infer
+      if (Fs.dataFiles(spark, tmp).isEmpty)
+        Fs.writeText(spark, GraftLog.schemaSidecar(tmp),
+          content.schema.json)
+      val srcConstraints = s + "/" + Constraints.DirName
+      if (Fs.exists(spark, srcConstraints)) {
+        Fs.copyDirChecked(spark, srcConstraints,
+          tmp + "/" + Constraints.DirName)
+        // re-validate against the STAGED frame (see the class doc:
+        // the constraints snapshot postdates the data snapshot)
+        try Constraints.validateIncoming(spark,
+          storage.read(tmp, "delta"), tmp)
+        catch {
+          case e: ConstraintViolationException =>
+            throw new IllegalStateException(
+              s"clone of $s refused: the source's constraints were " +
+                "captured after the cloned data snapshot and the " +
+                s"snapshot violates them (${e.getMessage}) — the " +
+                "source changed its contract mid-clone; retry", e)
+        }
+      }
+      GraftLog.append(spark, tmp, "CLONE", parts,
+        Some(ProvenanceApp + s -> asOfBatch.getOrElse(-1L)))
+      // COMMIT (step 3): the claim lock rides into the staged root so
+      // dst stays claimed through the swap; release() drops it last
+      Fs.writeText(spark, tmp + "/" + Txn.LockFileName,
+        Fs.readText(spark, Txn.lockPath(d)))
+      val old = d + "__graft_old"
+      Fs.deleteChecked(spark, old)
+      Fs.renameChecked(spark, d, old)
+      Fs.renameChecked(spark, tmp, d)
+      Fs.deleteChecked(spark, old)
+    } catch {
+      case e: Throwable =>
+        // a refused clone leaves NO trace: staging gone, and the
+        // shell too unless the swap already made dst a real table
+        // (then the failure was post-commit bookkeeping — keep it)
+        try {
+          Fs.deleteChecked(spark, tmp)
+          if (!GraftLog.isManagedTable(spark, d))
+            Fs.deleteChecked(spark, d)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    } finally Txn.release(spark, d, token)
   }
+
+  /** True when `d` is a re-claimable EMPTY SHELL: a dir holding only
+    * underscore sidecars (in practice: a crashed clone's claim lock),
+    * no data, no subdirs, no op log. Anything else is a real
+    * occupant — refused, never overwritten. */
+  private def claimableShell(spark: SparkSession, d: String): Boolean =
+    !GraftLog.isManagedTable(spark, d) &&
+      (try Fs.listSubdirs(spark, d).isEmpty &&
+           Fs.listFiles(spark, d).forall(_.startsWith("_"))
+       catch { case scala.util.control.NonFatal(_) => false })
 }

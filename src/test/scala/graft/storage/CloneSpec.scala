@@ -139,4 +139,78 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("compact"),
       s"the MoR refusal must name the fix: ${e.getMessage}")
   }
+
+  test("two concurrent clones to one fresh destination: exactly one " +
+      "winner, the loser refuses loudly, no interleaved files") {
+    val src = mkSource("clone_race")
+    val expected = st.read(src, "delta").collect().map(_.toString).sorted
+    for (round <- 1 to 3) {
+      val dst = tempDir(s"clone_race_dst$round") + "/dst"
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var failure: Throwable = null
+      def runner() = new Thread(() => {
+        try { Clone.table(spark, st, src, dst); outcomes.add("ok") }
+        catch {
+          case _: ConcurrentWriteException => outcomes.add("refused")
+          case _: IllegalArgumentException => outcomes.add("refused")
+          case t: Throwable => failure = t
+        }
+      })
+      val a = runner(); val b = runner()
+      a.start(); b.start(); a.join(); b.join()
+      if (failure != null) throw failure
+      import scala.jdk.CollectionConverters._
+      assert(outcomes.asScala.count(_ == "ok") == 1,
+        s"exactly one clone must win the claim: $outcomes")
+      // the winner's clone is complete and correct — no interleaving
+      assert(st.read(dst, "delta").collect().map(_.toString).sorted
+        .toSeq == expected.toSeq)
+      assert(GraftLog.history(spark, dst)
+        .filter(col("operation") === "CLONE").count() == 1L,
+        "exactly one CLONE provenance row — not two interleaved ones")
+      assert(!Fs.exists(spark, dst + "__graft_tmp"),
+        "no staging debris after the race")
+      assert(!Fs.exists(spark, Txn.lockPath(dst)),
+        "the creation claim must not outlive the clone")
+    }
+  }
+
+  test("a constraint added to the source mid-clone-window is " +
+      "re-validated against the CLONED snapshot: violating clone " +
+      "refuses and leaves nothing") {
+    val path = tempDir("clone_skew") + "/src"
+    // v1 contains a row a FUTURE constraint will forbid
+    st.write((1L to 10L).map(i => (i, i * 10.0)).toDF("id", "v")
+      .union(Seq((999L, -5.0)).toDF("id", "v")), path, "delta", "overwrite")
+    // captured merge: stamp1's snapshot still holds the bad row
+    st.merge(Seq((1L, 11.0)).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp1 = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    // the source then deletes its violating row and adds the
+    // constraint — valid THERE (validated against the newer snapshot)
+    st.merge(Seq((999L, -5.0)).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true,
+      updateCondition = Some("false"), insertCondition = Some("false"),
+      deleteCondition = Some("true"))
+    Constraints.add(spark, st, path, "v_nonneg", "v >= 0")
+    // an as-of clone of stamp1 reconstructs the bad row under the
+    // carried constraint — exactly the mid-clone skew: data snapshot
+    // older than the constraints snapshot. Must refuse, not carry a
+    // CHECK its own content violates.
+    val dst = tempDir("clone_skew_dst") + "/dst"
+    val e = intercept[IllegalStateException] {
+      Clone.table(spark, st, path, dst, asOfBatch = Some(stamp1),
+        keyCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("v_nonneg"),
+      s"the refusal must name the violated constraint: ${e.getMessage}")
+    assert(!Fs.exists(spark, dst) && !Fs.exists(spark, dst + "__graft_tmp"),
+      "a refused clone must leave no destination and no staging")
+    // and the consistent clone (current content) still lands
+    Clone.table(spark, st, path, dst)
+    assert(st.read(dst, "delta").filter(col("v") < 0).count() == 0)
+    assert(Constraints.list(spark, dst).map(_._1) == Seq("v_nonneg"),
+      "the constraint travels with the consistent clone")
+  }
 }
