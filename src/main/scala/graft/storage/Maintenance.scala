@@ -34,6 +34,10 @@ import org.apache.spark.sql.SparkSession
   *    refusal deletes it) — crash debris, deleted once AGED past the
   *    orphan horizon; younger stages may be a live audit in flight
   *    (audits hold no lock by design) and are skip-reported.
+  *  - `X__graft_optaside`: a crashed scoped optimize's parked
+  *    partition originals — each leaf HEALS back when its live
+  *    partition dir is missing (the only complete copy), drops when
+  *    the swap completed.
   *
   * Partition directories (`col=value`) are never touched even when a
   * partition VALUE happens to end in a debris suffix — any path
@@ -176,6 +180,32 @@ object Maintenance {
                   "orphan horizon — possibly a live audit; left for " +
                   "a later vacuum")
           }
+      }
+    }
+
+    // --- interrupted scoped optimize ([[Optimize.healScopedAside]]):
+    // each leaf of `<base>__graft_optaside` is a partition's ORIGINAL
+    // copy parked mid-swap. Live dir missing ⟹ the crash hit between
+    // the two renames — the aside is the only complete copy, restore
+    // it; live dir present ⟹ that swap completed — the aside is a
+    // stale pre-swap copy. No age gate: the aside exists only under
+    // the commit lock, and a young lock already deferred this sweep,
+    // so reaching here means the owner crashed.
+    {
+      val optAside = Optimize.asidePath(base)
+      if (Fs.exists(spark, optAside)) {
+        Optimize.scopedAsideLeaves(spark, optAside).foreach {
+          case (leaf, rel) =>
+            val live = base + "/" + rel
+            if (!Fs.exists(spark, live))
+              actions += heal(leaf, live,
+                "interrupted scoped optimize — restoring the " +
+                  "partition's pre-compaction copy")
+            else
+              actions += delete(leaf,
+                "scoped-optimize aside whose swap completed")
+        }
+        actions += delete(optAside, "scoped-optimize aside root")
       }
     }
 

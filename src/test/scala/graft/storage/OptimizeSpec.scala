@@ -217,6 +217,42 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
       "a no-op scoped optimize must not record an OPTIMIZE entry")
   }
 
+  test("a crashed scoped optimize is healed — by vacuum, and by the " +
+      "next optimize at entry — with zero data loss") {
+    val dir = tempDir("opt_where_crash") + "/t"
+    val df = (1L to 300L).map(i => (i, s"P${i % 3}", i * 1.5))
+      .toDF("id", "part", "v")
+    storage.write(df.repartition(4), dir, "delta", "overwrite",
+      partitionFields = Seq("part"))
+    val aside = Optimize.asidePath(dir)
+    // crash state 1: P0's swap died between its two renames — the
+    // live dir is MISSING, the aside holds the only complete copy
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(aside))
+    Fs.renameChecked(spark, s"$dir/part=P0", s"$aside/part=P0")
+    // crash state 2: P1's swap COMPLETED before the crash — live dir
+    // present, its aside is a stale pre-swap copy
+    Fs.copyDirChecked(spark, s"$dir/part=P1", s"$aside/part=P1")
+    assert(storage.read(dir, "delta").count() == 200L,
+      "the planted crash hides P0 (the window under repair)")
+    val actions = Maintenance.vacuum(spark, dir)
+    assert(actions.exists(a => a.kind == "heal" &&
+        a.target.endsWith("part=P0")),
+      s"the missing partition must heal from its aside: $actions")
+    assert(actions.exists(a => a.kind == "delete" &&
+        a.target.endsWith("__graft_optaside/part=P1")),
+      s"the completed swap's aside must drop: $actions")
+    assert(!Fs.exists(spark, aside), "the aside root must be gone")
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "v"), df)
+    // same crash again, healed by the NEXT optimize at entry (it must
+    // restore P0 before reading, or the rewrite would drop its rows)
+    Fs.renameChecked(spark, s"$dir/part=P0", s"$aside/part=P0")
+    Optimize.run(spark, storage, dir, where = Some("part = 'P2'"))
+    assert(!Fs.exists(spark, aside))
+    assertDfEqual(storage.read(dir, "delta").select("id", "part", "v"), df)
+  }
+
   test("vacuum: drops stale tmp/old dirs; completes or restores a crashed swap") {
     val dir = tempDir("opt_vac") + "/t"
     Fs.delete(spark, dir)
