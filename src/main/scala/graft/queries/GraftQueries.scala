@@ -541,6 +541,68 @@ object GraftQueries {
       |UNION ALL SELECT 999999001, 1, 1.5, 'fresh'
       |ORDER BY 1""".stripMargin
 
+  /** METADATA-ONLY ALTER via the column-mapping sidecar
+    * ([[graft.storage.ColumnMapping]], Delta's name-mapping mode):
+    * RENAME + DROP with ZERO data files rewritten — the (path, size,
+    * mtime) fingerprint of every data file is asserted unchanged
+    * IN-QUERY, so a regression to a rewrite fails the oracle gate, not
+    * just a unit test. The mapped table then keeps MERGING under the
+    * new logical schema (new files written under physical names
+    * through the mapping), and [[graft.storage.Alter.materializeMapping]]
+    * clears the indirection with one explicit COW rewrite, content
+    * unchanged. At 100 TB this is the difference between a petabyte
+    * rewrite and one sidecar swap for a rename. */
+  val alterMapped: Q = (spark, dir) => {
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val inc = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("price", col("o_totalprice") + lit(1.0))
+      .select("o_orderkey", "o_custkey", "price")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_alter_mapped_q").toString + "/t"
+    st.write(base, path, "delta", "overwrite")
+    def fingerprint: Seq[(String, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      graft.storage.Fs.dataFiles(spark, path).map { case (p, len) =>
+        (p, len, fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+          .getModificationTime)
+      }.sortBy(_._1)
+    }
+    val before = fingerprint
+    graft.storage.Alter.renameColumnMetadata(spark, st, path,
+      "o_totalprice", "price")
+    graft.storage.Alter.dropColumnMetadata(spark, st, path,
+      "o_orderstatus")
+    require(fingerprint == before,
+      "metadata-only alter must not touch a single data file")
+    // the mapped table keeps merging in LOGICAL space; the merge's
+    // rewrite carries the mapping and writes physical names
+    st.merge(inc, path, "full.o_orderkey = incremental.o_orderkey")
+    // materialize: one explicit COW rewrite clears the sidecar
+    require(graft.storage.Alter.materializeMapping(spark, st, path),
+      "a mapped table must have a mapping to materialize")
+    require(graft.storage.ColumnMapping.load(spark, path).isEmpty,
+      "materializing must clear the mapping sidecar")
+    st.read(path, "delta")
+      .select("o_orderkey", "o_custkey", "price")
+      .orderBy("o_orderkey")
+  }
+
+  val alterMappedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS price
+      |      FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT coalesce(i.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |       coalesce(i.o_custkey, base.o_custkey) AS o_custkey,
+      |       coalesce(i.price, base.o_totalprice) AS price
+      |FROM base FULL OUTER JOIN i ON base.o_orderkey = i.o_orderkey
+      |ORDER BY 1""".stripMargin
+
   /** Change Data Feed from a three-clause merge (captureChanges):
     * row-level insert / update_preimage / update_postimage / delete
     * records the downstream-incremental-consumer pattern needs —
@@ -6477,13 +6539,18 @@ object GraftQueries {
       path, "delta", "append")
     graft.storage.GraftLog.tableDetail(spark, path)
       .select(col("format"), col("num_files"), col("partition_columns"),
-        col("num_operations"), col("last_operation"))
+        col("num_operations"), col("last_operation"),
+        // lock observability: null holder on an unlocked table is part
+        // of the pinned contract (a non-null here would mean a
+        // mutation leaked its lock)
+        col("lock_holder_op"))
   }
 
   val tableDetailSql: String =
     """SELECT 'delta' AS format, CAST(2 AS BIGINT) AS num_files,
       |  '' AS partition_columns, CAST(2 AS BIGINT) AS num_operations,
-      |  'WRITE' AS last_operation""".stripMargin
+      |  'WRITE' AS last_operation,
+      |  CAST(NULL AS VARCHAR) AS lock_holder_op""".stripMargin
 
   /** End-to-end pretraining curation
     * ([[graft.examples.pretrain.PretrainPipeline.curate]]) declared as
@@ -7143,6 +7210,7 @@ object GraftQueries {
     entry("q_concurrent_merge", concurrentMerge, concurrentMergeSql),
     entry("q_clone", cloneTable, cloneTableSql),
     entry("q_alter_table", alterTable, alterTableSql),
+    entry("q_alter_mapped", alterMapped, alterMappedSql),
     entry("q_merge_cdf", mergeCdf, mergeCdfSql),
     entry("q_cdf_replay", cdfReplay, mergeDeleteSql),
     entry("q_stream_cdf_replicate", streamCdfReplicate, mergeDeleteSql),

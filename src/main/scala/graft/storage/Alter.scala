@@ -3,13 +3,20 @@ package graft.storage
 import org.apache.spark.sql.SparkSession
 
 /** ALTER TABLE column surgery for managed tables — the
-  * `RENAME COLUMN` / `DROP COLUMN` half of Delta's ALTER TABLE,
-  * rebuilt as explicit copy-on-write mutations. Delta avoids the
-  * rewrite with column mapping (logical names over physical ids);
-  * plain parquet has no such indirection, so here a rename/drop IS a
-  * full rewrite — honest about the cost, and the rewrite rides the
-  * same checked swap, commit lock, and fence discipline as every
-  * other mutation.
+  * `RENAME COLUMN` / `DROP COLUMN` half of Delta's ALTER TABLE, in
+  * BOTH of Delta's flavors:
+  *  - [[renameColumn]]/[[dropColumn]]: explicit copy-on-write
+  *    rewrites (the no-mapping mode) — pay the rewrite, get physical
+  *    files whose names ARE the schema;
+  *  - [[renameColumnMetadata]]/[[dropColumnMetadata]]: METADATA-ONLY
+  *    via the [[ColumnMapping]] sidecar — at 100 TB the plan you
+  *    actually want (a COW rename is a petabyte rewrite for a label
+  *    change); zero data files touched, one sidecar swap, with
+  *    [[materializeMapping]] as the explicit rewrite that clears the
+  *    indirection. Partition columns stay COW-only (the directory
+  *    layout is the column).
+  * Every flavor rides the same commit lock and fence discipline as
+  * every other mutation.
   *
   * What a column's NAME is load-bearing for, and what each operation
   * therefore does about it:
@@ -90,6 +97,12 @@ object Alter {
       val cols = df.schema.fieldNames.toSeq
       require(!cols.exists(_.equalsIgnoreCase(name)),
         s"column '$name' already exists")
+      // under a column mapping the new LOGICAL name must not collide
+      // with a physical name old files still occupy (renamed-from or
+      // dropped) — the one configuration where old and new parquet
+      // schemas would disagree about what the name means
+      ColumnMapping.refuseOccupied(spark, base, Seq(name),
+        s"add column '$name' to $base")
       val parts = GraftLog.lastPartitioning(spark, base)
       // fence = false: the add is travel-compatible (see scaladoc) —
       // the same reason evolving merges don't fence
@@ -97,6 +110,127 @@ object Alter {
         df.withColumn(name,
           org.apache.spark.sql.functions.lit(null).cast(dataType)),
         parts, fence = false)
+    }
+  }
+
+  /** METADATA-ONLY rename via the [[ColumnMapping]] sidecar: no data
+    * file is read or written — the rename is one crash-safe sidecar
+    * swap, and every reader sees the new name through the mapping's
+    * zero-cost projection. Same refusals as the COW flavor (retained
+    * feed, constraint refs, tombstone keys) PLUS: partition columns
+    * are refused (the physical `old=value` directory layout IS the
+    * column — use [[renameColumn]], which rewrites the layout), and
+    * the new name must not collide with a physical name old files
+    * still occupy ([[ColumnMapping.refuseOccupied]]). Fences like the
+    * COW flavor: pruned-era stamps must refuse below the alter. */
+  def renameColumnMetadata(spark: SparkSession, storage: BasicStorage,
+                           path: String, from: String, to: String): Unit = {
+    val base = path.stripSuffix("/")
+    requireManaged(spark, base)
+    Txn.withTableLock(spark, base, "ALTER") {
+      val df = storage.read(base, "delta")
+      val cols = df.schema.fieldNames.toSeq
+      require(cols.exists(_.equalsIgnoreCase(from)),
+        s"no column '$from' in (${cols.mkString(", ")})")
+      require(!cols.exists(c =>
+          c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(from)),
+        s"column '$to' already exists")
+      refuseRetainedFeed(spark, base, "rename")
+      refuseConstraintRefs(spark, base, from, "rename")
+      refuseTombstoneKey(spark, base, from, "rename")
+      val parts = GraftLog.lastPartitioning(spark, base)
+      require(!parts.exists(_.equalsIgnoreCase(from)),
+        s"cannot metadata-rename partition column '$from': the " +
+          "physical directory layout is keyed on it — use " +
+          "renameColumn (one COW rewrite of the layout) instead")
+      val m = ColumnMapping.load(spark, base)
+        .getOrElse(ColumnMapping.Mapping(Map.empty, Nil))
+      // chains collapse to the ORIGINAL physical name (a→b then b→c
+      // stores a→c); a rename back to the exact physical name removes
+      // the entry (identity again)
+      val phys = m.physicalOf(from)
+      // the occupied-name check excludes this column's OWN physical:
+      // renaming back toward it is the identity/case-correcting case,
+      // not a collision. Renaming onto ANOTHER column's occupied
+      // physical (e.g. swapping two names through the mapping) is
+      // refused — it would break the mapping's idempotency invariant;
+      // materializeMapping is the escape hatch.
+      if (!phys.equalsIgnoreCase(to))
+        ColumnMapping.refuseOccupied(spark, base, Seq(to),
+          s"rename column '$from' to '$to' on $base")
+      val renames =
+        if (phys == to) m.renames.filterNot(_._1.equalsIgnoreCase(phys))
+        else m.renames.filterNot(_._1.equalsIgnoreCase(phys)) + (phys -> to)
+      commitMapped(spark, base, parts, m.copy(renames = renames))
+    }
+  }
+
+  /** METADATA-ONLY drop via the [[ColumnMapping]] sidecar: the bytes
+    * stay in old files (reclaimed by the next genuine rewrite or
+    * [[materializeMapping]]); the read projection never exposes them.
+    * Same refusals as the COW flavor; partition columns refused. */
+  def dropColumnMetadata(spark: SparkSession, storage: BasicStorage,
+                         path: String, name: String): Unit = {
+    val base = path.stripSuffix("/")
+    requireManaged(spark, base)
+    Txn.withTableLock(spark, base, "ALTER") {
+      val df = storage.read(base, "delta")
+      val cols = df.schema.fieldNames.toSeq
+      require(cols.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' in (${cols.mkString(", ")})")
+      require(cols.size > 1, "cannot drop a table's only column")
+      val parts = GraftLog.lastPartitioning(spark, base)
+      require(!parts.exists(_.equalsIgnoreCase(name)),
+        s"cannot drop partition column '$name' — the physical layout " +
+          "is keyed on it; rewrite the table unpartitioned (or " +
+          "re-partitioned) via a managed overwrite instead")
+      refuseRetainedFeed(spark, base, "drop a column on")
+      refuseConstraintRefs(spark, base, name, "drop")
+      refuseTombstoneKey(spark, base, name, "drop")
+      val m = ColumnMapping.load(spark, base)
+        .getOrElse(ColumnMapping.Mapping(Map.empty, Nil))
+      val phys = m.physicalOf(name)
+      commitMapped(spark, base, parts, ColumnMapping.Mapping(
+        m.renames.filterNot(_._1.equalsIgnoreCase(phys)),
+        m.dropped :+ phys))
+    }
+  }
+
+  /** The mapped alters' commit tail: fence (same contract as the COW
+    * [[rewrite]]), record the ALTER op row, then the crash-safe
+    * sidecar swap — the mapping write IS the commit instant (a crash
+    * before it leaves the table byte- and schema-identical; the
+    * barrier and op row it may have landed are harmless bookkeeping,
+    * conservative-refusing and content-free respectively). */
+  private def commitMapped(spark: SparkSession, base: String,
+                           parts: Seq[String],
+                           m: ColumnMapping.Mapping): Unit = {
+    Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
+    GraftLog.append(spark, base, "ALTER", parts)
+    ColumnMapping.save(spark, base, m)
+  }
+
+  /** Clear the column mapping with ONE explicit COW rewrite: the
+    * logical schema becomes the physical one (files re-written under
+    * logical names, dropped columns' bytes reclaimed) and the sidecar
+    * drops with the swap. The escape hatch for every
+    * occupied-physical-name refusal, and the space-reclaim pass after
+    * metadata drops. Content and logical schema are UNCHANGED — no
+    * fence, no feed refusal (captured batches are logical-space and
+    * replay identically). Returns false when there was no mapping. */
+  def materializeMapping(spark: SparkSession, storage: BasicStorage,
+                         path: String): Boolean = {
+    val base = path.stripSuffix("/")
+    requireManaged(spark, base)
+    Txn.withTableLock(spark, base, "ALTER") {
+      if (ColumnMapping.load(spark, base).isEmpty) false
+      else {
+        val df = storage.read(base, "delta")
+        val parts = GraftLog.lastPartitioning(spark, base)
+        GraftLog.stageAndSwap(spark, base, df, parts,
+          appendOp = Some("ALTER"), materializeMapping = true)
+        true
+      }
     }
   }
 

@@ -31,6 +31,21 @@ class BasicStorage(spark: SparkSession) extends Storage {
 
   override def read(path: String, format: String,
                     options: Map[String, String] = Map.empty): DataFrame = {
+    val raw = readPhysical(path, format, options)
+    // column mapping ([[ColumnMapping]]): managed reads surface
+    // LOGICAL names — one projection Catalyst collapses into the
+    // scan; identity (no sidecar stat beyond one exists check) for
+    // unmapped tables
+    if (format == "delta") ColumnMapping.toLogical(spark, path, raw)
+    else raw
+  }
+
+  /** The raw file read, PHYSICAL column names (what the parquet
+    * footers carry). [[read]] wraps it with the column-mapping
+    * projection; [[readStream]] needs it directly — a file stream
+    * matches columns BY NAME, so its schema probe must be physical. */
+  private def readPhysical(path: String, format: String,
+                           options: Map[String, String]): DataFrame = {
     requireFormat(format)
     // csv defaults: header + inferSchema (basic.py:35-37)
     val opts =
@@ -63,10 +78,16 @@ class BasicStorage(spark: SparkSession) extends Storage {
     requireFormat(format)
     // File-source streams need an explicit schema: probe with a batch read
     // (basic.py:62-66). Applies to "delta" too here — parquet backing has
-    // no transaction log to supply the schema.
-    val schema = read(path, format, options).schema
+    // no transaction log to supply the schema. The probe must be the
+    // PHYSICAL schema: the stream scans files and matches columns by
+    // name, so probing a mapped table's logical schema would silently
+    // read a renamed column as all-null. The logical projection
+    // applies ON TOP of the stream instead.
+    val schema = readPhysical(path, format, options).schema
     val reader = spark.readStream.schema(schema).format(physical(format))
-    reader.options(options).load(path)
+    val stream = reader.options(options).load(path)
+    if (format == "delta") ColumnMapping.toLogical(spark, path, stream)
+    else stream
   }
 
   override def write(df: DataFrame, path: String, format: String, mode: String,
@@ -82,8 +103,8 @@ class BasicStorage(spark: SparkSession) extends Storage {
     // managed table has registered constraints)
     val managed = format == "delta" && GraftLog.isManagedTable(spark, path)
     if (managed) Constraints.validateIncoming(spark, df, path)
-    def save(target: String): Unit = {
-      var writer = df.write.format(physical(format))
+    def save(target: String, frame: DataFrame = df): Unit = {
+      var writer = frame.write.format(physical(format))
       if (mode == "overwrite") writer = writer.option("overwriteSchema", "true")
       if (partitionFields.nonEmpty)
         writer = writer.partitionBy(partitionFields: _*)
@@ -122,7 +143,9 @@ class BasicStorage(spark: SparkSession) extends Storage {
         // tombstones (see MorDelete.planReconcile) — data first, then
         // the sidecar, so a crash between the two is healed by retry
         val tombPlan = MorDelete.planReconcile(spark, path, df)
-        save(path)
+        // appended files must carry PHYSICAL names — mixed-name files
+        // would make the scan's inferred schema file-dependent
+        save(path, ColumnMapping.toPhysical(spark, path, df))
         tombPlan.foreach(MorDelete.commitReconcile(spark, path, _))
         GraftLog.append(spark, path, "WRITE", partitionFields)
       }
@@ -150,10 +173,15 @@ class BasicStorage(spark: SparkSession) extends Storage {
     // stop being reconstructible), and no stamps are issued while the
     // stream runs, so one fence covers its whole lifetime under the
     // engine's single-writer contract. No-op for never-fed tables.
-    if (format == "delta" && GraftLog.isManagedTable(spark, path))
+    val managed = format == "delta" && GraftLog.isManagedTable(spark, path)
+    if (managed)
       Merge.recordChangeBarrier(spark, path, "CHANGES_BARRIER",
         partitionFields)
-    var writer = df.writeStream.format(physical(format))
+    // sink files must carry PHYSICAL names under a column mapping
+    // (projections compose with streaming frames)
+    val out =
+      if (managed) ColumnMapping.toPhysical(spark, path, df) else df
+    var writer = out.writeStream.format(physical(format))
     if (partitionFields.nonEmpty) writer = writer.partitionBy(partitionFields: _*)
     writer = writer.options(options)
     val q = writer.option("checkpointLocation", checkpoint).start(path)

@@ -142,7 +142,14 @@ object DataSkipping {
     * NAMES (the listing the driver already holds) cross the boundary.
     * Returns the stats as a DataFrame. */
   def collectStats(spark: SparkSession, tablePath: String,
-                   columns: Seq[String]): DataFrame = {
+                   columns: Seq[String]): DataFrame =
+    // footers carry PHYSICAL names — translate a mapped table's
+    // logical request once here; identity without a mapping
+    collectStatsPhysical(spark, tablePath,
+      ColumnMapping.physicalNames(spark, tablePath, columns))
+
+  private def collectStatsPhysical(spark: SparkSession, tablePath: String,
+                                   columns: Seq[String]): DataFrame = {
     import spark.implicits._
     val files = dataFiles(spark, tablePath)
     // No data files (e.g. a stream sink observed before its first
@@ -335,13 +342,20 @@ object DataSkipping {
     import spark.implicits._
     val all = dataFiles(spark, tablePath)
     if (preds.isEmpty || !Fs.exists(spark, statsPath(tablePath))) return all
+    // stats rows are keyed on PHYSICAL names (collected from parquet
+    // footers); callers predicate in logical space — translate, or a
+    // mapped rename would match stale stats of a DIFFERENT column and
+    // prune wrongly (missing rows, silently)
+    val phys = preds.map { case (c, lo, hi) =>
+      (ColumnMapping.physicalNames(spark, tablePath, Seq(c)).head, lo, hi)
+    }
     // a file is dropped iff SOME stats row for a predicate column
     // proves its range cannot intersect that predicate
-    val violations = preds.map { case (column, lower, upper) =>
+    val violations = phys.map { case (column, lower, upper) =>
       col("column") === column && !keepExpr(lower, upper)
     }.reduce(_ || _)
     val dropped: Set[String] = statsFrame(spark, tablePath)
-      .filter(col("column").isin(preds.map(_._1): _*))
+      .filter(col("column").isin(phys.map(_._1): _*))
       .filter(violations)
       .select("file").distinct().as[String].collect().toSet
     all.filterNot(dropped.contains)
@@ -371,10 +385,11 @@ object DataSkipping {
                       preds: Seq[(String, Option[Any], Option[Any])])
     : DataFrame = {
     val files = survivingFiles(spark, tablePath, preds)
-    if (files.isEmpty)
-      spark.read.parquet(tablePath).limit(0)
-    else
-      spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
+    val raw =
+      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
+    // raw file reads surface physical names — map back to logical
+    ColumnMapping.toLogical(spark, tablePath, raw)
   }
 
   /** Answer count / null-count / min / max for `column` from the stats
@@ -395,9 +410,13 @@ object DataSkipping {
   def metadataProfile(spark: SparkSession, tablePath: String,
                       column: String): DataFrame = {
     import spark.implicits._
+    // stats rows are physical-named; answer under the asked-for
+    // (logical) label
+    val physCol =
+      ColumnMapping.physicalNames(spark, tablePath, Seq(column)).head
     val files = dataFiles(spark, tablePath).map(normPath).toSet
     val stats = statsFrame(spark, tablePath)
-      .filter(col("column") === column)
+      .filter(col("column") === physCol)
       .localCheckpoint(true) // tiny; read twice (coverage + aggregate)
     val covered = stats.select("file").as[String].collect()
       .map(normPath).toSet
@@ -421,7 +440,8 @@ object DataSkipping {
         max(expr("try_cast(max AS DOUBLE)")).cast("string").as("__max_d"),
         min(col("min")).as("__min_s"),
         max(col("max")).as("__max_s"))
-      .select(col("column"), col("dtype"), col("n_rows"), col("n_nulls"),
+      .select(lit(column).as("column"), col("dtype"), col("n_rows"),
+        col("n_nulls"),
         when(col("dtype") === "long", col("__min_l"))
           .when(col("dtype") === "double", col("__min_d"))
           .otherwise(col("__min_s")).as("min_v"),
@@ -457,10 +477,14 @@ object DataSkipping {
     * `xxhash64(value)`, the same hash probed at prune time, so false
     * negatives are impossible (the [[graft.ops.BloomJoin]]
     * contract). */
-  def collectBloom(spark: SparkSession, tablePath: String, column: String,
+  def collectBloom(spark: SparkSession, tablePath: String, column0: String,
                    expectedItemsPerFile: Long = 1000000L,
                    fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.{GraftColumnBridge => B}
+    // the build scans raw files (physical names) and the sidecar is
+    // probed in physical space too — translate once at entry
+    val column =
+      ColumnMapping.physicalNames(spark, tablePath, Seq(column0)).head
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItemsPerFile, fpp)
     val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -496,8 +520,11 @@ object DataSkipping {
     * the conservative superset contract of every skipping layer
     * here. */
   def pruneFilesBloom(spark: SparkSession, tablePath: String,
-                      column: String, values: Seq[Any]): Seq[String] = {
+                      column0: String, values: Seq[Any]): Seq[String] = {
     import spark.implicits._
+    // sketches are keyed on physical names (built from raw files)
+    val column =
+      ColumnMapping.physicalNames(spark, tablePath, Seq(column0)).head
     val all = dataFiles(spark, tablePath)
     if (values.isEmpty || all.isEmpty ||
         !Fs.exists(spark, bloomPath(tablePath)))
@@ -544,9 +571,10 @@ object DataSkipping {
   def prunedReadBloom(spark: SparkSession, tablePath: String,
                       column: String, values: Seq[Any]): DataFrame = {
     val files = pruneFilesBloom(spark, tablePath, column, values)
-    if (files.isEmpty)
-      spark.read.parquet(tablePath).limit(0)
-    else
-      spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
+    val raw =
+      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.option("basePath", tablePath).parquet(files.sorted: _*)
+    // raw file reads surface physical names — map back to logical
+    ColumnMapping.toLogical(spark, tablePath, raw)
   }
 }

@@ -86,7 +86,10 @@ object Delete {
         val kept = pruned.filter(!cond)
         val present = kept.select(partCols: _*).distinct()
           .collect().map(_.toSeq).toSet
-        kept.write.format("parquet")
+        // physical names on disk (column mapping; identity when
+        // unmapped — partition columns are never mapped)
+        ColumnMapping.toPhysical(spark, base, kept)
+          .write.format("parquet")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(parts: _*)
           .mode("overwrite").save(base)
@@ -124,7 +127,7 @@ object Delete {
         val batchDir = captureOrFence(scanned.filter(cond))
         val tmp = base + "__graft_tmp"
         Fs.deleteChecked(spark, tmp)
-        scanned.filter(!cond)
+        ColumnMapping.toPhysical(spark, base, scanned.filter(!cond))
           .write.format("parquet").mode("overwrite").save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)
         // delete-all leaves no parquet file to infer a schema from —
@@ -378,7 +381,8 @@ object MorDelete {
         Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER")
       val tmp = base + "__graft_tmp"
       Fs.deleteChecked(spark, tmp)
-      kept.write.format("parquet").mode("overwrite").save(tmp)
+      ColumnMapping.toPhysical(spark, base, kept)
+        .write.format("parquet").mode("overwrite").save(tmp)
       GraftLog.carryLogAndSwap(spark, base, tmp)
       // a compact that tombstoned EVERY row leaves no parquet file to
       // infer a schema from — record it (Delete.where's delete-all

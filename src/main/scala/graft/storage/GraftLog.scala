@@ -118,11 +118,21 @@ object GraftLog {
     * present-but-unmanaged. The original log's copy leaves with
     * `__old`. */
   def carryLogAndSwap(spark: SparkSession, base: String, tmp: String,
-                      appendOp: Option[(String, Seq[String])] = None)
+                      appendOp: Option[(String, Seq[String])] = None,
+                      carryColMap: Boolean = true)
       : Unit = {
     val old = base + "__graft_old"
     Fs.deleteChecked(spark, old) // leftover from a crashed prior swap
     Fs.copyDirChecked(spark, logPath(base), logPath(tmp))
+    // the column-mapping sidecar is table metadata like the op log —
+    // a COW rewrite stages PHYSICAL-named files, so shedding the map
+    // would surface physical names to every reader. The one caller
+    // that stages LOGICAL names on purpose (Alter.materializeMapping)
+    // passes carryColMap = false to clear it with the swap.
+    val colMap = ColumnMapping.sidecarPath(base)
+    if (carryColMap && Fs.exists(spark, colMap))
+      Fs.writeText(spark, ColumnMapping.sidecarPath(tmp),
+        Fs.readText(spark, colMap))
     // an op row whose CONTENT is load-bearing (ALTER's re-recorded
     // partitioning) lands in the STAGED log before the renames — the
     // row and the data it describes become one atomic swap; a
@@ -188,19 +198,31 @@ object GraftLog {
     * exists but no reader can infer its schema), then
     * [[carryLogAndSwap]] with every sidecar carried. `appendOp` lands
     * an op-log row in the staged log before the renames (see
-    * [[carryLogAndSwap]]). */
+    * [[carryLogAndSwap]]).
+    *
+    * `df` arrives in LOGICAL column space (every caller computes on
+    * logical reads); the staging write projects it to PHYSICAL names
+    * so new files agree with old ones under a column mapping —
+    * except when `materializeMapping` is set, which stages the
+    * logical names AS the new physical ones and clears the sidecar
+    * with the swap (the mapping's one explicit COW escape hatch). */
   def stageAndSwap(spark: SparkSession, base: String,
                    df: org.apache.spark.sql.DataFrame,
                    parts: Seq[String],
-                   appendOp: Option[String] = None): Unit = {
+                   appendOp: Option[String] = None,
+                   materializeMapping: Boolean = false): Unit = {
+    val out =
+      if (materializeMapping) df
+      else ColumnMapping.toPhysical(spark, base, df)
     val tmp = base.stripSuffix("/") + "__graft_tmp"
     Fs.deleteChecked(spark, tmp)
-    var writer = df.write.format("parquet").mode("overwrite")
+    var writer = out.write.format("parquet").mode("overwrite")
     if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
     writer.save(tmp)
     if (Fs.dataFiles(spark, tmp).isEmpty)
-      Fs.writeText(spark, schemaSidecar(tmp), df.schema.json)
-    carryLogAndSwap(spark, base, tmp, appendOp.map(_ -> parts))
+      Fs.writeText(spark, schemaSidecar(tmp), out.schema.json)
+    carryLogAndSwap(spark, base, tmp, appendOp.map(_ -> parts),
+      carryColMap = !materializeMapping)
   }
 
   /** Swap a freshly-written replacement in over a managed OVERWRITE.
@@ -289,10 +311,17 @@ object GraftLog {
       "The given path is not a Delta Table.")
     val files = Fs.dataFiles(spark, tablePath)
     val hist = history(spark, tablePath).collect()
+    // commit-lock observability: WHO holds the table and for how long
+    // — an operator can spot a wedged table (crashed holder awaiting
+    // the timeout) from DESCRIBE DETAIL instead of reading sidecar
+    // files. Null/null when unlocked, the overwhelmingly common case.
+    val lock = Txn.heldBy(spark, tablePath)
     val row = Row("delta", files.size.toLong, files.map(_._2).sum,
       lastPartitioning(spark, tablePath).mkString(","),
       hist.length.toLong,
-      hist.headOption.map(_.getString(0)).orNull)
+      hist.headOption.map(_.getString(0)).orNull,
+      lock.map(_._1).orNull,
+      lock.map(l => Long.box(l._2)).orNull)
     spark.createDataFrame(
       java.util.Collections.singletonList(row),
       StructType(Seq(
@@ -301,7 +330,9 @@ object GraftLog {
         StructField("size_bytes", LongType),
         StructField("partition_columns", StringType),
         StructField("num_operations", LongType),
-        StructField("last_operation", StringType))))
+        StructField("last_operation", StringType),
+        StructField("lock_holder_op", StringType),
+        StructField("lock_age_ms", LongType))))
   }
 
   /** The operation history, newest first (history() analogue).

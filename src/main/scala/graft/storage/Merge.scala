@@ -547,6 +547,12 @@ object Merge {
             s"""Incremental data have a different schema.
                |New fields: ${newFields.mkString(", ")}
                |Missing fields: ${missing.mkString(", ")}""".stripMargin)
+        // evolution ADDS columns — under a column mapping their names
+        // must not collide with physical names old files still occupy
+        // (the mapping invariant; see ColumnMapping.refuseOccupied)
+        ColumnMapping.refuseOccupied(spark, path.stripSuffix("/"),
+          newFields.map(_.name).toSeq,
+          s"evolve the schema of $path")
         val inc2 = missing.foldLeft(df0)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType)))
         val full2 = newFields.foldLeft(full)((d, f) =>
@@ -830,7 +836,10 @@ object Merge {
         try {
           val present = result.select(partCols: _*).distinct()
             .collect().map(_.toSeq).toSet
-          result.write.format("parquet")
+          // physical names on disk (column mapping; identity when
+          // unmapped — partition columns are never mapped)
+          ColumnMapping.toPhysical(spark, base, result)
+            .write.format("parquet")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(effectiveParts: _*)
             .mode("overwrite").save(base)
@@ -846,7 +855,8 @@ object Merge {
         // (GraftLog.carryLogAndSwap).
         val tmp = base + "__graft_tmp"
         Fs.deleteChecked(spark, tmp)
-        var writer = result.write.format("parquet").mode("overwrite")
+        var writer = ColumnMapping.toPhysical(spark, base, result)
+          .write.format("parquet").mode("overwrite")
         if (effectiveParts.nonEmpty) writer = writer.partitionBy(effectiveParts: _*)
         writer.save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)

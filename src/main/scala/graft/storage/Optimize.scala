@@ -173,6 +173,8 @@ object Optimize {
         work.repartition(numTasks, parts.map(col) :+ salt: _*)
       } else work.coalesce(nFiles)
 
+    // physical names on disk (column mapping; identity when unmapped)
+    val physShaped = ColumnMapping.toPhysical(spark, base, shaped)
     scope match {
       case Some(aff) =>
         // scoped rewrite: stage the compacted copies of exactly the
@@ -181,14 +183,14 @@ object Optimize {
         // whole point of OPTIMIZE WHERE at 100 TB)
         val tmp = base + "__graft_tmp"
         Fs.deleteChecked(spark, tmp)
-        shaped.write.format("parquet").partitionBy(parts: _*)
+        physShaped.write.format("parquet").partitionBy(parts: _*)
           .mode("overwrite").save(tmp)
         swapScopedPartitions(spark, base, tmp, parts, aff)
         Fs.deleteChecked(spark, tmp)
       case None =>
         val tmp = base + "__graft_tmp"
         Fs.deleteChecked(spark, tmp)
-        var writer = shaped.write.format("parquet").mode("overwrite")
+        var writer = physShaped.write.format("parquet").mode("overwrite")
         if (parts.nonEmpty) writer = writer.partitionBy(parts: _*)
         writer.save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)

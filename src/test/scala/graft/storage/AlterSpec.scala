@@ -191,4 +191,171 @@ class AlterSpec extends AnyFunSuite with SparkSpec {
     Alter.renameColumn(spark, st, path, "v", "value")
     assert(st.read(path, "delta").schema.fieldNames.contains("value"))
   }
+
+  /** (path, size, mtime) of every data file — the ZERO-REWRITE proof
+    * for metadata-only alters. */
+  private def fileFingerprint(path: String): Seq[(String, Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Fs.dataFiles(spark, path).map { case (p, len) =>
+      (p, len, fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        .getModificationTime)
+    }.sortBy(_._1)
+  }
+
+  test("metadata-only rename/drop: zero data files touched, logical " +
+      "schema and values correct, later mutations write consistently") {
+    val path = tempDir("alter_mapped") + "/t"
+    st.write(Seq((1L, "a", 1.0, "x"), (2L, "b", 2.0, "y"))
+      .toDF("id", "k", "v", "junk"), path, "delta", "overwrite")
+    val before = fileFingerprint(path)
+    Alter.renameColumnMetadata(spark, st, path, "v", "value")
+    Alter.dropColumnMetadata(spark, st, path, "junk")
+    assert(fileFingerprint(path) == before,
+      "a metadata alter must not touch a single data file")
+    val out = st.read(path, "delta")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "k", "value"))
+    assert(out.select("id", "value").as[(Long, Double)].collect()
+      .sorted.toSeq == Seq((1L, 1.0), (2L, 2.0)))
+    // a merge AFTER the mapped alter writes physical names: the new
+    // file and the old files must read back as one consistent table
+    st.merge(Seq((2L, "b2", 20.0), (3L, "c", 3.0))
+      .toDF("id", "k", "value"), path, "full.id = incremental.id")
+    assert(st.read(path, "delta").select("id", "k", "value")
+      .as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    // the mapping rides the merge's COW swap
+    assert(ColumnMapping.load(spark, path).nonEmpty,
+      "the mapping sidecar must survive a COW rewrite")
+    // appends and deletes keep working in logical space
+    st.write(Seq((4L, "d", 4.0)).toDF("id", "k", "value"),
+      path, "delta", "append")
+    assert(Delete.where(spark, st, path, "value >= 20.0") == 1L)
+    assert(st.read(path, "delta").select("id").as[Long].collect()
+      .sorted.toSeq == Seq(1L, 3L, 4L))
+    // constraints bind to the logical name
+    Constraints.add(spark, st, path, "value_pos", "value > 0")
+    intercept[Exception] {
+      st.write(Seq((9L, "z", -1.0)).toDF("id", "k", "value"),
+        path, "delta", "append")
+    }
+  }
+
+  test("mapped rename chains collapse to the original physical name; " +
+      "a rename back to it clears the mapping; NAME SWAPS through the " +
+      "mapping are refused (they would break idempotency)") {
+    val path = tempDir("alter_mapped_chain") + "/t"
+    st.write(Seq((1L, 10.0, 100.0)).toDF("id", "a", "b"),
+      path, "delta", "overwrite")
+    // chain a→t→u stores ONE entry a→u, never a t hop
+    Alter.renameColumnMetadata(spark, st, path, "a", "t")
+    Alter.renameColumnMetadata(spark, st, path, "t", "u")
+    assert(ColumnMapping.load(spark, path).get.renames == Map("a" -> "u"))
+    assert(st.read(path, "delta").select("u").as[Double].head() == 10.0)
+    // renaming ONTO another column's occupied physical (the a/b swap
+    // move) refuses — old files could not tell the two "a"s apart
+    val e = intercept[IllegalStateException] {
+      Alter.renameColumnMetadata(spark, st, path, "b", "a")
+    }
+    assert(e.getMessage.contains("materializeMapping"))
+    // renaming BACK to the column's own physical name is the identity
+    // case: allowed, and the sidecar disappears entirely
+    Alter.renameColumnMetadata(spark, st, path, "u", "a")
+    assert(ColumnMapping.load(spark, path).isEmpty,
+      "identity mapping must remove the sidecar, not store a no-op")
+    assert(st.read(path, "delta").select("a", "b")
+      .as[(Double, Double)].head() == ((10.0, 100.0)))
+  }
+
+  test("mapped-alter refusals: partition column, occupied physical " +
+      "names, retained feed; materializeMapping is the escape hatch") {
+    val path = tempDir("alter_mapped_refuse") + "/t"
+    st.write(Seq((1L, "p0", 1.0, 9L)).toDF("id", "k", "v", "old"),
+      path, "delta", "overwrite", Seq("k"))
+    // partition column: metadata rename would orphan the k= dirs
+    val e1 = intercept[IllegalArgumentException] {
+      Alter.renameColumnMetadata(spark, st, path, "k", "bucket")
+    }
+    assert(e1.getMessage.contains("COW"),
+      s"must point at the COW flavor: ${e1.getMessage}")
+    // occupied names: after drop(old) + rename(v→price), neither
+    // "old" nor "v" may return as a logical column — old files still
+    // carry those physical names and would disagree about meaning
+    Alter.dropColumnMetadata(spark, st, path, "old")
+    Alter.renameColumnMetadata(spark, st, path, "v", "price")
+    val e2 = intercept[IllegalStateException] {
+      Alter.addColumn(spark, st, path, "old", "string")
+    }
+    assert(e2.getMessage.contains("materializeMapping"))
+    // a DIFFERENT column renamed onto an occupied physical refuses
+    // (renaming price back to its own physical "v" would be the
+    // allowed identity case — this is id onto dropped "old")
+    intercept[IllegalStateException] {
+      Alter.renameColumnMetadata(spark, st, path, "id", "old")
+    }
+    // merge schema evolution hits the same wall
+    intercept[IllegalStateException] {
+      st.merge(Seq((1L, "p0", 1.0, "zz")).toDF("id", "k", "price", "old"),
+        path, "full.id = incremental.id", partitionFields = Seq("k"),
+        mergeSchemas = true)
+    }
+    // materialize: one COW rewrite clears the mapping and frees the
+    // names — and the content is unchanged through it
+    val pre = st.read(path, "delta").collect().map(_.toString).sorted
+    assert(Alter.materializeMapping(spark, st, path))
+    assert(ColumnMapping.load(spark, path).isEmpty)
+    assert(st.read(path, "delta").collect().map(_.toString).sorted
+      .toSeq == pre.toSeq)
+    assert(!Alter.materializeMapping(spark, st, path),
+      "materializing twice must report nothing to do")
+    Alter.addColumn(spark, st, path, "old", "string")
+    assert(st.read(path, "delta").schema.fieldNames.contains("old"))
+    // retained feed refuses the mapped flavor like the COW one
+    val path2 = tempDir("alter_mapped_feed") + "/t"
+    st.write(Seq((1L, 1.0)).toDF("id", "v"), path2, "delta", "overwrite")
+    st.merge(Seq((2L, 2.0)).toDF("id", "v"), path2,
+      "full.id = incremental.id", captureChanges = true)
+    intercept[IllegalStateException] {
+      Alter.renameColumnMetadata(spark, st, path2, "v", "value")
+    }
+  }
+
+  test("mapped alter fences time travel and keeps streaming reads " +
+      "and data skipping correct in logical space") {
+    val path = tempDir("alter_mapped_travel") + "/t"
+    st.write((1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      path, "delta", "overwrite")
+    st.merge(Seq((1L, 11.0)).toDF("id", "v"), path,
+      "full.id = incremental.id", captureChanges = true)
+    val stamp = Merge.changeFeed(spark, path)
+      .select("batch").distinct().head().getLong(0)
+    Merge.pruneChangeFeed(spark, path, stamp)
+    Alter.renameColumnMetadata(spark, st, path, "v", "value")
+    // pruned-era stamps refuse below the alter (the fence), exactly
+    // like the COW flavor
+    intercept[IllegalArgumentException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp - 1).collect()
+    }
+    // a file stream over the mapped table must see LOGICAL names with
+    // the RIGHT values (the probe must be physical — a logical probe
+    // would read the renamed column as null)
+    val stream = st.readStream(path, "delta")
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "value"))
+    val q = stream.writeStream.format("memory")
+      .queryName("alter_mapped_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("alter_mapped_stream")
+      .select("id", "value").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 11.0 && got(2L) == 2.0 && got.size == 20,
+      s"the stream must read the renamed column's VALUES: $got")
+    // data skipping: stats collected pre-rename (physical names) must
+    // still prune correctly for logical predicates post-rename
+    DataSkipping.collectStats(spark, path, Seq("value"))
+    val pruned = DataSkipping.prunedRead(spark, path, "value",
+      Some(11.0), Some(11.0))
+    assert(pruned.schema.fieldNames.toSeq == Seq("id", "value"))
+    // both 11.0 rows: id=11 (original) and id=1 (merged update)
+    assert(pruned.filter(col("value") === 11.0).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 11L))
+  }
 }

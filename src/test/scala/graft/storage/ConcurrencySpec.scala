@@ -275,6 +275,22 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert(!Fs.exists(spark, Txn.lockPath(path)))
   }
 
+  test("DESCRIBE DETAIL surfaces the lock holder: op + age while " +
+      "held, nulls when free") {
+    val path = mkTable("txn_detail", Seq(1L -> "a"))
+    val free = GraftLog.tableDetail(spark, path).head()
+    assert(free.isNullAt(free.fieldIndex("lock_holder_op")) &&
+      free.isNullAt(free.fieldIndex("lock_age_ms")),
+      "an unlocked table must report null holder facts")
+    val token = Txn.acquire(spark, path, "OPTIMIZE")
+    try {
+      val held = GraftLog.tableDetail(spark, path).head()
+      assert(held.getString(held.fieldIndex("lock_holder_op")) == "OPTIMIZE",
+        "the holder's op must be visible without reading sidecar files")
+      assert(held.getLong(held.fieldIndex("lock_age_ms")) >= 0L)
+    } finally Txn.release(spark, path, token)
+  }
+
   test("the lock refuses filesystems without an atomic " +
       "create-if-absent unless the deployment vouches for the scheme") {
     // a scheme whose create(overwrite=false) is exists-then-open —

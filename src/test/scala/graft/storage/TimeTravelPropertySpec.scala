@@ -15,7 +15,10 @@ case class TtPropRow(id: Long, v: Long)
   * deletes, uncaptured deletes and merges, managed overwrites, managed
   * appends, feed prunes, MoR tombstone deletes and compacts, captured
   * restores to any servable snapshot, content-invisible OPTIMIZE
-  * compactions — plus two crash events: an
+  * compactions, ALTER column surgery in both flavors (COW
+  * add/rename/drop round trips and metadata-only mapped renames, each
+  * behind the prune-then-alter sequence the API requires) — plus two
+  * crash events: an
   * ORPHAN change batch (a capture that died between its
   * log-before-data batch write and the data rewrite, so no `_commit`
   * marker exists) and the `Maintenance.vacuum` that sweeps it.
@@ -88,7 +91,21 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           snapshots += ((horizon, model))
         } else snapshots = ArrayBuffer((Long.MinValue, model))
 
-      for (_ <- 0 until 9) rng.nextInt(17) match {
+      // column surgery requires a fully-pruned feed (captured batches
+      // name the old schema) — the production prune-then-alter
+      // sequence. Pruning to the NEWEST stamp clears every batch,
+      // orphans included (their dirs delete with the range; the prune
+      // horizon replaces their marker refusal).
+      def pruneFeedForAlter(): Unit =
+        if (Merge.hasChanges(spark, path)) {
+          val tip = maxFeedStamp(path)
+          trace += s"pruneForAlter($tip)"
+          Merge.pruneChangeFeed(spark, path, tip)
+          horizon = math.max(horizon, tip)
+          orphans = Set.empty
+        }
+
+      for (_ <- 0 until 9) rng.nextInt(20) match {
         case 0 | 1 | 2 | 3 =>
           // captured merge: upsert + delete clause on v = -1
           val inc = rng.shuffle((0 until 18).toList)
@@ -279,6 +296,43 @@ class TimeTravelPropertySpec extends AnyFunSuite with SparkSpec {
           // content changes, only the past goes wrong.
           trace += "optimize"
           Optimize.run(spark, st, path)
+        case 17 =>
+          // ALTER ADD + DROP round trip (schema returns to (id, v), so
+          // the harness's fixed row type keeps working): ADD is
+          // travel-compatible and fences nothing — every recorded
+          // stamp must keep serving, the added column reading null
+          // below the add is invisible to the id→v model; DROP is a
+          // COW rewrite behind a barrier, sidecars (tombstones
+          // included) riding the swap.
+          pruneFeedForAlter()
+          trace += "alter(add w, drop w)"
+          Alter.addColumn(spark, st, path, "w", "string")
+          Alter.dropColumn(spark, st, path, "w")
+          fenced()
+        case 18 =>
+          // COW RENAME round trip v→w→v: two full rewrites, two
+          // barriers; the content is identical at the end, and every
+          // pre-alter stamp must refuse at the fence rather than
+          // reconstruct under a schema that briefly did not exist.
+          pruneFeedForAlter()
+          trace += "alterRename(v→w→v)"
+          Alter.renameColumn(spark, st, path, "v", "w")
+          Alter.renameColumn(spark, st, path, "w", "v")
+          fenced()
+        case 19 =>
+          // METADATA-ONLY rename round trip through the column
+          // mapping: zero data files move, the second rename collapses
+          // the mapping back to identity (sidecar gone) — but the
+          // fence contract is the same as the COW flavor, and later
+          // captured merges/restores run against a table that briefly
+          // carried a mapping.
+          pruneFeedForAlter()
+          trace += "alterMapped(v→w→v)"
+          Alter.renameColumnMetadata(spark, st, path, "v", "w")
+          Alter.renameColumnMetadata(spark, st, path, "w", "v")
+          assert(ColumnMapping.load(spark, path).isEmpty,
+            "the identity round trip must clear the mapping sidecar")
+          fenced()
       }
 
       for (((stamp, snap), i) <- snapshots.zipWithIndex) {
