@@ -97,12 +97,12 @@ object Alter {
       val cols = df.schema.fieldNames.toSeq
       require(!cols.exists(_.equalsIgnoreCase(name)),
         s"column '$name' already exists")
-      // under a column mapping the new LOGICAL name must not collide
-      // with a physical name old files still occupy (renamed-from or
-      // dropped) — the one configuration where old and new parquet
-      // schemas would disagree about what the name means
-      ColumnMapping.refuseOccupied(spark, base, Seq(name),
-        s"add column '$name' to $base")
+      // no occupied-name refusal here: the COW rewrite below
+      // materializes any mapping (every old file is replaced under
+      // logical names), so a name old files used to occupy is free
+      // again — unlike merge schema evolution, which KEEPS the
+      // mapping and projects to physical names, where the new column
+      // would collide inside its own write projection
       val parts = GraftLog.lastPartitioning(spark, base)
       // fence = false: the add is travel-compatible (see scaladoc) —
       // the same reason evolving merges don't fence
@@ -269,14 +269,26 @@ object Alter {
     * schema all ride ONE atomic swap. A post-swap append would leave
     * a crash window where a partition-renamed table's log still named
     * the old column — every later mutation would resolve a column
-    * that no longer exists, and the alter could not be re-run. */
+    * that no longer exists, and the alter could not be re-run.
+    *
+    * A COW surgery MATERIALIZES any column mapping as part of its
+    * rewrite (`out` is the post-surgery LOGICAL frame; it is staged
+    * verbatim and the sidecar clears with the swap). Projecting back
+    * to physical names instead would silently UNDO the surgery: a COW
+    * rename of a mapped column writes the new name, toPhysical maps
+    * nothing (the old logical name is gone from the frame), and the
+    * carried sidecar re-aliases the files right back to the old
+    * logical name on the next read — a petabyte rewrite that changes
+    * nothing, with no error anywhere. Since the rewrite replaces
+    * EVERY file, no old physical name survives and no mapping is
+    * needed afterwards. */
   private def rewrite(spark: SparkSession, base: String,
                       out: org.apache.spark.sql.DataFrame,
                       parts: Seq[String], fence: Boolean = true): Unit = {
     if (fence)
       Merge.recordChangeBarrier(spark, base, "CHANGES_BARRIER", parts)
     GraftLog.stageAndSwap(spark, base, out, parts,
-      appendOp = Some("ALTER"))
+      appendOp = Some("ALTER"), materializeMapping = true)
   }
 
   /** See the class doc: replication replays feed batches without

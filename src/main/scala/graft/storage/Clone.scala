@@ -93,7 +93,19 @@ object Clone {
         "the table's merge keys")
 
     // CLAIM dst (step 1 of the scaladoc contract): the shell + lock
-    // make this clone the path's only creator
+    // make this clone the path's only creator. A dst whose swap
+    // artifacts exist (aside shell or staged clone) is another
+    // clone's commit in flight — or its crash debris — and the
+    // unconditional mkdirs below would re-create the mid-swap-absent
+    // root out from under that clone's rename (the same shell-root
+    // hazard Txn.tryCreate refuses on absent table roots). Refuse;
+    // vacuum heals the crashed case.
+    if (Fs.exists(spark, d + "__graft_old") ||
+        Fs.exists(spark, d + "__graft_tmp"))
+      throw new ConcurrentWriteException(
+        s"another clone to $d is committing (or crashed mid-commit " +
+          "and left swap artifacts) — retry, or run Maintenance" +
+          ".vacuum on the destination to resolve the debris")
     val dp = new org.apache.hadoop.fs.Path(d)
     dp.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dp)
     val token =
@@ -156,23 +168,32 @@ object Clone {
       case e: Throwable =>
         // a refused clone leaves NO trace: staging gone, and the
         // shell too unless the swap already made dst a real table
-        // (then the failure was post-commit bookkeeping — keep it)
+        // (then the failure was post-commit bookkeeping — keep it).
+        // The shell is deleted only while OUR token is in its lock:
+        // if another clone has since re-claimed the path (we lost a
+        // race somewhere), deleting "the shell" would destroy THEIR
+        // live claim.
         try {
           Fs.deleteChecked(spark, tmp)
-          if (!GraftLog.isManagedTable(spark, d))
-            Fs.deleteChecked(spark, d)
+          val ownShell = !GraftLog.isManagedTable(spark, d) &&
+            (try Fs.readText(spark, Txn.lockPath(d)).linesIterator
+              .nextOption().contains(token)
+             catch { case scala.util.control.NonFatal(_) => false })
+          if (ownShell) Fs.deleteChecked(spark, d)
         } catch { case scala.util.control.NonFatal(_) => () }
         throw e
     } finally Txn.release(spark, d, token)
   }
 
-  /** True when `d` is a re-claimable EMPTY SHELL: a dir holding only
-    * underscore sidecars (in practice: a crashed clone's claim lock),
-    * no data, no subdirs, no op log. Anything else is a real
-    * occupant — refused, never overwritten. */
+  /** True when `d` is a re-claimable EMPTY SHELL: a dir holding
+    * NOTHING but (at most) a crashed clone's claim lock — no data, no
+    * subdirs, no op log, no other file of any kind. Anything else —
+    * including a real-but-empty parquet output whose only content is
+    * a `_SUCCESS` marker — is a real occupant: refused, never
+    * overwritten. */
   private def claimableShell(spark: SparkSession, d: String): Boolean =
     !GraftLog.isManagedTable(spark, d) &&
       (try Fs.listSubdirs(spark, d).isEmpty &&
-           Fs.listFiles(spark, d).forall(_.startsWith("_"))
+           Fs.listFiles(spark, d).forall(_ == Txn.LockFileName)
        catch { case scala.util.control.NonFatal(_) => false })
 }

@@ -345,9 +345,11 @@ object DataSkipping {
     // stats rows are keyed on PHYSICAL names (collected from parquet
     // footers); callers predicate in logical space — translate, or a
     // mapped rename would match stale stats of a DIFFERENT column and
-    // prune wrongly (missing rows, silently)
+    // prune wrongly (missing rows, silently). ONE sidecar load for
+    // the whole predicate list — this is the lookup hot path
+    val mapping = ColumnMapping.load(spark, tablePath)
     val phys = preds.map { case (c, lo, hi) =>
-      (ColumnMapping.physicalNames(spark, tablePath, Seq(c)).head, lo, hi)
+      (mapping.map(_.physicalOf(c)).getOrElse(c), lo, hi)
     }
     // a file is dropped iff SOME stats row for a predicate column
     // proves its range cannot intersect that predicate

@@ -86,27 +86,32 @@ object Delete {
         val kept = pruned.filter(!cond)
         val present = kept.select(partCols: _*).distinct()
           .collect().map(_.toSeq).toSet
-        // physical names on disk (column mapping; identity when
-        // unmapped — partition columns are never mapped)
+        // staged beside the table, committed via [[PartitionSwap]]
+        // rename-aside swaps (never dynamic overwrite's delete-then-
+        // rename window); fully-deleted partitions go in the removed
+        // set. Physical names on disk (column mapping; identity when
+        // unmapped — partition columns are never mapped).
+        val tmp = base + "__graft_tmp"
+        Fs.deleteChecked(spark, tmp)
         ColumnMapping.toPhysical(spark, base, kept)
           .write.format("parquet")
-          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(parts: _*)
-          .mode("overwrite").save(base)
-        // dynamic overwrite skips partitions with no surviving rows —
-        // clear fully-deleted directories explicitly (same bookkeeping
-        // as Merge's emptied-partition branch)
-        affected.filterNot(present.contains).foreach { values =>
-          Fs.delete(spark,
-            s"$base/${Fs.partitionDirName(parts, values)}")
-        }
+          .mode("overwrite").save(tmp)
+        PartitionSwap.swap(spark, base, tmp, parts,
+          replaced = present.toSeq,
+          removed = affected.filterNot(present.contains))
+        Fs.deleteChecked(spark, tmp)
         // a delete-all cleared every affected partition AND no other
         // partitions exist — record the schema so the emptied table
-        // stays readable (no files left to infer from)
+        // stays readable (no files left to infer from). PHYSICAL
+        // names: the sidecar stands in for a file footer, and
+        // readStream's schema probe must see what a footer would
+        // (a logical-named sidecar would make a later append's
+        // physical-named rows stream back as null)
         if (present.isEmpty &&
             Fs.dataFiles(spark, base).isEmpty)
           Fs.writeText(spark, GraftLog.schemaSidecar(base),
-            df.schema.json)
+            ColumnMapping.toPhysical(spark, base, df).schema.json)
         batchDir.foreach(d =>
           Fs.touch(spark, s"$d/${Merge.ChangesCommitMarker}"))
         GraftLog.append(spark, base, "DELETE", parts)
@@ -131,10 +136,11 @@ object Delete {
           .write.format("parquet").mode("overwrite").save(tmp)
         GraftLog.carryLogAndSwap(spark, base, tmp)
         // delete-all leaves no parquet file to infer a schema from —
-        // record it so the emptied table stays readable
+        // record it so the emptied table stays readable (PHYSICAL
+        // names — the sidecar stands in for a file footer)
         if (deleted == total)
           Fs.writeText(spark, GraftLog.schemaSidecar(base),
-            scanned.schema.json)
+            ColumnMapping.toPhysical(spark, base, scanned).schema.json)
         batchDir.foreach(d =>
           Fs.touch(spark, s"$d/${Merge.ChangesCommitMarker}"))
         GraftLog.append(spark, base, "DELETE", Nil)
@@ -388,8 +394,9 @@ object MorDelete {
       // infer a schema from — record it (Delete.where's delete-all
       // discipline) so the emptied table stays readable
       if (after == 0L)
+        // physical names — the sidecar stands in for a file footer
         Fs.writeText(spark, GraftLog.schemaSidecar(base),
-          kept.schema.json)
+          ColumnMapping.toPhysical(spark, base, kept).schema.json)
       // the swap carries sidecars (so OTHER rewrites can't resurrect
       // deleted rows); this rewrite CONSUMED the tombstones — clear
       // them explicitly

@@ -34,7 +34,8 @@ import org.apache.spark.sql.SparkSession
   *    refusal deletes it) — crash debris, deleted once AGED past the
   *    orphan horizon; younger stages may be a live audit in flight
   *    (audits hold no lock by design) and are skip-reported.
-  *  - `X__graft_optaside`: a crashed scoped optimize's parked
+  *  - `X__graft_partaside`: a crashed partition-scoped commit's
+  *    (merge / delete / scoped optimize — [[PartitionSwap]]) parked
   *    partition originals — each leaf HEALS back when its live
   *    partition dir is missing (the only complete copy), drops when
   *    the swap completed.
@@ -160,13 +161,24 @@ object Maintenance {
           .foreach { st =>
             // newest FILE inside; the dir's own mtime only for an
             // empty stage (object-store dir mtimes are synthetic and
-            // could read as "now" forever — a never-aging orphan)
+            // could read as "now" forever — a never-aging orphan).
+            // The walk tolerates the stage VANISHING mid-listing — a
+            // live WAP run consuming (publish) or cleaning (refusal)
+            // it between the parent listStatus and here is normal
+            // churn, and aborting the whole vacuum over it would skip
+            // every heal planned after this point. A vanished or
+            // churning stage reads as "someone owns it": skip-aged.
             var newest = -1L
-            val it = pfs.listFiles(st.getPath, true)
-            while (it.hasNext) {
-              val f = it.next()
-              if (f.getModificationTime > newest)
-                newest = f.getModificationTime
+            try {
+              val it = pfs.listFiles(st.getPath, true)
+              while (it.hasNext) {
+                val f = it.next()
+                if (f.getModificationTime > newest)
+                  newest = f.getModificationTime
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                newest = System.currentTimeMillis()
             }
             if (newest < 0) newest = st.getModificationTime
             val age = System.currentTimeMillis() - newest
@@ -183,29 +195,30 @@ object Maintenance {
       }
     }
 
-    // --- interrupted scoped optimize ([[Optimize.healScopedAside]]):
-    // each leaf of `<base>__graft_optaside` is a partition's ORIGINAL
-    // copy parked mid-swap. Live dir missing ⟹ the crash hit between
-    // the two renames — the aside is the only complete copy, restore
-    // it; live dir present ⟹ that swap completed — the aside is a
-    // stale pre-swap copy. No age gate: the aside exists only under
-    // the commit lock, and a young lock already deferred this sweep,
-    // so reaching here means the owner crashed.
+    // --- interrupted partition-scoped commit ([[PartitionSwap]] —
+    // merge, delete, or scoped optimize): each leaf of
+    // `<base>__graft_partaside` is a partition's ORIGINAL copy parked
+    // mid-swap. Live dir missing ⟹ the crash hit between the two
+    // renames — the aside is the only complete copy, restore it; live
+    // dir present ⟹ that swap completed — the aside is a stale
+    // pre-swap copy. No age gate: the aside exists only under the
+    // commit lock, and a young lock already deferred this sweep, so
+    // reaching here means the owner crashed.
     {
-      val optAside = Optimize.asidePath(base)
-      if (Fs.exists(spark, optAside)) {
-        Optimize.scopedAsideLeaves(spark, optAside).foreach {
+      val partAside = PartitionSwap.asidePath(base)
+      if (Fs.exists(spark, partAside)) {
+        PartitionSwap.asideLeaves(spark, partAside).foreach {
           case (leaf, rel) =>
             val live = base + "/" + rel
             if (!Fs.exists(spark, live))
               actions += heal(leaf, live,
-                "interrupted scoped optimize — restoring the " +
-                  "partition's pre-compaction copy")
+                "interrupted partition-scoped commit — restoring the " +
+                  "partition's parked original")
             else
               actions += delete(leaf,
-                "scoped-optimize aside whose swap completed")
+                "partition-swap aside whose swap completed")
         }
-        actions += delete(optAside, "scoped-optimize aside root")
+        actions += delete(partAside, "partition-swap aside root")
       }
     }
 

@@ -824,29 +824,34 @@ object Merge {
       val tombPlan = MorDelete.planReconcile(spark, base, rewritten)
 
       if (effectiveParts.nonEmpty && !evolving) {
-        // Partitioned table: rewrite ONLY the affected partitions via
-        // dynamic partition overwrite — unaffected partition directories
-        // are never touched. Dynamic overwrite skips partitions with no
-        // output rows, so partitions EMPTIED by the merge (a row updated
-        // out of its old partition) are cleared explicitly; the affected
-        // set is driver-collected metadata, bounded by touched partitions
-        // (the same driver-side bookkeeping a Delta merge keeps per file).
+        // Partitioned table: rewrite ONLY the affected partitions,
+        // staged beside the table and committed via [[PartitionSwap]]
+        // rename-aside swaps — unaffected partition directories are
+        // never touched, and unlike dynamic partition overwrite's
+        // delete-then-rename commit, a complete copy of every
+        // partition exists at every instant of the commit (a crash
+        // is healed, never whole-partition loss). Partitions EMPTIED
+        // by the merge (a row updated out of its old partition) go in
+        // the removed set; the affected set is driver-collected
+        // metadata, bounded by touched partitions (the same
+        // driver-side bookkeeping a Delta merge keeps per file).
         val partCols = effectiveParts.map(col)
         result.persist()
         try {
           val present = result.select(partCols: _*).distinct()
             .collect().map(_.toSeq).toSet
+          val tmp = base + "__graft_tmp"
+          Fs.deleteChecked(spark, tmp)
           // physical names on disk (column mapping; identity when
           // unmapped — partition columns are never mapped)
           ColumnMapping.toPhysical(spark, base, result)
             .write.format("parquet")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(effectiveParts: _*)
-            .mode("overwrite").save(base)
-          affectedParts.filterNot(present.contains).foreach { values =>
-            Fs.delete(spark,
-              s"$base/${Fs.partitionDirName(effectiveParts, values)}")
-          }
+            .mode("overwrite").save(tmp)
+          PartitionSwap.swap(spark, base, tmp, effectiveParts,
+            replaced = present.toSeq,
+            removed = affectedParts.filterNot(present.contains))
+          Fs.deleteChecked(spark, tmp)
         } finally result.unpersist()
       } else {
         // Unpartitioned (or schema-evolving) table: copy-on-write —

@@ -46,15 +46,16 @@ object Optimize {
     * rewritten partition — compaction must be content-invisible).
     * Scoped rewrites stage EVERY affected partition's compacted copy
     * first, then swap each matched directory via rename-aside
-    * ([[swapScopedPartitions]]): a complete copy of every partition
-    * exists at every instant — unlike Spark's dynamic partition
-    * overwrite commit, whose delete-then-rename leaves a crashed
-    * partition MISSING with its rows stranded in an unreadable
-    * staging dir. A crash mid-commit here leaves some partitions
-    * compacted, some original, and possibly some riding in the
-    * `__graft_optaside` sibling until [[Maintenance.vacuum]] (or the
-    * next optimize, which heals at entry) restores them — never data
-    * loss. */
+    * ([[PartitionSwap]] — the shared partition-commit mechanism the
+    * merge and delete partitioned paths use too): a complete copy of
+    * every partition exists at every instant — unlike Spark's dynamic
+    * partition overwrite commit, whose delete-then-rename leaves a
+    * crashed partition MISSING with its rows stranded in an
+    * unreadable staging dir. A crash mid-commit here leaves some
+    * partitions compacted, some original, and possibly some riding in
+    * the `__graft_partaside` sibling until [[Maintenance.vacuum]] (or
+    * the next mutation, which heals at entry) restores them — never
+    * data loss. */
   def run(spark: SparkSession, storage: BasicStorage, path: String,
           clusterBy: Seq[String] = Nil,
           targetFileBytes: Long = 128L * 1024 * 1024,
@@ -75,10 +76,8 @@ object Optimize {
                         base: String, clusterBy: Seq[String],
                         targetFileBytes: Long, zOrder: Boolean,
                         where: Option[String]): Long = {
-    // a crashed scoped optimize may have left partitions riding in
-    // the aside sibling — restore them BEFORE reading the table, or
-    // this run's rewrite would silently miss their rows
-    healScopedAside(spark, base)
+    // (a crashed partition-scoped commit's aside was already healed
+    // by Txn.withTableLock before this body ran)
     val parts = GraftLog.lastPartitioning(spark, base)
 
     // Remember which columns carry skipping stats — the swap replaces
@@ -185,7 +184,7 @@ object Optimize {
         Fs.deleteChecked(spark, tmp)
         physShaped.write.format("parquet").partitionBy(parts: _*)
           .mode("overwrite").save(tmp)
-        swapScopedPartitions(spark, base, tmp, parts, aff)
+        PartitionSwap.swap(spark, base, tmp, parts, replaced = aff)
         Fs.deleteChecked(spark, tmp)
       case None =>
         val tmp = base + "__graft_tmp"
@@ -200,84 +199,6 @@ object Optimize {
     if (trackedCols.nonEmpty)
       DataSkipping.collectStats(spark, base, trackedCols)
     fileCount(spark, base)
-  }
-
-  /** Sibling dir a scoped optimize parks each replaced partition's
-    * ORIGINAL copy in during its per-partition swaps, mirroring the
-    * hive layout (`<base>__graft_optaside/k=v/...`). Root-level — a
-    * name inside the table would be ambiguous with partition values;
-    * a sibling cannot be. Exists only between a scoped optimize's
-    * first swap and its cleanup, under the commit lock. */
-  private[storage] def asidePath(base: String): String =
-    base.stripSuffix("/") + "__graft_optaside"
-
-  /** Replace each affected partition dir with its staged compacted
-    * copy: rename live → aside, staged → live, per partition. Unlike
-    * dynamic partition overwrite's delete-then-rename, a COMPLETE
-    * copy of every partition exists at every instant (live, staged,
-    * or aside) — a crash at any point is healed by
-    * [[healScopedAside]] with zero data loss. All asides drop in one
-    * recursive delete at the end. */
-  private def swapScopedPartitions(spark: SparkSession, base: String,
-                                   tmp: String, parts: Seq[String],
-                                   affected: Seq[Seq[Any]]): Unit = {
-    val aside = asidePath(base)
-    Fs.deleteChecked(spark, aside) // healScopedAside ran at entry
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(base).getFileSystem(conf)
-    affected.foreach { values =>
-      val frag = Fs.partitionDirName(parts, values)
-      val staged = tmp + "/" + frag
-      if (!Fs.exists(spark, staged))
-        throw new IllegalStateException(
-          s"scoped optimize staged no copy for partition $frag — " +
-            "refusing to touch the live partition (compaction must " +
-            "be content-preserving)")
-      val live = base + "/" + frag
-      val asideLeaf = aside + "/" + frag
-      fs.mkdirs(new Path(asideLeaf).getParent)
-      Fs.renameChecked(spark, live, asideLeaf)
-      Fs.renameChecked(spark, staged, live)
-    }
-    Fs.deleteChecked(spark, aside)
-  }
-
-  /** Recover a crashed scoped optimize: any partition still riding in
-    * the aside sibling with its live dir MISSING is restored (the
-    * crash hit between the two renames — the aside is the only
-    * complete copy); an aside whose live dir exists is a completed
-    * swap's leftover — dropped. Called at optimize entry (under the
-    * lock) and by [[Maintenance.vacuum]]. Idempotent; no-op when no
-    * aside exists. */
-  private[storage] def healScopedAside(spark: SparkSession,
-                                       base: String): Unit = {
-    val aside = asidePath(base)
-    if (!Fs.exists(spark, aside)) return
-    scopedAsideLeaves(spark, aside).foreach { case (leaf, rel) =>
-      val live = base + "/" + rel
-      if (!Fs.exists(spark, live)) Fs.renameChecked(spark, leaf, live)
-    }
-    Fs.deleteChecked(spark, aside)
-  }
-
-  /** (absolute leaf dir, path relative to `aside`) for every LEAF
-    * directory under the aside root — leaf = no subdirectories, i.e.
-    * one parked partition dir in the mirrored hive layout. */
-  private[storage] def scopedAsideLeaves(spark: SparkSession,
-      aside: String): Seq[(String, String)] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(aside)
-    val fs = root.getFileSystem(conf)
-    val rootStr = fs.makeQualified(root).toString
-    def walk(dir: Path): Seq[(String, String)] = {
-      val subdirs = fs.listStatus(dir).filter(_.isDirectory)
-      if (subdirs.isEmpty) {
-        val p = fs.makeQualified(dir).toString
-        if (p == rootStr) Nil // empty aside root: nothing parked
-        else Seq((p, p.stripPrefix(rootStr).stripPrefix("/")))
-      } else subdirs.toSeq.flatMap(s => walk(s.getPath))
-    }
-    walk(root)
   }
 
   /** Clean up (and when necessary, recover from) the debris a crashed

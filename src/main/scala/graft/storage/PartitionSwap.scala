@@ -1,0 +1,125 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The ONE partition-scoped commit mechanism for managed tables —
+  * merge, delete, and scoped OPTIMIZE all replace matched partition
+  * directories through here instead of Spark's dynamic partition
+  * overwrite.
+  *
+  * Why not `partitionOverwriteMode=dynamic`: its commit DELETES each
+  * matched partition dir and then renames the staged copy in — a
+  * driver crash in that window leaves the partition MISSING, its rows
+  * stranded in an unreadable `.spark-staging` dir no reader or vacuum
+  * recognizes. At 100 TB that is whole-partition data loss from one
+  * ill-timed crash on the engine's hottest write path.
+  *
+  * Here the caller stages the replacement partitions in the table's
+  * `__graft_tmp` sibling and each matched directory swaps via
+  * rename-aside: live → the `__graft_partaside` mirror, staged →
+  * live. A COMPLETE copy of every partition exists at every instant
+  * (live, staged, or aside). Partitions EMPTIED by the mutation (no
+  * surviving rows) rename into the aside with no replacement; brand
+  * NEW partitions (no live dir) just rename in. All asides drop in
+  * one recursive delete once every swap landed.
+  *
+  * Crash contract: a crash mid-commit leaves some partitions swapped
+  * and some not — plus possibly one riding in the aside between its
+  * two renames. [[heal]] (run by every mutation at entry, under the
+  * commit lock, and by [[Maintenance.vacuum]]) restores any leaf
+  * whose live dir is missing (the aside is the only complete copy —
+  * this also rolls back a crashed removal, which is correct: the
+  * mutation never committed its op-log row) and drops leaves whose
+  * swap completed. Until the heal runs, readers of a crashed table
+  * can see the mid-rename partition missing — the trade is a visible,
+  * healable gap instead of silent loss; the commit lock means no
+  * WRITER ever acts on the un-healed state. */
+object PartitionSwap {
+
+  /** Root-level sibling holding parked partition originals in the
+    * mirrored hive layout (`<base>__graft_partaside/k=v/...`). A
+    * sibling, not an interior dir — an interior name could collide
+    * with a partition VALUE; a sibling cannot. */
+  def asidePath(base: String): String =
+    base.stripSuffix("/") + "__graft_partaside"
+
+  /** Swap `replaced` partitions' staged copies in from `tmp` and park
+    * `removed` partitions (no surviving rows) in the aside.
+    * `requireStaged = true` (scoped optimize) refuses a missing
+    * staged copy loudly — compaction is content-preserving, so every
+    * replaced partition must have one; merge/delete pass the emptied
+    * set explicitly instead. */
+  def swap(spark: SparkSession, base: String, tmp: String,
+           parts: Seq[String], replaced: Seq[Seq[Any]],
+           removed: Seq[Seq[Any]] = Nil): Unit = {
+    val aside = asidePath(base)
+    Fs.deleteChecked(spark, aside) // heal() ran at mutation entry
+    val fs = new Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    replaced.foreach { values =>
+      val frag = Fs.partitionDirName(parts, values)
+      val staged = tmp + "/" + frag
+      if (!Fs.exists(spark, staged))
+        throw new IllegalStateException(
+          s"partition swap staged no copy for $frag — refusing to " +
+            "touch the live partition (a replaced partition must " +
+            "have a staged replacement; emptied partitions go in " +
+            "the removed set)")
+      val live = base + "/" + frag
+      if (Fs.exists(spark, live)) {
+        val asideLeaf = aside + "/" + frag
+        fs.mkdirs(new Path(asideLeaf).getParent)
+        Fs.renameChecked(spark, live, asideLeaf)
+      } else
+        // a brand-new partition: nothing to park, but a multi-level
+        // layout's intermediate dirs may not exist yet for the rename
+        fs.mkdirs(new Path(live).getParent)
+      Fs.renameChecked(spark, staged, live)
+    }
+    removed.foreach { values =>
+      val frag = Fs.partitionDirName(parts, values)
+      val live = base + "/" + frag
+      if (Fs.exists(spark, live)) {
+        val asideLeaf = aside + "/" + frag
+        fs.mkdirs(new Path(asideLeaf).getParent)
+        Fs.renameChecked(spark, live, asideLeaf)
+      }
+    }
+    Fs.deleteChecked(spark, aside)
+  }
+
+  /** Recover a crashed partition-scoped commit (see the class doc).
+    * Idempotent; no-op without an aside. Every partition-mutating
+    * entry point calls this FIRST, under the lock — a mutation that
+    * read the un-healed table would miss the parked partitions'
+    * rows. */
+  def heal(spark: SparkSession, base: String): Unit = {
+    val aside = asidePath(base)
+    if (!Fs.exists(spark, aside)) return
+    asideLeaves(spark, aside).foreach { case (leaf, rel) =>
+      val live = base + "/" + rel
+      if (!Fs.exists(spark, live)) Fs.renameChecked(spark, leaf, live)
+    }
+    Fs.deleteChecked(spark, aside)
+  }
+
+  /** (absolute leaf dir, path relative to `aside`) for every LEAF
+    * directory under the aside root — leaf = no subdirectories, i.e.
+    * one parked partition dir in the mirrored hive layout. */
+  def asideLeaves(spark: SparkSession,
+                  aside: String): Seq[(String, String)] = {
+    val root = new Path(aside)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootStr = fs.makeQualified(root).toString
+    def walk(dir: Path): Seq[(String, String)] = {
+      val subdirs = fs.listStatus(dir).filter(_.isDirectory)
+      if (subdirs.isEmpty) {
+        val p = fs.makeQualified(dir).toString
+        if (p == rootStr) Nil // empty aside root: nothing parked
+        else Seq((p, p.stripPrefix(rootStr).stripPrefix("/")))
+      } else subdirs.toSeq.flatMap(s => walk(s.getPath))
+    }
+    walk(root)
+  }
+}

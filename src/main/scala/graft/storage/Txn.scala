@@ -107,8 +107,17 @@ object Txn {
     if (!GraftLog.isManagedTable(spark, base)) body
     else {
       val token = acquire(spark, base, op)
-      try body
-      finally release(spark, base, token)
+      try {
+        // a crashed partition-scoped commit ([[PartitionSwap]]) may
+        // have left partitions parked in the table's aside sibling.
+        // EVERY locked mutation heals first: a rewrite computed from
+        // the un-healed table would silently miss the parked rows,
+        // and an overwrite that skipped the heal would leave an aside
+        // behind to resurrect stale partitions into the NEW table at
+        // the next heal. One exists-check when there is no aside.
+        PartitionSwap.heal(spark, base)
+        body
+      } finally release(spark, base, token)
     }
   }
 

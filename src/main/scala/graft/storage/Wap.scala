@@ -97,8 +97,14 @@ object WriteAuditPublish {
           GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
         }
       else {
-        Fs.deleteChecked(spark, base)
+        // rename-aside, not delete-then-rename: a failure between a
+        // delete and the rename would leave NEITHER the old output
+        // nor the audited frame at base
+        val old = base + "__graft_old"
+        Fs.deleteChecked(spark, old)
+        if (Fs.exists(spark, base)) Fs.renameChecked(spark, base, old)
         Fs.renameChecked(spark, stage, base)
+        Fs.deleteChecked(spark, old)
         GraftLog.append(spark, base, "WAP_PUBLISH", Nil)
       }
       report
@@ -109,8 +115,12 @@ object WriteAuditPublish {
       // untouched and no debris, the audit-failure contract. (If the
       // swap already consumed the stage, the delete is a no-op; a
       // hard crash skips this and vacuum sweeps the aged orphan.)
+      // GUARDED on the live table still existing: mid-swap the stage
+      // (or the aside) may be the ONLY complete copy — deleting it
+      // would turn a recoverable failure into data loss; vacuum heals
+      // that window instead.
       case e: Throwable =>
-        try Fs.deleteChecked(spark, stage)
+        try if (Fs.exists(spark, base)) Fs.deleteChecked(spark, stage)
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }

@@ -283,17 +283,16 @@ class AlterSpec extends AnyFunSuite with SparkSpec {
     // carry those physical names and would disagree about meaning
     Alter.dropColumnMetadata(spark, st, path, "old")
     Alter.renameColumnMetadata(spark, st, path, "v", "price")
-    val e2 = intercept[IllegalStateException] {
-      Alter.addColumn(spark, st, path, "old", "string")
-    }
-    assert(e2.getMessage.contains("materializeMapping"))
     // a DIFFERENT column renamed onto an occupied physical refuses
     // (renaming price back to its own physical "v" would be the
     // allowed identity case — this is id onto dropped "old")
-    intercept[IllegalStateException] {
+    val e2 = intercept[IllegalStateException] {
       Alter.renameColumnMetadata(spark, st, path, "id", "old")
     }
-    // merge schema evolution hits the same wall
+    assert(e2.getMessage.contains("materializeMapping"))
+    // merge schema evolution hits the same wall: it keeps the mapping
+    // and writes physical names, so the new column would collide
+    // inside its own write projection
     intercept[IllegalStateException] {
       st.merge(Seq((1L, "p0", 1.0, "zz")).toDF("id", "k", "price", "old"),
         path, "full.id = incremental.id", partitionFields = Seq("k"),
@@ -318,6 +317,34 @@ class AlterSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalStateException] {
       Alter.renameColumnMetadata(spark, st, path2, "v", "value")
     }
+  }
+
+  test("a COW surgery on a MAPPED table materializes the mapping as " +
+      "part of its rewrite — the surgery lands instead of being " +
+      "silently undone by the carried sidecar") {
+    val path = tempDir("alter_cow_on_mapped") + "/t"
+    st.write(Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("id", "v", "s"),
+      path, "delta", "overwrite")
+    Alter.renameColumnMetadata(spark, st, path, "v", "val2")
+    // COW rename of the MAPPED column: were the staged frame projected
+    // back to physical names, the carried {v→val2} sidecar would
+    // re-alias the files to val2 on the next read — a full rewrite
+    // that changed nothing
+    Alter.renameColumn(spark, st, path, "val2", "v2")
+    assert(ColumnMapping.load(spark, path).isEmpty,
+      "a COW rewrite replaces every file — the mapping must clear")
+    val out = st.read(path, "delta")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v2", "s"),
+      s"the COW rename must LAND: ${out.schema.fieldNames.toSeq}")
+    assert(out.select("id", "v2").as[(Long, Double)].collect()
+      .sorted.toSeq == Seq((1L, 1.0), (2L, 2.0)))
+    // COW addColumn of a previously-occupied name: the rewrite frees
+    // it (every old file replaced), so no refusal is needed
+    Alter.renameColumnMetadata(spark, st, path, "s", "s2")
+    Alter.addColumn(spark, st, path, "s", "string")
+    assert(ColumnMapping.load(spark, path).isEmpty)
+    assert(st.read(path, "delta").schema.fieldNames.toSeq ==
+      Seq("id", "v2", "s2", "s"))
   }
 
   test("mapped alter fences time travel and keeps streaming reads " +

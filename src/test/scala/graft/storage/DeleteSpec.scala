@@ -451,4 +451,44 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
       "stale tombstones would hide fresh rows with old keys")
     assert(MorDelete.read(spark, st, path, Seq("id")).count() == 2L)
   }
+
+  test("partitioned merge/delete commit via rename-aside: a crashed " +
+      "swap's parked partition heals at the next locked mutation, " +
+      "emptied partitions are removed, no aside/tmp debris survives") {
+    val path = tempDir("del_partswap") + "/t"
+    val rows = (1L to 300L).map(i => (i, s"P${i % 3}", i * 1.0))
+    st.write(rows.toDF("id", "part", "v"), path, "delta", "overwrite",
+      Seq("part"))
+    // plant a crashed partition swap: P0 parked, live dir missing
+    val aside = PartitionSwap.asidePath(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(aside))
+    Fs.renameChecked(spark, s"$path/part=P0", s"$aside/part=P0")
+    assert(st.read(path, "delta").count() == 200L,
+      "the planted crash hides P0 until a heal")
+    // the next locked mutation (a merge) heals FIRST, so its rewrite
+    // sees P0's rows; the merge itself commits via rename-aside
+    st.merge(Seq((3L, "P0", 999.0)).toDF("id", "part", "v"), path,
+      "full.id = incremental.id", partitionFields = Seq("part"))
+    assert(!Fs.exists(spark, aside), "the heal consumed the aside")
+    val out = st.read(path, "delta")
+    assert(out.count() == 300L, "P0's parked rows must survive the merge")
+    assert(out.filter(col("id") === 3L).select("v")
+      .head().getDouble(0) == 999.0)
+    // a delete emptying one whole partition: removed via the aside
+    // mechanism, other partitions untouched, no debris
+    val beforeP2 = Fs.dataFiles(spark, path)
+      .filter(_._1.contains("part=P2")).sortBy(_._1)
+    assert(Delete.where(spark, st, path, "part = 'P1'") == 100L)
+    assert(!Fs.exists(spark, s"$path/part=P1"),
+      "an emptied partition's dir must be removed")
+    assert(Fs.dataFiles(spark, path)
+      .filter(_._1.contains("part=P2")).sortBy(_._1) == beforeP2,
+      "partitions outside the delete must stay byte-identical")
+    assert(!Fs.exists(spark, aside) &&
+      !Fs.exists(spark, path + "__graft_tmp"),
+      "a completed commit leaves no aside or staging debris")
+    assert(st.read(path, "delta").count() == 200L)
+  }
 }

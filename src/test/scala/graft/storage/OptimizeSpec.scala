@@ -224,7 +224,7 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
       .toDF("id", "part", "v")
     storage.write(df.repartition(4), dir, "delta", "overwrite",
       partitionFields = Seq("part"))
-    val aside = Optimize.asidePath(dir)
+    val aside = PartitionSwap.asidePath(dir)
     // crash state 1: P0's swap died between its two renames — the
     // live dir is MISSING, the aside holds the only complete copy
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -241,7 +241,7 @@ class OptimizeSpec extends AnyFunSuite with SparkSpec {
         a.target.endsWith("part=P0")),
       s"the missing partition must heal from its aside: $actions")
     assert(actions.exists(a => a.kind == "delete" &&
-        a.target.endsWith("__graft_optaside/part=P1")),
+        a.target.endsWith("__graft_partaside/part=P1")),
       s"the completed swap's aside must drop: $actions")
     assert(!Fs.exists(spark, aside), "the aside root must be gone")
     assertDfEqual(storage.read(dir, "delta").select("id", "part", "v"), df)
