@@ -34,8 +34,9 @@ class BasicStorage(spark: SparkSession) extends Storage {
     val raw = readPhysical(path, format, options)
     // column mapping ([[ColumnMapping]]): managed reads surface
     // LOGICAL names — one projection Catalyst collapses into the
-    // scan; identity (no sidecar stat beyond one exists check) for
-    // unmapped tables
+    // scan. Unmapped tables pay two driver metadata stats (sidecar +
+    // its crash aside), the same cost class as the managed-table
+    // check itself
     if (format == "delta") ColumnMapping.toLogical(spark, path, raw)
     else raw
   }

@@ -56,13 +56,16 @@ import org.apache.spark.sql.SparkSession
   *     emptied-table schema sidecar, carried-and-revalidated
   *     constraints — is staged in `dst__graft_tmp`, invisible at dst;
   *  3. the shell swaps out and the staged clone swaps in (two checked
-  *     renames). A crash before the swap leaves a shell + staging
-  *     that the next clone attempt (or vacuum) cleans; a crash
-  *     between the renames leaves the fully-staged clone that
-  *     [[Maintenance.vacuum]]'s completable-swap heal finishes. At no
-  *     instant does dst hold a complete-LOOKING table that is missing
-  *     its constraints or provenance — the window the pre-staged
-  *     implementation had. */
+  *     renames). A crash BEFORE the swap leaves a shell + staging: a
+  *     retry re-claims once the crashed run's lock ages past the
+  *     timeout (`Txn.breakLock` is the immediate operator override)
+  *     and restages from scratch. A crash BETWEEN the renames leaves
+  *     the fully-staged clone that [[Maintenance.vacuum]]'s
+  *     completable-swap heal finishes — on the same aged-claim
+  *     horizon (a young claim defers the sweep); until then further
+  *     clones to the path refuse loudly. At no instant does dst hold
+  *     a complete-LOOKING table that is missing its constraints or
+  *     provenance — the window the pre-staged implementation had. */
 object Clone {
 
   /** Prefix of the op-log provenance record's txn app id:
@@ -93,19 +96,26 @@ object Clone {
         "the table's merge keys")
 
     // CLAIM dst (step 1 of the scaladoc contract): the shell + lock
-    // make this clone the path's only creator. A dst whose swap
-    // artifacts exist (aside shell or staged clone) is another
-    // clone's commit in flight — or its crash debris — and the
+    // make this clone the path's only creator. A dst that is ABSENT
+    // while swap artifacts exist (aside shell or staged clone) is
+    // another clone's commit mid-swap — or its crash debris — and the
     // unconditional mkdirs below would re-create the mid-swap-absent
     // root out from under that clone's rename (the same shell-root
     // hazard Txn.tryCreate refuses on absent table roots). Refuse;
-    // vacuum heals the crashed case.
-    if (Fs.exists(spark, d + "__graft_old") ||
-        Fs.exists(spark, d + "__graft_tmp"))
+    // once the crashed run's claim ages past the lock timeout,
+    // Maintenance.vacuum completes (or rolls back) the commit and the
+    // path is usable again. A PRESENT shell beside a stale tmp is a
+    // clone that crashed BEFORE its swap — the acquire below
+    // arbitrates it (breaks a stale claim, refuses a live one) and
+    // the retry restages from scratch.
+    if (!Fs.exists(spark, d) &&
+        (Fs.exists(spark, d + "__graft_old") ||
+         Fs.exists(spark, d + "__graft_tmp")))
       throw new ConcurrentWriteException(
-        s"another clone to $d is committing (or crashed mid-commit " +
-          "and left swap artifacts) — retry, or run Maintenance" +
-          ".vacuum on the destination to resolve the debris")
+        s"another clone to $d is committing (or crashed mid-swap " +
+          "and left artifacts) — retry, or run Maintenance.vacuum " +
+          "on the destination (it resolves the crashed commit once " +
+          "the crashed run's claim ages out)")
     val dp = new org.apache.hadoop.fs.Path(d)
     dp.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dp)
     val token =
@@ -119,6 +129,14 @@ object Clone {
       }
     val tmp = d + "__graft_tmp"
     try {
+      // RE-validate under the claim: the pre-claim checks raced — a
+      // concurrent clone may have COMPLETED between our probe and our
+      // acquire, and "clone never overwrites" must hold against the
+      // finished table, not the stale probe
+      if (!claimableShell(spark, d))
+        throw new IllegalArgumentException(
+          s"clone destination $d already exists — clone never " +
+            "overwrites; remove it first or pick a fresh path")
       Fs.deleteChecked(spark, tmp) // a crashed prior attempt's staging
       val parts = GraftLog.lastPartitioning(spark, s)
       val content = asOfBatch match {

@@ -26,10 +26,13 @@ import org.apache.spark.sql.SparkSession
   *    EVERY write of table data applies [[toPhysical]] first, so old
   *    and new files always agree on physical names (no mergeSchema
   *    mixing, no by-name mismatches).
-  *  - INVARIANT (enforced by [[refuseOccupied]] at ALTER ADD, mapped
-  *    RENAME, and merge schema evolution): no logical column name may
-  *    case-insensitively collide with an OCCUPIED physical name (a
-  *    renamed-from or dropped name still present in old files). This
+  *  - INVARIANT (enforced by [[refuseOccupied]] at mapped RENAME and
+  *    merge schema evolution; ALTER ADD needs no refusal because its
+  *    COW rewrite MATERIALIZES the mapping — every old file is
+  *    replaced, so no occupied physical name survives it): no logical
+  *    column name may case-insensitively collide with an OCCUPIED
+  *    physical name (a renamed-from or dropped name still present in
+  *    old files). This
   *    makes both projections IDEMPOTENT — applying toLogical to an
   *    already-logical frame (a schema sidecar, a feed batch) is a
   *    no-op, so no artifact can be mis-mapped — and keeps the mixed

@@ -492,10 +492,24 @@ object Fs {
     * through here, so the null/escaping conventions cannot fork. */
   def partitionDirName(parts: Seq[String], values: Seq[Any]): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
     parts.zip(values).map { case (k, v) =>
       val vPath =
         if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+        else {
+          // render through Catalyst's Cast-to-string with the session
+          // timezone — the SAME rendering Spark's partitioned writer
+          // uses for path fragments. JVM toString diverges for
+          // timestamps (java.sql.Timestamp keeps a trailing ".0" the
+          // writer drops) and similar types, and a diverging fragment
+          // would resolve the WRONG directory
+          val rendered = Cast(Literal(v), StringType,
+            Option(org.apache.spark.sql.internal.SQLConf.get
+              .sessionLocalTimeZone)).eval(null)
+          if (rendered == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(rendered.toString)
+        }
       ExternalCatalogUtils.escapePathName(k) + "=" + vPath
     }.mkString("/")
   }

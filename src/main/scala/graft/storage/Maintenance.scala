@@ -205,6 +205,13 @@ object Maintenance {
     // commit lock, and a young lock already deferred this sweep, so
     // reaching here means the owner crashed.
     {
+      // a RETIRED aside (renamed at the commit point, delete
+      // interrupted) is pure debris at any age — swept, never healed
+      val consumed = PartitionSwap.consumedPath(base)
+      if (Fs.exists(spark, consumed))
+        actions += delete(consumed,
+          "retired partition-swap aside (commit completed; its " +
+            "delete was interrupted)")
       val partAside = PartitionSwap.asidePath(base)
       if (Fs.exists(spark, partAside)) {
         PartitionSwap.asideLeaves(spark, partAside).foreach {

@@ -45,11 +45,10 @@ object PartitionSwap {
     base.stripSuffix("/") + "__graft_partaside"
 
   /** Swap `replaced` partitions' staged copies in from `tmp` and park
-    * `removed` partitions (no surviving rows) in the aside.
-    * `requireStaged = true` (scoped optimize) refuses a missing
-    * staged copy loudly — compaction is content-preserving, so every
-    * replaced partition must have one; merge/delete pass the emptied
-    * set explicitly instead. */
+    * `removed` partitions (no surviving rows) in the aside. EVERY
+    * `replaced` partition must have a staged copy — a missing one
+    * refuses loudly before touching the live dir; a partition the
+    * mutation emptied belongs in `removed`, never in `replaced`. */
   def swap(spark: SparkSession, base: String, tmp: String,
            parts: Seq[String], replaced: Seq[Seq[Any]],
            removed: Seq[Seq[Any]] = Nil): Unit = {
@@ -86,8 +85,22 @@ object PartitionSwap {
         Fs.renameChecked(spark, live, asideLeaf)
       }
     }
-    Fs.deleteChecked(spark, aside)
+    // COMMIT POINT: one rename retires the whole aside before its
+    // (non-atomic, recursive) delete. A crash mid-delete of a LIVE
+    // aside would leave half-emptied leaves that heal() would then
+    // restore as live partitions — a partition serving an arbitrary
+    // subset of its rows. A consumed root is never healed from, only
+    // swept.
+    if (Fs.exists(spark, aside)) {
+      Fs.deleteChecked(spark, consumedPath(base))
+      Fs.renameChecked(spark, aside, consumedPath(base))
+    }
+    Fs.deleteChecked(spark, consumedPath(base))
   }
+
+  /** Post-commit retired aside awaiting deletion — pure debris at any
+    * age (the rename that created it IS the commit point). */
+  def consumedPath(base: String): String = asidePath(base) + "__consumed"
 
   /** Recover a crashed partition-scoped commit (see the class doc).
     * Idempotent; no-op without an aside. Every partition-mutating
@@ -95,6 +108,9 @@ object PartitionSwap {
     * read the un-healed table would miss the parked partitions'
     * rows. */
   def heal(spark: SparkSession, base: String): Unit = {
+    // a retired aside is post-commit debris — swept, NEVER healed
+    // from (its delete may have been interrupted half-way)
+    Fs.deleteChecked(spark, consumedPath(base))
     val aside = asidePath(base)
     if (!Fs.exists(spark, aside)) return
     asideLeaves(spark, aside).foreach { case (leaf, rel) =>

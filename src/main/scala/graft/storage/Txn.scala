@@ -116,7 +116,18 @@ object Txn {
         // behind to resurrect stale partitions into the NEW table at
         // the next heal. One exists-check when there is no aside.
         PartitionSwap.heal(spark, base)
-        body
+        try body
+        catch {
+          // an IN-PROCESS failure mid-partition-swap (a transient FS
+          // error between a pair of renames) can leave a partition
+          // parked in the aside; heal it NOW, while we still hold the
+          // lock — the documented reader-visible gap is a trade only
+          // process DEATH forces, not a caught exception
+          case e: Throwable =>
+            try PartitionSwap.heal(spark, base)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
       } finally release(spark, base, token)
     }
   }

@@ -115,13 +115,20 @@ object WriteAuditPublish {
       // untouched and no debris, the audit-failure contract. (If the
       // swap already consumed the stage, the delete is a no-op; a
       // hard crash skips this and vacuum sweeps the aged orphan.)
-      // GUARDED on the live table still existing: mid-swap the stage
-      // (or the aside) may be the ONLY complete copy — deleting it
-      // would turn a recoverable failure into data loss; vacuum heals
-      // that window instead.
+      // GUARDED against the genuine mid-swap window (base absent AND
+      // an aside present): there the stage (or the aside) may be the
+      // ONLY complete copy — deleting it would turn a recoverable
+      // failure into data loss; vacuum heals that window instead. A
+      // base that simply never existed (failed FIRST publish to a
+      // fresh path) has nothing to lose — the stage cleans like any
+      // other refusal.
       case e: Throwable =>
-        try if (Fs.exists(spark, base)) Fs.deleteChecked(spark, stage)
-        catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          val midSwap = !Fs.exists(spark, base) &&
+            (Fs.exists(spark, base + "__graft_old") ||
+             Fs.exists(spark, base + "__old"))
+          if (!midSwap) Fs.deleteChecked(spark, stage)
+        } catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
   }

@@ -491,4 +491,34 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
       "a completed commit leaves no aside or staging debris")
     assert(st.read(path, "delta").count() == 200L)
   }
+
+  test("a RETIRED (consumed) partition-swap aside is swept, never " +
+      "healed — a removed partition whose aside delete crashed " +
+      "half-way cannot resurrect") {
+    val path = tempDir("del_consumed") + "/t"
+    st.write((1L to 200L).map(i => (i, s"P${i % 2}", i * 1.0))
+      .toDF("id", "part", "v"), path, "delta", "overwrite", Seq("part"))
+    // simulate: a delete removed P0, the swap retired the aside (the
+    // commit point), then the recursive delete crashed with P0's leaf
+    // still (partially) present in the consumed root
+    val consumed = PartitionSwap.consumedPath(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(consumed))
+    Fs.renameChecked(spark, s"$path/part=P0", s"$consumed/part=P0")
+    // the next mutation's heal must SWEEP the retired root — healing
+    // it would serve a partition with an arbitrary subset of its rows
+    st.merge(Seq((1L, "P1", 999.0)).toDF("id", "part", "v"), path,
+      "full.id = incremental.id", partitionFields = Seq("part"))
+    assert(!Fs.exists(spark, consumed), "the retired aside must sweep")
+    assert(!Fs.exists(spark, s"$path/part=P0"),
+      "a committed removal must NOT resurrect from the retired aside")
+    assert(st.read(path, "delta").count() == 100L)
+    // vacuum sweeps a planted retired root the same way
+    fs.mkdirs(new org.apache.hadoop.fs.Path(consumed + "/part=P9"))
+    val actions = Maintenance.vacuum(spark, path)
+    assert(actions.exists(a => a.kind == "delete" &&
+      a.target.endsWith("__graft_partaside__consumed")), s"$actions")
+    assert(!Fs.exists(spark, consumed))
+  }
 }
