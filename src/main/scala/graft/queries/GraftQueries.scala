@@ -5012,6 +5012,80 @@ object GraftQueries {
       |    / count(*), 6) AS avg_price
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** CDF-DRIVEN MATERIALIZED VIEW ([[graft.storage.MatView]]): the
+    * incremental-maintenance lifecycle `q_state_refresh` gestures at,
+    * completed — the view refreshes from the table's OWN change feed
+    * under arbitrary captured DML, never from caller-handed batches.
+    * The full lifecycle runs IN-QUERY with its modes asserted (a
+    * regression to silent full recompute fails the oracle gate, not
+    * just a unit test): create (rebuild) → captured merge → refresh
+    * must take the INCREMENTAL path → captured delete that removes
+    * group minima → refresh must stay incremental AND rescan at least
+    * one poisoned group (min is not invertible under deletes — the
+    * rescan is the correct, group-scoped recovery). The oracle
+    * recomputes the aggregate from the final table: fold == recompute
+    * exactly (decimal partials, hash-matchable). At 100 TB each
+    * refresh touches |changes| + |poisoned groups|, never the fact
+    * table. */
+  val matviewQ: Q = (spark, dir) => {
+    import graft.storage.MatView
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_matview_q").toString
+    val (path, view) = (root + "/t", root + "/v")
+    st.write(base, path, "delta", "overwrite")
+    val r0 = MatView.create(spark, st, path, view,
+      Seq("o_custkey"), "o_totalprice")
+    require(r0.mode == "rebuild", s"create must rebuild, took ${r0.mode}")
+    // captured merge: price bump on %3 keys (updates + inserts)
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    val r1 = MatView.refresh(spark, st, view)
+    require(r1.mode == "incremental" && r1.batchesApplied == 1,
+      s"the captured merge must fold incrementally, got $r1")
+    // captured delete of every sub-10k order: each affected group
+    // loses its minimum, so the refresh must rescan those groups
+    graft.storage.Delete.where(spark, st, path,
+      "o_totalprice < 10000", captureChanges = true)
+    val r2 = MatView.refresh(spark, st, view)
+    require(r2.mode == "incremental" && r2.batchesApplied == 1,
+      s"the captured delete must fold incrementally, got $r2")
+    require(r2.groupsRescanned > 0,
+      "deleting group minima must rescan the poisoned groups")
+    MatView.read(spark, view)
+      .select(col("o_custkey"), col("cnt"),
+        col("sum").cast("double").as("total"),
+        col("min"), col("max"),
+        round(col("sum").cast("double") / col("cnt"), 6).as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** The oracle replays the same DML in SQL and recomputes the
+    * aggregate from the final table — exactly what the incremental
+    * view must equal. */
+  val matviewSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 3 = 0),
+      |m AS (SELECT coalesce(i.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |             coalesce(i.o_custkey, base.o_custkey) AS o_custkey,
+      |             coalesce(i.o_totalprice, base.o_totalprice) AS o_totalprice
+      |      FROM base FULL OUTER JOIN i ON base.o_orderkey = i.o_orderkey),
+      |f AS (SELECT * FROM m WHERE NOT (o_totalprice < 10000))
+      |SELECT o_custkey, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS min, max(o_totalprice) AS max,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_price
+      |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Multi-query BM25 over a literal query table — three queries, one
     * with zero hits (emits no rows on both engines); top-10 per query
     * through the bounded aggregate (window-free; pinned in
@@ -7353,6 +7427,7 @@ object GraftQueries {
     entry("q_global_index", globalIndexQ, globalIndexSql),
     entry("q_incremental_agg", incrementalAggQ, incrementalAggSql),
     entry("q_state_refresh", stateRefreshQ, stateRefreshSql),
+    entry("q_matview", matviewQ, matviewSql),
     entry("q_bm25_multi", bm25MultiQ, bm25MultiSql),
     entry("q_heavy_hitters", heavyHittersQ, heavyHittersSql),
     entry("q_inverted_index", invertedIndexQ, invertedIndexSql),

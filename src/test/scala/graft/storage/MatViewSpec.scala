@@ -1,0 +1,226 @@
+package graft.storage
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Materialized aggregate views ([[MatView]]): the invariant pinned by
+  * every case is view == fresh recompute of the CURRENT source
+  * snapshot, across captured DML (incremental path), uncaptured /
+  * unexplainable mutations (rebuild path), and content-invisible ops
+  * (advance path) — plus the mode taken, so a regression to
+  * always-rebuild fails here even though the content would match. */
+class MatViewSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def st = new BasicStorage(spark)
+
+  /** Rows (id, k, v) with: group a = {1.0, 5.0, 9.0}, group b =
+    * {2.0, 2.0}, group c = {null, null}, group d = {3.0, null}. */
+  private def seedRows: Seq[(Long, String, java.lang.Double)] = Seq(
+    (1L, "a", 1.0), (2L, "a", 5.0), (3L, "a", 9.0),
+    (4L, "b", 2.0), (5L, "b", 2.0),
+    (6L, "c", null), (7L, "c", null),
+    (8L, "d", 3.0), (9L, "d", null))
+
+  private def mkSource(prefix: String): String = {
+    val path = tempDir(prefix) + "/src"
+    st.write(seedRows.toDF("id", "k", "v"), path, "delta", "overwrite")
+    path
+  }
+
+  /** What the view must equal: per-key partials recomputed from the
+    * table as it stands NOW. */
+  private def recompute(source: String): DataFrame =
+    st.read(source, "delta").groupBy("k")
+      .agg(count(lit(1)).as("cnt"), count(col("v")).as("nncnt"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").as("sum"),
+        min("v").as("min"), max("v").as("max"))
+
+  test("create equals a recompute, including all-null and mixed-null " +
+      "groups; a second create on the same path refuses") {
+    val src = mkSource("mv_create")
+    val view = tempDir("mv_create_v") + "/v"
+    val r = MatView.create(spark, st, src, view, Seq("k"), "v")
+    assert(r.mode == "rebuild")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    // group c (all nulls): cnt 2, nncnt 0, sum/min/max null
+    val c = MatView.read(spark, view).filter(col("k") === "c").head()
+    assert(c.getLong(c.fieldIndex("cnt")) == 2L)
+    assert(c.getLong(c.fieldIndex("nncnt")) == 0L)
+    assert(c.isNullAt(c.fieldIndex("sum")) && c.isNullAt(c.fieldIndex("min")))
+    intercept[IllegalArgumentException] {
+      MatView.create(spark, st, src, view, Seq("k"), "v")
+    }
+  }
+
+  test("captured merge whose removals avoid the extremes folds " +
+      "incrementally with zero rescans") {
+    val src = mkSource("mv_inc")
+    val view = tempDir("mv_inc_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // update a's MIDDLE row 5.0 -> 6.0 (extremes 1.0/9.0 untouched);
+    // insert a new id into b at 7.0 (pure addition -> new max, exact
+    // without rescan: additions only widen via least/greatest)
+    st.merge(Seq((2L, "a", 6.0), (10L, "b", 7.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental", s"took ${r.mode}")
+    assert(r.batchesApplied == 1L && r.groupsRescanned == 0L,
+      s"expected pure fold, got $r")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    // and the refresh is then a noop
+    assert(MatView.refresh(spark, st, view).mode == "noop")
+  }
+
+  test("a captured delete of a group's extreme rescans exactly the " +
+      "poisoned groups") {
+    val src = mkSource("mv_rescan")
+    val view = tempDir("mv_rescan_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // delete a's min (1.0) and d's only non-null (3.0): both groups
+    // poisoned; b and c untouched
+    assert(Delete.where(spark, st, src, "id = 1 OR id = 8",
+      captureChanges = true) == 2L)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental")
+    assert(r.groupsRescanned == 2L, s"expected a and d rescanned, got $r")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    // d survives with cnt 1 (one null row), sum/min/max null
+    val d = MatView.read(spark, view).filter(col("k") === "d").head()
+    assert(d.getLong(d.fieldIndex("cnt")) == 1L &&
+      d.isNullAt(d.fieldIndex("sum")))
+  }
+
+  test("insert-then-delete of a brand-new key inside one refresh " +
+      "window resolves by rescan, not a stale delta extreme") {
+    val src = mkSource("mv_newkey")
+    val view = tempDir("mv_newkey_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // batch 1: new group e = {1.0, 9.0}; batch 2: delete e's 9.0 —
+    // the delta's own add_max names a row that is gone
+    st.merge(Seq((20L, "e", 1.0), (21L, "e", 9.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    assert(Delete.where(spark, st, src, "id = 21",
+      captureChanges = true) == 1L)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental" && r.batchesApplied == 2L)
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    val e = MatView.read(spark, view).filter(col("k") === "e").head()
+    assert(e.getDouble(e.fieldIndex("max")) == 1.0)
+  }
+
+  test("emptying a group drops its row: via rescan for non-null " +
+      "removals, via the cnt guard for null-only removals") {
+    val src = mkSource("mv_empty")
+    val view = tempDir("mv_empty_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // b emptied by non-null deletes (poisons -> rescan of zero rows);
+    // c emptied by null-value deletes (never poisons -> cnt guard)
+    assert(Delete.where(spark, st, src, "k = 'b' OR k = 'c'",
+      captureChanges = true) == 4L)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental")
+    assert(r.groupsRescanned == 1L, s"only b should rescan, got $r")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    assert(MatView.read(spark, view)
+      .filter(col("k").isin("b", "c")).isEmpty)
+  }
+
+  test("an uncaptured mutation rebuilds (and the result is right)") {
+    val src = mkSource("mv_rebuild")
+    val view = tempDir("mv_rebuild_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // make the table feed-bearing first, then mutate WITHOUT capture:
+    // the refresh must not trust the gapped feed
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    assert(Delete.where(spark, st, src, "id = 3") == 1L) // uncaptured
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "rebuild", s"took ${r.mode}")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("an overwrite WRITE rebuilds") {
+    val src = mkSource("mv_write")
+    val view = tempDir("mv_write_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    st.write(Seq((1L, "z", 4.0)).toDF("id", "k", "v"), src, "delta",
+      "overwrite")
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "rebuild")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("content-invisible OPTIMIZE advances the stamps without " +
+      "touching state; the next refresh is a noop") {
+    val src = mkSource("mv_adv")
+    val view = tempDir("mv_adv_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    Optimize.run(spark, st, src)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "advance", s"took ${r.mode}")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    assert(MatView.refresh(spark, st, view).mode == "noop")
+  }
+
+  test("crashed-capture debris in range forces a rebuild, never a " +
+      "silent partial fold") {
+    val src = mkSource("mv_debris")
+    val view = tempDir("mv_debris_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    // plant an uncommitted batch dir NEWER than the real one — a
+    // crashed capture whose table effect is unknowable
+    val fakeStamp = System.nanoTime()
+    Fs.touch(spark, s"$src/${Merge.ChangesDirName}/batch=$fakeStamp/part")
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "rebuild", s"took ${r.mode}")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("multi-key views group and fold by all keys") {
+    val src = tempDir("mv_multikey") + "/src"
+    st.write(Seq((1L, "a", "x", 1.0), (2L, "a", "y", 2.0),
+        (3L, "a", "x", 3.0), (4L, "b", "x", 4.0))
+      .toDF("id", "k1", "k2", "v"), src, "delta", "overwrite")
+    val view = tempDir("mv_multikey_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k1", "k2"), "v")
+    st.merge(Seq((5L, "b", "y", 5.0)).toDF("id", "k1", "k2", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental")
+    assertDfEqual(MatView.read(spark, view),
+      st.read(src, "delta").groupBy("k1", "k2")
+        .agg(count(lit(1)).as("cnt"), count(col("v")).as("nncnt"),
+          sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+            .as("sum"),
+          min("v").as("min"), max("v").as("max")))
+  }
+
+  test("null keys refuse loudly at create") {
+    val src = tempDir("mv_nullkey") + "/src"
+    st.write(Seq[(Long, String, java.lang.Double)]((1L, null, 1.0))
+      .toDF("id", "k", "v"), src, "delta", "overwrite")
+    val view = tempDir("mv_nullkey_v") + "/v"
+    intercept[IllegalArgumentException] {
+      MatView.create(spark, st, src, view, Seq("k"), "v")
+    }
+  }
+
+  test("a non-managed source refuses; a non-view path refuses refresh") {
+    val plain = tempDir("mv_plain") + "/p"
+    Seq((1L, "a", 1.0)).toDF("id", "k", "v")
+      .write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      MatView.create(spark, st, plain, tempDir("mv_plain_v") + "/v",
+        Seq("k"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      MatView.refresh(spark, st, plain)
+    }
+  }
+}
