@@ -24,8 +24,9 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
   * maintenance re-expressed on this engine's own CDF sidecar
   * ([[Merge.changeFeed]]).
   *
-  * A view is per-key decomposable partials — `cnt`, `nncnt` (non-null
-  * values), decimal-exact `sum`, `min`, `max` — of one value column.
+  * A view is per-key decomposable partials — `cnt`, `nncnt` (values
+  * contributing to sum: non-null after the decimal cast),
+  * decimal-exact `sum`, `min`, `max` — of one value column.
   * Derived forms (avg, ratios) are computed at read time, never
   * stored, so the state stays mergeable (the [[graft.ops
   * .IncrementalAgg]] discipline, extended with `nncnt` so SQL null
@@ -92,21 +93,28 @@ object MatView {
 
   // ------------------------------------------------------- sidecar IO
 
-  private def saveMetaInto(spark: SparkSession, dir: String,
-                           m: Meta): Unit = {
+  private def metaJson(m: Meta): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val json = JsonMethods.compact(JsonMethods.render(
+    JsonMethods.compact(JsonMethods.render(
       ("source" -> m.source) ~ ("keys" -> m.keys) ~
         ("valueCol" -> m.valueCol) ~ ("lastBatch" -> m.lastBatch) ~
         ("logEntries" -> m.logEntries) ~ ("logMaxSeq" -> m.logMaxSeq)))
-    Fs.writeText(spark, dir.stripSuffix("/") + "/" + SidecarName, json)
   }
+
+  private def saveMetaInto(spark: SparkSession, dir: String,
+                           m: Meta): Unit =
+    Fs.writeText(spark, dir.stripSuffix("/") + "/" + SidecarName,
+      metaJson(m))
 
   def loadMeta(spark: SparkSession, viewPath: String): Meta = {
     val base = viewPath.stripSuffix("/")
     Fs.recoverAside(spark, base)
     val sc = sidecarPath(base)
+    // the advance path swaps the sidecar FILE alone — heal its aside
+    // too, or a crash between its two renames (live gone, __old
+    // present) would brick every later refresh on a healthy view
+    Fs.recoverAside(spark, sc)
     if (!Fs.exists(spark, sc))
       throw new IllegalArgumentException(
         s"$viewPath is not a materialized view (no $SidecarName)")
@@ -136,14 +144,22 @@ object MatView {
     * state shape. Decimal-exact sum (partition-order independent);
     * explicit final cast keeps the type stable across the fold path,
     * whose decimal addition would otherwise widen to (29,6) and fork
-    * the parquet schema between rescanned and folded rows. */
+    * the parquet schema between rescanned and folded rows.
+    *
+    * `nncnt` counts the values that CONTRIBUTE TO SUM — non-null
+    * after the decimal cast, not merely non-null: a value the cast
+    * nulls out (overflow past decimal(28,6), NaN, Infinity) is
+    * ignored by `sum` here, so the fold's null-restoration guard must
+    * count by the same rule or an all-overflow group would fold to
+    * sum = 0 where a recompute says NULL. min/max stay on the raw
+    * values (a recompute's min ignores nothing non-null). */
   private def partials(df: DataFrame, keys: Seq[String],
                        valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
-        count(col(valueCol)).as("nncnt"),
-        sum(col(valueCol).cast("decimal(28,6)"))
+        count(col(valueCol).try_cast("decimal(28,6)")).as("nncnt"),
+        sum(col(valueCol).try_cast("decimal(28,6)"))
           .cast("decimal(28,6)").as("sum"),
         min(col(valueCol)).as("min"),
         max(col(valueCol)).as("max"))
@@ -173,6 +189,12 @@ object MatView {
              viewPath: String, keys: Seq[String], valueCol: String,
              maxAttempts: Int = 3): MatViewRefresh = {
     require(keys.nonEmpty, "materialized view needs at least one key")
+    val reserved = Set("cnt", "nncnt", "sum", "min", "max")
+    val clash = keys.filter(k => reserved(k.toLowerCase))
+    require(clash.isEmpty,
+      s"key column(s) ${clash.mkString(", ")} collide with the view's " +
+        s"aggregate columns (${reserved.mkString(", ")}) — rename or " +
+        "alias them before creating the view")
     val base = viewPath.stripSuffix("/")
     Fs.recoverAside(spark, base)
     if (Fs.exists(spark, base))
@@ -276,7 +298,11 @@ object MatView {
     val watermark = batchStamps(spark, source)
       .collect { case (b, true) => b }
       .maxOption.getOrElse(Long.MinValue)
+    // the aggregation is materialized ONCE (state-sized), so the
+    // null-key probe and the state write share a single source scan —
+    // a rebuild costs exactly one pass over the fact table
     val state = partials(storage.read(source, "delta"), keys, valueCol)
+      .localCheckpoint()
     refuseNullKeys(state, keys, "the source table")
     commitState(spark, viewBase, state.select(stateCols(keys).map(col): _*),
       Meta(source, keys, valueCol, watermark, snap.entries, snap.maxSeq),
@@ -297,22 +323,35 @@ object MatView {
         col("batch") <= committed.max)
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    // dnncnt/dsum count and add by the DECIMAL-CAST value (partials'
+    // rule): a value the cast nulls out contributes to neither, so
+    // the fold's sum-null restoration matches a recompute exactly
+    val vc = v.try_cast("decimal(28,6)")
     val deltas = feed.groupBy(keys.map(col): _*)
       .agg(
         sum(sign).as("dcnt"),
-        sum(when(v.isNotNull, sign).otherwise(0L)).as("dnncnt"),
-        sum(when(v.isNotNull, sign * v.cast("decimal(28,6)"))
+        sum(when(vc.isNotNull, sign).otherwise(0L)).as("dnncnt"),
+        sum(when(vc.isNotNull, sign * vc)
           .otherwise(lit(0).cast("decimal(28,6)")))
           .cast("decimal(28,6)").as("dsum"),
         min(when(sign === 1L, v)).as("add_min"),
         max(when(sign === 1L, v)).as("add_max"),
         min(when(sign === -1L, v)).as("rem_min"),
         max(when(sign === -1L, v)).as("rem_max"))
-    refuseNullKeys(deltas, keys, "the change feed")
 
     val s = read(spark, viewBase).withColumn("_s", lit(true)).as("s")
     val d = deltas.withColumn("_d", lit(true)).as("d")
-    val joined = s.join(d, keys, "full_outer")
+    // materialized ONCE (state-sized — the same cost class as the
+    // state write itself): the null-key probe, the poisoned-key
+    // listing, and the fold all read this checkpoint instead of
+    // re-running the feed scan + join per consumer
+    val joined = s.join(d, keys, "full_outer").localCheckpoint()
+    // a null key on either side would have forked unmerged in the
+    // null-unsafe join above — refuse before folding anything (the
+    // state side was refusal-clean at its own write; this catches
+    // feed batches). Using-column join output coalesces the key, so
+    // one probe covers both sides.
+    refuseNullKeys(joined, keys, "the change feed")
 
     // a group must be rescanned from the table iff a removed non-null
     // value ties or crosses its stored extreme — the one case where
@@ -346,7 +385,7 @@ object MatView {
       .filter(col("cnt") > 0L)
 
     val poisonedKeys = joined.filter(poisoned)
-      .select(keys.map(col): _*).localCheckpoint()
+      .select(keys.map(col): _*)
     val nRescan = poisonedKeys.count()
     val rescanned = partials(
       storage.read(source, "delta").join(poisonedKeys, keys, "left_semi"),
@@ -384,19 +423,16 @@ object MatView {
     }
   }
 
-  /** Single-file sidecar swap for stamp-only advances. */
+  /** Single-file sidecar swap for stamp-only advances. A crash
+    * between its renames is healed by loadMeta's file-level
+    * recoverAside. */
   private def swapSidecar(spark: SparkSession, viewBase: String,
                           m: Meta): Unit = {
     val sc = sidecarPath(viewBase)
     Fs.recoverAside(spark, sc)
     val tmp = sc + "__tmp"
     Fs.deleteChecked(spark, tmp)
-    import org.json4s.JsonDSL._
-    import org.json4s.jackson.JsonMethods
-    Fs.writeText(spark, tmp, JsonMethods.compact(JsonMethods.render(
-      ("source" -> m.source) ~ ("keys" -> m.keys) ~
-        ("valueCol" -> m.valueCol) ~ ("lastBatch" -> m.lastBatch) ~
-        ("logEntries" -> m.logEntries) ~ ("logMaxSeq" -> m.logMaxSeq))))
+    Fs.writeText(spark, tmp, metaJson(m))
     Fs.swapInStaged(spark, sc, tmp)
   }
 

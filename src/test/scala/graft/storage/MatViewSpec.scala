@@ -32,11 +32,14 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
   }
 
   /** What the view must equal: per-key partials recomputed from the
-    * table as it stands NOW. */
+    * table as it stands NOW. nncnt counts by the decimal cast — the
+    * stored contract (values the cast nulls out contribute to
+    * neither nncnt nor sum). */
   private def recompute(source: String): DataFrame =
     st.read(source, "delta").groupBy("k")
-      .agg(count(lit(1)).as("cnt"), count(col("v")).as("nncnt"),
-        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").as("sum"),
+      .agg(count(lit(1)).as("cnt"),
+        count(col("v").try_cast("decimal(28,6)")).as("nncnt"),
+        sum(col("v").try_cast("decimal(28,6)")).cast("decimal(28,6)").as("sum"),
         min("v").as("min"), max("v").as("max"))
 
   test("create equals a recompute, including all-null and mixed-null " +
@@ -199,6 +202,35 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
           sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
             .as("sum"),
           min("v").as("min"), max("v").as("max")))
+  }
+
+  test("values the decimal cast nulls out (overflow past 28,6) fold " +
+      "like a recompute: sum NULL, extremes keep the raw value") {
+    val src = mkSource("mv_overflow")
+    val view = tempDir("mv_overflow_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // new group f = {1e23}: uncastable — nncnt 0, sum null, min/max 1e23
+    // existing group b gains 1e23: sum must stay the castable part only
+    st.merge(Seq((30L, "f", 1.0e23), (31L, "b", 1.0e23))
+        .toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    val f = MatView.read(spark, view).filter(col("k") === "f").head()
+    assert(f.getLong(f.fieldIndex("nncnt")) == 0L &&
+      f.isNullAt(f.fieldIndex("sum")) &&
+      f.getDouble(f.fieldIndex("max")) == 1.0e23)
+  }
+
+  test("key columns named after the aggregate columns refuse at create") {
+    val src = tempDir("mv_reserved") + "/src"
+    st.write(Seq((1L, "a", 1.0)).toDF("id", "cnt", "v"), src, "delta",
+      "overwrite")
+    intercept[IllegalArgumentException] {
+      MatView.create(spark, st, src, tempDir("mv_reserved_v") + "/v",
+        Seq("cnt"), "v")
+    }
   }
 
   test("null keys refuse loudly at create") {
