@@ -5086,6 +5086,73 @@ object GraftQueries {
       |    / count(*), 6) AS avg_price
       |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** OP-LOG COMPACTION ([[graft.storage.Maintenance.compactLog]]):
+    * every mutation appends a one-row parquet file to the op log, and
+    * every metadata read (Txn.snapshot, travel horizons, txn
+    * watermarks, DESCRIBE) lists and opens ALL of them — thousands of
+    * file opens per metadata operation after years of mutations at
+    * 100 TB. Compaction collapses the log to ONE file, content and
+    * ordering unchanged, under the commit lock. The query pins the
+    * whole contract into the oracle gate: one file at rest, every
+    * history row preserved, time travel still reconstructing the
+    * pre-mutation snapshot ACROSS the compaction, and a post-compact
+    * captured merge proving the table keeps mutating. */
+  val logCompactQ: Q = (spark, dir) => {
+    import graft.storage.{GraftLog, Maintenance}
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_logc_q").toString + "/t"
+    st.write(base, path, "delta", "overwrite")
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    graft.storage.Delete.where(spark, st, path,
+      "o_totalprice < 10000", captureChanges = true)
+    val histBefore = GraftLog.history(spark, path).count()
+    require(Maintenance.compactLog(spark, path) >= 3,
+      "three mutations must have left at least three log files")
+    require(graft.storage.Fs.listFiles(spark, GraftLog.logPath(path))
+        .count(f => !f.startsWith("_") && !f.startsWith(".")) == 1,
+      "the compacted log must rest at ONE file")
+    require(GraftLog.history(spark, path).count() == histBefore + 1,
+      "compaction must preserve every row and add only its own record")
+    require(graft.storage.Merge.readAsOf(spark, st, path,
+        Seq("o_orderkey"), Long.MinValue).count() == base.count(),
+      "time travel must still serve across the compacted log")
+    // the table keeps mutating: status-quo merge on %7 keys
+    st.merge(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    st.read(path, "delta")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  val logCompactSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 5 != 0),
+      |i1 AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 3 = 0),
+      |m1 AS (SELECT coalesce(i1.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |              coalesce(i1.o_custkey, base.o_custkey) AS o_custkey,
+      |              coalesce(i1.o_totalprice, base.o_totalprice) AS o_totalprice
+      |       FROM base FULL OUTER JOIN i1 ON base.o_orderkey = i1.o_orderkey),
+      |f AS (SELECT * FROM m1 WHERE NOT (o_totalprice < 10000)),
+      |i2 AS (SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT coalesce(i2.o_orderkey, f.o_orderkey) AS o_orderkey,
+      |       coalesce(i2.o_custkey, f.o_custkey) AS o_custkey,
+      |       coalesce(i2.o_totalprice, f.o_totalprice) AS price
+      |FROM f FULL OUTER JOIN i2 ON f.o_orderkey = i2.o_orderkey
+      |ORDER BY 1""".stripMargin
+
   /** Multi-query BM25 over a literal query table — three queries, one
     * with zero hits (emits no rows on both engines); top-10 per query
     * through the bounded aggregate (window-free; pinned in
@@ -7428,6 +7495,7 @@ object GraftQueries {
     entry("q_incremental_agg", incrementalAggQ, incrementalAggSql),
     entry("q_state_refresh", stateRefreshQ, stateRefreshSql),
     entry("q_matview", matviewQ, matviewSql),
+    entry("q_log_compact", logCompactQ, logCompactSql),
     entry("q_bm25_multi", bm25MultiQ, bm25MultiSql),
     entry("q_heavy_hitters", heavyHittersQ, heavyHittersSql),
     entry("q_inverted_index", invertedIndexQ, invertedIndexSql),

@@ -41,9 +41,23 @@ object GraftLog {
   def logPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "/" + LogDirName
 
-  /** True if `path` holds a managed table (our isDeltaTable analogue). */
-  def isManagedTable(spark: SparkSession, path: String): Boolean =
-    Fs.exists(spark, logPath(path))
+  /** True if `path` holds a managed table (our isDeltaTable analogue).
+    * Heals a crashed log-dir swap first ([[Maintenance.compactLog]] —
+    * a death between its two renames leaves `_graft_log__old` with no
+    * live dir): without the heal the table would read as UNMANAGED and
+    * a writer could bootstrap over it. The extra aside stat runs only
+    * when the log dir is absent — the managed hot path pays nothing. */
+  def isManagedTable(spark: SparkSession, path: String): Boolean = {
+    val lp = logPath(path)
+    if (!Fs.exists(spark, lp)) {
+      // best-effort: two concurrent probes of a crashed swap race the
+      // same rename — the loser's failure means the winner healed,
+      // which the re-check below observes
+      try Fs.recoverAside(spark, lp)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    Fs.exists(spark, lp)
+  }
 
   /** Append one (operation, now, partitioning) row. Driver-side,
     * metadata-sized. The partitioning column makes managed tables

@@ -386,4 +386,64 @@ object Maintenance {
     }
     actions.toSeq
   }
+
+  /** Compact the op log into a single file. Every mutation appends
+    * one one-row parquet file to `_graft_log`, and every metadata
+    * read ([[GraftLog.history]] — behind [[Txn.snapshot]],
+    * time-travel horizons, txn watermarks, DESCRIBE) lists and opens
+    * ALL of them: after years of mutations on a 100 TB table that is
+    * thousands of file opens per metadata operation. Compaction
+    * rewrites the log — content, timestamps, and seq values
+    * unchanged — as one file, so metadata reads go back to O(1)
+    * opens. Runs under the commit lock (the log is exactly what
+    * every concurrent mutation appends to); the swap is the
+    * engine-standard stage + rename-aside, healed by
+    * [[GraftLog.isManagedTable]] on the read side and by [[vacuum]]'s
+    * generic `__old`/`__tmp` sweep. A `LOG_COMPACT` op row records
+    * the maintenance event (content-invisible — classified like
+    * OPTIMIZE by every consumer that filters by operation).
+    *
+    * Returns the number of log files replaced (0 = already compact,
+    * nothing touched). */
+  def compactLog(spark: SparkSession, path: String): Long = {
+    val base = path.stripSuffix("/")
+    if (!GraftLog.isManagedTable(spark, base))
+      throw new IllegalArgumentException(
+        "The given path is not a Delta Table.")
+    Txn.withTableLock(spark, base, "LOG_COMPACT") {
+      val lp = GraftLog.logPath(base)
+      val files = Fs.listFiles(spark, lp)
+        .filterNot(_.startsWith("_")).filterNot(_.startsWith("."))
+      if (files.size <= 1) 0L
+      else {
+        val tmp = lp + "__tmp"
+        Fs.deleteChecked(spark, tmp)
+        // the LOG_COMPACT record rides INSIDE the compacted file (not
+        // a post-swap append): the log then rests at exactly one file
+        // and a second compaction is a genuine no-op
+        val opRow = spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row("LOG_COMPACT",
+              new java.sql.Timestamp(System.currentTimeMillis()), "",
+              System.nanoTime(), null, null)),
+          GraftLog.schema)
+        try {
+          // mergeSchema like history(): a pre-metadata log must not
+          // lose newer entries' columns to one old footer's schema
+          spark.read.option("mergeSchema", "true").parquet(lp)
+            .unionByName(opRow, allowMissingColumns = true)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          Fs.swapInStaged(spark, lp, tmp)
+        } catch {
+          case e: Throwable =>
+            // an in-process failure mid-swap must not leave the table
+            // reading as unmanaged until the next read-side heal
+            try { Fs.recoverAside(spark, lp); Fs.deleteChecked(spark, tmp) }
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
+        files.size.toLong
+      }
+    }
+  }
 }

@@ -83,7 +83,7 @@ object MatView {
 
   /** Ops that cannot change table content — safe to step across. */
   private val InvisibleOps = Set("OPTIMIZE", "ADD_CONSTRAINT",
-    "DROP_CONSTRAINT")
+    "DROP_CONSTRAINT", "LOG_COMPACT")
 
   case class Meta(source: String, keys: Seq[String], valueCol: String,
                   lastBatch: Long, logEntries: Long, logMaxSeq: Long)
