@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, TimeMode}
 
-import graft.storage.Storage
+import graft.storage.{BasicStorage, Storage}
 
 /** One user's open (not yet gap-closed) session — the custom state
   * carried between micro-batches by [[StreamingOps.sessionizeStream]].
@@ -789,6 +789,56 @@ object StreamingOps {
               Some(txnApp -> stamps.max))
           }
         }
+      }
+      .start()
+  }
+
+  /** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE: keep a
+    * [[graft.storage.MatView]] fresh as its source table mutates —
+    * the streaming half of the incremental-view story
+    * ([[replicateStream]]'s shape, pointed at aggregates instead of a
+    * replica).
+    *
+    * The trigger source is the table's OP LOG, not its change feed:
+    * EVERY mutation — captured or not, even a feed-less uncaptured
+    * delete — appends a log file as the last step of its commit, so a
+    * micro-batch fires exactly when there is something for the
+    * refresh to classify, with no one-batch lag (the op row IS the
+    * commit record; the feed's `_commit` markers, by contrast, land
+    * invisible to the file source). The micro-batch rows are a
+    * trigger only; [[graft.storage.MatView.refresh]] does its own
+    * op-log classification and folds, advances, or rebuilds — so the
+    * maintained view stays correct across uncaptured DML, restores,
+    * overwrites, and log compactions, not just clean captured merges.
+    * Replays after a checkpoint recovery re-run refresh, which is
+    * idempotent (the view's own watermark decides what applies).
+    *
+    * `pollInterval` swaps the file trigger for a rate-source clock —
+    * same listing semantics, bounded staleness on a quiet source. A
+    * refresh failure (e.g. refused null keys, retries exhausted under
+    * a hot writer) kills the stream LOUDLY — a silent skip would
+    * serve a stale view as fresh. */
+  def maintainMatView(spark: SparkSession, storage: BasicStorage,
+                      viewPath: String, checkpoint: String,
+                      pollInterval: Option[String] = None): StreamingQuery = {
+    val meta = graft.storage.MatView.loadMeta(spark, viewPath)
+    val logDir = graft.storage.GraftLog.logPath(meta.source)
+    val trigger = pollInterval match {
+      case Some(_) =>
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", "1").load()
+      case None =>
+        spark.readStream.schema(graft.storage.GraftLog.schema)
+          .option("basePath", logDir).parquet(logDir)
+    }
+    val writer = trigger.writeStream
+      .option("checkpointLocation", checkpoint)
+    pollInterval.foreach(i => writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(i)))
+    writer
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.storage.MatView.refresh(spark, storage, viewPath)
+        ()
       }
       .start()
   }

@@ -1239,6 +1239,43 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       "already-applied batches must be skipped after a checkpoint reset")
   }
 
+  test("maintainMatView keeps a materialized view fresh across " +
+      "captured AND uncaptured mutations") {
+    import spark.implicits._
+    import graft.storage.{BasicStorage, Delete, MatView}
+    val st = new BasicStorage(spark)
+    val root = tempDir("mv_stream")
+    val (src, view, cp) = (root + "/src", root + "/v", root + "/cp")
+    st.write(Seq((1L, "a", 1.0), (2L, "a", 5.0), (3L, "b", 2.0))
+      .toDF("id", "k", "v"), src, "delta", "overwrite")
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    def recompute = st.read(src, "delta").groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        count(col("v").try_cast("decimal(28,6)")).as("nncnt"),
+        sum(col("v").try_cast("decimal(28,6)"))
+          .cast("decimal(28,6)").as("sum"),
+        min("v").as("min"), max("v").as("max"))
+    val q = StreamingOps.maintainMatView(spark, st, view, cp)
+    try {
+      // captured merge while the stream runs: the op-log append
+      // triggers a refresh that must fold it in
+      st.merge(Seq((2L, "a", 6.0), (4L, "b", 7.0)).toDF("id", "k", "v"),
+        src, "full.id = incremental.id", captureChanges = true)
+      q.processAllAvailable()
+      assertDfEqual(MatView.read(spark, view), recompute)
+      // the stream's refresh advanced the view's watermark to the batch
+      assert(MatView.loadMeta(spark, view).lastBatch > Long.MinValue)
+      // an UNCAPTURED delete: the trigger still fires (op-log append)
+      // and the refresh must rebuild, not trust the gapped feed
+      assert(Delete.where(spark, st, src, "id = 1") == 1L)
+      q.processAllAvailable()
+      assertDfEqual(MatView.read(spark, view), recompute)
+      val a = MatView.read(spark, view).filter(col("k") === "a").head()
+      assert(a.getDouble(a.fieldIndex("min")) == 6.0,
+        "min must move off the deleted 1.0")
+    } finally q.stop()
+  }
+
   test("runningTotals (transformWithState): batch == groupBy; stream final == batch") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"),
