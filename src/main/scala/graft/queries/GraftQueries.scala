@@ -4575,6 +4575,77 @@ object GraftQueries {
       |FROM f FULL OUTER JOIN i ON f.o_orderkey = i.o_orderkey
       |ORDER BY 1""".stripMargin
 
+  /** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE ([[graft.streaming
+    * .StreamingOps.maintainMatView]]): the view stays fresh through a
+    * LIVE stream triggered by the source's op log while captured
+    * merges AND an uncaptured delete land — the refresh classification
+    * (fold vs rebuild) runs inside the stream, and the final pin is
+    * that a manual refresh after the stream stops is a NOOP: the
+    * stream left nothing stale. Oracle-checkable because the output
+    * is the final view, which must equal the aggregate of the final
+    * table whatever micro-batch boundaries the stream took. */
+  val streamMatview: Q = (spark, dir) => {
+    import graft.storage.MatView
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_streammv_q").toString
+    val (path, view, cp) = (root + "/t", root + "/v", root + "/cp")
+    st.write(base, path, "delta", "overwrite")
+    MatView.create(spark, st, path, view, Seq("o_custkey"), "o_totalprice")
+    val q = graft.streaming.StreamingOps.maintainMatView(spark, st,
+      view, cp)
+    try {
+      st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        path, "full.o_orderkey = incremental.o_orderkey",
+        captureChanges = true)
+      q.processAllAvailable()
+      // uncaptured delete: the stream's refresh must REBUILD
+      graft.storage.Delete.where(spark, st, path, "o_totalprice < 10000")
+      q.processAllAvailable()
+      st.merge(orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0),
+        path, "full.o_orderkey = incremental.o_orderkey",
+        captureChanges = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    require(MatView.refresh(spark, st, view).mode == "noop",
+      "the stream must leave the view fully fresh")
+    MatView.read(spark, view)
+      .select(col("o_custkey"), col("cnt"),
+        col("sum").cast("double").as("total"),
+        col("min"), col("max"),
+        round(col("sum").cast("double") / col("cnt"), 6).as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
+  val streamMatviewSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 5 != 0),
+      |i1 AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 3 = 0),
+      |m1 AS (SELECT coalesce(i1.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |              coalesce(i1.o_custkey, base.o_custkey) AS o_custkey,
+      |              coalesce(i1.o_totalprice, base.o_totalprice) AS o_totalprice
+      |       FROM base FULL OUTER JOIN i1 ON base.o_orderkey = i1.o_orderkey),
+      |f AS (SELECT * FROM m1 WHERE NOT (o_totalprice < 10000)),
+      |i2 AS (SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 7 = 0),
+      |m2 AS (SELECT coalesce(i2.o_orderkey, f.o_orderkey) AS o_orderkey,
+      |              coalesce(i2.o_custkey, f.o_custkey) AS o_custkey,
+      |              coalesce(i2.o_totalprice, f.o_totalprice) AS o_totalprice
+      |       FROM f FULL OUTER JOIN i2 ON f.o_orderkey = i2.o_orderkey)
+      |SELECT o_custkey, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS min, max(o_totalprice) AS max,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_price
+      |FROM m2 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------- round-5: sketches & retrieval
 
   /** Sketch-table rollup (the pattern that justifies the custom
@@ -7488,6 +7559,7 @@ object GraftQueries {
     entry("q_stream_dedup_watermark", streamDedupWatermark,
       streamDedupWatermarkSql),
     entry("q_stream_merge", streamMerge, streamMergeSql),
+    entry("q_stream_matview", streamMatview, streamMatviewSql),
     entry("q_sketch_quantile", sketchRollup),
     entry("q_hll_rollup", hllRollup),
     entry("q_bm25", bm25Q, bm25Sql),
