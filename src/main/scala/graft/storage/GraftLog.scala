@@ -42,21 +42,39 @@ object GraftLog {
     tablePath.stripSuffix("/") + "/" + LogDirName
 
   /** True if `path` holds a managed table (our isDeltaTable analogue).
-    * Heals a crashed log-dir swap first ([[Maintenance.compactLog]] —
-    * a death between its two renames leaves `_graft_log__old` with no
-    * live dir): without the heal the table would read as UNMANAGED and
-    * a writer could bootstrap over it. The extra aside stat runs only
-    * when the log dir is absent — the managed hot path pays nothing. */
+    *
+    * Crashed-log-swap awareness ([[Maintenance.compactLog]] — a death
+    * between its two renames leaves `_graft_log__old` with no live
+    * dir): a bare existence check would read the table as UNMANAGED
+    * and a writer could bootstrap over it, so an aside with the live
+    * dir missing still answers MANAGED. The HEAL, though, is gated on
+    * the commit lock: the compactor swaps while HOLDING the lock, and
+    * a lock-free probe that healed inside its two-rename window would
+    * roll the live log back mid-swap (the compactor's second rename
+    * then nests the staged dir inside the restored one — a silently
+    * uncompacted "success"). So the probe heals only when no holder
+    * can be alive: no lock file, or one STALE past the configured
+    * timeout. Until then a post-crash window answers managed=true
+    * with history reads failing loudly — the same wedged-until-
+    * stale-break contract every crashed lock-holding mutation has.
+    * The managed hot path pays exactly ONE stat; the extra
+    * aside/lock stats run only when the log dir is absent. */
   def isManagedTable(spark: SparkSession, path: String): Boolean = {
     val lp = logPath(path)
-    if (!Fs.exists(spark, lp)) {
-      // best-effort: two concurrent probes of a crashed swap race the
-      // same rename — the loser's failure means the winner healed,
-      // which the re-check below observes
-      try Fs.recoverAside(spark, lp)
-      catch { case scala.util.control.NonFatal(_) => () }
+    if (Fs.exists(spark, lp)) true
+    else if (!Fs.exists(spark, lp + "__old")) false
+    else {
+      Txn.heldBy(spark, path) match {
+        case Some((_, age)) if age < Txn.lockTimeoutMs(spark) =>
+          true // possibly a LIVE swap — never touch it
+        case _ =>
+          // best-effort: concurrent probes race the same rename — the
+          // loser's failure means the winner healed (re-check below)
+          try Fs.recoverAside(spark, lp)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Fs.exists(spark, lp) || Fs.exists(spark, lp + "__old")
+      }
     }
-    Fs.exists(spark, lp)
   }
 
   /** Append one (operation, now, partitioning) row. Driver-side,

@@ -85,8 +85,15 @@ object MatView {
   private val InvisibleOps = Set("OPTIMIZE", "ADD_CONSTRAINT",
     "DROP_CONSTRAINT", "LOG_COMPACT")
 
+  /** `schemaJson` is the state schema as Spark schema-JSON — the
+    * empty-view lifeline: an all-rows-deleted refresh writes a parquet
+    * dir with ZERO part files (Spark writes none for an empty frame),
+    * and without the recorded schema the next read would die in
+    * inference and wedge the view (the same failure mode
+    * [[GraftLog.schemaSidecar]] exists for on tables). */
   case class Meta(source: String, keys: Seq[String], valueCol: String,
-                  lastBatch: Long, logEntries: Long, logMaxSeq: Long)
+                  lastBatch: Long, logEntries: Long, logMaxSeq: Long,
+                  schemaJson: String)
 
   private def sidecarPath(viewPath: String): String =
     viewPath.stripSuffix("/") + "/" + SidecarName
@@ -99,7 +106,8 @@ object MatView {
     JsonMethods.compact(JsonMethods.render(
       ("source" -> m.source) ~ ("keys" -> m.keys) ~
         ("valueCol" -> m.valueCol) ~ ("lastBatch" -> m.lastBatch) ~
-        ("logEntries" -> m.logEntries) ~ ("logMaxSeq" -> m.logMaxSeq)))
+        ("logEntries" -> m.logEntries) ~ ("logMaxSeq" -> m.logMaxSeq) ~
+        ("schemaJson" -> m.schemaJson)))
   }
 
   private def saveMetaInto(spark: SparkSession, dir: String,
@@ -135,7 +143,7 @@ object MatView {
       case _ => throw new IllegalStateException("matview sidecar: keys")
     }
     Meta(str("source"), keys, str("valueCol"), lng("lastBatch"),
-      lng("logEntries"), lng("logMaxSeq"))
+      lng("logEntries"), lng("logMaxSeq"), str("schemaJson"))
   }
 
   // --------------------------------------------------------- partials
@@ -213,11 +221,22 @@ object MatView {
   /** The view's state (cnt, nncnt, sum, min, max per key), with SQL
     * null semantics restored on `sum` at storage time already —
     * serve-ready. Underscore sidecar files are invisible to the
-    * parquet read. */
+    * parquet read. An EMPTY view (every group deleted — zero part
+    * files on disk) serves an empty frame with the sidecar's recorded
+    * schema instead of dying in inference. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val base = viewPath.stripSuffix("/")
     Fs.recoverAside(spark, base)
-    spark.read.parquet(base)
+    if (Fs.listFiles(spark, base)
+        .exists(f => !f.startsWith("_") && !f.startsWith(".")))
+      spark.read.parquet(base)
+    else {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(loadMeta(spark, base).schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
   }
 
   // ---------------------------------------------------------- refresh
@@ -304,8 +323,10 @@ object MatView {
     val state = partials(storage.read(source, "delta"), keys, valueCol)
       .localCheckpoint()
     refuseNullKeys(state, keys, "the source table")
-    commitState(spark, viewBase, state.select(stateCols(keys).map(col): _*),
-      Meta(source, keys, valueCol, watermark, snap.entries, snap.maxSeq),
+    val out = state.select(stateCols(keys).map(col): _*)
+    commitState(spark, viewBase, out,
+      Meta(source, keys, valueCol, watermark, snap.entries, snap.maxSeq,
+        out.schema.json),
       snap, "MATVIEW REBUILD")
     MatViewRefresh("rebuild", 0L, 0L)
   }
@@ -395,7 +416,7 @@ object MatView {
       .unionByName(rescanned.select(stateCols(keys).map(col): _*))
     commitState(spark, viewBase, newState,
       meta.copy(lastBatch = committed.max, logEntries = snap.entries,
-        logMaxSeq = snap.maxSeq),
+        logMaxSeq = snap.maxSeq, schemaJson = newState.schema.json),
       snap, "MATVIEW REFRESH")
     MatViewRefresh("incremental", committed.size.toLong, nRescan)
   }

@@ -398,4 +398,10 @@ object Txn {
 
   private def confMs(spark: SparkSession, key: String, dflt: Long): Long =
     spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  /** The configured stale-lock horizon — shared with
+    * [[GraftLog.isManagedTable]]'s crashed-log-swap heal, which must
+    * never roll back a swap whose holder may still be alive. */
+  private[storage] def lockTimeoutMs(spark: SparkSession): Long =
+    confMs(spark, LockTimeoutKey, LockTimeoutDefaultMs)
 }

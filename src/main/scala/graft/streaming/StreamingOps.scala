@@ -678,6 +678,35 @@ object StreamingOps {
       .start()
   }
 
+  /** The listing-trigger scaffold shared by the directory-watching
+    * maintenance streams ([[replicateStream]], [[maintainMatView]]):
+    * file-triggered on `dir` by default (a micro-batch fires when new
+    * files appear; the rows are a trigger only — the foreachBatch body
+    * re-lists its real source), or a rate-source clock when
+    * `pollInterval` is set (bounded staleness on a quiet source). */
+  private def listingTriggerWriter(spark: SparkSession, dir: String,
+                                   schema: => org.apache.spark.sql.types.StructType,
+                                   checkpoint: String,
+                                   pollInterval: Option[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val trigger = pollInterval match {
+      case Some(_) =>
+        // pure clock: one tiny rate row per tick fires the listing
+        // replay even when no new file ever arrives
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", "1").load()
+      case None =>
+        spark.readStream.schema(schema)
+          .option("basePath", dir).parquet(dir)
+    }
+    val writer = trigger.writeStream
+      .option("checkpointLocation", checkpoint)
+    pollInterval.foreach(i => writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(i)))
+    writer
+  }
+
   /** Continuous replica maintenance from a source table's Change Data
     * Feed: stream the `_graft_changes` batch files
     * ([[graft.storage.Merge]] `captureChanges`) and replay each onto
@@ -730,23 +759,8 @@ object StreamingOps {
     val changesDir = sourcePath.stripSuffix("/") + "/" +
       graft.storage.Merge.ChangesDirName
     val txnApp = s"graft_replicate:$sourcePath"
-    val trigger = pollInterval match {
-      case Some(_) =>
-        // pure clock: one tiny rate row per tick fires the listing
-        // replay even when no new feed file ever arrives
-        spark.readStream.format("rate")
-          .option("rowsPerSecond", "1").load()
-      case None =>
-        val schema = spark.read.parquet(changesDir).schema
-        spark.readStream.schema(schema)
-          .option("basePath", changesDir)
-          .parquet(changesDir)
-    }
-    val writer = trigger.writeStream
-      .option("checkpointLocation", checkpoint)
-    pollInterval.foreach(i => writer.trigger(
-      org.apache.spark.sql.streaming.Trigger.ProcessingTime(i)))
-    writer
+    listingTriggerWriter(spark, changesDir,
+        spark.read.parquet(changesDir).schema, checkpoint, pollInterval)
       .foreachBatch { (_: DataFrame, _: Long) =>
         // The micro-batch is a TRIGGER only; the rows replayed come
         // from the source feed DIRECTORY, listed forward from the
@@ -823,19 +837,8 @@ object StreamingOps {
                       pollInterval: Option[String] = None): StreamingQuery = {
     val meta = graft.storage.MatView.loadMeta(spark, viewPath)
     val logDir = graft.storage.GraftLog.logPath(meta.source)
-    val trigger = pollInterval match {
-      case Some(_) =>
-        spark.readStream.format("rate")
-          .option("rowsPerSecond", "1").load()
-      case None =>
-        spark.readStream.schema(graft.storage.GraftLog.schema)
-          .option("basePath", logDir).parquet(logDir)
-    }
-    val writer = trigger.writeStream
-      .option("checkpointLocation", checkpoint)
-    pollInterval.foreach(i => writer.trigger(
-      org.apache.spark.sql.streaming.Trigger.ProcessingTime(i)))
-    writer
+    listingTriggerWriter(spark, logDir, graft.storage.GraftLog.schema,
+        checkpoint, pollInterval)
       .foreachBatch { (_: DataFrame, _: Long) =>
         graft.storage.MatView.refresh(spark, storage, viewPath)
         ()

@@ -91,6 +91,27 @@ class LogCompactSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLog.history(spark, path).count() > 0)
   }
 
+  test("a probe during a LIVE compaction's swap window answers " +
+      "managed without rolling the swap back; heal waits for the " +
+      "lock to clear") {
+    val path = mkSource("logc_liveswap")
+    val lp = GraftLog.logPath(path)
+    // simulate the compactor mid-swap: commit lock held (fresh),
+    // live log renamed aside, staged dir not yet renamed in
+    Fs.writeText(spark, Txn.lockPath(path), "some-token\nLOG_COMPACT")
+    Fs.renameChecked(spark, lp, lp + "__old")
+    try {
+      assert(GraftLog.isManagedTable(spark, path),
+        "mid-swap the table is still managed")
+      assert(Fs.exists(spark, lp + "__old") && !Fs.exists(spark, lp),
+        "a lock-free probe must NEVER heal under a live lock — the " +
+          "compactor's second rename would nest into the restored dir")
+    } finally Fs.deleteChecked(spark, Txn.lockPath(path))
+    // lock gone (holder released/crashed-and-broken): the probe heals
+    assert(GraftLog.isManagedTable(spark, path))
+    assert(Fs.exists(spark, lp) && !Fs.exists(spark, lp + "__old"))
+  }
+
   test("a non-managed path refuses") {
     val plain = tempDir("logc_plain") + "/p"
     Seq((1L, 1.0)).toDF("id", "v").write.parquet(plain)

@@ -36,11 +36,7 @@ class MatViewPropertySpec extends AnyFunSuite with SparkSpec {
   private def df(rows: Seq[MvPropRow]) = rows.toDF()
 
   private def recompute(path: String) =
-    st.read(path, "delta").groupBy("k")
-      .agg(count(lit(1)).as("cnt"),
-        count(col("v").try_cast("decimal(28,6)")).as("nncnt"),
-        sum(col("v").try_cast("decimal(28,6)")).cast("decimal(28,6)").as("sum"),
-        min("v").as("min"), max("v").as("max"))
+    MatViewTestSupport.recompute(spark, st, path)
 
   test("random mutation interleavings: after every refresh the view " +
       "equals a recompute of the current table") {

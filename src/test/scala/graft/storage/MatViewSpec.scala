@@ -31,16 +31,10 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     path
   }
 
-  /** What the view must equal: per-key partials recomputed from the
-    * table as it stands NOW. nncnt counts by the decimal cast — the
-    * stored contract (values the cast nulls out contribute to
-    * neither nncnt nor sum). */
+  /** What the view must equal — the contract stated once in
+    * [[MatViewTestSupport]]. */
   private def recompute(source: String): DataFrame =
-    st.read(source, "delta").groupBy("k")
-      .agg(count(lit(1)).as("cnt"),
-        count(col("v").try_cast("decimal(28,6)")).as("nncnt"),
-        sum(col("v").try_cast("decimal(28,6)")).cast("decimal(28,6)").as("sum"),
-        min("v").as("min"), max("v").as("max"))
+    MatViewTestSupport.recompute(spark, st, source)
 
   test("create equals a recompute, including all-null and mixed-null " +
       "groups; a second create on the same path refuses") {
@@ -197,11 +191,31 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     val r = MatView.refresh(spark, st, view)
     assert(r.mode == "incremental")
     assertDfEqual(MatView.read(spark, view),
-      st.read(src, "delta").groupBy("k1", "k2")
-        .agg(count(lit(1)).as("cnt"), count(col("v")).as("nncnt"),
-          sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
-            .as("sum"),
-          min("v").as("min"), max("v").as("max")))
+      MatViewTestSupport.recompute(spark, st, src, Seq("k1", "k2")))
+  }
+
+  test("deleting every row leaves a readable EMPTY view that refills " +
+      "on the next refresh") {
+    val src = tempDir("mv_allgone") + "/src"
+    st.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
+      src, "delta", "overwrite")
+    val view = tempDir("mv_allgone_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    assert(Delete.where(spark, st, src, "v >= 0", captureChanges = true)
+      == 2L)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental")
+    // zero part files on disk — the read must serve the recorded
+    // schema, not die in inference (and refresh must keep working)
+    assert(MatView.read(spark, view).isEmpty)
+    assert(MatView.read(spark, view).schema.fieldNames.toSeq ==
+      Seq("k", "cnt", "nncnt", "sum", "min", "max"))
+    assert(MatView.refresh(spark, st, view).mode == "noop")
+    // the empty view refills incrementally
+    st.merge(Seq((3L, "c", 9.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    assert(MatView.refresh(spark, st, view).mode == "incremental")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
   }
 
   test("values the decimal cast nulls out (overflow past 28,6) fold " +

@@ -1249,12 +1249,8 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     st.write(Seq((1L, "a", 1.0), (2L, "a", 5.0), (3L, "b", 2.0))
       .toDF("id", "k", "v"), src, "delta", "overwrite")
     MatView.create(spark, st, src, view, Seq("k"), "v")
-    def recompute = st.read(src, "delta").groupBy("k")
-      .agg(count(lit(1)).as("cnt"),
-        count(col("v").try_cast("decimal(28,6)")).as("nncnt"),
-        sum(col("v").try_cast("decimal(28,6)"))
-          .cast("decimal(28,6)").as("sum"),
-        min("v").as("min"), max("v").as("max"))
+    def recompute =
+      graft.storage.MatViewTestSupport.recompute(spark, st, src)
     val q = StreamingOps.maintainMatView(spark, st, view, cp)
     try {
       // captured merge while the stream runs: the op-log append
