@@ -31,6 +31,11 @@ object Merge {
 
   val ChangesDirName = "_graft_changes"
 
+  /** Minimum wait for the loser of a bootstrap-create race before
+    * refusing (see [[awaitManaged]]). */
+  val BootstrapGraceKey = "spark.graft.bootstrapGraceMs"
+  val BootstrapGraceDefaultMs: Long = 10000L
+
   /** Commit marker inside a change-batch dir — written AFTER the
     * batch's data rewrite reached the table (log-before-data leaves
     * the batch files first). A batch dir WITHOUT it is a crashed
@@ -452,17 +457,29 @@ object Merge {
     } finally Txn.release(spark, base, token)
   }
 
-  /** Wait (bounded by `spark.graft.txnLockWaitMs`, default 0 = one
-    * check) for a concurrently-created table to become complete, then
+  /** Wait for a concurrently-created table to become complete, then
     * return; throw [[ConcurrentWriteException]] if it doesn't.
     * "Complete" means the op log is READABLE with at least one row,
     * not merely that its directory exists — the log dir appears when
     * the winner's log write begins, a beat before its parquet commit,
     * and a reader entering in that beat would die on an empty-dir
-    * schema inference. */
+    * schema inference.
+    *
+    * The wait is the LARGER of `spark.graft.txnLockWaitMs` (default
+    * 0) and a built-in creation grace ([[BootstrapGraceKey]], default
+    * 10 s): unlike the general lock-wait case — where refusing fast
+    * is the right default because the holder's mutation may run for
+    * minutes — a bootstrap CREATE typically completes in seconds, and
+    * failing the race's loser instantly just converts a benign
+    * first-write race into a spurious error. A crashed bootstrapper
+    * costs its victims one grace period before the (conf-naming)
+    * refusal. */
   private def awaitManaged(spark: SparkSession, path: String): Unit = {
-    val waitMs = spark.conf.getOption(Txn.LockWaitKey)
-      .map(_.toLong).getOrElse(Txn.LockWaitDefaultMs)
+    val waitMs = math.max(
+      spark.conf.getOption(Txn.LockWaitKey)
+        .map(_.toLong).getOrElse(Txn.LockWaitDefaultMs),
+      spark.conf.getOption(BootstrapGraceKey)
+        .map(_.toLong).getOrElse(BootstrapGraceDefaultMs))
     val deadline = System.currentTimeMillis() + waitMs
     def ready: Boolean =
       GraftLog.isManagedTable(spark, path) &&
