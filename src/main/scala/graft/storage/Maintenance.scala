@@ -383,9 +383,31 @@ object Maintenance {
       if (actions.exists(a => a.kind == "heal" && a.dest == base))
         return actions.toSeq ++
           vacuum(spark, path, dryRun = false, orphanMinAgeMs)
+      // --- opportunistic log compaction: maintenance shouldn't need
+      // a SECOND manual step nobody remembers at 100 TB — once the
+      // one-file-per-commit log outgrows the threshold, the routine
+      // vacuum folds it to one file ([[compactLog]] takes the commit
+      // lock itself; a concurrent mutation turns this into a loud
+      // refusal the caller's next vacuum retries, never a corruption)
+      val logThreshold = spark.conf.getOption(LogCompactThresholdKey)
+        .map(_.toInt).getOrElse(LogCompactThresholdDefault)
+      if (logThreshold > 0 && GraftLog.isManagedTable(spark, base)) {
+        val n = Fs.listFiles(spark, GraftLog.logPath(base))
+          .count(f => !f.startsWith("_") && !f.startsWith("."))
+        if (n > logThreshold) {
+          Maintenance.compactLog(spark, base)
+          actions += VacuumAction("compact-log", GraftLog.logPath(base),
+            "", s"$n log files > threshold $logThreshold -> 1")
+        }
+      }
     }
     actions.toSeq
   }
+
+  /** Log-file count above which [[vacuum]] compacts the op log as
+    * part of its sweep (0 disables). */
+  val LogCompactThresholdKey = "spark.graft.vacuumLogCompactThreshold"
+  val LogCompactThresholdDefault = 64
 
   /** Compact the op log into a single file. Every mutation appends
     * one one-row parquet file to `_graft_log`, and every metadata

@@ -112,6 +112,23 @@ class LogCompactSpec extends AnyFunSuite with SparkSpec {
     assert(Fs.exists(spark, lp) && !Fs.exists(spark, lp + "__old"))
   }
 
+  test("vacuum compacts an overgrown log as part of its sweep, and " +
+      "leaves one under the threshold alone") {
+    val path = mkSource("logc_vacuum")
+    val key = Maintenance.LogCompactThresholdKey
+    try {
+      spark.conf.set(key, "3")
+      val acts = Maintenance.vacuum(spark, path)
+      assert(acts.exists(_.kind == "compact-log"),
+        s"4+ log files over threshold 3 must compact, got $acts")
+      assert(logFiles(path).size == 1)
+      // under the threshold: untouched
+      assert(!Maintenance.vacuum(spark, path)
+        .exists(_.kind == "compact-log"))
+      assert(logFiles(path).size == 1)
+    } finally spark.conf.unset(key)
+  }
+
   test("a non-managed path refuses") {
     val plain = tempDir("logc_plain") + "/p"
     Seq((1L, 1.0)).toDF("id", "v").write.parquet(plain)
