@@ -413,10 +413,16 @@ object Merge {
       // holder's op string is unreadable in the beat between its
       // lock create and content write, so age alone decides
       val creating = Txn.heldBy(spark, path).exists(_._2 <= timeoutMs)
-      if (!creating)
-        throw new IllegalArgumentException(
-          "The given path is not a Delta Table.")
-      awaitManaged(spark, path)
+      if (!creating) {
+        // TOCTOU between the two probes: the winner's log append
+        // happens-before its release, so a bootstrap that COMPLETED
+        // between our managed-check (false) and our lock-check
+        // (absent) is visible to a managed re-probe now — condemn
+        // only when the path is still unmanaged with no claim
+        if (!GraftLog.isManagedTable(spark, path))
+          throw new IllegalArgumentException(
+            "The given path is not a Delta Table.")
+      } else awaitManaged(spark, path)
     }
 
     // a merge reads the base and rewrites it — without the commit
