@@ -55,7 +55,9 @@ import org.apache.spark.sql.SparkSession
 object Maintenance {
 
   /** One planned (or executed) vacuum step. `kind` is `delete` |
-    * `heal` | `fence` | `skip`; heals rename `target` back to `dest`;
+    * `heal` | `fence` | `compact-log` | `skip`; heals rename `target`
+    * back to `dest`; compact-log folds table `dest`'s op log
+    * ([[compactLog]] — planned in dry runs, executed otherwise);
     * fences record a change-barrier horizon on table `target` at the
     * stamp in `dest` (orphaned change batches get fenced before
     * removal); skips are report-only (a marker-less change batch or a
@@ -353,7 +355,25 @@ object Maintenance {
       }
     }
 
+    // --- opportunistic log compaction (PLANNED here so a dry run
+    // previews it; executed in the loop below): maintenance shouldn't
+    // need a SECOND manual step nobody remembers at 100 TB — once the
+    // one-file-per-commit log outgrows the threshold, the routine
+    // vacuum folds it to one file
+    val logThreshold = spark.conf.getOption(LogCompactThresholdKey)
+      .map(_.toInt).getOrElse(LogCompactThresholdDefault)
+    if (logThreshold > 0 && GraftLog.isManagedTable(spark, base)) {
+      val n = Fs.listFiles(spark, GraftLog.logPath(base))
+        .count(f => !f.startsWith("_") && !f.startsWith("."))
+      if (n > logThreshold)
+        actions += VacuumAction("compact-log", GraftLog.logPath(base),
+          base, s"$n log files > threshold $logThreshold -> 1")
+    }
+
     if (!dryRun) {
+      // execute-time additions (a deferred compaction) land AFTER the
+      // loop — appending to the buffer mid-foreach is undefined
+      val followUps = scala.collection.mutable.Buffer[VacuumAction]()
       actions.foreach { a =>
         if (a.kind == "delete" &&
             a.target.endsWith("/" + Txn.LockFileName) && a.dest.nonEmpty) {
@@ -375,31 +395,28 @@ object Maintenance {
             Some(Merge.ChangesBarrierApp -> a.dest.toLong))
         else if (a.kind == "heal")
           Fs.renameChecked(spark, a.target, a.dest)
+        else if (a.kind == "compact-log") {
+          // compactLog takes the commit lock itself; a writer that
+          // grabbed it since planning turns this into a DEFERRAL in
+          // the report, not an exception that discards the report of
+          // the deletions/fences already executed above
+          try { Maintenance.compactLog(spark, a.dest); () }
+          catch {
+            case _: ConcurrentWriteException =>
+              followUps += VacuumAction("skip", a.target, "",
+                "log compaction deferred: a concurrent writer holds " +
+                  "the commit lock — the next vacuum retries")
+          }
+        }
         // "skip" entries are report-only by design
       }
+      actions ++= followUps
       // a healed root was unsweepable when the plan was computed —
       // one more pass picks up its interior debris (terminates: the
       // root now exists, so the recursive call takes the sweep branch)
       if (actions.exists(a => a.kind == "heal" && a.dest == base))
         return actions.toSeq ++
           vacuum(spark, path, dryRun = false, orphanMinAgeMs)
-      // --- opportunistic log compaction: maintenance shouldn't need
-      // a SECOND manual step nobody remembers at 100 TB — once the
-      // one-file-per-commit log outgrows the threshold, the routine
-      // vacuum folds it to one file ([[compactLog]] takes the commit
-      // lock itself; a concurrent mutation turns this into a loud
-      // refusal the caller's next vacuum retries, never a corruption)
-      val logThreshold = spark.conf.getOption(LogCompactThresholdKey)
-        .map(_.toInt).getOrElse(LogCompactThresholdDefault)
-      if (logThreshold > 0 && GraftLog.isManagedTable(spark, base)) {
-        val n = Fs.listFiles(spark, GraftLog.logPath(base))
-          .count(f => !f.startsWith("_") && !f.startsWith("."))
-        if (n > logThreshold) {
-          Maintenance.compactLog(spark, base)
-          actions += VacuumAction("compact-log", GraftLog.logPath(base),
-            "", s"$n log files > threshold $logThreshold -> 1")
-        }
-      }
     }
     actions.toSeq
   }

@@ -471,20 +471,20 @@ object Merge {
     * and a reader entering in that beat would die on an empty-dir
     * schema inference.
     *
-    * The wait is the LARGER of `spark.graft.txnLockWaitMs` (default
-    * 0) and a built-in creation grace ([[BootstrapGraceKey]], default
-    * 10 s): unlike the general lock-wait case — where refusing fast
-    * is the right default because the holder's mutation may run for
-    * minutes — a bootstrap CREATE typically completes in seconds, and
+    * An EXPLICIT `spark.graft.txnLockWaitMs` governs outright — an
+    * operator who bounded lock waits at 1 s must not poll for 10 s
+    * anyway. With it UNSET, the wait is the built-in creation grace
+    * ([[BootstrapGraceKey]], default 10 s) instead of the general
+    * default's instant refusal: unlike an arbitrary mutation — which
+    * may hold its lock for minutes, making refuse-fast the right
+    * default — a bootstrap CREATE typically completes in seconds, and
     * failing the race's loser instantly just converts a benign
     * first-write race into a spurious error. A crashed bootstrapper
     * costs its victims one grace period before the (conf-naming)
     * refusal. */
   private def awaitManaged(spark: SparkSession, path: String): Unit = {
-    val waitMs = math.max(
-      spark.conf.getOption(Txn.LockWaitKey)
-        .map(_.toLong).getOrElse(Txn.LockWaitDefaultMs),
-      spark.conf.getOption(BootstrapGraceKey)
+    val waitMs = spark.conf.getOption(Txn.LockWaitKey).map(_.toLong)
+      .getOrElse(spark.conf.getOption(BootstrapGraceKey)
         .map(_.toLong).getOrElse(BootstrapGraceDefaultMs))
     val deadline = System.currentTimeMillis() + waitMs
     def ready: Boolean =
@@ -495,7 +495,8 @@ object Merge {
       if (System.currentTimeMillis() >= deadline)
         throw new ConcurrentWriteException(
           s"another writer is creating $path (bootstrap claim held); " +
-            s"retry when it completes, or set ${Txn.LockWaitKey} to wait")
+            s"retry when it completes, raise $BootstrapGraceKey, or " +
+            s"set ${Txn.LockWaitKey} to govern the wait outright")
       Thread.sleep(100)
     }
   }

@@ -223,6 +223,8 @@ object Optimize {
         case "fence" =>
           s"fenced change feed of ${a.target} at batch ${a.dest}"
         case "skip" => s"left ${a.target} alone (${a.detail})"
+        case "compact-log" =>
+          s"compacted op log of ${a.dest} (${a.detail})"
         case _ => s"removed ${a.target} (${a.detail})"
       }
     }

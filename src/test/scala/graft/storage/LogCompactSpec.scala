@@ -118,6 +118,12 @@ class LogCompactSpec extends AnyFunSuite with SparkSpec {
     val key = Maintenance.LogCompactThresholdKey
     try {
       spark.conf.set(key, "3")
+      // a dry run PREVIEWS the compaction without touching anything —
+      // vacuum's full-action-plan contract
+      val plan = Maintenance.vacuum(spark, path, dryRun = true)
+      assert(plan.exists(_.kind == "compact-log"),
+        s"the dry run must plan the compaction, got $plan")
+      assert(logFiles(path).size > 3, "dry run must not touch the log")
       val acts = Maintenance.vacuum(spark, path)
       assert(acts.exists(_.kind == "compact-log"),
         s"4+ log files over threshold 3 must compact, got $acts")
