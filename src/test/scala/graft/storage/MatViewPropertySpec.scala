@@ -40,7 +40,10 @@ class MatViewPropertySpec extends AnyFunSuite with SparkSpec {
 
   test("random mutation interleavings: after every refresh the view " +
       "equals a recompute of the current table") {
-    for (seed <- 0 until 5) {
+    // soak knob: GRAFT_MV_PROP_SEEDS=25 for an extended local run
+    val nSeeds = sys.env.get("GRAFT_MV_PROP_SEEDS")
+      .map(_.toInt).getOrElse(5)
+    for (seed <- 0 until nSeeds) {
       val rng = new scala.util.Random(70 + seed)
       val root = tempDir(s"mv_prop_$seed")
       val (path, view) = (root + "/t", root + "/v")
