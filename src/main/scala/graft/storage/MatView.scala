@@ -408,12 +408,21 @@ object MatView {
     val poisonedKeys = joined.filter(poisoned)
       .select(keys.map(col): _*)
     val nRescan = poisonedKeys.count()
-    val rescanned = partials(
-      storage.read(source, "delta").join(poisonedKeys, keys, "left_semi"),
-      keys, meta.valueCol)
-
-    val newState = folded.select(stateCols(keys).map(col): _*)
-      .unionByName(rescanned.select(stateCols(keys).map(col): _*))
+    // the rescan branch joins the FACT TABLE — attach it only when a
+    // group actually needs it, or every pure fold would schedule a
+    // full source scan and merely hope AQE's empty-relation pass
+    // elides it (MatViewSpec pins this functionally: a no-rescan
+    // refresh succeeds with the source's data files hidden)
+    val newState =
+      if (nRescan == 0L) folded.select(stateCols(keys).map(col): _*)
+      else {
+        val rescanned = partials(
+          storage.read(source, "delta")
+            .join(poisonedKeys, keys, "left_semi"),
+          keys, meta.valueCol)
+        folded.select(stateCols(keys).map(col): _*)
+          .unionByName(rescanned.select(stateCols(keys).map(col): _*))
+      }
     commitState(spark, viewBase, newState,
       meta.copy(lastBatch = committed.max, logEntries = snap.entries,
         logMaxSeq = snap.maxSeq, schemaJson = newState.schema.json),
@@ -465,9 +474,33 @@ object MatView {
       attempt += 1
       try return body
       catch {
-        case e: ConcurrentWriteException if attempt < maxAttempts => ()
+        case _: ConcurrentWriteException if attempt < maxAttempts => ()
+        case e if attempt < maxAttempts && isSwapWindowRace(e) =>
+          // a COW commit renames the source's root aside and back in
+          // two steps; a lock-free read landing in that microsecond
+          // window dies on a missing path or an uninferable dir. The
+          // table is complete again by the next look — retry like a
+          // concurrent commit (bounded: a GENUINELY missing source
+          // exhausts the attempts and rethrows loudly).
+          Thread.sleep(200)
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Is this the transient crash of a read that landed inside a
+    * concurrent COW swap's two-rename window (root briefly absent /
+    * dir briefly empty)? Matched on the cause chain — Spark wraps
+    * both in layers of execution/streaming exceptions. */
+  private[storage] def isSwapWindowRace(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && (
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage)
+            .exists(m => m.contains("UNABLE_TO_INFER_SCHEMA") ||
+              m.contains("PATH_NOT_FOUND")) ||
+          walk(t.getCause))
+    walk(e)
   }
 }

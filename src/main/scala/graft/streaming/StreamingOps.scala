@@ -828,10 +828,12 @@ object StreamingOps {
     * idempotent (the view's own watermark decides what applies).
     *
     * `pollInterval` swaps the file trigger for a rate-source clock —
-    * same listing semantics, bounded staleness on a quiet source. A
-    * refresh failure (e.g. refused null keys, retries exhausted under
-    * a hot writer) kills the stream LOUDLY — a silent skip would
-    * serve a stale view as fresh. */
+    * same listing semantics, bounded staleness on a quiet source.
+    * Transient races with a live COW commit (the source root's
+    * two-rename swap window) are retried INSIDE the refresh; a
+    * persistent failure (refused null keys, retries exhausted under a
+    * hot writer) kills the stream LOUDLY — a silent skip would serve
+    * a stale view as fresh. */
   def maintainMatView(spark: SparkSession, storage: BasicStorage,
                       viewPath: String, checkpoint: String,
                       pollInterval: Option[String] = None): StreamingQuery = {

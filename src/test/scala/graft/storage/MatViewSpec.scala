@@ -194,6 +194,30 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
       MatViewTestSupport.recompute(spark, st, src, Seq("k1", "k2")))
   }
 
+  test("a pure fold never touches the fact table's data files — the " +
+      "100 TB refresh cost is |changes|, proven by hiding the source") {
+    val src = mkSource("mv_nofact")
+    val view = tempDir("mv_nofact_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // a captured merge whose removals avoid every extreme: no rescan
+    st.merge(Seq((2L, "a", 6.0), (10L, "b", 7.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    // hide the fact table's parquet (log + feed stay): a refresh that
+    // reads ANY source data file now fails loudly
+    val hidden = Fs.listFiles(spark, src)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_"))
+    assert(hidden.nonEmpty)
+    hidden.foreach(f => Fs.renameChecked(spark, s"$src/$f",
+      s"$src/.hidden_$f"))
+    try {
+      val r = MatView.refresh(spark, st, view)
+      assert(r.mode == "incremental" && r.groupsRescanned == 0L,
+        s"expected a pure fold, got $r")
+    } finally hidden.foreach(f => Fs.renameChecked(spark,
+      s"$src/.hidden_$f", s"$src/$f"))
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
   test("deleting every row leaves a readable EMPTY view that refills " +
       "on the next refresh") {
     val src = tempDir("mv_allgone") + "/src"
@@ -245,6 +269,20 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
       MatView.create(spark, st, src, tempDir("mv_reserved_v") + "/v",
         Seq("cnt"), "v")
     }
+  }
+
+  test("swap-window race classification: missing-path crashes are " +
+      "retryable through the cause chain, ordinary failures are not") {
+    import MatView.isSwapWindowRace
+    assert(isSwapWindowRace(new java.io.FileNotFoundException("/t/x")))
+    assert(isSwapWindowRace(new RuntimeException("outer",
+      new RuntimeException(
+        "[UNABLE_TO_INFER_SCHEMA] Unable to infer schema for Parquet"))))
+    assert(isSwapWindowRace(new RuntimeException(
+      "[PATH_NOT_FOUND] Path does not exist: file:/t")))
+    assert(!isSwapWindowRace(new RuntimeException("boom")))
+    assert(!isSwapWindowRace(new IllegalArgumentException(
+      "matview keys must be non-null")))
   }
 
   test("null keys refuse loudly at create") {
