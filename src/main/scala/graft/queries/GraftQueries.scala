@@ -5157,6 +5157,76 @@ object GraftQueries {
       |    / count(*), 6) AS avg_price
       |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** MULTI-METRIC, NO-MIN/MAX materialized view ([[graft.storage
+    * .MatView.createMulti]]): two value columns share one feed read
+    * and one state swap per refresh — N metrics over the same keys
+    * cost one refresh, not N — and `withMinMax = false` keeps only
+    * the abelian partials (cnt, nncnt, sum), so deletes fold exactly
+    * and the refresh NEVER attaches the fact table (no rescan branch
+    * exists; MatViewSpec proves it by hiding the source's data
+    * files). The query pins the sharpest contrast with `q_matview`
+    * into the oracle gate: the SAME sub-10k delete that poisons
+    * groups there must fold here with groupsRescanned == 0. At
+    * 100 TB this is the strictly-cheaper mode for sum/count/avg
+    * rollups that don't need extremes — refresh cost is |changes|,
+    * with no poisoned-group tail under ANY delete pattern. */
+  val matviewMultiQ: Q = (spark, dir) => {
+    import graft.storage.MatView
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_matview_multi_q").toString
+    val (path, view) = (root + "/t", root + "/v")
+    st.write(base, path, "delta", "overwrite")
+    val r0 = MatView.createMulti(spark, st, path, view,
+      Seq("o_custkey"), Seq("o_totalprice", "o_orderkey"),
+      withMinMax = false)
+    require(r0.mode == "rebuild", s"create must rebuild, took ${r0.mode}")
+    st.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    graft.storage.Delete.where(spark, st, path,
+      "o_totalprice < 10000", captureChanges = true)
+    val r1 = MatView.refresh(spark, st, view)
+    require(r1.mode == "incremental" && r1.batchesApplied == 2,
+      s"both captured batches must fold incrementally, got $r1")
+    require(r1.groupsRescanned == 0,
+      "the abelian state must fold extreme-removing deletes with " +
+        s"ZERO rescans, got $r1")
+    MatView.read(spark, view)
+      .select(col("o_custkey"), col("cnt"),
+        col("nncnt_o_totalprice").as("n_price"),
+        col("sum_o_totalprice").cast("double").as("total_price"),
+        col("sum_o_orderkey").cast("double").as("total_key"),
+        round(col("sum_o_totalprice").cast("double") / col("cnt"), 6)
+          .as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** Same DML replayed in SQL, both metrics recomputed from the final
+    * table — the fold must equal the recompute column-for-column. */
+  val matviewMultiSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 5 != 0),
+      |i AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 3 = 0),
+      |m AS (SELECT coalesce(i.o_orderkey, base.o_orderkey) AS o_orderkey,
+      |             coalesce(i.o_custkey, base.o_custkey) AS o_custkey,
+      |             coalesce(i.o_totalprice, base.o_totalprice) AS o_totalprice
+      |      FROM base FULL OUTER JOIN i ON base.o_orderkey = i.o_orderkey),
+      |f AS (SELECT * FROM m WHERE NOT (o_totalprice < 10000))
+      |SELECT o_custkey, count(*) AS cnt,
+      |  count(CAST(o_totalprice AS DECIMAL(28,6))) AS n_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+      |  CAST(sum(CAST(o_orderkey AS DECIMAL(28,6))) AS DOUBLE) AS total_key,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_price
+      |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** OP-LOG COMPACTION ([[graft.storage.Maintenance.compactLog]]):
     * every mutation appends a one-row parquet file to the op log, and
     * every metadata read (Txn.snapshot, travel horizons, txn
@@ -7567,6 +7637,7 @@ object GraftQueries {
     entry("q_incremental_agg", incrementalAggQ, incrementalAggSql),
     entry("q_state_refresh", stateRefreshQ, stateRefreshSql),
     entry("q_matview", matviewQ, matviewSql),
+    entry("q_matview_multi", matviewMultiQ, matviewMultiSql),
     entry("q_log_compact", logCompactQ, logCompactSql),
     entry("q_bm25_multi", bm25MultiQ, bm25MultiSql),
     entry("q_heavy_hitters", heavyHittersQ, heavyHittersSql),

@@ -1,10 +1,23 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Result of one [[MatView.refresh]] call. `mode` is the path taken:
   *  - `"noop"`        — the source op log has not moved; nothing read.
+  *  - `"source-crashed"` — the op log has not moved but a change batch
+  *                      newer than the view's watermark sits on disk
+  *                      with NO live writer holding the source's
+  *                      commit lock: a mutation crashed mid-commit
+  *                      (possibly after its data swap landed), so the
+  *                      table's visible content may be ahead of its
+  *                      log. The state is NOT touched — it still
+  *                      equals the last COMMITTED source state — and
+  *                      the window heals on the next op-log motion
+  *                      (vacuum's crash fence, or the next mutation),
+  *                      which forces a rebuild. Surfaced as its own
+  *                      mode so operators can alert instead of
+  *                      mistaking the window for a clean noop.
   *  - `"advance"`     — only content-invisible ops landed (OPTIMIZE,
   *                      constraint DDL); stamps advanced, state untouched.
   *  - `"incremental"` — the new change batches were folded in; only
@@ -24,14 +37,26 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
   * maintenance re-expressed on this engine's own CDF sidecar
   * ([[Merge.changeFeed]]).
   *
-  * A view is per-key decomposable partials — `cnt`, `nncnt` (values
-  * contributing to sum: non-null after the decimal cast),
-  * decimal-exact `sum`, `min`, `max` — of one value column.
-  * Derived forms (avg, ratios) are computed at read time, never
-  * stored, so the state stays mergeable (the [[graft.ops
+  * A view is per-key decomposable partials — `cnt`, and per value
+  * column `nncnt` (values contributing to sum: non-null after the
+  * decimal cast), decimal-exact `sum`, and (in min/max mode) `min`,
+  * `max`. Derived forms (avg, ratios) are computed at read time,
+  * never stored, so the state stays mergeable (the [[graft.ops
   * .IncrementalAgg]] discipline, extended with `nncnt` so SQL null
   * semantics survive deletes: a group whose non-null values are all
   * gone reads `sum = null`, exactly what a recompute would say).
+  *
+  * Two axes beyond the single-metric shape:
+  *  - MULTIPLE value columns (`valueCols`): one feed read and one
+  *    state swap amortized across all metrics — at 100 TB, N metrics
+  *    over the same keys cost one refresh, not N. With more than one
+  *    value column the stats are suffixed (`sum_x`, `min_y`); the
+  *    single-column shape keeps the unsuffixed legacy names.
+  *  - A NO-MIN/MAX mode (`withMinMax = false`): every stored partial
+  *    is abelian (cnt, nncnt, sum), so deletes fold exactly and the
+  *    refresh NEVER attaches the fact table — no rescan branch
+  *    exists. Strictly cheaper under heavy deletes; the mode for
+  *    sum/count/avg rollups that don't need extremes.
   *
   * Why this exists at 100 TB: a daily metrics rollup over a 100 TB
   * fact table costs a full scan per refresh if recomputed; from the
@@ -57,16 +82,43 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
   * the current snapshot. The view can therefore be stale (until the
   * next refresh) but never wrong.
   *
-  * Concurrency: the refresh never locks the source. It fingerprints
-  * the op log ([[Txn.snapshot]]) before reading, materializes the new
-  * state into a staging dir, and [[Txn.assertUnchanged]] immediately
-  * before the swap — a writer committing mid-refresh turns the
-  * attempt into a retry (bounded by `maxAttempts`), not a torn view.
-  * The sidecar carrying the applied-batch watermark lives INSIDE the
-  * state dir and rides the same rename, so state and watermark can
-  * never disagree (a watermark older than the state would double-
-  * apply batches on the next refresh). The view itself assumes a
-  * single maintainer, like every index sidecar in this engine.
+  * ALTER on the source: the sidecar records each key/value column's
+  * PHYSICAL name alongside the logical one, so a metadata-only
+  * RENAME ([[Alter]] via [[ColumnMapping]]) re-resolves on the next
+  * rebuild — the view's output columns follow the source's new
+  * logical names, exactly as a recompute would. A DROP of a view
+  * column (or a rewrite that materialized the mapping away from the
+  * recorded physical name) refuses loudly with the view, the column,
+  * and the remedy (recreate the view) in the message.
+  *
+  * Concurrency: the refresh never locks the source while COMPUTING.
+  * It fingerprints the op log ([[Txn.snapshot]]) before reading,
+  * materializes the new state into a staging dir, and only then
+  * gates the swap: first wait for the source's commit lock to be
+  * free, then [[Txn.assertUnchanged]], then swap. The probe ORDER is
+  * load-bearing — see [[commitState]]: data can be visible without
+  * its op-log row ONLY while a writer holds the commit lock, so
+  * lock-free-then-log-unmoved (checked after every source read)
+  * proves the reads saw exactly the fingerprinted state; a writer
+  * committing mid-refresh turns the attempt into a retry (bounded by
+  * `maxAttempts`), not a torn or double-folding view. The sidecar
+  * carrying the applied-batch watermark lives INSIDE the state dir
+  * and rides the same rename, so state and watermark can never
+  * disagree (a watermark older than the state would double-apply
+  * batches on the next refresh). The view itself assumes a single
+  * maintainer, like every index sidecar in this engine.
+  *
+  * CRASHED-WRITER WINDOW (named, not silent): a source writer that
+  * dies after its data swap landed but before its op-log append
+  * leaves new content visible with the log unmoved. A refresh in
+  * that window reports `"source-crashed"` (detected via the orphan
+  * change batch + no live lock) instead of `"noop"`, and the state
+  * keeps answering for the last COMMITTED source state — stale,
+  * never wrong — until vacuum's fence or the next mutation moves the
+  * log and forces the rebuild. An UNCAPTURED crashed writer leaves
+  * no batch dir to detect, but also leaves the commit lock behind,
+  * which [[commitState]]'s gate refuses to stamp past; its window
+  * reads as `"noop"` until the same heal.
   *
   * Extension surface (SURVEY §2.11): the incremental-metrics pattern
   * `q_incremental_agg` / `q_state_refresh` gesture at, completed —
@@ -76,6 +128,13 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
 object MatView {
 
   val SidecarName = "_graft_matview.json"
+
+  /** How long [[commitState]] waits for the source's commit lock to
+    * free before refusing the swap (the writer may be mid-commit with
+    * data visible ahead of its op-log row). Bounded: a crashed holder
+    * fails the refresh loudly instead of wedging it. */
+  val LockWaitKey = "spark.graft.matviewLockWaitMs"
+  val LockWaitDefaultMs: Long = 10000L
 
   /** Ops the feed fully explains (captured mutations) — one committed
     * change batch each. */
@@ -90,10 +149,21 @@ object MatView {
     * dir with ZERO part files (Spark writes none for an empty frame),
     * and without the recorded schema the next read would die in
     * inference and wedge the view (the same failure mode
-    * [[GraftLog.schemaSidecar]] exists for on tables). */
-  case class Meta(source: String, keys: Seq[String], valueCol: String,
+    * [[GraftLog.schemaSidecar]] exists for on tables).
+    *
+    * `keyPhys`/`valuePhys` are the columns' PHYSICAL names at create
+    * time (identity unless the source carries a column mapping) — the
+    * stable identity a later mapped RENAME re-resolves through.
+    * `minMax` selects the state shape (see the object doc). */
+  case class Meta(source: String, keys: Seq[String],
+                  valueCols: Seq[String], minMax: Boolean,
                   lastBatch: Long, logEntries: Long, logMaxSeq: Long,
-                  schemaJson: String)
+                  schemaJson: String, keyPhys: Seq[String],
+                  valuePhys: Seq[String]) {
+    /** Single-value views keep the unsuffixed legacy stat names. */
+    def statName(stat: String, c: String): String =
+      if (valueCols.size == 1) stat else s"${stat}_$c"
+  }
 
   private def sidecarPath(viewPath: String): String =
     viewPath.stripSuffix("/") + "/" + SidecarName
@@ -105,9 +175,11 @@ object MatView {
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(
       ("source" -> m.source) ~ ("keys" -> m.keys) ~
-        ("valueCol" -> m.valueCol) ~ ("lastBatch" -> m.lastBatch) ~
+        ("valueCols" -> m.valueCols) ~ ("minMax" -> m.minMax) ~
+        ("lastBatch" -> m.lastBatch) ~
         ("logEntries" -> m.logEntries) ~ ("logMaxSeq" -> m.logMaxSeq) ~
-        ("schemaJson" -> m.schemaJson)))
+        ("schemaJson" -> m.schemaJson) ~ ("keyPhys" -> m.keyPhys) ~
+        ("valuePhys" -> m.valuePhys)))
   }
 
   private def saveMetaInto(spark: SparkSession, dir: String,
@@ -138,21 +210,34 @@ object MatView {
       case JLong(l) => l
       case _ => throw new IllegalStateException(s"matview sidecar: $f")
     }
-    val keys = (j \ "keys") match {
-      case JArray(items) => items.collect { case JString(s) => s }
-      case _ => throw new IllegalStateException("matview sidecar: keys")
+    def strs(f: String): Option[Seq[String]] = (j \ f) match {
+      case JArray(items) => Some(items.collect { case JString(s) => s })
+      case _ => None
     }
-    Meta(str("source"), keys, str("valueCol"), lng("lastBatch"),
-      lng("logEntries"), lng("logMaxSeq"), str("schemaJson"))
+    val keys = strs("keys").getOrElse(
+      throw new IllegalStateException("matview sidecar: keys"))
+    // pre-round-13 sidecars carried a single `valueCol` and no
+    // physical names (identity mapping at the time) — read them as
+    // the equivalent one-column min/max view
+    val valueCols = strs("valueCols").getOrElse(Seq(str("valueCol")))
+    val minMax = (j \ "minMax") match {
+      case JBool(b) => b
+      case _ => true
+    }
+    Meta(str("source"), keys, valueCols, minMax, lng("lastBatch"),
+      lng("logEntries"), lng("logMaxSeq"), str("schemaJson"),
+      strs("keyPhys").getOrElse(keys),
+      strs("valuePhys").getOrElse(valueCols))
   }
 
   // --------------------------------------------------------- partials
 
-  /** Per-key (cnt, nncnt, sum, min, max) of `valueCol` — the stored
-    * state shape. Decimal-exact sum (partition-order independent);
-    * explicit final cast keeps the type stable across the fold path,
-    * whose decimal addition would otherwise widen to (29,6) and fork
-    * the parquet schema between rescanned and folded rows.
+  /** Per-key (cnt, and per value column nncnt / sum / [min / max]) —
+    * the stored state shape. Decimal-exact sum (partition-order
+    * independent); explicit final cast keeps the type stable across
+    * the fold path, whose decimal addition would otherwise widen to
+    * (29,6) and fork the parquet schema between rescanned and folded
+    * rows.
     *
     * `nncnt` counts the values that CONTRIBUTE TO SUM — non-null
     * after the decimal cast, not merely non-null: a value the cast
@@ -161,19 +246,26 @@ object MatView {
     * count by the same rule or an all-overflow group would fold to
     * sum = 0 where a recompute says NULL. min/max stay on the raw
     * values (a recompute's min ignores nothing non-null). */
-  private def partials(df: DataFrame, keys: Seq[String],
-                       valueCol: String): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(
-        count(lit(1)).as("cnt"),
-        count(col(valueCol).try_cast("decimal(28,6)")).as("nncnt"),
-        sum(col(valueCol).try_cast("decimal(28,6)"))
-          .cast("decimal(28,6)").as("sum"),
-        min(col(valueCol)).as("min"),
-        max(col(valueCol)).as("max"))
+  private def partials(df: DataFrame, m: Meta): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("cnt") +:
+      m.valueCols.flatMap { c =>
+        val vc = col(c).try_cast("decimal(28,6)")
+        Seq(count(vc).as(m.statName("nncnt", c)),
+          sum(vc).cast("decimal(28,6)").as(m.statName("sum", c))) ++
+          (if (m.minMax)
+            Seq(min(col(c)).as(m.statName("min", c)),
+              max(col(c)).as(m.statName("max", c)))
+          else Nil)
+      }
+    df.groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
-  private def stateCols(keys: Seq[String]): Seq[String] =
-    keys ++ Seq("cnt", "nncnt", "sum", "min", "max")
+  private def stateCols(m: Meta): Seq[String] =
+    m.keys ++ ("cnt" +: m.valueCols.flatMap { c =>
+      Seq(m.statName("nncnt", c), m.statName("sum", c)) ++
+        (if (m.minMax) Seq(m.statName("min", c), m.statName("max", c))
+        else Nil)
+    })
 
   /** The full-outer delta fold joins on the keys with null-UNSAFE
     * equality (Spark's join semantics): a null-valued key would
@@ -190,14 +282,33 @@ object MatView {
 
   // ------------------------------------------------------ create/read
 
-  /** Create a view of `source` at `viewPath`: per-key partials of
-    * `valueCol`, stamped with the source's op-log fingerprint and
-    * applied-batch watermark. Refuses an occupied destination. */
+  /** Create a single-metric min/max view — the legacy shape every
+    * round-12 call site uses; sugar over [[createMulti]]. */
   def create(spark: SparkSession, storage: BasicStorage, source: String,
              viewPath: String, keys: Seq[String], valueCol: String,
-             maxAttempts: Int = 3): MatViewRefresh = {
+             maxAttempts: Int = 3): MatViewRefresh =
+    createMulti(spark, storage, source, viewPath, keys, Seq(valueCol),
+      withMinMax = true, maxAttempts)
+
+  /** Create a view of `source` at `viewPath`: per-key partials of
+    * `valueCols`, stamped with the source's op-log fingerprint and
+    * applied-batch watermark. `withMinMax = false` stores only the
+    * abelian partials — refreshes then never rescan the fact table
+    * (see the object doc). Refuses an occupied destination. */
+  def createMulti(spark: SparkSession, storage: BasicStorage,
+                  source: String, viewPath: String, keys: Seq[String],
+                  valueCols: Seq[String], withMinMax: Boolean,
+                  maxAttempts: Int = 3): MatViewRefresh = {
     require(keys.nonEmpty, "materialized view needs at least one key")
-    val reserved = Set("cnt", "nncnt", "sum", "min", "max")
+    require(valueCols.nonEmpty,
+      "materialized view needs at least one value column")
+    require(valueCols.distinct.size == valueCols.size,
+      s"duplicate value column in ${valueCols.mkString(", ")}")
+    val probe = Meta("", keys, valueCols, withMinMax, 0L, 0L, 0L, "",
+      keys, valueCols)
+    val reserved = ("cnt" +: valueCols.flatMap(c =>
+      Seq("nncnt", "sum", "min", "max").map(probe.statName(_, c))))
+      .map(_.toLowerCase).toSet
     val clash = keys.filter(k => reserved(k.toLowerCase))
     require(clash.isEmpty,
       s"key column(s) ${clash.mkString(", ")} collide with the view's " +
@@ -212,18 +323,24 @@ object MatView {
     if (!GraftLog.isManagedTable(spark, source))
       throw new IllegalArgumentException(
         s"matview source is not a managed table: $source")
+    // record the columns' physical identity so a later mapped RENAME
+    // re-resolves instead of rebuilding into an unresolved-column error
+    val mapping = ColumnMapping.load(spark, source.stripSuffix("/"))
+      .getOrElse(ColumnMapping.Mapping(Map.empty, Nil))
+    val meta0 = Meta(source.stripSuffix("/"), keys, valueCols,
+      withMinMax, Long.MinValue, 0L, 0L, "",
+      keys.map(mapping.physicalOf), valueCols.map(mapping.physicalOf))
     withRetries(maxAttempts) {
-      rebuildOnce(spark, storage, source.stripSuffix("/"), base, keys,
-        valueCol)
+      rebuildOnce(spark, storage, base, meta0)
     }
   }
 
-  /** The view's state (cnt, nncnt, sum, min, max per key), with SQL
-    * null semantics restored on `sum` at storage time already —
-    * serve-ready. Underscore sidecar files are invisible to the
-    * parquet read. An EMPTY view (every group deleted — zero part
-    * files on disk) serves an empty frame with the sidecar's recorded
-    * schema instead of dying in inference. */
+  /** The view's state (cnt, and per value column nncnt / sum /
+    * [min / max] per key), with SQL null semantics restored on sums
+    * at storage time already — serve-ready. Underscore sidecar files
+    * are invisible to the parquet read. An EMPTY view (every group
+    * deleted — zero part files on disk) serves an empty frame with
+    * the sidecar's recorded schema instead of dying in inference. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val base = viewPath.stripSuffix("/")
     Fs.recoverAside(spark, base)
@@ -252,9 +369,18 @@ object MatView {
       val meta = loadMeta(spark, base)
       val source = meta.source
       val snap = Txn.snapshot(spark, source)
-      if (snap.entries == meta.logEntries && snap.maxSeq == meta.logMaxSeq)
-        MatViewRefresh("noop", 0L, 0L)
-      else {
+      if (snap.entries == meta.logEntries && snap.maxSeq == meta.logMaxSeq) {
+        // log unmoved — but a change batch ABOVE the watermark means a
+        // capture is in flight or its writer crashed mid-commit. A live
+        // writer (lock held) is business as usual: its op row will move
+        // the log and the next refresh folds it. No lock + orphan batch
+        // = crashed writer whose data swap may already be visible —
+        // name the window (object doc) instead of calling it clean.
+        if (batchStamps(spark, source).exists(_._1 > meta.lastBatch) &&
+            Txn.heldBy(spark, source).isEmpty)
+          MatViewRefresh("source-crashed", 0L, 0L)
+        else MatViewRefresh("noop", 0L, 0L)
+      } else {
         // op-log rows appended since the recorded fingerprint, in
         // commit order. (timestamp, seq) is the engine's documented
         // total order (GraftLog.append); the log is op-count sized.
@@ -271,8 +397,7 @@ object MatView {
             !uncommittedInRange &&
             newOps.count(MutationOps) == committed.size
         if (!explainable)
-          rebuildOnce(spark, storage, source, base, meta.keys,
-            meta.valueCol, Some(snap))
+          rebuildOnce(spark, storage, base, meta, Some(snap))
         else if (committed.isEmpty) {
           // content-invisible ops only: advance the fingerprint so
           // later refreshes stop re-reading this span. Sidecar-only
@@ -302,31 +427,70 @@ object MatView {
       .map(b => (b, Merge.isBatchCommitted(spark, source, b)))
   }
 
+  /** Re-resolve the view's recorded columns through the source's
+    * CURRENT schema before a rebuild: a mapped RENAME moved the
+    * logical name while the physical identity stayed put — follow it
+    * (the rebuilt view's output columns take the new names, exactly
+    * as a recompute would). A DROP of a view column, or a rewrite
+    * that materialized the mapping away from the recorded physical
+    * name, cannot be followed — refuse with the view, the column,
+    * and the remedy in the message instead of dying downstream in an
+    * unresolved-column error. */
+  private def resolveColumns(spark: SparkSession, storage: BasicStorage,
+                             viewBase: String, meta: Meta): Meta = {
+    val mapping = ColumnMapping.load(spark, meta.source)
+      .getOrElse(ColumnMapping.Mapping(Map.empty, Nil))
+    val current = storage.read(meta.source, "delta").schema.fieldNames
+    def resolve(phys: String, recorded: String, role: String): String = {
+      if (mapping.dropped.exists(_.equalsIgnoreCase(phys)))
+        throw new IllegalArgumentException(
+          s"materialized view $viewBase: source column '$recorded' " +
+            s"($role) was DROPPED from ${meta.source} — remove the " +
+            "view and recreate it over the surviving columns")
+      val logical = mapping.renames.collectFirst {
+        case (p, l) if p.equalsIgnoreCase(phys) => l
+      }.getOrElse(phys)
+      if (!current.exists(_.equalsIgnoreCase(logical)))
+        throw new IllegalArgumentException(
+          s"materialized view $viewBase: source column '$logical' " +
+            s"($role, recorded physical name '$phys') no longer exists " +
+            s"in ${meta.source} — a rewrite may have materialized a " +
+            "rename past the recorded identity; remove the view and " +
+            "recreate it")
+      logical
+    }
+    meta.copy(
+      keys = meta.keyPhys.zip(meta.keys)
+        .map { case (p, r) => resolve(p, r, "view key") },
+      valueCols = meta.valuePhys.zip(meta.valueCols)
+        .map { case (p, r) => resolve(p, r, "view value") })
+  }
+
   private def rebuildOnce(spark: SparkSession, storage: BasicStorage,
-                          source: String, viewBase: String,
-                          keys: Seq[String], valueCol: String,
+                          viewBase: String, meta0: Meta,
                           snap0: Option[OpLogSnapshot] = None)
       : MatViewRefresh = {
-    val snap = snap0.getOrElse(Txn.snapshot(spark, source))
+    val snap = snap0.getOrElse(Txn.snapshot(spark, meta0.source))
+    val meta = resolveColumns(spark, storage, viewBase, meta0)
     // every batch committed by now is reflected in the snapshot we are
     // about to read (mutations are serialized by the table lock; a
     // commit landing AFTER this listing moves the op log and fails the
     // assert below). Uncommitted stamps are excluded: a live capture's
     // merge will commit with its op-log row and be applied by the next
     // refresh; crashed debris never commits and is vacuum's to fence.
-    val watermark = batchStamps(spark, source)
+    val watermark = batchStamps(spark, meta.source)
       .collect { case (b, true) => b }
       .maxOption.getOrElse(Long.MinValue)
     // the aggregation is materialized ONCE (state-sized), so the
     // null-key probe and the state write share a single source scan —
     // a rebuild costs exactly one pass over the fact table
-    val state = partials(storage.read(source, "delta"), keys, valueCol)
+    val state = partials(storage.read(meta.source, "delta"), meta)
       .localCheckpoint()
-    refuseNullKeys(state, keys, "the source table")
-    val out = state.select(stateCols(keys).map(col): _*)
+    refuseNullKeys(state, meta.keys, "the source table")
+    val out = state.select(stateCols(meta).map(col): _*)
     commitState(spark, viewBase, out,
-      Meta(source, keys, valueCol, watermark, snap.entries, snap.maxSeq,
-        out.schema.json),
+      meta.copy(lastBatch = watermark, logEntries = snap.entries,
+        logMaxSeq = snap.maxSeq, schemaJson = out.schema.json),
       snap, "MATVIEW REBUILD")
     MatViewRefresh("rebuild", 0L, 0L)
   }
@@ -337,28 +501,38 @@ object MatView {
                                committed: Seq[Long]): MatViewRefresh = {
     val source = meta.source
     val keys = meta.keys
-    val v = col(meta.valueCol)
     // the batch partition column prunes the feed read to the new dirs
     val feed = Merge.changeFeed(spark, source)
       .filter(col("batch") > meta.lastBatch &&
         col("batch") <= committed.max)
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-    // dnncnt/dsum count and add by the DECIMAL-CAST value (partials'
-    // rule): a value the cast nulls out contributes to neither, so
-    // the fold's sum-null restoration matches a recompute exactly
-    val vc = v.try_cast("decimal(28,6)")
+    // per value column: dnncnt/dsum count and add by the DECIMAL-CAST
+    // value (partials' rule): a value the cast nulls out contributes
+    // to neither, so the fold's sum-null restoration matches a
+    // recompute exactly. add/rem extremes only exist in min/max mode.
+    def dName(stat: String, c: String) = "d" + meta.statName(stat, c)
+    def extName(pfx: String, c: String) =
+      if (meta.valueCols.size == 1) pfx else s"${pfx}_$c"
+    val deltaAggs: Seq[Column] = sum(sign).as("dcnt") +:
+      meta.valueCols.flatMap { c =>
+        val v = col(c)
+        val vc = v.try_cast("decimal(28,6)")
+        Seq(
+          sum(when(vc.isNotNull, sign).otherwise(0L))
+            .as(dName("nncnt", c)),
+          sum(when(vc.isNotNull, sign * vc)
+            .otherwise(lit(0).cast("decimal(28,6)")))
+            .cast("decimal(28,6)").as(dName("sum", c))) ++
+          (if (meta.minMax) Seq(
+            min(when(sign === 1L, v)).as(extName("add_min", c)),
+            max(when(sign === 1L, v)).as(extName("add_max", c)),
+            min(when(sign === -1L, v)).as(extName("rem_min", c)),
+            max(when(sign === -1L, v)).as(extName("rem_max", c)))
+          else Nil)
+      }
     val deltas = feed.groupBy(keys.map(col): _*)
-      .agg(
-        sum(sign).as("dcnt"),
-        sum(when(vc.isNotNull, sign).otherwise(0L)).as("dnncnt"),
-        sum(when(vc.isNotNull, sign * vc)
-          .otherwise(lit(0).cast("decimal(28,6)")))
-          .cast("decimal(28,6)").as("dsum"),
-        min(when(sign === 1L, v)).as("add_min"),
-        max(when(sign === 1L, v)).as("add_max"),
-        min(when(sign === -1L, v)).as("rem_min"),
-        max(when(sign === -1L, v)).as("rem_max"))
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
 
     val s = read(spark, viewBase).withColumn("_s", lit(true)).as("s")
     val d = deltas.withColumn("_d", lit(true)).as("d")
@@ -374,54 +548,69 @@ object MatView {
     // one probe covers both sides.
     refuseNullKeys(joined, keys, "the change feed")
 
-    // a group must be rescanned from the table iff a removed non-null
-    // value ties or crosses its stored extreme — the one case where
-    // min/max are not incrementally maintainable — or removals hit a
-    // key the state has never seen (insert-then-delete inside this
-    // refresh window: the delta's own add_min/add_max may name rows
-    // that were since removed).
-    val poisoned = col("d._d").isNotNull && col("d.rem_min").isNotNull &&
-      (col("s._s").isNull || col("s.min").isNull ||
-        col("d.rem_min") <= col("s.min") || col("d.rem_max") >= col("s.max"))
+    // min/max mode: a group must be rescanned from the table iff a
+    // removed non-null value ties or crosses a stored extreme — the
+    // one case where min/max are not incrementally maintainable — or
+    // removals hit a key the state has never seen (insert-then-delete
+    // inside this refresh window: the delta's own add_min/add_max may
+    // name rows that were since removed). Without min/max every
+    // stored partial is abelian and NO group ever needs the table.
+    val poisoned: Column =
+      if (!meta.minMax) lit(false)
+      else col("d._d").isNotNull && meta.valueCols.map { c =>
+        col("d." + extName("rem_min", c)).isNotNull &&
+          (col("s._s").isNull ||
+            col("s." + meta.statName("min", c)).isNull ||
+            col("d." + extName("rem_min", c)) <=
+              col("s." + meta.statName("min", c)) ||
+            col("d." + extName("rem_max", c)) >=
+              col("s." + meta.statName("max", c)))
+      }.reduce(_ || _)
 
+    val zero = lit(0).cast("decimal(28,6)")
     val foldedCnt = coalesce(col("s.cnt"), lit(0L)) +
       coalesce(col("d.dcnt"), lit(0L))
-    val foldedNn = coalesce(col("s.nncnt"), lit(0L)) +
-      coalesce(col("d.dnncnt"), lit(0L))
-    val zero = lit(0).cast("decimal(28,6)")
+    val foldedStats: Seq[Column] = meta.valueCols.flatMap { c =>
+      val foldedNn = coalesce(col("s." + meta.statName("nncnt", c)), lit(0L)) +
+        coalesce(col("d." + dName("nncnt", c)), lit(0L))
+      Seq(
+        foldedNn.as(meta.statName("nncnt", c)),
+        when(foldedNn === 0L, lit(null).cast("decimal(28,6)"))
+          .otherwise((coalesce(col("s." + meta.statName("sum", c)), zero) +
+            coalesce(col("d." + dName("sum", c)), zero))
+            .cast("decimal(28,6)"))
+          .as(meta.statName("sum", c))) ++
+        (if (meta.minMax) Seq(
+          least(col("s." + meta.statName("min", c)),
+            col("d." + extName("add_min", c))).as(meta.statName("min", c)),
+          greatest(col("s." + meta.statName("max", c)),
+            col("d." + extName("add_max", c))).as(meta.statName("max", c)))
+        else Nil)
+    }
     val folded = joined.filter(!poisoned)
-      .select(
-        keys.map(col) ++ Seq(
-          foldedCnt.as("cnt"),
-          foldedNn.as("nncnt"),
-          when(foldedNn === 0L, lit(null).cast("decimal(28,6)"))
-            .otherwise((coalesce(col("s.sum"), zero) +
-              coalesce(col("d.dsum"), zero)).cast("decimal(28,6)"))
-            .as("sum"),
-          least(col("s.min"), col("d.add_min")).as("min"),
-          greatest(col("s.max"), col("d.add_max")).as("max")): _*)
-      // cnt can only reach 0 without poisoning when every removed row
-      // carried a null value (non-null removals poison via the extreme
-      // guard) — the group is gone; drop its row like a recompute would
+      .select(keys.map(col) ++ (foldedCnt.as("cnt") +: foldedStats): _*)
+      // cnt reaches 0 when the group's rows are all gone (in min/max
+      // mode that is only reachable for all-null-valued removals —
+      // non-null removals poison via the extreme guard); the group is
+      // dropped, exactly as a recompute would
       .filter(col("cnt") > 0L)
 
     val poisonedKeys = joined.filter(poisoned)
       .select(keys.map(col): _*)
-    val nRescan = poisonedKeys.count()
+    val nRescan = if (!meta.minMax) 0L else poisonedKeys.count()
     // the rescan branch joins the FACT TABLE — attach it only when a
     // group actually needs it, or every pure fold would schedule a
     // full source scan and merely hope AQE's empty-relation pass
     // elides it (MatViewSpec pins this functionally: a no-rescan
     // refresh succeeds with the source's data files hidden)
     val newState =
-      if (nRescan == 0L) folded.select(stateCols(keys).map(col): _*)
+      if (nRescan == 0L) folded.select(stateCols(meta).map(col): _*)
       else {
         val rescanned = partials(
           storage.read(source, "delta")
-            .join(poisonedKeys, keys, "left_semi"),
-          keys, meta.valueCol)
-        folded.select(stateCols(keys).map(col): _*)
-          .unionByName(rescanned.select(stateCols(keys).map(col): _*))
+            .join(poisonedKeys, keys, "left_semi"), meta)
+        folded.select(stateCols(meta).map(col): _*)
+          .unionByName(rescanned.select(stateCols(meta).map(col): _*))
       }
     commitState(spark, viewBase, newState,
       meta.copy(lastBatch = committed.max, logEntries = snap.entries,
@@ -431,9 +620,27 @@ object MatView {
   }
 
   /** Materialize the new state into a staging dir (sidecar inside,
-    * riding the same rename), re-verify the source did not move while
-    * we computed, then swap. A commit in the window throws
-    * [[ConcurrentWriteException]] — the retry loop's signal. */
+    * riding the same rename), then gate the swap on the source being
+    * provably at the fingerprinted state, then swap.
+    *
+    * The gate's ORDER is load-bearing: (1) all source reads complete
+    * when the staging write returns; (2) THEN wait for the source's
+    * commit lock to be free; (3) THEN [[Txn.assertUnchanged]]. A
+    * writer's data swap is only ever visible before its op-log row
+    * while it holds the commit lock, so any writer whose swap our
+    * reads could have seen either released before probe (2) — its op
+    * row is in the log and (3) throws — or still holds the lock and
+    * (2) refuses/waits. A writer acquiring AFTER probe (2) swapped
+    * after our reads finished, so the staged state is still exactly
+    * the fingerprinted source state and its commit is the NEXT
+    * refresh's work. Probing the lock AFTER the assert would leave a
+    * hole: a writer appending between the two probes and releasing
+    * passes both, stamping state that may already contain its data
+    * under a fingerprint that predates it — the next refresh would
+    * fold the batch AGAIN (silent double-count). A commit in the
+    * window throws [[ConcurrentWriteException]] — the retry loop's
+    * signal; a lock still held past the bounded wait (crashed holder)
+    * fails the refresh loudly rather than stamping unprovable state. */
   private def commitState(spark: SparkSession, viewBase: String,
                           state: DataFrame, newMeta: Meta,
                           snap: OpLogSnapshot, action: String): Unit = {
@@ -442,6 +649,7 @@ object MatView {
     try {
       state.write.mode("overwrite").parquet(tmp)
       saveMetaInto(spark, tmp, newMeta)
+      awaitSourceUnlocked(spark, newMeta.source, action)
       Txn.assertUnchanged(spark, newMeta.source, snap, action)
       if (!Fs.exists(spark, viewBase)) Fs.renameChecked(spark, tmp, viewBase)
       else Fs.swapInStaged(spark, viewBase, tmp)
@@ -450,6 +658,34 @@ object MatView {
         try Fs.deleteChecked(spark, tmp)
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
+    }
+  }
+
+  /** Bounded wait for the source's commit lock to be free (see
+    * [[commitState]] for why the swap must not proceed under a held
+    * lock). Throws [[ConcurrentWriteException]] when the wait
+    * expires: under a LIVE long mutation the retry loop re-plans
+    * against the post-commit state; under a CRASHED holder the
+    * refresh fails loudly — the table needs its vacuum/lock-break
+    * heal before the view can prove anything. */
+  private def awaitSourceUnlocked(spark: SparkSession, source: String,
+                                  action: String): Unit = {
+    val waitMs = spark.conf.getOption(LockWaitKey).map(_.toLong)
+      .getOrElse(LockWaitDefaultMs)
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = Txn.heldBy(spark, source)
+    while (held.isDefined) {
+      if (System.currentTimeMillis() >= deadline) {
+        val (op, age) = held.get
+        throw new ConcurrentWriteException(
+          s"$action: the source's commit lock is held by '$op' " +
+            s"(age ${age} ms) — its data may be visible ahead of its " +
+            s"op-log row, so stamping the view now could double-fold " +
+            s"the in-flight batch. Waited ${waitMs} ms ($LockWaitKey); " +
+            "if the holder crashed, vacuum or Txn.breakLock the source")
+      }
+      Thread.sleep(100)
+      held = Txn.heldBy(spark, source)
     }
   }
 
@@ -467,40 +703,16 @@ object MatView {
   }
 
   private def withRetries(maxAttempts: Int)
-                         (body: => MatViewRefresh): MatViewRefresh = {
-    require(maxAttempts >= 1, "maxAttempts must be >= 1")
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try return body
-      catch {
-        case _: ConcurrentWriteException if attempt < maxAttempts => ()
-        case e if attempt < maxAttempts && isSwapWindowRace(e) =>
-          // a COW commit renames the source's root aside and back in
-          // two steps; a lock-free read landing in that microsecond
-          // window dies on a missing path or an uninferable dir. The
-          // table is complete again by the next look — retry like a
-          // concurrent commit (bounded: a GENUINELY missing source
-          // exhausts the attempts and rethrows loudly).
-          Thread.sleep(200)
-      }
-    }
-    sys.error("unreachable")
-  }
+                         (body: => MatViewRefresh): MatViewRefresh =
+    // ConcurrentWriteException = a commit (or a held lock) raced the
+    // attempt; swap-window transients = a lock-free read landed in a
+    // COW commit's two-rename window. Both leave the table complete
+    // by the next look — Txn.retryTransient retries bounded and
+    // rethrows genuine failures loudly.
+    Txn.retryTransient(maxAttempts)(body)
 
-  /** Is this the transient crash of a read that landed inside a
-    * concurrent COW swap's two-rename window (root briefly absent /
-    * dir briefly empty)? Matched on the cause chain — Spark wraps
-    * both in layers of execution/streaming exceptions. */
-  private[storage] def isSwapWindowRace(e: Throwable): Boolean = {
-    val seen = scala.collection.mutable.Set[Throwable]()
-    def walk(t: Throwable): Boolean =
-      t != null && seen.add(t) && (
-        t.isInstanceOf[java.io.FileNotFoundException] ||
-          Option(t.getMessage)
-            .exists(m => m.contains("UNABLE_TO_INFER_SCHEMA") ||
-              m.contains("PATH_NOT_FOUND")) ||
-          walk(t.getCause))
-    walk(e)
-  }
+  /** See [[Txn.isSwapWindowRace]] — kept here as the historical name
+    * the specs pin the classification contract through. */
+  private[storage] def isSwapWindowRace(e: Throwable): Boolean =
+    Txn.isSwapWindowRace(e)
 }

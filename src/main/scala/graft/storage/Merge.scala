@@ -491,12 +491,23 @@ object Merge {
       GraftLog.isManagedTable(spark, path) &&
         (try GraftLog.history(spark, path).limit(1).count() == 1L
          catch { case scala.util.control.NonFatal(_) => false })
+    var announced = false
     while (!ready) {
       if (System.currentTimeMillis() >= deadline)
         throw new ConcurrentWriteException(
           s"another writer is creating $path (bootstrap claim held); " +
             s"retry when it completes, raise $BootstrapGraceKey, or " +
             s"set ${Txn.LockWaitKey} to govern the wait outright")
+      if (!announced) {
+        // the grace poll blocks this writer for up to waitMs — say so
+        // once, so a stuck bootstrap shows up in logs instead of
+        // reading as an unexplained stall (ADVICE r12)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"waiting up to $waitMs ms for a concurrent bootstrap-create " +
+            s"of $path to complete ($BootstrapGraceKey; " +
+            s"${Txn.LockWaitKey} governs outright when set)")
+        announced = true
+      }
       Thread.sleep(100)
     }
   }

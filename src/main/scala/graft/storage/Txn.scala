@@ -9,6 +9,20 @@ import org.apache.spark.sql.SparkSession
   * the refused mutation touched nothing. */
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
+/** The specific [[ConcurrentWriteException]] thrown when an op-log
+  * fingerprint check ([[Txn.assertUnchanged]]) found another writer's
+  * commit landed mid-flow. Distinguished from the base class so
+  * op-log-TRIGGERED maintenance loops can treat exhausted retries as
+  * "superseded — the winning commit's own op-log append fires the
+  * next trigger, which redoes this work against the new state"
+  * instead of a stream-killing failure; every other concurrency
+  * refusal (lock-wait timeout on a possibly-crashed holder, bootstrap
+  * races) stays loud. The winning commit's log file can never be part
+  * of the micro-batch that lost to it (it landed after that batch's
+  * file set was fixed), so the follow-up trigger is guaranteed. */
+class StaleSnapshotException(msg: String)
+  extends ConcurrentWriteException(msg)
+
 /** Fingerprint of a managed table's op log at one instant — the
   * cheap "has anyone committed since I read?" check for caller-level
   * read-modify-write flows (see [[Txn.snapshot]]). The op log is
@@ -390,10 +404,56 @@ object Txn {
                       snap: OpLogSnapshot, action: String): Unit = {
     val now = snapshot(spark, path)
     if (now != snap)
-      throw new ConcurrentWriteException(
+      throw new StaleSnapshotException(
         s"$action planned against a stale state of $path: the op log " +
           s"moved from $snap to $now — another writer committed in " +
           "between; re-read and re-plan")
+  }
+
+  /** Is this the transient crash of a lock-free read that landed
+    * inside a concurrent COW commit's two-rename swap window (root
+    * briefly absent / dir briefly empty), or listed a file a
+    * concurrent log compaction / feed prune has since removed?
+    * Matched on the cause chain — Spark wraps both in layers of
+    * execution/streaming exceptions. Used by every lock-free
+    * maintenance reader ([[MatView.refresh]], the streaming
+    * replication/maintenance loops) to turn the microsecond window
+    * into a bounded retry instead of a dead long-lived stream. */
+  private[graft] def isSwapWindowRace(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && (
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage)
+            .exists(m => m.contains("UNABLE_TO_INFER_SCHEMA") ||
+              m.contains("PATH_NOT_FOUND") ||
+              m.contains("FILE_NOT_EXIST")) ||
+          walk(t.getCause))
+    walk(e)
+  }
+
+  /** Bounded retry for lock-free readers racing a writer: retries on
+    * [[ConcurrentWriteException]] (a commit landed mid-read — the
+    * next attempt reads the complete new state) and on
+    * [[isSwapWindowRace]] transients (the table is whole again by the
+    * next look). A GENUINE failure — missing source, refused input —
+    * exhausts the attempts and rethrows loudly; nothing is swallowed. */
+  private[graft] def retryTransient[T](maxAttempts: Int,
+                                       sleepMs: Long = 200L)
+                                      (body: => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case _: ConcurrentWriteException if attempt < maxAttempts =>
+          Thread.sleep(sleepMs)
+        case e if attempt < maxAttempts && isSwapWindowRace(e) =>
+          Thread.sleep(sleepMs)
+      }
+    }
+    sys.error("unreachable")
   }
 
   private def confMs(spark: SparkSession, key: String, dflt: Long): Long =

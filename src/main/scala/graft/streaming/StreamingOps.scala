@@ -683,7 +683,21 @@ object StreamingOps {
     * file-triggered on `dir` by default (a micro-batch fires when new
     * files appear; the rows are a trigger only — the foreachBatch body
     * re-lists its real source), or a rate-source clock when
-    * `pollInterval` is set (bounded staleness on a quiet source). */
+    * `pollInterval` is set (bounded staleness on a quiet source).
+    *
+    * The file trigger runs `ignoreMissingFiles`, and soundly so
+    * PRECISELY because the rows are never used: the watched dir
+    * belongs to a live table whose maintenance rewrites it underneath
+    * the source — a COW commit's root swap retires listed paths for a
+    * beat, [[graft.storage.Maintenance.compactLog]] (auto-run by
+    * routine vacuum) replaces every op-log file it has seen, and
+    * [[graft.storage.Merge.pruneChangeFeed]] deletes aged batches —
+    * and without the option any of those kills the long-lived stream
+    * with FILE_NOT_EXIST on a read whose result is discarded anyway
+    * (including a checkpoint-recovery replay of a batch whose trigger
+    * files are long gone). A listing landing while the dir itself is
+    * briefly absent (the swap's two-rename window) is already an
+    * empty-result warning in Spark's file index, not an error. */
   private def listingTriggerWriter(spark: SparkSession, dir: String,
                                    schema: => org.apache.spark.sql.types.StructType,
                                    checkpoint: String,
@@ -697,8 +711,15 @@ object StreamingOps {
         spark.readStream.format("rate")
           .option("rowsPerSecond", "1").load()
       case None =>
+        // NO basePath option: the non-glob dir path infers the same
+        // partition base, and the explicit option is VALIDATED against
+        // the live filesystem on every batch construction — a full
+        // feed prune (which removes the whole watched dir until the
+        // next capture recreates it) would kill the stream on that
+        // check, outside ignoreMissingFiles' reach
         spark.readStream.schema(schema)
-          .option("basePath", dir).parquet(dir)
+          .option("ignoreMissingFiles", "true")
+          .parquet(dir)
     }
     val writer = trigger.writeStream
       .option("checkpointLocation", checkpoint)
@@ -735,17 +756,21 @@ object StreamingOps {
     * included) leaves the base before the batch's rows re-enter, so
     * re-applying a batch reproduces the same table.
     *
-    * Trigger modes and the ONE-BATCH LAG: by default the stream is
-    * file-triggered — a micro-batch fires when NEW feed files appear.
-    * `_commit` markers are underscore-named and invisible to the
-    * parquet file source, so a capture whose marker lands after its
-    * data files were consumed (merge still in flight at trigger time)
-    * is only replayed when a LATER capture's files fire the next
-    * trigger. If the source then goes quiet, the last merge's changes
-    * sit unreplicated until the next capture — `processAllAvailable`
-    * returns with the replica one committed batch behind. That lag is
-    * inherent to file triggering; callers that need bounded staleness
-    * pass `pollInterval` (e.g. `"30 seconds"`), which drives the SAME
+    * Trigger modes: by default the stream is file-triggered — a
+    * micro-batch fires when NEW feed files appear. `_commit` markers
+    * are underscore-named and invisible to the parquet file source,
+    * so a trigger can fire MID-CAPTURE (files written, marker still
+    * behind the data rewrite). Skipping the uncommitted batch there
+    * would strand it: its files are consumed, no later trigger comes
+    * on a quiet source, and the replica sits one committed batch
+    * behind. Instead the body WAITS OUT the in-flight capture —
+    * an in-range unmarked batch while the source's commit lock is
+    * held is a writer mid-commit whose marker lands before the lock
+    * frees (bounded: crashed debris caps the wait and stays skipped,
+    * vacuum's to fence) — so `processAllAvailable` converges the
+    * replica to every committed capture. Callers that want bounded
+    * staleness on a quiet source without file-watching pass
+    * `pollInterval` (e.g. `"30 seconds"`), which drives the SAME
     * listing replay off a rate-source ProcessingTime clock instead:
     * every tick lists the feed directory (metadata cost) and applies
     * whatever committed batches the watermark hasn't seen — no-op
@@ -781,26 +806,59 @@ object StreamingOps {
         // the feed dir) — changeFeed would throw on the missing dir
         // and kill the long-lived stream; an empty tick is the correct
         // no-op (the file-trigger mode can never hit this: its batches
-        // only fire when feed files exist)
-        if (graft.storage.Merge.hasChanges(spark, sourcePath)) {
-          val applied = graft.storage.GraftLog
-            .lastTxnBatch(spark, replicaPath, txnApp)
-            .getOrElse(Long.MinValue)
-          val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
-          val stamps = feed.select(col("batch")).distinct()
-            .collect().map(_.getLong(0)).filter(_ > applied)
-            .filter(b => graft.storage.Merge
-              .isBatchCommitted(spark, sourcePath, b))
-            .sorted
-          if (stamps.nonEmpty) {
-            var replica = storage.read(replicaPath, "delta")
-            for (b <- stamps)
-              replica = graft.storage.Merge.replayChanges(
-                replica, feed.filter(col("batch") === b), keyCols)
-            val materialized = replica.localCheckpoint()
-            storage.write(materialized, replicaPath, "delta", "overwrite")
-            graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,
-              Some(txnApp -> stamps.max))
+        // only fire when feed files exist).
+        // The whole replay is LOCK-FREE and so can race a live COW
+        // commit's root-swap window (or a feed prune / log compaction
+        // retiring files mid-read) — the same transient MatView's
+        // refresh retries; bounded retry here too, because each
+        // attempt re-reads the applied watermark and replayChanges is
+        // idempotent, so a half-applied attempt simply re-converges.
+        // Exhausted retries (a genuinely missing source) still kill
+        // the stream LOUDLY — nothing is swallowed.
+        graft.storage.Txn.retryTransient(maxAttempts = 5) {
+          if (graft.storage.Merge.hasChanges(spark, sourcePath)) {
+            val applied = graft.storage.GraftLog
+              .lastTxnBatch(spark, replicaPath, txnApp)
+              .getOrElse(Long.MinValue)
+            val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
+            def unapplied(): Array[(Long, Boolean)] = feed
+              .select(col("batch")).distinct()
+              .collect().map(_.getLong(0)).filter(_ > applied)
+              .map(b => (b, graft.storage.Merge
+                .isBatchCommitted(spark, sourcePath, b)))
+            // an in-range batch WITHOUT its marker while the source's
+            // commit lock is held is a capture mid-commit — its marker
+            // lands before the lock frees. Waiting it out closes the
+            // file-trigger one-batch lag: this trigger fired on the
+            // batch's files, and skipping it here would strand the
+            // replica one batch behind until the NEXT capture fires
+            // (a quiet source never converges). Crashed debris (lock
+            // left behind) is capped by the deadline and stays
+            // skipped — vacuum's to fence, never replayed.
+            val deadline = System.currentTimeMillis() + 10000L
+            var seen = unapplied()
+            while (seen.exists(!_._2) &&
+                graft.storage.Txn.heldBy(spark, sourcePath).isDefined &&
+                System.currentTimeMillis() < deadline) {
+              Thread.sleep(100)
+              seen = unapplied()
+            }
+            // the lock can free between a listing and its probe (the
+            // writer's marker + release landing in the gap) — one
+            // final look so a just-committed batch isn't skipped on
+            // a stale listing
+            if (seen.exists(!_._2)) seen = unapplied()
+            val stamps = seen.collect { case (b, true) => b }.sorted
+            if (stamps.nonEmpty) {
+              var replica = storage.read(replicaPath, "delta")
+              for (b <- stamps)
+                replica = graft.storage.Merge.replayChanges(
+                  replica, feed.filter(col("batch") === b), keyCols)
+              val materialized = replica.localCheckpoint()
+              storage.write(materialized, replicaPath, "delta", "overwrite")
+              graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,
+                Some(txnApp -> stamps.max))
+            }
           }
         }
       }
@@ -833,7 +891,20 @@ object StreamingOps {
     * two-rename swap window) are retried INSIDE the refresh; a
     * persistent failure (refused null keys, retries exhausted under a
     * hot writer) kills the stream LOUDLY — a silent skip would serve
-    * a stale view as fresh. */
+    * a stale view as fresh.
+    *
+    * SAFE UNDER LIVE MAINTENANCE of the source: vacuum's
+    * auto-[[graft.storage.Maintenance.compactLog]] replaces every
+    * op-log file this stream has seen, and feed prunes delete change
+    * batches — the trigger source ignores the vanished files (its
+    * rows are never used), the refresh classifies LOG_COMPACT as
+    * content-invisible, and a prune the watermark has passed is
+    * invisible to the fold. StreamingOpsSpec's maintenance soak pins
+    * vacuum + compaction + prune under both live streams. Should the
+    * stream die anyway (host crash, retries exhausted), RESTART IT ON
+    * THE SAME CHECKPOINT: recovery is idempotent — the replayed
+    * trigger batch tolerates missing files and the view's own
+    * watermark decides what actually applies. */
   def maintainMatView(spark: SparkSession, storage: BasicStorage,
                       viewPath: String, checkpoint: String,
                       pollInterval: Option[String] = None): StreamingQuery = {
@@ -842,8 +913,21 @@ object StreamingOps {
     listingTriggerWriter(spark, logDir, graft.storage.GraftLog.schema,
         checkpoint, pollInterval)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        graft.storage.MatView.refresh(spark, storage, viewPath)
-        ()
+        try { graft.storage.MatView.refresh(spark, storage, viewPath); () }
+        catch {
+          case _: graft.storage.StaleSnapshotException =>
+            // the refresh's bounded retries kept losing to commits
+            // landing mid-refresh — a HOT writer, not a failure: each
+            // winning commit appended the op-log file that fires the
+            // NEXT micro-batch (provably unseen by this one — it
+            // landed after this batch's file set was fixed), so the
+            // stamp this batch failed to take is superseded, never
+            // lost. Rethrowing would kill a healthy stream under
+            // load. Lock-wait timeouts (possibly-crashed holder — no
+            // follow-up trigger guaranteed) and every other failure
+            // still propagate and stop the stream LOUDLY.
+            ()
+        }
       }
       .start()
   }

@@ -295,6 +295,163 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a crashed writer's landed-swap window reports source-crashed, " +
+      "never a silent noop, and heals on the next op-log motion") {
+    val src = mkSource("mv_crash")
+    val view = tempDir("mv_crash_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    val committedState = MatView.read(spark, view).collect()
+      .map(_.toString).sorted.toSeq
+    // a real captured merge (data swap + batch commit marker land)...
+    val logDir = GraftLog.logPath(src)
+    def opFiles = Fs.listFiles(spark, logDir)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_")).toSet
+    val before = opFiles
+    st.merge(Seq((2L, "a", 6.0), (10L, "e", 4.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    // ...whose op-log append "never happened" (crash between the
+    // marker touch and the append — the exact window VERDICT r12
+    // named: content visible, log unmoved)
+    val added = before != opFiles
+    assert(added, "the merge must have appended an op row")
+    (opFiles -- before).foreach(f =>
+      Fs.deleteChecked(spark, s"$logDir/$f"))
+    // fingerprint equality would have read as noop before: the orphan
+    // committed batch above the watermark + no live lock names the
+    // crash instead
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "source-crashed", s"expected source-crashed, got $r")
+    // the state is untouched — still the last COMMITTED source state
+    // (stale against the visible content, never wrong against the log)
+    assert(MatView.read(spark, view).collect()
+      .map(_.toString).sorted.toSeq == committedState)
+    // heal: ANY next op-log motion is unexplainable against the
+    // orphan batch (the count-match rule) and forces the rebuild
+    assert(Delete.where(spark, st, src, "id = 9") == 1L)
+    val r2 = MatView.refresh(spark, st, view)
+    assert(r2.mode == "rebuild", s"expected rebuild, got $r2")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("a mapped RENAME of key and value columns re-resolves on the " +
+      "rebuild; a mapped DROP refuses with the remedy") {
+    val src = mkSource("mv_alter")
+    val view = tempDir("mv_alter_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // metadata-only renames of BOTH view columns (physical names stay)
+    Alter.renameColumnMetadata(spark, st, src, "k", "grp")
+    Alter.renameColumnMetadata(spark, st, src, "v", "metric")
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "rebuild", s"ALTER must rebuild, got $r")
+    // the view's output keys follow the source's new logical names —
+    // exactly what a recompute says
+    assertDfEqual(MatView.read(spark, view),
+      MatViewTestSupport.recompute(spark, st, src, Seq("grp"), "metric"))
+    // and the re-resolution is durable: a captured merge under the
+    // new names folds incrementally
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "grp", "metric"), src,
+      "full.id = incremental.id", captureChanges = true)
+    val r2 = MatView.refresh(spark, st, view)
+    assert(r2.mode == "incremental", s"got $r2")
+    assertDfEqual(MatView.read(spark, view),
+      MatViewTestSupport.recompute(spark, st, src, Seq("grp"), "metric"))
+    // DROP the value column (metadata flavor): the refresh must refuse
+    // with an error naming the view, the column, and the remedy —
+    // not die downstream in an unresolved-column crash
+    Merge.pruneChangeFeed(spark, src, Long.MaxValue)
+    Alter.dropColumnMetadata(spark, st, src, "metric")
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, st, view)
+    }
+    assert(e.getMessage.contains("DROPPED") &&
+      e.getMessage.contains("metric") &&
+      e.getMessage.contains("recreate"),
+      s"unhelpful drop error: ${e.getMessage}")
+  }
+
+  test("multi-column view: one refresh amortizes the feed across " +
+      "metrics, suffixed stats equal a recompute of each") {
+    val src = tempDir("mv_multi") + "/src"
+    st.write(Seq(
+      (1L, "a", 1.0, 10.0), (2L, "a", 5.0, 20.0), (3L, "b", 2.0, 30.0),
+      (4L, "b", 4.0, 40.0), (5L, "c", 7.0, 50.0))
+      .toDF("id", "k", "v", "w"), src, "delta", "overwrite")
+    val view = tempDir("mv_multi_v") + "/v"
+    val r0 = MatView.createMulti(spark, st, src, view, Seq("k"),
+      Seq("v", "w"), withMinMax = true)
+    assert(r0.mode == "rebuild")
+    def recomputeMulti: DataFrame =
+      st.read(src, "delta").groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("v").try_cast("decimal(28,6)")).as("nncnt_v"),
+          sum(col("v").try_cast("decimal(28,6)"))
+            .cast("decimal(28,6)").as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          count(col("w").try_cast("decimal(28,6)")).as("nncnt_w"),
+          sum(col("w").try_cast("decimal(28,6)"))
+            .cast("decimal(28,6)").as("sum_w"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+    assertDfEqual(MatView.read(spark, view), recomputeMulti)
+    // captured merge + captured delete that removes group b's w-max
+    // (poisons through the SECOND metric — the rescan guard must OR
+    // across value columns)
+    st.merge(Seq((2L, "a", 6.0, 25.0), (6L, "c", 3.0, 60.0))
+      .toDF("id", "k", "v", "w"), src,
+      "full.id = incremental.id", captureChanges = true)
+    assert(Delete.where(spark, st, src, "id = 4", captureChanges = true)
+      == 1L)
+    val r1 = MatView.refresh(spark, st, view)
+    assert(r1.mode == "incremental" && r1.batchesApplied == 2, s"got $r1")
+    assert(r1.groupsRescanned > 0,
+      "removing a w-extreme must rescan through the second metric")
+    assertDfEqual(MatView.read(spark, view), recomputeMulti)
+  }
+
+  test("no-min/max mode never attaches the fact table: deletes of " +
+      "group extremes fold purely, proven by hiding the source") {
+    val src = tempDir("mv_nominmax") + "/src"
+    st.write(Seq(
+      (1L, "a", 1.0, 10.0), (2L, "a", 5.0, 20.0), (3L, "b", 2.0, 30.0),
+      (4L, "b", 4.0, 40.0))
+      .toDF("id", "k", "v", "w"), src, "delta", "overwrite")
+    val view = tempDir("mv_nominmax_v") + "/v"
+    MatView.createMulti(spark, st, src, view, Seq("k"), Seq("v", "w"),
+      withMinMax = false)
+    val cols = MatView.read(spark, view).schema.fieldNames.toSeq
+    assert(cols == Seq("k", "cnt", "nncnt_v", "sum_v", "nncnt_w", "sum_w"),
+      s"unexpected state shape: $cols")
+    // deletes that remove group minima AND maxima — the poison case
+    // in min/max mode — plus an update and an insert
+    st.merge(Seq((2L, "a", 6.0, 25.0), (5L, "c", 9.0, 90.0))
+      .toDF("id", "k", "v", "w"), src,
+      "full.id = incremental.id", captureChanges = true)
+    assert(Delete.where(spark, st, src, "id IN (1, 4)",
+      captureChanges = true) == 2L)
+    // hide the fact table's parquet: a refresh that reads ANY source
+    // data file now fails loudly — abelian partials never need one
+    val hidden = Fs.listFiles(spark, src)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_"))
+    assert(hidden.nonEmpty)
+    hidden.foreach(f => Fs.renameChecked(spark, s"$src/$f",
+      s"$src/.hidden_$f"))
+    try {
+      val r = MatView.refresh(spark, st, view)
+      assert(r.mode == "incremental" && r.batchesApplied == 2 &&
+        r.groupsRescanned == 0L,
+        s"expected a pure two-batch fold, got $r")
+    } finally hidden.foreach(f => Fs.renameChecked(spark,
+      s"$src/.hidden_$f", s"$src/$f"))
+    assertDfEqual(MatView.read(spark, view),
+      st.read(src, "delta").groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("v").try_cast("decimal(28,6)")).as("nncnt_v"),
+          sum(col("v").try_cast("decimal(28,6)"))
+            .cast("decimal(28,6)").as("sum_v"),
+          count(col("w").try_cast("decimal(28,6)")).as("nncnt_w"),
+          sum(col("w").try_cast("decimal(28,6)"))
+            .cast("decimal(28,6)").as("sum_w")))
+  }
+
   test("a non-managed source refuses; a non-view path refuses refresh") {
     val plain = tempDir("mv_plain") + "/p"
     Seq((1L, "a", 1.0)).toDF("id", "k", "v")
