@@ -260,6 +260,18 @@ object MatView {
     df.groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The state column names a key may not shadow — ONE definition for
+    * the create-time guard and the post-ALTER re-resolution guard
+    * ([[resolveColumns]]), so the two can't drift. min/max are only
+    * reserved when the view actually stores them: a no-min/max view
+    * has no `max` column for a key named `max` to collide with. */
+  private def reservedNames(m: Meta): Set[String] = {
+    val stats = Seq("nncnt", "sum") ++
+      (if (m.minMax) Seq("min", "max") else Nil)
+    ("cnt" +: m.valueCols.flatMap(c => stats.map(m.statName(_, c))))
+      .map(_.toLowerCase).toSet
+  }
+
   private def stateCols(m: Meta): Seq[String] =
     m.keys ++ ("cnt" +: m.valueCols.flatMap { c =>
       Seq(m.statName("nncnt", c), m.statName("sum", c)) ++
@@ -306,9 +318,7 @@ object MatView {
       s"duplicate value column in ${valueCols.mkString(", ")}")
     val probe = Meta("", keys, valueCols, withMinMax, 0L, 0L, 0L, "",
       keys, valueCols)
-    val reserved = ("cnt" +: valueCols.flatMap(c =>
-      Seq("nncnt", "sum", "min", "max").map(probe.statName(_, c))))
-      .map(_.toLowerCase).toSet
+    val reserved = reservedNames(probe)
     val clash = keys.filter(k => reserved(k.toLowerCase))
     require(clash.isEmpty,
       s"key column(s) ${clash.mkString(", ")} collide with the view's " +
@@ -373,13 +383,24 @@ object MatView {
         // log unmoved — but a change batch ABOVE the watermark means a
         // capture is in flight or its writer crashed mid-commit. A live
         // writer (lock held) is business as usual: its op row will move
-        // the log and the next refresh folds it. No lock + orphan batch
-        // = crashed writer whose data swap may already be visible —
-        // name the window (object doc) instead of calling it clean.
-        if (batchStamps(spark, source).exists(_._1 > meta.lastBatch) &&
-            Txn.heldBy(spark, source).isEmpty)
+        // the log and the next refresh folds it. The stamp-only listing
+        // skips the per-batch marker probes (this hot noop path needs
+        // only existence). No lock + LOG STILL UNMOVED + orphan batch
+        // = crashed writer (release happens only after the op append),
+        // whose data swap may already be visible — name the window
+        // (object doc) instead of calling it clean. The re-snapshot
+        // closes the liveness race: a writer that committed and
+        // released between the first snapshot and the lock probe reads
+        // as lock-free with an orphan batch, but its op row has moved
+        // the log — re-plan, don't cry crash.
+        if (batchStampsOnly(spark, source).exists(_ > meta.lastBatch) &&
+            Txn.heldBy(spark, source).isEmpty) {
+          if (Txn.snapshot(spark, source) != snap)
+            throw new StaleSnapshotException(
+              s"MATVIEW NOOP probe of $source: a writer committed " +
+                "mid-probe; re-plan")
           MatViewRefresh("source-crashed", 0L, 0L)
-        else MatViewRefresh("noop", 0L, 0L)
+        } else MatViewRefresh("noop", 0L, 0L)
       } else {
         // op-log rows appended since the recorded fingerprint, in
         // commit order. (timestamp, seq) is the engine's documented
@@ -397,7 +418,7 @@ object MatView {
             !uncommittedInRange &&
             newOps.count(MutationOps) == committed.size
         if (!explainable)
-          rebuildOnce(spark, storage, base, meta, Some(snap))
+          rebuildOnce(spark, storage, base, meta, Some(snap), Some(stamps))
         else if (committed.isEmpty) {
           // content-invisible ops only: advance the fingerprint so
           // later refreshes stop re-reading this span. Sidecar-only
@@ -416,16 +437,26 @@ object MatView {
 
   // ----------------------------------------------------- inner phases
 
-  /** (stamp, committed?) of every change-batch dir currently on disk —
-    * driver metadata listing, never a data read. */
-  private def batchStamps(spark: SparkSession,
-                          source: String): Seq[(Long, Boolean)] = {
+  /** Stamps of every change-batch dir currently on disk — ONE
+    * directory listing, no per-batch marker probes. The noop path's
+    * crash probe needs only existence; paying a marker `exists` per
+    * batch there would turn every quiet poll tick into N filesystem
+    * RPCs on a long-lived feed. */
+  private def batchStampsOnly(spark: SparkSession,
+                              source: String): Seq[Long] = {
     val feedDir = source.stripSuffix("/") + "/" + Merge.ChangesDirName
     Fs.listSubdirs(spark, feedDir)
       .filter(_.startsWith("batch="))
-      .map(d => d.stripPrefix("batch=").toLong)
-      .map(b => (b, Merge.isBatchCommitted(spark, source, b)))
+      .map(_.stripPrefix("batch=").toLong)
   }
+
+  /** (stamp, committed?) of every change-batch dir currently on disk —
+    * driver metadata listing plus one marker probe per batch, never a
+    * data read. */
+  private def batchStamps(spark: SparkSession,
+                          source: String): Seq[(Long, Boolean)] =
+    batchStampsOnly(spark, source)
+      .map(b => (b, Merge.isBatchCommitted(spark, source, b)))
 
   /** Re-resolve the view's recorded columns through the source's
     * CURRENT schema before a rebuild: a mapped RENAME moved the
@@ -459,16 +490,30 @@ object MatView {
             "recreate it")
       logical
     }
-    meta.copy(
+    val resolved = meta.copy(
       keys = meta.keyPhys.zip(meta.keys)
         .map { case (p, r) => resolve(p, r, "view key") },
       valueCols = meta.valuePhys.zip(meta.valueCols)
         .map { case (p, r) => resolve(p, r, "view value") })
+    // the same reserved-name guard create() enforces: a RENAME that
+    // moved a key onto a stat alias (k → "sum") would otherwise wedge
+    // every refresh in an ambiguous-reference crash — refuse with the
+    // remedy instead
+    val reserved = reservedNames(resolved)
+    val clash = resolved.keys.filter(k => reserved(k.toLowerCase))
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"materialized view $viewBase: renamed key column(s) " +
+          s"${clash.mkString(", ")} now collide with the view's " +
+          s"aggregate columns — rename them apart on ${meta.source}, " +
+          "or remove the view and recreate it")
+    resolved
   }
 
   private def rebuildOnce(spark: SparkSession, storage: BasicStorage,
                           viewBase: String, meta0: Meta,
-                          snap0: Option[OpLogSnapshot] = None)
+                          snap0: Option[OpLogSnapshot] = None,
+                          stamps0: Option[Seq[(Long, Boolean)]] = None)
       : MatViewRefresh = {
     val snap = snap0.getOrElse(Txn.snapshot(spark, meta0.source))
     val meta = resolveColumns(spark, storage, viewBase, meta0)
@@ -478,7 +523,9 @@ object MatView {
     // assert below). Uncommitted stamps are excluded: a live capture's
     // merge will commit with its op-log row and be applied by the next
     // refresh; crashed debris never commits and is vacuum's to fence.
-    val watermark = batchStamps(spark, meta.source)
+    // refresh() passes its already-probed stamps — the marker probes
+    // cost one RPC per retained batch and need not run twice.
+    val watermark = stamps0.getOrElse(batchStamps(spark, meta.source))
       .collect { case (b, true) => b }
       .maxOption.getOrElse(Long.MinValue)
     // the aggregation is materialized ONCE (state-sized), so the
@@ -512,8 +559,8 @@ object MatView {
     // to neither, so the fold's sum-null restoration matches a
     // recompute exactly. add/rem extremes only exist in min/max mode.
     def dName(stat: String, c: String) = "d" + meta.statName(stat, c)
-    def extName(pfx: String, c: String) =
-      if (meta.valueCols.size == 1) pfx else s"${pfx}_$c"
+    // delta extreme columns follow the ONE suffixing rule (statName)
+    def extName(pfx: String, c: String) = meta.statName(pfx, c)
     val deltaAggs: Seq[Column] = sum(sign).as("dcnt") +:
       meta.valueCols.flatMap { c =>
         val v = col(c)

@@ -383,12 +383,20 @@ object Merge {
     // (children moving between list and stat) — any listing failure
     // reads as "not empty", which routes through the live-CREATE wait
     // below instead of killing the caller
-    val emptyUnmanagedDir = storage.exists(path) &&
+    // exists is probed ONCE: reading it twice (inside the
+    // short-circuit and again in the if) let a concurrent
+    // bootstrapper's mkdir land between the two probes and route this
+    // writer PAST the bootstrap block into the condemnation check
+    // during the winner's mkdir→lock-acquire beat — the only window
+    // where the path is unmanaged with no claim to wait on (a
+    // once-per-full-suite flake of ConcurrencySpec's bootstrap race)
+    val exists0 = storage.exists(path)
+    val emptyUnmanagedDir = exists0 &&
       !GraftLog.isManagedTable(spark, path) &&
       (try Fs.listSubdirs(spark, path).isEmpty &&
            Fs.listFiles(spark, path).forall(_.startsWith("_"))
        catch { case scala.util.control.NonFatal(_) => false })
-    if (!storage.exists(path) || emptyUnmanagedDir) {
+    if (!exists0 || emptyUnmanagedDir) {
       // emptyUnmanagedDir: a bootstrap that crashed between its mkdir
       // and its data write (root + stale claim, nothing else) — claim
       // it again rather than throwing "not a Delta Table" forever; a

@@ -427,7 +427,12 @@ object Txn {
           Option(t.getMessage)
             .exists(m => m.contains("UNABLE_TO_INFER_SCHEMA") ||
               m.contains("PATH_NOT_FOUND") ||
-              m.contains("FILE_NOT_EXIST")) ||
+              m.contains("FILE_NOT_EXIST") ||
+              // a stage-failure SparkException truncates its cause
+              // chain and carries the EXECUTOR's stack only as
+              // message text — an op-log footer read racing a
+              // compactLog swap surfaces exactly this way
+              m.contains("java.io.FileNotFoundException")) ||
           walk(t.getCause))
     walk(e)
   }

@@ -26,6 +26,17 @@ case class ClosedSession(user_id: Long, session_start: Long,
   */
 object StreamingOps {
 
+  /** How long [[replicateStream]]'s file-trigger replay waits for an
+    * in-flight capture (batch files visible, `_commit` marker still
+    * behind the data rewrite, source commit lock held) to finish
+    * before giving up on it for this trigger. Set it at or above the
+    * worst captured-merge duration — a capture that outlives the wait
+    * on a then-quiet source stays unreplicated until the NEXT trigger
+    * or poll tick — or pass `pollInterval`, whose clock converges
+    * within one interval regardless. */
+  val ReplicateLockWaitKey = "spark.graft.replicateLockWaitMs"
+  val ReplicateLockWaitDefaultMs: Long = 10000L
+
   /** Stream-static enrichment join: every stream row picks up the
     * matching dimension row (left outer — unmatched rows survive with
     * nulls, enrichment must not drop events). The static side is
@@ -820,12 +831,12 @@ object StreamingOps {
             val applied = graft.storage.GraftLog
               .lastTxnBatch(spark, replicaPath, txnApp)
               .getOrElse(Long.MinValue)
-            val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
-            def unapplied(): Array[(Long, Boolean)] = feed
-              .select(col("batch")).distinct()
-              .collect().map(_.getLong(0)).filter(_ > applied)
-              .map(b => (b, graft.storage.Merge
-                .isBatchCommitted(spark, sourcePath, b)))
+            def unapplied(): Array[(Long, Boolean)] =
+              graft.storage.Merge.changeFeed(spark, sourcePath)
+                .select(col("batch")).distinct()
+                .collect().map(_.getLong(0)).filter(_ > applied)
+                .map(b => (b, graft.storage.Merge
+                  .isBatchCommitted(spark, sourcePath, b)))
             // an in-range batch WITHOUT its marker while the source's
             // commit lock is held is a capture mid-commit — its marker
             // lands before the lock frees. Waiting it out closes the
@@ -833,23 +844,42 @@ object StreamingOps {
             // batch's files, and skipping it here would strand the
             // replica one batch behind until the NEXT capture fires
             // (a quiet source never converges). Crashed debris (lock
-            // left behind) is capped by the deadline and stays
-            // skipped — vacuum's to fence, never replayed.
-            val deadline = System.currentTimeMillis() + 10000L
+            // left behind) is capped by the deadline
+            // ([[ReplicateLockWaitKey]]) and stays skipped — vacuum's
+            // to fence, never replayed. The wait loop re-probes ONLY
+            // the missing markers (one driver `exists` each): the
+            // stamp SET is frozen while the lock is held (captures
+            // are lock-serialized), so re-running the feed listing
+            // job every poll would be pure waste — and the same
+            // marker re-probe after the loop covers a writer whose
+            // marker + release landed between the listing and the
+            // first lock probe.
+            val waitMs = spark.conf.getOption(ReplicateLockWaitKey)
+              .map(_.toLong).getOrElse(ReplicateLockWaitDefaultMs)
+            val deadline = System.currentTimeMillis() + waitMs
             var seen = unapplied()
+            def reprobe(s: Array[(Long, Boolean)]) = s.map { case (b, c) =>
+              (b, c || graft.storage.Merge
+                .isBatchCommitted(spark, sourcePath, b))
+            }
             while (seen.exists(!_._2) &&
                 graft.storage.Txn.heldBy(spark, sourcePath).isDefined &&
                 System.currentTimeMillis() < deadline) {
               Thread.sleep(100)
-              seen = unapplied()
+              seen = reprobe(seen)
             }
-            // the lock can free between a listing and its probe (the
-            // writer's marker + release landing in the gap) — one
-            // final look so a just-committed batch isn't skipped on
-            // a stale listing
-            if (seen.exists(!_._2)) seen = unapplied()
+            if (seen.exists(!_._2)) seen = reprobe(seen)
             val stamps = seen.collect { case (b, true) => b }.sorted
             if (stamps.nonEmpty) {
+              // the replay feed is built FRESH, after every wait: the
+              // initial listing can catch a capture's parquet job
+              // mid-commit and index only part of its files — replaying
+              // a now-committed batch through that stale index would
+              // apply a SUBSET of its rows and advance the watermark
+              // past the rest (silent divergence). Each batch's files
+              // are complete before its marker lands, so a post-wait
+              // listing sees committed batches whole.
+              val feed = graft.storage.Merge.changeFeed(spark, sourcePath)
               var replica = storage.read(replicaPath, "delta")
               for (b <- stamps)
                 replica = graft.storage.Merge.replayChanges(

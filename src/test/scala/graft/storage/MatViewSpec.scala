@@ -280,6 +280,13 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
         "[UNABLE_TO_INFER_SCHEMA] Unable to infer schema for Parquet"))))
     assert(isSwapWindowRace(new RuntimeException(
       "[PATH_NOT_FOUND] Path does not exist: file:/t")))
+    // a stage-failure SparkException truncates its cause chain and
+    // carries the executor stack only as TEXT — the classifier must
+    // match the embedded class name (a live compactLog racing an
+    // op-log footer read surfaces exactly this way)
+    assert(isSwapWindowRace(new RuntimeException(
+      "Job aborted due to stage failure: Task 3 failed: " +
+        "Caused by: java.io.FileNotFoundException: File file:/t/x")))
     assert(!isSwapWindowRace(new RuntimeException("boom")))
     assert(!isSwapWindowRace(new IllegalArgumentException(
       "matview keys must be non-null")))
@@ -355,10 +362,23 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     assert(r2.mode == "incremental", s"got $r2")
     assertDfEqual(MatView.read(spark, view),
       MatViewTestSupport.recompute(spark, st, src, Seq("grp"), "metric"))
+    Merge.pruneChangeFeed(spark, src, Long.MaxValue)
+    // a RENAME that moves the key onto a stat alias must refuse with
+    // the remedy, not wedge every refresh in an ambiguous-reference
+    // crash (the create-time reserved-name guard, re-applied after
+    // re-resolution)
+    Alter.renameColumnMetadata(spark, st, src, "grp", "sum")
+    val clashErr = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, st, view)
+    }
+    assert(clashErr.getMessage.contains("collide") &&
+      clashErr.getMessage.contains("sum"),
+      s"unhelpful clash error: ${clashErr.getMessage}")
+    Alter.renameColumnMetadata(spark, st, src, "sum", "grp")
+    assert(MatView.refresh(spark, st, view).mode == "rebuild")
     // DROP the value column (metadata flavor): the refresh must refuse
     // with an error naming the view, the column, and the remedy —
     // not die downstream in an unresolved-column crash
-    Merge.pruneChangeFeed(spark, src, Long.MaxValue)
     Alter.dropColumnMetadata(spark, st, src, "metric")
     val e = intercept[IllegalArgumentException] {
       MatView.refresh(spark, st, view)
@@ -450,6 +470,32 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
           count(col("w").try_cast("decimal(28,6)")).as("nncnt_w"),
           sum(col("w").try_cast("decimal(28,6)"))
             .cast("decimal(28,6)").as("sum_w")))
+  }
+
+  test("no-min/max views reserve only the stats they store: a key " +
+      "renamed to 'max' keeps refreshing") {
+    val src = tempDir("mv_maxkey") + "/src"
+    st.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
+      src, "delta", "overwrite")
+    val view = tempDir("mv_maxkey_v") + "/v"
+    MatView.createMulti(spark, st, src, view, Seq("k"), Seq("v"),
+      withMinMax = false)
+    Alter.renameColumnMetadata(spark, st, src, "k", "max")
+    assert(MatView.refresh(spark, st, view).mode == "rebuild")
+    assert(MatView.read(spark, view).schema.fieldNames.toSeq ==
+      Seq("max", "cnt", "nncnt", "sum"))
+    // ...while a min/max view refuses the same rename's refresh (the
+    // state really does carry a 'max' column there)
+    val src2 = tempDir("mv_maxkey2") + "/src"
+    st.write(Seq((1L, "a", 1.0)).toDF("id", "k", "v"), src2,
+      "delta", "overwrite")
+    val view2 = tempDir("mv_maxkey2_v") + "/v"
+    MatView.create(spark, st, src2, view2, Seq("k"), "v")
+    Alter.renameColumnMetadata(spark, st, src2, "k", "max")
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, st, view2)
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
   test("a non-managed source refuses; a non-view path refuses refresh") {
