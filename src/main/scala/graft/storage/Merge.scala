@@ -214,19 +214,37 @@ object Merge {
     if (feedStamps.isEmpty) return current
     val feed = changeFeed(spark, path)
     val newer = feedStamps.filter(_ > asOfBatch).sorted.reverse
-    // a batch with no commit marker is a crashed capture — whether
-    // its changes reached the table is unknowable, so stepping across
-    // it could double-restore (an unapplied delete batch) or
-    // half-miss (an applied-but-unmarked one). Refuse loudly; batches
-    // at or below asOfBatch are never stepped and don't matter.
+    // a batch with no commit marker is either an IN-FLIGHT capture
+    // (writer holds the commit lock; its marker is moments away) or a
+    // crashed one — and in both cases whether its changes reached the
+    // table is unknowable RIGHT NOW, so stepping across it could
+    // double-restore (an unapplied delete batch) or half-miss (an
+    // applied-but-unmarked one). The two differ in remedy, not risk:
+    // a LIVE writer (young lock) refuses RETRYABLY — the travel
+    // re-plans cleanly once the capture commits (retryTransient's
+    // signal) — where the old unconditional "crashed mid-flight"
+    // refusal spuriously failed every travel that raced a normal
+    // capture on a busy table. A genuinely crashed capture (no lock,
+    // or one stale past the timeout) keeps the loud terminal refusal.
+    // Batches at or below asOfBatch are never stepped and don't matter.
     val uncommitted = newer.filterNot(isBatchCommitted(spark, path, _))
-    if (uncommitted.nonEmpty)
-      throw new IllegalStateException(
-        s"time travel to batch $asOfBatch must step across change " +
-          s"batch(es) ${uncommitted.mkString(", ")} that have no " +
-          "commit marker — a captured mutation crashed mid-flight; " +
-          "re-run it (a retry captures a fresh committed batch) or " +
-          "Maintenance.vacuum the orphan, which fences travel at it")
+    if (uncommitted.nonEmpty) {
+      val live = Txn.heldBy(spark, path)
+        .exists(_._2 <= Txn.lockTimeoutMs(spark))
+      if (live)
+        throw new ConcurrentWriteException(
+          s"time travel to batch $asOfBatch raced an in-flight " +
+            s"captured mutation on $path (batch(es) " +
+            s"${uncommitted.mkString(", ")} unmarked while the commit " +
+            "lock is held) — retry when it commits")
+      else
+        throw new IllegalStateException(
+          s"time travel to batch $asOfBatch must step across change " +
+            s"batch(es) ${uncommitted.mkString(", ")} that have no " +
+            "commit marker — a captured mutation crashed mid-flight; " +
+            "re-run it (a retry captures a fresh committed batch) or " +
+            "Maintenance.vacuum the orphan, which fences travel at it")
+    }
     newer.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
       val stepped =
         inverseReplay(df, feed.filter(col("batch") === b), keyCols)

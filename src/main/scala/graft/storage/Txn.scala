@@ -432,7 +432,12 @@ object Txn {
               // chain and carries the EXECUTOR's stack only as
               // message text — an op-log footer read racing a
               // compactLog swap surfaces exactly this way
-              m.contains("java.io.FileNotFoundException")) ||
+              m.contains("java.io.FileNotFoundException") ||
+              // RawLocalFileSystem's permission loader shells out to
+              // `ls` per listed file; a file a COW swap deleted
+              // mid-listing dies as a RuntimeException carrying only
+              // the shell's message (reader-vs-mutator soak shape)
+              m.contains("No such file or directory")) ||
           walk(t.getCause))
     walk(e)
   }

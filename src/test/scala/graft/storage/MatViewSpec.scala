@@ -287,6 +287,13 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     assert(isSwapWindowRace(new RuntimeException(
       "Job aborted due to stage failure: Task 3 failed: " +
         "Caused by: java.io.FileNotFoundException: File file:/t/x")))
+    // RawLocalFileSystem's permission loader shells out per listed
+    // file — a file deleted mid-listing dies as a RuntimeException
+    // carrying only the shell's message (reader-vs-mutator soak)
+    assert(isSwapWindowRace(new RuntimeException(
+      "Error while running command to get file permissions : " +
+        "ExitCodeException exitCode=2: ls: cannot access '/t/x': " +
+        "No such file or directory")))
     assert(!isSwapWindowRace(new RuntimeException("boom")))
     assert(!isSwapWindowRace(new IllegalArgumentException(
       "matview keys must be non-null")))
