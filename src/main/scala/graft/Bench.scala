@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-load stamps (verdict r13 #3): every round burns judge+builder
+    // effort re-adjudicating host drift (225→272 s across identical
+    // code in r13). Record /proc/loadavg at start and end plus the CPU
+    // count so the verdict can cite load figures instead of re-probing.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
+    val hostCpus = Runtime.getRuntime.availableProcessors()
     // Untimed warmup: JVM/codegen/parquet-footer initialization otherwise
     // lands entirely on whichever query happens to run first.
     try SparkEntry.queries.get("customer_summary")
@@ -68,15 +78,23 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    val host =
+      s""""host":{"cpus":$hostCpus,"load_start":"$loadStart","load_end":"$loadEnd"}"""
     val headline =
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir",$host,"full":"BENCH_LOCAL.json"}"""
     val full =
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$host}"""
     println(full)
     println(headline)
     // a narrowed run must not overwrite the committed full-inventory
-    // record
-    if (only.isEmpty) try {
+    // record — and neither must the DRIVER's per-round run (its output
+    // is already captured to BENCH_r{N}.json; letting it also dirty
+    // BENCH_LOCAL.json made HEAD's committed record a drifting evening
+    // sample instead of the quiet-host record BENCH_NOTES designates).
+    // Only an explicit record-taking run (GRAFT_BENCH_RECORD=1) writes.
+    if (only.isEmpty && sys.env.get("GRAFT_BENCH_RECORD").contains("1"))
+      try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,
         (headline + "\n" + full + "\n").getBytes("UTF-8"))

@@ -112,7 +112,10 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
   * dies after its data swap landed but before its op-log append
   * leaves new content visible with the log unmoved. A refresh in
   * that window reports `"source-crashed"` (detected via the orphan
-  * change batch + no live lock) instead of `"noop"`, and the state
+  * change batch + no LIVE lock — i.e. no holder, or a holder whose
+  * lock aged past the txn timeout; a hard process crash leaves its
+  * lock behind, and that stale debris is part of the signature, not
+  * a reason to report noop) instead of `"noop"`, and the state
   * keeps answering for the last COMMITTED source state — stale,
   * never wrong — until vacuum's fence or the next mutation moves the
   * log and forces the rebuild. An UNCAPTURED crashed writer leaves
@@ -393,8 +396,15 @@ object MatView {
         // released between the first snapshot and the lock probe reads
         // as lock-free with an orphan batch, but its op row has moved
         // the log — re-plan, don't cry crash.
+        // "no live lock" = no holder at all, OR a holder whose lock
+        // aged past the txn timeout: a PROCESS crash before the op
+        // append also dies before Txn.release (the writer's finally
+        // never runs), so the lock debris itself is part of the
+        // crash signature — requiring isEmpty would misreport that
+        // (most common) crash shape as "noop" until vacuum fenced it.
         if (batchStampsOnly(spark, source).exists(_ > meta.lastBatch) &&
-            Txn.heldBy(spark, source).isEmpty) {
+            !Txn.heldBy(spark, source)
+              .exists(_._2 <= Txn.lockTimeoutMs(spark))) {
           if (Txn.snapshot(spark, source) != snap)
             throw new StaleSnapshotException(
               s"MATVIEW NOOP probe of $source: a writer committed " +

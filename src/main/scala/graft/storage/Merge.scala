@@ -231,16 +231,29 @@ object Merge {
     if (uncommitted.nonEmpty) {
       val live = Txn.heldBy(spark, path)
         .exists(_._2 <= Txn.lockTimeoutMs(spark))
-      if (live)
+      // Probe-order race: a writer can stamp its markers and release
+      // the lock BETWEEN the isBatchCommitted listing above and the
+      // heldBy probe — live reads false even though every batch is
+      // now committed. Before the terminal refusal, re-probe the
+      // uncommitted set; if the second look finds all markers, the
+      // writer just finished — refuse RETRYABLY so retryTransient
+      // callers re-plan against the now-complete feed. The terminal
+      // refusal is reserved for batches still unmarked on the second
+      // look with no live holder: a genuinely crashed capture.
+      lazy val stillUnmarked =
+        uncommitted.filterNot(isBatchCommitted(spark, path, _))
+      if (live || stillUnmarked.isEmpty)
         throw new ConcurrentWriteException(
           s"time travel to batch $asOfBatch raced an in-flight " +
             s"captured mutation on $path (batch(es) " +
-            s"${uncommitted.mkString(", ")} unmarked while the commit " +
-            "lock is held) — retry when it commits")
+            s"${uncommitted.mkString(", ")} unmarked " +
+            (if (live) "while the commit lock is held"
+             else "momentarily — committed between probes") +
+            ") — retry when it commits")
       else
         throw new IllegalStateException(
           s"time travel to batch $asOfBatch must step across change " +
-            s"batch(es) ${uncommitted.mkString(", ")} that have no " +
+            s"batch(es) ${stillUnmarked.mkString(", ")} that have no " +
             "commit marker — a captured mutation crashed mid-flight; " +
             "re-run it (a retry captures a fresh committed batch) or " +
             "Maintenance.vacuum the orphan, which fences travel at it")

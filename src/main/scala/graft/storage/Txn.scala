@@ -421,6 +421,21 @@ object Txn {
     * into a bounded retry instead of a dead long-lived stream. */
   private[graft] def isSwapWindowRace(e: Throwable): Boolean = {
     val seen = scala.collection.mutable.Set[Throwable]()
+    // The two raw-substring shapes below fire on ANY exception text,
+    // so they additionally require the message to name something the
+    // ENGINE owns — a `_graft*` sidecar/log/lock/tmp segment, a
+    // rename-aside suffix, or a parquet data file — before they
+    // classify. A foreign failure that merely MENTIONS a missing
+    // file (an executor-side script, a user path typo inside a
+    // larger job) names none of these and fails fast instead of
+    // costing maxAttempts silent retries of the body.
+    def enginePath(m: String): Boolean =
+      m.contains("_graft") || m.contains("__tmp") ||
+        m.contains("__old") || m.contains(".parquet") ||
+        // Spark's own output markers live inside every managed root
+        // and vanish with it mid-swap (the permission loader dies on
+        // exactly these during a root listing)
+        m.contains("_SUCCESS") || m.contains("_temporary")
     def walk(t: Throwable): Boolean =
       t != null && seen.add(t) && (
         t.isInstanceOf[java.io.FileNotFoundException] ||
@@ -432,12 +447,14 @@ object Txn {
               // chain and carries the EXECUTOR's stack only as
               // message text — an op-log footer read racing a
               // compactLog swap surfaces exactly this way
-              m.contains("java.io.FileNotFoundException") ||
+              (m.contains("java.io.FileNotFoundException") &&
+                enginePath(m)) ||
               // RawLocalFileSystem's permission loader shells out to
               // `ls` per listed file; a file a COW swap deleted
               // mid-listing dies as a RuntimeException carrying only
               // the shell's message (reader-vs-mutator soak shape)
-              m.contains("No such file or directory")) ||
+              (m.contains("No such file or directory") &&
+                enginePath(m))) ||
           walk(t.getCause))
     walk(e)
   }
@@ -472,6 +489,6 @@ object Txn {
   /** The configured stale-lock horizon — shared with
     * [[GraftLog.isManagedTable]]'s crashed-log-swap heal, which must
     * never roll back a swap whose holder may still be alive. */
-  private[storage] def lockTimeoutMs(spark: SparkSession): Long =
+  private[graft] def lockTimeoutMs(spark: SparkSession): Long =
     confMs(spark, LockTimeoutKey, LockTimeoutDefaultMs)
 }

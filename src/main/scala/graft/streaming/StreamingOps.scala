@@ -862,8 +862,14 @@ object StreamingOps {
               (b, c || graft.storage.Merge
                 .isBatchCommitted(spark, sourcePath, b))
             }
-            while (seen.exists(!_._2) &&
-                graft.storage.Txn.heldBy(spark, sourcePath).isDefined &&
+            // only a YOUNG lock (within the txn timeout) is a live
+            // writer worth waiting for — crashed lock debris would
+            // otherwise cost the full wait on EVERY trigger and poll
+            // tick until vacuum fences it (timeTravel's sibling
+            // classification filters by age the same way)
+            def liveHolder = graft.storage.Txn.heldBy(spark, sourcePath)
+              .exists(_._2 <= graft.storage.Txn.lockTimeoutMs(spark))
+            while (seen.exists(!_._2) && liveHolder &&
                 System.currentTimeMillis() < deadline) {
               Thread.sleep(100)
               seen = reprobe(seen)

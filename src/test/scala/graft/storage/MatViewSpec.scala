@@ -283,17 +283,39 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     // a stage-failure SparkException truncates its cause chain and
     // carries the executor stack only as TEXT — the classifier must
     // match the embedded class name (a live compactLog racing an
-    // op-log footer read surfaces exactly this way)
+    // op-log footer read surfaces exactly this way). The raw-text
+    // shapes additionally require an ENGINE-owned path in the message
+    // (_graft segment, rename-aside suffix, or parquet data file) —
+    // both real soak-reproduced shapes carry one.
     assert(isSwapWindowRace(new RuntimeException(
       "Job aborted due to stage failure: Task 3 failed: " +
-        "Caused by: java.io.FileNotFoundException: File file:/t/x")))
+        "Caused by: java.io.FileNotFoundException: " +
+        "File file:/t/_graft_log/00000000000000000007.json")))
+    assert(isSwapWindowRace(new RuntimeException(
+      "Job aborted due to stage failure: Task 1 failed: " +
+        "Caused by: java.io.FileNotFoundException: File " +
+        "file:/t/part-00003-c9e1.snappy.parquet does not exist")))
     // RawLocalFileSystem's permission loader shells out per listed
     // file — a file deleted mid-listing dies as a RuntimeException
     // carrying only the shell's message (reader-vs-mutator soak)
     assert(isSwapWindowRace(new RuntimeException(
       "Error while running command to get file permissions : " +
-        "ExitCodeException exitCode=2: ls: cannot access '/t/x': " +
+        "ExitCodeException exitCode=2: ls: cannot access " +
+        "'/t/part-00000-ab.snappy.parquet': " +
         "No such file or directory")))
+    assert(isSwapWindowRace(new RuntimeException(
+      "Error while running command to get file permissions : " +
+        "ExitCodeException exitCode=2: ls: cannot access " +
+        "'/t/_graft_changes/12/_commit': No such file or directory")))
+    // FOREIGN failures that merely MENTION a missing file name no
+    // engine path and must fail FAST (not cost maxAttempts silent
+    // retries): an executor-side script, a user path typo
+    assert(!isSwapWindowRace(new RuntimeException(
+      "Job aborted due to stage failure: Task 0 failed: " +
+        "Caused by: java.io.FileNotFoundException: " +
+        "/usr/local/bin/udf_helper.sh")))
+    assert(!isSwapWindowRace(new RuntimeException(
+      "bash: /data/scripts/transform.sh: No such file or directory")))
     assert(!isSwapWindowRace(new RuntimeException("boom")))
     assert(!isSwapWindowRace(new IllegalArgumentException(
       "matview keys must be non-null")))
@@ -345,6 +367,35 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     val r2 = MatView.refresh(spark, st, view)
     assert(r2.mode == "rebuild", s"expected rebuild, got $r2")
     assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("a HARD process crash (lock debris left behind) with an orphan " +
+      "batch also reports source-crashed; a YOUNG holder stays noop") {
+    // a process that dies before its op-log append also dies before
+    // Txn.release (the finally never runs) — the stale lock is part
+    // of the crash SIGNATURE, not a liveness proof
+    val src = mkSource("mv_hardcrash")
+    val view = tempDir("mv_hardcrash_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    val logDir = GraftLog.logPath(src)
+    def opFiles = Fs.listFiles(spark, logDir)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_")).toSet
+    val before = opFiles
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    (opFiles -- before).foreach(f =>
+      Fs.deleteChecked(spark, s"$logDir/$f"))
+    Txn.acquire(spark, src, "MERGE") // never released — "crashed"
+    // young lock: indistinguishable from a live writer mid-commit —
+    // business as usual, its op row is (presumed) moments away
+    assert(MatView.refresh(spark, st, view).mode == "noop")
+    // aged past the txn timeout the same debris names the crash
+    val lp = new org.apache.hadoop.fs.Path(Txn.lockPath(src))
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(lp,
+      System.currentTimeMillis() - Txn.LockTimeoutDefaultMs - 60000L, -1)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "source-crashed", s"expected source-crashed, got $r")
   }
 
   test("a mapped RENAME of key and value columns re-resolves on the " +
