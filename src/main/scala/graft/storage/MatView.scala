@@ -101,12 +101,32 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
   * lock-free-then-log-unmoved (checked after every source read)
   * proves the reads saw exactly the fingerprinted state; a writer
   * committing mid-refresh turns the attempt into a retry (bounded by
-  * `maxAttempts`), not a torn or double-folding view. The sidecar
-  * carrying the applied-batch watermark lives INSIDE the state dir
-  * and rides the same rename, so state and watermark can never
-  * disagree (a watermark older than the state would double-apply
-  * batches on the next refresh). The view itself assumes a single
-  * maintainer, like every index sidecar in this engine.
+  * `maxAttempts`), not a torn or double-folding view. State and the
+  * applied-batch watermark can never disagree: a rebuild's sidecar
+  * rides the state's own atomic rename, and an incremental refresh's
+  * sidecar swap IS the commit point (see BUCKETED STATE). The view
+  * itself assumes a single maintainer, like every index sidecar in
+  * this engine.
+  *
+  * BUCKETED STATE (the 100 TB commit story): the fold was always
+  * |changes|-sized, but a single-dir state would make the COMMIT
+  * |state|-sized — a one-row delta against a 10⁹-key per-user rollup
+  * would rewrite the whole state parquet, quietly dominating every
+  * refresh. The state is therefore hash-bucketed by key
+  * ([[StateBucketsKey]] buckets, fixed at create) into immutable
+  * GENERATION dirs `b<bucket>/g<gen>`, resolved through a manifest in
+  * the sidecar (`bucketGens`). An incremental refresh reads ONLY the
+  * buckets its delta keys hash to (a key absent from the delta cannot
+  * live elsewhere — same hash), stages their new generation, and
+  * commits everything in the single atomic sidecar swap; untouched
+  * buckets are never opened, let alone rewritten. Superseded and
+  * crash-orphaned generations are unreferenced debris, swept past a
+  * grace age ([[GenGraceKey]]) that doubles as the snapshot window
+  * for lock-free readers whose file list was resolved through the
+  * previous sidecar. A per-bucket rename-commit (PartitionSwap) was
+  * REJECTED: its heal rolls completed leaf swaps forward while the
+  * sidecar still holds the old watermark, so a crash mid-commit
+  * would double-fold the same deltas on the next refresh.
   *
   * CRASHED-WRITER WINDOW (named, not silent): a source writer that
   * dies after its data swap landed but before its op-log append
@@ -139,6 +159,25 @@ object MatView {
   val LockWaitKey = "spark.graft.matviewLockWaitMs"
   val LockWaitDefaultMs: Long = 10000L
 
+  /** How many hash buckets a NEW view's state is split into. The
+    * refresh commit then rewrites only the buckets containing
+    * changed/rescanned keys — |changes|-bucket-sized, never
+    * |state|-sized (see BUCKETED STATE below). 0 would mean the
+    * legacy single-dir layout; only pre-existing sidecars carry it. */
+  val StateBucketsKey = "spark.graft.matviewStateBuckets"
+  val StateBucketsDefault: Int = 32
+
+  /** Grace age before an UNREFERENCED state generation dir (debris
+    * from a superseded refresh or a crash before the sidecar commit)
+    * is swept — the window a lock-free reader that resolved its file
+    * list from the previous sidecar gets to finish its scan. */
+  val GenGraceKey = "spark.graft.matviewGenGraceMs"
+  val GenGraceDefaultMs: Long = 900000L
+
+  /** Staging-only bucket column name (never stored in data files —
+    * it becomes the partition dir and is dropped on the rename). */
+  private[storage] val BucketCol = "__graft_sb"
+
   /** Ops the feed fully explains (captured mutations) — one committed
     * change batch each. */
   private val MutationOps = Set("MERGE", "DELETE")
@@ -158,11 +197,19 @@ object MatView {
     * time (identity unless the source carries a column mapping) — the
     * stable identity a later mapped RENAME re-resolves through.
     * `minMax` selects the state shape (see the object doc). */
+  /** `buckets`/`stateGen`/`bucketGens` describe the BUCKETED state
+    * layout (see the object doc): `buckets` = hash-bucket count fixed
+    * at create (0 = pre-bucketing single-dir layout, read-compatible),
+    * `stateGen` = monotone refresh counter, `bucketGens` = the live
+    * generation per non-empty bucket — the manifest readers resolve
+    * state dirs through. */
   case class Meta(source: String, keys: Seq[String],
                   valueCols: Seq[String], minMax: Boolean,
                   lastBatch: Long, logEntries: Long, logMaxSeq: Long,
                   schemaJson: String, keyPhys: Seq[String],
-                  valuePhys: Seq[String]) {
+                  valuePhys: Seq[String], buckets: Int = 0,
+                  stateGen: Long = 0L,
+                  bucketGens: Map[Int, Long] = Map.empty) {
     /** Single-value views keep the unsuffixed legacy stat names. */
     def statName(stat: String, c: String): String =
       if (valueCols.size == 1) stat else s"${stat}_$c"
@@ -182,7 +229,10 @@ object MatView {
         ("lastBatch" -> m.lastBatch) ~
         ("logEntries" -> m.logEntries) ~ ("logMaxSeq" -> m.logMaxSeq) ~
         ("schemaJson" -> m.schemaJson) ~ ("keyPhys" -> m.keyPhys) ~
-        ("valuePhys" -> m.valuePhys)))
+        ("valuePhys" -> m.valuePhys) ~ ("buckets" -> m.buckets) ~
+        ("stateGen" -> m.stateGen) ~
+        ("bucketGens" -> m.bucketGens.map {
+          case (b, g) => b.toString -> g })))
   }
 
   private def saveMetaInto(spark: SparkSession, dir: String,
@@ -227,10 +277,26 @@ object MatView {
       case JBool(b) => b
       case _ => true
     }
+    // pre-bucketing sidecars carry no layout fields — read them as
+    // the legacy single-dir layout (buckets = 0)
+    def lngOpt(f: String): Option[Long] = (j \ f) match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _ => None
+    }
+    val bucketGens: Map[Int, Long] = (j \ "bucketGens") match {
+      case JObject(fields) => fields.collect {
+        case (b, JInt(g)) => b.toInt -> g.toLong
+        case (b, JLong(g)) => b.toInt -> g
+      }.toMap
+      case _ => Map.empty
+    }
     Meta(str("source"), keys, valueCols, minMax, lng("lastBatch"),
       lng("logEntries"), lng("logMaxSeq"), str("schemaJson"),
       strs("keyPhys").getOrElse(keys),
-      strs("valuePhys").getOrElse(valueCols))
+      strs("valuePhys").getOrElse(valueCols),
+      lngOpt("buckets").map(_.toInt).getOrElse(0),
+      lngOpt("stateGen").getOrElse(0L), bucketGens)
   }
 
   // --------------------------------------------------------- partials
@@ -282,6 +348,104 @@ object MatView {
         else Nil)
     })
 
+  // --------------------------------------------------- bucketed state
+
+  /** THE bucket function — the staging write, the affected-bucket
+    * listing, and any future pruning must all hash identically, so it
+    * exists exactly once. xxhash64 over the key columns natively
+    * (no string round-trip); null keys are refused before any hash. */
+  private def bucketIdCol(m: Meta): Column =
+    pmod(xxhash64(m.keys.map(col): _*), lit(m.buckets.toLong)).cast("int")
+
+  /** `b00007/g000000000012` — zero-padded for stable listings; the
+    * names carry no `=` so nothing ever partition-infers them. */
+  private def bucketDirName(bucket: Int, gen: Long): String =
+    f"b$bucket%05d/g$gen%012d"
+
+  /** Zero-row state frame with the sidecar's recorded schema — the
+    * all-groups-deleted (or brand-new-bucket) lifeline. */
+  private def emptyState(spark: SparkSession, m: Meta): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** The live state, resolved through the manifest — optionally only
+    * the `affected` buckets: the refresh fold reads exactly the
+    * buckets its delta keys hash to, because a key absent from the
+    * delta cannot live in any other bucket (same hash). */
+  private def readState(spark: SparkSession, base: String, m: Meta,
+                        affected: Option[Set[Int]] = None): DataFrame = {
+    val dirs = m.bucketGens.toSeq
+      .filter { case (b, _) => affected.forall(_.contains(b)) }
+      .sortBy(_._1)
+      .map { case (b, g) => s"$base/${bucketDirName(b, g)}" }
+    if (dirs.isEmpty) emptyState(spark, m)
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Write `state` hash-bucketed under `intoDir` as generation `gen`
+    * dirs (`b<i>/g<gen>`), one file per bucket (the repartition keys
+    * each bucket to one task). Returns the bucket ids that got rows —
+    * a bucket with no surviving keys stages nothing. */
+  private def stageBuckets(spark: SparkSession, state: DataFrame,
+                           m: Meta, intoDir: String,
+                           gen: Long): Seq[Int] = {
+    val stage = intoDir.stripSuffix("/") + "/__stage"
+    state.withColumn(BucketCol, bucketIdCol(m))
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(intoDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ids = Fs.listSubdirs(spark, stage)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.stripPrefix(BucketCol + "=").toInt)
+    ids.foreach { b =>
+      val target = s"${intoDir.stripSuffix("/")}/${bucketDirName(b, gen)}"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
+      Fs.renameChecked(spark, s"$stage/$BucketCol=$b", target)
+    }
+    Fs.deleteChecked(spark, stage)
+    ids
+  }
+
+  /** Sweep state-generation debris: any `b<i>/g<gen>` dir the manifest does
+    * not reference is either a superseded generation or a crashed
+    * commit's orphan — deletable, but only past the grace age
+    * ([[GenGraceKey]]): a lock-free reader that resolved its file
+    * list through the PREVIOUS sidecar gets that window to finish.
+    * Metadata-sized (one listing per bucket dir); called on the
+    * refresh's mutation paths, never on noop polls. */
+  private def sweepStaleGens(spark: SparkSession, base: String,
+                             m: Meta): Unit = {
+    if (m.buckets <= 0) return
+    val grace = spark.conf.getOption(GenGraceKey).map(_.toLong)
+      .getOrElse(GenGraceDefaultMs)
+    val now = System.currentTimeMillis()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Fs.listSubdirs(spark, base).foreach { bd =>
+      bd.stripPrefix("b").toIntOption
+        .filter(_ => bd.startsWith("b")).foreach { b =>
+        val live = m.bucketGens.get(b)
+        Fs.listSubdirs(spark, s"$base/$bd").foreach { gd =>
+          gd.stripPrefix("g").toLongOption
+            .filter(_ => gd.startsWith("g")).foreach { g =>
+            if (!live.contains(g)) {
+              val p = new org.apache.hadoop.fs.Path(s"$base/$bd/$gd")
+              val old =
+                try now - fs.getFileStatus(p).getModificationTime > grace
+                catch { case _: java.io.FileNotFoundException => false }
+              if (old) Fs.deleteChecked(spark, p.toString)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** The full-outer delta fold joins on the keys with null-UNSAFE
     * equality (Spark's join semantics): a null-valued key would
     * silently fork its group into unmerged rows, so views refuse
@@ -327,6 +491,9 @@ object MatView {
       s"key column(s) ${clash.mkString(", ")} collide with the view's " +
         s"aggregate columns (${reserved.mkString(", ")}) — rename or " +
         "alias them before creating the view")
+    require(!(keys ++ valueCols).exists(_.equalsIgnoreCase(BucketCol)),
+      s"column name $BucketCol is reserved for the view's state " +
+        "bucketing — rename it before creating the view")
     val base = viewPath.stripSuffix("/")
     Fs.recoverAside(spark, base)
     if (Fs.exists(spark, base))
@@ -340,9 +507,14 @@ object MatView {
     // re-resolves instead of rebuilding into an unresolved-column error
     val mapping = ColumnMapping.load(spark, source.stripSuffix("/"))
       .getOrElse(ColumnMapping.Mapping(Map.empty, Nil))
+    val nBuckets = spark.conf.getOption(StateBucketsKey)
+      .map(_.toInt).getOrElse(StateBucketsDefault)
+    require(nBuckets >= 1,
+      s"$StateBucketsKey must be >= 1 (got $nBuckets)")
     val meta0 = Meta(source.stripSuffix("/"), keys, valueCols,
       withMinMax, Long.MinValue, 0L, 0L, "",
-      keys.map(mapping.physicalOf), valueCols.map(mapping.physicalOf))
+      keys.map(mapping.physicalOf), valueCols.map(mapping.physicalOf),
+      buckets = nBuckets)
     withRetries(maxAttempts) {
       rebuildOnce(spark, storage, base, meta0)
     }
@@ -356,17 +528,12 @@ object MatView {
     * the sidecar's recorded schema instead of dying in inference. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val base = viewPath.stripSuffix("/")
-    Fs.recoverAside(spark, base)
-    if (Fs.listFiles(spark, base)
+    val meta = loadMeta(spark, base) // recovers the base + sidecar asides
+    if (meta.buckets > 0) readState(spark, base, meta)
+    else if (Fs.listFiles(spark, base)
         .exists(f => !f.startsWith("_") && !f.startsWith(".")))
-      spark.read.parquet(base)
-    else {
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(loadMeta(spark, base).schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    }
+      spark.read.parquet(base) // pre-bucketing single-dir layout
+    else emptyState(spark, meta)
   }
 
   // ---------------------------------------------------------- refresh
@@ -588,10 +755,27 @@ object MatView {
             max(when(sign === -1L, v)).as(extName("rem_max", c)))
           else Nil)
       }
-    val deltas = feed.groupBy(keys.map(col): _*)
+    val deltas0 = feed.groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
-    val s = read(spark, viewBase).withColumn("_s", lit(true)).as("s")
+    val bucketed = meta.buckets > 0
+    if (bucketed) sweepStaleGens(spark, viewBase, meta)
+    // |changed keys|-sized; materialized once so the affected-bucket
+    // listing and the fold join don't each re-run the feed scan
+    val deltas = if (bucketed) deltas0.localCheckpoint() else deltas0
+    // the buckets this refresh touches — a key absent from the delta
+    // cannot live in any other bucket (same hash), so both the state
+    // READ and the commit WRITE below are bounded by this set.
+    // Driver-side collect of at most `buckets` ints.
+    val affected: Set[Int] =
+      if (bucketed)
+        deltas.select(bucketIdCol(meta).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      else Set.empty
+    val stateSide =
+      if (bucketed) readState(spark, viewBase, meta, Some(affected))
+      else read(spark, viewBase)
+    val s = stateSide.withColumn("_s", lit(true)).as("s")
     val d = deltas.withColumn("_d", lit(true)).as("d")
     // materialized ONCE (state-sized — the same cost class as the
     // state write itself): the null-key probe, the poisoned-key
@@ -669,10 +853,14 @@ object MatView {
         folded.select(stateCols(meta).map(col): _*)
           .unionByName(rescanned.select(stateCols(meta).map(col): _*))
       }
-    commitState(spark, viewBase, newState,
-      meta.copy(lastBatch = committed.max, logEntries = snap.entries,
-        logMaxSeq = snap.maxSeq, schemaJson = newState.schema.json),
-      snap, "MATVIEW REFRESH")
+    val newMeta = meta.copy(lastBatch = committed.max,
+      logEntries = snap.entries, logMaxSeq = snap.maxSeq,
+      schemaJson = newState.schema.json)
+    if (bucketed)
+      commitIncremental(spark, viewBase, newState, newMeta, snap, affected)
+    else
+      commitState(spark, viewBase, newState, newMeta, snap,
+        "MATVIEW REFRESH")
     MatViewRefresh("incremental", committed.size.toLong, nRescan)
   }
 
@@ -704,8 +892,19 @@ object MatView {
     val tmp = viewBase + "__tmp"
     Fs.deleteChecked(spark, tmp)
     try {
-      state.write.mode("overwrite").parquet(tmp)
-      saveMetaInto(spark, tmp, newMeta)
+      val stamped =
+        if (newMeta.buckets > 0) {
+          // bucketed layout: the full swap replaces the whole tree,
+          // so old generations leave with the aside — no debris
+          val gen = newMeta.stateGen + 1
+          val ids = stageBuckets(spark, state, newMeta, tmp, gen)
+          newMeta.copy(stateGen = gen,
+            bucketGens = ids.map(_ -> gen).toMap)
+        } else {
+          state.write.mode("overwrite").parquet(tmp)
+          newMeta
+        }
+      saveMetaInto(spark, tmp, stamped)
       awaitSourceUnlocked(spark, newMeta.source, action)
       Txn.assertUnchanged(spark, newMeta.source, snap, action)
       if (!Fs.exists(spark, viewBase)) Fs.renameChecked(spark, tmp, viewBase)
@@ -716,6 +915,58 @@ object MatView {
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
+  }
+
+  /** Commit an incremental refresh of a BUCKETED view: stage only the
+    * affected buckets' new generation, gate exactly as [[commitState]]
+    * (reads complete → source lock free → log unmoved), rename the
+    * generation dirs in — INVISIBLE to readers, who resolve state
+    * dirs through the manifest — and commit everything in the single
+    * atomic sidecar swap. A crash anywhere before the sidecar swap
+    * leaves only unreferenced generation debris ([[sweepStaleGens]]'s
+    * to grace-sweep); after it, the superseded generations are the
+    * debris. The commit WRITE is therefore |affected buckets|-sized
+    * where the pre-bucketing layout's was |state|-sized — and there
+    * is no partial-commit window in which the next refresh could see
+    * a half-applied fold. (A per-bucket PartitionSwap-style commit
+    * was rejected for exactly that hazard: its heal rolls completed
+    * leaf swaps FORWARD while the sidecar still holds the old
+    * watermark, so a crash mid-commit would make the next refresh
+    * fold the same delta batches into the already-folded buckets —
+    * silent double-counting.) */
+  private def commitIncremental(spark: SparkSession, viewBase: String,
+                                state: DataFrame, newMeta: Meta,
+                                snap: OpLogSnapshot,
+                                affected: Set[Int]): Unit = {
+    val gen = newMeta.stateGen + 1
+    val stage = viewBase + "__genstage"
+    Fs.deleteChecked(spark, stage)
+    try {
+      val ids = stageBuckets(spark, state, newMeta, stage, gen)
+      // a staged bucket outside the delta's hash set would corrupt
+      // the manifest silently — impossible unless the bucket function
+      // forked between the listing and the staging write; refuse loud
+      val rogue = ids.filterNot(affected)
+      if (rogue.nonEmpty)
+        throw new IllegalStateException(
+          s"matview $viewBase: staged bucket(s) ${rogue.mkString(", ")} " +
+            "are outside the delta's affected set — bucket hash fork?")
+      awaitSourceUnlocked(spark, newMeta.source, "MATVIEW REFRESH")
+      Txn.assertUnchanged(spark, newMeta.source, snap, "MATVIEW REFRESH")
+      val fs = new org.apache.hadoop.fs.Path(viewBase)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      ids.foreach { b =>
+        val target = s"$viewBase/${bucketDirName(b, gen)}"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
+        Fs.renameChecked(spark, s"$stage/${bucketDirName(b, gen)}", target)
+      }
+      // an affected bucket that staged nothing lost its last key —
+      // drop it from the manifest (the old generation becomes debris)
+      val emptied = affected -- ids
+      swapSidecar(spark, viewBase, newMeta.copy(stateGen = gen,
+        bucketGens = (newMeta.bucketGens -- emptied) ++
+          ids.map(_ -> gen)))
+    } finally Fs.deleteChecked(spark, stage)
   }
 
   /** Bounded wait for the source's commit lock to be free (see

@@ -7,6 +7,10 @@ import graft.SparkSpec
 /** Test row (top level — Spark encoders cannot reach inner classes). */
 case class MvPropRow(id: Long, k: String, v: java.lang.Double)
 
+/** Two-metric row for the [[MatView.createMulti]] shapes. */
+case class MvPropRow2(id: Long, k: String, v: java.lang.Double,
+                      w: java.lang.Double)
+
 /** Model-based property test for [[MatView]] over random interleavings
   * of the storage engine's mutation paths — captured merges (with
   * delete clauses and null values), captured predicate deletes,
@@ -174,4 +178,100 @@ class MatViewPropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  /** The same adversarial interleaving driven over the MULTI-METRIC
+    * shapes (two value columns × {min/max, abelian}) — a reduced op
+    * mix covering every classification path: captured merges with
+    * delete clauses (incremental — pinned), captured and uncaptured
+    * predicate deletes, overwrites (rebuild — pinned), appends, and
+    * OPTIMIZE (advance — pinned). The abelian shape additionally pins
+    * groupsRescanned == 0 on every incremental refresh: its whole
+    * point is that NO delete pattern can poison a group. */
+  for (withMinMax <- Seq(true, false))
+    test(s"multi-metric (2 values, minMax=$withMinMax): after every " +
+        "refresh the view equals a recompute") {
+      val nSeeds = sys.env.get("GRAFT_MV_PROP_SEEDS")
+        .map(_.toInt).getOrElse(3)
+      for (seed <- 0 until nSeeds) {
+        val rng = new scala.util.Random(700 + seed)
+        val root = tempDir(s"mv_prop2_${withMinMax}_$seed")
+        val (path, view) = (root + "/t", root + "/v")
+
+        def randV(): java.lang.Double =
+          if (rng.nextInt(5) == 0) null
+          else java.lang.Double.valueOf(rng.nextInt(9).toDouble)
+        def randRows(ids: Seq[Long]): Seq[MvPropRow2] =
+          ids.map(i => MvPropRow2(i,
+            keysPool(rng.nextInt(keysPool.length)), randV(), randV()))
+
+        st.write(randRows(0L to 11L).toDF(), path, "delta", "overwrite")
+        MatView.createMulti(spark, st, path, view, Seq("k"),
+          Seq("v", "w"), withMinMax)
+        def recomputeM = MatViewTestSupport.recomputeMulti(
+          spark, st, path, Seq("k"), Seq("v", "w"), withMinMax)
+        val trace = new scala.collection.mutable.ArrayBuffer[String]()
+
+        def checkedRefresh(): MatViewRefresh = {
+          val r = MatView.refresh(spark, st, view)
+          if (!withMinMax && r.mode == "incremental")
+            assert(r.groupsRescanned == 0L,
+              s"abelian state must never rescan; trace=$trace")
+          r
+        }
+
+        for (step <- 0 until 8) {
+          rng.nextInt(10) match {
+            case 0 | 1 | 2 | 3 =>
+              val ids = rng.shuffle((0L to 14L).toList)
+                .take(rng.nextInt(4) + 2)
+              val inc = ids.map { i =>
+                MvPropRow2(i, keysPool(rng.nextInt(keysPool.length)),
+                  if (rng.nextInt(4) == 0) java.lang.Double.valueOf(-1.0)
+                  else randV(), randV())
+              }
+              trace += s"capmerge($inc)"
+              st.merge(inc.toDF(), path, "full.id = incremental.id",
+                deleteCondition = Some("incremental.v = -1"),
+                captureChanges = true)
+              val r = checkedRefresh()
+              assert(r.mode == "incremental",
+                s"seed=$seed step=$step captured merge must fold " +
+                  s"incrementally, took ${r.mode}; trace=$trace")
+            case 4 | 5 =>
+              val cut = rng.nextInt(9)
+              trace += s"capdel($cut)"
+              Delete.where(spark, st, path, s"v >= $cut",
+                captureChanges = true)
+              checkedRefresh()
+            case 6 =>
+              val cut = rng.nextInt(9)
+              trace += s"rawdel($cut)"
+              Delete.where(spark, st, path, s"w >= $cut")
+              checkedRefresh()
+            case 7 =>
+              trace += "overwrite"
+              st.write(randRows(0L to rng.nextInt(8).toLong).toDF(),
+                path, "delta", "overwrite")
+              val r = checkedRefresh()
+              assert(r.mode == "rebuild",
+                s"seed=$seed step=$step overwrite must rebuild, took " +
+                  s"${r.mode}; trace=$trace")
+            case 8 =>
+              val extra = randRows(
+                (100L + step * 3) to (100L + step * 3 + rng.nextInt(2)))
+              trace += s"append($extra)"
+              st.write(extra.toDF(), path, "delta", "append")
+              checkedRefresh()
+            case 9 =>
+              trace += "optimize"
+              Optimize.run(spark, st, path)
+              val r = checkedRefresh()
+              assert(Set("advance", "noop")(r.mode),
+                s"seed=$seed step=$step OPTIMIZE must advance, took " +
+                  s"${r.mode}; trace=$trace")
+          }
+          assertDfEqual(MatView.read(spark, view), recomputeM)
+        }
+      }
+    }
 }

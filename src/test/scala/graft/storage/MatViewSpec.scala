@@ -556,6 +556,108 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  private def stateFiles(view: String): Map[String, (Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(view)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s))
+    walk(root).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString,
+        (s.getLen, s.getModificationTime))).toMap
+  }
+
+  test("bucketed state: a one-group refresh rewrites ONLY that " +
+      "group's bucket — every untouched bucket's files stay " +
+      "byte-identical in place (path, size, mtime)") {
+    val src = mkSource("mv_bucket")
+    val view = tempDir("mv_bucket_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    val meta0 = MatView.loadMeta(spark, view)
+    assert(meta0.buckets > 0, "new views must use the bucketed layout")
+    assert(meta0.bucketGens.nonEmpty)
+    val before = stateFiles(view)
+    // one captured merge touching ONE group ("a")
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    assert(MatView.refresh(spark, st, view).mode == "incremental")
+    val meta1 = MatView.loadMeta(spark, view)
+    // exactly the touched group's bucket moved to a new generation
+    val moved = meta1.bucketGens.toSet diff meta0.bucketGens.toSet
+    assert(moved.size == 1, s"expected 1 bucket rewritten, got $moved")
+    val untouched = meta0.bucketGens.filter { case (b, g) =>
+      meta1.bucketGens.get(b).contains(g) }
+    assert(untouched.nonEmpty,
+      "seed groups must spread over more than one bucket")
+    // every untouched bucket's files: same path, same size, same mtime
+    val after = stateFiles(view)
+    untouched.foreach { case (b, g) =>
+      val prefix = s"/b"
+      val beforeFiles = before.filter(_._1.contains(f"/b$b%05d/"))
+      assert(beforeFiles.nonEmpty)
+      beforeFiles.foreach { case (p, sig) =>
+        assert(after.get(p).contains(sig),
+          s"untouched bucket $b file changed: $p")
+      }
+    }
+    // the superseded generation is still on disk (grace window for
+    // in-flight readers), unreferenced by the manifest
+    val (movedB, movedG) = moved.head
+    val oldG = meta0.bucketGens(movedB)
+    assert(movedG == oldG + meta1.stateGen - meta0.stateGen ||
+      movedG > oldG)
+    assert(before.keys.exists(_.contains(f"/b$movedB%05d/")),
+      "the touched bucket must have existed before")
+    // and the view still equals a recompute
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("bucketed state: emptied buckets leave the manifest; stale " +
+      "generations sweep only past the grace age; crash debris (an " +
+      "unreferenced generation) is invisible to readers") {
+    val src = mkSource("mv_bucket_empty")
+    val view = tempDir("mv_bucket_empty_v") + "/v"
+    // tight grace so this test can watch the sweep both refuse and act
+    spark.conf.set(MatView.GenGraceKey, "600000")
+    try {
+      MatView.create(spark, st, src, view, Seq("k"), "v")
+      val meta0 = MatView.loadMeta(spark, view)
+      // delete EVERY row of group "b" (ids 4, 5) — captured
+      assert(Delete.where(spark, st, src, "id = 4 OR id = 5",
+        captureChanges = true) == 2L)
+      assert(MatView.refresh(spark, st, view).mode == "incremental")
+      val meta1 = MatView.loadMeta(spark, view)
+      assert(meta1.bucketGens.size == meta0.bucketGens.size - 1,
+        s"group b's bucket must leave the manifest: " +
+          s"${meta0.bucketGens} -> ${meta1.bucketGens}")
+      assertDfEqual(MatView.read(spark, view), recompute(src))
+      // plant crash debris: an unreferenced FUTURE generation with
+      // garbage content — readers must never see it
+      val fsP = new org.apache.hadoop.fs.Path(view)
+      val fs = fsP.getFileSystem(spark.sessionState.newHadoopConf())
+      val someBucket = meta1.bucketGens.head._1
+      val debris = new org.apache.hadoop.fs.Path(
+        f"$view/b$someBucket%05d/g${meta1.stateGen + 7}%012d")
+      fs.mkdirs(debris.getParent)
+      MatView.read(spark, view).limit(1)
+        .write.parquet(debris.toString)
+      assertDfEqual(MatView.read(spark, view), recompute(src))
+      // young debris survives the sweep (grace); aged debris goes on
+      // the next mutating refresh
+      st.merge(Seq((1L, "a", 2.5)).toDF("id", "k", "v"), src,
+        "full.id = incremental.id", captureChanges = true)
+      assert(MatView.refresh(spark, st, view).mode == "incremental")
+      assert(fs.exists(debris), "young debris must survive (grace)")
+      fs.setTimes(debris, System.currentTimeMillis() - 700000L, -1)
+      st.merge(Seq((1L, "a", 3.5)).toDF("id", "k", "v"), src,
+        "full.id = incremental.id", captureChanges = true)
+      assert(MatView.refresh(spark, st, view).mode == "incremental")
+      assert(!fs.exists(debris), "aged unreferenced debris must sweep")
+      assertDfEqual(MatView.read(spark, view), recompute(src))
+    } finally spark.conf.unset(MatView.GenGraceKey)
+  }
+
   test("a non-managed source refuses; a non-view path refuses refresh") {
     val plain = tempDir("mv_plain") + "/p"
     Seq((1L, "a", 1.0)).toDF("id", "k", "v")
