@@ -206,7 +206,38 @@ object GraftLog {
     carryLock(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
-    Fs.deleteChecked(spark, old)
+    retireAside(spark, base, old)
+  }
+
+  /** Post-swap disposal of the replaced root: RETAIN it as an
+    * immutable sibling snapshot (`<base>__graft_snap_<millis>`) for
+    * the [[Txn.SnapshotRetainKey]] window — the lock-free reader's
+    * snapshot fallback ([[Txn.retryReadSnapshot]]) — then sweep
+    * expired snapshots (name-stamped age; one parent listing). With
+    * retention 0 the aside deletes immediately, the pre-snapshot
+    * behavior. A crash between the swap and this rename leaves a
+    * `__graft_old` WITH the live root present — the completed-swap
+    * debris shape vacuum already deletes. The retained copy holds a
+    * stale lock-file copy and sidecars; harmless — nothing ever
+    * mutates a snapshot, and vacuum sweeps expired ones too. */
+  private def retireAside(spark: SparkSession, base: String,
+                          old: String): Unit = {
+    val retain = Txn.snapshotRetainMs(spark)
+    if (retain <= 0L) { Fs.deleteChecked(spark, old); return }
+    val now = System.currentTimeMillis()
+    var snap = base + Txn.SnapshotInfix + now
+    // lock-serialized writers make a same-millis collision nearly
+    // impossible; bump rather than clobber if it happens
+    var bump = 0L
+    while (Fs.exists(spark, snap)) {
+      bump += 1; snap = base + Txn.SnapshotInfix + (now + bump)
+    }
+    Fs.renameChecked(spark, old, snap)
+    Txn.snapshots(spark, base).foreach { p =>
+      val stamp = Txn.snapshotStamp(
+        new Path(p).getName).getOrElse(Long.MaxValue)
+      if (now - stamp > retain) Fs.deleteChecked(spark, p)
+    }
   }
 
   /** The commit lock (when held — [[Txn.withTableLock]]) rides into
@@ -329,7 +360,7 @@ object GraftLog {
     carryLock(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
-    Fs.deleteChecked(spark, old)
+    retireAside(spark, base, old)
   }
 
   /** DESCRIBE DETAIL analogue for a managed table — one row of

@@ -197,6 +197,30 @@ object Maintenance {
       }
     }
 
+    // --- expired reader snapshots: a completed COW swap retains the
+    // replaced root as `<base>__graft_snap_<millis>` for the
+    // Txn.SnapshotRetainKey window (the lock-free reader's snapshot
+    // fallback). Age rides in the NAME — no mtime trust needed. A
+    // snapshot within the window may be mid-read; skip-reported.
+    {
+      val retain = Txn.snapshotRetainMs(spark)
+      val now = System.currentTimeMillis()
+      Txn.snapshots(spark, base).foreach { p =>
+        val stamp = Txn.snapshotStamp(new Path(p).getName)
+          .getOrElse(Long.MaxValue)
+        val age = now - stamp
+        if (age > retain)
+          actions += delete(p,
+            s"expired reader snapshot (age $age ms > $retain ms " +
+              "retention window)")
+        else
+          actions += VacuumAction("skip", p, "",
+            s"reader snapshot age $age ms within the $retain ms " +
+              "retention window — possibly mid-read; left for a " +
+              "later vacuum")
+      }
+    }
+
     // --- interrupted partition-scoped commit ([[PartitionSwap]] —
     // merge, delete, or scoped optimize): each leaf of
     // `<base>__graft_partaside` is a partition's ORIGINAL copy parked

@@ -67,12 +67,95 @@ case class OpLogSnapshot(entries: Long, maxSeq: Long)
   * atomic create. `Maintenance.vacuum` sweeps stale locks on the same
   * horizon; [[breakLock]] is the explicit operator override.
   *
-  * What this does NOT give: cross-table transactions, or MVCC-style
-  * concurrent readers of in-flight state (readers always see the last
-  * complete table — the swap discipline's existing guarantee). */
+  * What this does NOT give: cross-table transactions, or full
+  * MVCC-style concurrent readers of in-flight state (readers always
+  * see the last complete table — the swap discipline's existing
+  * guarantee). What readers DO get is a bounded SNAPSHOT WINDOW: a
+  * completed COW swap RETAINS the replaced root as an immutable
+  * sibling snapshot (`<base>__graft_snap_<millis>`) for
+  * [[SnapshotRetainKey]] ms before sweeping it. A lock-free read that
+  * keeps losing the live root to back-to-back swaps (a tight-loop
+  * writer, where plain [[retryTransient]] can livelock — each
+  * attempt's plan-to-execute span overlaps the next swap) falls back
+  * to the newest retained snapshot via [[retryReadSnapshot]]: the
+  * snapshot is never mutated again, so that attempt terminates, at
+  * the cost of reading a state up to the retention window stale —
+  * the same trade MVCC formats make, with the window explicit. */
 object Txn {
 
   val LockFileName = "_graft_txn_lock"
+
+  /** How long a completed COW swap's replaced root is RETAINED as an
+    * immutable sibling snapshot before the sweep — the lock-free
+    * reader's snapshot window (see the object doc). Size it above the
+    * longest read you expect to race a hot writer; 0 disables
+    * retention (the pre-snapshot delete-immediately behavior). The
+    * retained copy is a RENAME of the root a rewrite had already
+    * replaced, so retention adds no write cost — only delayed
+    * deletion, bounded by (swap frequency × table size × window). */
+  val SnapshotRetainKey = "spark.graft.cowSnapshotRetainMs"
+  val SnapshotRetainDefaultMs: Long = 60000L
+
+  /** Sibling-name infix of a retained snapshot: the creation millis
+    * ride IN THE NAME so age never depends on (object-store-synthetic)
+    * directory mtimes. */
+  private[storage] val SnapshotInfix = "__graft_snap_"
+
+  private[graft] def snapshotRetainMs(spark: SparkSession): Long =
+    confMs(spark, SnapshotRetainKey, SnapshotRetainDefaultMs)
+
+  /** Retained snapshots of `path`, oldest → newest (absolute paths).
+    * One parent-dir listing; empty when retention is off or nothing
+    * is retained. */
+  def snapshots(spark: SparkSession, path: String): Seq[String] = {
+    val base = new Path(path.stripSuffix("/"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = base.getParent
+    val prefix = base.getName + SnapshotInfix
+    if (parent == null || !fs.exists(parent)) Nil
+    else fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .sortBy(st => snapshotStamp(st.getPath.getName).getOrElse(0L))
+      .map(_.getPath.toString)
+  }
+
+  private[storage] def snapshotStamp(name: String): Option[Long] = {
+    val i = name.lastIndexOf(SnapshotInfix)
+    if (i < 0) None
+    else name.substring(i + SnapshotInfix.length).toLongOption
+  }
+
+  /** Bounded retry for a lock-free READ racing a hot writer, with the
+    * snapshot fallback the object doc describes: the first attempt
+    * reads the LIVE root; an attempt that dies in a swap window (or
+    * loses an [[assertUnchanged]]) retries against the newest
+    * retained snapshot when one exists — an immutable complete copy
+    * of a recent committed state, where the read cannot be raced
+    * again. `body` receives the root to read (live or snapshot) and
+    * must resolve EVERYTHING through it. Falls back to the live root
+    * when no snapshot is retained (retention off / already swept) —
+    * then this degrades to exactly [[retryTransient]]. */
+  def retryReadSnapshot[T](spark: SparkSession, path: String,
+                           maxAttempts: Int = 5, sleepMs: Long = 200L)
+                          (body: String => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val base = path.stripSuffix("/")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val root =
+        if (attempt == 1) base
+        else snapshots(spark, base).lastOption.getOrElse(base)
+      try return body(root)
+      catch {
+        case _: ConcurrentWriteException if attempt < maxAttempts =>
+          Thread.sleep(sleepMs)
+        case e if attempt < maxAttempts && isSwapWindowRace(e) =>
+          Thread.sleep(sleepMs)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Age past which a lock is presumed crashed debris and may be
     * broken by the next acquirer (and swept by vacuum). */

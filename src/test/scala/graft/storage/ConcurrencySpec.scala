@@ -269,13 +269,14 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
             path, "full.id = incremental.id", Nil,
             mergeSchemas = false, None, None, captureChanges = true)
           if (i % 3 == 0) Maintenance.compactLog(spark, path)
-          // a realistic commit cadence, not a tight loop: the engine
-          // documents NO MVCC for concurrent readers (Txn scaladoc) —
+          // a realistic commit cadence, not a tight loop: plain
+          // retryTransient re-reads the LIVE root each attempt, so
           // under back-to-back COW swaps a multi-second lazy read can
           // lose every retry (each attempt's plan-to-execute window
-          // overlaps a swap), which is the documented limitation, not
-          // a classifier gap. Paced commits leave thin windows that
-          // the bounded retry heals — the contract this soak pins.
+          // overlaps a swap) — the tight-loop case is the
+          // snapshot-window soak below (Txn.retryReadSnapshot).
+          // Paced commits leave thin windows that the bounded retry
+          // heals — the live-root contract this soak pins.
           Thread.sleep(400)
         }
       } catch { case t: Throwable => died.compareAndSet(null, t) }
@@ -311,6 +312,69 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     } finally { stop.set(true); mutator.join() }
     assert(died.get() == null,
       s"the mutator died mid-soak: ${died.get()}")
+  }
+
+  test("soak: snapshot-window reads survive a TIGHT-LOOP mutator — " +
+      "multi-second reads terminate via the retained-snapshot " +
+      "fallback where live-root retries would livelock") {
+    // The snapshot-window contract (Txn object doc): a completed COW
+    // swap retains the replaced root as an immutable sibling snapshot
+    // for SnapshotRetainKey ms. Under BACK-TO-BACK swaps (no pacing —
+    // the case the paced soak above documents as beyond plain
+    // retryTransient) a multi-second read keeps losing the live root,
+    // but the snapshot fallback's attempt reads a root nothing will
+    // ever mutate again, so it terminates with a recent committed
+    // state. The mutator here runs a TIGHT loop (no sleep) and the
+    // reader stretches each pass with a per-partition delay, so every
+    // live attempt's plan-to-execute span overlaps several swaps.
+    val path = mkTable("txn_snapread",
+      (1L to 50L).map(i => i -> s"v$i"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val died = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val mutator = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get()) {
+          i += 1
+          Merge.run(spark, st,
+            Seq((i % 50 + 1L) -> s"m$i").toDF("id", "v"),
+            path, "full.id = incremental.id", Nil,
+            mergeSchemas = false, None, None)
+        }
+      } catch { case t: Throwable => died.compareAndSet(null, t) }
+    })
+    mutator.start()
+    val deadline = System.currentTimeMillis() +
+      sys.env.get("GRAFT_READER_SOAK_MS").map(_.toLong).getOrElse(10000L)
+    try {
+      var rounds = 0
+      while (System.currentTimeMillis() < deadline && died.get() == null) {
+        rounds += 1
+        // a deliberately slow read: each partition stalls before
+        // streaming, stretching execution across multiple swaps
+        val n = Txn.retryReadSnapshot(spark, path) { root =>
+          st.read(root, "delta").as[(Long, String)]
+            .mapPartitions { it => Thread.sleep(120); it }.count()
+        }
+        assert(n == 50L, s"every committed state holds 50 rows, got $n")
+        val h = Txn.retryReadSnapshot(spark, path) { root =>
+          GraftLog.history(spark, root).count()
+        }
+        assert(h >= 1L)
+      }
+      assert(rounds >= 3, s"soak too short to mean anything: $rounds")
+      // the window exists on disk while the mutator is hot
+      assert(Txn.snapshots(spark, path).nonEmpty,
+        "a hot writer must leave retained snapshots inside the window")
+    } finally { stop.set(true); mutator.join() }
+    assert(died.get() == null,
+      s"the mutator died mid-soak: ${died.get()}")
+    // expired snapshots are vacuum's: everything older than the
+    // window is planned for deletion, younger ones skip-reported
+    val plan = Maintenance.vacuum(spark, path, dryRun = true)
+    assert(plan.forall(a => a.kind != "delete" ||
+      !a.target.contains("__graft_snap_") ||
+      a.detail.contains("expired")), s"plan: $plan")
   }
 
   test("two concurrent merges on one table serialize: neither " +
