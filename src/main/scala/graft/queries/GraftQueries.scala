@@ -5098,6 +5098,68 @@ object GraftQueries {
     * exactly (decimal partials, hash-matchable). At 100 TB each
     * refresh touches |changes| + |poisoned groups|, never the fact
     * table. */
+  /** MAINTENANCE LAG (§2.11 indexing/state;
+    * [[graft.streaming.StreamingOps.lag]]): the operational
+    * how-far-behind-am-I surface over a maintained replica AND a
+    * maintained matview. The in-query requires pin the MID-CYCLE
+    * state (one committed batch pending on both, plus one pending op
+    * on the view) — the nondeterministic age column is dropped; the
+    * oracle checks the deterministic post-drain contract: both
+    * targets fully applied, zero pending, up to date. */
+  val maintenanceLagQ: Q = (spark, dir) => {
+    import graft.storage.MatView
+    import graft.streaming.StreamingOps
+    val st = new BasicStorage(spark)
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lag_q").toString
+    val (path, rep, view) = (root + "/t", root + "/rep", root + "/v")
+    st.write(orders, path, "delta", "overwrite")
+    st.write(orders, rep, "delta", "overwrite")
+    MatView.create(spark, st, path, view, Seq("o_custkey"), "o_totalprice")
+    // seed the feed era, then drain both maintenance streams
+    st.merge(orders.limit(50).withColumn("o_totalprice", lit(1.0)),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    val q1 = StreamingOps.replicateStream(spark, st, path, rep,
+      keyCols = Seq("o_orderkey"), checkpoint = root + "/cp_rep")
+    val q2 = StreamingOps.maintainMatView(spark, st, view, root + "/cp_mv")
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // mutate WITHOUT draining: the lag surface must show exactly
+      // one pending committed batch (and one pending op on the view)
+      st.merge(orders.limit(20).withColumn("o_totalprice", lit(2.0)),
+        path, "full.o_orderkey = incremental.o_orderkey",
+        captureChanges = true)
+      val midR = StreamingOps.lag(spark, rep).head()
+      val midV = StreamingOps.lag(spark, view).head()
+      require(midR.getAs[Long]("pending_batches") == 1L &&
+        !midR.getAs[Boolean]("up_to_date"),
+        s"undrained replica must lag: $midR")
+      require(midV.getAs[Long]("pending_batches") == 1L &&
+        midV.getAs[Long]("pending_ops") == 1L &&
+        !midV.getAs[Boolean]("up_to_date"),
+        s"undrained matview must lag: $midV")
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    StreamingOps.lag(spark, rep)
+      .unionByName(StreamingOps.lag(spark, view))
+      .select(col("kind"), col("pending_batches"), col("pending_ops"),
+        (col("applied_batch") === col("source_max_committed"))
+          .as("applied_is_max"), col("up_to_date"))
+      .orderBy("kind")
+  }
+
+  val maintenanceLagSql: String =
+    """SELECT 'matview' AS kind, CAST(0 AS BIGINT) AS pending_batches,
+      |       CAST(0 AS BIGINT) AS pending_ops,
+      |       true AS applied_is_max, true AS up_to_date
+      |UNION ALL
+      |SELECT 'replica', CAST(0 AS BIGINT), CAST(0 AS BIGINT), true, true
+      |ORDER BY kind""".stripMargin
+
   val matviewQ: Q = (spark, dir) => {
     import graft.storage.MatView
     val st = new BasicStorage(spark)
@@ -7638,6 +7700,7 @@ object GraftQueries {
     entry("q_state_refresh", stateRefreshQ, stateRefreshSql),
     entry("q_matview", matviewQ, matviewSql),
     entry("q_matview_multi", matviewMultiQ, matviewMultiSql),
+    entry("q_maintenance_lag", maintenanceLagQ, maintenanceLagSql),
     entry("q_log_compact", logCompactQ, logCompactSql),
     entry("q_bm25_multi", bm25MultiQ, bm25MultiSql),
     entry("q_heavy_hitters", heavyHittersQ, heavyHittersSql),

@@ -875,6 +875,25 @@ object StreamingOps {
               seen = reprobe(seen)
             }
             if (seen.exists(!_._2)) seen = reprobe(seen)
+            // a batch STILL unmarked here is either crashed debris
+            // (no/stale lock — stays skipped, vacuum's to fence) or a
+            // LIVE capture that outlived the bounded wait. The live
+            // case must NEVER be silently skipped: this trigger
+            // consumed the batch's files (no later trigger comes on a
+            // quiet source) and a later capture would advance the
+            // watermark PAST it — its changes would be stranded
+            // forever (a one-batch silent divergence the maintenance
+            // soak reproduced under load). Refuse RETRYABLY instead:
+            // retryTransient re-enters with a fresh wait; exhausted
+            // attempts kill the stream LOUDLY, naming the knob.
+            if (seen.exists(!_._2) && liveHolder)
+              throw new graft.storage.ConcurrentWriteException(
+                s"replication of $sourcePath: change batch(es) " +
+                  seen.collect { case (b, false) => b }.mkString(", ") +
+                  " still unmarked with the source's commit lock " +
+                  s"live after ${waitMs} ms — a capture outlived the " +
+                  s"bounded wait; raise $ReplicateLockWaitKey if " +
+                  "captures legitimately run longer")
             val stamps = seen.collect { case (b, true) => b }.sorted
             if (stamps.nonEmpty) {
               // the replay feed is built FRESH, after every wait: the
@@ -966,6 +985,94 @@ object StreamingOps {
         }
       }
       .start()
+  }
+
+  /** OPERATIONAL LAG of a maintenance target — the first question an
+    * operator asks of a continuously-maintained replica or view at
+    * 100 TB: how far behind the source am I? One row:
+    *
+    *  - `kind`            — "matview" or "replica"
+    *  - `source`          — the table being followed
+    *  - `applied_batch`   — the target's applied change-batch
+    *                        watermark (null before the first apply)
+    *  - `source_max_committed` — newest committed batch on the
+    *                        source's feed (null when the feed is
+    *                        empty/pruned)
+    *  - `pending_batches` — committed source batches above the
+    *                        watermark (what a drain would apply)
+    *  - `pending_ops`     — matview only: source op-log rows past the
+    *                        view's fingerprint, which counts
+    *                        UNCAPTURED mutations a rebuild will need
+    *                        (always 0 for a replica: its contract is
+    *                        the captured feed)
+    *  - `applied_age_ms`  — ms since the target last committed an
+    *                        apply (sidecar / TXN-row timestamp)
+    *  - `up_to_date`      — pending_batches == 0 && pending_ops == 0
+    *
+    * Driver-metadata cost only: one sidecar or op-log read on each
+    * side plus one feed listing — safe to poll. The probe is
+    * lock-free and unsynchronized with the maintainer by design: a
+    * lag probe that blocked the stream would be its own outage. */
+  def lag(spark: SparkSession, path: String): DataFrame = {
+    import graft.storage.{Fs, GraftLog, MatView, Merge, Txn}
+    val base = path.stripSuffix("/")
+    def committedAbove(source: String, wm: Long): (Option[Long], Long) = {
+      val feedDir = source.stripSuffix("/") + "/" + Merge.ChangesDirName
+      val committed = Fs.listSubdirs(spark, feedDir)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(Merge.isBatchCommitted(spark, source, _))
+      (committed.maxOption, committed.count(_ > wm).toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "kind STRING, path STRING, source STRING, applied_batch BIGINT, " +
+        "source_max_committed BIGINT, pending_batches BIGINT, " +
+        "pending_ops BIGINT, applied_age_ms BIGINT, up_to_date BOOLEAN")
+    def frame(kind: String, source: String, applied: Option[Long],
+              pendingOps: Long, ageMs: Option[Long]) = {
+      val (maxC, pending) =
+        committedAbove(source, applied.getOrElse(Long.MinValue))
+      val row = org.apache.spark.sql.Row(kind, base, source,
+        applied.map(Long.box).orNull, maxC.map(Long.box).orNull,
+        Long.box(pending), Long.box(pendingOps),
+        ageMs.map(Long.box).orNull,
+        Boolean.box(pending == 0L && pendingOps == 0L))
+      spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+    }
+    if (Fs.exists(spark, base + "/" + MatView.SidecarName)) {
+      val meta = MatView.loadMeta(spark, base)
+      val snap = Txn.snapshot(spark, meta.source)
+      val age = try Some(System.currentTimeMillis() -
+        new org.apache.hadoop.fs.Path(base + "/" + MatView.SidecarName)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(new org.apache.hadoop.fs.Path(
+            base + "/" + MatView.SidecarName)).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+      frame("matview", meta.source,
+        Some(meta.lastBatch).filter(_ != Long.MinValue),
+        math.max(0L, snap.entries - meta.logEntries), age)
+    } else if (GraftLog.isManagedTable(spark, base)) {
+      val h = GraftLog.history(spark, base)
+      if (!h.schema.fieldNames.contains("txn_app"))
+        throw new IllegalArgumentException(
+          s"$path is not a maintained replica (no TXN records)")
+      val rows = h.filter(col("txn_app").startsWith("graft_replicate:") &&
+          col("txn_batch").isNotNull)
+        .select("txn_app", "txn_batch", "timestamp")
+        .collect()
+      if (rows.isEmpty)
+        throw new IllegalArgumentException(
+          s"$path is neither a matview (no ${MatView.SidecarName}) " +
+            "nor a maintained replica (no graft_replicate TXN records)")
+      val source = rows.head.getString(0).stripPrefix("graft_replicate:")
+      val applied = rows.map(_.getLong(1)).max
+      val age = System.currentTimeMillis() -
+        rows.map(_.getTimestamp(2).getTime).max
+      frame("replica", source, Some(applied), 0L, Some(age))
+    } else
+      throw new IllegalArgumentException(
+        s"$path is neither a matview nor a managed replica")
   }
 
   /** Per-key running totals via Spark 4's `transformWithState` — the

@@ -1336,6 +1336,64 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("lag reports pending batches after a mutation and up_to_date " +
+      "after the drain, for both a replica and a matview") {
+    import spark.implicits._
+    import graft.storage.{BasicStorage, MatView}
+    val st = new BasicStorage(spark)
+    val root = tempDir("lag")
+    val (src, rep, view) = (root + "/src", root + "/rep", root + "/v")
+    val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    st.write(seed.toDF("id", "k", "v"), src, "delta", "overwrite")
+    st.write(seed.toDF("id", "k", "v"), rep, "delta", "overwrite")
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // seed the feed era so the file-trigger stream can start
+    st.merge(Seq((3L, "c", 3.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    val q1 = StreamingOps.replicateStream(spark, st, src, rep,
+      keyCols = Seq("id"), checkpoint = root + "/cp_rep")
+    val q2 = StreamingOps.maintainMatView(spark, st, view, root + "/cp_mv")
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      def lagRow(p: String) = StreamingOps.lag(spark, p).head()
+      var r = lagRow(rep)
+      assert(r.getAs[String]("kind") == "replica")
+      assert(r.getAs[String]("source") == src)
+      assert(r.getAs[Boolean]("up_to_date"),
+        s"drained replica must be up to date: $r")
+      var v = lagRow(view)
+      assert(v.getAs[String]("kind") == "matview")
+      assert(v.getAs[Boolean]("up_to_date"),
+        s"drained matview must be up to date: $v")
+      // mutate WITHOUT draining: lag must show exactly one pending
+      // committed batch on both, and the matview one pending op
+      st.merge(Seq((4L, "d", 4.0)).toDF("id", "k", "v"), src,
+        "full.id = incremental.id", captureChanges = true)
+      r = lagRow(rep)
+      assert(r.getAs[Long]("pending_batches") == 1L &&
+        !r.getAs[Boolean]("up_to_date"),
+        s"replica must show the undrained batch: $r")
+      assert(r.getAs[Long]("applied_batch") <
+        r.getAs[Long]("source_max_committed"))
+      v = lagRow(view)
+      assert(v.getAs[Long]("pending_batches") == 1L &&
+        v.getAs[Long]("pending_ops") == 1L &&
+        !v.getAs[Boolean]("up_to_date"),
+        s"matview must show the undrained batch and op: $v")
+      // drain → both converge and report up to date again
+      q1.processAllAvailable(); q2.processAllAvailable()
+      r = lagRow(rep); v = lagRow(view)
+      assert(r.getAs[Boolean]("up_to_date"), s"post-drain replica: $r")
+      assert(r.getAs[Long]("applied_batch") ==
+        r.getAs[Long]("source_max_committed"))
+      assert(v.getAs[Boolean]("up_to_date"), s"post-drain matview: $v")
+      assert(r.getAs[Long]("applied_age_ms") >= 0L)
+      assert(v.getAs[Long]("applied_age_ms") >= 0L)
+      // a plain table is neither target — loud refusal, not a guess
+      intercept[IllegalArgumentException] { StreamingOps.lag(spark, src) }
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("maintainMatView restarts from its checkpoint after a log " +
       "compaction removed every trigger file it had seen") {
     // A maintenance stream that dies (host crash) and restarts on the
