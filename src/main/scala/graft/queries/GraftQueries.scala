@@ -5126,24 +5126,28 @@ object GraftQueries {
     val q1 = StreamingOps.replicateStream(spark, st, path, rep,
       keyCols = Seq("o_orderkey"), checkpoint = root + "/cp_rep")
     val q2 = StreamingOps.maintainMatView(spark, st, view, root + "/cp_mv")
-    try {
-      q1.processAllAvailable(); q2.processAllAvailable()
-      // mutate WITHOUT draining: the lag surface must show exactly
-      // one pending committed batch (and one pending op on the view)
-      st.merge(orders.limit(20).withColumn("o_totalprice", lit(2.0)),
-        path, "full.o_orderkey = incremental.o_orderkey",
-        captureChanges = true)
-      val midR = StreamingOps.lag(spark, rep).head()
-      val midV = StreamingOps.lag(spark, view).head()
-      require(midR.getAs[Long]("pending_batches") == 1L &&
-        !midR.getAs[Boolean]("up_to_date"),
-        s"undrained replica must lag: $midR")
-      require(midV.getAs[Long]("pending_batches") == 1L &&
-        midV.getAs[Long]("pending_ops") == 1L &&
-        !midV.getAs[Boolean]("up_to_date"),
-        s"undrained matview must lag: $midV")
-      q1.processAllAvailable(); q2.processAllAvailable()
-    } finally { q1.stop(); q2.stop() }
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    // streams STOPPED: the mid-cycle probe is deterministic (a live
+    // file-triggered stream could drain the merge before the probe)
+    st.merge(orders.limit(20).withColumn("o_totalprice", lit(2.0)),
+      path, "full.o_orderkey = incremental.o_orderkey",
+      captureChanges = true)
+    val midR = StreamingOps.lag(spark, rep).head()
+    val midV = StreamingOps.lag(spark, view).head()
+    require(midR.getAs[Long]("pending_batches") == 1L &&
+      !midR.getAs[Boolean]("up_to_date"),
+      s"undrained replica must lag: $midR")
+    require(midV.getAs[Long]("pending_batches") == 1L &&
+      midV.getAs[Long]("pending_ops") == 1L &&
+      !midV.getAs[Boolean]("up_to_date"),
+      s"undrained matview must lag: $midV")
+    // restart on the SAME checkpoints (recovery is idempotent), drain
+    val q1b = StreamingOps.replicateStream(spark, st, path, rep,
+      keyCols = Seq("o_orderkey"), checkpoint = root + "/cp_rep")
+    val q2b = StreamingOps.maintainMatView(spark, st, view, root + "/cp_mv")
+    try { q1b.processAllAvailable(); q2b.processAllAvailable() }
+    finally { q1b.stop(); q2b.stop() }
     StreamingOps.lag(spark, rep)
       .unionByName(StreamingOps.lag(spark, view))
       .select(col("kind"), col("pending_batches"), col("pending_ops"),

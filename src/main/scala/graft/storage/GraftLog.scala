@@ -233,10 +233,14 @@ object GraftLog {
       bump += 1; snap = base + Txn.SnapshotInfix + (now + bump)
     }
     Fs.renameChecked(spark, old, snap)
+    // TOLERANT delete (not deleteChecked): this sweep runs after the
+    // mutation already committed, and vacuum plans the same expired
+    // snapshots — losing that race means the work is done, and
+    // throwing here would fail a committed mutation at its caller
     Txn.snapshots(spark, base).foreach { p =>
       val stamp = Txn.snapshotStamp(
         new Path(p).getName).getOrElse(Long.MaxValue)
-      if (now - stamp > retain) Fs.deleteChecked(spark, p)
+      if (now - stamp > retain) Fs.delete(spark, p)
     }
   }
 

@@ -251,9 +251,34 @@ object MatView {
     if (!Fs.exists(spark, sc))
       throw new IllegalArgumentException(
         s"$viewPath is not a materialized view (no $SidecarName)")
+    parseMeta(Fs.readText(spark, sc))
+  }
+
+  /** READ-ONLY meta load for pollers ([[graft.streaming.StreamingOps
+    * .lag]]): NEVER heals. [[loadMeta]]'s recoverAside is correct for
+    * the single maintainer but turns a poller into a WRITER — one
+    * probing between swapInStaged's two renames would roll the live
+    * maintainer's in-flight swap BACK and fail its commit. Some
+    * complete sidecar exists at every instant (the swap contract), so
+    * a lock-free reader just looks in order: live, the sidecar's own
+    * aside, the view ROOT's aside (a rebuild swaps the whole dir). */
+  private[graft] def loadMetaReadOnly(spark: SparkSession,
+                                      viewPath: String): Meta = {
+    val base = viewPath.stripSuffix("/")
+    val sc = sidecarPath(base)
+    val candidates = Seq(sc, sc + "__old",
+      base + "__old/" + SidecarName, base + "__graft_old/" + SidecarName)
+    candidates.find(Fs.exists(spark, _)) match {
+      case Some(p) => parseMeta(Fs.readText(spark, p))
+      case None => throw new IllegalArgumentException(
+        s"$viewPath is not a materialized view (no $SidecarName)")
+    }
+  }
+
+  private def parseMeta(text: String): Meta = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val j = JsonMethods.parse(Fs.readText(spark, sc))
+    val j = JsonMethods.parse(text)
     def str(f: String) = (j \ f) match {
       case JString(s) => s
       case _ => throw new IllegalStateException(s"matview sidecar: $f")
@@ -435,10 +460,26 @@ object MatView {
             .filter(_ => gd.startsWith("g")).foreach { g =>
             if (!live.contains(g)) {
               val p = new org.apache.hadoop.fs.Path(s"$base/$bd/$gd")
-              val old =
-                try now - fs.getFileStatus(p).getModificationTime > grace
-                catch { case _: java.io.FileNotFoundException => false }
-              if (old) Fs.deleteChecked(spark, p.toString)
+              // aged by the newest FILE inside (file mtimes are
+              // upload-authoritative even where directory mtimes are
+              // synthetic — the WAP-stage sweep's rule); dir mtime
+              // only for an empty dir. A dir vanishing mid-probe lost
+              // a race to another sweep — already done.
+              val newest =
+                try {
+                  var n = -1L
+                  val it = fs.listFiles(p, true)
+                  while (it.hasNext) {
+                    val f = it.next()
+                    if (f.getModificationTime > n)
+                      n = f.getModificationTime
+                  }
+                  if (n < 0) fs.getFileStatus(p).getModificationTime
+                  else n
+                } catch {
+                  case scala.util.control.NonFatal(_) => Long.MaxValue
+                }
+              if (now - newest > grace) Fs.delete(spark, p.toString)
             }
           }
         }
@@ -957,6 +998,13 @@ object MatView {
         .getFileSystem(spark.sessionState.newHadoopConf())
       ids.foreach { b =>
         val target = s"$viewBase/${bucketDirName(b, gen)}"
+        // a CRASHED prior attempt at this same gen number (renames
+        // landed, sidecar swap didn't) leaves an orphan at exactly
+        // this target: the manifest never referenced gen `gen`, so no
+        // reader ever resolved it — deletable at any age, and leaving
+        // it would wedge the rename (or worse, local-FS rename
+        // fallback would NEST the new dir inside it and double-count)
+        Fs.deleteChecked(spark, target)
         fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
         Fs.renameChecked(spark, s"$stage/${bucketDirName(b, gen)}", target)
       }

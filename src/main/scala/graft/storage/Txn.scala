@@ -92,7 +92,13 @@ object Txn {
     * retention (the pre-snapshot delete-immediately behavior). The
     * retained copy is a RENAME of the root a rewrite had already
     * replaced, so retention adds no write cost — only delayed
-    * deletion, bounded by (swap frequency × table size × window). */
+    * deletion, bounded by (swap frequency × table size × window).
+    * Expired snapshots sweep at the table's NEXT swap and in
+    * [[Maintenance.vacuum]] — deliberately never from a read path
+    * (pollers must stay pure readers). Consequence: a table's LAST
+    * rewrite retains one snapshot until a later mutation or vacuum
+    * reclaims it — include matured tables in the routine vacuum
+    * pass, exactly as Delta's vacuum reclaims its retained files. */
   val SnapshotRetainKey = "spark.graft.cowSnapshotRetainMs"
   val SnapshotRetainDefaultMs: Long = 60000L
 

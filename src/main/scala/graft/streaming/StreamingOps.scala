@@ -874,6 +874,15 @@ object StreamingOps {
               Thread.sleep(100)
               seen = reprobe(seen)
             }
+            // PROBE ORDER is load-bearing (the writer's sequence is
+            // markers → op append → release): observe the lock FIRST,
+            // re-probe markers SECOND. A writer that committed and
+            // released in between then shows its markers to the
+            // reprobe (they landed before the release) — probing the
+            // lock after the reprobe would misread that writer as
+            // crashed debris and silently skip its batch (the exact
+            // inversion Merge.timeTravel's sibling check avoids).
+            val wasLive = liveHolder
             if (seen.exists(!_._2)) seen = reprobe(seen)
             // a batch STILL unmarked here is either crashed debris
             // (no/stale lock — stays skipped, vacuum's to fence) or a
@@ -886,7 +895,7 @@ object StreamingOps {
             // soak reproduced under load). Refuse RETRYABLY instead:
             // retryTransient re-enters with a fresh wait; exhausted
             // attempts kill the stream LOUDLY, naming the knob.
-            if (seen.exists(!_._2) && liveHolder)
+            if (seen.exists(!_._2) && wasLive)
               throw new graft.storage.ConcurrentWriteException(
                 s"replication of $sourcePath: change batch(es) " +
                   seen.collect { case (b, false) => b }.mkString(", ") +
@@ -1040,8 +1049,17 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Collections.singletonList(row), schema)
     }
-    if (Fs.exists(spark, base + "/" + MatView.SidecarName)) {
-      val meta = MatView.loadMeta(spark, base)
+    // read-only probes throughout: loadMeta/isManagedTable HEAL crash
+    // asides, which would make this poller a writer able to roll back
+    // the live maintainer's in-flight sidecar swap — the loader here
+    // never heals, and the managed-table check is a bare existence
+    // probe. A mid-swap poll still resolves (some complete sidecar
+    // exists at every instant).
+    val asMatview =
+      try Some(MatView.loadMetaReadOnly(spark, base))
+      catch { case _: IllegalArgumentException => None }
+    if (asMatview.isDefined) {
+      val meta = asMatview.get
       val snap = Txn.snapshot(spark, meta.source)
       val age = try Some(System.currentTimeMillis() -
         new org.apache.hadoop.fs.Path(base + "/" + MatView.SidecarName)
@@ -1052,7 +1070,7 @@ object StreamingOps {
       frame("matview", meta.source,
         Some(meta.lastBatch).filter(_ != Long.MinValue),
         math.max(0L, snap.entries - meta.logEntries), age)
-    } else if (GraftLog.isManagedTable(spark, base)) {
+    } else if (Fs.exists(spark, GraftLog.logPath(base))) {
       val h = GraftLog.history(spark, base)
       if (!h.schema.fieldNames.contains("txn_app"))
         throw new IllegalArgumentException(

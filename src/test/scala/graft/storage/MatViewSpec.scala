@@ -649,6 +649,12 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
         "full.id = incremental.id", captureChanges = true)
       assert(MatView.refresh(spark, st, view).mode == "incremental")
       assert(fs.exists(debris), "young debris must survive (grace)")
+      // the sweep ages by the newest FILE inside (dir mtimes are
+      // object-store-synthetic) — age the files, not the dir
+      val files = fs.listFiles(debris, true)
+      while (files.hasNext)
+        fs.setTimes(files.next().getPath,
+          System.currentTimeMillis() - 700000L, -1)
       fs.setTimes(debris, System.currentTimeMillis() - 700000L, -1)
       st.merge(Seq((1L, "a", 3.5)).toDF("id", "k", "v"), src,
         "full.id = incremental.id", captureChanges = true)

@@ -1350,48 +1350,52 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     // seed the feed era so the file-trigger stream can start
     st.merge(Seq((3L, "c", 3.0)).toDF("id", "k", "v"), src,
       "full.id = incremental.id", captureChanges = true)
-    val q1 = StreamingOps.replicateStream(spark, st, src, rep,
-      keyCols = Seq("id"), checkpoint = root + "/cp_rep")
-    val q2 = StreamingOps.maintainMatView(spark, st, view, root + "/cp_mv")
-    try {
-      q1.processAllAvailable(); q2.processAllAvailable()
-      def lagRow(p: String) = StreamingOps.lag(spark, p).head()
-      var r = lagRow(rep)
-      assert(r.getAs[String]("kind") == "replica")
-      assert(r.getAs[String]("source") == src)
-      assert(r.getAs[Boolean]("up_to_date"),
-        s"drained replica must be up to date: $r")
-      var v = lagRow(view)
-      assert(v.getAs[String]("kind") == "matview")
-      assert(v.getAs[Boolean]("up_to_date"),
-        s"drained matview must be up to date: $v")
-      // mutate WITHOUT draining: lag must show exactly one pending
-      // committed batch on both, and the matview one pending op
-      st.merge(Seq((4L, "d", 4.0)).toDF("id", "k", "v"), src,
-        "full.id = incremental.id", captureChanges = true)
-      r = lagRow(rep)
-      assert(r.getAs[Long]("pending_batches") == 1L &&
-        !r.getAs[Boolean]("up_to_date"),
-        s"replica must show the undrained batch: $r")
-      assert(r.getAs[Long]("applied_batch") <
-        r.getAs[Long]("source_max_committed"))
-      v = lagRow(view)
-      assert(v.getAs[Long]("pending_batches") == 1L &&
-        v.getAs[Long]("pending_ops") == 1L &&
-        !v.getAs[Boolean]("up_to_date"),
-        s"matview must show the undrained batch and op: $v")
-      // drain → both converge and report up to date again
-      q1.processAllAvailable(); q2.processAllAvailable()
-      r = lagRow(rep); v = lagRow(view)
-      assert(r.getAs[Boolean]("up_to_date"), s"post-drain replica: $r")
-      assert(r.getAs[Long]("applied_batch") ==
-        r.getAs[Long]("source_max_committed"))
-      assert(v.getAs[Boolean]("up_to_date"), s"post-drain matview: $v")
-      assert(r.getAs[Long]("applied_age_ms") >= 0L)
-      assert(v.getAs[Long]("applied_age_ms") >= 0L)
-      // a plain table is neither target — loud refusal, not a guess
-      intercept[IllegalArgumentException] { StreamingOps.lag(spark, src) }
-    } finally { q1.stop(); q2.stop() }
+    def drain(): Unit = {
+      val q1 = StreamingOps.replicateStream(spark, st, src, rep,
+        keyCols = Seq("id"), checkpoint = root + "/cp_rep")
+      val q2 = StreamingOps.maintainMatView(spark, st, view,
+        root + "/cp_mv")
+      try { q1.processAllAvailable(); q2.processAllAvailable() }
+      finally { q1.stop(); q2.stop() }
+    }
+    drain()
+    def lagRow(p: String) = StreamingOps.lag(spark, p).head()
+    var r = lagRow(rep)
+    assert(r.getAs[String]("kind") == "replica")
+    assert(r.getAs[String]("source") == src)
+    assert(r.getAs[Boolean]("up_to_date"),
+      s"drained replica must be up to date: $r")
+    var v = lagRow(view)
+    assert(v.getAs[String]("kind") == "matview")
+    assert(v.getAs[Boolean]("up_to_date"),
+      s"drained matview must be up to date: $v")
+    // mutate with the streams STOPPED (a live file trigger could
+    // drain before the probe): lag must show exactly one pending
+    // committed batch on both, and the matview one pending op
+    st.merge(Seq((4L, "d", 4.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    r = lagRow(rep)
+    assert(r.getAs[Long]("pending_batches") == 1L &&
+      !r.getAs[Boolean]("up_to_date"),
+      s"replica must show the undrained batch: $r")
+    assert(r.getAs[Long]("applied_batch") <
+      r.getAs[Long]("source_max_committed"))
+    v = lagRow(view)
+    assert(v.getAs[Long]("pending_batches") == 1L &&
+      v.getAs[Long]("pending_ops") == 1L &&
+      !v.getAs[Boolean]("up_to_date"),
+      s"matview must show the undrained batch and op: $v")
+    // drain (checkpoint recovery) → both converge and report fresh
+    drain()
+    r = lagRow(rep); v = lagRow(view)
+    assert(r.getAs[Boolean]("up_to_date"), s"post-drain replica: $r")
+    assert(r.getAs[Long]("applied_batch") ==
+      r.getAs[Long]("source_max_committed"))
+    assert(v.getAs[Boolean]("up_to_date"), s"post-drain matview: $v")
+    assert(r.getAs[Long]("applied_age_ms") >= 0L)
+    assert(v.getAs[Long]("applied_age_ms") >= 0L)
+    // a plain table is neither target — loud refusal, not a guess
+    intercept[IllegalArgumentException] { StreamingOps.lag(spark, src) }
   }
 
   test("maintainMatView restarts from its checkpoint after a log " +
