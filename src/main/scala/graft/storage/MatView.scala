@@ -268,11 +268,24 @@ object MatView {
     val sc = sidecarPath(base)
     val candidates = Seq(sc, sc + "__old",
       base + "__old/" + SidecarName, base + "__graft_old/" + SidecarName)
-    candidates.find(Fs.exists(spark, _)) match {
-      case Some(p) => parseMeta(Fs.readText(spark, p))
-      case None => throw new IllegalArgumentException(
-        s"$viewPath is not a materialized view (no $SidecarName)")
+    // the exists→read pair races the maintainer's swap (a candidate
+    // can vanish in between — FNFE-tolerant, move on), and ONE scan
+    // can thread a swap's renames so every probe individually misses
+    // (live checked before rename-in, aside checked after its
+    // delete) — some complete sidecar exists at every INSTANT, so a
+    // bounded rescan always lands unless the path truly isn't a view
+    var scan = 0
+    while (scan < 3) {
+      scan += 1
+      candidates.foreach { p =>
+        try {
+          if (Fs.exists(spark, p)) return parseMeta(Fs.readText(spark, p))
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      if (scan < 3) Thread.sleep(50)
     }
+    throw new IllegalArgumentException(
+      s"$viewPath is not a materialized view (no $SidecarName)")
   }
 
   private def parseMeta(text: String): Meta = {
@@ -477,7 +490,10 @@ object MatView {
                   if (n < 0) fs.getFileStatus(p).getModificationTime
                   else n
                 } catch {
-                  case scala.util.control.NonFatal(_) => Long.MaxValue
+                  // ONLY a vanished-dir race (another sweep won) is
+                  // skippable; a persistent listing failure must stay
+                  // loud or the sweep is silently disabled forever
+                  case e if Txn.isSwapWindowRace(e) => Long.MaxValue
                 }
               if (now - newest > grace) Fs.delete(spark, p.toString)
             }
@@ -584,7 +600,7 @@ object MatView {
     * with the view equal to a fresh recompute of the CURRENT source
     * snapshot (the invariant MatViewSpec pins against recompute). */
   def refresh(spark: SparkSession, storage: BasicStorage,
-              viewPath: String, maxAttempts: Int = 3): MatViewRefresh = {
+              viewPath: String, maxAttempts: Int = 5): MatViewRefresh = {
     val base = viewPath.stripSuffix("/")
     withRetries(maxAttempts) {
       val meta = loadMeta(spark, base)
@@ -994,6 +1010,17 @@ object MatView {
             "are outside the delta's affected set — bucket hash fork?")
       awaitSourceUnlocked(spark, newMeta.source, "MATVIEW REFRESH")
       Txn.assertUnchanged(spark, newMeta.source, snap, "MATVIEW REFRESH")
+      // the view assumes a single maintainer, but refresh takes no
+      // view-level lock — a SECOND refresher racing this one computes
+      // the same gen number, and the orphan-clearing delete below
+      // would then remove the winner's LIVE committed generation.
+      // Refuse retryably when the live sidecar already moved to (or
+      // past) our gen: superseded, exactly like a source commit
+      // landing mid-refresh.
+      if (loadMetaReadOnly(spark, viewBase).stateGen >= gen)
+        throw new StaleSnapshotException(
+          s"MATVIEW REFRESH of $viewBase: another refresher committed " +
+            s"generation $gen first — re-plan")
       val fs = new org.apache.hadoop.fs.Path(viewBase)
         .getFileSystem(spark.sessionState.newHadoopConf())
       ids.foreach { b =>

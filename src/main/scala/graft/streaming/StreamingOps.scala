@@ -991,6 +991,21 @@ object StreamingOps {
             // follow-up trigger guaranteed) and every other failure
             // still propagate and stop the stream LOUDLY.
             ()
+          case e if graft.storage.Txn.isSwapWindowRace(e) &&
+              (graft.storage.Fs.exists(spark,
+                graft.storage.GraftLog.logPath(meta.source)) ||
+               graft.storage.Fs.exists(spark,
+                graft.storage.GraftLog.logPath(meta.source) + "__old")) =>
+            // exhausted swap-race retries with the source's op log
+            // still present: the refresh kept losing to live churn
+            // (compactLog swaps, COW commits). The SAME supersession
+            // argument applies — every swap this refresh could lose
+            // to belongs to a mutation whose own new log file
+            // (compaction output; op append, which lands AFTER its
+            // data swap) fires the next micro-batch, which redoes
+            // this work against the settled state. A source whose
+            // log is genuinely GONE fails the probe and dies loudly.
+            ()
         }
       }
       .start()
@@ -1054,7 +1069,11 @@ object StreamingOps {
     // the live maintainer's in-flight sidecar swap — the loader here
     // never heals, and the managed-table check is a bare existence
     // probe. A mid-swap poll still resolves (some complete sidecar
-    // exists at every instant).
+    // exists at every instant). The whole probe is additionally a
+    // bounded lock-free read: a log/feed read racing a compaction or
+    // COW swap retries instead of killing the poll (not-a-target
+    // refusals are IllegalArgumentException — never retried).
+    graft.storage.Txn.retryTransient(maxAttempts = 3) {
     val asMatview =
       try Some(MatView.loadMetaReadOnly(spark, base))
       catch { case _: IllegalArgumentException => None }
@@ -1070,7 +1089,11 @@ object StreamingOps {
       frame("matview", meta.source,
         Some(meta.lastBatch).filter(_ != Long.MinValue),
         math.max(0L, snap.entries - meta.logEntries), age)
-    } else if (Fs.exists(spark, GraftLog.logPath(base))) {
+    } else if (Fs.exists(spark, GraftLog.logPath(base)) ||
+        // a compactLog swap parks the op log aside for two renames —
+        // aside-aware like isManagedTable, but NEVER healing from a
+        // poller (read-only by contract)
+        Fs.exists(spark, GraftLog.logPath(base) + "__old")) {
       val h = GraftLog.history(spark, base)
       if (!h.schema.fieldNames.contains("txn_app"))
         throw new IllegalArgumentException(
@@ -1091,6 +1114,7 @@ object StreamingOps {
     } else
       throw new IllegalArgumentException(
         s"$path is neither a matview nor a managed replica")
+    } // retryTransient
   }
 
   /** Per-key running totals via Spark 4's `transformWithState` — the
