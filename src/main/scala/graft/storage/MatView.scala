@@ -269,20 +269,30 @@ object MatView {
     val candidates = Seq(sc, sc + "__old",
       base + "__old/" + SidecarName, base + "__graft_old/" + SidecarName)
     // the exists→read pair races the maintainer's swap (a candidate
-    // can vanish in between — FNFE-tolerant, move on), and ONE scan
+    // can vanish in between — race-tolerant, move on), and ONE scan
     // can thread a swap's renames so every probe individually misses
     // (live checked before rename-in, aside checked after its
     // delete) — some complete sidecar exists at every INSTANT, so a
-    // bounded rescan always lands unless the path truly isn't a view
+    // bounded rescan always lands. The rescan runs only on EVIDENCE
+    // of an in-flight swap (a candidate vanished mid-read, or the
+    // staged sidecar is visible): a clean first scan that found no
+    // sidecar and no swap is authoritative, so the common
+    // not-a-view probe (every replica lag poll) pays 5 existence
+    // checks and zero sleeps.
     var scan = 0
+    var evidence = false
     while (scan < 3) {
       scan += 1
       candidates.foreach { p =>
         try {
           if (Fs.exists(spark, p)) return parseMeta(Fs.readText(spark, p))
-        } catch { case _: java.io.FileNotFoundException => () }
+        } catch {
+          case e if Txn.isSwapWindowRace(e) => evidence = true
+        }
       }
-      if (scan < 3) Thread.sleep(50)
+      if (scan == 1) evidence ||= Fs.exists(spark, sc + "__tmp")
+      if (!evidence) scan = 3
+      else if (scan < 3) Thread.sleep(50)
     }
     throw new IllegalArgumentException(
       s"$viewPath is not a materialized view (no $SidecarName)")
@@ -464,38 +474,45 @@ object MatView {
     val now = System.currentTimeMillis()
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Fs.listSubdirs(spark, base).foreach { bd =>
-      bd.stripPrefix("b").toIntOption
-        .filter(_ => bd.startsWith("b")).foreach { b =>
-        val live = m.bucketGens.get(b)
-        Fs.listSubdirs(spark, s"$base/$bd").foreach { gd =>
-          gd.stripPrefix("g").toLongOption
-            .filter(_ => gd.startsWith("g")).foreach { g =>
-            if (!live.contains(g)) {
-              val p = new org.apache.hadoop.fs.Path(s"$base/$bd/$gd")
-              // aged by the newest FILE inside (file mtimes are
-              // upload-authoritative even where directory mtimes are
-              // synthetic — the WAP-stage sweep's rule); dir mtime
-              // only for an empty dir. A dir vanishing mid-probe lost
-              // a race to another sweep — already done.
-              val newest =
-                try {
-                  var n = -1L
-                  val it = fs.listFiles(p, true)
-                  while (it.hasNext) {
-                    val f = it.next()
-                    if (f.getModificationTime > n)
-                      n = f.getModificationTime
-                  }
-                  if (n < 0) fs.getFileStatus(p).getModificationTime
-                  else n
-                } catch {
-                  // ONLY a vanished-dir race (another sweep won) is
-                  // skippable; a persistent listing failure must stay
-                  // loud or the sweep is silently disabled forever
-                  case e if Txn.isSwapWindowRace(e) => Long.MaxValue
+    // this sweep is garbage collection ONLY: a failure here must
+    // never fail the refresh it runs inside (the view's freshness is
+    // healthy regardless) — but it must not be SILENT either, or a
+    // persistent listing failure disables the sweep forever with
+    // debris accumulating unbounded. Race-shaped failures (another
+    // sweep won the dir) skip quietly; anything else warns with the
+    // path and error, once per offending dir per sweep.
+    def gcGuard(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e if Txn.isSwapWindowRace(e) => ()
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"matview gen sweep of $what failed (debris left for a " +
+              s"later sweep/vacuum): $e")
+      }
+    gcGuard(base) {
+      Fs.listSubdirs(spark, base).foreach { bd =>
+        bd.stripPrefix("b").toIntOption
+          .filter(_ => bd.startsWith("b")).foreach { b =>
+          val live = m.bucketGens.get(b)
+          Fs.listSubdirs(spark, s"$base/$bd").foreach { gd =>
+            gd.stripPrefix("g").toLongOption
+              .filter(_ => gd.startsWith("g")).foreach { g =>
+              if (!live.contains(g)) gcGuard(s"$base/$bd/$gd") {
+                val p = new org.apache.hadoop.fs.Path(s"$base/$bd/$gd")
+                // aged by the newest FILE inside (file mtimes are
+                // upload-authoritative even where directory mtimes
+                // are synthetic — the WAP-stage sweep's rule); dir
+                // mtime only for an empty dir
+                var n = -1L
+                val it = fs.listFiles(p, true)
+                while (it.hasNext) {
+                  val f = it.next()
+                  if (f.getModificationTime > n)
+                    n = f.getModificationTime
                 }
-              if (now - newest > grace) Fs.delete(spark, p.toString)
+                if (n < 0) n = fs.getFileStatus(p).getModificationTime
+                if (now - n > grace) Fs.delete(spark, p.toString)
+              }
             }
           }
         }
@@ -991,11 +1008,26 @@ object MatView {
     * watermark, so a crash mid-commit would make the next refresh
     * fold the same delta batches into the already-folded buckets —
     * silent double-counting.) */
+  /** Highest generation number present ON DISK under any bucket dir —
+    * crashed attempts' orphans included. Allocating the next gen above
+    * this (not just above the sidecar's stateGen) means a retry after
+    * an in-process commit failure never collides with its own orphan
+    * dirs, so the commit path needs no destructive pre-delete (which
+    * could remove a racing refresher's freshly-committed generation).
+    * Driver listing, bucket-count-sized. */
+  private def maxGenOnDisk(spark: SparkSession, base: String): Long =
+    Fs.listSubdirs(spark, base).filter(_.startsWith("b")).flatMap { bd =>
+      Fs.listSubdirs(spark, s"$base/$bd")
+        .filter(_.startsWith("g"))
+        .flatMap(_.stripPrefix("g").toLongOption)
+    }.maxOption.getOrElse(0L)
+
   private def commitIncremental(spark: SparkSession, viewBase: String,
                                 state: DataFrame, newMeta: Meta,
                                 snap: OpLogSnapshot,
                                 affected: Set[Int]): Unit = {
-    val gen = newMeta.stateGen + 1
+    val gen = math.max(newMeta.stateGen,
+      maxGenOnDisk(spark, viewBase)) + 1
     val stage = viewBase + "__genstage"
     Fs.deleteChecked(spark, stage)
     try {
@@ -1025,13 +1057,18 @@ object MatView {
         .getFileSystem(spark.sessionState.newHadoopConf())
       ids.foreach { b =>
         val target = s"$viewBase/${bucketDirName(b, gen)}"
-        // a CRASHED prior attempt at this same gen number (renames
-        // landed, sidecar swap didn't) leaves an orphan at exactly
-        // this target: the manifest never referenced gen `gen`, so no
-        // reader ever resolved it — deletable at any age, and leaving
-        // it would wedge the rename (or worse, local-FS rename
-        // fallback would NEST the new dir inside it and double-count)
-        Fs.deleteChecked(spark, target)
+        // gen was allocated above every on-disk generation, so a
+        // target existing here means a SIMULTANEOUS refresher (outside
+        // the documented single-maintainer contract) allocated the
+        // same number after our listing — refuse retryably, touching
+        // NOTHING (a destructive clear here could delete the racer's
+        // freshly-committed live generation; local-FS rename onto an
+        // existing dir would nest and double-count)
+        if (Fs.exists(spark, target))
+          throw new StaleSnapshotException(
+            s"MATVIEW REFRESH of $viewBase: generation $gen appeared " +
+              "concurrently — a second refresher is racing this one; " +
+              "re-plan")
         fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
         Fs.renameChecked(spark, s"$stage/${bucketDirName(b, gen)}", target)
       }

@@ -974,10 +974,22 @@ object StreamingOps {
                       pollInterval: Option[String] = None): StreamingQuery = {
     val meta = graft.storage.MatView.loadMeta(spark, viewPath)
     val logDir = graft.storage.GraftLog.logPath(meta.source)
+    // bounds the swap-race supersession swallow below: live churn is
+    // interspersed with successful refreshes, while a PERSISTENT
+    // race-shaped failure (a lost data file, clock-skewed gen sweep)
+    // fails every batch — after this many consecutive swallows with
+    // no success in between, the stream dies loudly instead of
+    // serving a permanently stale view as healthy
+    val consecutiveRaceFailures =
+      new java.util.concurrent.atomic.AtomicInteger(0)
     listingTriggerWriter(spark, logDir, graft.storage.GraftLog.schema,
         checkpoint, pollInterval)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        try { graft.storage.MatView.refresh(spark, storage, viewPath); () }
+        try {
+          graft.storage.MatView.refresh(spark, storage, viewPath)
+          consecutiveRaceFailures.set(0)
+          ()
+        }
         catch {
           case _: graft.storage.StaleSnapshotException =>
             // the refresh's bounded retries kept losing to commits
@@ -992,6 +1004,7 @@ object StreamingOps {
             // still propagate and stop the stream LOUDLY.
             ()
           case e if graft.storage.Txn.isSwapWindowRace(e) &&
+              consecutiveRaceFailures.incrementAndGet() <= 3 &&
               (graft.storage.Fs.exists(spark,
                 graft.storage.GraftLog.logPath(meta.source)) ||
                graft.storage.Fs.exists(spark,
@@ -1004,7 +1017,10 @@ object StreamingOps {
             // (compaction output; op append, which lands AFTER its
             // data swap) fires the next micro-batch, which redoes
             // this work against the settled state. A source whose
-            // log is genuinely GONE fails the probe and dies loudly.
+            // log is genuinely GONE fails the probe and dies loudly —
+            // and so does a race-shaped failure persisting across
+            // several batches with no successful refresh in between
+            // (the counter above): churn heals, breakage does not.
             ()
         }
       }

@@ -664,6 +664,37 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(MatView.GenGraceKey)
   }
 
+  test("bucketed state: a crashed commit's orphan generation (renames " +
+      "landed, sidecar swap didn't) never collides with the retry — " +
+      "gens allocate above everything on disk") {
+    val src = mkSource("mv_gencrash")
+    val view = tempDir("mv_gencrash_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    val meta0 = MatView.loadMeta(spark, view)
+    // simulate the crash window: a FUTURE generation dir exists at
+    // exactly stateGen+1 for a live bucket (what a commit that died
+    // between its renames and the sidecar swap leaves), holding
+    // content that would DOUBLE-COUNT if a retry nested into it
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val someBucket = meta0.bucketGens.head._1
+    val orphan = new org.apache.hadoop.fs.Path(
+      f"$view/b$someBucket%05d/g${meta0.stateGen + 1}%012d")
+    MatView.read(spark, view).limit(2).write.parquet(orphan.toString)
+    // the next captured merge's refresh must commit cleanly PAST the
+    // orphan (no rename wedge, no nesting, no double count)
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    assert(MatView.refresh(spark, st, view).mode == "incremental")
+    val meta1 = MatView.loadMeta(spark, view)
+    assert(meta1.stateGen > meta0.stateGen + 1,
+      s"the new generation must allocate ABOVE the on-disk orphan: " +
+        s"${meta0.stateGen} -> ${meta1.stateGen}")
+    assert(fs.exists(orphan),
+      "the young orphan is the grace sweep's, not the commit's")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
   test("a non-managed source refuses; a non-view path refuses refresh") {
     val plain = tempDir("mv_plain") + "/p"
     Seq((1L, "a", 1.0)).toDF("id", "k", "v")
