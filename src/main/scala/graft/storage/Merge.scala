@@ -227,8 +227,22 @@ object Merge {
     // capture on a busy table. A genuinely crashed capture (no lock,
     // or one stale past the timeout) keeps the loud terminal refusal.
     // Batches at or below asOfBatch are never stepped and don't matter.
+    //
+    // EXCEPT on a RETAINED SNAPSHOT root (<t>__graft_snap_<ms>): that
+    // root is FROZEN — its lock file is a parked copy that never
+    // releases, and an unmarked batch there is provably NEVER-APPLIED
+    // to this root's data (the COW park happens before the marker
+    // lands; the marker went to the NEW live root). The ambiguity the
+    // refusals guard against doesn't exist: skip unmarked batches as
+    // never-applied and step only the committed ones. Without this, a
+    // snapshot parked mid-capture is permanently untravelable — the
+    // young lock copy reads as a live writer (retry forever), then as
+    // crashed (terminal) after it ages.
+    val frozen = Txn.snapshotStamp(
+      new org.apache.hadoop.fs.Path(path.stripSuffix("/")).getName)
+      .isDefined
     val uncommitted = newer.filterNot(isBatchCommitted(spark, path, _))
-    if (uncommitted.nonEmpty) {
+    if (uncommitted.nonEmpty && !frozen) {
       val live = Txn.heldBy(spark, path)
         .exists(_._2 <= Txn.lockTimeoutMs(spark))
       // Probe-order race: a writer can stamp its markers and release
@@ -258,13 +272,16 @@ object Merge {
             "re-run it (a retry captures a fresh committed batch) or " +
             "Maintenance.vacuum the orphan, which fences travel at it")
     }
-    newer.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
+    // on a frozen snapshot the unmarked batches are never-applied —
+    // stepping them would un-apply changes this root never had
+    val steps = if (frozen) newer.filterNot(uncommitted.toSet) else newer
+    steps.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
       val stepped =
         inverseReplay(df, feed.filter(col("batch") === b), keyCols)
       // truncate lineage mid-hop only — the LAST step returns the
       // caller a lazy frame as before
       if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0 &&
-          i + 1 < newer.length)
+          i + 1 < steps.length)
         stepped.localCheckpoint()
       else stepped
     }

@@ -238,16 +238,22 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
 
   test("soak: lock-free readers under a live mutator — read, time " +
       "travel, DESCRIBE DETAIL, history and change feed all succeed " +
-      "through Txn.retryTransient while merges and compactions land") {
+      "through Txn.retryReadSnapshot while merges and compactions land") {
     // The engine's documented reader contract: reads never lock, a
     // read landing in a COW commit's swap window (or racing a
-    // compactLog) may die transiently, and Txn.retryTransient is the
-    // bounded retry that heals it. This soak validates the CLASSIFIER
-    // against every reader surface's real failure shapes — each race
-    // class the judges found (merge bootstrap, listing trigger,
-    // matview refresh, op-log footer vs compaction) surfaced exactly
-    // as an unclassified transient; any reader here dying through
-    // retryTransient means a shape the classifier still misses.
+    // compactLog) may die transiently, and the bounded retry with the
+    // snapshot fallback (Txn.retryReadSnapshot) heals it. This soak
+    // validates the CLASSIFIER against every reader surface's real
+    // failure shapes — each race class the judges found (merge
+    // bootstrap, listing trigger, matview refresh, op-log footer vs
+    // compaction) surfaced exactly as an unclassified transient; an
+    // unclassified shape still fails here, because the fallback only
+    // engages on classified errors and the FIRST attempt is always
+    // the live root. Plain live-root retryTransient alone is NOT
+    // enough for this soak at extended durations (GRAFT_READER_SOAK_MS
+    // high): each attempt's plan-to-execute span re-exposes to the
+    // next swap, and 5 consecutive losses become statistically
+    // expected — which is precisely why the snapshot window exists.
     val path = mkTable("txn_readers",
       (1L to 50L).map(i => i -> s"v$i"))
     // seed one captured merge so the feed and a travel stamp exist
@@ -288,23 +294,26 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
       var rounds = 0
       while (System.currentTimeMillis() < deadline && died.get() == null) {
         rounds += 1
-        Txn.retryTransient(maxAttempts = 5) {
-          assert(st.read(path, "delta").count() >= 50L)
+        // every surface resolves through the root the retry hands it:
+        // attempt 1 is the live path, fallbacks are the retained
+        // snapshot (a complete copy — data, op log, feed)
+        Txn.retryReadSnapshot(spark, path) { root =>
+          assert(st.read(root, "delta").count() >= 50L)
         }
-        Txn.retryTransient(maxAttempts = 5) {
+        Txn.retryReadSnapshot(spark, path) { root =>
           // the seeded stamp's pre-state: the original 50 rows
-          assert(Merge.readAsOf(spark, st, path, Seq("id"),
+          assert(Merge.readAsOf(spark, st, root, Seq("id"),
             stamp0 - 1).count() == 50L)
         }
-        Txn.retryTransient(maxAttempts = 5) {
-          val d = GraftLog.tableDetail(spark, path).head()
+        Txn.retryReadSnapshot(spark, path) { root =>
+          val d = GraftLog.tableDetail(spark, root).head()
           assert(d.getString(0) == "delta")
         }
-        Txn.retryTransient(maxAttempts = 5) {
-          assert(GraftLog.history(spark, path).count() >= 1L)
+        Txn.retryReadSnapshot(spark, path) { root =>
+          assert(GraftLog.history(spark, root).count() >= 1L)
         }
-        Txn.retryTransient(maxAttempts = 5) {
-          assert(Merge.changeFeed(spark, path)
+        Txn.retryReadSnapshot(spark, path) { root =>
+          assert(Merge.changeFeed(spark, root)
             .select(col("batch")).distinct().count() >= 1L)
         }
       }
@@ -375,6 +384,54 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert(plan.forall(a => a.kind != "delete" ||
       !a.target.contains("__graft_snap_") ||
       a.detail.contains("expired")), s"plan: $plan")
+  }
+
+  test("time travel on a RETAINED SNAPSHOT skips its frozen unmarked " +
+      "batch (never-applied by construction) instead of refusing") {
+    // a snapshot parked mid-capture keeps an unmarked batch dir and a
+    // lock-file copy FOREVER (the marker and the release land in the
+    // NEW live root) — travel there must neither retry on the frozen
+    // young lock nor refuse terminally once it ages
+    val path = mkTable("txn_snaptravel", (1L to 10L).map(i => i -> s"v$i"))
+    Merge.run(spark, st, Seq(1L -> "A").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None,
+      None, captureChanges = true)
+    val stamp1 = Merge.changeFeed(spark, path)
+      .agg(max(col("batch"))).head().getLong(0)
+    Merge.run(spark, st, Seq(2L -> "B").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None,
+      None, captureChanges = true)
+    val expected = Merge.readAsOf(spark, st, path, Seq("id"), stamp1)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // park a frozen copy: the table as-is, PLUS an unmarked future
+    // batch (copied from a real one, marker removed) and a young lock
+    val snap = path + "__graft_snap_" + System.currentTimeMillis()
+    Fs.copyDirChecked(spark, path, snap)
+    val feedDir = snap + "/" + Merge.ChangesDirName
+    val stamps = Fs.listSubdirs(spark, feedDir)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted
+    val orphanStamp = stamps.max + 1000000L
+    Fs.copyDirChecked(spark, s"$feedDir/batch=${stamps.max}",
+      s"$feedDir/batch=$orphanStamp")
+    Fs.deleteChecked(spark,
+      s"$feedDir/batch=$orphanStamp/${Merge.ChangesCommitMarker}")
+    Fs.writeText(spark, Txn.lockPath(snap), "tok\nMERGE")
+    // the same travel answers identically on the frozen copy
+    val got = Merge.readAsOf(spark, st, snap, Seq("id"), stamp1)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == expected,
+      s"snapshot travel must match the live answer: $got vs $expected")
+    // while the LIVE table with the same shape still refuses retryably
+    // (the ambiguity is real there)
+    Fs.copyDirChecked(spark,
+      s"$feedDir/batch=$orphanStamp",
+      s"$path/${Merge.ChangesDirName}/batch=$orphanStamp")
+    Txn.acquire(spark, path, "MERGE")
+    intercept[ConcurrentWriteException] {
+      Merge.readAsOf(spark, st, path, Seq("id"), stamp1).count()
+    }
+    assert(Txn.breakLock(spark, path))
   }
 
   test("two concurrent merges on one table serialize: neither " +
