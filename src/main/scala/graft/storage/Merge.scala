@@ -230,14 +230,32 @@ object Merge {
     //
     // EXCEPT on a RETAINED SNAPSHOT root (<t>__graft_snap_<ms>): that
     // root is FROZEN — its lock file is a parked copy that never
-    // releases, and an unmarked batch there is provably NEVER-APPLIED
-    // to this root's data (the COW park happens before the marker
-    // lands; the marker went to the NEW live root). The ambiguity the
-    // refusals guard against doesn't exist: skip unmarked batches as
-    // never-applied and step only the committed ones. Without this, a
-    // snapshot parked mid-capture is permanently untravelable — the
-    // young lock copy reads as a live writer (retry forever), then as
-    // crashed (terminal) after it ages.
+    // releases — and the capture that was IN FLIGHT at park time left
+    // an unmarked batch that is provably NEVER-APPLIED to this root's
+    // data (the COW park happens before the marker lands; the marker
+    // went to the NEW live root). But "unmarked on a frozen root"
+    // does NOT mean "in flight at park": a capture that crashed in
+    // the crashed-writer window (data swap landed, marker never
+    // written) leaves an APPLIED-but-unmarked batch that a later
+    // mutation then parks along with the root — skipping it would
+    // silently serve data WITH the crashed batch's changes while
+    // claiming the pre-state. The two are distinguishable because
+    // captures are lock-serialized with monotone stamps: a park
+    // strands AT MOST ONE in-flight capture, it must hold the
+    // HIGHEST stamp in the parked feed copy, and the parked lock
+    // file names its op (the lock rides the park rename). So an
+    // unmarked batch is classified never-applied ONLY when it is the
+    // strict maximum of every feed stamp AND the parked lock op is a
+    // change-capturing mutation (a root parked by OPTIMIZE/ALTER/…
+    // had no capture in flight — any unmarked batch there crashed
+    // earlier). Everything else keeps the loud crashed-capture
+    // refusal. An UNCAPTURED parking mutation shares the capturing
+    // op strings (MERGE/DELETE), but it barrier-fences the feed
+    // BEFORE its swap, so a travel below a crashed batch it parked
+    // is already refused at the horizon check above. Without the
+    // skip, a snapshot parked mid-capture is permanently
+    // untravelable — the young lock copy reads as a live writer
+    // (retry forever), then as crashed (terminal) after it ages.
     val frozen = Txn.snapshotStamp(
       new org.apache.hadoop.fs.Path(path.stripSuffix("/")).getName)
       .isDefined
@@ -272,9 +290,39 @@ object Merge {
             "re-run it (a retry captures a fresh committed batch) or " +
             "Maintenance.vacuum the orphan, which fences travel at it")
     }
-    // on a frozen snapshot the unmarked batches are never-applied —
-    // stepping them would un-apply changes this root never had
-    val steps = if (frozen) newer.filterNot(uncommitted.toSet) else newer
+    // frozen snapshot: skip ONLY the provably never-applied batch
+    // (strict max stamp + capture-capable parked lock op — see the
+    // classification comment above); any other unmarked batch is a
+    // capture that crashed BEFORE the park, frozen into this root
+    // with its applied-ness unknowable — stepping or skipping it
+    // could both be wrong, and no retry can ever resolve it, so the
+    // refusal is terminal
+    val neverApplied: Set[Long] =
+      if (!frozen || uncommitted.isEmpty) Set.empty
+      else {
+        val maxStamp = feedStamps.max
+        val parkedCapture = Txn.heldBy(spark, path)
+          .exists(h => CaptureCapableLockOps.contains(h._1))
+        if (parkedCapture) uncommitted.filter(_ == maxStamp).toSet
+        else Set.empty
+      }
+    val frozenCrashed =
+      if (frozen) uncommitted.filterNot(neverApplied) else Nil
+    if (frozenCrashed.nonEmpty)
+      throw new IllegalStateException(
+        s"time travel to batch $asOfBatch on retained snapshot $path " +
+          s"must step across change batch(es) " +
+          s"${frozenCrashed.mkString(", ")} that have no commit " +
+          "marker and cannot be the capture in flight at park time " +
+          "(not the highest feed stamp, or the root was parked by a " +
+          "non-capturing mutation) — a captured mutation crashed " +
+          "BEFORE this snapshot was parked, and whether its changes " +
+          "reached the data is frozen unknowable here; travel the " +
+          "live table instead (where a re-run or vacuum can resolve " +
+          "the orphan)")
+    // stepping a never-applied batch would un-apply changes this
+    // root never had
+    val steps = if (frozen) newer.filterNot(neverApplied) else newer
     steps.zipWithIndex.foldLeft(current) { case (df, (b, i)) =>
       val stepped =
         inverseReplay(df, feed.filter(col("batch") === b), keyCols)
@@ -286,6 +334,16 @@ object Merge {
       else stepped
     }
   }
+
+  /** Lock-op strings of mutations that can write a change batch
+    * (merge, captured delete, captured restore). Used by the frozen-
+    * snapshot travel classification: only a root parked by one of
+    * these can have had a capture in flight at park time. Deliberately
+    * conservative — an op missing from this set makes travel REFUSE
+    * (never silently skip), so a future capturing mutation that
+    * forgets to register here degrades loud, not wrong. */
+  private[storage] val CaptureCapableLockOps =
+    Set("MERGE", "DELETE", "RESTORE")
 
   private[storage] val ChangesPruneApp = "graft_changes_prune"
   private[storage] val ChangesOverwriteApp = "graft_changes_overwrite"

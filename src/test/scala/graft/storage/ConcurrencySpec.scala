@@ -434,6 +434,94 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert(Txn.breakLock(spark, path))
   }
 
+  test("frozen-snapshot travel refuses an unmarked batch that cannot " +
+      "be the in-flight-at-park capture (crashed BEFORE the park)") {
+    // shape 1: an unmarked batch BELOW a committed one — a capture
+    // that crashed in the crashed-writer window (data swap landed,
+    // marker never written), later overtaken by a successful capture,
+    // then the root was parked. Its changes MAY be in the parked
+    // data; skipping it as never-applied would silently serve the
+    // wrong snapshot. Only the HIGHEST-stamp unmarked batch can be
+    // the capture stranded by the park.
+    val path = mkTable("txn_snapcrash", (1L to 10L).map(i => i -> s"v$i"))
+    Merge.run(spark, st, Seq(1L -> "A").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None,
+      None, captureChanges = true)
+    val stamp1 = Merge.changeFeed(spark, path)
+      .agg(max(col("batch"))).head().getLong(0)
+    Merge.run(spark, st, Seq(2L -> "B").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None,
+      None, captureChanges = true)
+    val snap = path + "__graft_snap_" + System.currentTimeMillis()
+    Fs.copyDirChecked(spark, path, snap)
+    val feedDir = snap + "/" + Merge.ChangesDirName
+    val stamps = Fs.listSubdirs(spark, feedDir)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted
+    // plant a crashed capture BETWEEN the two committed batches
+    // (unmarked, NOT the max stamp) plus the park's own in-flight
+    // capture above everything (unmarked, max stamp)
+    val crashedStamp = stamps.max - 1L
+    val inflightStamp = stamps.max + 1000000L
+    Fs.copyDirChecked(spark, s"$feedDir/batch=${stamps.max}",
+      s"$feedDir/batch=$crashedStamp")
+    Fs.deleteChecked(spark,
+      s"$feedDir/batch=$crashedStamp/${Merge.ChangesCommitMarker}")
+    Fs.copyDirChecked(spark, s"$feedDir/batch=${stamps.max}",
+      s"$feedDir/batch=$inflightStamp")
+    Fs.deleteChecked(spark,
+      s"$feedDir/batch=$inflightStamp/${Merge.ChangesCommitMarker}")
+    Fs.writeText(spark, Txn.lockPath(snap), "tok\nMERGE")
+    // travel below the crashed batch must refuse TERMINALLY — no
+    // retry can resolve a crash frozen into an immutable snapshot
+    val e = intercept[IllegalStateException] {
+      Merge.readAsOf(spark, st, snap, Seq("id"), stamp1).count()
+    }
+    assert(e.getMessage.contains(crashedStamp.toString) &&
+      !e.getMessage.contains(inflightStamp.toString),
+      s"the refusal must name the crashed batch only: ${e.getMessage}")
+    // while travel ABOVE the crashed batch still works, skipping only
+    // the in-flight max batch
+    val latest = Merge.readAsOf(spark, st, snap, Seq("id"), stamps.max)
+      .as[(Long, String)].collect().toMap
+    assert(latest(2L) == "B", "committed state must be served")
+  }
+
+  test("frozen-snapshot travel refuses an unmarked max batch when the " +
+      "root was parked by a NON-capturing mutation") {
+    // shape 2: the root was parked by OPTIMIZE — no capture can have
+    // been in flight at park time, so even the highest-stamp unmarked
+    // batch is a crashed capture from before the park (optimize
+    // writes no barrier, so the horizon check cannot fence it; the
+    // lock-op probe must)
+    val path = mkTable("txn_snapopt", (1L to 10L).map(i => i -> s"v$i"))
+    Merge.run(spark, st, Seq(1L -> "A").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None,
+      None, captureChanges = true)
+    val stamp1 = Merge.changeFeed(spark, path)
+      .agg(max(col("batch"))).head().getLong(0)
+    Merge.run(spark, st, Seq(2L -> "B").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None,
+      None, captureChanges = true)
+    val snap = path + "__graft_snap_" + System.currentTimeMillis()
+    Fs.copyDirChecked(spark, path, snap)
+    val feedDir = snap + "/" + Merge.ChangesDirName
+    val stamps = Fs.listSubdirs(spark, feedDir)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted
+    val orphanStamp = stamps.max + 1000000L
+    Fs.copyDirChecked(spark, s"$feedDir/batch=${stamps.max}",
+      s"$feedDir/batch=$orphanStamp")
+    Fs.deleteChecked(spark,
+      s"$feedDir/batch=$orphanStamp/${Merge.ChangesCommitMarker}")
+    Fs.writeText(spark, Txn.lockPath(snap), "tok\nOPTIMIZE")
+    val e = intercept[IllegalStateException] {
+      Merge.readAsOf(spark, st, snap, Seq("id"), stamp1).count()
+    }
+    assert(e.getMessage.contains(orphanStamp.toString),
+      s"the refusal must name the orphan batch: ${e.getMessage}")
+  }
+
   test("two concurrent merges on one table serialize: neither " +
       "writer's rows are lost") {
     val path = mkTable("txn_race",
