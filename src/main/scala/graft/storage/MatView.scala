@@ -290,10 +290,27 @@ object MatView {
           case e if Txn.isSwapWindowRace(e) => evidence = true
         }
       }
-      if (scan == 1) evidence ||= Fs.exists(spark, sc + "__tmp")
+      // before concluding not-a-view, look for a swap that completed
+      // ENTIRELY inside this scan: its staged sidecar still visible
+      // (in-flight), or — the full-miss threading — the live sidecar
+      // back in place even though the first probe missed it (probe
+      // saw the rename-out window, the __old probe ran after the
+      // aside's delete, and __tmp was already renamed in). The sc
+      // re-probe closes that hole: a healthy view's sidecar exists
+      // at this instant whenever a swap raced the scan, so a clean
+      // miss of BOTH probes is authoritative absence.
+      if (scan == 1 && !evidence)
+        evidence = Fs.exists(spark, sc + "__tmp") || Fs.exists(spark, sc)
       if (!evidence) scan = 3
       else if (scan < 3) Thread.sleep(50)
     }
+    if (evidence)
+      // three scans each threaded by a swap: the view EXISTS (we saw
+      // its machinery) — refuse retryably rather than lying
+      // "not a view" to a poller racing a hot maintainer
+      throw new ConcurrentWriteException(
+        s"sidecar read on $viewPath kept racing the maintainer's " +
+          "swaps; retry")
     throw new IllegalArgumentException(
       s"$viewPath is not a materialized view (no $SidecarName)")
   }

@@ -487,6 +487,37 @@ object Txn {
     }
   }
 
+  /** READ-ONLY [[snapshot]] for pollers ([[graft.streaming
+    * .StreamingOps.lag]]): NEVER heals. [[snapshot]] routes through
+    * [[GraftLog.isManagedTable]], whose stale-lock-gated recoverAside
+    * can still RENAME a parked op log aside from a poller — e.g.
+    * against a compactLog holder paused past the lock timeout —
+    * making an observability poll a writer in that edge. Here the
+    * probes are bare: the live log path, then its `__old` aside (a
+    * compactLog swap parks the log there between its two renames —
+    * some complete copy exists at every instant). A read that races
+    * the swap's rename dies as a swap-window transient for the
+    * caller's bounded retry; nothing is ever renamed or deleted. */
+  def snapshotReadOnly(spark: SparkSession, path: String): OpLogSnapshot = {
+    val base = path.stripSuffix("/")
+    val lp = GraftLog.logPath(base)
+    val dir =
+      if (Fs.exists(spark, lp)) Some(lp)
+      else if (Fs.exists(spark, lp + "__old")) Some(lp + "__old")
+      else None
+    dir match {
+      case None => OpLogSnapshot(0L, 0L)
+      case Some(d) =>
+        import org.apache.spark.sql.functions.{count, max}
+        val raw = spark.read.option("mergeSchema", "true").parquet(d)
+        val r =
+          if (raw.schema.fieldNames.contains("seq"))
+            raw.agg(count("*"), max("seq")).head()
+          else raw.agg(count("*"), count("*") * 0L).head()
+        OpLogSnapshot(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+  }
+
   /** Throw [[ConcurrentWriteException]] iff the op log moved since
     * `snap` — i.e. someone committed a mutation in between. */
   def assertUnchanged(spark: SparkSession, path: String,

@@ -1095,7 +1095,12 @@ object StreamingOps {
       catch { case _: IllegalArgumentException => None }
     if (asMatview.isDefined) {
       val meta = asMatview.get
-      val snap = Txn.snapshot(spark, meta.source)
+      // snapshotReadOnly, not snapshot: the healing isManagedTable
+      // inside Txn.snapshot can rename a parked op log aside from
+      // this poller (stale-lock-gated, but a compactLog holder paused
+      // past the timeout is exactly the edge) — the poll must stay a
+      // reader by construction
+      val snap = Txn.snapshotReadOnly(spark, meta.source)
       val age = try Some(System.currentTimeMillis() -
         new org.apache.hadoop.fs.Path(base + "/" + MatView.SidecarName)
           .getFileSystem(spark.sessionState.newHadoopConf())

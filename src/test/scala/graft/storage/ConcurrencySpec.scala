@@ -522,6 +522,29 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
       s"the refusal must name the orphan batch: ${e.getMessage}")
   }
 
+  test("snapshotReadOnly reads a parked op log WITHOUT healing it — " +
+      "a poller must never rename the maintainer's aside back") {
+    val path = mkTable("txn_rosnap", Seq(1L -> "a", 2L -> "b"))
+    Merge.run(spark, st, Seq(3L -> "c").toDF("id", "v"), path,
+      "full.id = incremental.id", Nil, mergeSchemas = false, None, None)
+    val snap0 = Txn.snapshot(spark, path)
+    // park the log aside (mid-compactLog shape) under a lock aged
+    // past the stale horizon — exactly the edge where the healing
+    // isManagedTable would roll the swap back from a poller
+    val lp = GraftLog.logPath(path)
+    Fs.renameChecked(spark, lp, lp + "__old")
+    Fs.writeText(spark, Txn.lockPath(path), "tok\nLOG_COMPACT")
+    setLockAge(path, Txn.LockTimeoutDefaultMs + 60000L)
+    assert(Txn.snapshotReadOnly(spark, path) == snap0,
+      "the read-only snapshot must serve the parked copy")
+    assert(!Fs.exists(spark, lp) && Fs.exists(spark, lp + "__old"),
+      "the poll must not have healed the aside")
+    // restore and confirm the live path serves identically
+    Fs.renameChecked(spark, lp + "__old", lp)
+    assert(Txn.breakLock(spark, path))
+    assert(Txn.snapshotReadOnly(spark, path) == snap0)
+  }
+
   test("two concurrent merges on one table serialize: neither " +
       "writer's rows are lost") {
     val path = mkTable("txn_race",

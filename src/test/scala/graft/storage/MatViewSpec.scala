@@ -707,4 +707,36 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
       MatView.refresh(spark, st, plain)
     }
   }
+
+  test("loadMetaReadOnly: genuine absence is authoritative, but swap " +
+      "evidence (a staged sidecar) refuses retryably — never a false " +
+      "not-a-view on a live view's machinery") {
+    // genuinely not a view: loud IllegalArgumentException, no rescan
+    val plain = tempDir("mv_ro_plain") + "/t"
+    st.write(seedRows.toDF("id", "k", "v"), plain, "delta", "overwrite")
+    intercept[IllegalArgumentException] {
+      MatView.loadMetaReadOnly(spark, plain)
+    }
+    // a live view reads fine through the read-only path
+    val src = mkSource("mv_ro_src")
+    val view = tempDir("mv_ro_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    assert(MatView.loadMetaReadOnly(spark, view).source == src)
+    // thread the full-miss interleaving deterministically: the live
+    // sidecar parked out of sight with ONLY the staged __tmp visible
+    // (mid-swapSidecar crash shape). The poller must NOT conclude
+    // not-a-view — the staged sidecar is evidence of the maintainer's
+    // in-flight swap — and must refuse RETRYABLY instead
+    val sc = view + "/" + MatView.SidecarName
+    val body = Fs.readText(spark, sc)
+    Fs.writeText(spark, sc + "__tmp", body)
+    Fs.deleteChecked(spark, sc)
+    intercept[ConcurrentWriteException] {
+      MatView.loadMetaReadOnly(spark, view)
+    }
+    // and once the swap "completes" (sidecar back in place), the same
+    // poll succeeds again with the staged debris still present
+    Fs.writeText(spark, sc, body)
+    assert(MatView.loadMetaReadOnly(spark, view).source == src)
+  }
 }
