@@ -467,7 +467,17 @@ object MatView {
     val ids = Fs.listSubdirs(spark, stage)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
+    // birth stamp BEFORE the rename into place, so every gen dir
+    // carries its creation millis IN A NAME from its first instant —
+    // [[sweepStaleGens]] ages orphans by this, never by file mtimes
+    // (object-store mtimes can be synthetic/upload-batched, and a
+    // fresh crash orphan with batched mtimes could otherwise age
+    // instantly past grace while a reader resolved through the
+    // previous sidecar still scans it). Underscore-named — parquet
+    // reads of the bucket never see it.
+    val born = System.currentTimeMillis()
     ids.foreach { b =>
+      Fs.touch(spark, s"$stage/$BucketCol=$b/$GenBornPrefix$born")
       val target = s"${intoDir.stripSuffix("/")}/${bucketDirName(b, gen)}"
       fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
       Fs.renameChecked(spark, s"$stage/$BucketCol=$b", target)
@@ -475,6 +485,11 @@ object MatView {
     Fs.deleteChecked(spark, stage)
     ids
   }
+
+  /** Birth-stamp marker file inside every staged generation dir:
+    * `_graft_born_<creationMillis>` — the age authority for
+    * [[sweepStaleGens]]. */
+  private[storage] val GenBornPrefix = "_graft_born_"
 
   /** Sweep state-generation debris: any `b<i>/g<gen>` dir the manifest does
     * not reference is either a superseded generation or a crashed
@@ -516,19 +531,34 @@ object MatView {
               .filter(_ => gd.startsWith("g")).foreach { g =>
               if (!live.contains(g)) gcGuard(s"$base/$bd/$gd") {
                 val p = new org.apache.hadoop.fs.Path(s"$base/$bd/$gd")
-                // aged by the newest FILE inside (file mtimes are
-                // upload-authoritative even where directory mtimes
-                // are synthetic — the WAP-stage sweep's rule); dir
-                // mtime only for an empty dir
-                var n = -1L
-                val it = fs.listFiles(p, true)
-                while (it.hasNext) {
-                  val f = it.next()
-                  if (f.getModificationTime > n)
-                    n = f.getModificationTime
+                // aged by the BIRTH STAMP the staging write put in
+                // the dir's own name-space (`_graft_born_<millis>`) —
+                // creation time rides in a NAME, like __graft_snap_,
+                // so age never trusts mtimes (synthetic / upload-
+                // batched on object stores: a fresh crash orphan
+                // could otherwise age instantly past grace under a
+                // reader still resolving through the previous
+                // sidecar). Mtime only as the back-compat fallback
+                // for pre-stamp debris.
+                val names = fs.listStatus(p).map(_.getPath.getName)
+                val born = names.collectFirst {
+                  case n if n.startsWith(GenBornPrefix) =>
+                    n.stripPrefix(GenBornPrefix).toLongOption
+                }.flatten
+                val age = born match {
+                  case Some(b) => now - b
+                  case None =>
+                    var n = -1L
+                    val it = fs.listFiles(p, true)
+                    while (it.hasNext) {
+                      val f = it.next()
+                      if (f.getModificationTime > n)
+                        n = f.getModificationTime
+                    }
+                    if (n < 0) n = fs.getFileStatus(p).getModificationTime
+                    now - n
                 }
-                if (n < 0) n = fs.getFileStatus(p).getModificationTime
-                if (now - n > grace) Fs.delete(spark, p.toString)
+                if (age > grace) Fs.delete(spark, p.toString)
               }
             }
           }

@@ -539,6 +539,10 @@ object Txn {
     * maintenance reader ([[MatView.refresh]], the streaming
     * replication/maintenance loops) to turn the microsecond window
     * into a bounded retry instead of a dead long-lived stream. */
+  /** Spark task part-file naming (`part-00000-<uuid>…`): the data
+    * files every managed root holds. */
+  private val PartFileRe = "part-\\d{5}-".r
+
   private[graft] def isSwapWindowRace(e: Throwable): Boolean = {
     val seen = scala.collection.mutable.Set[Throwable]()
     // The two raw-substring shapes below fire on ANY exception text,
@@ -551,7 +555,15 @@ object Txn {
     // costing maxAttempts silent retries of the body.
     def enginePath(m: String): Boolean =
       m.contains("_graft") || m.contains("__tmp") ||
-        m.contains("__old") || m.contains(".parquet") ||
+        m.contains("__old") ||
+        // a SPARK-WRITTEN part file (the shape a data-file read
+        // racing a COW swap produces — every managed root's data is
+        // task part files). `.parquet` alone proved too broad: a
+        // foreign job's genuinely missing parquet input — the most
+        // common user-data shape there is — would cost maxAttempts
+        // silent retries before surfacing, so the suffix only counts
+        // alongside the task part-file naming convention
+        (m.contains(".parquet") && PartFileRe.findFirstIn(m).isDefined) ||
         // Spark's own output markers live inside every managed root
         // and vanish with it mid-swap (the permission loader dies on
         // exactly these during a root listing)

@@ -316,6 +316,16 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
         "/usr/local/bin/udf_helper.sh")))
     assert(!isSwapWindowRace(new RuntimeException(
       "bash: /data/scripts/transform.sh: No such file or directory")))
+    // a foreign job's genuinely MISSING PARQUET INPUT — the most
+    // common user-data shape — must fail fast too: `.parquet` counts
+    // as an engine path only alongside the task part-file naming
+    assert(!isSwapWindowRace(new RuntimeException(
+      "Job aborted due to stage failure: Task 0 failed: " +
+        "Caused by: java.io.FileNotFoundException: " +
+        "File file:/data/input/users.parquet does not exist")))
+    assert(!isSwapWindowRace(new RuntimeException(
+      "ls: cannot access '/warehouse/events.parquet': " +
+        "No such file or directory")))
     assert(!isSwapWindowRace(new RuntimeException("boom")))
     assert(!isSwapWindowRace(new IllegalArgumentException(
       "matview keys must be non-null")))
@@ -660,6 +670,56 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
         "full.id = incremental.id", captureChanges = true)
       assert(MatView.refresh(spark, st, view).mode == "incremental")
       assert(!fs.exists(debris), "aged unreferenced debris must sweep")
+      assertDfEqual(MatView.read(spark, view), recompute(src))
+    } finally spark.conf.unset(MatView.GenGraceKey)
+  }
+
+  test("bucketed state: the gen sweep ages by the birth stamp in the " +
+      "dir, never by file mtimes — synthetic mtimes cannot rush or " +
+      "stall the sweep") {
+    val src = mkSource("mv_born")
+    val view = tempDir("mv_born_v") + "/v"
+    spark.conf.set(MatView.GenGraceKey, "600000")
+    try {
+      MatView.create(spark, st, src, view, Seq("k"), "v")
+      val meta0 = MatView.loadMeta(spark, view)
+      val fs = new org.apache.hadoop.fs.Path(view)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // every LIVE gen dir carries a birth marker from staging
+      meta0.bucketGens.foreach { case (b, g) =>
+        val names = fs.listStatus(new org.apache.hadoop.fs.Path(
+          f"$view/b$b%05d/g$g%012d")).map(_.getPath.getName)
+        assert(names.exists(_.startsWith("_graft_born_")),
+          s"staged gen dir must be birth-stamped: ${names.toSeq}")
+      }
+      val someBucket = meta0.bucketGens.head._1
+      def plant(gen: Long, bornAgoMs: Long,
+                mtimeAgoMs: Long): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(
+          f"$view/b$someBucket%05d/g$gen%012d")
+        MatView.read(spark, view).limit(1).write.parquet(p.toString)
+        Fs.touch(spark, p.toString + "/_graft_born_" +
+          (System.currentTimeMillis() - bornAgoMs))
+        val it = fs.listFiles(p, true)
+        while (it.hasNext)
+          fs.setTimes(it.next().getPath,
+            System.currentTimeMillis() - mtimeAgoMs, -1)
+        p
+      }
+      // orphan 1: born long ago, files look FRESH (mtime would keep
+      // it) — the name-stamp must sweep it
+      val expired = plant(meta0.stateGen + 7, 700000L, 0L)
+      // orphan 2: born just now, files look ANCIENT (a store with
+      // upload-batched mtimes — mtime would sweep it instantly while
+      // a reader on the previous sidecar still scans) — kept
+      val fresh = plant(meta0.stateGen + 8, 0L, 700000L)
+      st.merge(Seq((1L, "a", 9.0)).toDF("id", "k", "v"), src,
+        "full.id = incremental.id", captureChanges = true)
+      assert(MatView.refresh(spark, st, view).mode == "incremental")
+      assert(!fs.exists(expired),
+        "an orphan born past grace must sweep despite fresh mtimes")
+      assert(fs.exists(fresh),
+        "an orphan born in-grace must survive despite ancient mtimes")
       assertDfEqual(MatView.read(spark, view), recompute(src))
     } finally spark.conf.unset(MatView.GenGraceKey)
   }
