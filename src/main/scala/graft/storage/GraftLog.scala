@@ -242,6 +242,9 @@ object GraftLog {
         new Path(p).getName).getOrElse(Long.MaxValue)
       if (now - stamp > retain) Fs.delete(spark, p)
     }
+    // expired PARTITION snapshots sweep at full-root swaps too (the
+    // same later-swaps-and-vacuum-only rule, both directions)
+    PartitionSwap.sweepExpired(spark, base)
   }
 
   /** The commit lock (when held — [[Txn.withTableLock]]) rides into

@@ -219,6 +219,23 @@ object Maintenance {
               "retention window — possibly mid-read; left for a " +
               "later vacuum")
       }
+      // partition-scoped snapshots (consumed PartitionSwap asides,
+      // `<base>__graft_partsnap_<millis>`) — same window, same
+      // name-carried age, same mid-read caution
+      Txn.partSnapshots(spark, base).foreach { p =>
+        val stamp = Txn.partSnapshotStamp(new Path(p).getName)
+          .getOrElse(Long.MaxValue)
+        val age = now - stamp
+        if (age > retain)
+          actions += delete(p,
+            s"expired partition snapshot (age $age ms > $retain ms " +
+              "retention window)")
+        else
+          actions += VacuumAction("skip", p, "",
+            s"partition snapshot age $age ms within the $retain ms " +
+              "retention window — possibly mid-composed-read; left " +
+              "for a later vacuum")
+      }
     }
 
     // --- interrupted partition-scoped commit ([[PartitionSwap]] —

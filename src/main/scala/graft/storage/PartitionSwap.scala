@@ -56,6 +56,7 @@ object PartitionSwap {
     Fs.deleteChecked(spark, aside) // heal() ran at mutation entry
     val fs = new Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    val born = Seq.newBuilder[String]
     replaced.foreach { values =>
       val frag = Fs.partitionDirName(parts, values)
       val staged = tmp + "/" + frag
@@ -70,10 +71,12 @@ object PartitionSwap {
         val asideLeaf = aside + "/" + frag
         fs.mkdirs(new Path(asideLeaf).getParent)
         Fs.renameChecked(spark, live, asideLeaf)
-      } else
+      } else {
         // a brand-new partition: nothing to park, but a multi-level
         // layout's intermediate dirs may not exist yet for the rename
         fs.mkdirs(new Path(live).getParent)
+        born += frag
+      }
       Fs.renameChecked(spark, staged, live)
     }
     removed.foreach { values =>
@@ -85,22 +88,110 @@ object PartitionSwap {
         Fs.renameChecked(spark, live, asideLeaf)
       }
     }
-    // COMMIT POINT: one rename retires the whole aside before its
-    // (non-atomic, recursive) delete. A crash mid-delete of a LIVE
-    // aside would leave half-emptied leaves that heal() would then
-    // restore as live partitions — a partition serving an arbitrary
-    // subset of its rows. A consumed root is never healed from, only
-    // swept.
+    // partitions this swap CREATED go in a manifest riding the aside:
+    // the composed snapshot read ([[Txn.composeSnapshot]]) must
+    // EXCLUDE them from its pre-swap reconstruction — they did not
+    // exist in that state, and a row MOVED into a new partition would
+    // otherwise appear twice (old copy from the parked partition AND
+    // new copy from the live born dir). Written before the commit
+    // rename, so a retained snapshot always carries its birth record;
+    // a swap that only creates partitions (pure insert) materializes
+    // the aside just for the manifest — leafless, so heal() has
+    // nothing to restore from it.
+    val bornFrags = born.result()
+    if (bornFrags.nonEmpty) {
+      fs.mkdirs(new Path(aside))
+      Fs.writeText(spark, aside + "/" + BornManifest,
+        bornFrags.mkString("\n"))
+    }
+    // COMMIT POINT: one rename retires the whole aside. A crash
+    // mid-delete of a LIVE aside would leave half-emptied leaves that
+    // heal() would then restore as live partitions — a partition
+    // serving an arbitrary subset of its rows. A consumed root is
+    // never healed from, only swept.
+    //
+    // With snapshot retention on, the consumed aside is RETAINED as
+    // `<base>__graft_partsnap_<millis>` for the same window full-root
+    // COW swaps give ([[Txn.SnapshotRetainKey]]): it is already a
+    // complete pre-swap copy of every replaced/removed partition, so
+    // retention is one rename — the partitioned-table half of the
+    // lock-free reader's snapshot fallback ([[Txn.retryReadComposed]]
+    // overlays it on the live root's untouched partitions). Swept
+    // only at later swaps and in vacuum, never from a read path.
     if (Fs.exists(spark, aside)) {
-      Fs.deleteChecked(spark, consumedPath(base))
-      Fs.renameChecked(spark, aside, consumedPath(base))
+      val retain = Txn.snapshotRetainMs(spark)
+      if (retain <= 0L) {
+        Fs.deleteChecked(spark, consumedPath(base))
+        Fs.renameChecked(spark, aside, consumedPath(base))
+      } else {
+        val now = System.currentTimeMillis()
+        var snap = base.stripSuffix("/") + Txn.PartSnapInfix + now
+        var bump = 0L
+        while (Fs.exists(spark, snap)) {
+          bump += 1
+          snap = base.stripSuffix("/") + Txn.PartSnapInfix + (now + bump)
+        }
+        Fs.renameChecked(spark, aside, snap)
+      }
     }
     Fs.deleteChecked(spark, consumedPath(base))
+    sweepExpired(spark, base)
+  }
+
+  /** Sweep retained partition snapshots past the retention window
+    * (age in the NAME — no mtime trust). Tolerant deletes: this runs
+    * after the commit point, and vacuum plans the same targets. */
+  private[storage] def sweepExpired(spark: SparkSession,
+                                    base: String): Unit = {
+    val retain = Txn.snapshotRetainMs(spark)
+    val now = System.currentTimeMillis()
+    Txn.partSnapshots(spark, base).foreach { p =>
+      val stamp = Txn.partSnapshotStamp(
+        new Path(p).getName).getOrElse(Long.MaxValue)
+      if (now - stamp > retain) Fs.delete(spark, p)
+    }
+  }
+
+  /** (absolute leaf dir, path relative to `base`) for every LIVE
+    * hive-layout partition directory under a table root — the
+    * composed snapshot read's untouched-partition set. Descends only
+    * `k=v` segments, so sidecars (underscore dirs, and their interior
+    * `batch=` dirs) never appear; leaf = a `=`-dir with no `=`
+    * children. Empty for unpartitioned roots. */
+  def liveLeaves(spark: SparkSession,
+                 base: String): Seq[(String, String)] = {
+    val root = new Path(base.stripSuffix("/"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootStr = fs.makeQualified(root).toString
+    def walk(dir: Path): Seq[(String, String)] = {
+      val parts = fs.listStatus(dir).toSeq.filter(st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          st.getPath.getName.contains("="))
+      if (parts.isEmpty) {
+        val p = fs.makeQualified(dir).toString
+        if (p == rootStr) Nil // unpartitioned (or empty) root
+        else Seq((p, p.stripPrefix(rootStr).stripPrefix("/")))
+      } else parts.flatMap(s => walk(s.getPath))
+    }
+    walk(root)
   }
 
   /** Post-commit retired aside awaiting deletion — pure debris at any
     * age (the rename that created it IS the commit point). */
   def consumedPath(base: String): String = asidePath(base) + "__consumed"
+
+  /** Manifest file (aside-root-level, underscore-named) listing the
+    * hive fragments of partitions the swap CREATED — the composed
+    * snapshot read's exclusion record. */
+  val BornManifest = "_graft_born_parts"
+
+  /** The born-partition fragments a retained snapshot (or aside)
+    * recorded; empty when the swap created none. */
+  def bornParts(spark: SparkSession, snapRoot: String): Seq[String] = {
+    val p = snapRoot.stripSuffix("/") + "/" + BornManifest
+    if (!Fs.exists(spark, p)) Nil
+    else Fs.readText(spark, p).linesIterator.filter(_.nonEmpty).toSeq
+  }
 
   /** Recover a crashed partition-scoped commit (see the class doc).
     * Idempotent; no-op without an aside. Every partition-mutating

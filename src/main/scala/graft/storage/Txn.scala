@@ -80,7 +80,14 @@ case class OpLogSnapshot(entries: Long, maxSeq: Long)
   * to the newest retained snapshot via [[retryReadSnapshot]]: the
   * snapshot is never mutated again, so that attempt terminates, at
   * the cost of reading a state up to the retention window stale —
-  * the same trade MVCC formats make, with the window explicit. */
+  * the same trade MVCC formats make, with the window explicit.
+  * PARTITION-SCOPED commits ([[PartitionSwap]] — the hot write path
+  * of partitioned tables) get the same window: a completed commit
+  * retains its consumed aside (the pre-swap copies of every touched
+  * partition) as `<base>__graft_partsnap_<millis>`, and
+  * [[retryReadComposed]] overlays those immutable copies on the live
+  * root's untouched partitions, pinning every contended partition to
+  * a stable path across retries. */
 object Txn {
 
   val LockFileName = "_graft_txn_lock"
@@ -110,25 +117,49 @@ object Txn {
   private[graft] def snapshotRetainMs(spark: SparkSession): Long =
     confMs(spark, SnapshotRetainKey, SnapshotRetainDefaultMs)
 
+  /** Sibling-name infix of a retained PARTITION-SCOPED snapshot: the
+    * consumed rename-aside mirror of a completed [[PartitionSwap]]
+    * commit, holding the REPLACED/REMOVED partitions' pre-swap copies
+    * in the mirrored hive layout. Unlike a full-root snapshot it is
+    * NOT a complete table — [[composeSnapshot]] overlays it on the
+    * live root's untouched partitions. Creation millis in the name,
+    * like [[SnapshotInfix]]. */
+  private[storage] val PartSnapInfix = "__graft_partsnap_"
+
   /** Retained snapshots of `path`, oldest → newest (absolute paths).
     * One parent-dir listing; empty when retention is off or nothing
     * is retained. */
-  def snapshots(spark: SparkSession, path: String): Seq[String] = {
+  def snapshots(spark: SparkSession, path: String): Seq[String] =
+    siblingSnaps(spark, path, SnapshotInfix)
+
+  /** Retained partition-scoped snapshots (consumed PartitionSwap
+    * asides), oldest → newest. */
+  def partSnapshots(spark: SparkSession, path: String): Seq[String] =
+    siblingSnaps(spark, path, PartSnapInfix)
+
+  private def siblingSnaps(spark: SparkSession, path: String,
+                           infix: String): Seq[String] = {
     val base = new Path(path.stripSuffix("/"))
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val parent = base.getParent
-    val prefix = base.getName + SnapshotInfix
+    val prefix = base.getName + infix
     if (parent == null || !fs.exists(parent)) Nil
     else fs.listStatus(parent).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .sortBy(st => snapshotStamp(st.getPath.getName).getOrElse(0L))
+      .sortBy(st => stampOf(st.getPath.getName, infix).getOrElse(0L))
       .map(_.getPath.toString)
   }
 
-  private[storage] def snapshotStamp(name: String): Option[Long] = {
-    val i = name.lastIndexOf(SnapshotInfix)
+  private[storage] def snapshotStamp(name: String): Option[Long] =
+    stampOf(name, SnapshotInfix)
+
+  private[storage] def partSnapshotStamp(name: String): Option[Long] =
+    stampOf(name, PartSnapInfix)
+
+  private def stampOf(name: String, infix: String): Option[Long] = {
+    val i = name.lastIndexOf(infix)
     if (i < 0) None
-    else name.substring(i + SnapshotInfix.length).toLongOption
+    else name.substring(i + infix.length).toLongOption
   }
 
   /** Bounded retry for a lock-free READ racing a hot writer, with the
@@ -161,6 +192,123 @@ object Txn {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** [[retryReadSnapshot]] for PARTITIONED tables, where the retained
+    * fallback is not a complete root: a [[PartitionSwap]] commit
+    * retains its consumed aside as `<base>__graft_partsnap_<millis>`
+    * — the pre-swap copies of exactly the partitions it touched — and
+    * the fallback OVERLAYS those on the live root's untouched
+    * partitions ([[composeSnapshot]]). `body` receives the composed
+    * frame (the raw parquet view of the table, as reading the root
+    * directly would give).
+    *
+    * Convergence under a tight-loop mutator — the case plain retries
+    * livelock on: every partition a mutation touches mid-read resolves
+    * on the NEXT attempt through an IMMUTABLE parked copy (asides are
+    * never mutated once parked, only age-swept), so each retry pins
+    * more of the plan to stable paths; only never-yet-touched
+    * partitions still read live, and those are exactly the ones no
+    * mutation is racing. The composed state is the table just before
+    * the OLDEST retained partition swap — up to the retention window
+    * stale, the same trade the full-root snapshot makes. A full-root
+    * COW swap in the window supersedes older partition snapshots (the
+    * live lineage they overlay is gone): composition uses only
+    * partition snapshots NEWER than the newest full-root snapshot and
+    * otherwise falls back to that complete snapshot, exactly like
+    * [[retryReadSnapshot]]. */
+  def retryReadComposed[T](spark: SparkSession, path: String,
+                           maxAttempts: Int = 5, sleepMs: Long = 200L)
+                          (body: org.apache.spark.sql.DataFrame => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val base = path.stripSuffix("/")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        // frame construction (schema inference, leaf listing) races
+        // swaps exactly like execution — build inside the try
+        val frame =
+          if (attempt == 1) spark.read.parquet(base)
+          else composeSnapshot(spark, base).getOrElse(
+            spark.read.parquet(
+              snapshots(spark, base).lastOption.getOrElse(base)))
+        return body(frame)
+      } catch {
+        case _: ConcurrentWriteException if attempt < maxAttempts =>
+          Thread.sleep(sleepMs)
+        case e if attempt < maxAttempts && isSwapWindowRace(e) =>
+          Thread.sleep(sleepMs)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** The composed pre-swap view: parked partition copies (oldest
+    * retained partition snapshot first — first-wins per partition,
+    * reconstructing the state just before the oldest retained swap)
+    * overlaid on the live root's untouched partitions. None when no
+    * usable partition snapshot is retained (unpartitioned table,
+    * retention off, or a newer full-root snapshot supersedes them
+    * all). */
+  private[graft] def composeSnapshot(spark: SparkSession, base: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val cut = snapshots(spark, base)
+      .flatMap(p => snapshotStamp(new Path(p).getName)).maxOption
+    val usable = partSnapshots(spark, base).filter { p =>
+      val s = partSnapshotStamp(new Path(p).getName).getOrElse(0L)
+      cut.forall(s > _)
+    }
+    if (usable.isEmpty) return None
+    // first event per partition, OLDEST snapshot first, decides its
+    // fate in the reconstructed state:
+    //  - PARKED there → that copy IS the pre-cut content (untouched
+    //    between the cut and its first park, by definition of first);
+    //  - BORN there (the swap's born manifest) → the partition did
+    //    not exist at the cut — excluded entirely (a parked copy in a
+    //    LATER snap holds post-birth rows and must not resurrect);
+    //  - no event → untouched all window: read live.
+    val decided = scala.collection.mutable
+      .LinkedHashMap[String, Option[(String, String)]]()
+    usable.foreach { snapRoot =>
+      PartitionSwap.bornParts(spark, snapRoot).foreach { rel =>
+        if (!decided.contains(rel)) decided(rel) = None
+      }
+      PartitionSwap.asideLeaves(spark, snapRoot).foreach {
+        case (leaf, rel) =>
+          if (!decided.contains(rel)) decided(rel) = Some((snapRoot, leaf))
+      }
+    }
+    if (decided.isEmpty) return None
+    val chosen = decided.collect { case (rel, Some(v)) => rel -> v }
+    val live = PartitionSwap.liveLeaves(spark, base)
+      .filterNot { case (_, rel) => decided.contains(rel) }
+    if (chosen.isEmpty && live.isEmpty) return None
+    // one read per root — basePath recovers the partition columns
+    // from the mirrored hive layout
+    val bySnap = chosen.values.toSeq.groupBy(_._1).toSeq
+      .sortBy(_._1).map { case (root, vs) => (root, vs.map(_._2)) }
+    val frames =
+      (if (live.nonEmpty)
+        Seq(spark.read.option("basePath", base)
+          .parquet(live.map(_._1): _*))
+      else Nil) ++
+        bySnap.map { case (root, leaves) =>
+          spark.read.option("basePath", root).parquet(leaves: _*) }
+    // align on the first frame's schema: partition-value INFERENCE
+    // runs per read over disjoint value subsets and can disagree on
+    // types; a column a parked copy lacks (pre-evolution files —
+    // only possible when no full-root snapshot fenced the window)
+    // reads as typed null
+    import org.apache.spark.sql.functions.{col, lit}
+    val ref = frames.head.schema
+    val aligned = frames.map { f =>
+      val have = f.schema.fieldNames.toSet
+      f.select(ref.map(fd =>
+        (if (have.contains(fd.name)) col(fd.name) else lit(null))
+          .cast(fd.dataType).as(fd.name)): _*)
+    }
+    Some(aligned.reduce(_ unionByName _))
   }
 
   /** Age past which a lock is presumed crashed debris and may be

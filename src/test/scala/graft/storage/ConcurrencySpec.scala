@@ -386,6 +386,116 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
       a.detail.contains("expired")), s"plan: $plan")
   }
 
+  test("composed partition snapshot: a PartitionSwap commit retains " +
+      "its pre-swap partitions, and the composed read reconstructs " +
+      "the state before the oldest retained swap — born partitions " +
+      "excluded, full-root swaps superseding") {
+    val path = tempDir("txn_partsnap") + "/t"
+    val rows0 = (1L to 30L).map(i => (i, s"p${i % 3}", s"v$i"))
+    st.write(rows0.toDF("id", "part", "v"), path, "delta",
+      "overwrite", Seq("part"))
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
+      df.select("id", "part", "v").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq
+    val before = norm(st.read(path, "delta"))
+    // partition-scoped delete (id 4 lives in p1): parks p1's old copy
+    assert(Delete.where(spark, st, path, "id = 4") == 1L)
+    assert(Txn.partSnapshots(spark, path).size == 1,
+      "the consumed aside must be retained as a partition snapshot")
+    val composed1 = Txn.composeSnapshot(spark, path)
+    assert(composed1.isDefined)
+    assert(norm(composed1.get) == before,
+      "the composed read must reconstruct the pre-swap state")
+    // a second swap on the same partition: the OLDEST copy still wins
+    assert(Delete.where(spark, st, path, "id = 7") == 1L)
+    assert(Txn.partSnapshots(spark, path).size == 2)
+    assert(norm(Txn.composeSnapshot(spark, path).get) == before,
+      "first-parked-wins: still the state before the OLDEST swap")
+    // attempt 1 of the composed retry reads the LIVE root
+    assert(Txn.retryReadComposed(spark, path)(_.count()) == 28L)
+    // a row MOVED into a brand-new partition: the born manifest must
+    // keep it out of the reconstruction (it would otherwise appear
+    // twice — old copy in parked p2, new copy in live p9)
+    st.merge(Seq((9L, "p9", "moved")).toDF("id", "part", "v"), path,
+      "full.id = incremental.id")
+    assert(norm(Txn.composeSnapshot(spark, path).get) == before,
+      "a partition born in the window must not leak into the " +
+        "pre-window reconstruction")
+    // a full-root COW swap (overwrite) supersedes every older
+    // partition snapshot — the complete snapshot is the fallback
+    st.write(rows0.take(6).toDF("id", "part", "v"), path, "delta",
+      "overwrite", Seq("part"))
+    assert(Txn.composeSnapshot(spark, path).isEmpty,
+      "partition snapshots of a replaced lineage must not compose " +
+        "over the new live root")
+    assert(Txn.snapshots(spark, path).nonEmpty,
+      "the full-root swap retains its complete snapshot instead")
+    // vacuum: in-window partition snapshots are skip-reported, never
+    // deleted; everything is swept once expired
+    val plan = Maintenance.vacuum(spark, path, dryRun = true)
+    val partActions = plan.filter(_.target.contains("__graft_partsnap_"))
+    assert(partActions.nonEmpty && partActions.forall(_.kind == "skip"),
+      s"in-window partition snapshots must skip-report: $plan")
+    spark.conf.set(Txn.SnapshotRetainKey, "0")
+    try {
+      Maintenance.vacuum(spark, path, dryRun = false)
+      assert(Txn.partSnapshots(spark, path).isEmpty &&
+        Txn.snapshots(spark, path).isEmpty,
+        "expired snapshots of both shapes sweep in vacuum")
+    } finally spark.conf.unset(Txn.SnapshotRetainKey)
+  }
+
+  test("soak: composed reads over a PARTITIONED table survive a " +
+      "TIGHT-LOOP mutator — parked partition copies pin contended " +
+      "paths where live-root retries would livelock") {
+    // the partitioned twin of the snapshot-window soak: merges here
+    // commit through PartitionSwap (no full-root COW), so the
+    // full-root snapshot fallback never exists — the retained
+    // partition asides are the ONLY stable paths, and
+    // retryReadComposed overlays them on the untouched live dirs
+    val path = tempDir("txn_partread") + "/t"
+    st.write((1L to 50L).map(i => (i, s"p${i % 5}", s"v$i"))
+      .toDF("id", "part", "v"), path, "delta", "overwrite", Seq("part"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val died = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val mutator = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get()) {
+          i += 1
+          val id = i % 50 + 1L
+          // update-only rotation across partitions: every committed
+          // (and every composed pre-window) state holds 50 rows
+          st.merge(Seq((id, s"p${id % 5}", s"m$i"))
+            .toDF("id", "part", "v"), path,
+            "full.id = incremental.id")
+        }
+      } catch { case t: Throwable => died.compareAndSet(null, t) }
+    })
+    mutator.start()
+    val deadline = System.currentTimeMillis() +
+      sys.env.get("GRAFT_READER_SOAK_MS").map(_.toLong).getOrElse(10000L)
+    try {
+      var rounds = 0
+      while (System.currentTimeMillis() < deadline && died.get() == null) {
+        rounds += 1
+        // a deliberately slow read stretching execution across many
+        // partition swaps
+        val n = Txn.retryReadComposed(spark, path) { df =>
+          df.as[(Long, String, String)]
+            .mapPartitions { it => Thread.sleep(120); it }.count()
+        }
+        assert(n == 50L, s"every consistent state holds 50 rows, got $n")
+      }
+      assert(rounds >= 3, s"soak too short to mean anything: $rounds")
+      assert(Txn.partSnapshots(spark, path).nonEmpty,
+        "a hot partition mutator must leave retained partition " +
+          "snapshots inside the window")
+    } finally { stop.set(true); mutator.join() }
+    assert(died.get() == null,
+      s"the mutator died mid-soak: ${died.get()}")
+  }
+
   test("time travel on a RETAINED SNAPSHOT skips its frozen unmarked " +
       "batch (never-applied by construction) instead of refusing") {
     // a snapshot parked mid-capture keeps an unmarked batch dir and a
