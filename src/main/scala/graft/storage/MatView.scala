@@ -174,6 +174,17 @@ object MatView {
   val GenGraceKey = "spark.graft.matviewGenGraceMs"
   val GenGraceDefaultMs: Long = 900000L
 
+  /** Feed-bytes ceiling under which an incremental refresh COLLECTS
+    * its aggregated delta to a driver LocalRelation instead of
+    * localCheckpoint-ing it — removing one full Spark job per refresh
+    * and making the affected-bucket probe a local scan. Probed from a
+    * driver file listing of the new batch dirs (no job). The
+    * aggregated delta has at most one row per changed key, so its
+    * size is bounded by the probed feed bytes; the steady-state
+    * micro-batch delta of a continuously-maintained view is KBs. */
+  val LocalDeltaBytesKey = "spark.graft.matviewLocalDeltaBytes"
+  val LocalDeltaBytesDefault: Long = 4L * 1024 * 1024
+
   /** Staging-only bucket column name (never stored in data files —
     * it becomes the partition dir and is dropped on the rename). */
   private[storage] val BucketCol = "__graft_sb"
@@ -881,18 +892,48 @@ object MatView {
 
     val bucketed = meta.buckets > 0
     if (bucketed) sweepStaleGens(spark, viewBase, meta)
-    // |changed keys|-sized; materialized once so the affected-bucket
-    // listing and the fold join don't each re-run the feed scan
-    val deltas = if (bucketed) deltas0.localCheckpoint() else deltas0
-    // the buckets this refresh touches — a key absent from the delta
-    // cannot live in any other bucket (same hash), so both the state
-    // READ and the commit WRITE below are bounded by this set.
-    // Driver-side collect of at most `buckets` ints.
-    val affected: Set[Int] =
-      if (bucketed)
-        deltas.select(bucketIdCol(meta).as("__b")).distinct()
+    // The delta must be materialized once (the affected-bucket probe
+    // and the fold join would otherwise each re-run the feed scan),
+    // and the buckets this refresh touches must be known BEFORE the
+    // state read — a key absent from the delta cannot live in any
+    // other bucket (same hash), so both the state READ and the commit
+    // WRITE are bounded by that set. HOW it materializes is sized by
+    // the feed itself, probed from a driver file listing (no job):
+    // below [[LocalDeltaBytesKey]] — the steady state of a
+    // continuously-maintained view, where every micro-batch delta is
+    // KBs — the aggregated delta COLLECTS into a LocalRelation, which
+    // removes the localCheckpoint job entirely and turns the
+    // affected-bucket probe into a millisecond local-scan job (the
+    // bucketed commit's fixed per-refresh overhead, measured at
+    // sf0.1 as q_stream_matview's round-14 regression). Above it, the
+    // round-14 shape: localCheckpoint + a distinct over the cached
+    // blocks — the delta may be large, and |delta| rows never belong
+    // on the driver.
+    val newBatchBytes: Long =
+      if (!bucketed) 0L
+      else committed.filter(_ > meta.lastBatch).map { b =>
+        Fs.dataFiles(spark,
+          s"${source.stripSuffix("/")}/${Merge.ChangesDirName}/batch=$b")
+          .map(_._2).sum
+      }.sum
+    val localDelta = bucketed && newBatchBytes <=
+      spark.conf.getOption(LocalDeltaBytesKey).map(_.toLong)
+        .getOrElse(LocalDeltaBytesDefault)
+    val (deltas, affected: Set[Int]) =
+      if (!bucketed) (deltas0, Set.empty[Int])
+      else if (localDelta) {
+        val rows = deltas0.collect() // bounded by the probed feed bytes
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), deltas0.schema)
+        val aff = local.select(bucketIdCol(meta).as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
-      else Set.empty
+        (local, aff)
+      } else {
+        val d = deltas0.localCheckpoint()
+        val aff = d.select(bucketIdCol(meta).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        (d, aff)
+      }
     val stateSide =
       if (bucketed) readState(spark, viewBase, meta, Some(affected))
       else read(spark, viewBase)
