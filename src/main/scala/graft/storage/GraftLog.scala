@@ -204,6 +204,10 @@ object GraftLog {
       Fs.writeText(spark, schemaSidecar(tmp),
         Fs.readText(spark, schemaSc))
     carryLock(spark, base, tmp)
+    // the maintainer lease is a live claim like the lock — a swap
+    // must not shed it (the maintenance stream would be re-takeable
+    // mid-flight)
+    MaintainerLease.carryInto(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     retireAside(spark, base, old)
@@ -365,6 +369,10 @@ object GraftLog {
       Fs.copyDirChecked(spark, constraints,
         tmp.stripSuffix("/") + "/" + Constraints.DirName)
     carryLock(spark, base, tmp)
+    // the maintainer lease is a live claim like the lock — a swap
+    // must not shed it (the maintenance stream would be re-takeable
+    // mid-flight)
+    MaintainerLease.carryInto(spark, base, tmp)
     Fs.renameChecked(spark, base, old)
     Fs.renameChecked(spark, tmp, base)
     retireAside(spark, base, old)

@@ -1067,6 +1067,9 @@ object MatView {
           newMeta
         }
       saveMetaInto(spark, tmp, stamped)
+      // a rebuild's root swap must not shed the live maintenance
+      // stream's lease (the Txn lock-carry rule)
+      MaintainerLease.carryInto(spark, viewBase, tmp)
       awaitSourceUnlocked(spark, newMeta.source, action)
       Txn.assertUnchanged(spark, newMeta.source, snap, action)
       if (!Fs.exists(spark, viewBase)) Fs.renameChecked(spark, tmp, viewBase)

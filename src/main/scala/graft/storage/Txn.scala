@@ -580,6 +580,17 @@ object Txn {
       case _: java.io.IOException => false
     }
 
+  /** Atomic create-if-absent of an arbitrary engine sidecar file
+    * (the [[MaintainerLease]]), with the same scheme gating as the
+    * commit lock — a lease that two maintainers can both win would
+    * report an exclusivity it does not provide. */
+  private[storage] def tryCreateFile(spark: SparkSession,
+                                     fs: org.apache.hadoop.fs.FileSystem,
+                                     lp: Path, content: String): Boolean = {
+    requireAtomicCreate(spark, fs, lp.getParent.toString)
+    tryCreate(fs, lp, content)
+  }
+
   /** Drop the lock IF this holder still owns it. A breaker may have
     * re-taken a stale lock; deleting THEIR token would unlock their
     * in-flight mutation — so the token must match. Failures are

@@ -689,6 +689,56 @@ object StreamingOps {
       .start()
   }
 
+  /** One release-listener per session for the maintainer leases the
+    * maintenance streams hold ([[graft.storage.MaintainerLease]]):
+    * graceful and failed terminations both release token-checked, so
+    * a same-JVM restart-on-checkpoint never waits out the lease
+    * horizon. */
+  private val leaseListenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val leaseByQuery = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID, (SparkSession, String, String)]()
+
+  /** Acquire the single-maintainer lease for `target`, start the
+    * stream `build(token)`, and wire the release: a second maintainer
+    * anywhere refuses LOUDLY at start ([[graft.storage
+    * .MaintainerLease.acquire]]), and a maintainer taken over past
+    * the lease age is fenced at its next micro-batch (the stream
+    * bodies call `verifyAndBeat` first). */
+  private def startLeased(spark: SparkSession, target: String,
+                          owner: String)
+                         (build: String => StreamingQuery)
+      : StreamingQuery = {
+    import graft.storage.MaintainerLease
+    val token = MaintainerLease.acquire(spark, target, owner)
+    try {
+      if (leaseListenerSessions.add(spark))
+        spark.streams.addListener(
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener
+                  .QueryStartedEvent): Unit = ()
+            override def onQueryProgress(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener
+                  .QueryProgressEvent): Unit = ()
+            override def onQueryTerminated(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener
+                  .QueryTerminatedEvent): Unit = {
+              val v = leaseByQuery.remove(e.id)
+              if (v != null) MaintainerLease.release(v._1, v._2, v._3)
+            }
+          })
+      val q = build(token)
+      MaintainerLease.bindQuery(target, token, q.id)
+      leaseByQuery.put(q.id, (spark, target, token))
+      q
+    } catch {
+      case t: Throwable =>
+        MaintainerLease.release(spark, target, token)
+        throw t
+    }
+  }
+
   /** The listing-trigger scaffold shared by the directory-watching
     * maintenance streams ([[replicateStream]], [[maintainMatView]]):
     * file-triggered on `dir` by default (a micro-batch fires when new
@@ -795,9 +845,14 @@ object StreamingOps {
     val changesDir = sourcePath.stripSuffix("/") + "/" +
       graft.storage.Merge.ChangesDirName
     val txnApp = s"graft_replicate:$sourcePath"
+    startLeased(spark, replicaPath, "replicateStream") { leaseToken =>
     listingTriggerWriter(spark, changesDir,
         spark.read.parquet(changesDir).schema, checkpoint, pollInterval)
       .foreachBatch { (_: DataFrame, _: Long) =>
+        // fencing first: a maintainer presumed crashed and taken over
+        // must die here, before reading or writing anything
+        graft.storage.MaintainerLease.verifyAndBeat(
+          spark, replicaPath, leaseToken)
         // The micro-batch is a TRIGGER only; the rows replayed come
         // from the source feed DIRECTORY, listed forward from the
         // replica's applied watermark. Two reasons over replaying the
@@ -927,6 +982,7 @@ object StreamingOps {
         }
       }
       .start()
+    }
   }
 
   /** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE: keep a
@@ -982,9 +1038,14 @@ object StreamingOps {
     // serving a permanently stale view as healthy
     val consecutiveRaceFailures =
       new java.util.concurrent.atomic.AtomicInteger(0)
+    startLeased(spark, viewPath, "maintainMatView") { leaseToken =>
     listingTriggerWriter(spark, logDir, graft.storage.GraftLog.schema,
         checkpoint, pollInterval)
       .foreachBatch { (_: DataFrame, _: Long) =>
+        // fencing first: a maintainer presumed crashed and taken over
+        // must die here, before folding or staging anything
+        graft.storage.MaintainerLease.verifyAndBeat(
+          spark, viewPath, leaseToken)
         try {
           graft.storage.MatView.refresh(spark, storage, viewPath)
           consecutiveRaceFailures.set(0)
@@ -1025,6 +1086,7 @@ object StreamingOps {
         }
       }
       .start()
+    }
   }
 
   /** OPERATIONAL LAG of a maintenance target — the first question an
@@ -1053,7 +1115,38 @@ object StreamingOps {
     * side plus one feed listing — safe to poll. The probe is
     * lock-free and unsynchronized with the maintainer by design: a
     * lag probe that blocked the stream would be its own outage. */
-  def lag(spark: SparkSession, path: String): DataFrame = {
+  def lag(spark: SparkSession, path: String): DataFrame =
+    lag(spark, path, None)
+
+  /** [[lag]] with the index kinds enabled: pointed at a persisted
+    * NEAR-DUP INDEX ([[graft.ops.Dedup.saveNearDupIndex]] — the
+    * continuous-ingest dedup corpora's serving index) or a persisted
+    * ANN INDEX ([[graft.ops.AnnIndex]] — the streaming-ANN serving
+    * index), the same how-far-behind-am-I row comes back:
+    *
+    *  - `applied_batch`   — highest appended generation number
+    *                        (`inc-N` / `corpus_codes_inc-N`; 0 =
+    *                        base only)
+    *  - `pending_ops`     — appended generations not yet compacted
+    *                        (the serving plan carries one scan per
+    *                        generation — compaction debt)
+    *  - `pending_batches` — with `source` (the corpus / vector table
+    *                        the index serves): source docs the index
+    *                        does not cover (row-count comparison from
+    *                        parquet footers; 0 for a healthy
+    *                        index-before-corpus ingest). Without a
+    *                        source: 0 (the index names no source
+    *                        itself — pass it to enable the check)
+    *  - `applied_age_ms`  — ms since the index last changed (newest
+    *                        stored file; advisory)
+    *  - `up_to_date`      — pending_batches == 0
+    *
+    * Probes are bare existence checks and footer-read counts — no
+    * recoverAside anywhere (read-only by construction, like the
+    * matview/replica kinds; [[graft.ops.Dedup.nearDupIndexExists]]
+    * HEALS and must not be called from a poller). */
+  def lag(spark: SparkSession, path: String,
+          source: Option[String]): DataFrame = {
     import graft.storage.{Fs, GraftLog, MatView, Merge, Txn}
     val base = path.stripSuffix("/")
     def committedAbove(source: String, wm: Long): (Option[Long], Long) = {
@@ -1089,11 +1182,94 @@ object StreamingOps {
     // bounded lock-free read: a log/feed read racing a compaction or
     // COW swap retries instead of killing the poll (not-a-target
     // refusals are IllegalArgumentException — never retried).
+    // index-kind helpers: generation rows built directly (the feed
+    // helper above is replica/matview-shaped)
+    def idxFrame(kind: String, maxGen: Long, gens: Long,
+                 missing: Option[Long], ageMs: Option[Long]) = {
+      val pending = missing.getOrElse(0L)
+      val row = org.apache.spark.sql.Row(kind, base,
+        source.map(_.stripSuffix("/")).orNull,
+        Long.box(maxGen), null, Long.box(pending), Long.box(gens),
+        ageMs.map(Long.box).orNull, Boolean.box(pending == 0L))
+      spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+    }
+    def newestFileAge(dirs: Seq[String]): Option[Long] = {
+      var newest = -1L
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        try {
+          val it = hfs.listFiles(p, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getModificationTime > newest)
+              newest = f.getModificationTime
+          }
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      if (newest < 0) None
+      else Some(System.currentTimeMillis() - newest)
+    }
     graft.storage.Txn.retryTransient(maxAttempts = 3) {
     val asMatview =
       try Some(MatView.loadMetaReadOnly(spark, base))
       catch { case _: IllegalArgumentException => None }
-    if (asMatview.isDefined) {
+    val isNearDupIdx = !asMatview.isDefined &&
+      Seq("params", "bands", "shingles")
+        .forall(d => Fs.exists(spark, s"$base/$d"))
+    val isAnnIdx = !asMatview.isDefined && !isNearDupIdx &&
+      Fs.exists(spark, s"$base/ivf_centroids") &&
+      Fs.exists(spark, s"$base/pq_codebooks")
+    if (isNearDupIdx) {
+      // the continuous-ingest near-dup serving index: generations
+      // applied, compaction debt, and (with the corpus named)
+      // coverage — the ingest appends index-BEFORE-corpus, so a
+      // healthy drained pair covers every corpus doc
+      val incs = Fs.listSubdirs(spark, base).filter(_.matches("inc-\\d+"))
+        .map(_.stripPrefix("inc-").toLong).sorted
+      val bandsParam = spark.read.parquet(s"$base/params")
+        .select("bands").head().getInt(0)
+      val bandDirs = s"$base/bands" +: incs.map(n => s"$base/inc-$n/bands")
+      // one (id, band) row per doc per band ⇒ footer row count /
+      // bands = indexed docs; corpus docs from its footers likewise
+      val indexedDocs = spark.read.parquet(bandDirs: _*).count() /
+        math.max(1, bandsParam).toLong
+      val missing = source.map { src =>
+        math.max(0L,
+          spark.read.parquet(src.stripSuffix("/")).count() - indexedDocs)
+      }
+      val age = newestFileAge(
+        if (incs.nonEmpty) Seq(s"$base/inc-${incs.max}")
+        else Seq(s"$base/bands"))
+      idxFrame("neardup-index", incs.lastOption.getOrElse(0L),
+        incs.size.toLong, missing, age)
+    } else if (isAnnIdx) {
+      // the served ANN index: coded-corpus generations, compaction
+      // debt, and (with the vector table named) coverage of the
+      // coded corpus
+      val incs = Fs.listSubdirs(spark, base)
+        .filter(_.matches("corpus_codes_inc-\\d+"))
+        .map(_.stripPrefix("corpus_codes_inc-").toLong).sorted
+      val codeDirs =
+        (if (Fs.exists(spark, s"$base/corpus_codes"))
+          Seq(s"$base/corpus_codes") else Nil) ++
+          incs.map(n => s"$base/corpus_codes_inc-$n")
+      val missing = source.map { src =>
+        val srcCnt = spark.read.parquet(src.stripSuffix("/")).count()
+        val coded =
+          if (codeDirs.isEmpty) 0L
+          else spark.read.parquet(codeDirs: _*).count()
+        math.max(0L, srcCnt - coded)
+      }
+      // the _generation nonce rewrites on every mutation — its mtime
+      // is the last-changed instant; centroids as the pre-nonce
+      // fallback
+      val age = newestFileAge(Seq(s"$base/_generation"))
+        .orElse(newestFileAge(Seq(s"$base/ivf_centroids")))
+      idxFrame("ann-index", incs.lastOption.getOrElse(0L),
+        incs.size.toLong, missing, age)
+    } else if (asMatview.isDefined) {
       val meta = asMatview.get
       // snapshotReadOnly, not snapshot: the healing isManagedTable
       // inside Txn.snapshot can rename a parked op log aside from

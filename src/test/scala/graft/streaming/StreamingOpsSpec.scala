@@ -1555,4 +1555,106 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(streamed == expected)
   }
+
+  test("maintainer lease: a second maintenance stream on the same " +
+      "target refuses loudly naming the holder; same-JVM restart " +
+      "re-acquires; a crashed lease is taken over past its age and " +
+      "the zombie is fenced") {
+    import spark.implicits._
+    import graft.storage.{BasicStorage, ConcurrentWriteException,
+      Fs, MaintainerLease, MatView}
+    val st = new BasicStorage(spark)
+    val root = tempDir("lease")
+    val (src, view) = (root + "/src", root + "/v")
+    st.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
+      src, "delta", "overwrite")
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    st.merge(Seq((3L, "c", 3.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    val q1 = StreamingOps.maintainMatView(spark, st, view, root + "/cp1")
+    try {
+      // a SECOND maintainer on the same view refuses at start — the
+      // double-started-orchestration case
+      val e = intercept[ConcurrentWriteException] {
+        StreamingOps.maintainMatView(spark, st, view, root + "/cp2")
+      }
+      assert(e.getMessage.contains(view) ||
+        e.getMessage.contains("maintenance stream"),
+        s"the refusal must name the target or holder: ${e.getMessage}")
+      q1.processAllAvailable()
+      assert(MaintainerLease.heldBy(spark, view).isDefined,
+        "the live maintainer must hold the lease")
+    } finally q1.stop()
+    // same-JVM restart on the same checkpoint: no horizon wait
+    val q2 = StreamingOps.maintainMatView(spark, st, view, root + "/cp1")
+    try {
+      st.merge(Seq((4L, "d", 4.0)).toDF("id", "k", "v"), src,
+        "full.id = incremental.id", captureChanges = true)
+      q2.processAllAvailable()
+      assert(MatView.refresh(spark, st, view).mode == "noop",
+        "the restarted maintainer must keep the view fresh")
+      // the lease SURVIVES a rebuild's root swap (uncaptured delete
+      // forces one)
+      graft.storage.Delete.where(spark, st, src, "id = 1")
+      q2.processAllAvailable()
+      assert(MaintainerLease.heldBy(spark, view).isDefined,
+        "a rebuild's root swap must carry the lease")
+    } finally q2.stop()
+    // crashed-maintainer takeover: a foreign lease aged past the
+    // timeout is broken; the presumed-dead holder's token is FENCED
+    val zombieToken = "zombie-token"
+    Fs.writeText(spark, MaintainerLease.leasePath(view),
+      s"$zombieToken\nmaintainMatView")
+    val lp = new org.apache.hadoop.fs.Path(MaintainerLease.leasePath(view))
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    // young foreign lease: refuse, naming the holder
+    val e2 = intercept[ConcurrentWriteException] {
+      MaintainerLease.acquire(spark, view, "maintainMatView")
+    }
+    assert(e2.getMessage.contains("maintainMatView") &&
+      e2.getMessage.contains(view), e2.getMessage)
+    // aged past the horizon: taken over
+    fs.setTimes(lp, System.currentTimeMillis() -
+      graft.storage.Txn.LockTimeoutDefaultMs - 60000L, -1)
+    val usurper = MaintainerLease.acquire(spark, view, "maintainMatView")
+    // the zombie's next batch dies on the ownership verify
+    val e3 = intercept[IllegalStateException] {
+      MaintainerLease.verifyAndBeat(spark, view, zombieToken)
+    }
+    assert(e3.getMessage.contains("FENCED"), e3.getMessage)
+    // while the usurper's own verify heartbeats fine
+    MaintainerLease.verifyAndBeat(spark, view, usurper)
+    MaintainerLease.release(spark, view, usurper)
+    assert(MaintainerLease.heldBy(spark, view).isEmpty)
+  }
+
+  test("maintainer lease: replicas get the same single-maintainer " +
+      "contract") {
+    import spark.implicits._
+    import graft.storage.{BasicStorage, ConcurrentWriteException}
+    val st = new BasicStorage(spark)
+    val root = tempDir("lease_rep")
+    val (src, rep) = (root + "/src", root + "/rep")
+    val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    st.write(seed.toDF("id", "k", "v"), src, "delta", "overwrite")
+    st.write(seed.toDF("id", "k", "v"), rep, "delta", "overwrite")
+    st.merge(Seq((3L, "c", 3.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    val q1 = StreamingOps.replicateStream(spark, st, src, rep,
+      keyCols = Seq("id"), checkpoint = root + "/cp1")
+    try {
+      intercept[ConcurrentWriteException] {
+        StreamingOps.replicateStream(spark, st, src, rep,
+          keyCols = Seq("id"), checkpoint = root + "/cp2")
+      }
+      q1.processAllAvailable()
+      // the replica's own overwrite-swap carries the lease
+      assert(graft.storage.MaintainerLease.heldBy(spark, rep).isDefined,
+        "the replica rewrite must not shed the maintainer lease")
+    } finally q1.stop()
+    // restart works (registry re-take, no horizon wait)
+    val q2 = StreamingOps.replicateStream(spark, st, src, rep,
+      keyCols = Seq("id"), checkpoint = root + "/cp1")
+    try q2.processAllAvailable() finally q2.stop()
+  }
 }
