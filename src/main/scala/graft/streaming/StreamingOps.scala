@@ -1259,7 +1259,16 @@ object StreamingOps {
         val srcCnt = spark.read.parquet(src.stripSuffix("/")).count()
         val coded =
           if (codeDirs.isEmpty) 0L
-          else spark.read.parquet(codeDirs: _*).count()
+          else {
+            // one coded row per (vector, probed cell) — corpusSpill
+            // assigns a vector to several cells — so coverage counts
+            // DISTINCT vector ids (`__cid`, the stored id column),
+            // not rows; raw rows as the fallback for foreign layouts
+            val codesDf = spark.read.parquet(codeDirs: _*)
+            if (codesDf.schema.fieldNames.contains("__cid"))
+              codesDf.select("__cid").distinct().count()
+            else codesDf.count()
+          }
         math.max(0L, srcCnt - coded)
       }
       // the _generation nonce rewrites on every mutation — its mtime

@@ -1556,6 +1556,96 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == expected)
   }
 
+  test("lag covers the maintenance indexes: an ingest-maintained " +
+      "near-dup index and a served ANN index report generations, " +
+      "compaction debt, coverage and age through a mutate→drain cycle") {
+    import spark.implicits._
+    import graft.storage.BasicStorage
+    import graft.ops.{AnnIndex, Dedup, Similarity}
+    val st = new BasicStorage(spark)
+    val out = tempDir("lag_idx")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // ---- near-dup index, maintained by the real ingest stream
+    val b1 = docs.filter(col("doc_id") < 30)
+    val b2 = docs.filter(col("doc_id") >= 30 && col("doc_id") < 50)
+    b1.coalesce(1).write.mode("append").parquet(s"$out/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$out/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(b1.schema.fields))
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+    val (corpus, idx) = (s"$out/corpus", s"$out/idx")
+    val q = StreamingOps.ingestNearDedupStream(st, stream, corpus, idx,
+      "doc_id", "text", s"$out/cp", jaccardThreshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    def row(p: String, src: String) =
+      StreamingOps.lag(spark, p, Some(src)).head()
+    var r = row(idx, corpus)
+    assert(r.getAs[String]("kind") == "neardup-index" &&
+      r.getAs[String]("source") == corpus, r.toString)
+    assert(r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_batches") == 0L,
+      s"a drained ingest covers its whole corpus: $r")
+    assert(r.getAs[Long]("applied_age_ms") >= 0L)
+    val gens0 = r.getAs[Long]("pending_ops")
+    // mutate: an out-of-band corpus append the index never saw — the
+    // exact divergence this surface exists to expose
+    val extra = docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+    st.write(extra, corpus, "delta", "append")
+    r = row(idx, corpus)
+    assert(!r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_batches") == extra.count(),
+      s"uncovered corpus docs must surface as pending: $r")
+    // drain: index the stragglers — covered again, one more generation
+    Dedup.appendToNearDupIndex(spark, idx, extra, "doc_id", "text")
+    r = row(idx, corpus)
+    assert(r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_batches") == 0L, r.toString)
+    assert(r.getAs[Long]("pending_ops") == gens0 + 1,
+      s"the append adds one uncompacted generation: $r")
+    assert(r.getAs[Long]("applied_batch") > 0L)
+    // ---- ANN index: coverage of the coded corpus + compaction debt
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecsA = emb.filter(col("vec_id") < 50)
+    val vecsB = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    val srcDir = s"$out/vectors"
+    vecsA.write.mode("append").parquet(srcDir)
+    val fitted = Similarity.ivfPqFit(vecsA, "vec_id", "embedding",
+      nCentroids = 8, ivfIterations = 1, trainSampleMod = 4,
+      m = 4, pqK = 8, pqIterations = 1)
+    val annDir = s"$out/ann"
+    AnnIndex.save(spark, annDir, fitted,
+      Some(Similarity.ivfPqEncodeCorpus(fitted, vecsA, "vec_id",
+        "embedding", corpusSpill = 2)))
+    r = row(annDir, srcDir)
+    assert(r.getAs[String]("kind") == "ann-index" &&
+      r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_batches") == 0L &&
+      r.getAs[Long]("pending_ops") == 0L, r.toString)
+    assert(r.getAs[Long]("applied_age_ms") >= 0L)
+    // mutate: the vector table grows past the coded corpus
+    vecsB.write.mode("append").parquet(srcDir)
+    r = row(annDir, srcDir)
+    assert(!r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_batches") == vecsB.count(), r.toString)
+    // drain: append the new vectors' codes — one generation of debt
+    AnnIndex.appendCorpusCodes(spark, annDir,
+      Similarity.ivfPqEncodeCorpus(fitted, vecsB, "vec_id",
+        "embedding", corpusSpill = 2))
+    r = row(annDir, srcDir)
+    assert(r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_batches") == 0L &&
+      r.getAs[Long]("pending_ops") == 1L &&
+      r.getAs[Long]("applied_batch") == 1L, r.toString)
+    // compaction folds the debt away; coverage unchanged
+    AnnIndex.compactCorpusCodes(spark, annDir)
+    r = row(annDir, srcDir)
+    assert(r.getAs[Boolean]("up_to_date") &&
+      r.getAs[Long]("pending_ops") == 0L &&
+      r.getAs[Long]("applied_batch") == 0L, r.toString)
+  }
+
   test("maintainer lease: a second maintenance stream on the same " +
       "target refuses loudly naming the holder; same-JVM restart " +
       "re-acquires; a crashed lease is taken over past its age and " +
