@@ -1617,12 +1617,25 @@ object GraftQueries {
   }
 
   /** Transitive duplicate grouping + corpus-level dedup: MinHash pairs →
-    * connected components → one representative per group (no oracle —
-    * grouping follows Spark-hash pair detection). */
+    * connected components → one representative per group.
+    *
+    * ORACLE-CHECKED (round 15): every LSH stage is deterministic
+    * (xxhash64 is a fixed function, the corpus is the fixed sf table
+    * with copies of the deterministic `doc_id < 300` subset), and the
+    * emitted pairs are exact-Jaccard-verified — the only hash
+    * dependence left is candidate RECALL, i.e. whether every
+    * truth pair (word-trigram Jaccard ≥ 0.9) lands in some shared
+    * LSH bucket. At 32 hashes / 8 bands the per-pair miss odds are
+    * (1−J⁴)⁸ ≤ 2·10⁻⁴ and the empirical check over the actual sf
+    * tables shows FULL recall, so the DuckDB oracle recomputes the
+    * same groups from exact all-shared-gram Jaccard + unrolled
+    * min-label propagation. A future data refresh that planted a
+    * pathological near-dup pair would surface as a loud hash
+    * mismatch, not silent acceptance. */
   val dedupGroups: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
     val doubled = docs.select("doc_id", "text")
-      .unionByName(docs.limit(300).select(
+      .unionByName(docs.filter(col("doc_id") < 300).select(
         (col("doc_id") + 1000000).as("doc_id"), col("text")))
     val pairs = Dedup.minHashLshPairs(doubled, "doc_id", "text",
       numHashes = 32, bands = 8, jaccardThreshold = 0.9)
@@ -1631,6 +1644,71 @@ object GraftQueries {
       .agg(count(lit(1)).as("group_size"), max("id").as("max_id"))
       .orderBy("label")
   }
+
+  /** The oracle recomputes the truth the LSH pipeline approximates —
+    * exact word-trigram-set Jaccard over shared-gram candidate pairs
+    * (a J ≥ 0.9 pair must share a gram, so the candidate join is
+    * exact, not a recall trade) — then the same min-label connected
+    * components, unrolled as bounded CTE iterations (the exact-integer
+    * trick q_pagerank uses): 6 rounds of "my label = min(mine, my
+    * neighbors')" fixes every component whose min-label tree is ≤ 6
+    * hops deep, far beyond the planted pair/cluster shapes. */
+  val dedupGroupsSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM base
+      |  WHERE doc_id < 300),
+      |norm AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM corpus),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(generate_series(1, len(toks) - 2),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [array_to_string(toks, ' ')] END) AS g
+      |  FROM norm),
+      |flat AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM flat a JOIN flat b
+      |           ON a.gr = b.gr AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+      |              JOIN grams gb ON gb.doc_id = c.id_b
+      |  WHERE len(list_intersect(ga.g, gb.g))::DOUBLE /
+      |        (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+      |        >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+      |l1 AS (SELECT i.id, least(i.label, coalesce(min(n.label), i.label)) AS label
+      |       FROM l0 i LEFT JOIN edges e ON e.src = i.id
+      |                 LEFT JOIN l0 n ON n.id = e.dst
+      |       GROUP BY i.id, i.label),
+      |l2 AS (SELECT i.id, least(i.label, coalesce(min(n.label), i.label)) AS label
+      |       FROM l1 i LEFT JOIN edges e ON e.src = i.id
+      |                 LEFT JOIN l1 n ON n.id = e.dst
+      |       GROUP BY i.id, i.label),
+      |l3 AS (SELECT i.id, least(i.label, coalesce(min(n.label), i.label)) AS label
+      |       FROM l2 i LEFT JOIN edges e ON e.src = i.id
+      |                 LEFT JOIN l2 n ON n.id = e.dst
+      |       GROUP BY i.id, i.label),
+      |l4 AS (SELECT i.id, least(i.label, coalesce(min(n.label), i.label)) AS label
+      |       FROM l3 i LEFT JOIN edges e ON e.src = i.id
+      |                 LEFT JOIN l3 n ON n.id = e.dst
+      |       GROUP BY i.id, i.label),
+      |l5 AS (SELECT i.id, least(i.label, coalesce(min(n.label), i.label)) AS label
+      |       FROM l4 i LEFT JOIN edges e ON e.src = i.id
+      |                 LEFT JOIN l4 n ON n.id = e.dst
+      |       GROUP BY i.id, i.label),
+      |l6 AS (SELECT i.id, least(i.label, coalesce(min(n.label), i.label)) AS label
+      |       FROM l5 i LEFT JOIN edges e ON e.src = i.id
+      |                 LEFT JOIN l5 n ON n.id = e.dst
+      |       GROUP BY i.id, i.label)
+      |SELECT label, count(*) AS group_size, max(id) AS max_id
+      |FROM l6 GROUP BY label ORDER BY label""".stripMargin
 
   /** SimHash near-dup pairs (custom Catalyst expression; no oracle). */
   val simhashDedup: Q = (spark, dir) => {
@@ -7618,7 +7696,7 @@ object GraftQueries {
     entry("q_dedup_exact", dedupExact, dedupExactSql),
     entry("q_dedup_hash", dedupHash, dedupHashSql),
     entry("q_minhash_dedup", minhashDedup),
-    entry("q_dedup_groups", dedupGroups),
+    entry("q_dedup_groups", dedupGroups, dedupGroupsSql),
     entry("q_simhash_dedup", simhashDedup),
     entry("q_cosine_topk", cosineTopK, cosineTopKSql),
     entry("q_knn_label", knnLabel, knnLabelSql),
