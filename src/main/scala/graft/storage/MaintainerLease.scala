@@ -45,9 +45,11 @@ import org.apache.spark.sql.SparkSession
   * The lease file rides root swaps like the commit lock
   * ([[carryInto]] from the swap helpers): a rebuild that replaced the
   * view root must not silently shed the live maintainer's claim. A
-  * lease that is nonetheless missing at verify time (operator
-  * intervention) is re-taken by atomic create — losing that create to
-  * another maintainer reads as the foreign-token fence. */
+  * lease nonetheless missing at verify time (operator intervention)
+  * FENCES like a foreign token — never re-created from the verify
+  * path, which could steal the lease back from a legitimate usurper
+  * or mkdir a root inside another writer's swap window; a restart
+  * re-acquires cleanly. */
 object MaintainerLease {
 
   val FileName = "_graft_maintainer_lease"
@@ -153,9 +155,16 @@ object MaintainerLease {
 
   /** Per-micro-batch ownership check + heartbeat. A foreign token
     * means this maintainer was presumed crashed and FENCED — die
-    * loudly, never commit. A missing lease (operator removed it, or
-    * debris of an unhandled swap path) is re-taken by atomic create;
-    * losing that create reads as the fence. */
+    * loudly, never commit. A MISSING lease fences too: the file rides
+    * every root swap ([[carryInto]]) and only this stream's own batch
+    * swaps the root, so absence means an out-of-band intervention
+    * (operator break, foreign delete) — and re-creating it here would
+    * be worse than dying: a fenced zombie could steal the lease back
+    * from the legitimate usurper (ownership ping-pong), and the
+    * create's implicit mkdir of a root mid-swap would nest the
+    * swapper's rename-in. A restart re-acquires cleanly. Read errors
+    * other than absence PROPAGATE — an existing-but-unreadable lease
+    * (ACL flip) must fail diagnosably, not spin. */
   def verifyAndBeat(spark: SparkSession, target: String,
                     token: String): Unit = {
     val base = target.stripSuffix("/")
@@ -163,27 +172,23 @@ object MaintainerLease {
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     def fenced(holder: String): Nothing =
       throw new IllegalStateException(
-        s"maintenance of $base FENCED: the maintainer lease is held " +
-          s"by '$holder' — this stream was presumed crashed and " +
-          "taken over (lease aged past its timeout); stop this " +
-          "stream. Its work up to the takeover is committed; the " +
-          "usurper continues from there")
+        s"maintenance of $base FENCED: the maintainer lease is " +
+          holder + " — this stream's claim is gone (presumed crashed " +
+          "and taken over, or broken out-of-band); stop this stream. " +
+          "Its work up to the fence is committed; restart (or the " +
+          "usurper) continues from there")
     val holder =
       try Some(Fs.readText(spark, lp.toString).linesIterator.toSeq)
-      catch { case _: java.io.FileNotFoundException => None
-              case scala.util.control.NonFatal(_) => None }
+      catch { case _: java.io.FileNotFoundException => None }
     holder match {
       case Some(lines) if lines.headOption.contains(token) =>
         // heartbeat: the lease's age is its liveness signal
         try fs.setTimes(lp, System.currentTimeMillis(), -1)
         catch { case scala.util.control.NonFatal(_) => () }
       case Some(lines) =>
-        fenced(lines.drop(1).headOption.getOrElse("?"))
+        fenced(s"held by '${lines.drop(1).headOption.getOrElse("?")}'")
       case None =>
-        // vanished (not a read error — reads raced above return Some):
-        // re-take; a loser sees the winner's token next batch
-        if (!Txn.tryCreateFile(spark, fs, lp, s"$token\nrecovered"))
-          verifyAndBeat(spark, target, token)
+        fenced("MISSING")
     }
   }
 

@@ -21,17 +21,25 @@ import org.apache.spark.sql.SparkSession
   * live. A COMPLETE copy of every partition exists at every instant
   * (live, staged, or aside). Partitions EMPTIED by the mutation (no
   * surviving rows) rename into the aside with no replacement; brand
-  * NEW partitions (no live dir) just rename in. All asides drop in
-  * one recursive delete once every swap landed.
+  * NEW partitions (no live dir) rename in after their birth is
+  * recorded in the aside's manifest. Once every swap landed, the
+  * aside retires at the commit point: retained as the sibling
+  * partition snapshot `<base>__graft_partsnap_<millis>` for the
+  * [[Txn.SnapshotRetainKey]] window (the lock-free composed reader's
+  * fallback — [[Txn.retryReadComposed]]), or deleted outright when
+  * retention is off.
   *
   * Crash contract: a crash mid-commit leaves some partitions swapped
   * and some not — plus possibly one riding in the aside between its
   * two renames. [[heal]] (run by every mutation at entry, under the
-  * commit lock, and by [[Maintenance.vacuum]]) restores any leaf
-  * whose live dir is missing (the aside is the only complete copy —
-  * this also rolls back a crashed removal, which is correct: the
-  * mutation never committed its op-log row) and drops leaves whose
-  * swap completed. Until the heal runs, readers of a crashed table
+  * commit lock, and by [[Maintenance.vacuum]]) rolls the whole
+  * mutation BACK: born partitions (manifest-recorded before their
+  * rename) are deleted — the mutation never committed its op-log
+  * row, and leaving one live would serve a moved row twice against
+  * the restored original — and any leaf whose live dir is missing is
+  * restored from the aside (the only complete copy; this also rolls
+  * back a crashed removal); leaves whose swap completed are dropped
+  * with the aside. Until the heal runs, readers of a crashed table
   * can see the mid-rename partition missing — the trade is a visible,
   * healable gap instead of silent loss; the commit lock means no
   * WRITER ever acts on the un-healed state. */
@@ -56,7 +64,22 @@ object PartitionSwap {
     Fs.deleteChecked(spark, aside) // heal() ran at mutation entry
     val fs = new Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val born = Seq.newBuilder[String]
+    // partitions this swap CREATES are recorded in a manifest riding
+    // the aside, and the record lands BEFORE each born dir's rename
+    // into place (manifest-before-data): [[heal]] must roll a crashed
+    // swap's born dirs back (they belong to a mutation that never
+    // committed — leaving one live would serve a moved row twice
+    // against the restored old copy), and [[Txn.composeSnapshot]]
+    // must exclude them from its pre-swap reconstruction for the same
+    // reason. A record without its dir is a harmless no-op on both
+    // paths; a dir without its record would be the silent
+    // half-applied heal this ordering exists to prevent.
+    var born = Vector.empty[String]
+    def recordBorn(frag: String): Unit = {
+      born :+= frag
+      fs.mkdirs(new Path(aside))
+      Fs.writeText(spark, aside + "/" + BornManifest, born.mkString("\n"))
+    }
     replaced.foreach { values =>
       val frag = Fs.partitionDirName(parts, values)
       val staged = tmp + "/" + frag
@@ -75,7 +98,7 @@ object PartitionSwap {
         // a brand-new partition: nothing to park, but a multi-level
         // layout's intermediate dirs may not exist yet for the rename
         fs.mkdirs(new Path(live).getParent)
-        born += frag
+        recordBorn(frag)
       }
       Fs.renameChecked(spark, staged, live)
     }
@@ -87,22 +110,6 @@ object PartitionSwap {
         fs.mkdirs(new Path(asideLeaf).getParent)
         Fs.renameChecked(spark, live, asideLeaf)
       }
-    }
-    // partitions this swap CREATED go in a manifest riding the aside:
-    // the composed snapshot read ([[Txn.composeSnapshot]]) must
-    // EXCLUDE them from its pre-swap reconstruction — they did not
-    // exist in that state, and a row MOVED into a new partition would
-    // otherwise appear twice (old copy from the parked partition AND
-    // new copy from the live born dir). Written before the commit
-    // rename, so a retained snapshot always carries its birth record;
-    // a swap that only creates partitions (pure insert) materializes
-    // the aside just for the manifest — leafless, so heal() has
-    // nothing to restore from it.
-    val bornFrags = born.result()
-    if (bornFrags.nonEmpty) {
-      fs.mkdirs(new Path(aside))
-      Fs.writeText(spark, aside + "/" + BornManifest,
-        bornFrags.mkString("\n"))
     }
     // COMMIT POINT: one rename retires the whole aside. A crash
     // mid-delete of a LIVE aside would leave half-emptied leaves that
@@ -154,13 +161,23 @@ object PartitionSwap {
 
   /** (absolute leaf dir, path relative to `base`) for every LIVE
     * hive-layout partition directory under a table root — the
-    * composed snapshot read's untouched-partition set. Descends only
-    * `k=v` segments, so sidecars (underscore dirs, and their interior
-    * `batch=` dirs) never appear; leaf = a `=`-dir with no `=`
-    * children. Empty for unpartitioned roots. */
+    * composed snapshot read's untouched-partition set. Empty for
+    * unpartitioned roots. */
   def liveLeaves(spark: SparkSession,
-                 base: String): Seq[(String, String)] = {
-    val root = new Path(base.stripSuffix("/"))
+                 base: String): Seq[(String, String)] =
+    partitionLeaves(spark, base.stripSuffix("/"))
+
+  /** THE hive-leaf walker, shared by [[liveLeaves]] and
+    * [[asideLeaves]]: [[Txn.composeSnapshot]] matches the two sides'
+    * relative fragments by STRING EQUALITY, so both must derive them
+    * from one walker — a qualification or escaping fix applied to one
+    * copy would silently break the overlay. Descends only `k=v`
+    * segments (sidecars — underscore dirs, and their interior
+    * `batch=` dirs — never appear; nor does the aside's born
+    * manifest, a file); leaf = a `=`-dir with no `=` children. */
+  private def partitionLeaves(spark: SparkSession,
+                              base: String): Seq[(String, String)] = {
+    val root = new Path(base)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val rootStr = fs.makeQualified(root).toString
     def walk(dir: Path): Seq[(String, String)] = {
@@ -204,6 +221,20 @@ object PartitionSwap {
     Fs.deleteChecked(spark, consumedPath(base))
     val aside = asidePath(base)
     if (!Fs.exists(spark, aside)) return
+    // ROLL BACK the crashed swap's BORN partitions first: a partition
+    // the mutation CREATED (recorded in the aside's manifest) has no
+    // parked original — it simply must not exist in the rolled-back
+    // table. Leaving it live would heal into a half-applied mutation:
+    // a row the crashed merge MOVED into a new partition would be
+    // served twice (old copy restored from the aside AND the new
+    // copy in the born dir) even though the mutation never committed
+    // its op-log row. Deleting is safe precisely because the aside
+    // still exists — the commit point (the aside's rename away) was
+    // never reached, so the born dirs hold only the uncommitted
+    // staged copies. Idempotent like the rest of the heal.
+    bornParts(spark, aside).foreach { rel =>
+      Fs.delete(spark, base + "/" + rel)
+    }
     asideLeaves(spark, aside).foreach { case (leaf, rel) =>
       val live = base + "/" + rel
       if (!Fs.exists(spark, live)) Fs.renameChecked(spark, leaf, live)
@@ -211,22 +242,11 @@ object PartitionSwap {
     Fs.deleteChecked(spark, aside)
   }
 
-  /** (absolute leaf dir, path relative to `aside`) for every LEAF
-    * directory under the aside root — leaf = no subdirectories, i.e.
-    * one parked partition dir in the mirrored hive layout. */
+  /** (absolute leaf dir, path relative to `aside`) for every parked
+    * partition dir under an aside (or retained partition-snapshot)
+    * root — the mirrored hive layout walked by the same
+    * [[partitionLeaves]] as the live side. */
   def asideLeaves(spark: SparkSession,
-                  aside: String): Seq[(String, String)] = {
-    val root = new Path(aside)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val rootStr = fs.makeQualified(root).toString
-    def walk(dir: Path): Seq[(String, String)] = {
-      val subdirs = fs.listStatus(dir).filter(_.isDirectory)
-      if (subdirs.isEmpty) {
-        val p = fs.makeQualified(dir).toString
-        if (p == rootStr) Nil // empty aside root: nothing parked
-        else Seq((p, p.stripPrefix(rootStr).stripPrefix("/")))
-      } else subdirs.toSeq.flatMap(s => walk(s.getPath))
-    }
-    walk(root)
-  }
+                  aside: String): Seq[(String, String)] =
+    partitionLeaves(spark, aside.stripSuffix("/"))
 }

@@ -259,7 +259,20 @@ object Txn {
       val s = partSnapshotStamp(new Path(p).getName).getOrElse(0L)
       cut.forall(s > _)
     }
-    if (usable.isEmpty) return None
+    // the LIVE aside (`__graft_partaside`) is the newest pseudo-
+    // snapshot: an IN-FLIGHT (or crashed) partition swap parks each
+    // original there BEFORE renaming its replacement in, so a
+    // partition that already shows post-swap content live has its
+    // pre-swap copy here — without consulting it, a compose
+    // constructed mid-commit would silently mix that partition's NEW
+    // content into the pre-swap reconstruction (no error, no retry:
+    // the torn-read hole). The aside is uncommitted, so it is always
+    // part of the current lineage (no cut filter); it vanishing
+    // mid-read (commit rename / heal) is an engine-path FNFE the
+    // caller's retry classifies.
+    val liveAside = Some(PartitionSwap.asidePath(base))
+      .filter(Fs.exists(spark, _)).toSeq
+    if (usable.isEmpty && liveAside.isEmpty) return None
     // first event per partition, OLDEST snapshot first, decides its
     // fate in the reconstructed state:
     //  - PARKED there → that copy IS the pre-cut content (untouched
@@ -270,7 +283,7 @@ object Txn {
     //  - no event → untouched all window: read live.
     val decided = scala.collection.mutable
       .LinkedHashMap[String, Option[(String, String)]]()
-    usable.foreach { snapRoot =>
+    (usable ++ liveAside).foreach { snapRoot =>
       PartitionSwap.bornParts(spark, snapRoot).foreach { rel =>
         if (!decided.contains(rel)) decided(rel) = None
       }
@@ -699,8 +712,11 @@ object Txn {
     * replication/maintenance loops) to turn the microsecond window
     * into a bounded retry instead of a dead long-lived stream. */
   /** Spark task part-file naming (`part-00000-<uuid>…`): the data
-    * files every managed root holds. */
-  private val PartFileRe = "part-\\d{5}-".r
+    * files every managed root holds. `{5,}` — the padding is %05d, so
+    * tasks past 99,999 (routine at the scale this engine targets)
+    * widen the digit run; an exact-5 match would stop classifying
+    * their genuine swap races. */
+  private val PartFileRe = "part-\\d{5,}-".r
 
   private[graft] def isSwapWindowRace(e: Throwable): Boolean = {
     val seen = scala.collection.mutable.Set[Throwable]()

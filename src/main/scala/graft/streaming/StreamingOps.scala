@@ -731,6 +731,15 @@ object StreamingOps {
       val q = build(token)
       MaintainerLease.bindQuery(target, token, q.id)
       leaseByQuery.put(q.id, (spark, target, token))
+      // a stream that failed in its first instants can terminate
+      // BEFORE the put above — the async listener then saw no entry
+      // and released nothing, and the entry would leak. Release is
+      // token-checked and idempotent, so the post-put re-check and a
+      // racing listener are both safe.
+      if (!spark.streams.active.exists(_.id == q.id)) {
+        leaseByQuery.remove(q.id)
+        MaintainerLease.release(spark, target, token)
+      }
       q
     } catch {
       case t: Throwable =>
@@ -1228,13 +1237,15 @@ object StreamingOps {
       // healthy drained pair covers every corpus doc
       val incs = Fs.listSubdirs(spark, base).filter(_.matches("inc-\\d+"))
         .map(_.stripPrefix("inc-").toLong).sorted
-      val bandsParam = spark.read.parquet(s"$base/params")
-        .select("bands").head().getInt(0)
       val bandDirs = s"$base/bands" +: incs.map(n => s"$base/inc-$n/bands")
-      // one (id, band) row per doc per band ⇒ footer row count /
-      // bands = indexed docs; corpus docs from its footers likewise
-      val indexedDocs = spark.read.parquet(bandDirs: _*).count() /
-        math.max(1, bandsParam).toLong
+      // DISTINCT indexed ids, not rows/bands: the documented
+      // at-least-once index-before-corpus crash replay double-indexes
+      // a doc across two generations, and a row-count estimate would
+      // let those surplus rows mask a genuinely uncovered corpus doc
+      // — the exact divergence this surface exists to expose (the
+      // ANN branch counts distinct __cid for the same reason)
+      val indexedDocs = spark.read.parquet(bandDirs: _*)
+        .select("id").distinct().count()
       val missing = source.map { src =>
         math.max(0L,
           spark.read.parquet(src.stripSuffix("/")).count() - indexedDocs)
@@ -1300,7 +1311,15 @@ object StreamingOps {
         // aside-aware like isManagedTable, but NEVER healing from a
         // poller (read-only by contract)
         Fs.exists(spark, GraftLog.logPath(base) + "__old")) {
-      val h = GraftLog.history(spark, base)
+      // read the log from whichever side is PRESENT (the
+      // snapshotReadOnly rule): GraftLog.history reads only the live
+      // path, so a poll landing in the parked-aside window — the
+      // exact edge the guard above admits — would otherwise die on
+      // the missing live dir instead of serving the complete parked
+      // copy
+      val lp = GraftLog.logPath(base)
+      val logDir = if (Fs.exists(spark, lp)) lp else lp + "__old"
+      val h = spark.read.option("mergeSchema", "true").parquet(logDir)
       if (!h.schema.fieldNames.contains("txn_app"))
         throw new IllegalArgumentException(
           s"$path is not a maintained replica (no TXN records)")

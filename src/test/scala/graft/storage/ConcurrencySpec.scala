@@ -421,6 +421,35 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert(norm(Txn.composeSnapshot(spark, path).get) == before,
       "a partition born in the window must not leak into the " +
         "pre-window reconstruction")
+    // the LIVE aside is the newest pseudo-snapshot: a swap caught
+    // mid-commit (originals parked, replacements already live, aside
+    // not yet retired) must resolve its partitions through the parked
+    // copies — without that, a compose constructed in the window
+    // would silently mix the new content into the "pre-swap" state.
+    // Reconstruct the window by hand: park p2's current copy in the
+    // aside, then alter live p2 (what the staged rename-in does).
+    val preAside = norm(Txn.composeSnapshot(spark, path).get)
+    val asideDir = PartitionSwap.asidePath(path)
+    Fs.copyDirChecked(spark, s"$path/part=p2", s"$asideDir/part=p2")
+    val fsH = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsH.delete(new org.apache.hadoop.fs.Path(s"$path/part=p2"), true)
+    spark.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(9999L, "torn")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .write.parquet(s"$path/part=p2")
+    assert(norm(Txn.composeSnapshot(spark, path).get) == preAside,
+      "an in-flight swap's partitions must resolve through the live " +
+        "aside, never the already-swapped live content")
+    // put the table back (complete the 'swap' cleanly)
+    fsH.delete(new org.apache.hadoop.fs.Path(s"$path/part=p2"), true)
+    Fs.renameChecked(spark, s"$asideDir/part=p2", s"$path/part=p2")
+    Fs.deleteChecked(spark, asideDir)
+
     // a full-root COW swap (overwrite) supersedes every older
     // partition snapshot — the complete snapshot is the fallback
     st.write(rows0.take(6).toDF("id", "part", "v"), path, "delta",

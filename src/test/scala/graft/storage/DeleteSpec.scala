@@ -452,6 +452,39 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(MorDelete.read(spark, st, path, Seq("id")).count() == 2L)
   }
 
+  test("heal rolls a crashed swap's BORN partitions back: the " +
+      "manifest-recorded new dir is deleted with the restore, so a " +
+      "moved row is never served twice") {
+    val path = tempDir("del_bornheal") + "/t"
+    val rows = (1L to 200L).map(i => (i, s"P${i % 2}", i * 1.0))
+    st.write(rows.toDF("id", "part", "v"), path, "delta", "overwrite",
+      Seq("part"))
+    // plant the crash of a merge that MOVED row 7 from P1 into the
+    // brand-new P9: P1's original parked, its replacement (without
+    // row 7) live, P9 born and recorded — crash before the commit
+    // rename retires the aside
+    val aside = PartitionSwap.asidePath(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(aside))
+    Fs.renameChecked(spark, s"$path/part=P1", s"$aside/part=P1")
+    spark.range(1).selectExpr("7L AS id", "7.0D AS v")
+      .write.parquet(s"$path/part=P9")
+    Fs.writeText(spark, aside + "/" + PartitionSwap.BornManifest,
+      "part=P9")
+    // the next locked mutation heals first: P1 restored (row 7 back
+    // in its ORIGINAL home), born P9 rolled back — never both
+    st.merge(Seq((1L, "P0", 999.0)).toDF("id", "part", "v"), path,
+      "full.id = incremental.id", partitionFields = Seq("part"))
+    assert(!Fs.exists(spark, aside), "the heal consumed the aside")
+    assert(!Fs.exists(spark, s"$path/part=P9"),
+      "the born partition of the uncommitted mutation must roll back")
+    val healed = st.read(path, "delta")
+    assert(healed.filter(col("id") === 7L).count() == 1L,
+      "the moved row must exist exactly once after the rollback")
+    assert(healed.count() == 200L)
+  }
+
   test("partitioned merge/delete commit via rename-aside: a crashed " +
       "swap's parked partition heals at the next locked mutation, " +
       "emptied partitions are removed, no aside/tmp debris survives") {

@@ -1690,6 +1690,15 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       assert(MaintainerLease.heldBy(spark, view).isDefined,
         "a rebuild's root swap must carry the lease")
     } finally q2.stop()
+    // wait out q2's ASYNC listener release before planting: its
+    // token-matched read-then-delete could otherwise remove the
+    // overwrite-planted zombie lease (real acquirers are safe — the
+    // atomic create-if-absent can only land after the delete)
+    val relDeadline = System.currentTimeMillis() + 10000L
+    while (MaintainerLease.heldBy(spark, view).isDefined &&
+        System.currentTimeMillis() < relDeadline) Thread.sleep(50)
+    assert(MaintainerLease.heldBy(spark, view).isEmpty,
+      "q2's termination must release its lease")
     // crashed-maintainer takeover: a foreign lease aged past the
     // timeout is broken; the presumed-dead holder's token is FENCED
     val zombieToken = "zombie-token"
@@ -1716,6 +1725,13 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     MaintainerLease.verifyAndBeat(spark, view, usurper)
     MaintainerLease.release(spark, view, usurper)
     assert(MaintainerLease.heldBy(spark, view).isEmpty)
+    // a MISSING lease fences too — the verify path never re-creates
+    // it (a fenced zombie could steal the lease back, and the
+    // create's mkdir could nest a root swap's rename-in)
+    val e4 = intercept[IllegalStateException] {
+      MaintainerLease.verifyAndBeat(spark, view, usurper)
+    }
+    assert(e4.getMessage.contains("MISSING"), e4.getMessage)
   }
 
   test("maintainer lease: replicas get the same single-maintainer " +
