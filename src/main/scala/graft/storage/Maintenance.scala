@@ -257,6 +257,19 @@ object Maintenance {
             "delete was interrupted)")
       val partAside = PartitionSwap.asidePath(base)
       if (Fs.exists(spark, partAside)) {
+        // BORN partitions first (PartitionSwap.heal's rule): a
+        // partition the crashed mutation CREATED has no parked
+        // original and must not survive the rollback — deleting the
+        // aside below would otherwise destroy the only record while
+        // the dir keeps serving a moved row twice
+        PartitionSwap.bornParts(spark, partAside).foreach { rel =>
+          val live = base + "/" + rel
+          if (Fs.exists(spark, live))
+            actions += delete(live,
+              "partition born by the crashed (uncommitted) " +
+                "partition-scoped commit — rolled back with its " +
+                "parked siblings")
+        }
         PartitionSwap.asideLeaves(spark, partAside).foreach {
           case (leaf, rel) =>
             val live = base + "/" + rel

@@ -64,21 +64,28 @@ object PartitionSwap {
     Fs.deleteChecked(spark, aside) // heal() ran at mutation entry
     val fs = new Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // partitions this swap CREATES are recorded in a manifest riding
-    // the aside, and the record lands BEFORE each born dir's rename
-    // into place (manifest-before-data): [[heal]] must roll a crashed
-    // swap's born dirs back (they belong to a mutation that never
-    // committed — leaving one live would serve a moved row twice
-    // against the restored old copy), and [[Txn.composeSnapshot]]
-    // must exclude them from its pre-swap reconstruction for the same
-    // reason. A record without its dir is a harmless no-op on both
-    // paths; a dir without its record would be the silent
-    // half-applied heal this ordering exists to prevent.
-    var born = Vector.empty[String]
+    // partitions this swap CREATES are recorded in the aside's born
+    // dir, and each record lands BEFORE its dir's rename into place
+    // (record-before-data): [[heal]] must roll a crashed swap's born
+    // dirs back (they belong to a mutation that never committed —
+    // leaving one live would serve a moved row twice against the
+    // restored old copy), and [[Txn.composeSnapshot]] must exclude
+    // them from its pre-swap reconstruction for the same reason. A
+    // record without its dir is a harmless no-op on both paths; a dir
+    // without its record would be the silent half-applied heal this
+    // ordering exists to prevent. ONE IMMUTABLE FILE PER RECORD,
+    // published by rename (content = the hive fragment): rewriting a
+    // single manifest in place would truncate EXISTING records in the
+    // crash window — worse than no record, since a torn line could
+    // even name an untouched partition for heal to delete.
+    var bornN = 0
     def recordBorn(frag: String): Unit = {
-      born :+= frag
-      fs.mkdirs(new Path(aside))
-      Fs.writeText(spark, aside + "/" + BornManifest, born.mkString("\n"))
+      val dir = aside + "/" + BornDirName
+      fs.mkdirs(new Path(dir))
+      val tmpF = s"$dir/.born-$bornN.tmp"
+      Fs.writeText(spark, tmpF, frag)
+      Fs.renameChecked(spark, tmpF, s"$dir/born-$bornN")
+      bornN += 1
     }
     replaced.foreach { values =>
       val frag = Fs.partitionDirName(parts, values)
@@ -197,17 +204,23 @@ object PartitionSwap {
     * age (the rename that created it IS the commit point). */
   def consumedPath(base: String): String = asidePath(base) + "__consumed"
 
-  /** Manifest file (aside-root-level, underscore-named) listing the
-    * hive fragments of partitions the swap CREATED — the composed
-    * snapshot read's exclusion record. */
-  val BornManifest = "_graft_born_parts"
+  /** Record dir (aside-root-level, underscore-named — never walked as
+    * a partition) holding one immutable rename-published file per
+    * partition the swap CREATED, each file's content the hive
+    * fragment. The heal's rollback list and the composed snapshot
+    * read's exclusion record. */
+  val BornDirName = "_graft_born_parts"
 
   /** The born-partition fragments a retained snapshot (or aside)
-    * recorded; empty when the swap created none. */
+    * recorded; empty when the swap created none. In-flight `.tmp`
+    * records (crash between write and publish-rename) are ignored —
+    * their dirs never renamed in. */
   def bornParts(spark: SparkSession, snapRoot: String): Seq[String] = {
-    val p = snapRoot.stripSuffix("/") + "/" + BornManifest
-    if (!Fs.exists(spark, p)) Nil
-    else Fs.readText(spark, p).linesIterator.filter(_.nonEmpty).toSeq
+    val dir = snapRoot.stripSuffix("/") + "/" + BornDirName
+    if (!Fs.exists(spark, dir)) Nil
+    else Fs.listFiles(spark, dir).filter(_.startsWith("born-"))
+      .map(f => Fs.readText(spark, s"$dir/$f").trim)
+      .filter(_.nonEmpty)
   }
 
   /** Recover a crashed partition-scoped commit (see the class doc).
@@ -233,7 +246,10 @@ object PartitionSwap {
     // never reached, so the born dirs hold only the uncommitted
     // staged copies. Idempotent like the rest of the heal.
     bornParts(spark, aside).foreach { rel =>
-      Fs.delete(spark, base + "/" + rel)
+      // CHECKED: a silently failed delete here, followed by the
+      // aside's removal below, would leave the born dir live with its
+      // only record destroyed — permanent double-serving
+      Fs.deleteChecked(spark, base + "/" + rel)
     }
     asideLeaves(spark, aside).foreach { case (leaf, rel) =>
       val live = base + "/" + rel

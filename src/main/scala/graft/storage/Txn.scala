@@ -321,6 +321,39 @@ object Txn {
         (if (have.contains(fd.name)) col(fd.name) else lit(null))
           .cast(fd.dataType).as(fd.name)): _*)
     }
+    // CLOSING the walk-order window: a partition parked (and its
+    // replacement renamed in) BETWEEN the aside walk above and the
+    // live frame construction would have its NEW files listed and
+    // read cleanly — a silent mix, with no FNFE for the retry to
+    // classify (the vanish direction throws; the appear direction
+    // does not). The frames' file listings are fixed at construction
+    // (spark.read resolves its file index eagerly), so ONE re-walk of
+    // the aside and snapshot record set now is sufficient: any
+    // partition it decides that this compose read from LIVE was
+    // swapped inside the window — refuse retryably, and the retry
+    // resolves it through its parked copy. Parks after this re-check
+    // can only make the listed live files vanish, which IS classified.
+    val decidedNow = scala.collection.mutable.Set[String]()
+    val usableNow = partSnapshots(spark, base).filter { p =>
+      val s = partSnapshotStamp(new Path(p).getName).getOrElse(0L)
+      cut.forall(s > _) // same lineage cut — dead-lineage snapshots
+                        // must not flag live reads of reused rels
+    }
+    (usableNow ++
+      Some(PartitionSwap.asidePath(base)).filter(Fs.exists(spark, _)))
+      .foreach { root =>
+        PartitionSwap.bornParts(spark, root).foreach(decidedNow += _)
+        PartitionSwap.asideLeaves(spark, root)
+          .foreach { case (_, rel) => decidedNow += rel }
+      }
+    val torn = live.collect {
+      case (_, rel) if decidedNow.contains(rel) => rel
+    }
+    if (torn.nonEmpty)
+      throw new ConcurrentWriteException(
+        s"composed read of $base raced a partition swap mid-walk " +
+          s"(partition(s) ${torn.mkString(", ")} were parked between " +
+          "the snapshot walk and the live listing); retry")
     Some(aligned.reduce(_ unionByName _))
   }
 

@@ -724,20 +724,26 @@ object StreamingOps {
             override def onQueryTerminated(
                 e: org.apache.spark.sql.streaming.StreamingQueryListener
                   .QueryTerminatedEvent): Unit = {
-              val v = leaseByQuery.remove(e.id)
+              // keyed by RUN id, not query id: the query id persists
+              // in the checkpoint across restarts, so a stale
+              // termination event from a prior incarnation still on
+              // the async bus would otherwise release the RESTARTED
+              // maintainer's fresh lease — which the missing-lease
+              // fence then turns fatal for a healthy stream
+              val v = leaseByQuery.remove(e.runId)
               if (v != null) MaintainerLease.release(v._1, v._2, v._3)
             }
           })
       val q = build(token)
       MaintainerLease.bindQuery(target, token, q.id)
-      leaseByQuery.put(q.id, (spark, target, token))
+      leaseByQuery.put(q.runId, (spark, target, token))
       // a stream that failed in its first instants can terminate
       // BEFORE the put above — the async listener then saw no entry
       // and released nothing, and the entry would leak. Release is
       // token-checked and idempotent, so the post-put re-check and a
       // racing listener are both safe.
-      if (!spark.streams.active.exists(_.id == q.id)) {
-        leaseByQuery.remove(q.id)
+      if (!spark.streams.active.exists(_.runId == q.runId)) {
+        leaseByQuery.remove(q.runId)
         MaintainerLease.release(spark, target, token)
       }
       q
@@ -1331,7 +1337,12 @@ object StreamingOps {
         throw new IllegalArgumentException(
           s"$path is neither a matview (no ${MatView.SidecarName}) " +
             "nor a maintained replica (no graft_replicate TXN records)")
-      val source = rows.head.getString(0).stripPrefix("graft_replicate:")
+      // the raw log read above carries no ordering — pick the NEWEST
+      // record's app for the reported source (a re-pointed replica
+      // must report where it replicates FROM now, not arbitrary
+      // parquet file order)
+      val source = rows.maxBy(_.getTimestamp(2).getTime)
+        .getString(0).stripPrefix("graft_replicate:")
       val applied = rows.map(_.getLong(1)).max
       val age = System.currentTimeMillis() -
         rows.map(_.getTimestamp(2).getTime).max

@@ -470,8 +470,10 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     Fs.renameChecked(spark, s"$path/part=P1", s"$aside/part=P1")
     spark.range(1).selectExpr("7L AS id", "7.0D AS v")
       .write.parquet(s"$path/part=P9")
-    Fs.writeText(spark, aside + "/" + PartitionSwap.BornManifest,
-      "part=P9")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      aside + "/" + PartitionSwap.BornDirName))
+    Fs.writeText(spark,
+      aside + "/" + PartitionSwap.BornDirName + "/born-0", "part=P9")
     // the next locked mutation heals first: P1 restored (row 7 back
     // in its ORIGINAL home), born P9 rolled back — never both
     st.merge(Seq((1L, "P0", 999.0)).toDF("id", "part", "v"), path,
@@ -483,6 +485,24 @@ class DeleteSpec extends AnyFunSuite with SparkSpec {
     assert(healed.filter(col("id") === 7L).count() == 1L,
       "the moved row must exist exactly once after the rollback")
     assert(healed.count() == 200L)
+    // the VACUUM path must roll born partitions back too — with no
+    // next writer, vacuum is the only healer, and deleting the aside
+    // without the born rollback would destroy the only record while
+    // the dir keeps double-serving
+    Fs.renameChecked(spark, s"$path/part=P1", s"$aside/part=P1")
+    spark.range(1).selectExpr("7L AS id", "7.0D AS v")
+      .write.parquet(s"$path/part=P9")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      aside + "/" + PartitionSwap.BornDirName))
+    Fs.writeText(spark,
+      aside + "/" + PartitionSwap.BornDirName + "/born-0", "part=P9")
+    Maintenance.vacuum(spark, path)
+    assert(!Fs.exists(spark, aside) && !Fs.exists(spark, s"$path/part=P9"),
+      "vacuum must consume the aside AND roll the born partition back")
+    val vHealed = st.read(path, "delta")
+    assert(vHealed.filter(col("id") === 7L).count() == 1L &&
+      vHealed.count() == 200L,
+      "vacuum's heal must be exactly-once for the moved row")
   }
 
   test("partitioned merge/delete commit via rename-aside: a crashed " +
