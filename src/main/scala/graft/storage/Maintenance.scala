@@ -265,7 +265,16 @@ object Maintenance {
         PartitionSwap.bornParts(spark, partAside).foreach { rel =>
           val live = base + "/" + rel
           if (Fs.exists(spark, live))
-            actions += delete(live,
+            // kind "delete-born" (dest = the aside): the execute loop
+            // re-verifies the aside STILL exists before deleting —
+            // this is the one planned action that removes live table
+            // paths, and a retried mutation healing + committing a
+            // NEW partition under the same name between plan and
+            // execute would otherwise lose committed data silently
+            // (the aside's continued existence is exactly heal's own
+            // safety condition). Every other aside action fails
+            // loudly if raced (renameChecked), which is enough there.
+            actions += VacuumAction("delete-born", live, partAside,
               "partition born by the crashed (uncommitted) " +
                 "partition-scoped commit — rolled back with its " +
                 "parked siblings")
@@ -444,6 +453,14 @@ object Maintenance {
           if (unchanged) Fs.deleteChecked(spark, a.target)
         }
         else if (a.kind == "delete") Fs.deleteChecked(spark, a.target)
+        else if (a.kind == "delete-born") {
+          // born-partition rollback is conditioned on its aside (in
+          // `dest`) still existing at EXECUTE time — see the planning
+          // comment: without the re-check, a mutation retried between
+          // plan and execute could have healed, re-run, and committed
+          // a fresh partition under the same name
+          if (Fs.exists(spark, a.dest)) Fs.deleteChecked(spark, a.target)
+        }
         else if (a.kind == "fence")
           GraftLog.append(spark, a.target, "CHANGES_BARRIER", Nil,
             Some(Merge.ChangesBarrierApp -> a.dest.toLong))

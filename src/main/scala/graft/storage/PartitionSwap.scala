@@ -217,7 +217,14 @@ object PartitionSwap {
     * their dirs never renamed in. */
   def bornParts(spark: SparkSession, snapRoot: String): Seq[String] = {
     val dir = snapRoot.stripSuffix("/") + "/" + BornDirName
-    if (!Fs.exists(spark, dir)) Nil
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else if (fs.getFileStatus(p).isFile)
+      // legacy single-file manifest (first shape this record shipped
+      // as): still honored, or an aside persisted under the old build
+      // would heal without its born rollback
+      Fs.readText(spark, dir).linesIterator.filter(_.nonEmpty).toSeq
     else Fs.listFiles(spark, dir).filter(_.startsWith("born-"))
       .map(f => Fs.readText(spark, s"$dir/$f").trim)
       .filter(_.nonEmpty)

@@ -253,6 +253,15 @@ object Txn {
     * all). */
   private[graft] def composeSnapshot(spark: SparkSession, base: String)
       : Option[org.apache.spark.sql.DataFrame] = {
+    // the torn-walk re-check below is only SOUND with retention on:
+    // every swap then leaves a durable record (its aside while in
+    // flight, its partition snapshot once committed) for the re-walk
+    // to find. With retention disabled a swap completing entirely
+    // inside the walk window leaves nothing, and a compose would mix
+    // its new content silently — so retention off means no composed
+    // fallback at all (retryReadComposed degrades to live-root
+    // retries, the documented pre-snapshot behavior).
+    if (snapshotRetainMs(spark) <= 0L) return None
     val cut = snapshots(spark, base)
       .flatMap(p => snapshotStamp(new Path(p).getName)).maxOption
     val usable = partSnapshots(spark, base).filter { p =>

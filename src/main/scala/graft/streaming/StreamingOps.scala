@@ -1341,11 +1341,16 @@ object StreamingOps {
       // record's app for the reported source (a re-pointed replica
       // must report where it replicates FROM now, not arbitrary
       // parquet file order)
-      val source = rows.maxBy(_.getTimestamp(2).getTime)
-        .getString(0).stripPrefix("graft_replicate:")
-      val applied = rows.map(_.getLong(1)).max
+      val newestApp = rows.maxBy(_.getTimestamp(2).getTime).getString(0)
+      val source = newestApp.stripPrefix("graft_replicate:")
+      // applied/age scoped to the CURRENT source's records — a
+      // re-pointed replica pairing the new source with the OLD
+      // source's (typically much higher) batch stamp would read as
+      // caught-up while genuinely behind
+      val current = rows.filter(_.getString(0) == newestApp)
+      val applied = current.map(_.getLong(1)).max
       val age = System.currentTimeMillis() -
-        rows.map(_.getTimestamp(2).getTime).max
+        current.map(_.getTimestamp(2).getTime).max
       frame("replica", source, Some(applied), 0L, Some(age))
     } else
       throw new IllegalArgumentException(
