@@ -28,6 +28,228 @@ object GraftLog {
     StructField("txn_app", StringType),
     StructField("txn_batch", LongType)))
 
+  /** One op-log record, driver-side. `hasTxnCols` preserves the
+    * old mergeSchema distinction between "this file predates the txn
+    * columns" and "txn fields null" for the one caller that reports
+    * them differently ([[graft.streaming.StreamingOps.lag]]). */
+  private[graft] case class OpRec(operation: String, tsMicros: Long,
+                                  partitionFields: String,
+                                  seq: Option[Long],
+                                  txnApp: Option[String],
+                                  txnBatch: Option[Long],
+                                  hasTxnCols: Boolean) {
+    def timestamp: Timestamp = {
+      val ts = new Timestamp(Math.floorDiv(tsMicros, 1000L))
+      ts.setNanos((Math.floorMod(tsMicros, 1000000L) * 1000L).toInt)
+      ts
+    }
+  }
+
+  // ------------------------------------------- driver-side parquet IO
+  //
+  // The op log is DRIVER METADATA (guide §5: the driver should do no
+  // data work — and symmetrically, metadata ops should not schedule
+  // cluster jobs). Appending one row through a Spark write costs a
+  // full job + commit protocol (~300-500 ms measured at sf0.1), and
+  // reading the log through spark.read(mergeSchema) costs a job plus
+  // a footer open per log file — paid by EVERY mutation and EVERY
+  // snapshot/assertUnchanged/history on every storage query. Both are
+  // one-file parquet IO, done here directly on the driver with
+  // parquet-hadoop; the on-disk format stays parquet with the same
+  // logical schema (timestamps as INT64 micros — Spark reads INT96
+  // and INT64 files side by side), so existing logs, the streaming
+  // file-source triggers watching the log dir, and external parquet
+  // readers are unaffected.
+
+  private lazy val logFileSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Types
+    Types.buildMessage()
+      .addField(Types.optional(BINARY).as(LTA.stringType())
+        .named("operation"))
+      .addField(Types.optional(INT64)
+        .as(LTA.timestampType(true, LTA.TimeUnit.MICROS))
+        .named("timestamp"))
+      .addField(Types.optional(BINARY).as(LTA.stringType())
+        .named("partition_fields"))
+      .addField(Types.optional(INT64).named("seq"))
+      .addField(Types.optional(BINARY).as(LTA.stringType())
+        .named("txn_app"))
+      .addField(Types.optional(INT64).named("txn_batch"))
+      .named("spark_schema")
+  }
+
+  /** Write `recs` as ONE parquet file in `dir` (created if missing).
+    * Driver-side, metadata-sized; snappy like Spark's own writes. */
+  private[storage] def writeRecords(spark: SparkSession, dir: String,
+                                    recs: Seq[OpRec],
+                                    fileName: String = null): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val name =
+      if (fileName != null) fileName
+      else f"part-${System.nanoTime()}%019d-${
+        java.util.UUID.randomUUID().toString.take(8)}.snappy.parquet"
+    val p = new Path(dir.stripSuffix("/") + "/" + name)
+    // stage under a DOT name and rename in: ParquetWriter writes the
+    // final path progressively, and a lock-free reader listing the log
+    // mid-append must never open a half-written footer (the Spark
+    // write this replaces published atomically via its commit
+    // protocol). Dot-prefixed = invisible to listings until the
+    // rename; rename is atomic on every FS this engine claims.
+    val staged = new Path(dir.stripSuffix("/") + "/." + name + ".inprogress")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(staged, conf))
+      .withConf(conf)
+      .withType(logFileSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        logFileSchema)
+    try recs.foreach { r =>
+      val g = factory.newGroup()
+      g.add("operation", r.operation)
+      g.add("timestamp", r.tsMicros)
+      if (r.partitionFields != null)
+        g.add("partition_fields", r.partitionFields)
+      r.seq.foreach(g.add("seq", _))
+      r.txnApp.foreach(g.add("txn_app", _))
+      r.txnBatch.foreach(g.add("txn_batch", _))
+      writer.write(g)
+    } finally writer.close()
+    if (!staged.getFileSystem(conf).rename(staged, p))
+      throw new java.io.IOException(
+        s"Failed to publish op-log file $staged -> $p")
+  }
+
+  /** Per-FILE record cache: log files are WRITE-ONCE (appends create
+    * fresh unique names, compaction stages a new dir and swaps, heals
+    * rename whole dirs — nothing ever rewrites a log file in place),
+    * so (qualified path, length) identifies content. The DIRECTORY is
+    * always re-listed per read — any log motion (append, compaction
+    * swap, crash heal) changes the listing, so freshness is never
+    * cached, only the parse of immutable bytes. In-process only:
+    * nothing persists across runs. Bounded by a full clear — a clear
+    * merely re-reads on demand. */
+  private val recCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[OpRec]]()
+
+  /** All records of the parquet files directly in `dir` (no
+    * recursion — the log is flat), tolerant of files written before
+    * the seq/txn columns existed (the old mergeSchema read's job) and
+    * of both timestamp encodings (Spark's INT96, this writer's INT64
+    * micros). UNSORTED — callers order as they need. */
+  private[graft] def readRecordsDir(spark: SparkSession,
+                                    dir: String): Seq[OpRec] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dp = new Path(dir)
+    val fs = dp.getFileSystem(conf)
+    if (!fs.exists(dp)) return Nil
+    if (recCache.size() > 8192) recCache.clear()
+    fs.listStatus(dp).toSeq
+      .filter { st =>
+        val f = st.getPath.getName
+        st.isFile && f.endsWith(".parquet") &&
+          !f.startsWith("_") && !f.startsWith(".")
+      }
+      .flatMap { st =>
+        val key = (st.getPath.toString, st.getLen)
+        val hit = recCache.get(key)
+        if (hit != null) hit
+        else {
+          val recs = readLogFile(conf, st.getPath)
+          recCache.put(key, recs)
+          recs
+        }
+      }
+  }
+
+  private def readLogFile(conf: org.apache.hadoop.conf.Configuration,
+                          path: Path): Seq[OpRec] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[OpRec]
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            path)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val t = g.getType
+            def has(n: String): Boolean =
+              t.containsField(n) && g.getFieldRepetitionCount(n) > 0
+            def str(n: String): Option[String] =
+              if (has(n)) Some(g.getString(n, 0)) else None
+            def lng(n: String): Option[Long] =
+              if (has(n)) Some(g.getLong(n, 0)) else None
+            val tsMicros: Long =
+              if (!has("timestamp")) 0L
+              else {
+                val prim = t.getType("timestamp").asPrimitiveType()
+                prim.getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT96 =>
+                    // Spark's legacy encoding (compactLog wrote it
+                    // before this reader existed): 8B nanos-of-day LE
+                    // + 4B Julian day LE
+                    val buf = java.nio.ByteBuffer
+                      .wrap(g.getInt96("timestamp", 0).getBytes)
+                      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                    val nanosOfDay = buf.getLong
+                    val julianDay = buf.getInt
+                    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+                  case _ =>
+                    val raw = g.getLong("timestamp", 0)
+                    val unit = Option(prim.getLogicalTypeAnnotation)
+                      .collect {
+                        case a: org.apache.parquet.schema
+                            .LogicalTypeAnnotation
+                            .TimestampLogicalTypeAnnotation => a.getUnit
+                      }
+                    unit match {
+                      case Some(org.apache.parquet.schema
+                          .LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+                        raw * 1000L
+                      case Some(org.apache.parquet.schema
+                          .LogicalTypeAnnotation.TimeUnit.NANOS) =>
+                        raw / 1000L
+                      case _ => raw // MICROS (this writer's encoding)
+                    }
+                }
+              }
+            out += OpRec(str("operation").orNull, tsMicros,
+              str("partition_fields").orNull, lng("seq"),
+              str("txn_app"), lng("txn_batch"),
+              hasTxnCols = t.containsField("txn_app"))
+            g = reader.read()
+          }
+        } finally reader.close()
+        out.toSeq
+  }
+
+  /** The op log's records, NEWEST FIRST — the driver-side core of
+    * [[history]]; [[Txn.snapshot]], the travel horizons, and the
+    * refresh classifiers read this directly (zero Spark jobs). Throws
+    * the reader's missing-path error when the table has no log, like
+    * the spark.read it replaces. */
+  private[graft] def records(spark: SparkSession,
+                             tablePath: String): Seq[OpRec] = {
+    val lp = logPath(tablePath)
+    if (!Fs.exists(spark, lp))
+      throw new java.io.FileNotFoundException(
+        s"Path does not exist: $lp")
+    readRecordsDir(spark, lp)
+      .sortBy(r => (-r.tsMicros, -r.seq.getOrElse(Long.MinValue)))
+  }
+
+  private[graft] def recordRow(r: OpRec): Row =
+    Row(r.operation, r.timestamp, r.partitionFields,
+      r.seq.map(Long.box).orNull, r.txnApp.orNull,
+      r.txnBatch.map(Long.box).orNull)
+
   /** Schema sidecar for EMPTIED managed tables: a delete/compact that
     * removes every row leaves no parquet file to infer a schema from
     * (Spark writes zero files for an all-empty frame), so the
@@ -88,13 +310,10 @@ object GraftLog {
     // millisecond (easy under rapid programmatic writes): nanoTime is
     // monotonic within the JVM, so (timestamp, seq) is a total order for
     // a single writer and timestamp still dominates across writers.
-    val row = Row(operation, new Timestamp(System.currentTimeMillis()),
-      partitionFields.mkString(","), System.nanoTime(),
-      txn.map(_._1).orNull, txn.map(t => Long.box(t._2)).orNull)
-    spark.createDataFrame(
-      java.util.Collections.singletonList(row), schema)
-      .coalesce(1)
-      .write.mode("append").parquet(logPath(tablePath))
+    writeRecords(spark, logPath(tablePath), Seq(OpRec(operation,
+      System.currentTimeMillis() * 1000L,
+      partitionFields.mkString(","), Some(System.nanoTime()),
+      txn.map(_._1), txn.map(_._2), hasTxnCols = true)))
   }
 
   /** Highest transaction batch recorded for `appId` (Delta's
@@ -111,16 +330,9 @@ object GraftLog {
     * EARLIER genuine one that a max-collapse would shadow — need the
     * full list, not just the newest. */
   def txnBatches(spark: SparkSession, tablePath: String,
-                 appId: String): Seq[Long] = {
-    val h = history(spark, tablePath)
-    if (!h.schema.fieldNames.contains("txn_app")) Nil
-    else {
-      import org.apache.spark.sql.functions.col
-      h.filter(col("txn_app") === appId && col("txn_batch").isNotNull)
-        .select("txn_batch")
-        .collect().map(_.getLong(0)).toSeq
-    }
-  }
+                 appId: String): Seq[Long] =
+    records(spark, tablePath)
+      .filter(_.txnApp.contains(appId)).flatMap(_.txnBatch)
 
   /** All (appId → batches) for the given app ids in ONE op-log read —
     * [[Merge.readAsOf]] consults three horizon apps per call, and
@@ -128,16 +340,12 @@ object GraftLog {
     * metadata read on the time-travel serving path. */
   def txnBatchesByApp(spark: SparkSession, tablePath: String,
                       appIds: Seq[String]): Map[String, Seq[Long]] = {
-    val h = history(spark, tablePath)
-    if (!h.schema.fieldNames.contains("txn_app")) Map.empty
-    else {
-      import org.apache.spark.sql.functions.col
-      h.filter(col("txn_app").isin(appIds: _*) &&
-          col("txn_batch").isNotNull)
-        .select("txn_app", "txn_batch").collect()
-        .groupBy(_.getString(0))
-        .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
-    }
+    val apps = appIds.toSet
+    records(spark, tablePath)
+      .collect { case r if r.txnApp.exists(apps) && r.txnBatch.isDefined =>
+        (r.txnApp.get, r.txnBatch.get) }
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
   }
 
   /** Carry the op log into a freshly-written replacement dir and swap
@@ -388,7 +596,7 @@ object GraftLog {
     require(isManagedTable(spark, tablePath),
       "The given path is not a Delta Table.")
     val files = Fs.dataFiles(spark, tablePath)
-    val hist = history(spark, tablePath).collect()
+    val hist = records(spark, tablePath).map(recordRow)
     // commit-lock observability: WHO holds the table and for how long
     // — an operator can spot a wedged table (crashed holder awaiting
     // the timeout) from DESCRIBE DETAIL instead of reading sidecar
@@ -413,35 +621,28 @@ object GraftLog {
         StructField("lock_age_ms", LongType))))
   }
 
-  /** The operation history, newest first (history() analogue).
-    * mergeSchema tolerates logs written before the seq column existed. */
-  def history(spark: SparkSession, tablePath: String): DataFrame = {
-    import org.apache.spark.sql.functions.desc
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(logPath(tablePath))
-    if (raw.schema.fieldNames.contains("seq"))
-      raw.orderBy(desc("timestamp"), desc("seq"))
-    else raw.orderBy(desc("timestamp"))
-  }
+  /** The operation history, newest first (history() analogue) — a
+    * LocalRelation built from the driver-side record read (the log is
+    * metadata-sized by contract; [[Maintenance.compactLog]] keeps the
+    * file count bounded). The full 6-column schema is always served,
+    * with nulls where a pre-metadata log file lacked a column — the
+    * same shape the old mergeSchema read produced. */
+  def history(spark: SparkSession, tablePath: String): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        records(spark, tablePath).map(recordRow): _*), schema)
 
   /** The table's recorded partitioning: newest WRITE/MERGE/ALTER
     * entry's partition_fields (empty for unpartitioned or
     * pre-metadata logs). ALTER counts because renaming a partition
     * column rewrites the layout under the new name. */
-  def lastPartitioning(spark: SparkSession, tablePath: String): Seq[String] = {
-    val h = history(spark, tablePath)
-    if (!h.schema.fieldNames.contains("partition_fields")) Nil
-    else {
-      import org.apache.spark.sql.functions.col
-      h.filter(col("operation").isin("WRITE", "MERGE", "ALTER"))
-        .select("partition_fields")
-        .head(1).toSeq.headOption
-        .map(_.getString(0))
-        .filter(_ != null)
-        .map(_.split(",").filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-    }
-  }
+  def lastPartitioning(spark: SparkSession, tablePath: String): Seq[String] =
+    records(spark, tablePath)
+      .find(r => Set("WRITE", "MERGE", "ALTER")(r.operation))
+      .map(_.partitionFields)
+      .filter(_ != null)
+      .map(_.split(",").filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 }
 
 /** Thin Hadoop FileSystem helpers (the JVM-native version of the

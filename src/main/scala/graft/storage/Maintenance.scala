@@ -531,18 +531,18 @@ object Maintenance {
         // the LOG_COMPACT record rides INSIDE the compacted file (not
         // a post-swap append): the log then rests at exactly one file
         // and a second compaction is a genuine no-op
-        val opRow = spark.createDataFrame(
-          java.util.Collections.singletonList(
-            org.apache.spark.sql.Row("LOG_COMPACT",
-              new java.sql.Timestamp(System.currentTimeMillis()), "",
-              System.nanoTime(), null, null)),
-          GraftLog.schema)
+        val opRec = GraftLog.OpRec("LOG_COMPACT",
+          System.currentTimeMillis() * 1000L, "",
+          Some(System.nanoTime()), None, None, hasTxnCols = true)
         try {
-          // mergeSchema like history(): a pre-metadata log must not
-          // lose newer entries' columns to one old footer's schema
-          spark.read.option("mergeSchema", "true").parquet(lp)
-            .unionByName(opRow, allowMissingColumns = true)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          // the driver-side record read is mergeSchema-equivalent (a
+          // pre-metadata log keeps newer entries' columns, missing
+          // fields read null); one driver-written file replaces the
+          // old coalesce(1) Spark job
+          GraftLog.writeRecords(spark, tmp,
+            GraftLog.readRecordsDir(spark, lp)
+              .sortBy(r => (r.tsMicros, r.seq.getOrElse(Long.MinValue)))
+              :+ opRec)
           Fs.swapInStaged(spark, lp, tmp)
         } catch {
           case e: Throwable =>

@@ -714,10 +714,10 @@ object MatView {
         // op-log rows appended since the recorded fingerprint, in
         // commit order. (timestamp, seq) is the engine's documented
         // total order (GraftLog.append); the log is op-count sized.
-        val newOps = GraftLog.history(spark, source)
-          .orderBy(col("timestamp"), col("seq"))
-          .select("operation").collect().iterator
-          .drop(meta.logEntries.toInt).map(_.getString(0)).toSeq
+        val newOps = GraftLog.records(spark, source)
+          .sortBy(r => (r.tsMicros, r.seq.getOrElse(Long.MinValue)))
+          .iterator
+          .drop(meta.logEntries.toInt).map(_.operation).toSeq
         val stamps = batchStamps(spark, source)
         val inRange = stamps.filter(_._1 > meta.lastBatch)
         val committed = inRange.filter(_._2).map(_._1).sorted
@@ -919,37 +919,83 @@ object MatView {
     val localDelta = bucketed && newBatchBytes <=
       spark.conf.getOption(LocalDeltaBytesKey).map(_.toLong)
         .getOrElse(LocalDeltaBytesDefault)
-    val (deltas, affected: Set[Int]) =
-      if (!bucketed) (deltas0, Set.empty[Int])
+    val (deltas, affected: Set[Int], localRows: Option[Array[org.apache.spark.sql.Row]]) =
+      if (!bucketed) (deltas0, Set.empty[Int], None)
       else if (localDelta) {
         val rows = deltas0.collect() // bounded by the probed feed bytes
         val local = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), deltas0.schema)
         val aff = local.select(bucketIdCol(meta).as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
-        (local, aff)
+        (local, aff, Some(rows))
       } else {
         val d = deltas0.localCheckpoint()
         val aff = d.select(bucketIdCol(meta).as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
-        (d, aff)
+        (d, aff, None)
       }
     val stateSide =
       if (bucketed) readState(spark, viewBase, meta, Some(affected))
       else read(spark, viewBase)
-    val s = stateSide.withColumn("_s", lit(true)).as("s")
-    val d = deltas.withColumn("_d", lit(true)).as("d")
-    // materialized ONCE (state-sized — the same cost class as the
-    // state write itself): the null-key probe, the poisoned-key
-    // listing, and the fold all read this checkpoint instead of
-    // re-running the feed scan + join per consumer
-    val joined = s.join(d, keys, "full_outer").localCheckpoint()
-    // a null key on either side would have forked unmerged in the
-    // null-unsafe join above — refuse before folding anything (the
-    // state side was refusal-clean at its own write; this catches
-    // feed batches). Using-column join output coalesces the key, so
-    // one probe covers both sides.
-    refuseNullKeys(joined, keys, "the change feed")
+    val s = stateSide.withColumn("_s", lit(true))
+    val d = deltas.withColumn("_d", lit(true))
+    // The fold join, materialized ONCE (state-sized — the same cost
+    // class as the state write itself): the null-key probe, the
+    // poisoned-key listing, and the fold all read this checkpoint
+    // instead of re-running the feed scan + join per consumer. All
+    // output names are unique (delta stats are d-/add_-/rem_-prefixed,
+    // keys may not shadow state stats by the create guard), so no side
+    // qualifiers are needed — which lets the two shapes below share
+    // every downstream consumer.
+    //
+    // HOW it joins is the 100 TB refresh cost: a full-outer join can
+    // NEVER broadcast in Spark, so the natural shape shuffles + sorts
+    // every affected bucket's state per refresh even for a one-row
+    // delta. With a LOCAL delta (the steady state of a continuously
+    // maintained view) the same result is computed with ZERO exchanges
+    // (guide §3.1/§2.4): state LEFT OUTER broadcast(delta) — one
+    // map-only pass over the affected buckets — covers state-only and
+    // matched groups; the delta rows matching NO state group (brand-new
+    // keys) are recovered DRIVER-side from the already-collected delta
+    // minus the matched keys (≤ |delta| rows, the LocalDelta bound)
+    // and unioned in as a LocalRelation with typed-null state columns.
+    val joined = localRows match {
+      case Some(rows) =>
+        val main = s.join(broadcast(d), keys, "left_outer")
+          .localCheckpoint()
+        // null feed keys refuse exactly as the probe below would, but
+        // driver-side on the collected rows — no extra job (the state
+        // side is refusal-clean by its own write's probe, invariantly)
+        val keyIdx = keys.map(deltas0.schema.fieldIndex)
+        if (rows.exists(r => keyIdx.exists(r.isNullAt)))
+          throw new IllegalArgumentException(
+            s"materialized view keys must be non-null; the change " +
+              s"feed contains a null in ${keys.mkString(", ")}")
+        val matched = main.filter(col("_d").isNotNull)
+          .select(keys.map(col): _*).collect() // ≤ |delta| rows
+          .map(_.toSeq).toSet
+        val dOnly = rows.filterNot(r => matched(keyIdx.map(r.get).toSeq))
+        if (dOnly.isEmpty) main
+        else {
+          val dOnly0 = spark.createDataFrame(
+            java.util.Arrays.asList(dOnly: _*), deltas0.schema)
+            .withColumn("_d", lit(true))
+            .withColumn("_s", lit(null).cast("boolean"))
+          val withNullState = stateSide.schema.fields
+            .filterNot(f => keys.exists(_.equalsIgnoreCase(f.name)))
+            .foldLeft(dOnly0)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+          main.unionByName(withNullState)
+        }
+      case None =>
+        val j = s.join(d, keys, "full_outer").localCheckpoint()
+        // a null key on either side would have forked unmerged in the
+        // null-unsafe join above — refuse before folding anything.
+        // Using-column join output coalesces the key, so one probe
+        // covers both sides.
+        refuseNullKeys(j, keys, "the change feed")
+        j
+    }
 
     // min/max mode: a group must be rescanned from the table iff a
     // removed non-null value ties or crosses a stored extreme — the
@@ -960,34 +1006,34 @@ object MatView {
     // stored partial is abelian and NO group ever needs the table.
     val poisoned: Column =
       if (!meta.minMax) lit(false)
-      else col("d._d").isNotNull && meta.valueCols.map { c =>
-        col("d." + extName("rem_min", c)).isNotNull &&
-          (col("s._s").isNull ||
-            col("s." + meta.statName("min", c)).isNull ||
-            col("d." + extName("rem_min", c)) <=
-              col("s." + meta.statName("min", c)) ||
-            col("d." + extName("rem_max", c)) >=
-              col("s." + meta.statName("max", c)))
+      else col("_d").isNotNull && meta.valueCols.map { c =>
+        col(extName("rem_min", c)).isNotNull &&
+          (col("_s").isNull ||
+            col(meta.statName("min", c)).isNull ||
+            col(extName("rem_min", c)) <=
+              col(meta.statName("min", c)) ||
+            col(extName("rem_max", c)) >=
+              col(meta.statName("max", c)))
       }.reduce(_ || _)
 
     val zero = lit(0).cast("decimal(28,6)")
-    val foldedCnt = coalesce(col("s.cnt"), lit(0L)) +
-      coalesce(col("d.dcnt"), lit(0L))
+    val foldedCnt = coalesce(col("cnt"), lit(0L)) +
+      coalesce(col("dcnt"), lit(0L))
     val foldedStats: Seq[Column] = meta.valueCols.flatMap { c =>
-      val foldedNn = coalesce(col("s." + meta.statName("nncnt", c)), lit(0L)) +
-        coalesce(col("d." + dName("nncnt", c)), lit(0L))
+      val foldedNn = coalesce(col(meta.statName("nncnt", c)), lit(0L)) +
+        coalesce(col(dName("nncnt", c)), lit(0L))
       Seq(
         foldedNn.as(meta.statName("nncnt", c)),
         when(foldedNn === 0L, lit(null).cast("decimal(28,6)"))
-          .otherwise((coalesce(col("s." + meta.statName("sum", c)), zero) +
-            coalesce(col("d." + dName("sum", c)), zero))
+          .otherwise((coalesce(col(meta.statName("sum", c)), zero) +
+            coalesce(col(dName("sum", c)), zero))
             .cast("decimal(28,6)"))
           .as(meta.statName("sum", c))) ++
         (if (meta.minMax) Seq(
-          least(col("s." + meta.statName("min", c)),
-            col("d." + extName("add_min", c))).as(meta.statName("min", c)),
-          greatest(col("s." + meta.statName("max", c)),
-            col("d." + extName("add_max", c))).as(meta.statName("max", c)))
+          least(col(meta.statName("min", c)),
+            col(extName("add_min", c))).as(meta.statName("min", c)),
+          greatest(col(meta.statName("max", c)),
+            col(extName("add_max", c))).as(meta.statName("max", c)))
         else Nil)
     }
     val folded = joined.filter(!poisoned)
@@ -1009,9 +1055,15 @@ object MatView {
     val newState =
       if (nRescan == 0L) folded.select(stateCols(meta).map(col): _*)
       else {
+        // with a LOCAL delta the poisoned set is ≤ |delta| keys — force
+        // the broadcast so the fact-table semi-join is a map-only scan
+        // instead of shuffling the table by key (guide §3.1); with a
+        // big delta the planner keeps the choice
+        val semiSide =
+          if (localRows.isDefined) broadcast(poisonedKeys) else poisonedKeys
         val rescanned = partials(
           storage.read(source, "delta")
-            .join(poisonedKeys, keys, "left_semi"), meta)
+            .join(semiSide, keys, "left_semi"), meta)
         folded.select(stateCols(meta).map(col): _*)
           .unionByName(rescanned.select(stateCols(meta).map(col): _*))
       }

@@ -382,11 +382,9 @@ object Merge {
   private[storage] def feedEraExists(spark: SparkSession,
                                      path: String): Boolean =
     hasChanges(spark, path) || {
-      val h = GraftLog.history(spark, path)
-      h.schema.fieldNames.contains("txn_app") &&
-        !h.filter(col("txn_app").isin(
-          ChangesPruneApp, ChangesBarrierApp, ChangesOverwriteApp))
-          .isEmpty
+      val eraApps = Set(ChangesPruneApp, ChangesBarrierApp,
+        ChangesOverwriteApp)
+      GraftLog.records(spark, path).exists(_.txnApp.exists(eraApps))
     }
 
   /** Change-batch stamps: wall-clock-anchored (micros-of-epoch scale)

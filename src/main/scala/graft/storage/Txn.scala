@@ -694,10 +694,9 @@ object Txn {
     val base = path.stripSuffix("/")
     if (!GraftLog.isManagedTable(spark, base)) OpLogSnapshot(0L, 0L)
     else {
-      import org.apache.spark.sql.functions.{count, max}
-      val r = GraftLog.history(spark, base)
-        .agg(count("*"), max("seq")).head()
-      OpLogSnapshot(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      val recs = GraftLog.records(spark, base)
+      OpLogSnapshot(recs.size.toLong,
+        recs.flatMap(_.seq).maxOption.getOrElse(0L))
     }
   }
 
@@ -722,13 +721,9 @@ object Txn {
     dir match {
       case None => OpLogSnapshot(0L, 0L)
       case Some(d) =>
-        import org.apache.spark.sql.functions.{count, max}
-        val raw = spark.read.option("mergeSchema", "true").parquet(d)
-        val r =
-          if (raw.schema.fieldNames.contains("seq"))
-            raw.agg(count("*"), max("seq")).head()
-          else raw.agg(count("*"), count("*") * 0L).head()
-        OpLogSnapshot(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        val recs = GraftLog.readRecordsDir(spark, d)
+        OpLogSnapshot(recs.size.toLong,
+          recs.flatMap(_.seq).maxOption.getOrElse(0L))
     }
   }
 

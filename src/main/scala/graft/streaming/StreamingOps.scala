@@ -1325,14 +1325,13 @@ object StreamingOps {
       // copy
       val lp = GraftLog.logPath(base)
       val logDir = if (Fs.exists(spark, lp)) lp else lp + "__old"
-      val h = spark.read.option("mergeSchema", "true").parquet(logDir)
-      if (!h.schema.fieldNames.contains("txn_app"))
+      val recs = GraftLog.readRecordsDir(spark, logDir)
+      if (!recs.exists(_.hasTxnCols))
         throw new IllegalArgumentException(
           s"$path is not a maintained replica (no TXN records)")
-      val rows = h.filter(col("txn_app").startsWith("graft_replicate:") &&
-          col("txn_batch").isNotNull)
-        .select("txn_app", "txn_batch", "timestamp")
-        .collect()
+      val rows = recs.filter(r =>
+        r.txnApp.exists(_.startsWith("graft_replicate:")) &&
+          r.txnBatch.isDefined)
       if (rows.isEmpty)
         throw new IllegalArgumentException(
           s"$path is neither a matview (no ${MatView.SidecarName}) " +
@@ -1341,16 +1340,16 @@ object StreamingOps {
       // record's app for the reported source (a re-pointed replica
       // must report where it replicates FROM now, not arbitrary
       // parquet file order)
-      val newestApp = rows.maxBy(_.getTimestamp(2).getTime).getString(0)
+      val newestApp = rows.maxBy(_.tsMicros).txnApp.get
       val source = newestApp.stripPrefix("graft_replicate:")
       // applied/age scoped to the CURRENT source's records — a
       // re-pointed replica pairing the new source with the OLD
       // source's (typically much higher) batch stamp would read as
       // caught-up while genuinely behind
-      val current = rows.filter(_.getString(0) == newestApp)
-      val applied = current.map(_.getLong(1)).max
+      val current = rows.filter(_.txnApp.contains(newestApp))
+      val applied = current.map(_.txnBatch.get).max
       val age = System.currentTimeMillis() -
-        current.map(_.getTimestamp(2).getTime).max
+        current.map(_.tsMicros).max / 1000L
       frame("replica", source, Some(applied), 0L, Some(age))
     } else
       throw new IllegalArgumentException(
