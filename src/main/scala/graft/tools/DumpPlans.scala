@@ -42,6 +42,17 @@ object DumpPlans {
               open(s.executionId) =
                 Exec(s.time, s.description, s.physicalPlanDescription)
             }
+          case u: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLAdaptiveExecutionUpdate =>
+            // keep the LATEST adaptive re-plan: the shapes AQE actually
+            // executed (SMJ->BHJ rewrites, coalesced reads), not the
+            // initial estimate
+            open.synchronized {
+              open.get(u.executionId).foreach { x =>
+                open(u.executionId) =
+                  x.copy(plan = u.physicalPlanDescription)
+              }
+            }
           case e: SparkListenerSQLExecutionEnd =>
             open.synchronized {
               open.remove(e.executionId).foreach { x =>
