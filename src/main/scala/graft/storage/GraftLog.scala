@@ -241,8 +241,12 @@ object GraftLog {
     if (!Fs.exists(spark, lp))
       throw new java.io.FileNotFoundException(
         s"Path does not exist: $lp")
+    // desc by (timestamp, seq) with missing seq ordered LAST among
+    // equal timestamps — the old `orderBy(desc, desc)` put nulls last,
+    // and negation would both flip that and overflow on MinValue
     readRecordsDir(spark, lp)
-      .sortBy(r => (-r.tsMicros, -r.seq.getOrElse(Long.MinValue)))
+      .sortBy(r => (r.tsMicros, r.seq.getOrElse(Long.MinValue)))(
+        Ordering[(Long, Long)].reverse)
   }
 
   private[graft] def recordRow(r: OpRec): Row =

@@ -115,12 +115,28 @@ object MaintainerLease {
         try fs.getFileStatus(lp)
         catch { case _: java.io.FileNotFoundException => null }
       if (st0 != null) {
+        // the lease can vanish between the stat and this read — the
+        // async terminate-listener release of a JUST-stopped stream
+        // (the documented stop → restart flow races its own release).
+        // A vanished file is NOT a live holder: contend again, where
+        // tryCreateFile now wins. Misreading it as ("", "?") refused a
+        // healthy restart naming holder '?' (flaked once the op-log
+        // fast path shrank the stop-to-restart gap). Other read errors
+        // (ACL flip) keep the refuse-with-unknown-holder shape.
+        val readLines =
+          try Some(Fs.readText(spark, lp.toString).linesIterator.toSeq)
+          catch {
+            case _: java.io.FileNotFoundException => None
+            case e if Txn.isSwapWindowRace(e) => None
+            case scala.util.control.NonFatal(_) => Some(Seq("", "?"))
+          }
+        if (readLines.isEmpty) {
+          // deleted mid-read — loop back to tryCreateFile
+        } else {
+        val lines = readLines.get
         val (holderToken, holderOwner) =
-          try {
-            val lines = Fs.readText(spark, lp.toString).linesIterator.toSeq
-            (lines.headOption.getOrElse(""),
-              lines.drop(1).headOption.getOrElse("?"))
-          } catch { case scala.util.control.NonFatal(_) => ("", "?") }
+          (lines.headOption.getOrElse(""),
+            lines.drop(1).headOption.getOrElse("?"))
         val ageMs = System.currentTimeMillis() - st0.getModificationTime
         val oursTerminated = prior.exists(_.token == holderToken)
         if (!oursTerminated && ageMs <= timeoutMs(spark))
@@ -139,6 +155,7 @@ object MaintainerLease {
         } catch {
           case _: java.io.FileNotFoundException => ()
           case scala.util.control.NonFatal(_) => Thread.sleep(100)
+        }
         }
       }
     }

@@ -218,8 +218,14 @@ object Txn {
     * otherwise falls back to that complete snapshot, exactly like
     * [[retryReadSnapshot]]. */
   def retryReadComposed[T](spark: SparkSession, path: String,
-                           maxAttempts: Int = 5, sleepMs: Long = 200L)
+                           maxAttempts: Int = 8, sleepMs: Long = 200L)
                           (body: org.apache.spark.sql.DataFrame => T): T = {
+    // 8 attempts, re-measured: each retry composes with strictly MORE
+    // parked partition copies (every swap that beat the last attempt
+    // parked its replaced dir), so the read converges — but the op-log
+    // fast path roughly tripled a tight mutator loop's swap cadence,
+    // and the old 5-attempt budget occasionally exhausted before
+    // convergence under the ConcurrencySpec partitioned soak.
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     val base = path.stripSuffix("/")
     var attempt = 0
