@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM's stdout must pass through UNPREFIXED: sbt's
+// default LoggedOutput strategy stamps every child line "[info] ",
+// which breaks line-oriented consumers of the bench/verify JSON
+// output (a `{"metric":...}` line must BE the line). StdoutOutput
+// inherits sbt's own stdout/stderr instead of re-logging.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

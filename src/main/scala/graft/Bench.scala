@@ -65,19 +65,35 @@ object Bench {
     // headline number; they remain visible per-query.
     val total = results.values.filter(_ >= 0).sum
     val nFail = results.values.count(_ < 0)
-    // Truncation-proofing (the driver records a bounded LOG TAIL of
-    // ~3 KB; at 140+ queries the single full line is ~3 KB and has
-    // repeatedly lost its own headline to the cut — round 6 recorded
-    // "parsed": null because the only complete JSON line fell off the
-    // FRONT of the tail window): (a) the full contract line first,
-    // (b) a compact headline line LAST — total + the 25 slowest
-    // queries, bounded ~900 B, so the end of the log always carries one
-    // complete parseable line — and (c) both lines also written to
-    // BENCH_LOCAL.json so the end-of-round snapshot commit carries a
-    // self-sufficient artifact no log window can eat.
-    val slowest = results.toSeq.sortBy(-_._2).take(25)
+    // Parse-proofing (r15 verdict task 2 — a MEASUREMENT-output fix,
+    // declared in OPTIMIZATION_r16.md; the timing methodology above is
+    // untouched). The driver's parser returned "parsed": null in ALL
+    // 15 rounds — including round 1, whose recorded tail holds a
+    // COMPLETE metric line — and every captured line is prefixed
+    // "[info] " by sbt's logger, so the parser evidently requires a
+    // line that IS the JSON. Both lines below therefore go to the RAW
+    // process stdout (FileDescriptor.out), which sbt's in-process
+    // logger capture cannot prefix. Layout: (a) the full contract
+    // line first — at 232 queries it is ~5.5 KB (names alone sum
+    // ~3.3 KB), so it arithmetically CANNOT fit the driver's ~2-3 KB
+    // tail window and may be front-truncated there, but a whole-log
+    // parser sees it complete; (b) a compact line LAST, the slowest
+    // queries packed into a ~1.7 KB budget so one complete parseable
+    // metric line always survives any tail cut; (c) both lines also
+    // written to BENCH_LOCAL.json under GRAFT_BENCH_RECORD=1 so the
+    // committed record stays self-sufficient.
+    val slowestEntries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r(v) }
-      .mkString("{", ",", "}")
+    val packed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var budget = 1700
+    var room = true
+    slowestEntries.foreach { e =>
+      // strict prefix of the slowest-first order (no cherry-picking
+      // shorter names past a long one): the map is "the N slowest"
+      if (room && e.length + 1 <= budget) { packed += e; budget -= e.length + 1 }
+      else room = false
+    }
+    val slowest = packed.mkString("{", ",", "}")
     val loadEnd = loadavg()
     val host =
       s""""host":{"cpus":$hostCpus,"load_start":"$loadStart","load_end":"$loadEnd"}"""
@@ -85,8 +101,10 @@ object Bench {
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir",$host,"full":"BENCH_LOCAL.json"}"""
     val full =
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$host}"""
-    println(full)
-    println(headline)
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(full)
+    raw.println(headline)
     // a narrowed run must not overwrite the committed full-inventory
     // record — and neither must the DRIVER's per-round run (its output
     // is already captured to BENCH_r{N}.json; letting it also dirty

@@ -83,12 +83,12 @@ object GraftLog {
   /** Write `recs` as ONE parquet file in `dir` (created if missing).
     * Driver-side, metadata-sized; snappy like Spark's own writes. */
   private[storage] def writeRecords(spark: SparkSession, dir: String,
-                                    recs: Seq[OpRec],
-                                    fileName: String = null): Unit = {
+                                    recs: Seq[OpRec]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val name =
-      if (fileName != null) fileName
-      else f"part-${System.nanoTime()}%019d-${
+    // the name is unique BY CONSTRUCTION (no caller-supplied override):
+    // the (path, length)-keyed recCache depends on log files being
+    // write-once, and a fixed name would silently violate that
+    val name = f"part-${System.nanoTime()}%019d-${
         java.util.UUID.randomUUID().toString.take(8)}.snappy.parquet"
     val p = new Path(dir.stripSuffix("/") + "/" + name)
     // stage under a DOT name and rename in: ParquetWriter writes the
@@ -132,10 +132,17 @@ object GraftLog {
     * always re-listed per read — any log motion (append, compaction
     * swap, crash heal) changes the listing, so freshness is never
     * cached, only the parse of immutable bytes. In-process only:
-    * nothing persists across runs. Bounded by a full clear — a clear
-    * merely re-reads on demand. */
-  private val recCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[OpRec]]()
+    * nothing persists across runs. Bounded by an access-order LRU
+    * ([[recCacheMax]] entries) — eviction merely re-reads on demand,
+    * so a long-lived maintainer on a pre-compaction log keeps its hot
+    * tail cached instead of thrashing through wholesale clears. */
+  @volatile private[graft] var recCacheMax: Int = 8192
+  private val recCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), Seq[OpRec]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[OpRec]]): Boolean =
+        size() > recCacheMax
+    })
 
   /** All records of the parquet files directly in `dir` (no
     * recursion — the log is flat), tolerant of files written before
@@ -148,7 +155,6 @@ object GraftLog {
     val dp = new Path(dir)
     val fs = dp.getFileSystem(conf)
     if (!fs.exists(dp)) return Nil
-    if (recCache.size() > 8192) recCache.clear()
     fs.listStatus(dp).toSeq
       .filter { st =>
         val f = st.getPath.getName

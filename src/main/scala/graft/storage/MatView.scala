@@ -114,7 +114,11 @@ case class MatViewRefresh(mode: String, batchesApplied: Long,
   * would rewrite the whole state parquet, quietly dominating every
   * refresh. The state is therefore hash-bucketed by key
   * ([[StateBucketsKey]] buckets, fixed at create) into immutable
-  * GENERATION dirs `b<bucket>/g<gen>`, resolved through a manifest in
+  * GENERATION dirs `g<gen>/b<bucket>` (generation-outer since round
+  * 16 — the staged generation publishes with ONE atomic dir rename
+  * and one birth stamp; older bucket-outer `b<bucket>/g<gen>` trees
+  * stay fully readable and committable, see [[bucketDirName]]),
+  * resolved through a manifest in
   * the sidecar (`bucketGens`). An incremental refresh reads ONLY the
   * buckets its delta keys hash to (a key absent from the delta cannot
   * live elsewhere — same hash), stages their new generation, and
@@ -220,7 +224,8 @@ object MatView {
                   schemaJson: String, keyPhys: Seq[String],
                   valuePhys: Seq[String], buckets: Int = 0,
                   stateGen: Long = 0L,
-                  bucketGens: Map[Int, Long] = Map.empty) {
+                  bucketGens: Map[Int, Long] = Map.empty,
+                  layout: Int = 2) {
     /** Single-value views keep the unsuffixed legacy stat names. */
     def statName(stat: String, c: String): String =
       if (valueCols.size == 1) stat else s"${stat}_$c"
@@ -243,7 +248,8 @@ object MatView {
         ("valuePhys" -> m.valuePhys) ~ ("buckets" -> m.buckets) ~
         ("stateGen" -> m.stateGen) ~
         ("bucketGens" -> m.bucketGens.map {
-          case (b, g) => b.toString -> g })))
+          case (b, g) => b.toString -> g }) ~
+        ("layout" -> m.layout)))
   }
 
   private def saveMetaInto(spark: SparkSession, dir: String,
@@ -372,7 +378,10 @@ object MatView {
       strs("keyPhys").getOrElse(keys),
       strs("valuePhys").getOrElse(valueCols),
       lngOpt("buckets").map(_.toInt).getOrElse(0),
-      lngOpt("stateGen").getOrElse(0L), bucketGens)
+      lngOpt("stateGen").getOrElse(0L), bucketGens,
+      // a sidecar without the field predates the generation-outer
+      // layout — its on-disk tree is bucket-outer (layout 1)
+      lngOpt("layout").map(_.toInt).getOrElse(1))
   }
 
   // --------------------------------------------------------- partials
@@ -433,10 +442,25 @@ object MatView {
   private def bucketIdCol(m: Meta): Column =
     pmod(xxhash64(m.keys.map(col): _*), lit(m.buckets.toLong)).cast("int")
 
-  /** `b00007/g000000000012` — zero-padded for stable listings; the
-    * names carry no `=` so nothing ever partition-infers them. */
-  private def bucketDirName(bucket: Int, gen: Long): String =
-    f"b$bucket%05d/g$gen%012d"
+  /** Per-layout state-dir naming — zero-padded for stable listings;
+    * the names carry no `=` so nothing ever partition-infers them.
+    *
+    *  - layout 2 (every view written since round 16):
+    *    `g000000000012/b00007` — GENERATION-outer, so an incremental
+    *    commit publishes its whole generation with ONE atomic dir
+    *    rename and ONE birth stamp (guide §6 metadata-op budget: the
+    *    old bucket-outer commit paid |affected buckets| renames +
+    *    stamps + mkdirs + exists probes per refresh — 32 at default
+    *    buckets, multiplied on object stores where rename is a copy).
+    *  - layout 1 (bucket-outer, `b00007/g000000000012`): read AND
+    *    commit compatibility for trees written by older rounds; only
+    *    a pre-existing sidecar without a `layout` field selects it.
+    *    A REBUILD replaces the whole tree and upgrades to layout 2. */
+  private def bucketDirName(m: Meta, bucket: Int, gen: Long): String =
+    if (m.layout >= 2) f"g$gen%012d/b$bucket%05d"
+    else f"b$bucket%05d/g$gen%012d"
+
+  private def genDirName(gen: Long): String = f"g$gen%012d"
 
   /** Zero-row state frame with the sidecar's recorded schema — the
     * all-groups-deleted (or brand-new-bucket) lifeline. */
@@ -457,15 +481,16 @@ object MatView {
     val dirs = m.bucketGens.toSeq
       .filter { case (b, _) => affected.forall(_.contains(b)) }
       .sortBy(_._1)
-      .map { case (b, g) => s"$base/${bucketDirName(b, g)}" }
+      .map { case (b, g) => s"$base/${bucketDirName(m, b, g)}" }
     if (dirs.isEmpty) emptyState(spark, m)
     else spark.read.parquet(dirs: _*)
   }
 
   /** Write `state` hash-bucketed under `intoDir` as generation `gen`
-    * dirs (`b<i>/g<gen>`), one file per bucket (the repartition keys
-    * each bucket to one task). Returns the bucket ids that got rows —
-    * a bucket with no surviving keys stages nothing. */
+    * dirs (layout 2: `g<gen>/b<i>`; layout 1: `b<i>/g<gen>`), one file
+    * per bucket (the repartition keys each bucket to one task).
+    * Returns the bucket ids that got rows — a bucket with no surviving
+    * keys stages nothing. */
   private def stageBuckets(spark: SparkSession, state: DataFrame,
                            m: Meta, intoDir: String,
                            gen: Long): Seq[Int] = {
@@ -478,18 +503,28 @@ object MatView {
     val ids = Fs.listSubdirs(spark, stage)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
-    // birth stamp BEFORE the rename into place, so every gen dir
+    // birth stamp BEFORE any rename toward place, so every gen dir
     // carries its creation millis IN A NAME from its first instant —
     // [[sweepStaleGens]] ages orphans by this, never by file mtimes
     // (object-store mtimes can be synthetic/upload-batched, and a
     // fresh crash orphan with batched mtimes could otherwise age
     // instantly past grace while a reader resolved through the
     // previous sidecar still scans it). Underscore-named — parquet
-    // reads of the bucket never see it.
+    // reads never see it. Layout 2 stamps the GENERATION dir once
+    // (all its buckets are born together); layout 1 stamps each
+    // bucket's gen dir, the pre-round-16 shape its sweep ages by.
     val born = System.currentTimeMillis()
-    ids.foreach { b =>
+    if (m.layout >= 2) {
+      val genDir = s"${intoDir.stripSuffix("/")}/${genDirName(gen)}"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
+      Fs.touch(spark, s"$genDir/$GenBornPrefix$born")
+      ids.foreach { b =>
+        Fs.renameChecked(spark, s"$stage/$BucketCol=$b",
+          genDir + f"/b$b%05d")
+      }
+    } else ids.foreach { b =>
       Fs.touch(spark, s"$stage/$BucketCol=$b/$GenBornPrefix$born")
-      val target = s"${intoDir.stripSuffix("/")}/${bucketDirName(b, gen)}"
+      val target = s"${intoDir.stripSuffix("/")}/${bucketDirName(m, b, gen)}"
       fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
       Fs.renameChecked(spark, s"$stage/$BucketCol=$b", target)
     }
@@ -532,7 +567,64 @@ object MatView {
             s"matview gen sweep of $what failed (debris left for a " +
               s"later sweep/vacuum): $e")
       }
-    gcGuard(base) {
+    // age authority: the BIRTH STAMP the staging write put in the
+    // dir's own name-space (`_graft_born_<millis>`) — creation time
+    // rides in a NAME, like __graft_snap_, so age never trusts mtimes
+    // (synthetic / upload-batched on object stores: a fresh crash
+    // orphan could otherwise age instantly past grace under a reader
+    // still resolving through the previous sidecar). Mtime only as
+    // the back-compat fallback for pre-stamp debris.
+    def bornIn(names: Seq[String]): Option[Long] = names.collectFirst {
+      case n if n.startsWith(GenBornPrefix) =>
+        n.stripPrefix(GenBornPrefix).toLongOption
+    }.flatten
+    def newestUnder(p: org.apache.hadoop.fs.Path): Long = {
+      var n = -1L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getModificationTime > n) n = f.getModificationTime
+      }
+      if (n < 0) n = fs.getFileStatus(p).getModificationTime
+      n
+    }
+    if (m.layout >= 2) gcGuard(base) {
+      // generation-outer: one listing of the base names the on-disk
+      // generations (live ones + in-grace debris — refresh-cadence
+      // bounded); each gen dir's single stamp ages ALL its buckets,
+      // which matches the layout-1 semantics exactly (a commit's
+      // bucket dirs were all stamped with the same millis).
+      Fs.listSubdirs(spark, base).foreach { gd =>
+        gd.stripPrefix("g").toLongOption
+          .filter(_ => gd.startsWith("g")).foreach { g =>
+          gcGuard(s"$base/$gd") {
+            val p = new org.apache.hadoop.fs.Path(s"$base/$gd")
+            val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+            val age = bornIn(names) match {
+              case Some(b) => now - b
+              case None => now - newestUnder(p)
+            }
+            if (age > grace) {
+              val live = m.bucketGens.collect {
+                case (b, lg) if lg == g => b }.toSet
+              if (live.isEmpty)
+                // the whole generation is unreferenced — superseded
+                // everywhere, or a crashed commit's orphan
+                Fs.delete(spark, p.toString)
+              else names.filter(_.startsWith("b")).foreach { bd =>
+                // referenced generation: only its buckets whose
+                // manifest pointer moved elsewhere are debris
+                bd.stripPrefix("b").toIntOption.foreach { b =>
+                  if (!live.contains(b)) gcGuard(s"$base/$gd/$bd") {
+                    Fs.delete(spark, s"$base/$gd/$bd")
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    } else gcGuard(base) {
       Fs.listSubdirs(spark, base).foreach { bd =>
         bd.stripPrefix("b").toIntOption
           .filter(_ => bd.startsWith("b")).foreach { b =>
@@ -542,32 +634,10 @@ object MatView {
               .filter(_ => gd.startsWith("g")).foreach { g =>
               if (!live.contains(g)) gcGuard(s"$base/$bd/$gd") {
                 val p = new org.apache.hadoop.fs.Path(s"$base/$bd/$gd")
-                // aged by the BIRTH STAMP the staging write put in
-                // the dir's own name-space (`_graft_born_<millis>`) —
-                // creation time rides in a NAME, like __graft_snap_,
-                // so age never trusts mtimes (synthetic / upload-
-                // batched on object stores: a fresh crash orphan
-                // could otherwise age instantly past grace under a
-                // reader still resolving through the previous
-                // sidecar). Mtime only as the back-compat fallback
-                // for pre-stamp debris.
-                val names = fs.listStatus(p).map(_.getPath.getName)
-                val born = names.collectFirst {
-                  case n if n.startsWith(GenBornPrefix) =>
-                    n.stripPrefix(GenBornPrefix).toLongOption
-                }.flatten
-                val age = born match {
+                val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+                val age = bornIn(names) match {
                   case Some(b) => now - b
-                  case None =>
-                    var n = -1L
-                    val it = fs.listFiles(p, true)
-                    while (it.hasNext) {
-                      val f = it.next()
-                      if (f.getModificationTime > n)
-                        n = f.getModificationTime
-                    }
-                    if (n < 0) n = fs.getFileStatus(p).getModificationTime
-                    now - n
+                  case None => now - newestUnder(p)
                 }
                 if (age > grace) Fs.delete(spark, p.toString)
               }
@@ -576,6 +646,26 @@ object MatView {
         }
       }
     }
+  }
+
+  /** Canonicalize ONE collected key value so driver-side Set
+    * membership agrees with Spark's join equality: byte arrays (JVM
+    * reference equality) become content-equal Seqs, signed zeros
+    * collapse to +0.0 (SQL equality — NormalizeFloatingNumbers —
+    * treats -0.0 = 0.0), and nested rows/arrays normalize
+    * recursively. Boxed NaN already JVM-equals NaN, matching SQL.
+    * Without this, a matched BinaryType delta key would read as
+    * "brand new" and double-count its group ([[applyIncremental]]'s
+    * local-delta path). */
+  private def normKeyValue(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case d: java.lang.Double =>
+      if (d.doubleValue() == 0.0d) Double.box(0.0d) else d
+    case f: java.lang.Float =>
+      if (f.floatValue() == 0.0f) Float.box(0.0f) else f
+    case r: org.apache.spark.sql.Row => r.toSeq.map(normKeyValue)
+    case s: scala.collection.Seq[_] => s.map(normKeyValue)
+    case other => other
   }
 
   /** The full-outer delta fold joins on the keys with null-UNSAFE
@@ -964,17 +1054,36 @@ object MatView {
         val main = s.join(broadcast(d), keys, "left_outer")
           .localCheckpoint()
         // null feed keys refuse exactly as the probe below would, but
-        // driver-side on the collected rows — no extra job (the state
-        // side is refusal-clean by its own write's probe, invariantly)
+        // driver-side on the collected rows — no extra job
         val keyIdx = keys.map(deltas0.schema.fieldIndex)
         if (rows.exists(r => keyIdx.exists(r.isNullAt)))
           throw new IllegalArgumentException(
             s"materialized view keys must be non-null; the change " +
               s"feed contains a null in ${keys.mkString(", ")}")
-        val matched = main.filter(col("_d").isNotNull)
-          .select(keys.map(col): _*).collect() // ≤ |delta| rows
-          .map(_.toSeq).toSet
-        val dOnly = rows.filterNot(r => matched(keyIdx.map(r.get).toSeq))
+        // ONE pass over the checkpointed join collects both the
+        // matched keys (≤ |delta| rows) and any null-key STATE rows —
+        // zero in a healthy view (every state write probes before
+        // committing), but state corrupted by an external writer now
+        // REFUSES here, the probe the old full-outer path's
+        // refuseNullKeys(joined) gave, without its extra state-sized
+        // job (a null-key state row matches no delta in the
+        // null-unsafe join, so only the anyNullKey arm can admit it).
+        val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+        val probed = main.filter(col("_d").isNotNull || anyNullKey)
+          .select(keys.map(col): _*).collect()
+        if (probed.exists(r => keys.indices.exists(r.isNullAt)))
+          throw new IllegalArgumentException(
+            s"materialized view keys must be non-null; the stored " +
+              s"state contains a null in ${keys.mkString(", ")}")
+        // driver-side membership must use the JOIN's equality, not raw
+        // JVM equality: a byte-array key compares by REFERENCE here,
+        // so every matched binary key would re-union as "brand new"
+        // and silently duplicate its group's state row; signed zeros
+        // and nested rows/arrays normalize for the same reason
+        val matched: Set[Seq[Any]] = probed.map(r => keys.indices.map(i =>
+          normKeyValue(r.get(i))): Seq[Any]).toSet
+        val dOnly = rows.filterNot(r =>
+          matched(keyIdx.map(i => normKeyValue(r.get(i)))))
         if (dOnly.isEmpty) main
         else {
           val dOnly0 = spark.createDataFrame(
@@ -1109,10 +1218,14 @@ object MatView {
       val stamped =
         if (newMeta.buckets > 0) {
           // bucketed layout: the full swap replaces the whole tree,
-          // so old generations leave with the aside — no debris
-          val gen = newMeta.stateGen + 1
-          val ids = stageBuckets(spark, state, newMeta, tmp, gen)
-          newMeta.copy(stateGen = gen,
+          // so old generations leave with the aside — no debris.
+          // The replacement tree is always written GENERATION-outer
+          // (layout 2): a rebuild is the one moment a layout-1 view
+          // upgrades for free, since nothing of the old tree survives.
+          val up = newMeta.copy(layout = math.max(newMeta.layout, 2))
+          val gen = up.stateGen + 1
+          val ids = stageBuckets(spark, state, up, tmp, gen)
+          up.copy(stateGen = gen,
             bucketGens = ids.map(_ -> gen).toMap)
         } else {
           state.write.mode("overwrite").parquet(tmp)
@@ -1158,19 +1271,27 @@ object MatView {
     * dirs, so the commit path needs no destructive pre-delete (which
     * could remove a racing refresher's freshly-committed generation).
     * Driver listing, bucket-count-sized. */
-  private def maxGenOnDisk(spark: SparkSession, base: String): Long =
-    Fs.listSubdirs(spark, base).filter(_.startsWith("b")).flatMap { bd =>
-      Fs.listSubdirs(spark, s"$base/$bd")
-        .filter(_.startsWith("g"))
+  private def maxGenOnDisk(spark: SparkSession, base: String,
+                           m: Meta): Long =
+    if (m.layout >= 2)
+      // generation-outer: ONE base listing names every on-disk
+      // generation, orphans included
+      Fs.listSubdirs(spark, base).filter(_.startsWith("g"))
         .flatMap(_.stripPrefix("g").toLongOption)
-    }.maxOption.getOrElse(0L)
+        .maxOption.getOrElse(0L)
+    else
+      Fs.listSubdirs(spark, base).filter(_.startsWith("b")).flatMap { bd =>
+        Fs.listSubdirs(spark, s"$base/$bd")
+          .filter(_.startsWith("g"))
+          .flatMap(_.stripPrefix("g").toLongOption)
+      }.maxOption.getOrElse(0L)
 
   private def commitIncremental(spark: SparkSession, viewBase: String,
                                 state: DataFrame, newMeta: Meta,
                                 snap: OpLogSnapshot,
                                 affected: Set[Int]): Unit = {
     val gen = math.max(newMeta.stateGen,
-      maxGenOnDisk(spark, viewBase)) + 1
+      maxGenOnDisk(spark, viewBase, newMeta)) + 1
     val stage = viewBase + "__genstage"
     Fs.deleteChecked(spark, stage)
     try {
@@ -1198,22 +1319,36 @@ object MatView {
             s"generation $gen first — re-plan")
       val fs = new org.apache.hadoop.fs.Path(viewBase)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      ids.foreach { b =>
-        val target = s"$viewBase/${bucketDirName(b, gen)}"
-        // gen was allocated above every on-disk generation, so a
-        // target existing here means a SIMULTANEOUS refresher (outside
-        // the documented single-maintainer contract) allocated the
-        // same number after our listing — refuse retryably, touching
-        // NOTHING (a destructive clear here could delete the racer's
-        // freshly-committed live generation; local-FS rename onto an
-        // existing dir would nest and double-count)
+      // gen was allocated above every on-disk generation, so a target
+      // existing here means a SIMULTANEOUS refresher (outside the
+      // documented single-maintainer contract) allocated the same
+      // number after our listing — refuse retryably, touching NOTHING
+      // (a destructive clear here could delete the racer's freshly-
+      // committed live generation; local-FS rename onto an existing
+      // dir would nest and double-count)
+      if (newMeta.layout >= 2) {
+        // generation-outer commit: the whole staged generation
+        // publishes with ONE existence probe + ONE atomic dir rename —
+        // where the layout-1 path paid |affected| probes + mkdirs +
+        // renames (guide §6: 32 metadata ops per refresh at default
+        // buckets, each a copy on object stores)
+        val target = s"$viewBase/${genDirName(gen)}"
+        if (Fs.exists(spark, target))
+          throw new StaleSnapshotException(
+            s"MATVIEW REFRESH of $viewBase: generation $gen appeared " +
+              "concurrently — a second refresher is racing this one; " +
+              "re-plan")
+        Fs.renameChecked(spark, s"$stage/${genDirName(gen)}", target)
+      } else ids.foreach { b =>
+        val target = s"$viewBase/${bucketDirName(newMeta, b, gen)}"
         if (Fs.exists(spark, target))
           throw new StaleSnapshotException(
             s"MATVIEW REFRESH of $viewBase: generation $gen appeared " +
               "concurrently — a second refresher is racing this one; " +
               "re-plan")
         fs.mkdirs(new org.apache.hadoop.fs.Path(target).getParent)
-        Fs.renameChecked(spark, s"$stage/${bucketDirName(b, gen)}", target)
+        Fs.renameChecked(spark,
+          s"$stage/${bucketDirName(newMeta, b, gen)}", target)
       }
       // an affected bucket that staged nothing lost its last key —
       // drop it from the manifest (the old generation becomes debris)

@@ -1326,6 +1326,18 @@ object StreamingOps {
       val lp = GraftLog.logPath(base)
       val logDir = if (Fs.exists(spark, lp)) lp else lp + "__old"
       val recs = GraftLog.readRecordsDir(spark, logDir)
+      if (recs.isEmpty)
+        // a compactLog swap can complete between the exists probes and
+        // this read (swapInStaged deletes __old LAST, so the chosen
+        // side may vanish mid-probe and list nothing). The old
+        // spark.read threw a retryable PATH_NOT_FOUND in this window;
+        // keep that classification (isSwapWindowRace → the enclosing
+        // retryTransient re-probes) instead of the PERMANENT
+        // not-a-replica refusal below, which would misreport a healthy
+        // replica to a poller that raced one swap.
+        throw new java.io.FileNotFoundException(
+          s"op log $logDir read empty mid-probe (compaction swap " +
+            "window); retry")
       if (!recs.exists(_.hasTxnCols))
         throw new IllegalArgumentException(
           s"$path is not a maintained replica (no TXN records)")

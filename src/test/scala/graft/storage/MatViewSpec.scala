@@ -648,7 +648,7 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
       val fs = fsP.getFileSystem(spark.sessionState.newHadoopConf())
       val someBucket = meta1.bucketGens.head._1
       val debris = new org.apache.hadoop.fs.Path(
-        f"$view/b$someBucket%05d/g${meta1.stateGen + 7}%012d")
+        f"$view/g${meta1.stateGen + 7}%012d/b$someBucket%05d")
       fs.mkdirs(debris.getParent)
       MatView.read(spark, view).limit(1)
         .write.parquet(debris.toString)
@@ -685,22 +685,27 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
       val meta0 = MatView.loadMeta(spark, view)
       val fs = new org.apache.hadoop.fs.Path(view)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      // every LIVE gen dir carries a birth marker from staging
+      // every LIVE generation dir carries ONE birth marker from
+      // staging (generation-outer layout: its buckets are all born
+      // together, so the stamp lives beside them in the gen dir)
       meta0.bucketGens.foreach { case (b, g) =>
         val names = fs.listStatus(new org.apache.hadoop.fs.Path(
-          f"$view/b$b%05d/g$g%012d")).map(_.getPath.getName)
+          f"$view/g$g%012d")).map(_.getPath.getName)
         assert(names.exists(_.startsWith("_graft_born_")),
           s"staged gen dir must be birth-stamped: ${names.toSeq}")
+        assert(names.contains(f"b$b%05d"),
+          s"live bucket $b must sit inside its generation dir")
       }
       val someBucket = meta0.bucketGens.head._1
       def plant(gen: Long, bornAgoMs: Long,
                 mtimeAgoMs: Long): org.apache.hadoop.fs.Path = {
+        val genDir = new org.apache.hadoop.fs.Path(f"$view/g$gen%012d")
         val p = new org.apache.hadoop.fs.Path(
-          f"$view/b$someBucket%05d/g$gen%012d")
+          f"$view/g$gen%012d/b$someBucket%05d")
         MatView.read(spark, view).limit(1).write.parquet(p.toString)
-        Fs.touch(spark, p.toString + "/_graft_born_" +
+        Fs.touch(spark, genDir.toString + "/_graft_born_" +
           (System.currentTimeMillis() - bornAgoMs))
-        val it = fs.listFiles(p, true)
+        val it = fs.listFiles(genDir, true)
         while (it.hasNext)
           fs.setTimes(it.next().getPath,
             System.currentTimeMillis() - mtimeAgoMs, -1)
@@ -739,7 +744,7 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val someBucket = meta0.bucketGens.head._1
     val orphan = new org.apache.hadoop.fs.Path(
-      f"$view/b$someBucket%05d/g${meta0.stateGen + 1}%012d")
+      f"$view/g${meta0.stateGen + 1}%012d/b$someBucket%05d")
     MatView.read(spark, view).limit(2).write.parquet(orphan.toString)
     // the next captured merge's refresh must commit cleanly PAST the
     // orphan (no rename wedge, no nesting, no double count)
@@ -753,6 +758,94 @@ class MatViewSpec extends AnyFunSuite with SparkSpec {
     assert(fs.exists(orphan),
       "the young orphan is the grace sweep's, not the commit's")
     assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("layout back-compat: a bucket-outer (layout 1) tree keeps " +
+      "reading and folding incrementally through its own commit " +
+      "path; a rebuild upgrades it to the generation-outer layout") {
+    val src = mkSource("mv_layout1")
+    val view = tempDir("mv_layout1_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    val meta0 = MatView.loadMeta(spark, view)
+    assert(meta0.layout == 2, "new views must write generation-outer")
+    // rewrite the tree to the pre-round-16 bucket-outer shape: move
+    // every g<gen>/b<i> to b<i>/g<gen> with a per-dir birth stamp,
+    // and strip the sidecar's layout field (old sidecars never
+    // carried one)
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    meta0.bucketGens.foreach { case (b, g) =>
+      val from = new org.apache.hadoop.fs.Path(f"$view/g$g%012d/b$b%05d")
+      val to = new org.apache.hadoop.fs.Path(f"$view/b$b%05d/g$g%012d")
+      fs.mkdirs(to.getParent)
+      assert(fs.rename(from, to))
+      Fs.touch(spark, to.toString + "/_graft_born_" +
+        System.currentTimeMillis())
+    }
+    meta0.bucketGens.values.toSet[Long].foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(f"$view/g$g%012d"), true)
+    }
+    val sc = view + "/" + MatView.SidecarName
+    val stripped = Fs.readText(spark, sc)
+      .replaceAll(",\"layout\":\\d+", "")
+    assert(!stripped.contains("\"layout\":"))
+    Fs.writeText(spark, sc, stripped)
+    val meta1 = MatView.loadMeta(spark, view)
+    assert(meta1.layout == 1,
+      "a sidecar without the field must read as bucket-outer")
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    // a captured merge folds incrementally THROUGH the layout-1
+    // commit path, staying bucket-outer on disk
+    st.merge(Seq((2L, "a", 6.0)).toDF("id", "k", "v"), src,
+      "full.id = incremental.id", captureChanges = true)
+    assert(MatView.refresh(spark, st, view).mode == "incremental")
+    val meta2 = MatView.loadMeta(spark, view)
+    assert(meta2.layout == 1, "an incremental commit must not fork " +
+      "the tree's layout")
+    val moved = (meta2.bucketGens.toSet diff meta1.bucketGens.toSet)
+    assert(moved.nonEmpty)
+    moved.foreach { case (b, g) =>
+      assert(Fs.exists(spark, f"$view/b$b%05d/g$g%012d"),
+        "layout-1 commits must land bucket-outer")
+    }
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+    // an UNCAPTURED mutation forces a rebuild — the whole-tree swap
+    // is the one moment the layout upgrades for free
+    Delete.where(spark, st, src, "id = 3", captureChanges = false)
+    assert(MatView.refresh(spark, st, view).mode == "rebuild")
+    val meta3 = MatView.loadMeta(spark, view)
+    assert(meta3.layout == 2, "a rebuild must upgrade to layout 2")
+    meta3.bucketGens.foreach { case (b, g) =>
+      assert(Fs.exists(spark, f"$view/g$g%012d/b$b%05d"))
+    }
+    assertDfEqual(MatView.read(spark, view), recompute(src))
+  }
+
+  test("local-delta fold: BinaryType keys match by content, not JVM " +
+      "reference — a matched binary key must not re-union as a new " +
+      "group (silent duplicate state rows)") {
+    val src = tempDir("mv_bin") + "/src"
+    st.write(Seq(
+      (1L, Array[Byte](1, 2, 3), 1.0),
+      (2L, Array[Byte](1, 2, 3), 5.0),
+      (3L, Array[Byte](9, 9), 2.0)).toDF("id", "k", "v"),
+      src, "delta", "overwrite")
+    val view = tempDir("mv_bin_v") + "/v"
+    MatView.create(spark, st, src, view, Seq("k"), "v")
+    // captured merge touching the EXISTING binary key: the broadcast
+    // join matches it by CONTENT, and the driver-side new-key
+    // recovery must agree it matched — byte arrays compare by
+    // reference in a raw JVM Set, which would re-union the group
+    st.merge(Seq((2L, Array[Byte](1, 2, 3), 6.0)).toDF("id", "k", "v"),
+      src, "full.id = incremental.id", captureChanges = true)
+    val r = MatView.refresh(spark, st, view)
+    assert(r.mode == "incremental", s"took ${r.mode}")
+    val got = MatView.read(spark, view)
+    assert(got.groupBy(hex(col("k"))).count()
+      .filter(col("count") > 1L).isEmpty,
+      "duplicate state rows for one binary key")
+    assertDfEqual(got.withColumn("k", hex(col("k"))),
+      recompute(src).withColumn("k", hex(col("k"))))
   }
 
   test("a non-managed source refuses; a non-view path refuses refresh") {
