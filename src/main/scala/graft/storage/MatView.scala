@@ -1029,14 +1029,32 @@ object MatView {
       else read(spark, viewBase)
     val s = stateSide.withColumn("_s", lit(true))
     val d = deltas.withColumn("_d", lit(true))
-    // The fold join, materialized ONCE (state-sized — the same cost
-    // class as the state write itself): the null-key probe, the
-    // poisoned-key listing, and the fold all read this checkpoint
-    // instead of re-running the feed scan + join per consumer. All
-    // output names are unique (delta stats are d-/add_-/rem_-prefixed,
-    // keys may not shadow state stats by the create guard), so no side
-    // qualifiers are needed — which lets the two shapes below share
-    // every downstream consumer.
+
+    // min/max mode: a group must be rescanned from the table iff a
+    // removed non-null value ties or crosses a stored extreme — the
+    // one case where min/max are not incrementally maintainable — or
+    // removals hit a key the state has never seen (insert-then-delete
+    // inside this refresh window: the delta's own add_min/add_max may
+    // name rows that were since removed). Without min/max every
+    // stored partial is abelian and NO group ever needs the table.
+    // Defined before the fold join so the local-delta probe below can
+    // collect the flag in its one pass.
+    val poisoned: Column =
+      if (!meta.minMax) lit(false)
+      else col("_d").isNotNull && meta.valueCols.map { c =>
+        col(extName("rem_min", c)).isNotNull &&
+          (col("_s").isNull ||
+            col(meta.statName("min", c)).isNull ||
+            col(extName("rem_min", c)) <=
+              col(meta.statName("min", c)) ||
+            col(extName("rem_max", c)) >=
+              col(meta.statName("max", c)))
+      }.reduce(_ || _)
+
+    // The fold join. All output names are unique (delta stats are
+    // d-/add_-/rem_-prefixed, keys may not shadow state stats by the
+    // create guard), so no side qualifiers are needed — which lets the
+    // two shapes below share every downstream consumer.
     //
     // HOW it joins is the 100 TB refresh cost: a full-outer join can
     // NEVER broadcast in Spark, so the natural shape shuffles + sorts
@@ -1049,7 +1067,18 @@ object MatView {
     // keys) are recovered DRIVER-side from the already-collected delta
     // minus the matched keys (≤ |delta| rows, the LocalDelta bound)
     // and unioned in as a LocalRelation with typed-null state columns.
-    val joined = localRows match {
+    //
+    // The local path KEEPS its state-sized checkpoint — measured, not
+    // assumed (guide §1.1): an A/B with the checkpoint removed (probe
+    // and fold each re-evaluating the map-only broadcast join) ran the
+    // minMax matview family 5–10% SLOWER at sf0.1 across alternated
+    // best-of-2 runs — at refresh scale the per-job parquet-scan fixed
+    // cost of the second evaluation exceeds the one-pass
+    // materialization it saves. What DID move to the single probe
+    // pass: the poisoned-group count job and the rescan semi-join's
+    // re-evaluation of the join (both now come from the collected
+    // probe rows), two fewer jobs per minMax refresh.
+    val (joined, localPoisoned: Option[Seq[Seq[Any]]]) = localRows match {
       case Some(rows) =>
         val main = s.join(broadcast(d), keys, "left_outer")
           .localCheckpoint()
@@ -1060,8 +1089,8 @@ object MatView {
           throw new IllegalArgumentException(
             s"materialized view keys must be non-null; the change " +
               s"feed contains a null in ${keys.mkString(", ")}")
-        // ONE pass over the checkpointed join collects both the
-        // matched keys (≤ |delta| rows) and any null-key STATE rows —
+        // ONE pass over the join collects the matched keys (≤ |delta|
+        // rows), their poisoned flags, and any null-key STATE rows —
         // zero in a healthy view (every state write probes before
         // committing), but state corrupted by an external writer now
         // REFUSES here, the probe the old full-outer path's
@@ -1070,7 +1099,9 @@ object MatView {
         // null-unsafe join, so only the anyNullKey arm can admit it).
         val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
         val probed = main.filter(col("_d").isNotNull || anyNullKey)
-          .select(keys.map(col): _*).collect()
+          .select(keys.map(col) :+
+            coalesce(poisoned, lit(false)).as("__poisoned"): _*)
+          .collect()
         if (probed.exists(r => keys.indices.exists(r.isNullAt)))
           throw new IllegalArgumentException(
             s"materialized view keys must be non-null; the stored " +
@@ -1084,18 +1115,35 @@ object MatView {
           normKeyValue(r.get(i))): Seq[Any]).toSet
         val dOnly = rows.filterNot(r =>
           matched(keyIdx.map(i => normKeyValue(r.get(i)))))
-        if (dOnly.isEmpty) main
-        else {
-          val dOnly0 = spark.createDataFrame(
-            java.util.Arrays.asList(dOnly: _*), deltas0.schema)
-            .withColumn("_d", lit(true))
-            .withColumn("_s", lit(null).cast("boolean"))
-          val withNullState = stateSide.schema.fields
-            .filterNot(f => keys.exists(_.equalsIgnoreCase(f.name)))
-            .foldLeft(dOnly0)((df, f) =>
-              df.withColumn(f.name, lit(null).cast(f.dataType)))
-          main.unionByName(withNullState)
-        }
+        // poisoned groups, assembled driver-side so the rescan branch
+        // never re-evaluates the join: matched groups carry the flag
+        // from the probe pass; a state-less (brand-new-key) group has
+        // _s null, so for it the predicate above reduces to "any
+        // rem_min non-null" — a plain null check on the already-
+        // collected delta row, no job needed.
+        val remMinIdx =
+          if (!meta.minMax) Nil
+          else meta.valueCols.map(c =>
+            deltas0.schema.fieldIndex(extName("rem_min", c)))
+        val pKeys: Seq[Seq[Any]] =
+          probed.toSeq.filter(_.getBoolean(keys.size))
+            .map(r => keys.indices.map(r.get)) ++
+          dOnly.toSeq.filter(r => remMinIdx.exists(i => !r.isNullAt(i)))
+            .map(r => keyIdx.map(r.get))
+        val out =
+          if (dOnly.isEmpty) main
+          else {
+            val dOnly0 = spark.createDataFrame(
+              java.util.Arrays.asList(dOnly: _*), deltas0.schema)
+              .withColumn("_d", lit(true))
+              .withColumn("_s", lit(null).cast("boolean"))
+            val withNullState = stateSide.schema.fields
+              .filterNot(f => keys.exists(_.equalsIgnoreCase(f.name)))
+              .foldLeft(dOnly0)((df, f) =>
+                df.withColumn(f.name, lit(null).cast(f.dataType)))
+            main.unionByName(withNullState)
+          }
+        (out, Some(pKeys))
       case None =>
         val j = s.join(d, keys, "full_outer").localCheckpoint()
         // a null key on either side would have forked unmerged in the
@@ -1103,27 +1151,8 @@ object MatView {
         // Using-column join output coalesces the key, so one probe
         // covers both sides.
         refuseNullKeys(j, keys, "the change feed")
-        j
+        (j, None)
     }
-
-    // min/max mode: a group must be rescanned from the table iff a
-    // removed non-null value ties or crosses a stored extreme — the
-    // one case where min/max are not incrementally maintainable — or
-    // removals hit a key the state has never seen (insert-then-delete
-    // inside this refresh window: the delta's own add_min/add_max may
-    // name rows that were since removed). Without min/max every
-    // stored partial is abelian and NO group ever needs the table.
-    val poisoned: Column =
-      if (!meta.minMax) lit(false)
-      else col("_d").isNotNull && meta.valueCols.map { c =>
-        col(extName("rem_min", c)).isNotNull &&
-          (col("_s").isNull ||
-            col(meta.statName("min", c)).isNull ||
-            col(extName("rem_min", c)) <=
-              col(meta.statName("min", c)) ||
-            col(extName("rem_max", c)) >=
-              col(meta.statName("max", c)))
-      }.reduce(_ || _)
 
     val zero = lit(0).cast("decimal(28,6)")
     val foldedCnt = coalesce(col("cnt"), lit(0L)) +
@@ -1153,9 +1182,13 @@ object MatView {
       // dropped, exactly as a recompute would
       .filter(col("cnt") > 0L)
 
-    val poisonedKeys = joined.filter(poisoned)
-      .select(keys.map(col): _*)
-    val nRescan = if (!meta.minMax) 0L else poisonedKeys.count()
+    // the poisoned listing: on the local path it is already on the
+    // driver (assembled by the probe pass — no count job, no join
+    // re-evaluation); the big-delta path lists from its checkpoint
+    val nRescan =
+      if (!meta.minMax) 0L
+      else localPoisoned.map(_.size.toLong)
+        .getOrElse(joined.filter(poisoned).count())
     // the rescan branch joins the FACT TABLE — attach it only when a
     // group actually needs it, or every pure fold would schedule a
     // full source scan and merely hope AQE's empty-relation pass
@@ -1164,12 +1197,19 @@ object MatView {
     val newState =
       if (nRescan == 0L) folded.select(stateCols(meta).map(col): _*)
       else {
-        // with a LOCAL delta the poisoned set is ≤ |delta| keys — force
-        // the broadcast so the fact-table semi-join is a map-only scan
-        // instead of shuffling the table by key (guide §3.1); with a
-        // big delta the planner keeps the choice
-        val semiSide =
-          if (localRows.isDefined) broadcast(poisonedKeys) else poisonedKeys
+        // with a LOCAL delta the poisoned set is ≤ |delta| keys and
+        // already collected — a broadcast LocalRelation makes the
+        // fact-table semi-join a map-only scan instead of shuffling
+        // the table by key (guide §3.1); with a big delta the planner
+        // keeps the choice
+        val keySchema = org.apache.spark.sql.types.StructType(
+          keys.map(k => stateSide.schema(stateSide.schema.fieldIndex(k))))
+        val semiSide = localPoisoned match {
+          case Some(pks) => broadcast(spark.createDataFrame(
+            java.util.Arrays.asList(pks.map(vs =>
+              org.apache.spark.sql.Row.fromSeq(vs)): _*), keySchema))
+          case None => joined.filter(poisoned).select(keys.map(col): _*)
+        }
         val rescanned = partials(
           storage.read(source, "delta")
             .join(semiSide, keys, "left_semi"), meta)
