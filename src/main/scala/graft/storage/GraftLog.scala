@@ -132,17 +132,50 @@ object GraftLog {
     * always re-listed per read — any log motion (append, compaction
     * swap, crash heal) changes the listing, so freshness is never
     * cached, only the parse of immutable bytes. In-process only:
-    * nothing persists across runs. Bounded by an access-order LRU
+    * nothing persists across runs. Bounded by an APPROXIMATE LRU
     * ([[recCacheMax]] entries) — eviction merely re-reads on demand,
     * so a long-lived maintainer on a pre-compaction log keeps its hot
-    * tail cached instead of thrashing through wholesale clears. */
+    * tail cached instead of thrashing through wholesale clears.
+    *
+    * Reads MUST stay lock-free: concurrent streaming maintainers and
+    * query threads probe op logs on every trigger, and a strict
+    * access-order LRU (synchronized LinkedHashMap) measured the
+    * ANN/streaming bench family ~25% slower at local[32] because every
+    * cache HIT mutated the order under one global lock. Hits here only
+    * stamp a volatile tick on the entry; the rare over-bound put
+    * evicts the least-recently-touched quarter under a CAS guard. */
   @volatile private[graft] var recCacheMax: Int = 8192
-  private val recCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long), Seq[OpRec]](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[OpRec]]): Boolean =
-        size() > recCacheMax
-    })
+  private final class RecEntry(val recs: Seq[OpRec]) {
+    @volatile var touched: Long = 0L
+  }
+  private val recTick = new java.util.concurrent.atomic.AtomicLong()
+  private val recCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), RecEntry]()
+  private val recEvicting = new java.util.concurrent.atomic.AtomicBoolean()
+  private def recCachePut(key: (String, Long), recs: Seq[OpRec]): Unit = {
+    val e = new RecEntry(recs)
+    e.touched = recTick.incrementAndGet()
+    recCache.put(key, e)
+    val max = recCacheMax
+    if (recCache.size() > max &&
+        recEvicting.compareAndSet(false, true))
+      try {
+        // drop to 7/8 of the bound so evictions amortize; precision is
+        // irrelevant (an evicted file re-parses on the next miss)
+        val keep = math.max(0, max - max / 8)
+        val doomed = recCache.size() - keep
+        if (doomed > 0) {
+          val it = recCache.entrySet().iterator()
+          val all = scala.collection.mutable.ArrayBuffer
+            .empty[((String, Long), Long)]
+          while (it.hasNext) {
+            val en = it.next(); all += ((en.getKey, en.getValue.touched))
+          }
+          all.sortInPlaceBy(_._2)
+          all.take(doomed).foreach { case (k, _) => recCache.remove(k) }
+        }
+      } finally recEvicting.set(false)
+  }
 
   /** All records of the parquet files directly in `dir` (no
     * recursion — the log is flat), tolerant of files written before
@@ -164,10 +197,12 @@ object GraftLog {
       .flatMap { st =>
         val key = (st.getPath.toString, st.getLen)
         val hit = recCache.get(key)
-        if (hit != null) hit
-        else {
+        if (hit != null) {
+          hit.touched = recTick.incrementAndGet()
+          hit.recs
+        } else {
           val recs = readLogFile(conf, st.getPath)
-          recCache.put(key, recs)
+          recCachePut(key, recs)
           recs
         }
       }
