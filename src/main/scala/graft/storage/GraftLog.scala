@@ -883,4 +883,29 @@ object Fs {
     }
     out.toSeq
   }
+
+  /** Config key for the target output-file size of rewrites of
+    * MATERIALIZED frames (persisted/checkpointed), bytes. */
+  val TargetFileBytesKey = "spark.graft.write.targetFileBytes"
+  val TargetFileBytesDefault: Long = 128L * 1024 * 1024
+
+  /** Coalesce a MATERIALIZED (persisted/localCheckpoint'ed) frame so
+    * an ensuing write lands ~target-sized files. A materialized frame
+    * keeps the partition count it was computed with — typically
+    * `spark.sql.shuffle.partitions` — and because no exchange feeds
+    * the write, AQE cannot coalesce it (guide §6): a KB-sized replica
+    * rewrite would otherwise emit one tiny file PER shuffle partition,
+    * small-files debt that compounds at scale. `approxBytes` comes
+    * from a driver file listing of the frame's sources (parquet bytes
+    * approximate the rewrite's output bytes — same columnar encoding).
+    * coalesce() only MERGES partitions (no shuffle, never splits), so
+    * a genuinely large frame keeps its parallel write. */
+  def sizedForWrite(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                    approxBytes: Long): org.apache.spark.sql.DataFrame = {
+    val target = spark.conf.getOption(TargetFileBytesKey)
+      .map(_.toLong).getOrElse(TargetFileBytesDefault)
+    val want = math.max(1L, (approxBytes + target - 1) / target)
+      .min(Int.MaxValue.toLong).toInt
+    if (df.rdd.getNumPartitions > want) df.coalesce(want) else df
+  }
 }

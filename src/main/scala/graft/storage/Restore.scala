@@ -101,8 +101,15 @@ object Restore {
       // ---- data rewrite: COW staging + checked swap (keeps the op
       // log, the change feed, and constraint sidecars; a restore to
       // an EMPTY snapshot gets its schema sidecar INSIDE the staging,
-      // riding the same atomic swap — stageAndSwap owns both) ----
-      GraftLog.stageAndSwap(spark, base, target, parts)
+      // riding the same atomic swap — stageAndSwap owns both). The
+      // persisted target carries its plan's shuffle partition count
+      // into the rewrite's files (no exchange feeds the write, AQE
+      // cannot coalesce — guide §6); size the file count from the
+      // current table's on-disk bytes, the cheap driver-listable
+      // proxy for the restored snapshot's size ----
+      GraftLog.stageAndSwap(spark, base,
+        Fs.sizedForWrite(spark, target,
+          Fs.dataFiles(spark, base).map(_._2).sum), parts)
 
       // marker lands only AFTER the rewrite — merge's crash ordering
       stamp.foreach(s => Fs.touch(spark,

@@ -989,7 +989,22 @@ object StreamingOps {
                 replica = graft.storage.Merge.replayChanges(
                   replica, feed.filter(col("batch") === b), keyCols)
               val materialized = replica.localCheckpoint()
-              storage.write(materialized, replicaPath, "delta", "overwrite")
+              // the checkpointed frame carries its shuffle partition
+              // count into the rewrite's files (no exchange feeds the
+              // write, so AQE cannot coalesce — guide §6); size the
+              // file count from the replica's own on-disk bytes plus
+              // the replayed batches'
+              val approx = graft.storage.Fs
+                .dataFiles(spark, replicaPath).map(_._2).sum +
+                stamps.map { b =>
+                  graft.storage.Fs.dataFiles(spark,
+                    s"${sourcePath.stripSuffix("/")}/" +
+                      s"${graft.storage.Merge.ChangesDirName}/batch=$b")
+                    .map(_._2).sum
+                }.sum
+              storage.write(
+                graft.storage.Fs.sizedForWrite(spark, materialized, approx),
+                replicaPath, "delta", "overwrite")
               graft.storage.GraftLog.append(spark, replicaPath, "TXN", Nil,
                 Some(txnApp -> stamps.max))
             }

@@ -211,4 +211,18 @@ class RestoreSpec extends AnyFunSuite with SparkSpec {
     assert(snap(st.read(path, "delta").select(col("id"), col("v")))
       == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
+
+  test("restore's COW rewrite sizes its output files: a small table " +
+      "lands ONE data file, not one per partition of the persisted " +
+      "replay plan") {
+    val (path, between, stamps) = lifecycle("restore_sized")
+    Restore.toStamp(spark, st, path, Seq("id"), stamps(0))
+    assert(snap(st.read(path, "delta")) == between)
+    // the replay plan's persisted partitioning (shuffle.partitions=4
+    // here, spark.sql.shuffle.partitions in production) must not leak
+    // into the on-disk layout: bytes << targetFileBytes => one file
+    assert(Fs.dataFiles(spark, path).size == 1,
+      s"expected one sized output file, got " +
+        s"${Fs.dataFiles(spark, path).map(_._1)}")
+  }
 }
