@@ -1012,11 +1012,18 @@ object MatView {
     val (deltas, affected: Set[Int], localRows: Option[Array[org.apache.spark.sql.Row]]) =
       if (!bucketed) (deltas0, Set.empty[Int], None)
       else if (localDelta) {
-        val rows = deltas0.collect() // bounded by the probed feed bytes
+        // ONE collect carries the delta rows AND each row's bucket id
+        // (bucketIdCol must evaluate through Spark — xxhash64 over the
+        // internal row encoding — so it rides the same job instead of
+        // a second job over the already-collected LocalRelation)
+        val n = deltas0.schema.size
+        val withB = deltas0.withColumn("__graft_b", bucketIdCol(meta))
+          .collect() // bounded by the probed feed bytes
+        val rows = withB.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.take(n)))
+        val aff = withB.map(_.getInt(n)).toSet
         val local = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), deltas0.schema)
-        val aff = local.select(bucketIdCol(meta).as("__b")).distinct()
-          .collect().map(_.getInt(0)).toSet
         (local, aff, Some(rows))
       } else {
         val d = deltas0.localCheckpoint()
